@@ -1,0 +1,121 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for document corpora: exact (hash group-by),
+  * MinHash+LSH near-dup candidate generation, SimHash, and n-gram Jaccard
+  * verification.
+  *
+  * Scale design (100 TB): exact dedup groups on a 256-bit content hash —
+  * the shuffle carries 32 bytes + ids instead of full documents. MinHash
+  * banding turns the quadratic all-pairs problem into an equi-join on
+  * band-bucket keys (only colliding docs ever meet), which Catalyst
+  * executes as an ordinary shuffle join — AQE handles skewed buckets.
+  *
+  * Signature math is deliberately NOT nested higher-order-function
+  * lambdas: a lambda body is re-evaluated per invocation, so e.g. a
+  * 32-seed minhash over an inlined shingle expression recomputes shingle
+  * construction 32× per row (measured 0.17 s/row). Instead signatures use
+  * the distributed formulation — explode shingles/tokens, then one hash
+  * aggregation with N min/sum columns. Partial (map-side) aggregation
+  * reduces each group to N longs before the shuffle, so the exchange
+  * carries O(docs × N), not O(shingles).
+  */
+object Dedup {
+
+  /** Exact dedup: one representative (min doc_id) per distinct text.
+    * Equivalent to GROUP BY text but shuffles a fixed-width sha2 key. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(sha2(col("text"), 256).as("content_hash"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dup_cnt"))
+      .select("keep_id", "dup_cnt")
+      .orderBy("keep_id")
+
+  /** Distinct word n-gram shingles of a token array, built with O(1)
+    * element_at lookups (slice-per-index is O(n²) per row). Falls back to
+    * the distinct tokens when the doc is shorter than n. */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array_distinct(toks)).otherwise(
+      array_distinct(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*))))
+
+  /** (doc_id, shingle_set) projection — shared by signature generation and
+    * exact-Jaccard verification. */
+  def withShingleSets(docs: DataFrame, shingleSize: Int): DataFrame =
+    docs.select(col("doc_id"),
+      shingles(TextOps.tokens(col("text")), shingleSize).as("shingle_set"))
+
+  /** MinHash signatures + LSH band-bucket keys via explode + hash-agg:
+    * each shingle row is hashed once per seed inside a codegen'd partial
+    * aggregate; the signature is assembled post-agg and sliced into
+    * `numHashes / rowsPerBand` band buckets. Docs sharing any bucket are
+    * near-dup candidates. Empty documents produce no shingles and drop
+    * out (nothing to collide with). */
+  def minHash(docs: DataFrame, shingleSize: Int = 3,
+      numHashes: Int = 32, rowsPerBand: Int = 4): DataFrame = {
+    require(numHashes % rowsPerBand == 0, "bands must tile the signature")
+    val nBands = numHashes / rowsPerBand
+    val hashes = withShingleSets(docs, shingleSize)
+      .select(col("doc_id"), explode(col("shingle_set")).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+    val sigCols = (0 until numHashes).map(s => min(xxhash64(col("h"), lit(s))).as(s"m$s"))
+    hashes.groupBy("doc_id")
+      .agg(sigCols.head, sigCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"m$i")): _*).as("signature"))
+      .select(col("doc_id"), col("signature"),
+        transform(sequence(lit(0), lit(nBands - 1)),
+          b => xxhash64(concat_ws(",",
+            transform(slice(col("signature"), b * rowsPerBand + 1, lit(rowsPerBand)),
+              x => x.cast("string"))), b)).as("bands"))
+  }
+
+  /** Near-duplicate pairs: ids-only LSH candidate join on band buckets,
+    * then shingle sets re-joined for exact Jaccard verification,
+    * `jaccard >= threshold` kept. The bucket join carries only (bucket,
+    * doc_id) — document payloads meet the network exactly twice, keyed by
+    * doc_id, for the verification join. */
+  def nearDupPairs(docs: DataFrame, shingleSize: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val ss = withShingleSets(docs, shingleSize)
+    val exploded = minHash(docs, shingleSize)
+      .select(col("doc_id"), explode(col("bands")).as("bucket"))
+    val cand = exploded.select(col("bucket"), col("doc_id").as("doc_a"))
+      .join(exploded.select(col("bucket"), col("doc_id").as("doc_b")), Seq("bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .join(ss.select(col("doc_id").as("doc_a"), col("shingle_set").as("set_a")), Seq("doc_a"))
+      .join(ss.select(col("doc_id").as("doc_b"), col("shingle_set").as("set_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (floor(size(array_intersect(col("set_a"), col("set_b"))).cast("double")
+          / size(array_union(col("set_a"), col("set_b"))) * 10000 + 0.5) / 10000)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 64-bit SimHash over token xxhash64 values: per-bit majority vote of
+    * ±1 contributions, packed into a long. Near-dups differ in few bits
+    * (compare with bit_count(a ^ b) <= k). Implemented as explode +
+    * 64-column hash aggregate (codegen'd, map-side partial) — not nested
+    * lambdas. Empty documents drop out. */
+  def simHash(docs: DataFrame): DataFrame = {
+    val hashes = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    val bitCols = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1, 1)
+        .otherwise(-1)).as(s"b$i"))
+    hashes.groupBy("doc_id")
+      .agg(bitCols.head, bitCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(i =>
+          when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+          .reduce(_ bitwiseOR _).as("simhash"))
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,73 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads travel as opaque
+  * `binary` columns with a typed metadata struct; decode/feature-extract
+  * runs per-partition over the binary batches.
+  *
+  * The actual codec is STUBBED (no image/audio libraries in this
+  * environment): [[stubDecode]] derives a deterministic fake feature
+  * vector from the payload bytes. Everything around it — schema contract,
+  * partition-level batch iteration, feature post-processing — is the real
+  * distributed path: swap `decode` for a JNI/ffmpeg/JPEG decoder and the
+  * plan does not change.
+  *
+  * Scale notes: payloads never pass through a shuffle (decode happens
+  * before any wide op); feature extraction is `mapPartitions`, the Scala
+  * analogue of `mapInPandas` batch UDFs, so per-batch decoder state
+  * (codec contexts, model sessions) is amortized across a partition.
+  */
+object Multimodal {
+
+  /** Media row contract: id + opaque payload + typed metadata. */
+  case class MediaRow(media_id: Long, payload: Array[Byte],
+      format: String, width: Int, height: Int)
+
+  case class MediaFeatures(media_id: Long, feat_dim: Int,
+      features: Array[Float])
+
+  /** STUB decoder — stands in for an image/audio decode. Deterministic:
+    * folds payload bytes into `dim` float accumulators. A real decoder
+    * replaces only this function. */
+  def stubDecode(payload: Array[Byte], dim: Int): Array[Float] = {
+    val acc = new Array[Float](dim)
+    var i = 0
+    while (i < payload.length) {
+      acc(i % dim) += (payload(i) & 0xff) / 255.0f
+      i += 1
+    }
+    acc
+  }
+
+  /** Per-partition batch decode: binary payloads → feature vectors.
+    * Decoder "state" (here just `dim`) is initialized once per partition,
+    * as a real codec context would be. */
+  def extractFeatures(media: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition decoder init would go here
+      rows.map(r => MediaFeatures(r.media_id, dim, stubDecode(r.payload, dim)))
+    }
+  }
+
+  /** Demo pipeline over the documents table: text bytes stand in for a
+    * media payload (UTF-8 is as opaque to the plumbing as JPEG would be).
+    * Output: id, dim, rounded feature norm — deterministic. */
+  def documentsAsMedia(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val media = docs.select(
+      col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      lit("text/plain").as("format"),
+      col("n_chars").cast("int").as("width"),
+      lit(1).as("height")).as[MediaRow]
+    extractFeatures(media, dim = 16).toDF()
+      .select(col("media_id"), col("feat_dim"),
+        (floor(aggregate(col("features"), lit(0.0),
+          (a, x) => a + x.cast("double") * x.cast("double")) * 10000 + 0.5) / 10000)
+          .as("feat_sq_norm"))
+      .orderBy("media_id")
+  }
+}

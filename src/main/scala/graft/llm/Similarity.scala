@@ -1,0 +1,80 @@
+package graft.llm
+
+import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths, mirroring the reference's exact-vs-approximate KNN split
+  * (`ml/KNNRunner.scala:282-342` brute force vs the spill-tree estimator):
+  *
+  *  - [[bruteForceTopK]]: exact top-k by dot product/cosine. The query set
+  *    is broadcast (it is small by construction), the corpus is never
+  *    shuffled, and the per-query top-k is a window rank — so the cost is
+  *    one scan of the corpus regardless of cluster size.
+  *  - [[lshNeighbors]]: `BucketedRandomProjectionLSH` bucketed join — the
+  *    scale path when the query set is itself huge; candidates meet only
+  *    within hash buckets.
+  *
+  * Dot products run in double precision, accumulated left-to-right
+  * (`aggregate` HOF), which matches DuckDB's `list_inner_product` on
+  * double lists — making the brute-force path oracle-checkable.
+  */
+object Similarity {
+
+  /** Sequential-order double dot product of two float arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors of each query by (rounded) dot product.
+    * Ranking uses the 1e-6-rounded score with id tiebreak so results are
+    * stable across engines/partitionings despite float ulp wobble. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe")))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ce"))
+    val scored = c.join(q)
+      .select(col("query_id"), col("neighbor_id"),
+        dot(col("qe"), col("ce")).as("raw_dot"))
+      .select(col("query_id"), col("neighbor_id"), col("raw_dot"),
+        (floor(col("raw_dot") * 1e6 + 0.5) / 1e6).as("dot6"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dot6").desc, col("neighbor_id"))
+    scored
+      .select(col("query_id"), col("neighbor_id"),
+        row_number().over(w).as("rank"),
+        (floor(col("raw_dot") * 10000 + 0.5) / 10000).as("sim"))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Approximate neighbors via random-projection LSH buckets: join cost is
+    * bounded by bucket co-occupancy instead of |Q|×|C|. Seeded, so output
+    * is deterministic. Returns pairs within `maxDist` (euclidean). */
+  def lshNeighbors(queries: DataFrame, corpus: DataFrame,
+      maxDist: Double, bucketLength: Double = 2.0,
+      numHashTables: Int = 3): DataFrame = {
+    val toVec = (df: DataFrame) => df.select(col("vec_id"),
+      array_to_vector(col("embedding")).as("features"))
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("features").setOutputCol("buckets")
+      .setBucketLength(bucketLength).setNumHashTables(numHashTables)
+      .setSeed(42L)
+    val model = lsh.fit(toVec(corpus))
+    model.approxSimilarityJoin(toVec(queries), toVec(corpus), maxDist, "dist")
+      .select(
+        col("datasetA.vec_id").as("query_id"),
+        col("datasetB.vec_id").as("neighbor_id"),
+        (floor(col("dist") * 10000 + 0.5) / 10000).as("dist"))
+      .orderBy("query_id", "neighbor_id")
+  }
+}

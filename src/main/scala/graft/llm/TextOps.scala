@@ -1,0 +1,114 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * stats, quality scoring, language ID, BPE-ish token counting, and
+  * document fingerprinting.
+  *
+  * Everything here is built from codegen'd built-in expressions and
+  * higher-order functions — no UDFs — so the whole stage stays inside
+  * WholeStageCodegen and distributes embarrassingly (per-row, no shuffle).
+  * The reference's closest machinery is its tokenize-then-aggregate IDF
+  * path (`ml/IDFRunner.scala:102-111`); these operators generalize that
+  * per-document feature extraction.
+  */
+object TextOps {
+
+  /** Whitespace tokens of a text column. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Deterministic per-document stats. The token count is defined by the
+    * single-space formula (len - len(no-spaces) + 1) so the SQL oracle can
+    * reproduce it with pure string functions in any dialect. */
+  def stats(docs: DataFrame): DataFrame = {
+    val nWs = length(col("text")) - length(regexp_replace(col("text"), " ", ""))
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      (nWs + 1).cast("long").as("n_tokens"),
+      (floor((length(col("text")) - nWs).cast("double") / (nWs + 1) * 10000 + 0.5) / 10000)
+        .as("avg_token_len"))
+      .orderBy("doc_id")
+  }
+
+  /** Heuristic quality score: unique-token ratio, alphabetic-character
+    * ratio, mean token length, stopword ratio — the standard cheap
+    * pre-training quality filters. */
+  def quality(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    val stop = typedLit(Seq("the", "a", "and", "of", "to", "in", "is", "it"))
+    val uniqRatio = size(array_distinct(toks)).cast("double") / n
+    val alphaRatio = length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+      .cast("double") / greatest(length(col("text")), lit(1))
+    val meanLen = (length(col("text")) - (n - 1)).cast("double") / n
+    val stopRatio = size(filter(toks, t => array_contains(stop, t)))
+      .cast("double") / n
+    def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
+    docs.select(
+      col("doc_id"),
+      r4(uniqRatio).as("uniq_ratio"),
+      r4(alphaRatio).as("alpha_ratio"),
+      r4(meanLen).as("mean_token_len"),
+      r4(stopRatio).as("stopword_ratio"),
+      // quality = blended score in [0,1]: penalize dup-heavy or
+      // non-alphabetic or stopword-free (keyword-spam-like) text.
+      r4(least(lit(1.0),
+        uniqRatio * 0.4 + alphaRatio * 0.4 + least(stopRatio * 4, lit(1.0)) * 0.2))
+        .as("quality"))
+      .orderBy("doc_id")
+  }
+
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "you", "that", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ich", "mit", "ein", "zu"),
+    "es" -> Seq("el", "la", "los", "de", "que", "y", "en", "un", "es", "por"),
+    "fr" -> Seq("le", "les", "et", "une", "est", "que", "pour", "dans", "il", "au"))
+
+  /** Stopword/character-class language ID (en/de/es/fr + CJK → zh).
+    * Scores = stopword hit-rate per language; CJK characters dominate.
+    * Deterministic argmax with 'und' (undetermined) when nothing matches. */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = tokens(lower(col("text")))
+    val nTok = greatest(size(toks), lit(1))
+    val hits = stopwords.toSeq.sortBy(_._1).map { case (l, ws) =>
+      val arr = typedLit(ws)
+      l -> (size(filter(toks, t => array_contains(arr, t))).cast("double") / nTok)
+    }
+    val cjkRatio = (length(col("text")) -
+      length(regexp_replace(col("text"), "[\\x{4e00}-\\x{9fff}]", "")))
+      .cast("double") / greatest(length(col("text")), lit(1))
+    val best = hits.map(_._2).reduce(greatest(_, _))
+    val pick = hits.foldRight(lit("und")) { case ((l, s), acc) =>
+      when(s === best && best > 0, l).otherwise(acc)
+    }
+    docs.select(
+      col("doc_id"),
+      when(cjkRatio > 0.25, "zh").otherwise(pick).as("pred_lang"),
+      (floor(greatest(cjkRatio, best) * 10000 + 0.5) / 10000).as("confidence"))
+      .orderBy("doc_id")
+  }
+
+  /** BPE-ish token count: alpha runs, digit runs, and single punctuation
+    * marks — the usual cheap proxy for LLM token budgeting. */
+  def tokenCount(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(col("text"),
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+        .as("bpe_tokens"))
+      .orderBy("doc_id")
+
+  /** Rolling-hash document fingerprint: rotate-left-1 XOR fold over
+    * per-token xxhash64 values. Order-sensitive (unlike a token-set hash)
+    * and ANSI-safe (bit ops only, no overflowing arithmetic). */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val hashes = transform(tokens(col("text")), t => xxhash64(t))
+    val fp = aggregate(hashes, lit(0L), (acc, h) =>
+      shiftleft(acc, 1).bitwiseOR(shiftrightunsigned(acc, 63)).bitwiseXOR(h))
+    docs.select(col("doc_id"), fp.as("fingerprint")).orderBy("doc_id")
+  }
+}

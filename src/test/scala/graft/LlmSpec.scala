@@ -1,0 +1,126 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm._
+import graft.sources.Tables
+
+class LlmSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private lazy val tinyDocs = Seq(
+    (1L, "the cat sat on the mat"),
+    (2L, "the cat sat on the mat"), // exact dup of 1
+    (3L, "the cat sat on the big mat"), // near dup of 1
+    (4L, "completely different words entirely here now")
+  ).toDF("doc_id", "text")
+
+  test("text stats: hand-computed") {
+    val r = TextOps.stats(tinyDocs).collect()
+    // "the cat sat on the mat": 22 chars, 6 tokens, 17 letters / 6 = 2.8333
+    assert(r(0).getLong(1) == 22)
+    assert(r(0).getLong(2) == 6)
+    assert(math.abs(r(0).getDouble(3) - 2.8333) < 1e-9)
+  }
+
+  test("exact dedup groups identical texts") {
+    val r = Dedup.exact(tinyDocs).collect()
+    assert(r.length == 3)
+    val byKeep = r.map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(byKeep(1L) == 2) // docs 1+2 collapse
+    assert(byKeep(3L) == 1 && byKeep(4L) == 1)
+  }
+
+  test("near-dup pairs: near dup found, unrelated not paired") {
+    val pairs = Dedup.nearDupPairs(tinyDocs, shingleSize = 1, threshold = 0.5)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // exact dup: jaccard 1.0
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L))) // near dup
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: near-dups differ in few bits, unrelated in many") {
+    val h = Dedup.simHash(tinyDocs).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(h(1L), h(2L)) == 0) // identical text
+    assert(hamming(h(1L), h(3L)) < hamming(h(1L), h(4L)))
+  }
+
+  test("fingerprint is order-sensitive and collision-free on the fixture") {
+    val fp = TextOps.fingerprint(
+      Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c")).toDF("doc_id", "text"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(fp(1L) == fp(3L))
+    assert(fp(1L) != fp(2L))
+  }
+
+  test("langid on multilingual fixtures") {
+    val df = Seq(
+      (1L, "der hund ist nicht mit der katze im haus"),
+      (2L, "el perro es un animal que vive en la casa por años"),
+      (3L, "le chien est dans la maison pour une nuit"),
+      (4L, "the cat is in that house and it is you"),
+      (5L, "你好 世界 这 是 一个 测试 文档")
+    ).toDF("doc_id", "text")
+    val preds = TextOps.langId(df).collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(preds == Map(1L -> "de", 2L -> "es", 3L -> "fr", 4L -> "en", 5L -> "zh"))
+  }
+
+  test("bpe-ish token count >= whitespace token count") {
+    val r = TextOps.tokenCount(Seq((1L, "hello, world! x2")).toDF("doc_id", "text"))
+      .collect()(0)
+    assert(r.getLong(1) == 3) // ws tokens
+    assert(r.getLong(2) == 6) // hello / , / world / ! / x / 2
+  }
+
+  test("brute-force topk: hand-computed ordering") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.bruteForceTopK(
+      vecs.filter($"vec_id" === 0), vecs, k = 3).collect()
+    assert(r.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L)) // by dot desc
+    assert(r.map(_.getInt(2)).toSeq == Seq(1, 2, 3))
+    assert(math.abs(r(1).getDouble(3) - 0.9) < 1e-9)
+  }
+
+  test("lsh neighbors find self-matches on real embeddings") {
+    val e = Tables(spark, sf0001, "embeddings")
+    val r = Similarity.lshNeighbors(
+      e.filter($"vec_id" < 5), e, maxDist = 0.001).collect()
+    val selfPairs = r.filter(x => x.getLong(0) == x.getLong(1))
+    assert(selfPairs.length == 5) // each query finds itself at dist 0
+  }
+
+  test("multimodal stub pipeline is deterministic") {
+    val docs = Tables(spark, sf0001, "documents").limit(20)
+    val a = Multimodal.documentsAsMedia(spark, docs).collect()
+    val b = Multimodal.documentsAsMedia(spark, docs).collect()
+    assert(a.nonEmpty && a.sameElements(b))
+    assert(a.forall(_.getDouble(2) > 0))
+  }
+
+  test("llm oracle-checked queries run nonempty at sf0.001") {
+    for ((name, fn) <- LlmQueries.all) {
+      val n = fn(spark, sf0001).count()
+      assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("llm oracle SQL matches DSL output via Spark SQL (portable subset)") {
+    Tables.registerAll(spark, sf0001)
+    for (name <- Seq("llm_text_stats", "llm_dedup_exact")) {
+      val dsl = LlmQueries.all(name)(spark, sf0001)
+      val sql = spark.sql(LlmQueries.oracle(name))
+      assert(dsl.columns.toSeq == sql.columns.toSeq)
+      val g = dsl.collect().map(_.toSeq.map(String.valueOf)).toSeq
+      val w = sql.collect().map(_.toSeq.map(String.valueOf)).toSeq
+      assert(g == w, s"$name differs from its oracle")
+    }
+  }
+}
