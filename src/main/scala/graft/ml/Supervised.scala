@@ -1,0 +1,124 @@
+package graft.ml
+
+import org.apache.spark.ml.classification.{DecisionTreeClassifier, GBTClassifier, LinearSVC, LogisticRegression, RandomForestClassifier}
+import org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.regression.LinearRegression
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Supervised-learning surface (SURVEY §2.B B2–B7): linear/logistic
+  * regression, linear SVM, decision tree, random forest, GBT — all stock
+  * `spark.ml` estimators (the reference wraps the same classes:
+  * `ml/LinRRunner.scala:161-191`, `ml/LogRRunner.scala:146-161`,
+  * `ml/SVMRunner.scala:112-143`, `ml/DTRunner.scala:236-302`,
+  * `ml/RFRunner.scala:162-301`, `ml/GBDTRunner.scala:139-259`).
+  *
+  * Feature plumbing is columnar: `VectorAssembler` over numeric lineitem
+  * columns for the regression tasks; `array_to_vector(embedding)` + the
+  * fixture's `label` for multi-class tasks. Seeds are pinned
+  * (reference pins seed 2020: `GBDTRunner.scala:182,198`). Outputs are
+  * small deterministic summaries (coefficients / per-class counts /
+  * accuracy), never the raw prediction set — driver-side result size is
+  * O(features + classes) regardless of data scale.
+  */
+object Supervised {
+
+  /** lineitem → (features = [quantity, discount, tax], label = extendedprice). */
+  def lineitemFeatures(lineitem: DataFrame): DataFrame =
+    new VectorAssembler()
+      .setInputCols(Array("l_quantity", "l_discount", "l_tax"))
+      .setOutputCol("features")
+      .transform(lineitem)
+      .select(col("features"), col("l_extendedprice").as("label"),
+        (col("l_returnflag") === "R").cast("double").as("bin_label"))
+
+  /** embeddings → (features = vector(embedding), label). */
+  def embeddingFeatures(embeddings: DataFrame): DataFrame =
+    embeddings.select(
+      array_to_vector(col("embedding")).as("features"),
+      col("label").cast("double").as("label"))
+
+  private def r4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+
+  /** Linear regression; output = per-feature coefficient + intercept + rmse. */
+  def linearRegression(spark: SparkSession, lineitem: DataFrame): DataFrame = {
+    import spark.implicits._
+    val data = lineitemFeatures(lineitem)
+    val m = new LinearRegression().setMaxIter(10).setRegParam(0.0)
+      .setLabelCol("label").fit(data)
+    (m.coefficients.toArray.zipWithIndex
+      .map { case (c, i) => (s"coef_$i", r4(c)) } :+
+      ("intercept", r4(m.intercept)) :+
+      ("rmse", r4(m.summary.rootMeanSquaredError)))
+      .toSeq.toDF("term", "value").orderBy("term")
+  }
+
+  /** Binomial logistic regression; output = coefficients + train accuracy. */
+  def logisticRegression(spark: SparkSession, lineitem: DataFrame): DataFrame = {
+    import spark.implicits._
+    val data = lineitemFeatures(lineitem).withColumnRenamed("bin_label", "y")
+    val m = new LogisticRegression().setMaxIter(10).setLabelCol("y").fit(data)
+    val acc = m.transform(data)
+      .filter(col("y") === col("prediction")).count().toDouble /
+      data.count()
+    (m.coefficients.toArray.zipWithIndex
+      .map { case (c, i) => (s"coef_$i", r4(c)) } :+
+      ("intercept", r4(m.intercept)) :+ ("accuracy", r4(acc)))
+      .toSeq.toDF("term", "value").orderBy("term")
+  }
+
+  /** Linear SVM (hinge loss); output = coefficients + train accuracy. */
+  def linearSvc(spark: SparkSession, lineitem: DataFrame): DataFrame = {
+    import spark.implicits._
+    val data = lineitemFeatures(lineitem).withColumnRenamed("bin_label", "y")
+    val m = new LinearSVC().setMaxIter(10).setRegParam(0.1).setLabelCol("y")
+      .fit(data)
+    val acc = m.transform(data)
+      .filter(col("y") === col("prediction")).count().toDouble / data.count()
+    (m.coefficients.toArray.zipWithIndex
+      .map { case (c, i) => (s"coef_$i", r4(c)) } :+
+      ("intercept", r4(m.intercept)) :+ ("accuracy", r4(acc)))
+      .toSeq.toDF("term", "value").orderBy("term")
+  }
+
+  /** Decision tree classifier on embeddings; output = confusion summary
+    * (label, prediction, cnt). */
+  def decisionTree(spark: SparkSession, embeddings: DataFrame): DataFrame = {
+    val data = embeddingFeatures(embeddings)
+    val m = new DecisionTreeClassifier().setMaxDepth(5).setSeed(2020L)
+      .fit(data)
+    m.transform(data)
+      .groupBy(col("label").cast("long").as("label"),
+        col("prediction").cast("long").as("prediction"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("label", "prediction")
+  }
+
+  /** Random forest on embeddings; output = accuracy + top feature importances. */
+  def randomForest(spark: SparkSession, embeddings: DataFrame): DataFrame = {
+    import spark.implicits._
+    val data = embeddingFeatures(embeddings)
+    val m = new RandomForestClassifier().setNumTrees(10).setMaxDepth(5)
+      .setSeed(2020L).fit(data)
+    val acc = new MulticlassClassificationEvaluator().setMetricName("accuracy")
+      .evaluate(m.transform(data))
+    val top = m.featureImportances.toArray.zipWithIndex
+      .sortBy { case (v, i) => (-v, i) }.take(5)
+      .map { case (v, i) => (s"importance_$i", r4(v)) }
+    (("accuracy", r4(acc)) +: top.toSeq).toDF("term", "value")
+  }
+
+  /** GBT binary classifier (returnflag R vs not) on lineitem features. */
+  def gbt(spark: SparkSession, lineitem: DataFrame): DataFrame = {
+    import spark.implicits._
+    val data = lineitemFeatures(lineitem).withColumnRenamed("bin_label", "y")
+    val m = new GBTClassifier().setMaxIter(5).setMaxDepth(3).setSeed(2020L)
+      .setLabelCol("y").fit(data)
+    val acc = m.transform(data)
+      .filter(col("y") === col("prediction")).count().toDouble / data.count()
+    Seq(("accuracy", r4(acc)), ("num_trees", m.getNumTrees.toDouble))
+      .toDF("term", "value").orderBy("term")
+  }
+}

@@ -1,0 +1,95 @@
+package graft.ml
+
+import org.apache.spark.ml.clustering.LDA
+import org.apache.spark.ml.feature.{CountVectorizer, IDF, StringIndexer}
+import org.apache.spark.ml.fpm.PrefixSpan
+import org.apache.spark.ml.recommendation.ALS
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text / recommendation / sequence models (SURVEY §2.B B15–B18):
+  * IDF, ALS, LDA, PrefixSpan — stock `spark.ml` estimators over inputs
+  * derived from the fixture tables.
+  * Reference: `ml/IDFRunner.scala:102-111`, `ml/ALSRunner.scala:169-239`,
+  * `ml/LDARunner.scala:133-187`, `ml/PrefixSpanRunner.scala:150-154`.
+  */
+object TextModels {
+
+  private def r4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+
+  /** documents → (doc_id, tokens) — the upstream of IDF and LDA. */
+  def tokenized(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("tokens"))
+
+  /** IDF over a CountVectorizer term-frequency column; output =
+    * (term, idf) for every vocabulary term, idf = ln((m+1)/(df+1)). */
+  def idf(spark: SparkSession, docs: DataFrame, vocabSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    val toks = tokenized(docs)
+    val cv = new CountVectorizer().setInputCol("tokens").setOutputCol("tf")
+      .setVocabSize(vocabSize).fit(toks)
+    val idfModel = new IDF().setInputCol("tf").setOutputCol("tfidf")
+      .fit(cv.transform(toks))
+    cv.vocabulary.zip(idfModel.idf.toArray)
+      .map { case (t, v) => (t, r4(v)) }
+      .toSeq.toDF("term", "idf").orderBy("term")
+  }
+
+  /** events → implicit ratings (user, event_type item) → ALS factors.
+    * Output = per-(user, item) predicted rating for the observed pairs,
+    * plus rank/rmse metadata — bounded by |users|×|types|. */
+  def als(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val indexed = new StringIndexer().setInputCol("event_type")
+      .setOutputCol("item").fit(events).transform(events)
+    val ratings = indexed.groupBy(
+        col("user_id").cast("int").as("user"), col("item").cast("int").as("item"))
+      .agg(avg("value").cast("float").as("rating"))
+    val m = new ALS().setRank(4).setMaxIter(5).setSeed(2020L)
+      .setUserCol("user").setItemCol("item").setRatingCol("rating")
+      .setColdStartStrategy("drop")
+      .fit(ratings)
+    val preds = m.transform(ratings)
+    val rmse = math.sqrt(preds
+      .select(avg(pow(col("rating") - col("prediction"), 2))).head().getDouble(0))
+    preds.select(col("user").cast("long").as("user"),
+        col("item").cast("long").as("item"),
+        (floor(col("prediction") * 100 + 0.5) / 100).as("pred"))
+      .orderBy("user", "item")
+      .union(Seq((-1L, -1L, r4(rmse))).toDF("user", "item", "pred"))
+  }
+
+  /** LDA topic model over tokenized documents; output = top terms per
+    * topic (topic, position, term_index, weight). */
+  def lda(spark: SparkSession, docs: DataFrame, k: Int = 5): DataFrame = {
+    val toks = tokenized(docs)
+    val cv = new CountVectorizer().setInputCol("tokens").setOutputCol("features")
+      .setVocabSize(64).fit(toks)
+    val m = new LDA().setK(k).setMaxIter(10).setSeed(2020L)
+      .setOptimizer("em").fit(cv.transform(toks))
+    m.describeTopics(5)
+      .select(col("topic"), posexplode(col("termIndices")).as(Seq("position", "term_index")))
+      .orderBy("topic", "position")
+  }
+
+  /** events → per-user event-type sequences ordered by time → PrefixSpan
+    * frequent sequential patterns. Output = (pattern, freq), canonical
+    * string form like the reference (`PrefixSpanRunner.scala:156-161`). */
+  def prefixSpan(spark: SparkSession, events: DataFrame,
+      minSupport: Double = 0.2): DataFrame = {
+    val seqs = events
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(struct(col("ts"), col("event_id"),
+        col("event_type")))).as("evs"))
+      .select(transform(col("evs"), e => array(e.getField("event_type")))
+        .as("sequence"))
+    new PrefixSpan().setMinSupport(minSupport).setMaxPatternLength(3)
+      .setMaxLocalProjDBSize(32000000)
+      .findFrequentSequentialPatterns(seqs)
+      .select(
+        concat_ws(";", transform(col("sequence"), s => concat_ws(",", s)))
+          .as("pattern"),
+        col("freq"))
+      .orderBy("pattern")
+  }
+}
