@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.graph.GraphQueries
 import graft.llm.LlmQueries
 import graft.ml.MlQueries
 import graft.operators.Relational
@@ -17,10 +18,11 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.all ++ LlmQueries.all ++ MlQueries.all
+    Relational.all ++ LlmQueries.all ++ MlQueries.all ++ GraphQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ LlmQueries.oracle ++ MlQueries.oracle
+    Relational.oracle ++ LlmQueries.oracle ++ MlQueries.oracle ++
+      GraphQueries.oracle
 }

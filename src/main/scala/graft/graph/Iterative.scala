@@ -1,0 +1,195 @@
+package graft.graph
+
+import org.apache.spark.graphx.{EdgeDirection, Graph, VertexId, VertexRDD}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.reflect.ClassTag
+
+/** Custom iterative graph algorithms (SURVEY §2.C C3–C6, C12–C13) —
+  * the reference invokes closed-source kernels for these
+  * (`WeightedPageRankRunner.scala:115-119`, `TrustRankRunner.scala:105-113`,
+  * `BFSRunner.scala:95-101`, `IncPageRankRunner.scala:102-114`,
+  * `KCoreDecompositionRunner.scala:62-65`, `ModularityRunner.scala:82-85`);
+  * these are independent re-derivations from the published algorithms.
+  *
+  * Iteration hygiene (critical): each step caches the new graph and
+  * materializes its EDGES (which forces the replicated vertex view)
+  * before unpersisting the previous graph — materializing only the
+  * vertices leaves the next aggregateMessages depending on unpersisted
+  * state and the lineage re-executes from iteration 0 (observed: a
+  * 20-iteration loop went quadratic). Same discipline as GraphX's own
+  * PageRank implementation.
+  */
+object Iterative {
+
+  private def r6(c: org.apache.spark.sql.Column) = floor(c * 1e6 + 0.5) / 1e6
+
+  /** One cached+materialized step; unpersists the previous graph. */
+  private def step[VD: ClassTag](next: Graph[VD, Double],
+      prev: Graph[VD, Double]): Graph[VD, Double] = {
+    next.cache()
+    next.edges.foreachPartition(_ => ())
+    prev.vertices.unpersist(blocking = false)
+    prev.edges.unpersist(blocking = false)
+    next
+  }
+
+  /** Generic damped rank iteration over pre-normalized edge weights:
+    * rank'(v) = reset(v) + (1−α)·Σ_{u→v} rank(u)·w(u,v). */
+  private def rankLoop(init: Graph[Double, Double], numIter: Int,
+      reset: VertexId => Double, damp: Double): Graph[Double, Double] = {
+    var ranks = init.cache()
+    ranks.edges.foreachPartition(_ => ())
+    var i = 0
+    while (i < numIter) {
+      val msgs = ranks.aggregateMessages[Double](
+        ctx => ctx.sendToDst(ctx.srcAttr * ctx.attr), _ + _)
+      val next = ranks.outerJoinVertices(msgs)((v, _, m) =>
+        reset(v) + damp * m.getOrElse(0.0))
+      ranks = step(next, ranks)
+      i += 1
+    }
+    ranks
+  }
+
+  /** Weighted PageRank: contributions proportional to edge weight /
+    * source out-weight (C3). */
+  def weightedPageRank(spark: SparkSession, g: Graph[Double, Double],
+      numIter: Int, resetProb: Double = 0.15): DataFrame = {
+    import spark.implicits._
+    val outW = g.aggregateMessages[Double](ctx => ctx.sendToSrc(ctx.attr), _ + _)
+    val norm = g.outerJoinVertices(outW)((_, _, w) => w.getOrElse(0.0))
+      .mapTriplets(t => if (t.srcAttr > 0) t.attr / t.srcAttr else 0.0)
+      .mapVertices((_, _) => 1.0)
+    rankLoop(norm, numIter, _ => resetProb, 1 - resetProb)
+      .vertices.toDF("node", "rank")
+      .select(col("node"), r6(col("rank")).as("rank")).orderBy("node")
+  }
+
+  /** TrustRank (C5): personalized PageRank whose reset mass goes only to
+    * the trusted seed set (uniformly). */
+  def trustRank(spark: SparkSession, g: Graph[Double, Double],
+      seeds: Set[VertexId], numIter: Int, resetProb: Double = 0.15): DataFrame = {
+    import spark.implicits._
+    require(seeds.nonEmpty)
+    val seedMass = 1.0 / seeds.size
+    val norm = g.outerJoinVertices(g.outDegrees)((_, _, d) => d.getOrElse(0))
+      .mapTriplets(t => if (t.srcAttr > 0) 1.0 / t.srcAttr else 0.0)
+      .mapVertices((v, _) => if (seeds(v)) seedMass else 0.0)
+    rankLoop(norm, numIter,
+        v => if (seeds(v)) resetProb * seedMass else 0.0, 1 - resetProb)
+      .vertices.toDF("node", "trust")
+      .select(col("node"), r6(col("trust")).as("trust")).orderBy("node")
+  }
+
+  /** Incremental PageRank (C4): resume iterating from prior ranks — the
+    * delta answer to "the graph changed a little, don't restart from
+    * uniform". priorRanks: (node, rank). */
+  def incrementalPageRank(spark: SparkSession, g: Graph[Double, Double],
+      priorRanks: DataFrame, extraIter: Int, resetProb: Double = 0.15): DataFrame = {
+    import spark.implicits._
+    val prior = priorRanks.select(col("node").cast("long"), col("rank").cast("double"))
+      .rdd.map(r => (r.getLong(0), r.getDouble(1)))
+    val norm = g.outerJoinVertices(g.outDegrees)((_, _, d) => d.getOrElse(0))
+      .mapTriplets(t => if (t.srcAttr > 0) 1.0 / t.srcAttr else 0.0)
+      .outerJoinVertices(prior)((_, _, p) => p.getOrElse(1.0))
+    rankLoop(norm, extraIter, _ => resetProb, 1 - resetProb)
+      .vertices.toDF("node", "rank")
+      .select(col("node"), r6(col("rank")).as("rank")).orderBy("node")
+  }
+
+  /** BFS (C6): minimum hop distance from `src`, depth-limited; vertices
+    * never reached are omitted (reference filters MAX_VALUE:
+    * `BFSRunner.scala:95-101`). */
+  def bfs(spark: SparkSession, g: Graph[Double, Double], src: VertexId,
+      maxDepth: Int, directed: Boolean = true): DataFrame = {
+    import spark.implicits._
+    val init = g.mapVertices((v, _) => if (v == src) 0 else Int.MaxValue)
+    val res = init.pregel(Int.MaxValue, maxDepth,
+      if (directed) EdgeDirection.Out else EdgeDirection.Either)(
+      (_, d, msg) => math.min(d, msg),
+      t => {
+        val out = if (t.srcAttr != Int.MaxValue && t.srcAttr + 1 < t.dstAttr)
+          Iterator((t.dstId, t.srcAttr + 1)) else Iterator.empty
+        val back = if (!directed && t.dstAttr != Int.MaxValue &&
+          t.dstAttr + 1 < t.srcAttr) Iterator((t.srcId, t.dstAttr + 1))
+        else Iterator.empty
+        out ++ back
+      },
+      math.min)
+    res.vertices.filter(_._2 != Int.MaxValue).toDF("node", "dist")
+      .orderBy("node")
+  }
+
+  /** K-core decomposition (C12) via the distributed h-operator fixpoint
+    * (Montresor et al., "Distributed k-core decomposition"): every vertex
+    * starts at its degree; repeatedly set core(v) = max k such that at
+    * least k neighbors have core ≥ k. Converges to exact core numbers.
+    * Neighbor estimates travel as capped count histograms, so message
+    * size is O(core estimate), not O(degree). */
+  def kCore(spark: SparkSession, undirected: Graph[Double, Double],
+      maxIter: Int = 50): DataFrame = {
+    import spark.implicits._
+    var g = undirected.outerJoinVertices(undirected.degrees)((_, _, d) =>
+      d.getOrElse(0)).cache()
+    g.edges.foreachPartition(_ => ())
+    var changed = true
+    var i = 0
+    while (changed && i < maxIter) {
+      val msgs = g.aggregateMessages[Map[Int, Int]](
+        ctx => {
+          ctx.sendToDst(Map(math.min(ctx.srcAttr, ctx.dstAttr) -> 1))
+          ctx.sendToSrc(Map(math.min(ctx.dstAttr, ctx.srcAttr) -> 1))
+        },
+        (a, b) => (a.keySet ++ b.keySet)
+          .map(k => k -> (a.getOrElse(k, 0) + b.getOrElse(k, 0))).toMap)
+      val next = g.outerJoinVertices(msgs)((_, est, mOpt) => mOpt match {
+        case None => 0
+        case Some(hist) =>
+          // h-operator: largest k with ≥ k neighbors of (capped) core ≥ k
+          var k = est
+          while (k > 0 && hist.filter(_._1 >= k).values.sum < k) k -= 1
+          k
+      }).cache()
+      next.edges.foreachPartition(_ => ())
+      val delta = g.vertices.join(next.vertices)
+        .filter { case (_, (a, b)) => a != b }.count()
+      changed = delta > 0
+      g.vertices.unpersist(blocking = false)
+      g.edges.unpersist(blocking = false)
+      g = next
+      i += 1
+    }
+    g.vertices.toDF("node", "core").orderBy("node")
+  }
+
+  /** Directed modularity (C13) of a community assignment:
+    * Q = Σ_c [ e_c/m − (out_c · in_c)/m² ], with e_c = intra-community
+    * weight, out_c/in_c community degree sums, m = total weight.
+    * Pure joins + aggregation — one pass over the edges. */
+  def modularity(spark: SparkSession, edges: DataFrame,
+      communities: DataFrame): DataFrame = {
+    val c = communities.select(col("node"), col("community"))
+    val e = edges
+      .join(c.withColumnRenamed("node", "src")
+        .withColumnRenamed("community", "c_src"), Seq("src"))
+      .join(c.withColumnRenamed("node", "dst")
+        .withColumnRenamed("community", "c_dst"), Seq("dst"))
+    val m = e.agg(sum("weight")).head().getDouble(0)
+    val intra = e.filter(col("c_src") === col("c_dst"))
+      .groupBy(col("c_src").as("community"))
+      .agg(sum("weight").as("e_c"))
+    val outDeg = e.groupBy(col("c_src").as("community"))
+      .agg(sum("weight").as("out_c"))
+    val inDeg = e.groupBy(col("c_dst").as("community"))
+      .agg(sum("weight").as("in_c"))
+    outDeg.join(inDeg, Seq("community"), "full")
+      .join(intra, Seq("community"), "left")
+      .select(
+        (coalesce(col("e_c"), lit(0.0)) / m -
+          (coalesce(col("out_c"), lit(0.0)) * coalesce(col("in_c"), lit(0.0)))
+            / (m * m)).as("q"))
+      .agg(r6(sum("q")).as("modularity"))
+  }
+}

@@ -1,0 +1,128 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.graph._
+
+/** Structural tests on hand-computable fixture graphs.
+  * Fixture: two triangles {1,2,3} and {4,5,6} joined by bridge 3–4, all
+  * edges in both directions (undirected view), weight 1. */
+class GraphSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def fixtureEdges = {
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+    (und ++ und.map(_.swap)).map { case (a, b) => (a, b, 1.0) }
+      .toDF("src", "dst", "weight")
+  }
+  private def fixtureGraph = GraphSource.toGraph(fixtureEdges)
+
+  test("degrees on the fixture") {
+    val d = Builtins.degrees(spark, fixtureGraph).collect()
+      .map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(d == Map(1L -> 4, 2L -> 4, 3L -> 6, 4L -> 6, 5L -> 4, 6L -> 4))
+  }
+
+  test("triangle total and per-vertex counts") {
+    val u = GraphSource.toGraph(GraphSource.canonicalUndirected(fixtureEdges))
+    assert(Builtins.triangleTotal(spark, u).head().getLong(0) == 2)
+    val per = Builtins.triangleCounts(spark, u).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(per.values.forall(_ == 1)) // every vertex is in exactly one triangle
+  }
+
+  test("clustering coefficient: triangle-only vertices are 1.0") {
+    val u = GraphSource.toGraph(GraphSource.canonicalUndirected(fixtureEdges))
+    val cc = Builtins.clusteringCoefficient(spark, u).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(cc(1L) == 1.0 && cc(5L) == 1.0)
+    assert(cc(3L) < 1.0) // bridge endpoint has an open wedge
+  }
+
+  test("connected components: single component; bfs distances correct") {
+    val comp = Builtins.connectedComponents(spark, fixtureGraph).collect()
+    assert(comp.map(_.getLong(1)).distinct.length == 1)
+    val dist = Iterative.bfs(spark, fixtureGraph, 1L, 10).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(dist == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2, 5L -> 3, 6L -> 3))
+  }
+
+  test("bfs and shortest-paths agree on the symmetric fixture") {
+    val sp = Builtins.shortestPaths(spark, fixtureGraph, Seq(1L)).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val bf = Iterative.bfs(spark, fixtureGraph, 1L, 10).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(sp == bf)
+  }
+
+  test("k-core: triangles are 2-cores, a pendant vertex is core 1") {
+    val withPendant = fixtureEdges
+      .union(Seq((6L, 7L, 1.0), (7L, 6L, 1.0)).toDF("src", "dst", "weight"))
+    val u = GraphSource.toGraph(GraphSource.canonicalUndirected(withPendant))
+    val core = Iterative.kCore(spark, u).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(core(7L) == 1)
+    assert((1L to 6L).forall(core(_) == 2))
+  }
+
+  test("modularity of the two-triangle split is 0.357143") {
+    val comm = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 1L), (5L, 1L), (6L, 1L))
+      .toDF("node", "community")
+    val q = Iterative.modularity(spark, fixtureEdges, comm).head().getDouble(0)
+    // m=14, e_c=6 each, out_c=in_c=7 each: 2*(6/14 - 49/196) = 0.357143
+    assert(math.abs(q - 0.357143) < 1e-6)
+  }
+
+  test("weighted pagerank conserves total rank on the strongly-connected fixture") {
+    val wpr = Iterative.weightedPageRank(spark, fixtureGraph, 20).collect()
+    assert(math.abs(wpr.map(_.getDouble(1)).sum - 6.0) < 0.01)
+  }
+
+  test("weighted pagerank favors the heavy target") {
+    // 1→2 weight 9, 1→3 weight 1: rank(2) > rank(3)
+    val e = Seq((1L, 2L, 9.0), (1L, 3L, 1.0), (2L, 1L, 1.0), (3L, 1L, 1.0))
+      .toDF("src", "dst", "weight")
+    val r = Iterative.weightedPageRank(spark, GraphSource.toGraph(e), 20)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(2L) > r(3L))
+  }
+
+  test("trustrank concentrates mass near the seed") {
+    val t = Iterative.trustRank(spark, fixtureGraph, Set(1L), 20).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(t(1L) == t.values.max)
+    assert(t(2L) > t(5L)) // closer to seed ⇒ more trust
+  }
+
+  test("incremental pagerank from a prior converges like a longer direct run") {
+    val g = fixtureGraph
+    val direct = Builtins.pageRank(spark, g, 30).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val prior = Builtins.pageRank(spark, g, 20)
+    val inc = Iterative.incrementalPageRank(spark, g, prior, 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    direct.foreach { case (n, v) => assert(math.abs(inc(n) - v) < 1e-3, s"node $n") }
+  }
+
+  test("string adapter round-trips names") {
+    val e = Seq(("alpha", "beta", 1.0), ("beta", "gamma", 1.0))
+      .toDF("src", "dst", "weight")
+    val (enc, dict) = GraphSource.encodeStringEdges(spark, e)
+    assert(enc.count() == 2 && dict.count() == 3)
+    val deg = Builtins.degrees(spark, GraphSource.toGraph(enc))
+    val named = GraphSource.decode(deg, dict, "node").collect()
+      .map(r => r.getString(r.length - 1) -> r.getInt(3)).toMap
+    assert(named == Map("alpha" -> 1, "beta" -> 2, "gamma" -> 1))
+  }
+
+  test("graph oracle SQL matches DSL via Spark SQL") {
+    graft.sources.Tables.registerAll(spark, sf0001)
+    for ((name, sql) <- GraphQueries.oracle) {
+      val dsl = GraphQueries.all(name)(spark, sf0001).collect()
+        .map(_.toSeq.map(String.valueOf)).toSeq
+      val want = spark.sql(sql).collect().map(_.toSeq.map(String.valueOf)).toSeq
+      assert(dsl == want, s"$name differs from oracle")
+    }
+  }
+}
