@@ -1,0 +1,99 @@
+package graft.graph
+
+import org.apache.spark.graphx.Graph
+import org.apache.spark.graphx.lib.ShortestPaths
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Centrality (SURVEY §2.C C17 betweenness, C18 closeness) — closed-source
+  * kernels in the reference (`BetweennessRunner.scala:84-99`,
+  * `ClosenessRunner.scala:102-110`); re-derived: sampled Brandes (2001)
+  * for betweenness, sampled-landmark harmonic closeness.
+  *
+  * Both are sampling-based like the reference's knobs (`k`/`p` for
+  * betweenness, `ratio` for closeness): exact all-pairs is O(V·E) and not
+  * a 100 TB option; cost scales linearly with the source sample.
+  */
+object Centrality {
+
+  private def r6(c: org.apache.spark.sql.Column) = floor(c * 1e6 + 0.5) / 1e6
+
+  /** Harmonic closeness over a landmark sample: for each vertex, the mean
+    * of 1/dist to the landmarks it reaches (hop distances, via GraphX
+    * ShortestPaths). */
+  def closeness(spark: SparkSession, g: Graph[Double, Double],
+      landmarks: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    ShortestPaths.run(g, landmarks).vertices
+      .flatMap { case (v, m) =>
+        // .toSeq first: mapping a Map to (v, _) pairs would collapse all
+        // landmark entries onto the single key v
+        m.toSeq.filter { case (l, d) => l != v && d > 0 }
+          .map { case (_, d) => (v, 1.0 / d) } }
+      .toDF("node", "inv")
+      .groupBy("node")
+      .agg(r6(sum("inv") / landmarks.size).as("closeness"))
+      .orderBy("node")
+  }
+
+  /** Sampled Brandes betweenness: for each sampled source, a level-
+    * synchronous forward BFS computes (dist, σ = #shortest paths), then
+    * dependencies δ accumulate backwards level by level:
+    * δ(v) = Σ_{w ∈ succ(v)} σ_v/σ_w · (1 + δ_w).
+    * Scores are sums over the sample (ordered-pair convention — on a
+    * symmetric graph this is 2× the unordered value).
+    * Each level is one join; lineage truncated per level. */
+  def betweenness(spark: SparkSession, edges: DataFrame,
+      sources: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    var acc: DataFrame = Seq.empty[(Long, Double)].toDF("node", "delta")
+    for (s <- sources) {
+      // forward: settled (node, dist, sigma) by level
+      var settled = Seq((s, 0, 1.0)).toDF("node", "dist", "sigma")
+        .localCheckpoint()
+      var frontier = settled
+      var level = 0
+      while (frontier.limit(1).count() > 0) {
+        level += 1
+        val next = frontier
+          .join(e, frontier("node") === e("src"))
+          .join(settled.select(col("node").as("dst"), lit(1).as("seen")),
+            Seq("dst"), "left_anti")
+          .groupBy(col("dst").as("node"))
+          .agg(sum("sigma").as("sigma"))
+          .select(col("node"), lit(level).as("dist"), col("sigma"))
+          .localCheckpoint()
+        settled = settled.unionByName(next).localCheckpoint()
+        frontier = next
+      }
+      // backward: deltas per level, deepest first
+      val maxLevel = level - 1
+      var delta = settled.select(col("node"), lit(0.0).as("delta"))
+        .localCheckpoint()
+      var d = maxLevel
+      while (d >= 1) {
+        val wNodes = settled.filter(col("dist") === d + 1)
+          .join(delta, Seq("node"))
+          .select(col("node").as("w"), col("sigma").as("sigma_w"),
+            col("delta").as("delta_w"))
+        val contrib = settled.filter(col("dist") === d)
+          .join(e, settled("node") === e("src"))
+          .join(wNodes, e("dst") === wNodes("w"))
+          .groupBy(settled("node"))
+          .agg(sum(col("sigma") / col("sigma_w") * (lit(1.0) + col("delta_w")))
+            .as("dnew"))
+        delta = delta.join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("dnew"), col("delta")).as("delta"))
+          .localCheckpoint()
+        d -= 1
+      }
+      acc = acc.unionByName(
+        delta.filter(col("node") =!= s).select(col("node"), col("delta")))
+        .localCheckpoint()
+    }
+    acc.groupBy("node").agg(r6(sum("delta")).as("betweenness"))
+      .orderBy("node")
+  }
+}

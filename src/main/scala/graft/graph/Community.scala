@@ -1,0 +1,129 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Community detection (SURVEY §2.C C11 Louvain, C21 WCE) — closed-source
+  * kernels in the reference (`LouvainRunner.scala:92-99`,
+  * `WCERunner.scala:80-84`); re-derived from the published algorithms
+  * (Blondel et al. 2008 for Louvain).
+  *
+  * Louvain here is the distributed variant: synchronous local-move passes
+  * (with a parity gate to break two-community oscillation) followed by
+  * graph coarsening, repeated per level. Every pass is a fixed set of
+  * joins/aggregations on (edges, communities) DataFrames — no driver-side
+  * graph state; `localCheckpoint` truncates the growing plan lineage each
+  * pass.
+  */
+object Community {
+
+  /** Louvain. `edges` directed pairs are treated as the undirected
+    * multigraph (pass both directions for an undirected graph). Returns
+    * (node, community). */
+  def louvain(spark: SparkSession, edges: DataFrame, passes: Int = 4,
+      levels: Int = 2): DataFrame = {
+    // symmetric view: every undirected edge contributes both directions
+    val sym = edges.select(col("src"), col("dst"), col("weight"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst"),
+        col("weight")))
+      .groupBy("src", "dst").agg(sum("weight").as("w"))
+      .localCheckpoint()
+
+    // level loop: local moves, then coarsen; carry vid → community map
+    var mapping = sym.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("community"))
+    var e = sym
+    var lvl = 0
+    while (lvl < levels) {
+      val comm = localMoves(e, passes)
+      // compose: node → old community → new community
+      mapping = mapping
+        .join(comm.withColumnRenamed("node", "community")
+          .withColumnRenamed("new_comm", "next"), Seq("community"))
+        .select(col("node"), col("next").as("community"))
+        .localCheckpoint()
+      // coarsen: communities become nodes
+      e = e
+        .join(comm.withColumnRenamed("node", "src")
+          .withColumnRenamed("new_comm", "c_src"), Seq("src"))
+        .join(comm.withColumnRenamed("node", "dst")
+          .withColumnRenamed("new_comm", "c_dst"), Seq("dst"))
+        .groupBy(col("c_src").as("src"), col("c_dst").as("dst"))
+        .agg(sum("w").as("w"))
+        .localCheckpoint()
+      lvl += 1
+    }
+    mapping.orderBy("node")
+  }
+
+  /** Synchronous local-move passes on one level; returns (node, new_comm). */
+  private def localMoves(e: DataFrame, passes: Int): DataFrame = {
+    val m2 = e.agg(sum("w")).head().getDouble(0) // = 2m on symmetric view
+    val deg = e.groupBy(col("src").as("node")).agg(sum("w").as("deg"))
+      .localCheckpoint()
+    var comm = deg.select(col("node"), col("node").as("comm"))
+    var pass = 0
+    while (pass < passes) {
+      val sigma = comm.join(deg, Seq("node"))
+        .groupBy("comm").agg(sum("deg").as("sigma"))
+      // weight from each node to each neighboring community
+      val kin = e
+        .join(comm.withColumnRenamed("node", "dst")
+          .withColumnRenamed("comm", "comm_dst"), Seq("dst"))
+        .groupBy(col("src").as("node"), col("comm_dst").as("cand"))
+        .agg(sum("w").as("kin"))
+      // candidate set = neighbor communities ∪ own community (kin 0 if none)
+      val own = comm.select(col("node"), col("comm").as("cand"),
+        lit(0.0).as("kin"))
+      val cands = kin.unionByName(own)
+        .groupBy("node", "cand").agg(max("kin").as("kin"))
+        .join(comm, Seq("node")).join(deg, Seq("node"))
+        .join(sigma.withColumnRenamed("comm", "cand"), Seq("cand"))
+      // ΔQ-proportional score; own community's sigma excludes the node
+      val scored = cands.select(col("node"), col("cand"), col("comm"),
+        (col("kin") - col("deg") *
+          (col("sigma") - when(col("cand") === col("comm"), col("deg"))
+            .otherwise(0.0)) / m2).as("score"))
+      val w = Window.partitionBy("node")
+        .orderBy(col("score").desc, col("cand"))
+      val best = scored
+        .select(col("node"), col("cand"), col("comm"), col("score"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") === 1)
+      // parity gate: half the nodes move per pass (kills oscillation)
+      comm = best.select(col("node"),
+        when(pmod(col("node"), lit(2)) === lit(pass % 2), col("cand"))
+          .otherwise(col("comm")).as("comm"))
+        .localCheckpoint()
+      pass += 1
+    }
+    comm.select(col("node"), col("comm").as("new_comm"))
+  }
+
+  /** Weak clique enumeration (C21): per-vertex seed expansion — v's weak
+    * clique is {v} ∪ {neighbors sharing ≥ minCommon further neighbors
+    * with v}; identical member sets dedup to one row keyed by min member.
+    * The common-neighbor counts are one wedge join over the symmetric
+    * edge view. */
+  def weakCliques(spark: SparkSession, edges: DataFrame,
+      minCommon: Int = 1): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst"), col("src"))).distinct()
+    val common = sym.select(col("src").as("a"), col("dst").as("x"))
+      .join(sym.select(col("src").as("b"), col("dst").as("x")), Seq("x"))
+      .filter(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("common"))
+    val strong = sym
+      .join(common, sym("src") === common("a") && sym("dst") === common("b"))
+      .filter(col("common") >= minCommon)
+      .select(col("src"), col("dst"))
+    strong.groupBy("src")
+      .agg(array_sort(array_union(collect_set(col("dst")),
+        array(col("src")))).as("members"))
+      .select(col("members")).distinct()
+      .select(element_at(col("members"), 1).as("clique_id"),
+        col("members"), size(col("members")).as("clique_size"))
+      .orderBy("clique_id", "members")
+  }
+}

@@ -78,6 +78,34 @@ object GraphQueries {
         .withColumnRenamed("component", "community")
       Iterative.modularity(s, e, comm)
     }),
+    "graph_louvain" -> ((s, d) => {
+      val e = GraphSource.canonicalUndirected(edges(s, d))
+      val comm = Community.louvain(s, e)
+      comm.orderBy("node")
+    }),
+    "graph_wce" -> ((s, d) =>
+      Community.weakCliques(s, GraphSource.canonicalUndirected(edges(s, d)))),
+    "graph_closeness" -> ((s, d) => {
+      val e = edges(s, d)
+      Centrality.closeness(s, GraphSource.toGraph(e), smallestNodes(e, 8))
+    }),
+    "graph_betweenness" -> ((s, d) => {
+      val e = edges(s, d)
+      Centrality.betweenness(s, e, smallestNodes(e, 2))
+    }),
+    "graph_cycles" -> ((s, d) =>
+      Motifs.cycles(s, edges(s, d), minLoop = 3, maxLoop = 3)),
+    "graph_mce" -> ((s, d) =>
+      Motifs.maximalCliques(s, GraphSource.canonicalUndirected(edges(s, d)))),
+    "graph_subgraph_tri" -> ((s, d) => {
+      // ordered triangle embeddings over the undirected view = 6 × triangles
+      val und = GraphSource.canonicalUndirected(edges(s, d))
+      val sym = und.select(col("src"), col("dst"))
+        .union(und.select(col("dst"), col("src")))
+        .withColumn("weight", lit(1.0))
+      Motifs.subgraphCount(s, sym, Seq((0, 1), (1, 2), (2, 0)))
+    }),
+    "graph_node2vec" -> ((s, d) => Node2Vec.embeddings(s, edges(s, d))),
     "graph_adapter" -> ((s, d) => {
       // string-keyed nation→region graph through the encode/decode adapter
       val e = Tables(s, d, "nation")
@@ -107,6 +135,11 @@ object GraphQueries {
       (edgeCte +
         ", u AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM g) " +
         "SELECT CAST(COUNT(*) AS BIGINT) AS triangles FROM u x " +
+        "JOIN u y ON y.a = x.b JOIN u z ON z.a = x.a AND z.b = y.b"),
+    "graph_subgraph_tri" ->
+      (edgeCte +
+        ", u AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM g) " +
+        "SELECT CAST(COUNT(*) * 6 AS BIGINT) AS matches FROM u x " +
         "JOIN u y ON y.a = x.b JOIN u z ON z.a = x.a AND z.b = y.b"),
     "graph_adapter" ->
       ("WITH e AS (SELECT n_name AS src, r_name AS dst FROM nation " +

@@ -1,0 +1,152 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable
+
+/** Motif / pattern operators (SURVEY §2.C C19 cycle detection, C20
+  * maximal clique enumeration, C23 subgraph matching) — closed-source in
+  * the reference (`CycleDetectionWithConstrainsRunner.scala:90-93`,
+  * `MaximalCliqueEnumerationRunner.scala:59-63`,
+  * `SubgraphMatchingRunner.scala:82-94`); re-derived from the published
+  * algorithms (rotation-canonical path growth; Bron–Kerbosch 1973 on
+  * per-vertex egonets; worst-case edge-growing join).
+  */
+object Motifs {
+
+  /** Directed simple cycles with length in [minLoop, maxLoop].
+    * Path growth with rotation canonicalization: paths only start at
+    * their minimum vertex (every other extension requires dst > start),
+    * so each cycle is emitted exactly once, as [start, ...]. Each length
+    * step is one join against the edge set. */
+  def cycles(spark: SparkSession, edges: DataFrame, minLoop: Int = 3,
+      maxLoop: Int = 4): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    var paths = e.filter(col("dst") > col("src"))
+      .select(col("src").as("start"), col("dst").as("cur"),
+        array(col("src"), col("dst")).as("path"))
+    var found: DataFrame = null
+    var len = 2
+    while (len <= maxLoop) {
+      val ext = paths.join(e, paths("cur") === e("src"))
+      val closed = ext.filter(col("dst") === col("start") &&
+          size(col("path")) >= minLoop)
+        .select(col("path"))
+      found = if (found == null) closed else found.unionByName(closed)
+      paths = ext.filter(col("dst") > col("start") &&
+          !array_contains(col("path"), col("dst")))
+        .select(col("start"), col("dst").as("cur"),
+          concat(col("path"), array(col("dst"))).as("path"))
+        .localCheckpoint()
+      len += 1
+    }
+    found.select(col("path").as("cycle"), size(col("path")).as("length"))
+      .orderBy("cycle")
+  }
+
+  /** Maximal clique enumeration via per-vertex egonet Bron–Kerbosch:
+    * vertex v owns the cliques in which it is the minimum member. Its
+    * egonet (ALL neighbors + the edges among them) is gathered by one
+    * membership join; locally, BK starts with P = higher-id neighbors
+    * and X = lower-id neighbors — the X seed is what suppresses cliques
+    * that a lower vertex could extend (locally maximal but globally
+    * not). `maxDegree` caps hub egonets (reference exposes the same
+    * knob). Returns cliques of size ≥ minK as sorted member arrays. */
+  def maximalCliques(spark: SparkSession, edges: DataFrame, minK: Int = 3,
+      maxDegree: Int = 256): DataFrame = {
+    import spark.implicits._
+    val und = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst"), col("src")))
+      .filter(col("src") =!= col("dst")).distinct()
+    val fwd = und.filter(col("dst") > col("src")).localCheckpoint()
+    val degs = und.groupBy("src").agg(count(lit(1)).as("d"))
+      .filter(col("d") <= maxDegree)
+    // full adjacency, hub-capped
+    val nbr = und.join(degs.select("src"), Seq("src"))
+      .select(col("src").as("v"), col("dst").as("n"))
+    // egonet edges of v: (a, b) with a, b ∈ N(v), a < b, (a,b) an edge
+    val egoEdges = nbr.alias("x").join(nbr.alias("y"), Seq("v"))
+      .select(col("v"), col("x.n").as("a"), col("y.n").as("b"))
+      .filter(col("a") < col("b"))
+      .join(fwd.select(col("src").as("a"), col("dst").as("b"),
+        lit(1).as("is_edge")), Seq("a", "b"), "left")
+    val grouped = nbr.groupBy("v").agg(collect_set("n").as("nodes"))
+      .join(egoEdges.filter(col("is_edge") === 1)
+        .groupBy("v").agg(collect_list(struct(col("a"), col("b"))).as("es")),
+        Seq("v"), "left")
+    val cliques = grouped.as[(Long, Seq[Long], Seq[(Long, Long)])]
+      .flatMap { case (v, nodes, es) =>
+        val adjLocal = mutable.Map[Long, mutable.Set[Long]]()
+        def link(a: Long, b: Long): Unit = {
+          adjLocal.getOrElseUpdate(a, mutable.Set()) += b
+          adjLocal.getOrElseUpdate(b, mutable.Set()) += a
+        }
+        nodes.foreach(n => link(v, n))
+        Option(es).getOrElse(Seq.empty).foreach { case (a, b) => link(a, b) }
+        val out = mutable.Buffer[Seq[Long]]()
+        def bk(r: Set[Long], p: mutable.Set[Long], x: mutable.Set[Long]): Unit =
+          if (p.isEmpty && x.isEmpty) { if (r.size >= minK) out += r.toSeq.sorted }
+          else {
+            val pivot = (p ++ x).maxBy(u => adjLocal(u).count(p.contains))
+            for (u <- (p -- adjLocal(pivot)).toSeq.sorted) {
+              bk(r + u, p.intersect(adjLocal(u)), x.intersect(adjLocal(u)))
+              p -= u; x += u
+            }
+          }
+        bk(Set(v),
+          mutable.Set(nodes.filter(_ > v): _*),
+          mutable.Set(nodes.filter(_ < v): _*))
+        out
+      }
+    cliques.toDF("members")
+      .select(col("members"), size(col("members")).as("k"))
+      .orderBy("members")
+  }
+
+  /** Subgraph matching by edge-growing join: bind query edges one at a
+    * time against the data edge set, keeping vertex bindings injective.
+    * Query vertices are 0..n-1; `pattern` lists its directed edges.
+    * Returns the bound vertex tuples. */
+  def subgraphMatch(spark: SparkSession, edges: DataFrame,
+      pattern: Seq[(Int, Int)]): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    require(pattern.nonEmpty)
+    def vc(i: Int) = s"v$i"
+    val (f0, t0) = pattern.head
+    var bound = e.select(col("src").as(vc(f0)), col("dst").as(vc(t0)))
+    var have = Set(f0, t0)
+    for ((f, t) <- pattern.tail) {
+      val step = e.select(col("src").as(s"_f"), col("dst").as(s"_t"))
+      val joined = (have.contains(f), have.contains(t)) match {
+        case (true, true) =>
+          bound.join(step, bound(vc(f)) === step("_f") &&
+            bound(vc(t)) === step("_t"))
+        case (true, false) =>
+          bound.join(step, bound(vc(f)) === step("_f"))
+            .withColumn(vc(t), col("_t"))
+        case (false, true) =>
+          bound.join(step, bound(vc(t)) === step("_t"))
+            .withColumn(vc(f), col("_f"))
+        case (false, false) =>
+          bound.crossJoin(step)
+            .withColumn(vc(f), col("_f")).withColumn(vc(t), col("_t"))
+      }
+      have = have + f + t
+      bound = joined.drop("_f", "_t").localCheckpoint()
+    }
+    // injectivity: all bound vertices distinct
+    val cols = have.toSeq.sorted.map(vc)
+    val distinctCond = cols.combinations(2)
+      .map { case Seq(a, b) => col(a) =!= col(b) }
+      .reduce(_ && _)
+    bound.filter(distinctCond).select(cols.map(col): _*)
+      .orderBy(cols.map(col): _*)
+  }
+
+  /** Count of pattern embeddings (ordered). */
+  def subgraphCount(spark: SparkSession, edges: DataFrame,
+      pattern: Seq[(Int, Int)]): DataFrame =
+    subgraphMatch(spark, edges, pattern)
+      .agg(count(lit(1)).as("matches"))
+}

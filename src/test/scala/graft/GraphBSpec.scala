@@ -1,0 +1,112 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.graph._
+
+/** Wave-B graph algorithms on hand-computable fixtures. */
+class GraphBSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  /** Two triangles {1,2,3},{4,5,6} + bridge 3–4, canonical src<dst. */
+  private def twoTriangles = Seq(
+    (1L, 2L, 1.0), (2L, 3L, 1.0), (1L, 3L, 1.0),
+    (4L, 5L, 1.0), (5L, 6L, 1.0), (4L, 6L, 1.0), (3L, 4L, 1.0)
+  ).toDF("src", "dst", "weight")
+
+  test("louvain separates the two triangles") {
+    val comm = Community.louvain(spark, twoTriangles).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comm(1L) == comm(2L) && comm(2L) == comm(3L))
+    assert(comm(4L) == comm(5L) && comm(5L) == comm(6L))
+    assert(comm(1L) != comm(4L))
+  }
+
+  test("louvain communities beat the trivial split on modularity") {
+    val comm = Community.louvain(spark, twoTriangles)
+      .withColumnRenamed("community", "community")
+    val sym = twoTriangles.union(
+      twoTriangles.select($"dst".as("src"), $"src".as("dst"), $"weight"))
+    val q = Iterative.modularity(spark, sym, comm).head().getDouble(0)
+    assert(q > 0.3)
+  }
+
+  test("weak cliques recover the triangles") {
+    val wc = Community.weakCliques(spark, twoTriangles).collect()
+      .map(_.getSeq[Long](1).toSeq)
+    assert(wc.contains(Seq(1L, 2L, 3L)))
+    assert(wc.contains(Seq(4L, 5L, 6L)))
+  }
+
+  test("closeness: path-center beats path-end") {
+    // path 1-2-3-4-5, both directions
+    val p = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val e = (p ++ p.map(_.swap)).map { case (a, b) => (a, b, 1.0) }
+      .toDF("src", "dst", "weight")
+    val c = Centrality.closeness(spark, GraphSource.toGraph(e), Seq(1L, 2L, 3L, 4L, 5L))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(c(3L) > c(1L) && c(3L) > c(5L))
+  }
+
+  test("betweenness on P5 matches Brandes by hand") {
+    val p = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val e = (p ++ p.map(_.swap)).map { case (a, b) => (a, b, 1.0) }
+      .toDF("src", "dst", "weight")
+    val b = Centrality.betweenness(spark, e, Seq(1L, 2L, 3L, 4L, 5L))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // ordered-pair convention = 2 × unordered path betweenness (0,3,4,3,0)
+    assert(b.getOrElse(1L, 0.0) == 0.0 && b.getOrElse(5L, 0.0) == 0.0)
+    assert(b(2L) == 6.0 && b(3L) == 8.0 && b(4L) == 6.0)
+  }
+
+  test("cycle detection finds directed 3-cycles exactly once") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 4L), (4L, 5L), (5L, 2L),
+      (1L, 4L)).map { case (a, b) => (a, b, 1.0) }.toDF("src", "dst", "weight")
+    val cyc = Motifs.cycles(spark, e, 3, 4).collect()
+      .map(_.getSeq[Long](0).toSeq)
+    assert(cyc.contains(Seq(1L, 2L, 3L)))
+    assert(cyc.contains(Seq(2L, 4L, 5L)))
+    assert(cyc.length == 2)
+  }
+
+  test("maximal cliques: K4 found whole, no sub-cliques emitted") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (6L, 4L)) // K4 + triangle {4,5,6}
+      .map { case (a, b) => (a, b, 1.0) }.toDF("src", "dst", "weight")
+    val mc = Motifs.maximalCliques(spark, k4).collect()
+      .map(_.getSeq[Long](0).toSeq).toSet
+    assert(mc == Set(Seq(1L, 2L, 3L, 4L), Seq(4L, 5L, 6L)))
+  }
+
+  test("subgraph matching: ordered triangle count = 6 per triangle") {
+    val und = twoTriangles
+    val sym = und.union(und.select($"dst".as("src"), $"src".as("dst"), $"weight"))
+    val n = Motifs.subgraphCount(spark, sym, Seq((0, 1), (1, 2), (2, 0)))
+      .head().getLong(0)
+    assert(n == 12) // 2 triangles × 6 orderings
+  }
+
+  test("subgraph matching: path-of-3 bindings are injective") {
+    val e = Seq((1L, 2L), (2L, 3L)).map { case (a, b) => (a, b, 1.0) }
+      .toDF("src", "dst", "weight")
+    val m = Motifs.subgraphMatch(spark, e, Seq((0, 1), (1, 2))).collect()
+    assert(m.length == 1 && m(0).toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("node2vec walks stay on the graph and embeddings cover all nodes") {
+    val und = twoTriangles
+    val sym = und.union(und.select($"dst".as("src"), $"src".as("dst"), $"weight"))
+    val w = Node2Vec.walks(spark, sym, numWalks = 2, walkLength = 4).collect()
+    assert(w.length == 12) // 6 nodes × 2 walks
+    val edgeSet = sym.select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    w.foreach { r =>
+      val path = r.getSeq[Long](1)
+      path.sliding(2).foreach(p =>
+        assert(p(0) == p(1) || edgeSet((p(0), p(1))), s"bad hop $p"))
+    }
+    val emb = Node2Vec.embeddings(spark, sym).collect()
+    assert(emb.length == 6)
+  }
+}
