@@ -33,7 +33,50 @@ object MlQueries {
     "ml_idf" -> ((s, d) => TextModels.idf(s, docs(s, d))),
     "ml_als" -> ((s, d) => TextModels.als(s, ev(s, d))),
     "ml_lda" -> ((s, d) => TextModels.lda(s, docs(s, d))),
-    "ml_prefixspan" -> ((s, d) => TextModels.prefixSpan(s, ev(s, d))))
+    "ml_prefixspan" -> ((s, d) => TextModels.prefixSpan(s, ev(s, d))),
+    "ml_knn" -> ((s, d) => {
+      val e = emb(s, d)
+      // tau = ∞ ⇒ exact (the reference's exactness escape hatch)
+      knn.Knn.fit(s, e).search(
+        e.filter(org.apache.spark.sql.functions.col("vec_id") < 10),
+        k = 5, tau = 1e9)
+    }),
+    "ml_knn_class" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, count, lit}
+      val e = emb(s, d)
+      knn.Knn.fit(s, e)
+        .classify(e, k = 5, tau = 0.5, labels = e)
+        .join(e.select(col("vec_id").as("query_id"), col("label")), Seq("query_id"))
+        .groupBy(col("label").cast("long").as("label"),
+          col("prediction").cast("long").as("prediction"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("label", "prediction")
+    }),
+    "ml_simrank" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val indexed = new org.apache.spark.ml.feature.StringIndexer()
+        .setInputCol("event_type").setOutputCol("item")
+        .fit(ev(s, d)).transform(ev(s, d))
+      val ratings = indexed.groupBy(
+          (col("user_id") % 100).cast("long").as("user"),
+          col("item").cast("long").as("item"))
+        .agg(count(lit(1)).cast("double").as("weight"))
+      SimRank.userSimilarity(s, ratings).limit(50)
+    }),
+    "ml_dbscan" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val pts = emb(s, d).select(col("vec_id").as("id"),
+        element_at(col("embedding"), 1).cast("double").as("x"),
+        element_at(col("embedding"), 2).cast("double").as("y"))
+      clustering.Dbscan.fitPredict(s, pts, eps = 0.05, minPoints = 5)
+    }),
+    "ml_spca" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val coo = emb(s, d).select(col("vec_id").as("row"),
+          posexplode(col("embedding")).as(Seq("col", "value")))
+        .filter(col("value") =!= 0.0f)
+      Spca.fit(s, coo, numCols = 64, k = 8)
+    }))
 
   val oracle: Map[String, String] = Map(
     "ml_cov_pairs" ->
@@ -48,5 +91,17 @@ object MlQueries {
       ("SELECT COUNT(l_quantity) AS cnt, " +
         "FLOOR(AVG(l_quantity) * 10000 + 0.5) / 10000 AS mean, " +
         "FLOOR(STDDEV_SAMP(l_quantity) * 10000 + 0.5) / 10000 AS std, " +
-        "MIN(l_quantity) AS mn, MAX(l_quantity) AS mx FROM lineitem"))
+        "MIN(l_quantity) AS mn, MAX(l_quantity) AS mx FROM lineitem"),
+    "ml_knn" ->
+      ("WITH q AS (SELECT vec_id AS query_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS qe " +
+        "FROM embeddings WHERE vec_id < 10), " +
+        "c AS (SELECT vec_id AS neighbor_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS ce " +
+        "FROM embeddings), " +
+        "s AS (SELECT query_id, neighbor_id, LIST_DISTANCE(qe, ce) AS dist FROM q CROSS JOIN c), " +
+        "rk AS (SELECT query_id, neighbor_id, " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY query_id " +
+        "ORDER BY FLOOR(dist * 1000000 + 0.5) / 1000000, neighbor_id) AS INTEGER) AS rank, " +
+        "FLOOR(dist * 10000 + 0.5) / 10000 AS dist FROM s) " +
+        "SELECT query_id, rank, neighbor_id, dist FROM rk WHERE rank <= 5 " +
+        "ORDER BY query_id, rank"))
 }

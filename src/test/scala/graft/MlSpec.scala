@@ -121,7 +121,9 @@ class MlSpec extends AnyFunSuite {
 
   test("ml oracle SQL matches DSL via Spark SQL") {
     Tables.registerAll(spark, sf0001)
-    for (name <- MlQueries.oracle.keys) {
+    // ml_knn's oracle is DuckDB-dialect (LIST_DISTANCE); it is covered by
+    // the DuckDB gate itself plus CustomMlSpec's brute-force differential
+    for (name <- MlQueries.oracle.keys if name != "ml_knn") {
       val dsl = MlQueries.all(name)(spark, sf0001).collect()
         .map(_.toSeq.map(String.valueOf)).toSeq
       val sql = spark.sql(MlQueries.oracle(name)).collect()
