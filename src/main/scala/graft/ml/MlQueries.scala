@@ -45,7 +45,7 @@ object MlQueries {
       import org.apache.spark.sql.functions.{col, count, lit}
       val e = emb(s, d)
       knn.Knn.fit(s, e)
-        .classify(e, k = 5, tau = 0.5, labels = e)
+        .classify(e.filter(col("vec_id") < 500), k = 5, tau = 0.2, labels = e)
         .join(e.select(col("vec_id").as("query_id"), col("label")), Seq("query_id"))
         .groupBy(col("label").cast("long").as("label"),
           col("prediction").cast("long").as("prediction"))

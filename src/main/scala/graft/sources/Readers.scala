@@ -1,0 +1,118 @@
+package graft.sources
+
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Input-format readers reproducing the reference's loader semantics
+  * (SURVEY §1.4, FIXTURES §2). Each parses declaratively where possible
+  * (spark.read + split/filter expressions) so projection and predicate
+  * pushdown still apply downstream.
+  */
+object Readers {
+
+  /** libsvm sparse rows → (label, features) (`DTRunner.scala:201-216`). */
+  def libsvm(spark: SparkSession, path: String, numFeatures: Int): DataFrame =
+    spark.read.format("libsvm")
+      .option("numFeatures", numFeatures.toString).load(path)
+
+  /** One comma-joined double vector per line (`CovRunner.scala:97-99`).
+    * Returns (row_id, features: array<double>). */
+  def csvVectors(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+      .select(monotonically_increasing_id().as("row_id"),
+        transform(split(col("value"), ","), s => s.cast("double"))
+          .as("features"))
+
+  /** COO triplets `row col value` (`PCARunner.scala:133-141`); sep
+    * configurable like the reference's broadcast separator. */
+  def coo(spark: SparkSession, path: String, sep: String = " "): DataFrame =
+    spark.read.text(path)
+      .filter(!col("value").startsWith("#") && !col("value").startsWith("%"))
+      .select(split(col("value"), sep).as("f"))
+      .filter(size(col("f")) >= 3)
+      .select(
+        // try_cast: a malformed line yields nulls (filtered) instead of
+        // killing the whole scan under ANSI mode
+        expr("try_cast(f[0] AS BIGINT)").as("row"),
+        expr("try_cast(f[1] AS INT)").as("col"),
+        expr("try_cast(f[2] AS DOUBLE)").as("value"))
+      .filter(col("row").isNotNull && col("col").isNotNull &&
+        col("value").isNotNull)
+
+  /** COO → one ml SparseVector per row id (`SPCARunner.scala:140-153`). */
+  def cooToSparseVectors(spark: SparkSession, cooDf: DataFrame,
+      numCols: Int): DataFrame = {
+    import spark.implicits._
+    cooDf.groupBy("row")
+      .agg(sort_array(collect_list(struct(col("col"), col("value"))))
+        .as("cells"))
+      .map { r =>
+        val cells = r.getSeq[org.apache.spark.sql.Row](1)
+          .map(c => (c.getInt(0), c.getDouble(1)))
+        (r.getLong(0),
+          Vectors.sparse(numCols, cells.map(_._1).toArray,
+            cells.map(_._2).toArray))
+      }.toDF("row", "features")
+  }
+
+  /** Edge list text: `src dst [weight]`, `#`/`%` comment lines and short
+    * lines skipped, optional self-loop removal — the reference's loader
+    * family (`graph/Util.scala:15-161`). split regex = whitespace runs. */
+  def edgeList(spark: SparkSession, path: String, sep: String = "\\s+",
+      defaultWeight: Double = 1.0, dropSelfLoops: Boolean = true): DataFrame = {
+    val parsed = spark.read.text(path)
+      .filter(!col("value").startsWith("#") && !col("value").startsWith("%"))
+      .select(split(trim(col("value")), sep).as("f"))
+      .filter(size(col("f")) >= 2)
+      .select(
+        expr("try_cast(f[0] AS BIGINT)").as("src"),
+        expr("try_cast(f[1] AS BIGINT)").as("dst"),
+        coalesce(
+          when(size(col("f")) >= 3, expr("try_cast(f[2] AS DOUBLE)")),
+          lit(defaultWeight)).as("weight"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+    if (dropSelfLoops) parsed.filter(col("src") =!= col("dst")) else parsed
+  }
+
+  /** `(vid,comm)` community pairs, parens stripped (`graph/Util.scala:58-80`). */
+  def communityPairs(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+      .select(split(regexp_replace(col("value"), "[()\\s]", ""), ",").as("f"))
+      .filter(size(col("f")) >= 2)
+      .select(element_at(col("f"), 1).cast("long").as("node"),
+        element_at(col("f"), 2).cast("long").as("community"))
+
+  /** PrefixSpan IBM sequence format: space-separated ints, `-1` ends an
+    * itemset, `-2` ends the sequence (`PrefixSpanRunner.scala:125-146`).
+    * Returns (sequence: array<array<int>>). */
+  def sequences(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+      .select(
+        filter(
+          transform(
+            // itemsets are the -1-delimited groups, minus the -2 terminator
+            split(regexp_replace(col("value"), "\\s*-2\\s*$", ""), "\\s+-1\\s*"),
+            g => filter(transform(split(trim(g), "\\s+"),
+              s => s.cast("int")), x => x.isNotNull)),
+          a => size(a) > 0).as("sequence"))
+      .filter(size(col("sequence")) > 0)
+
+  /** `label,f1 f2 f3 …` SVM CSV (`SVMRunner.scala:106-109`). */
+  def svmCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+      .select(split(col("value"), ",").as("f"))
+      .select(element_at(col("f"), 1).cast("double").as("label"),
+        transform(split(trim(element_at(col("f"), 2)), "\\s+"),
+          s => s.cast("double")).as("features"))
+
+  /** `id\tv1,v2,…` KNN rows; id < testNum marks a query row
+    * (`KNNRunner.scala:146-156`). */
+  def knnTsv(spark: SparkSession, path: String, testNum: Long): DataFrame =
+    spark.read.text(path)
+      .select(split(col("value"), "\t").as("f"))
+      .select(element_at(col("f"), 1).cast("long").as("id"),
+        transform(split(element_at(col("f"), 2), ","), s => s.cast("float"))
+          .as("embedding"))
+      .withColumn("is_query", col("id") < testNum)
+}

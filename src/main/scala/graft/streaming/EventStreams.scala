@@ -1,0 +1,86 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming over the events table shape (SURVEY §2.D): the
+  * reference is batch-only, so this is the engine's additive streaming
+  * surface. All transforms are source-agnostic — tests drive them with
+  * MemoryStream, production would use readStream on files/Kafka.
+  *
+  * Scale notes: watermarks bound all state; the windowed aggregation
+  * state is (window × event_type) keys; dedup state is bounded by the
+  * watermark horizon; sessionization state is one small struct per
+  * active user, expired by processing-time-independent event-time
+  * timeout.
+  */
+object EventStreams {
+
+  /** Tumbling-window counts + value sums per event type, 10-minute
+    * windows, 20-minute watermark. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "20 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum("value").as("value_sum"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("cnt"), col("value_sum"))
+
+  /** Exactly-once-per-id dedup within the watermark horizon. */
+  def dedup(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "20 minutes")
+      .dropDuplicates("event_id")
+
+  case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
+  case class SessionState(start: Long, last: Long, n: Int, sum: Double)
+  case class Session(user_id: Long, start_ms: Long, end_ms: Long,
+      n_events: Int, value_sum: Double)
+
+  /** Event-time sessionization: a session closes after `gapMinutes` of
+    * user inactivity (state timeout keyed to the watermark). The custom
+    * state machine is the `flatMapGroupsWithState` path the reference
+    * never had (SURVEY §2.D). */
+  def sessionize(events: Dataset[SessionEvent], gapMinutes: Int = 30)
+      : Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(user, s.start, s.last, s.n, s.sum))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(SessionState(s.start, math.max(s.last, t),
+                    s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  closed ::= Session(user, s.start, s.last, s.n, s.sum)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Readers
+
+class SourcesSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def res(name: String): String =
+    getClass.getClassLoader.getResource(name).getPath
+
+  test("csv vectors") {
+    val r = Readers.csvVectors(spark, res("vectors.csv")).collect()
+    assert(r.length == 2)
+    assert(r.map(_.getSeq[Double](1).toSeq).toSet ==
+      Set(Seq(1.0, 2.0), Seq(3.0, 4.0)))
+  }
+
+  test("coo triplets skip nothing and parse numerics") {
+    val r = Readers.coo(spark, res("matrix.coo")).collect()
+
+    assert(r.map(x => (x.getLong(0), x.getInt(1), x.getDouble(2))).toSet ==
+      Set((0L, 0, 1.5), (0L, 2, 2.5), (1L, 1, 3.0)))
+  }
+
+  test("coo to sparse vectors") {
+    val coo = Readers.coo(spark, res("matrix.coo"))
+      .filter(org.apache.spark.sql.functions.col("row").isNotNull)
+    val v = Readers.cooToSparseVectors(spark, coo, numCols = 4).collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[org.apache.spark.ml.linalg.Vector](1)).toMap
+    assert(v(0L).toArray.toSeq == Seq(1.5, 0.0, 2.5, 0.0))
+    assert(v(1L).toArray.toSeq == Seq(0.0, 3.0, 0.0, 0.0))
+  }
+
+  test("edge list: comments and short lines skipped, self-loops dropped, weights defaulted") {
+    val r = Readers.edgeList(spark, res("edges.txt")).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+    assert(r == Set((1L, 2L, 1.0), (2L, 3L, 2.5), (1L, 3L, 0.5)))
+  }
+
+  test("community pairs strip parens") {
+    val r = Readers.communityPairs(spark, res("community.txt")).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(r == Set((1L, 10L), (2L, 10L), (3L, 20L)))
+  }
+
+  test("IBM sequence format: -1 splits itemsets, -2 terminates") {
+    val r = Readers.sequences(spark, res("sequences.txt")).collect()
+      .map(_.getSeq[scala.collection.Seq[Int]](0).map(_.toSeq).toSeq)
+    assert(r.toSet == Set(Seq(Seq(1, 2), Seq(3)), Seq(Seq(4), Seq(5, 6))))
+  }
+
+  test("svm csv: comma then space split") {
+    val r = Readers.svmCsv(spark, res("svm.csv")).collect()
+      .map(x => (x.getDouble(0), x.getSeq[Double](1).toSeq)).toSet
+    assert(r == Set((1.0, Seq(0.5, 1.5)), (-1.0, Seq(2.5, 3.5))))
+  }
+
+  test("knn tsv: id below testNum marks query rows") {
+    val r = Readers.knnTsv(spark, res("knn.tsv"), testNum = 2).collect()
+      .map(x => (x.getLong(0), x.getBoolean(2))).toMap
+    assert(r == Map(0L -> true, 1L -> true, 5L -> false))
+  }
+
+  test("libsvm reader yields label/features") {
+    val r = Readers.libsvm(spark, res("train.libsvm"), numFeatures = 4).collect()
+    assert(r.length == 2)
+    val byLabel = r.map(x => x.getDouble(0) ->
+      x.getAs[org.apache.spark.ml.linalg.Vector](1)).toMap
+    assert(byLabel(1.0).toArray.toSeq == Seq(0.5, 0.0, 1.5, 0.0))
+    assert(byLabel(0.0).toArray.toSeq == Seq(0.0, 2.0, 0.0, 0.0))
+  }
+}

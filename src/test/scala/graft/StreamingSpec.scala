@@ -1,0 +1,79 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.SessionEvent
+
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+
+  test("windowed counts aggregate per 10-minute window") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val out = EventStreams.windowedCounts(
+      mem.toDF.toDF("event_id", "ts", "event_type", "value"))
+    val q = out.writeStream.format("memory").queryName("wc")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      mem.addData((1L, ts(1), "click", 1.0), (2L, ts(5), "click", 2.0),
+        (3L, ts(12), "click", 4.0), (4L, ts(13), "buy", 8.0))
+      q.processAllAvailable()
+      val rows = spark.table("wc").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(rows == Set(
+        ("2024-01-01 00:00:00.0", "click", 2L, 3.0),
+        ("2024-01-01 00:10:00.0", "click", 1L, 4.0),
+        ("2024-01-01 00:10:00.0", "buy", 1L, 8.0)))
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops repeated event ids") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val out = EventStreams.dedup(
+      mem.toDF.toDF("event_id", "ts", "event_type", "value"))
+    val q = out.writeStream.format("memory").queryName("dd")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((1L, ts(1), "a", 1.0), (1L, ts(1), "a", 1.0),
+        (2L, ts(2), "b", 1.0))
+      q.processAllAvailable()
+      mem.addData((1L, ts(3), "a", 1.0), (3L, ts(3), "c", 1.0))
+      q.processAllAvailable()
+      val ids = spark.table("dd").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("sessionization closes a session when a gap opens a new one") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val q = EventStreams.sessionize(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // burst at t=0..10, then a second burst at t=120 (gap > 30min)
+      mem.addData(
+        SessionEvent(7L, ts(0), 1.0), SessionEvent(7L, ts(10), 2.0),
+        SessionEvent(7L, ts(120), 4.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sess").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3),
+          r.getDouble(4)))
+      assert(sessions.length == 1)
+      val s = sessions.head
+      assert(s._1 == 7L && s._4 == 2 && s._5 == 3.0)
+      assert(s._3 - s._2 == 10L * 60 * 1000)
+    } finally q.stop()
+  }
+}
