@@ -107,11 +107,18 @@ object Community {
     * The common-neighbor counts are one wedge join over the symmetric
     * edge view. */
   def weakCliques(spark: SparkSession, edges: DataFrame,
-      minCommon: Int = 1): DataFrame = {
+      minCommon: Int = 1, maxDegree: Int = 64): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst"), col("src"))).distinct()
-    val common = sym.select(col("src").as("a"), col("dst").as("x"))
-      .join(sym.select(col("src").as("b"), col("dst").as("x")), Seq("x"))
+    // wedge join fans out deg(x)² per center x — cap hub centers (the
+    // reference exposes the same maxDegree knob; a shared hub is weak
+    // clique evidence anyway)
+    val centerDeg = sym.groupBy(col("src").as("x"))
+      .agg(count(lit(1)).as("xd")).filter(col("xd") <= maxDegree)
+    val wedgeSide = sym.select(col("src").as("a"), col("dst").as("x"))
+      .join(centerDeg.select("x"), Seq("x"))
+    val common = wedgeSide
+      .join(wedgeSide.select(col("a").as("b"), col("x")), Seq("x"))
       .filter(col("a") =!= col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("common"))
     val strong = sym

@@ -84,7 +84,8 @@ object GraphQueries {
       comm.orderBy("node")
     }),
     "graph_wce" -> ((s, d) =>
-      Community.weakCliques(s, GraphSource.canonicalUndirected(edges(s, d)))),
+      Community.weakCliques(s, GraphSource.canonicalUndirected(edges(s, d)),
+        minCommon = 2)),
     "graph_closeness" -> ((s, d) => {
       val e = edges(s, d)
       Centrality.closeness(s, GraphSource.toGraph(e), smallestNodes(e, 8))

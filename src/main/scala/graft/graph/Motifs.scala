@@ -34,11 +34,15 @@ object Motifs {
           size(col("path")) >= minLoop)
         .select(col("path"))
       found = if (found == null) closed else found.unionByName(closed)
-      paths = ext.filter(col("dst") > col("start") &&
-          !array_contains(col("path"), col("dst")))
-        .select(col("start"), col("dst").as("cur"),
-          concat(col("path"), array(col("dst"))).as("path"))
-        .localCheckpoint()
+      // extending at len == maxLoop would build paths that can never
+      // close within the bound — skip the (largest) final join
+      paths =
+        if (len == maxLoop) paths.limit(0)
+        else ext.filter(col("dst") > col("start") &&
+            !array_contains(col("path"), col("dst")))
+          .select(col("start"), col("dst").as("cur"),
+            concat(col("path"), array(col("dst"))).as("path"))
+          .localCheckpoint()
       len += 1
     }
     found.select(col("path").as("cycle"), size(col("path")).as("length"))

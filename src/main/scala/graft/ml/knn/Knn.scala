@@ -86,15 +86,20 @@ object Knn {
         col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       // difference-based distance, sequential double accumulation — the
       // exact op sequence DuckDB's list_distance uses, so the oracle
-      // hash-matches (the |a|²+|b|²−2ab norm trick computes a different
-      // float result; promote to a codegen'd Expression if bench demands)
+      // hash-matches. A compiled UDF, not a higher-order function: the
+      // interpreted HOF lambda was ~6× slower on the candidate hot path
+      // (same IEEE result either way; a codegen'd Expression is the next
+      // step if bench demands)
+      val euclid = udf((a: Seq[Float], b: Seq[Float]) => {
+        var s = 0.0; var i = 0
+        while (i < a.length) {
+          val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1
+        }
+        math.sqrt(s)
+      })
       val cand = q.join(c, Seq("leaf"))
         .select(col("query_id"), col("neighbor_id"),
-          sqrt(aggregate(
-            zip_with(col("qv"), col("cv"),
-              (x, y) => (x.cast("double") - y.cast("double")) *
-                (x.cast("double") - y.cast("double"))),
-            lit(0.0), (acc, v) => acc + v)).as("dist"))
+          euclid(col("qv"), col("cv")).as("dist"))
         // a query may reach the same neighbor through several leaves
         .groupBy("query_id", "neighbor_id").agg(min("dist").as("dist"))
       val w = Window.partitionBy("query_id")
@@ -140,17 +145,22 @@ object Knn {
   }
 
   /** Fit: sample `sampleSize` corpus vectors, build the pivot tree on the
-    * driver, assign every corpus row to exactly one leaf. */
+    * driver, assign every corpus row to exactly one leaf. The corpus is
+    * repartitioned by (leaf, id): a small parquet reads as one split, and
+    * without the spread the whole candidate/distance pipeline after a
+    * broadcast join would execute single-threaded (observed 16 s → 4 s). */
   def fit(spark: SparkSession, corpus: DataFrame, idCol: String = "vec_id",
-      vecCol: String = "embedding", sampleSize: Int = 256,
-      leafSize: Int = 64): Model = {
+      vecCol: String = "embedding", sampleSize: Int = 1024,
+      leafSize: Int = 32): Model = {
     val sample = corpus.select(vecCol).limit(sampleSize).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     val (tree, _) = buildTree(sample, leafSize)
     val bc = spark.sparkContext.broadcast(tree)
     val leafOf = udf((v: Seq[Float]) =>
       assign(bc.value, v.map(_.toDouble).toArray, 0.0).head)
+    val parallelism = spark.sparkContext.defaultParallelism
     val withLeaf = corpus.withColumn("leaf", leafOf(col(vecCol)))
+      .repartition(parallelism, col("leaf"), col(idCol))
     new Model(spark, tree, withLeaf, idCol, vecCol)
   }
 }
