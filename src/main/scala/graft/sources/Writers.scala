@@ -1,0 +1,42 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Output paths (SURVEY §1.4 output rows + §2.A A32): parquet primary,
+  * csv/text compat (the reference's `saveAsTextFile`:
+  * `graph/Util.scala:210-218`), compression options
+  * (`PrefixSpanRunner.scala:183-184` uses LZ4), partitioned layout for
+  * scale, and catalog DDL + insert (`PageRankHiveRunner.scala:59-67`).
+  */
+object Writers {
+
+  /** Primary sink: parquet, optionally hash-partitioned by columns so
+    * downstream scans prune partitions. */
+  def parquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil,
+      compression: String = "snappy"): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+      .option("compression", compression)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(path)
+  }
+
+  /** CSV with header, compat with the reference's text outputs. */
+  def csv(df: DataFrame, path: String, compression: String = "none"): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true")
+      .option("compression", compression).csv(path)
+
+  /** saveAsTextFile analogue: single string column, one line per row. */
+  def text(df: DataFrame, path: String, sep: String = ","): Unit =
+    df.select(concat_ws(sep, df.columns.map(col): _*).as("value"))
+      .write.mode(SaveMode.Overwrite).text(path)
+
+  /** DDL + insert path (A32): create a managed table and append —
+    * the `create table` / `insert into ... select` flow of the Hive
+    * runners, against the session catalog. */
+  def createAndInsert(spark: SparkSession, df: DataFrame,
+      table: String): Unit = {
+    df.limit(0).write.mode(SaveMode.Overwrite).saveAsTable(table)
+    df.write.mode(SaveMode.Append).insertInto(table)
+  }
+}

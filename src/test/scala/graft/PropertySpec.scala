@@ -1,0 +1,117 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.graph.{Community, GraphSource, Iterative}
+import graft.llm.{Dedup, TextOps}
+
+/** Property-based tests (SURVEY §5.4): invariants that must hold for any
+  * input, not just the fixtures. Generators are driven directly (seeded)
+  * since only scalacheck core is on the test classpath. */
+class PropertySpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  /** Deterministic sample stream from a generator. */
+  private def forAll[T](gen: Gen[T], n: Int = 5)(body: T => Unit): Unit = {
+    val params = Gen.Parameters.default.withSize(12)
+    (0 until n).foreach { i =>
+      gen(params, Seed(42L + i)).foreach(body)
+    }
+  }
+
+  private def whenever(cond: Boolean)(body: => Unit): Unit =
+    if (cond) body
+
+  private val docGen: Gen[List[(Long, String)]] = for {
+    n <- Gen.choose(2, 8)
+    docs <- Gen.listOfN(n,
+      Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "dog", "cat"))
+        .map(_.mkString(" ")))
+  } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  test("fingerprints are permutation-sensitive but content-deterministic") {
+    forAll(docGen) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val fp1 = TextOps.fingerprint(df).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val fp2 = TextOps.fingerprint(df).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fp1 == fp2)
+      // same text ⇒ same fingerprint
+      val byText = docs.groupBy(_._2).values
+      byText.foreach { group =>
+        assert(group.map(g => fp1(g._1)).distinct.length == 1)
+      }
+    }
+  }
+
+  test("exact dedup partitions the corpus: sum of dup counts = row count") {
+    forAll(docGen) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val out = Dedup.exact(df).collect()
+      assert(out.map(_.getLong(1)).sum == docs.length)
+      assert(out.map(_.getLong(0)).distinct.length == out.length)
+    }
+  }
+
+  test("near-dup jaccard is symmetric-by-construction and bounded") {
+    forAll(docGen) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val pairs = Dedup.nearDupPairs(df, shingleSize = 1, threshold = 0.0)
+        .collect()
+      pairs.foreach { p =>
+        assert(p.getLong(0) < p.getLong(1)) // canonical orientation
+        val j = p.getDouble(2)
+        assert(j >= 0.0 && j <= 1.0)
+      }
+    }
+  }
+
+  private val edgeGen: Gen[List[(Long, Long)]] = for {
+    n <- Gen.choose(2, 10)
+    edges <- Gen.listOfN(n, for {
+      a <- Gen.choose(1L, 8L); b <- Gen.choose(1L, 8L) if a != b
+    } yield (a, b))
+  } yield edges.distinct
+
+  test("modularity of any partition is in [-1, 1]") {
+    forAll(edgeGen) { es =>
+      whenever(es.nonEmpty) {
+        val edges = es.map { case (a, b) => (a, b, 1.0) }
+          .toDF("src", "dst", "weight")
+        val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+        val comm = nodes.map(n => (n, n % 2)).toDF("node", "community")
+        val q = Iterative.modularity(spark, edges, comm).head().getDouble(0)
+        assert(q >= -1.0 && q <= 1.0, s"Q=$q")
+      }
+    }
+  }
+
+  test("connected components labels are invariant under edge order permutation") {
+    forAll(edgeGen) { es =>
+      whenever(es.nonEmpty) {
+        def cc(order: List[(Long, Long)]) = {
+          val g = GraphSource.toGraph(
+            order.map { case (a, b) => (a, b, 1.0) }.toDF("src", "dst", "weight"))
+          graft.graph.Builtins.connectedComponents(spark, g).collect()
+            .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        }
+        assert(cc(es) == cc(es.reverse))
+      }
+    }
+  }
+
+  test("louvain assigns every node exactly one community") {
+    forAll(edgeGen) { es =>
+      whenever(es.nonEmpty) {
+        val edges = es.map { case (a, b) => (a, b, 1.0) }
+          .toDF("src", "dst", "weight")
+        val comm = Community.louvain(spark, edges, passes = 2, levels = 1)
+          .collect()
+        val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+        assert(comm.map(_.getLong(0)).sorted.toSeq == nodes)
+      }
+    }
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.classification.DecisionTreeClassifier
+import org.apache.spark.ml.feature.{IndexToString, StringIndexer, VectorIndexer}
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{Tables, Writers}
+
+/** Output-path round trips (SURVEY §1.4 outputs, A32 DDL+insert) and the
+  * reference's feature-transformer pipeline shape (B23:
+  * StringIndexer → VectorIndexer → model → IndexToString,
+  * `GBDTRunner.scala:150-165`, `DTRunner.scala:266-276`). */
+class WritersAndPipelineSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def tmp(prefix: String) =
+    Files.createTempDirectory(prefix).resolve("out").toString
+
+  test("parquet round trip with partitioning prunes to one partition dir") {
+    val df = Tables(spark, sf0001, "nation")
+    val path = tmp("pq")
+    Writers.parquet(df, path, partitionBy = Seq("n_regionkey"))
+    val back = spark.read.parquet(path)
+    assert(back.count() == df.count())
+    val one = spark.read.parquet(path).filter($"n_regionkey" === 1)
+    // partition pruning: the filtered scan must read only matching rows
+    assert(one.count() == df.filter($"n_regionkey" === 1).count())
+    assert(Files.list(java.nio.file.Paths.get(path)).toArray
+      .map(_.toString).count(_.contains("n_regionkey=")) >= 2)
+  }
+
+  test("csv and text round trips preserve rows") {
+    val df = Tables(spark, sf0001, "region")
+    val p1 = tmp("csv"); val p2 = tmp("txt")
+    Writers.csv(df, p1)
+    Writers.text(df, p2, sep = "|")
+    assert(spark.read.option("header", "true").csv(p1).count() == df.count())
+    val lines = spark.read.text(p2).collect().map(_.getString(0))
+    assert(lines.length == df.count() && lines.forall(_.contains("|")))
+  }
+
+  test("lz4-compressed parquet reads back identically") {
+    val df = Tables(spark, sf0001, "region")
+    val p = tmp("lz4")
+    Writers.parquet(df, p, compression = "lz4")
+    assert(spark.read.parquet(p).collect().toSet == df.collect().toSet)
+  }
+
+  test("DDL create + insertInto round trips through the catalog") {
+    val df = Tables(spark, sf0001, "region")
+    Writers.createAndInsert(spark, df, "region_copy")
+    try {
+      assert(spark.table("region_copy").count() == df.count())
+      // second insert appends (the Hive runners' insert-into semantics)
+      df.write.mode("append").insertInto("region_copy")
+      assert(spark.table("region_copy").count() == 2 * df.count())
+    } finally spark.sql("DROP TABLE IF EXISTS region_copy")
+  }
+
+  test("StringIndexer/VectorIndexer/IndexToString pipeline round trips labels") {
+    val data = Tables(spark, sf0001, "embeddings")
+      .select(array_to_vector(col("embedding")).as("rawFeatures"),
+        concat(lit("class_"), col("label")).as("labelStr"))
+    // like the reference: fit the label indexer first, then hand its
+    // labels to IndexToString (Spark 4: labelsArray, not labels —
+    // SURVEY §7 risk 7)
+    val labelIndexer = new StringIndexer().setInputCol("labelStr")
+      .setOutputCol("indexedLabel").fit(data)
+    val pipeline = new Pipeline().setStages(Array(
+      labelIndexer,
+      new VectorIndexer().setInputCol("rawFeatures").setOutputCol("features")
+        .setMaxCategories(4),
+      new DecisionTreeClassifier().setLabelCol("indexedLabel")
+        .setFeaturesCol("features").setMaxDepth(5).setSeed(2020L),
+      new IndexToString().setInputCol("prediction").setOutputCol("predictedStr")
+        .setLabels(labelIndexer.labelsArray(0))))
+    val model = pipeline.fit(data)
+    val out = model.transform(data)
+    assert(out.columns.contains("predictedStr"))
+    val preds = out.select("predictedStr").distinct().collect()
+      .map(_.getString(0))
+    assert(preds.forall(_.startsWith("class_")))
+  }
+
+  test("mllib RDD path agrees with DataFrame path (reference dual-API check)") {
+    // Pearson: mllib.stat.Statistics vs SQL corr on two columns
+    val li = Tables(spark, sf0001, "lineitem")
+    val rdd = li.select("l_quantity", "l_extendedprice").rdd
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    val mllibCorr = org.apache.spark.mllib.stat.Statistics
+      .corr(rdd.map(_._1), rdd.map(_._2), "pearson")
+    val sqlCorr = li.agg(corr($"l_quantity", $"l_extendedprice"))
+      .head().getDouble(0)
+    assert(math.abs(mllibCorr - sqlCorr) < 1e-9)
+  }
+
+  test("hll approx distinct within 5% of exact at sf0.001") {
+    val li = Tables(spark, sf0001, "lineitem")
+    val exact = li.select(countDistinct($"l_partkey")).head().getLong(0)
+    val approx = li.select(approx_count_distinct($"l_partkey", 0.02))
+      .head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx $approx vs exact $exact")
+  }
+}
