@@ -104,26 +104,23 @@ object Community {
   /** Weak clique enumeration (C21): per-vertex seed expansion — v's weak
     * clique is {v} ∪ {neighbors sharing ≥ minCommon further neighbors
     * with v}; identical member sets dedup to one row keyed by min member.
-    * The common-neighbor counts are one wedge join over the symmetric
-    * edge view. */
+    *
+    * Common-neighbor counts are computed per EDGE by joining each edge
+    * with both endpoints' (hub-capped) sorted neighbor arrays and taking
+    * array_intersect — O(Σ_edges (d_a + d_b)) work, versus the wedge
+    * self-join whose Σ deg(x)² blowup was the whole suite's slowest
+    * query at sf0.1. */
   def weakCliques(spark: SparkSession, edges: DataFrame,
       minCommon: Int = 1, maxDegree: Int = 64): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst"), col("src"))).distinct()
-    // wedge join fans out deg(x)² per center x — cap hub centers (the
-    // reference exposes the same maxDegree knob; a shared hub is weak
-    // clique evidence anyway)
-    val centerDeg = sym.groupBy(col("src").as("x"))
-      .agg(count(lit(1)).as("xd")).filter(col("xd") <= maxDegree)
-    val wedgeSide = sym.select(col("src").as("a"), col("dst").as("x"))
-      .join(centerDeg.select("x"), Seq("x"))
-    val common = wedgeSide
-      .join(wedgeSide.select(col("a").as("b"), col("x")), Seq("x"))
-      .filter(col("a") =!= col("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("common"))
+    val nbrs = sym.groupBy(col("src").as("n"))
+      .agg(array_sort(collect_set(col("dst"))).as("nbrs"))
+      .filter(size(col("nbrs")) <= maxDegree)
     val strong = sym
-      .join(common, sym("src") === common("a") && sym("dst") === common("b"))
-      .filter(col("common") >= minCommon)
+      .join(nbrs.select(col("n").as("src"), col("nbrs").as("na")), Seq("src"))
+      .join(nbrs.select(col("n").as("dst"), col("nbrs").as("nb")), Seq("dst"))
+      .filter(size(array_intersect(col("na"), col("nb"))) >= minCommon)
       .select(col("src"), col("dst"))
     strong.groupBy("src")
       .agg(array_sort(array_union(collect_set(col("dst")),

@@ -35,7 +35,12 @@ object LlmQueries {
       val e = emb(s, d)
       Similarity.lshNeighbors(e.filter(col("vec_id") < 10), e, maxDist = 1.2)
     }),
-    "llm_multimodal" -> ((s, d) => Multimodal.documentsAsMedia(s, docs(s, d))))
+    "llm_multimodal" -> ((s, d) => Multimodal.documentsAsMedia(s, docs(s, d))),
+    "llm_hll_distinct" -> ((s, d) =>
+      // 100 TB distinct counting: HLL sketch vs exact, with relative error
+      Tables(s, d, "lineitem").agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_d"),
+        countDistinct(col("l_partkey")).as("exact_d"))))
 
   val oracle: Map[String, String] = Map(
     "llm_text_stats" ->

@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{Harness, VerifyUtils}
+import graft.sources.Tables
+
+class CoreSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("params parse with typed accessors and clear failure for missing keys") {
+    val p = Harness.parseParams("k=200\nmaxIter=10\ntol=1e-4\nuseDF=true\nname=kmeans")
+    assert(p.int("k") == 200 && p.double("tol") == 1e-4 && p.bool("useDF"))
+    assert(p.strOr("missing", "dflt") == "dflt" && p.intOr("missing", 7) == 7)
+    val ex = intercept[IllegalArgumentException](p.str("nope"))
+    assert(ex.getMessage.contains("nope"))
+  }
+
+  test("timed job splits load and compute and emits a json-line report") {
+    val (report, df) = Harness.timed("agg_smoke") {
+      Tables(spark, sf0001, "region")
+    } { loaded => Map("rows" -> loaded.count().toDouble) }
+    assert(report.metrics("rows") == 5.0)
+    assert(report.loadSec > 0 && report.computeSec > 0)
+    val path = Files.createTempDirectory("rep").resolve("reports.jsonl")
+    Harness.appendReport(path.toString, report)
+    Harness.appendReport(path.toString, report)
+    val lines = Files.readAllLines(path)
+    assert(lines.size == 2)
+    assert(lines.get(0).contains("\"job\":\"agg_smoke\""))
+    df.unpersist()
+  }
+
+  test("scalar tolerance: the reference's 0.5% relative semantics") {
+    assert(VerifyUtils.scalarMatch(100.0, 100.4))
+    assert(!VerifyUtils.scalarMatch(100.0, 100.6))
+    assert(VerifyUtils.scalarMatch(0.0, 0.001))
+  }
+
+  test("vector/matrix tolerance with sign indeterminacy") {
+    assert(VerifyUtils.vectorMatch(Seq(1.0, -2.0), Seq(-1.0, 2.0),
+      signIndeterminate = true))
+    assert(!VerifyUtils.vectorMatch(Seq(1.0, -2.0), Seq(-1.0, 2.0)))
+    assert(VerifyUtils.matrixMatch(
+      Seq(Seq(1.0, 0.5), Seq(0.5, 1.0)),
+      Seq(Seq(1.0000005, 0.5), Seq(0.5, 0.9999995))))
+  }
+
+  test("set equality and top-k overlap over DataFrames") {
+    val a = Seq(("x", 1L), ("y", 2L)).toDF("pattern", "freq")
+    val b = Seq(("y", 2L), ("x", 1L)).toDF("pattern", "freq")
+    val c = Seq(("x", 1L), ("z", 3L)).toDF("pattern", "freq")
+    assert(VerifyUtils.setsEqual(a, b))
+    assert(VerifyUtils.setDiff(a, c) == ((1L, 1L)))
+    val top1 = Seq(1L, 2L, 3L).toDF("node")
+    val top2 = Seq(2L, 3L, 4L).toDF("node")
+    assert(math.abs(VerifyUtils.topKAccuracy(top1, top2) - 2.0 / 3) < 1e-9)
+  }
+}
