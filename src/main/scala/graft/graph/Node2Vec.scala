@@ -28,8 +28,11 @@ object Node2Vec {
         col("cur"), array(col("cur")).as("path"))
     var step = 0
     while (step < walkLength) {
-      walkers = walkers.join(nbrs.withColumnRenamed("src", "cur"),
-          Seq("cur"), "left")
+      // broadcast the adjacency: each step becomes a map-side join (no
+      // shuffle per hop). At a scale where adjacency exceeds broadcast
+      // range, drop the hint and Catalyst falls back to a shuffle join.
+      walkers = walkers.join(
+          broadcast(nbrs.withColumnRenamed("src", "cur")), Seq("cur"), "left")
         .select(col("walk_id"),
           when(col("nbrs").isNotNull,
             element_at(col("nbrs"),
@@ -39,7 +42,8 @@ object Node2Vec {
           col("path"))
         .select(col("walk_id"), col("next").as("cur"),
           concat(col("path"), array(col("next"))).as("path"))
-        .localCheckpoint()
+      // truncate plan lineage periodically, not per hop
+      if (step % 3 == 2) walkers = walkers.localCheckpoint()
       step += 1
     }
     walkers.select(col("walk_id"), col("path"))
