@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.EuclideanDistance
+
+/** Engine extensions registered through the public
+  * `SparkSessionExtensions` API (SURVEY §2 "custom operators" path (c)):
+  * currently one native function, `graft_euclid(array<float>,
+  * array<float>) -> double`, the codegen'd distance kernel.
+  *
+  * Activate via `SparkSession.builder.withExtensions(new GraftExtensions)`
+  * or `--conf spark.sql.extensions=graft.GraftExtensions`. Callers that
+  * may run in an unextended session (the KNN/similarity operators) probe
+  * `spark.catalog.functionExists` and fall back to an equivalent UDF.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_euclid"),
+      new ExpressionInfo(classOf[EuclideanDistance].getName, "graft_euclid"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "graft_euclid takes exactly 2 arguments")
+        EuclideanDistance(children.head, children(1))
+      }))
+  }
+}

@@ -86,20 +86,26 @@ object Knn {
         col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       // difference-based distance, sequential double accumulation — the
       // exact op sequence DuckDB's list_distance uses, so the oracle
-      // hash-matches. A compiled UDF, not a higher-order function: the
-      // interpreted HOF lambda was ~6× slower on the candidate hot path
-      // (same IEEE result either way; a codegen'd Expression is the next
-      // step if bench demands)
-      val euclid = udf((a: Seq[Float], b: Seq[Float]) => {
-        var s = 0.0; var i = 0
-        while (i < a.length) {
-          val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1
+      // hash-matches. Preference order (SURVEY §4): the codegen'd native
+      // Expression (graft_euclid, via GraftExtensions) when the session
+      // has it; else a compiled UDF (the interpreted HOF lambda was ~6×
+      // slower on the candidate hot path). All three produce identical
+      // IEEE results.
+      val dist: Column =
+        if (spark.catalog.functionExists("graft_euclid"))
+          expr("graft_euclid(qv, cv)")
+        else {
+          val euclid = udf((a: Seq[Float], b: Seq[Float]) => {
+            var s = 0.0; var i = 0
+            while (i < a.length) {
+              val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1
+            }
+            math.sqrt(s)
+          })
+          euclid(col("qv"), col("cv"))
         }
-        math.sqrt(s)
-      })
       val cand = q.join(c, Seq("leaf"))
-        .select(col("query_id"), col("neighbor_id"),
-          euclid(col("qv"), col("cv")).as("dist"))
+        .select(col("query_id"), col("neighbor_id"), dist.as("dist"))
         // a query may reach the same neighbor through several leaves
         .groupBy("query_id", "neighbor_id").agg(min("dist").as("dist"))
       val w = Window.partitionBy("query_id")

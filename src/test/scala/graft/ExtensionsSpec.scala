@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ml.knn.Knn
+import graft.sources.Tables
+
+/** The native codegen'd distance Expression: registration through
+  * SparkSessionExtensions, bit-equality with the UDF kernel (which is
+  * also the fallback implementation), and use by KNN when present. Uses
+  * the shared session, which is built withExtensions like every real
+  * engine session (getOrCreate would silently reuse-and-drop extensions
+  * on a second builder). */
+class ExtensionsSpec extends AnyFunSuite {
+
+  private lazy val extended: SparkSession = TestSpark.spark
+
+  test("graft_euclid registers and computes known distances") {
+    assert(extended.catalog.functionExists("graft_euclid"))
+    import extended.implicits._
+    val df = Seq((Array(1.0f, 2.0f), Array(4.0f, 6.0f))).toDF("a", "b")
+    val d = df.select(expr("graft_euclid(a, b)")).head().getDouble(0)
+    assert(d == 5.0)
+    // null propagation
+    val withNull = df.select(expr("graft_euclid(a, CAST(NULL AS ARRAY<FLOAT>))"))
+    assert(withNull.head().isNullAt(0))
+  }
+
+  test("expression result is bit-identical to the UDF on real embeddings") {
+    import extended.implicits._
+    val e = Tables(extended, TestSpark.sf0001, "embeddings").limit(50)
+    val pairs = e.select($"vec_id".as("i"), $"embedding".as("a"))
+      .crossJoin(e.select($"vec_id".as("j"), $"embedding".as("b")))
+      .filter($"i" < $"j").limit(500)
+    val udfDist = udf((a: Seq[Float], b: Seq[Float]) => {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+      math.sqrt(s)
+    })
+    val diff = pairs
+      .select(expr("graft_euclid(a, b)").as("x"), udfDist($"a", $"b").as("y"))
+      .filter($"x" =!= $"y").count()
+    assert(diff == 0)
+  }
+
+  test("knn uses the native function in an extended session, same results") {
+    import extended.implicits._
+    val e = Tables(extended, TestSpark.sf0001, "embeddings")
+    val out = Knn.fit(extended, e)
+      .search(e.filter($"vec_id" < 3), k = 3, tau = 1e9)
+    // plan must contain the native expression, not a ScalaUDF
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(plan.contains("graft_euclid") || !plan.contains("UDF"),
+      "native function not used in extended session")
+    assert(out.count() == 9)
+  }
+}
