@@ -35,16 +35,19 @@ object SimRank {
     val users = entries.map(_.i).max() + 1
     val items = entries.map(_.j).max() + 1
 
+    // normalization sums stay distributed (a collectAsMap here would put
+    // O(|users|) on the driver — a non-starter at scale); the divide is a
+    // keyed join against the reduced sums
     val rowSums = entries.map(e => (e.i, e.value)).reduceByKey(_ + _)
-      .collectAsMap()
     val colSums = entries.map(e => (e.j, e.value)).reduceByKey(_ + _)
-      .collectAsMap()
     val wRow = new CoordinateMatrix(
-      entries.map(e => MatrixEntry(e.i, e.j, e.value / rowSums(e.i))),
+      entries.map(e => (e.i, e)).join(rowSums)
+        .map { case (_, (e, s)) => MatrixEntry(e.i, e.j, e.value / s) },
       users, items).toBlockMatrix(blockSize, blockSize).cache()
     val wRowT = wRow.transpose.cache()
     val wCol = new CoordinateMatrix(
-      entries.map(e => MatrixEntry(e.i, e.j, e.value / colSums(e.j))),
+      entries.map(e => (e.j, e)).join(colSums)
+        .map { case (_, (e, s)) => MatrixEntry(e.i, e.j, e.value / s) },
       users, items).toBlockMatrix(blockSize, blockSize).cache()
     val wColT = wCol.transpose.cache()
 
