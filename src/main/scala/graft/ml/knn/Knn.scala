@@ -150,6 +150,40 @@ object Knn {
     }
   }
 
+  /** Auto-estimate the spill buffer tau: the k-th-neighbor distance
+    * shrinks as a power law in corpus size, so measure its median on a
+    * few nested driver-side samples, fit ln(d_k) = a + b·ln(n) by least
+    * squares, and extrapolate to the full corpus size. Same idea as the
+    * reference's multi-size-sample regression (`knn/KNN.scala:468-516`),
+    * independently derived. All work is on O(sample²) local data. */
+  def estimateTau(spark: SparkSession, corpus: DataFrame, k: Int,
+      vecCol: String = "embedding", maxSample: Int = 512,
+      numQueries: Int = 24): Double = {
+    val n = corpus.count()
+    val rows = corpus.select(vecCol).limit(maxSample + numQueries).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    if (rows.length <= k + numQueries) return Double.MaxValue // tiny: exact
+    val queries = rows.take(numQueries)
+    val pool = rows.drop(numQueries)
+    val sizes = Seq(pool.length / 4, pool.length / 2, pool.length)
+      .filter(_ > k).distinct
+    if (sizes.length < 2) return Double.MaxValue
+    val pts = sizes.map { s =>
+      val sub = pool.take(s)
+      val kth = queries.map { q =>
+        sub.map(p => math.sqrt(sqdist(q, p))).sorted.apply(math.min(k, s - 1))
+      }.sorted.apply(numQueries / 2) // median over queries
+      (math.log(s.toDouble), math.log(math.max(kth, 1e-12)))
+    }
+    val m = pts.length.toDouble
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val b = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+    val a = (sy - b * sx) / m
+    math.exp(a + b * math.log(n.toDouble))
+  }
+
   /** Fit: sample `sampleSize` corpus vectors, build the pivot tree on the
     * driver, assign every corpus row to exactly one leaf. The corpus is
     * repartitioned by (leaf, id): a small parquet reads as one split, and

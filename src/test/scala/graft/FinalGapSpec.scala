@@ -36,6 +36,28 @@ class FinalGapSpec extends AnyFunSuite {
     assert(math.abs(r(0)) < 1e-12 && math.abs(r(1) - 1.0) < 1e-12)
   }
 
+  test("auto-tau: extrapolated k-th distance gives high recall below brute-force cost") {
+    val e = graft.sources.Tables(spark, sf0001, "embeddings")
+    val tau = Knn.estimateTau(spark, e, k = 5)
+    assert(tau > 0 && tau < 10, s"implausible tau $tau")
+    val model = Knn.fit(spark, e)
+    val qs = e.filter($"vec_id" < 20)
+    val exact = model.search(qs, 5, tau = 1e9).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val auto = model.search(qs, 5, tau = tau).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact intersect auto).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall at tau=$tau")
+  }
+
+  test("auto-tau shrinks as the corpus grows (power-law extrapolation)") {
+    val e = graft.sources.Tables(spark, TestSpark.sf001, "embeddings")
+    val tauSmall = Knn.estimateTau(spark, e.limit(200), k = 5)
+    val tauLarge = Knn.estimateTau(spark, e, k = 5)
+    assert(tauLarge < tauSmall,
+      s"tau should shrink with corpus size: $tauLarge !< $tauSmall")
+  }
+
   test("IBM sequence reader feeds PrefixSpan end-to-end") {
     val res = getClass.getClassLoader.getResource("sequences.txt").getPath
     val seqs = Readers.sequences(spark, res)
