@@ -36,64 +36,61 @@ object Centrality {
       .orderBy("node")
   }
 
-  /** Sampled Brandes betweenness: for each sampled source, a level-
-    * synchronous forward BFS computes (dist, σ = #shortest paths), then
-    * dependencies δ accumulate backwards level by level:
+  /** Sampled Brandes betweenness, all sources batched: one level-
+    * synchronous forward pass computes (dist, σ = #shortest paths) keyed
+    * by source, then dependencies δ accumulate backwards level by level:
     * δ(v) = Σ_{w ∈ succ(v)} σ_v/σ_w · (1 + δ_w).
     * Scores are sums over the sample (ordered-pair convention — on a
     * symmetric graph this is 2× the unordered value).
-    * Each level is one join; lineage truncated per level. */
+    * Batching makes the job count O(diameter), not O(|sources|·diameter);
+    * each level is one join; lineage truncated per level. */
   def betweenness(spark: SparkSession, edges: DataFrame,
       sources: Seq[Long]): DataFrame = {
     import spark.implicits._
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
-    var acc: DataFrame = Seq.empty[(Long, Double)].toDF("node", "delta")
-    for (s <- sources) {
-      // forward: settled (node, dist, sigma) by level
-      var settled = Seq((s, 0, 1.0)).toDF("node", "dist", "sigma")
+    var settled = sources.map(s => (s, s, 0, 1.0))
+      .toDF("s", "node", "dist", "sigma").localCheckpoint()
+    var frontier = settled
+    var level = 0
+    while (frontier.limit(1).count() > 0) {
+      level += 1
+      val next = frontier
+        .join(e, frontier("node") === e("src"))
+        .select(col("s"), col("dst"), col("sigma"))
+        .join(settled.select(col("s"), col("node").as("dst"),
+          lit(1).as("seen")), Seq("s", "dst"), "left_anti")
+        .groupBy("s", "dst")
+        .agg(sum("sigma").as("sigma"))
+        .select(col("s"), col("dst").as("node"), lit(level).as("dist"),
+          col("sigma"))
         .localCheckpoint()
-      var frontier = settled
-      var level = 0
-      while (frontier.limit(1).count() > 0) {
-        level += 1
-        val next = frontier
-          .join(e, frontier("node") === e("src"))
-          .join(settled.select(col("node").as("dst"), lit(1).as("seen")),
-            Seq("dst"), "left_anti")
-          .groupBy(col("dst").as("node"))
-          .agg(sum("sigma").as("sigma"))
-          .select(col("node"), lit(level).as("dist"), col("sigma"))
-          .localCheckpoint()
-        settled = settled.unionByName(next).localCheckpoint()
-        frontier = next
-      }
-      // backward: deltas per level, deepest first
-      val maxLevel = level - 1
-      var delta = settled.select(col("node"), lit(0.0).as("delta"))
-        .localCheckpoint()
-      var d = maxLevel
-      while (d >= 1) {
-        val wNodes = settled.filter(col("dist") === d + 1)
-          .join(delta, Seq("node"))
-          .select(col("node").as("w"), col("sigma").as("sigma_w"),
-            col("delta").as("delta_w"))
-        val contrib = settled.filter(col("dist") === d)
-          .join(e, settled("node") === e("src"))
-          .join(wNodes, e("dst") === wNodes("w"))
-          .groupBy(settled("node"))
-          .agg(sum(col("sigma") / col("sigma_w") * (lit(1.0) + col("delta_w")))
-            .as("dnew"))
-        delta = delta.join(contrib, Seq("node"), "left")
-          .select(col("node"),
-            coalesce(col("dnew"), col("delta")).as("delta"))
-          .localCheckpoint()
-        d -= 1
-      }
-      acc = acc.unionByName(
-        delta.filter(col("node") =!= s).select(col("node"), col("delta")))
-        .localCheckpoint()
+      settled = settled.unionByName(next).localCheckpoint()
+      frontier = next
     }
-    acc.groupBy("node").agg(r6(sum("delta")).as("betweenness"))
+    val maxLevel = level - 1
+    var delta = settled.select(col("s"), col("node"), lit(0.0).as("delta"))
+      .localCheckpoint()
+    var d = maxLevel
+    while (d >= 1) {
+      val wNodes = settled.filter(col("dist") === d + 1)
+        .join(delta, Seq("s", "node"))
+        .select(col("s").as("ws"), col("node").as("w"),
+          col("sigma").as("sigma_w"), col("delta").as("delta_w"))
+      val cur = settled.filter(col("dist") === d)
+      val contrib = cur
+        .join(e, cur("node") === e("src"))
+        .join(wNodes, e("dst") === wNodes("w") && cur("s") === wNodes("ws"))
+        .groupBy(cur("s"), cur("node"))
+        .agg(sum(col("sigma") / col("sigma_w") * (lit(1.0) + col("delta_w")))
+          .as("dnew"))
+      delta = delta.join(contrib, Seq("s", "node"), "left")
+        .select(col("s"), col("node"),
+          coalesce(col("dnew"), col("delta")).as("delta"))
+        .localCheckpoint()
+      d -= 1
+    }
+    delta.filter(col("node") =!= col("s"))
+      .groupBy("node").agg(r6(sum("delta")).as("betweenness"))
       .orderBy("node")
   }
 }
