@@ -91,8 +91,10 @@ object GraphQueries {
       Centrality.closeness(s, GraphSource.toGraph(e), smallestNodes(e, 8))
     }),
     "graph_betweenness" -> ((s, d) => {
+      // batched Brandes makes the source sample nearly free: 8 sources
+      // cost one level-synchronous pass, same as 1
       val e = edges(s, d)
-      Centrality.betweenness(s, e, smallestNodes(e, 2))
+      Centrality.betweenness(s, e, smallestNodes(e, 8))
     }),
     "graph_cycles" -> ((s, d) =>
       Motifs.cycles(s, edges(s, d), minLoop = 3, maxLoop = 3)),
