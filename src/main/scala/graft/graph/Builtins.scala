@@ -51,6 +51,40 @@ object Builtins {
       .select(col("node"), r6(col("rank")).as("rank")).orderBy("node")
   }
 
+  /** Personalized PageRank run to tolerance convergence (the reference's
+    * `runUntilConvergenceWithOptions` surface,
+    * `PersonalizedPageRankRunner.scala:110`). */
+  def personalizedPageRankUntilConvergence(spark: SparkSession,
+      g: Graph[Double, Double], src: VertexId, tol: Double,
+      resetProb: Double = 0.15): DataFrame = {
+    import spark.implicits._
+    PageRank.runUntilConvergenceWithOptions(g, tol, resetProb, Some(src))
+      .vertices.toDF("node", "rank")
+      .select(col("node"), r6(col("rank")).as("rank")).orderBy("node")
+  }
+
+  /** Multi-source personalized PageRank, all sources in ONE pass (the
+    * reference's `runParallelPersonalizedPageRank`,
+    * `PersonalizedPageRankRunner.scala:105`): each vertex carries a
+    * |sources|-width rank vector, so the edge traversals are shared
+    * across sources instead of |sources| separate runs. Output is the
+    * flattened (node, source, rank) long form. */
+  def parallelPersonalizedPageRank(spark: SparkSession,
+      g: Graph[Double, Double], sources: Seq[VertexId], numIter: Int,
+      resetProb: Double = 0.15): DataFrame = {
+    import spark.implicits._
+    require(sources.nonEmpty)
+    val ranked = PageRank.runParallelPersonalizedPageRank(
+      g, numIter, resetProb, sources.toArray)
+    val srcs = sources.toArray
+    ranked.vertices
+      .flatMap { case (v, vec) =>
+        srcs.iterator.zipWithIndex.map { case (s, i) => (v, s, vec(i)) } }
+      .toDF("node", "source", "rank")
+      .select(col("node"), col("source"), r6(col("rank")).as("rank"))
+      .orderBy("node", "source")
+  }
+
   /** Multi-source shortest paths to landmark set (unweighted hops). */
   def shortestPaths(spark: SparkSession, g: Graph[Double, Double],
       landmarks: Seq[VertexId]): DataFrame = {

@@ -34,6 +34,15 @@ object GraphQueries {
       "g AS (SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS weight FROM e0 " +
       "WHERE src IS NOT NULL AND src <> dst GROUP BY src, dst) "
 
+  /** Same CTE opened with WITH RECURSIVE, plus the node set — prefix for
+    * the fixpoint oracles (BFS / SSSP / closeness / components). */
+  private val edgeCteRec =
+    edgeCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      // explicit DISTINCT: inside a WITH RECURSIVE block DuckDB gives the
+      // bare UNION append (fixpoint) semantics, not set-dedup
+      ", n AS (SELECT DISTINCT v FROM (SELECT src AS v FROM g " +
+      "UNION ALL SELECT dst FROM g) nn) "
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_edges" -> ((s, d) => edges(s, d).orderBy("src", "dst")),
     "graph_degree" -> ((s, d) => Builtins.degrees(s, graph(s, d))),
@@ -47,6 +56,16 @@ object GraphQueries {
     "graph_ppr" -> ((s, d) => {
       val e = edges(s, d)
       Builtins.personalizedPageRank(s, GraphSource.toGraph(e), minNode(e), 10)
+    }),
+    "graph_ppr_multi" -> ((s, d) => {
+      val e = edges(s, d)
+      Builtins.parallelPersonalizedPageRank(s, GraphSource.toGraph(e),
+        smallestNodes(e, 4), 10)
+    }),
+    "graph_ppr_conv" -> ((s, d) => {
+      val e = edges(s, d)
+      Builtins.personalizedPageRankUntilConvergence(s, GraphSource.toGraph(e),
+        minNode(e), 1e-4)
     }),
     "graph_wpr" -> ((s, d) => Iterative.weightedPageRank(s, graph(s, d), 10)),
     "graph_trustrank" -> ((s, d) => {
@@ -73,9 +92,12 @@ object GraphQueries {
     "graph_lpa" -> ((s, d) => Builtins.labelPropagation(s, graph(s, d), 5)),
     "graph_kcore" -> ((s, d) => Iterative.kCore(s, ugraph(s, d), maxIter = 20)),
     "graph_modularity" -> ((s, d) => {
+      // deterministic hash-partition assignment (node mod 16) so the
+      // modularity aggregate itself is what the DuckDB oracle checks
       val e = edges(s, d)
-      val comm = Builtins.connectedComponents(s, GraphSource.toGraph(e))
-        .withColumnRenamed("component", "community")
+      val comm = e.select(col("src").as("node"))
+        .union(e.select(col("dst"))).distinct()
+        .select(col("node"), pmod(col("node"), lit(16)).as("community"))
       Iterative.modularity(s, e, comm)
     }),
     "graph_louvain" -> ((s, d) => {
@@ -84,8 +106,12 @@ object GraphQueries {
       comm.orderBy("node")
     }),
     "graph_wce" -> ((s, d) =>
+      // members serialized at the query boundary: the driver's compare
+      // cannot hash array cells (round-1 `err`); typed array stays internal
       Community.weakCliques(s, GraphSource.canonicalUndirected(edges(s, d)),
-        minCommon = 2)),
+        minCommon = 2)
+        .select(col("clique_id"), concat_ws(",", col("members")).as("members"),
+          col("clique_size"))),
     "graph_closeness" -> ((s, d) => {
       val e = edges(s, d)
       Centrality.closeness(s, GraphSource.toGraph(e), smallestNodes(e, 8))
@@ -97,18 +123,28 @@ object GraphQueries {
       Centrality.betweenness(s, e, smallestNodes(e, 8))
     }),
     "graph_cycles" -> ((s, d) =>
-      Motifs.cycles(s, edges(s, d), minLoop = 3, maxLoop = 3)),
+      Motifs.cycles(s, edges(s, d), minLoop = 3, maxLoop = 3)
+        .select(concat_ws(",", col("cycle")).as("cycle"), col("length"))
+        .orderBy("cycle")),
     "graph_mce" -> ((s, d) =>
-      Motifs.maximalCliques(s, GraphSource.canonicalUndirected(edges(s, d)))),
+      Motifs.maximalCliques(s, GraphSource.canonicalUndirected(edges(s, d)))
+        .select(concat_ws(",", col("members")).as("members"), col("k"))
+        .orderBy("members")),
     "graph_subgraph_tri" -> ((s, d) => {
-      // ordered triangle embeddings over the undirected view = 6 × triangles
+      // ordered triangle embeddings over the undirected view = 6 ×
+      // triangles; the v0<v1<v2 symmetry-break + |Aut|=6 rescale keeps
+      // the join intermediate at 1/6 of the ordered enumeration
       val und = GraphSource.canonicalUndirected(edges(s, d))
       val sym = und.select(col("src"), col("dst"))
         .union(und.select(col("dst"), col("src")))
         .withColumn("weight", lit(1.0))
-      Motifs.subgraphCount(s, sym, Seq((0, 1), (1, 2), (2, 0)))
+      Motifs.subgraphCount(s, sym, Seq((0, 1), (1, 2), (2, 0)),
+        lessThan = Seq((0, 1), (1, 2)), automorphisms = 6)
     }),
-    "graph_node2vec" -> ((s, d) => Node2Vec.embeddings(s, edges(s, d))),
+    "graph_node2vec" -> ((s, d) =>
+      // biased second-order walks (return-averse, exploration-prone) —
+      // the reference's p/q surface (`Node2VecRunner.scala:72-73`)
+      Node2Vec.embeddings(s, edges(s, d), p = 2.0, q = 0.5)),
     "graph_adapter" -> ((s, d) => {
       // string-keyed nation→region graph through the encode/decode adapter
       val e = Tables(s, d, "nation")
@@ -149,5 +185,67 @@ object GraphQueries {
         "JOIN region ON n_regionkey = r_regionkey) " +
         "SELECT name, CAST(COUNT(*) AS INTEGER) AS degree FROM " +
         "(SELECT src AS name FROM e UNION ALL SELECT dst FROM e) t " +
-        "GROUP BY name ORDER BY name"))
+        "GROUP BY name ORDER BY name"),
+    // directed 3-cycles, rotation-canonical (path starts at its min vertex)
+    "graph_cycles" ->
+      (edgeCte +
+        "SELECT CONCAT(x.src, ',', x.dst, ',', y.dst) AS cycle, " +
+        "CAST(3 AS INTEGER) AS length FROM g x " +
+        "JOIN g y ON y.src = x.dst JOIN g z ON z.src = y.dst AND z.dst = x.src " +
+        "WHERE x.dst > x.src AND y.dst > x.src AND y.dst <> x.dst " +
+        "ORDER BY cycle"),
+    "graph_triangles" ->
+      (edgeCte +
+        ", u AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM g), " +
+        "n AS (SELECT src AS v FROM g UNION SELECT dst FROM g), " +
+        "tri AS (SELECT x.a, x.b, y.b AS c FROM u x " +
+        "JOIN u y ON y.a = x.b JOIN u z ON z.a = x.a AND z.b = y.b), " +
+        "tv AS (SELECT a AS v FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri) " +
+        "SELECT n.v AS node, CAST(COUNT(tv.v) AS INTEGER) AS triangles " +
+        "FROM n LEFT JOIN tv ON tv.v = n.v GROUP BY n.v ORDER BY node"),
+    "graph_modularity" ->
+      (edgeCte +
+        ", m AS (SELECT SUM(weight) AS m FROM g), " +
+        "p AS (SELECT src % 16 AS cs, dst % 16 AS cd, weight FROM g), " +
+        "intra AS (SELECT cs AS community, SUM(weight) AS e_c FROM p WHERE cs = cd GROUP BY cs), " +
+        "od AS (SELECT cs AS community, SUM(weight) AS out_c FROM p GROUP BY cs), " +
+        "id AS (SELECT cd AS community, SUM(weight) AS in_c FROM p GROUP BY cd) " +
+        "SELECT FLOOR(SUM(COALESCE(e_c, 0) / m.m - " +
+        "COALESCE(out_c, 0) * COALESCE(in_c, 0) / (m.m * m.m)) * 1000000 + 0.5) / 1000000 " +
+        "AS modularity FROM od FULL JOIN id USING (community) " +
+        "LEFT JOIN intra USING (community), m"),
+    // hop BFS from the min src node, depth-limited to 10 like the query
+    "graph_bfs" ->
+      (edgeCteRec +
+        ", d AS (SELECT (SELECT MIN(src) FROM g) AS node, 0 AS dist " +
+        "UNION SELECT g.dst, d.dist + 1 FROM d JOIN g ON g.src = d.node WHERE d.dist < 10) " +
+        "SELECT node, CAST(MIN(dist) AS INTEGER) AS dist FROM d GROUP BY node ORDER BY node"),
+    // node→landmark hop distances along edge direction (GraphX
+    // ShortestPaths semantics), landmarks = 3 smallest nodes
+    "graph_sssp" ->
+      (edgeCteRec +
+        ", lm AS (SELECT v FROM n ORDER BY v LIMIT 3), " +
+        "d AS (SELECT v AS node, v AS landmark, 0 AS dist FROM lm " +
+        "UNION SELECT g.src, d.landmark, d.dist + 1 FROM d JOIN g ON g.dst = d.node " +
+        "WHERE d.dist < 40) " +
+        "SELECT node, landmark, CAST(MIN(dist) AS INTEGER) AS dist FROM d " +
+        "GROUP BY node, landmark ORDER BY node, landmark"),
+    "graph_closeness" ->
+      (edgeCteRec +
+        ", lm AS (SELECT v FROM n ORDER BY v LIMIT 8), " +
+        "d AS (SELECT v AS node, v AS landmark, 0 AS dist FROM lm " +
+        "UNION SELECT g.src, d.landmark, d.dist + 1 FROM d JOIN g ON g.dst = d.node " +
+        "WHERE d.dist < 40), " +
+        "md AS (SELECT node, landmark, MIN(dist) AS dist FROM d " +
+        "WHERE node <> landmark GROUP BY node, landmark) " +
+        "SELECT node, FLOOR(SUM(1.0 / dist) / 8 * 1000000 + 0.5) / 1000000 " +
+        "AS closeness FROM md WHERE dist > 0 GROUP BY node ORDER BY node"),
+    // undirected reachability closure; component label = min reachable id
+    "graph_cc" ->
+      (edgeCteRec +
+        ", und AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM g " +
+        "UNION ALL SELECT dst AS src, src AS dst FROM g) uu), " +
+        "r AS (SELECT v AS node, v AS reach FROM n " +
+        "UNION SELECT r.node, u.dst FROM r JOIN und u ON u.src = r.reach) " +
+        "SELECT node, MIN(reach) AS component FROM r GROUP BY node ORDER BY node"))
 }

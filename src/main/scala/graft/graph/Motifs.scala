@@ -111,15 +111,32 @@ object Motifs {
   /** Subgraph matching by edge-growing join: bind query edges one at a
     * time against the data edge set, keeping vertex bindings injective.
     * Query vertices are 0..n-1; `pattern` lists its directed edges.
-    * Returns the bound vertex tuples. */
+    * Returns the bound vertex tuples.
+    *
+    * `lessThan` carries symmetry-breaking constraints (v_i < v_j) for the
+    * pattern's automorphism group — e.g. Seq((0,1),(1,2)) for a triangle
+    * over a symmetrized edge set. Each constraint is pushed into the
+    * growth loop the moment both endpoints are bound, so the intermediate
+    * shrinks by ~|Aut| instead of enumerating every vertex permutation of
+    * every embedding (the round-1 ordered-triangle plan carried a 6×
+    * blowup through both joins). Canonical matches × |Aut| = ordered
+    * count. */
   def subgraphMatch(spark: SparkSession, edges: DataFrame,
-      pattern: Seq[(Int, Int)]): DataFrame = {
+      pattern: Seq[(Int, Int)], lessThan: Seq[(Int, Int)] = Nil): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
     require(pattern.nonEmpty)
     def vc(i: Int) = s"v$i"
+    var applied = Set.empty[(Int, Int)]
+    def constrain(df: DataFrame, have: Set[Int]): DataFrame = {
+      val ready = lessThan.filter { case (a, b) =>
+        have.contains(a) && have.contains(b) && !applied((a, b)) }
+      applied = applied ++ ready
+      ready.foldLeft(df) { case (d, (a, b)) => d.filter(col(vc(a)) < col(vc(b))) }
+    }
     val (f0, t0) = pattern.head
-    var bound = e.select(col("src").as(vc(f0)), col("dst").as(vc(t0)))
     var have = Set(f0, t0)
+    var bound = constrain(
+      e.select(col("src").as(vc(f0)), col("dst").as(vc(t0))), have)
     for ((f, t) <- pattern.tail) {
       val step = e.select(col("src").as(s"_f"), col("dst").as(s"_t"))
       val joined = (have.contains(f), have.contains(t)) match {
@@ -137,20 +154,26 @@ object Motifs {
             .withColumn(vc(f), col("_f")).withColumn(vc(t), col("_t"))
       }
       have = have + f + t
-      bound = joined.drop("_f", "_t").localCheckpoint()
+      bound = constrain(joined.drop("_f", "_t"), have).localCheckpoint()
     }
-    // injectivity: all bound vertices distinct
+    // injectivity: all bound vertices distinct (pairs already ordered by
+    // a lessThan constraint are distinct by construction)
     val cols = have.toSeq.sorted.map(vc)
-    val distinctCond = cols.combinations(2)
-      .map { case Seq(a, b) => col(a) =!= col(b) }
-      .reduce(_ && _)
-    bound.filter(distinctCond).select(cols.map(col): _*)
+    val distinctCond = have.toSeq.sorted.combinations(2)
+      .collect { case Seq(a, b) if !applied((a, b)) && !applied((b, a)) =>
+        col(vc(a)) =!= col(vc(b)) }
+      .reduceOption(_ && _)
+    distinctCond.fold(bound)(bound.filter)
+      .select(cols.map(col): _*)
       .orderBy(cols.map(col): _*)
   }
 
-  /** Count of pattern embeddings (ordered). */
+  /** Count of pattern embeddings. With symmetry-breaking constraints,
+    * pass the automorphism count to recover the ordered-embedding total
+    * from the canonical matches. */
   def subgraphCount(spark: SparkSession, edges: DataFrame,
-      pattern: Seq[(Int, Int)]): DataFrame =
-    subgraphMatch(spark, edges, pattern)
-      .agg(count(lit(1)).as("matches"))
+      pattern: Seq[(Int, Int)], lessThan: Seq[(Int, Int)] = Nil,
+      automorphisms: Int = 1): DataFrame =
+    subgraphMatch(spark, edges, pattern, lessThan)
+      .agg((count(lit(1)) * automorphisms).as("matches"))
 }

@@ -1,23 +1,29 @@
 package graft.graph
 
 import org.apache.spark.ml.feature.Word2Vec
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Node2Vec-style graph embeddings (SURVEY §2.C C22) — closed-source in
-  * the reference (`Node2VecRunner.scala:86-91`); re-derived from Grover &
-  * Leskovec 2016, simplified to first-order (p = q = 1) uniform walks.
+/** Node2Vec graph embeddings (SURVEY §2.C C22) — closed-source in the
+  * reference (`Node2VecRunner.scala:86-91`, whose signature carries the
+  * p/q bias knobs, `:72-73`); re-derived from Grover & Leskovec 2016.
   *
   * Walks are generated fully declaratively: `numWalks` walkers start at
-  * every vertex; each step joins the walker frontier with a per-vertex
-  * sorted neighbor array and picks index xxhash64(walk_id, step) mod
-  * degree — deterministic, seedable, no driver loop over vertices. The
-  * walk corpus then trains `ml.feature.Word2Vec` (skip-gram).
+  * every vertex; each step joins the walker frontier with a broadcast
+  * per-vertex sorted neighbor array. With p = q = 1 the next hop is a
+  * uniform pick at index xxhash64(walk_id, step) mod degree. Otherwise
+  * the full second-order transition runs: the walker also joins its
+  * PREVIOUS vertex's neighbor array, scores every candidate x with the
+  * Grover–Leskovec weights (1/p if x = prev, 1 if x adjacent to prev,
+  * 1/q otherwise) and samples by inverse-CDF over a deterministic
+  * per-(walker, step) hash draw — no RNG state, reruns are identical.
+  * Everything is per-row expression work on broadcast-joined rows: no
+  * shuffle per hop, no driver loop over vertices.
   */
 object Node2Vec {
 
   def walks(spark: SparkSession, edges: DataFrame, numWalks: Int = 4,
-      walkLength: Int = 6): DataFrame = {
+      walkLength: Int = 6, p: Double = 1.0, q: Double = 1.0): DataFrame = {
     val nbrs = edges.select(col("src"), col("dst")).distinct()
       .groupBy("src").agg(array_sort(collect_set(col("dst"))).as("nbrs"))
       .localCheckpoint()
@@ -25,22 +31,63 @@ object Node2Vec {
       .distinct()
       .crossJoin(spark.range(numWalks).select(col("id").as("walk")))
       .select(concat_ws("_", col("cur"), col("walk")).as("walk_id"),
-        col("cur"), array(col("cur")).as("path"))
+        col("cur"), lit(null).cast("long").as("prev"),
+        array(col("cur")).as("path"))
+    val secondOrder = p != 1.0 || q != 1.0
     var step = 0
     while (step < walkLength) {
       // broadcast the adjacency: each step becomes a map-side join (no
       // shuffle per hop). At a scale where adjacency exceeds broadcast
       // range, drop the hint and Catalyst falls back to a shuffle join.
-      walkers = walkers.join(
-          broadcast(nbrs.withColumnRenamed("src", "cur")), Seq("cur"), "left")
+      var joined = walkers.join(
+        broadcast(nbrs.withColumnRenamed("src", "cur")), Seq("cur"), "left")
+      val uniformPick = element_at(col("nbrs"),
+        (pmod(xxhash64(col("walk_id"), lit(step)), size(col("nbrs"))) + 1)
+          .cast("int"))
+      val pick: Column =
+        if (!secondOrder) uniformPick
+        else {
+          joined = joined.join(
+            broadcast(nbrs.select(col("src").as("prev"),
+              col("nbrs").as("pnbrs"))), Seq("prev"), "left")
+          // Grover–Leskovec second-order weights over cur's candidates
+          val ws = transform(col("nbrs"), x =>
+            when(x === col("prev"), lit(1.0 / p))
+              .when(array_contains(
+                coalesce(col("pnbrs"), array().cast("array<bigint>")), x),
+                lit(1.0))
+              .otherwise(lit(1.0 / q)))
+          val total = aggregate(ws, lit(0.0), (a, w) => a + w)
+          // deterministic u ∈ [0,1): salted so it never correlates with
+          // the uniform-path draw at the same step
+          val u = pmod(xxhash64(col("walk_id"), lit(step + 7919)),
+            lit(1000003L)).cast("double") / 1000003.0
+          // inverse-CDF walk over (candidate, weight) pairs: carry
+          // (remaining mass, selection) and stop at the crossing point
+          val sel = aggregate(
+            zip_with(col("nbrs"), ws, (x, w) =>
+              struct(x.as("x"), w.as("w"))),
+            struct((u * total).as("rem"), lit(-1L).as("sel")),
+            (acc, c) => when(acc.getField("sel") >= 0, acc)
+              .otherwise(when(acc.getField("rem") <= c.getField("w"),
+                struct(acc.getField("rem").as("rem"),
+                  c.getField("x").as("sel")))
+                .otherwise(struct(
+                  (acc.getField("rem") - c.getField("w")).as("rem"),
+                  lit(-1L).as("sel")))),
+            acc => acc.getField("sel"))
+          // first hop has no prev (uniform); float residue falls back to
+          // the last candidate
+          when(col("prev").isNull, uniformPick)
+            .otherwise(coalesce(when(sel >= 0, sel),
+              element_at(col("nbrs"), -1)))
+        }
+      walkers = joined
         .select(col("walk_id"),
-          when(col("nbrs").isNotNull,
-            element_at(col("nbrs"),
-              (pmod(xxhash64(col("walk_id"), lit(step)), size(col("nbrs")))
-                + 1).cast("int")))
-            .otherwise(col("cur")).as("next"),
-          col("path"))
+          when(col("nbrs").isNotNull, pick).otherwise(col("cur")).as("next"),
+          col("cur"), col("path"))
         .select(col("walk_id"), col("next").as("cur"),
+          col("cur").as("prev"),
           concat(col("path"), array(col("next"))).as("path"))
       // truncate plan lineage periodically, not per hop
       if (step % 3 == 2) walkers = walkers.localCheckpoint()
@@ -50,13 +97,19 @@ object Node2Vec {
   }
 
   /** Train embeddings over the walk corpus; output (node, dims 0..3
-    * rounded) — a stable small projection of the vectors. */
+    * rounded) — a stable small projection of the vectors. Word2Vec
+    * trains with cluster-wide partitions (a single partition serializes
+    * the whole corpus through one task — a scale-killer); run-to-run
+    * stability comes from the fixed seed + deterministic walks + the
+    * 1e-4 output rounding. */
   def embeddings(spark: SparkSession, edges: DataFrame, dim: Int = 16,
-      numWalks: Int = 4, walkLength: Int = 6): DataFrame = {
-    val corpus = walks(spark, edges, numWalks, walkLength)
+      numWalks: Int = 4, walkLength: Int = 6,
+      p: Double = 1.0, q: Double = 1.0): DataFrame = {
+    val corpus = walks(spark, edges, numWalks, walkLength, p, q)
       .select(transform(col("path"), v => v.cast("string")).as("sentence"))
     val w2v = new Word2Vec().setInputCol("sentence").setOutputCol("vec")
-      .setVectorSize(dim).setMinCount(1).setSeed(2020L).setNumPartitions(1)
+      .setVectorSize(dim).setMinCount(1).setSeed(2020L)
+      .setNumPartitions(spark.sparkContext.defaultParallelism)
       .fit(corpus)
     w2v.getVectors
       .select(col("word").cast("long").as("node"),

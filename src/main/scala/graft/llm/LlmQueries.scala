@@ -23,7 +23,13 @@ object LlmQueries {
     "llm_fingerprint" -> ((s, d) => TextOps.fingerprint(docs(s, d))),
     "llm_dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))),
     "llm_dedup_minhash" -> ((s, d) =>
-      Dedup.minHash(docs(s, d)).orderBy("doc_id")),
+      // signature/bands serialized at the query boundary: the driver's
+      // compare cannot hash array cells (round-1 `err`)
+      Dedup.minHash(docs(s, d))
+        .select(col("doc_id"),
+          concat_ws(",", col("signature")).as("signature"),
+          concat_ws(",", col("bands")).as("bands"))
+        .orderBy("doc_id")),
     "llm_near_dup_pairs" -> ((s, d) =>
       Dedup.nearDupPairs(docs(s, d), shingleSize = 3, threshold = 0.5)),
     "llm_simhash" -> ((s, d) => Dedup.simHash(docs(s, d))),
@@ -37,10 +43,16 @@ object LlmQueries {
     }),
     "llm_multimodal" -> ((s, d) => Multimodal.documentsAsMedia(s, docs(s, d))),
     "llm_hll_distinct" -> ((s, d) =>
-      // 100 TB distinct counting: HLL sketch vs exact, with relative error
+      // 100 TB distinct counting: HLL sketch vs exact. The sketch value
+      // itself is impl-defined, so the checkable output is the exact
+      // count plus an in-tolerance flag for the sketch (rsd 0.02,
+      // asserted to land within 5×rsd).
       Tables(s, d, "lineitem").agg(
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx_d"),
-        countDistinct(col("l_partkey")).as("exact_d"))))
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_d"),
+          countDistinct(col("l_partkey")).as("exact_d"))
+        .select(col("exact_d"),
+          (abs(col("approx_d") - col("exact_d")).cast("double") /
+            col("exact_d") <= 0.1).as("approx_ok"))))
 
   val oracle: Map[String, String] = Map(
     "llm_text_stats" ->
@@ -63,5 +75,53 @@ object LlmQueries {
         "ORDER BY FLOOR(raw_dot * 1000000 + 0.5) / 1000000 DESC, neighbor_id) AS INTEGER) AS rank, " +
         "FLOOR(raw_dot * 10000 + 0.5) / 10000 AS sim FROM s) " +
         "SELECT query_id, neighbor_id, rank, sim FROM rk WHERE rank <= 5 " +
-        "ORDER BY query_id, rank"))
+        "ORDER BY query_id, rank"),
+    "llm_hll_distinct" ->
+      "SELECT COUNT(DISTINCT l_partkey) AS exact_d, TRUE AS approx_ok FROM lineitem",
+    "llm_token_count" ->
+      ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens, " +
+        "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) " +
+        "AS bpe_tokens FROM documents ORDER BY doc_id"),
+    "llm_quality" ->
+      ("WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents), " +
+        "s AS (SELECT doc_id, " +
+        "CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS uniq_ratio, " +
+        "CAST(LENGTH(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / " +
+        "GREATEST(LENGTH(text), 1) AS alpha_ratio, " +
+        "CAST(LENGTH(text) - (len(toks) - 1) AS DOUBLE) / len(toks) AS mean_token_len, " +
+        "CAST(len(list_filter(toks, x -> list_contains(" +
+        "['the','a','and','of','to','in','is','it'], x))) AS DOUBLE) / len(toks) " +
+        "AS stopword_ratio FROM t) " +
+        "SELECT doc_id, FLOOR(uniq_ratio * 10000 + 0.5) / 10000 AS uniq_ratio, " +
+        "FLOOR(alpha_ratio * 10000 + 0.5) / 10000 AS alpha_ratio, " +
+        "FLOOR(mean_token_len * 10000 + 0.5) / 10000 AS mean_token_len, " +
+        "FLOOR(stopword_ratio * 10000 + 0.5) / 10000 AS stopword_ratio, " +
+        "FLOOR(LEAST(1.0, uniq_ratio * 0.4 + alpha_ratio * 0.4 + " +
+        "LEAST(stopword_ratio * 4, 1.0) * 0.2) * 10000 + 0.5) / 10000 AS quality " +
+        "FROM s ORDER BY doc_id"),
+    "llm_langid" ->
+      ("WITH t AS (SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents), " +
+        "s AS (SELECT doc_id, text, " +
+        "CAST(len(list_filter(toks, x -> list_contains(" +
+        "['der','die','das','und','ist','nicht','ich','mit','ein','zu'], x))) AS DOUBLE) / " +
+        "GREATEST(len(toks), 1) AS sde, " +
+        "CAST(len(list_filter(toks, x -> list_contains(" +
+        "['the','a','and','of','to','in','is','you','that','it'], x))) AS DOUBLE) / " +
+        "GREATEST(len(toks), 1) AS sen, " +
+        "CAST(len(list_filter(toks, x -> list_contains(" +
+        "['el','la','los','de','que','y','en','un','es','por'], x))) AS DOUBLE) / " +
+        "GREATEST(len(toks), 1) AS ses, " +
+        "CAST(len(list_filter(toks, x -> list_contains(" +
+        "['le','les','et','une','est','que','pour','dans','il','au'], x))) AS DOUBLE) / " +
+        "GREATEST(len(toks), 1) AS sfr, " +
+        "CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')) " +
+        "AS DOUBLE) / GREATEST(LENGTH(text), 1) AS cjk FROM t), " +
+        "b AS (SELECT doc_id, cjk, sde, sen, ses, sfr, " +
+        "GREATEST(sde, sen, ses, sfr) AS best FROM s) " +
+        "SELECT doc_id, CASE WHEN cjk > 0.25 THEN 'zh' " +
+        "WHEN best > 0 AND sde = best THEN 'de' WHEN best > 0 AND sen = best THEN 'en' " +
+        "WHEN best > 0 AND ses = best THEN 'es' WHEN best > 0 AND sfr = best THEN 'fr' " +
+        "ELSE 'und' END AS pred_lang, " +
+        "FLOOR(GREATEST(cjk, best) * 10000 + 0.5) / 10000 AS confidence " +
+        "FROM b ORDER BY doc_id"))
 }

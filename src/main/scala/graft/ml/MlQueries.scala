@@ -36,10 +36,10 @@ object MlQueries {
     "ml_prefixspan" -> ((s, d) => TextModels.prefixSpan(s, ev(s, d))),
     "ml_knn" -> ((s, d) => {
       val e = emb(s, d)
-      // tau = ∞ ⇒ exact (the reference's exactness escape hatch)
-      knn.Knn.fit(s, e).search(
-        e.filter(org.apache.spark.sql.functions.col("vec_id") < 10),
-        k = 5, tau = 1e9)
+      // pruned exact search (two-pass backtracking bound) — same result
+      // as brute force without the |Q|×|C| fan-out
+      knn.Knn.fit(s, e).searchExact(
+        e.filter(org.apache.spark.sql.functions.col("vec_id") < 10), k = 5)
     }),
     "ml_knn_class" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, count, lit}
@@ -78,7 +78,41 @@ object MlQueries {
       Spca.fit(s, coo, numCols = 64, k = 8)
     }))
 
+  /** (vec_id, i, v) unpivot of the 64-dim embedding column — shared CTE
+    * of the matrix oracles. i is 1-based here; emitted 0-based to match
+    * the Spark flattenUpper output. */
+  private val unpivotCte =
+    "WITH x AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v " +
+      "FROM embeddings, generate_series(1, 64) t(i)) "
+
+  private def upperMatrix(valueExpr: String, src: String): String =
+    s"SELECT CAST(a.i - 1 AS INTEGER) AS i, CAST(b.i - 1 AS INTEGER) AS j, " +
+      s"FLOOR($valueExpr * 1000000 + 0.5) / 1000000 AS v " +
+      s"FROM $src a JOIN $src b ON a.vec_id = b.vec_id AND a.i <= b.i " +
+      "GROUP BY a.i, b.i ORDER BY i, j"
+
   val oracle: Map[String, String] = Map(
+    "ml_corr_matrix" ->
+      (unpivotCte + upperMatrix("CORR(a.v, b.v)", "x")),
+    "ml_cov_matrix" ->
+      (unpivotCte + upperMatrix("COVAR_SAMP(a.v, b.v)", "x")),
+    // Spearman = Pearson over average ranks (ties averaged, as in the
+    // mllib SpearmanCorrelation rank assignment)
+    "ml_spearman_matrix" ->
+      (unpivotCte +
+        ", rk AS (SELECT vec_id, i, AVG(rn) OVER (PARTITION BY i, v) AS v FROM " +
+        "(SELECT vec_id, i, v, ROW_NUMBER() OVER (PARTITION BY i ORDER BY v) AS rn FROM x) q) " +
+        upperMatrix("CORR(a.v, b.v)", "rk")),
+    // vocabulary = all distinct whitespace tokens (fixture vocab < 64 =
+    // the CountVectorizer cap), idf = ln((m+1)/(df+1))
+    "ml_idf" ->
+      ("WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents), " +
+        "cnt AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY term), " +
+        "top AS (SELECT term FROM cnt ORDER BY c DESC, term LIMIT 64), " +
+        "df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term), " +
+        "m AS (SELECT COUNT(*) AS m FROM documents) " +
+        "SELECT t.term, FLOOR(LN((m.m + 1.0) / (df.df + 1.0)) * 10000 + 0.5) / 10000 " +
+        "AS idf FROM top t JOIN df USING (term), m ORDER BY term"),
     "ml_cov_pairs" ->
       ("SELECT FLOOR(COVAR_SAMP(l_quantity, l_extendedprice) * 10000 + 0.5) / 10000 AS cov_qty_price, " +
         "FLOOR(COVAR_SAMP(l_discount, l_tax) * 100000000 + 0.5) / 100000000 AS cov_disc_tax " +

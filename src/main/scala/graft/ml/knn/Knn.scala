@@ -71,43 +71,45 @@ object Knn {
   final class Model private[knn] (spark: SparkSession, tree: Tree,
       corpusWithLeaf: DataFrame, idCol: String, vecCol: String) {
 
-    /** Top-k euclidean neighbors per query row. Output:
-      * (query_id, rank, neighbor_id, dist). Ranking uses the 1e-6-rounded
-      * distance + id tiebreak for cross-run stability. */
-    def search(queries: DataFrame, k: Int, tau: Double): DataFrame = {
-      val sc = spark.sparkContext
-      val bc = sc.broadcast(tree)
-      val leavesOf = udf((v: Seq[Float]) =>
-        assign(bc.value, v.map(_.toDouble).toArray, tau))
-      val q = queries.select(col(idCol).as("query_id"),
-          col(vecCol).as("qv"))
-        .withColumn("leaf", explode(leavesOf(col("qv"))))
+    // difference-based distance, sequential double accumulation — the
+    // exact op sequence DuckDB's list_distance uses, so the oracle
+    // hash-matches. Preference order (SURVEY §4): the codegen'd native
+    // Expression (graft_euclid, via GraftExtensions) when the session
+    // has it; else a compiled UDF (the interpreted HOF lambda was ~6×
+    // slower on the candidate hot path). All three produce identical
+    // IEEE results.
+    private def distExpr: Column =
+      if (spark.catalog.functionExists("graft_euclid"))
+        expr("graft_euclid(qv, cv)")
+      else {
+        val euclid = udf((a: Seq[Float], b: Seq[Float]) => {
+          var s = 0.0; var i = 0
+          while (i < a.length) {
+            val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1
+          }
+          math.sqrt(s)
+        })
+        euclid(col("qv"), col("cv"))
+      }
+
+    /** Raw candidate distances for leaf-exploded queries
+      * (query_id, qv, leaf) → (query_id, neighbor_id, dist). */
+    private def candidates(q: DataFrame, excludeSelf: Boolean): DataFrame = {
       val c = corpusWithLeaf.select(col("leaf"),
         col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      // difference-based distance, sequential double accumulation — the
-      // exact op sequence DuckDB's list_distance uses, so the oracle
-      // hash-matches. Preference order (SURVEY §4): the codegen'd native
-      // Expression (graft_euclid, via GraftExtensions) when the session
-      // has it; else a compiled UDF (the interpreted HOF lambda was ~6×
-      // slower on the candidate hot path). All three produce identical
-      // IEEE results.
-      val dist: Column =
-        if (spark.catalog.functionExists("graft_euclid"))
-          expr("graft_euclid(qv, cv)")
-        else {
-          val euclid = udf((a: Seq[Float], b: Seq[Float]) => {
-            var s = 0.0; var i = 0
-            while (i < a.length) {
-              val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1
-            }
-            math.sqrt(s)
-          })
-          euclid(col("qv"), col("cv"))
-        }
-      val cand = q.join(c, Seq("leaf"))
-        .select(col("query_id"), col("neighbor_id"), dist.as("dist"))
+      val joined = q.join(c, Seq("leaf"))
+      val kept =
+        if (excludeSelf) joined.filter(col("neighbor_id") =!= col("query_id"))
+        else joined
+      kept.select(col("query_id"), col("neighbor_id"), distExpr.as("dist"))
         // a query may reach the same neighbor through several leaves
         .groupBy("query_id", "neighbor_id").agg(min("dist").as("dist"))
+    }
+
+    /** Rounded, ranked top-k output shape:
+      * (query_id, rank, neighbor_id, dist). Ranking uses the 1e-6-rounded
+      * distance + id tiebreak for cross-run stability. */
+    private def topK(cand: DataFrame, k: Int): DataFrame = {
       val w = Window.partitionBy("query_id")
         .orderBy((floor(col("dist") * 1e6 + 0.5) / 1e6).asc, col("neighbor_id"))
       cand.select(col("query_id"), col("neighbor_id"), col("dist"),
@@ -118,12 +120,63 @@ object Knn {
         .orderBy("query_id", "rank")
     }
 
-    /** Majority-vote classification over neighbors (self excluded).
-      * Corpus must carry a `label` column. */
+    private def explodedQueries(queries: DataFrame, tau: Double): DataFrame = {
+      val bc = spark.sparkContext.broadcast(tree)
+      val leavesOf = udf((v: Seq[Float]) =>
+        assign(bc.value, v.map(_.toDouble).toArray, tau))
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+        .withColumn("leaf", explode(leavesOf(col("qv"))))
+    }
+
+    /** Top-k euclidean neighbors per query row with a fixed spill buffer
+      * tau (approximate; tau = ∞ degenerates to brute force — test-only,
+      * use [[searchExact]] for a pruned exact search). */
+    def search(queries: DataFrame, k: Int, tau: Double,
+        excludeSelf: Boolean = false): DataFrame =
+      topK(candidates(explodedQueries(queries, tau), excludeSelf), k)
+
+    /** Exact top-k via two-pass metric-tree pruning (the Spark-shaped
+      * analogue of the reference's per-node backtracking search,
+      * `knn/MetricTree.scala:130-153`): pass 1 searches each query's home
+      * leaf only (tau = 0) and takes the k-th candidate distance r as an
+      * upper bound; pass 2 re-fans the query with per-query tau = r —
+      * a hyperplane whose margin exceeds r cannot hide a closer point, so
+      * only leaves within the bound are visited. Queries whose home leaf
+      * held fewer than k candidates fan to all leaves (rare: leafSize ≥ k).
+      * Cost: |Q| × (home leaf + bounded spill), never |Q| × |C|. */
+    def searchExact(queries: DataFrame, k: Int,
+        excludeSelf: Boolean = false): DataFrame = {
+      val pass1 = candidates(explodedQueries(queries, 0.0), excludeSelf)
+      val w = Window.partitionBy("query_id").orderBy(col("dist"))
+      val bound = pass1
+        .select(col("query_id"), col("dist"), row_number().over(w).as("rn"))
+        .filter(col("rn") <= k)
+        .groupBy("query_id")
+        .agg(max("dist").as("r"), count(lit(1)).as("cnt"))
+        .select(col("query_id"),
+          when(col("cnt") < k, Double.MaxValue)
+            // small inflation absorbs the 1e-6 rank rounding at the bound
+            .otherwise(col("r") + 1e-4).as("qtau"))
+      val bc = spark.sparkContext.broadcast(tree)
+      val leavesOf = udf((v: Seq[Float], t: Double) =>
+        assign(bc.value, v.map(_.toDouble).toArray, t))
+      val q2 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+        .join(broadcast(bound), Seq("query_id"), "left")
+        .withColumn("leaf",
+          explode(leavesOf(col("qv"),
+            coalesce(col("qtau"), lit(Double.MaxValue)))))
+        .select(col("query_id"), col("qv"), col("leaf"))
+      topK(candidates(q2, excludeSelf), k)
+    }
+
+    /** Majority-vote classification over the k nearest non-self
+      * neighbors. Corpus must carry a `label` column. */
     def classify(queries: DataFrame, k: Int, tau: Double,
         labels: DataFrame): DataFrame = {
-      val nn = search(queries, k + 1, tau)
-        .filter(col("neighbor_id") =!= col("query_id"))
+      // self filtered from the candidate set BEFORE the top-k window, so
+      // exactly k neighbors vote even when the query is absent from the
+      // corpus (k+1-then-filter over-voted in that case)
+      val nn = search(queries, k, tau, excludeSelf = true)
       val voted = nn
         .join(labels.select(col(idCol).as("neighbor_id"),
           col("label").as("n_label")), Seq("neighbor_id"))
@@ -137,11 +190,14 @@ object Knn {
         .orderBy("query_id")
     }
 
+    /** Per-leaf corpus row counts — introspection for balance checks. */
+    def leafSizes: DataFrame =
+      corpusWithLeaf.groupBy("leaf").agg(count(lit(1)).as("n"))
+
     /** Mean-of-neighbor-labels regression (self excluded). */
     def regress(queries: DataFrame, k: Int, tau: Double,
         labels: DataFrame): DataFrame = {
-      search(queries, k + 1, tau)
-        .filter(col("neighbor_id") =!= col("query_id"))
+      search(queries, k, tau, excludeSelf = true)
         .join(labels.select(col(idCol).as("neighbor_id"),
           col("label").as("n_label")), Seq("neighbor_id"))
         .groupBy("query_id")
@@ -158,21 +214,22 @@ object Knn {
     * independently derived. All work is on O(sample²) local data. */
   def estimateTau(spark: SparkSession, corpus: DataFrame, k: Int,
       vecCol: String = "embedding", maxSample: Int = 512,
-      numQueries: Int = 24): Double = {
+      numQueries: Int = 24, seed: Long = 2020L): Double = {
     val n = corpus.count()
-    val rows = corpus.select(vecCol).limit(maxSample + numQueries).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val rows = uniformSample(corpus, vecCol, maxSample + numQueries, n, seed)
     if (rows.length <= k + numQueries) return Double.MaxValue // tiny: exact
     val queries = rows.take(numQueries)
     val pool = rows.drop(numQueries)
     val sizes = Seq(pool.length / 4, pool.length / 2, pool.length)
       .filter(_ > k).distinct
     if (sizes.length < 2) return Double.MaxValue
+    var fallback = 0.0 // largest measured k-th-neighbor distance
     val pts = sizes.map { s =>
       val sub = pool.take(s)
       val kth = queries.map { q =>
         sub.map(p => math.sqrt(sqdist(q, p))).sorted.apply(math.min(k, s - 1))
       }.sorted.apply(numQueries / 2) // median over queries
+      fallback = math.max(fallback, kth)
       (math.log(s.toDouble), math.log(math.max(kth, 1e-12)))
     }
     val m = pts.length.toDouble
@@ -181,7 +238,29 @@ object Knn {
     val sxy = pts.map(p => p._1 * p._2).sum
     val b = (m * sxy - sx * sy) / (m * sxx - sx * sx)
     val a = (sy - b * sx) / m
-    math.exp(a + b * math.log(n.toDouble))
+    val est = math.exp(a + b * math.log(n.toDouble))
+    // degenerate-fit guard (reference falls back to the max measured
+    // distance when the regression slope is non-negative or NaN,
+    // `knn/KNN.scala:468-516`): a noisy/tiny sample must not silently
+    // extrapolate tau to ∞ and degrade every search to brute force
+    if (b.isNaN || b >= 0 || est.isNaN || est.isInfinite) fallback else est
+  }
+
+  /** Seeded uniform sample of `want` vectors collected to the driver.
+    * `limit()` would take the FIRST parquet rows — on sorted/clustered
+    * data that degenerates the pivot tree into skewed leaves and biases
+    * the tau extrapolation (the reference samples its top-tree too,
+    * `knn/KNN.scala:387`). The 1.3× oversample makes an undershoot of the
+    * binomial draw below `want` vanishingly unlikely. */
+  private def uniformSample(corpus: DataFrame, vecCol: String, want: Int,
+      n: Long, seed: Long): Array[Array[Double]] = {
+    val base = corpus.select(vecCol)
+    val sampled =
+      if (n <= want) base
+      else base.sample(withReplacement = false,
+        math.min(1.0, want * 1.3 / n), seed)
+    sampled.limit(want).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
   }
 
   /** Fit: sample `sampleSize` corpus vectors, build the pivot tree on the
@@ -191,9 +270,8 @@ object Knn {
     * broadcast join would execute single-threaded (observed 16 s → 4 s). */
   def fit(spark: SparkSession, corpus: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", sampleSize: Int = 1024,
-      leafSize: Int = 32): Model = {
-    val sample = corpus.select(vecCol).limit(sampleSize).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      leafSize: Int = 32, seed: Long = 2020L): Model = {
+    val sample = uniformSample(corpus, vecCol, sampleSize, corpus.count(), seed)
     val (tree, _) = buildTree(sample, leafSize)
     val bc = spark.sparkContext.broadcast(tree)
     val leafOf = udf((v: Seq[Float]) =>

@@ -81,10 +81,13 @@ object Relational {
   }
 
   /** Q6 — anti join (A13 family). NOT IN is safe as a left-anti join here
-    * because o_custkey is non-nullable in the fixture. */
+    * because o_custkey is non-nullable in the fixture. The date predicate
+    * leaves survivors at every SF (every customer has *some* order, so an
+    * unfiltered anti join passed vacuously with 0 rows in round 1). */
   def q06(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir)("customer")
     val o = t(s, dir)("orders")
+      .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .select("c_custkey")
       .orderBy("c_custkey")
@@ -259,7 +262,7 @@ object Relational {
     "q05_join_left" ->
       "SELECT c.c_custkey, COALESCE(o.o_orderkey, -1) AS ok FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey ORDER BY c.c_custkey, ok",
     "q06_join_anti" ->
-      "SELECT c_custkey FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders) ORDER BY c_custkey",
+      "SELECT c_custkey FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01') ORDER BY c_custkey",
     "q07_agg" ->
       "SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt, FLOOR(SUM(l_quantity) * 10000 + 0.5) / 10000 AS sq, FLOOR(AVG(l_extendedprice) * 10000 + 0.5) / 10000 AS ap FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
     "q08_distinct" ->

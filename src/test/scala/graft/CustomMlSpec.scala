@@ -48,6 +48,29 @@ class CustomMlSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("knn fit on a SORTED corpus keeps leaves balanced (seeded sample, " +
+      "not first-rows limit) and pruned exact search matches brute force") {
+    import org.apache.spark.sql.functions._
+    // clustered/sorted input: ids ascending, x = id — a limit()-based
+    // pivot sample would only ever see the low end and funnel the upper
+    // 90% of the corpus into one giant leaf
+    val pts = (1 to 2000).map(i => (i.toLong, Array((i * 0.01).toFloat, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val model = Knn.fit(spark, pts, sampleSize = 256, leafSize = 32)
+    val sizes = model.leafSizes.collect().map(_.getLong(1))
+    assert(sizes.length > 8, s"only ${sizes.length} leaves")
+    // limit()-sampling put ~90% of this corpus in one leaf; the seeded
+    // uniform sample keeps every leaf under a third
+    assert(sizes.max <= 2000 / 3, s"skewed leaf of ${sizes.max}/2000 rows")
+    // exact two-pass pruning ≡ brute force, at bounded candidate cost
+    val qs = pts.filter($"vec_id" % 97 === 0)
+    val exact = model.searchExact(qs, k = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    val brute = model.search(qs, k = 5, tau = 1e9).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    assert(exact == brute)
+  }
+
   test("knn classifier separates well-separated synthetic clusters") {
     val pts = ((1 to 30).map(i => (i.toLong, Array(0.0f + i * 0.001f, 0.0f), 0)) ++
       (31 to 60).map(i => (i.toLong, Array(5.0f + i * 0.001f, 5.0f), 1)))

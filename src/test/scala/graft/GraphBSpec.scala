@@ -85,6 +85,12 @@ class GraphBSpec extends AnyFunSuite {
     val n = Motifs.subgraphCount(spark, sym, Seq((0, 1), (1, 2), (2, 0)))
       .head().getLong(0)
     assert(n == 12) // 2 triangles × 6 orderings
+    // symmetry-broken canonical matching × |Aut| gives the same count
+    // from a 6×-smaller intermediate
+    val nSym = Motifs.subgraphCount(spark, sym, Seq((0, 1), (1, 2), (2, 0)),
+      lessThan = Seq((0, 1), (1, 2)), automorphisms = 6)
+      .head().getLong(0)
+    assert(nSym == 12)
   }
 
   test("subgraph matching: path-of-3 bindings are injective") {
@@ -108,5 +114,23 @@ class GraphBSpec extends AnyFunSuite {
     }
     val emb = Node2Vec.embeddings(spark, sym).collect()
     assert(emb.length == 6)
+  }
+
+  test("node2vec biased (p,q) walks: huge p forbids backtracking on a path") {
+    // path 1–2–3 (symmetric). With p→∞ the return weight 1/p ≈ 0, so a
+    // walker that moved 1→2 must continue to 3 (and 3→2 must reach 1);
+    // from the middle the second hop has only the backtrack candidate
+    // left and is forced to return regardless of p.
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+      .map { case (a, b) => (a, b, 1.0) }.toDF("src", "dst", "weight")
+    val w = Node2Vec.walks(spark, e, numWalks = 1, walkLength = 2,
+      p = 1e9, q = 1.0).collect()
+      .map(r => r.getSeq[Long](1).toList)
+    assert(w.toSet.contains(List(1L, 2L, 3L)), s"walk from 1: ${w.toSeq}")
+    assert(w.toSet.contains(List(3L, 2L, 1L)), s"walk from 3: ${w.toSeq}")
+    // and with huge q (avoid-exploration), 1→2 must return to 1
+    val wq = Node2Vec.walks(spark, e, numWalks = 1, walkLength = 2,
+      p = 1.0, q = 1e9).collect().map(r => r.getSeq[Long](1).toList)
+    assert(wq.toSet.contains(List(1L, 2L, 1L)), s"walk from 1: ${wq.toSeq}")
   }
 }

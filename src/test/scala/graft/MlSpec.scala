@@ -121,9 +121,12 @@ class MlSpec extends AnyFunSuite {
 
   test("ml oracle SQL matches DSL via Spark SQL") {
     Tables.registerAll(spark, sf0001)
-    // ml_knn's oracle is DuckDB-dialect (LIST_DISTANCE); it is covered by
-    // the DuckDB gate itself plus CustomMlSpec's brute-force differential
-    for (name <- MlQueries.oracle.keys if name != "ml_knn") {
+    // DuckDB-dialect oracles (LIST_DISTANCE, generate_series TVF, list
+    // indexing, string_split) are covered by the DuckDB gate itself plus
+    // CustomMlSpec's brute-force differential / MlSpec formula checks
+    val duckdbOnly = Set("ml_knn", "ml_corr_matrix", "ml_cov_matrix",
+      "ml_spearman_matrix", "ml_idf")
+    for (name <- MlQueries.oracle.keys if !duckdbOnly(name)) {
       val dsl = MlQueries.all(name)(spark, sf0001).collect()
         .map(_.toSeq.map(String.valueOf)).toSeq
       val sql = spark.sql(MlQueries.oracle(name)).collect()
