@@ -48,48 +48,60 @@ object Centrality {
       sources: Seq[Long]): DataFrame = {
     import spark.implicits._
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
-    var settled = sources.map(s => (s, s, 0, 1.0))
-      .toDF("s", "node", "dist", "sigma").localCheckpoint()
-    var frontier = settled
+    // settled state lives as ONE CHECKPOINTED FRAME PER LEVEL — the
+    // round-1 running-union re-materialized all previous levels every
+    // level (O(diameter²) data written); a union over already-
+    // checkpointed leaves only ever scans each level once
+    var frames = Vector(sources.map(s => (s, s, 0, 1.0))
+      .toDF("s", "node", "dist", "sigma").localCheckpoint())
+    var frontier = frames.head
     var level = 0
-    while (frontier.limit(1).count() > 0) {
+    var more = frontier.limit(1).count() > 0
+    while (more) {
       level += 1
+      val seen = frames.map(_.select(col("s"), col("node").as("dst")))
+        .reduce(_ unionByName _)
       val next = frontier
         .join(e, frontier("node") === e("src"))
         .select(col("s"), col("dst"), col("sigma"))
-        .join(settled.select(col("s"), col("node").as("dst"),
-          lit(1).as("seen")), Seq("s", "dst"), "left_anti")
+        .join(seen, Seq("s", "dst"), "left_anti")
         .groupBy("s", "dst")
         .agg(sum("sigma").as("sigma"))
         .select(col("s"), col("dst").as("node"), lit(level).as("dist"),
           col("sigma"))
         .localCheckpoint()
-      settled = settled.unionByName(next).localCheckpoint()
-      frontier = next
+      if (next.limit(1).count() > 0) { frames :+= next; frontier = next }
+      else more = false
     }
-    val maxLevel = level - 1
-    var delta = settled.select(col("s"), col("node"), lit(0.0).as("delta"))
-      .localCheckpoint()
-    var d = maxLevel
-    while (d >= 1) {
-      val wNodes = settled.filter(col("dist") === d + 1)
-        .join(delta, Seq("s", "node"))
+    val maxLevel = frames.length - 1
+    // backward pass: dependencies accumulate level-by-level, each level's
+    // delta frame checkpointed once (the round-1 version re-materialized
+    // the full (s, node) delta set every level)
+    var deltas = Vector.fill[DataFrame](maxLevel + 1)(null)
+    deltas = deltas.updated(maxLevel,
+      frames(maxLevel).withColumn("delta", lit(0.0)).localCheckpoint())
+    var d = maxLevel - 1
+    while (d >= 0) {
+      val wNodes = deltas(d + 1)
         .select(col("s").as("ws"), col("node").as("w"),
           col("sigma").as("sigma_w"), col("delta").as("delta_w"))
-      val cur = settled.filter(col("dist") === d)
+      val cur = frames(d)
       val contrib = cur
         .join(e, cur("node") === e("src"))
         .join(wNodes, e("dst") === wNodes("w") && cur("s") === wNodes("ws"))
         .groupBy(cur("s"), cur("node"))
         .agg(sum(col("sigma") / col("sigma_w") * (lit(1.0) + col("delta_w")))
           .as("dnew"))
-      delta = delta.join(contrib, Seq("s", "node"), "left")
-        .select(col("s"), col("node"),
-          coalesce(col("dnew"), col("delta")).as("delta"))
-        .localCheckpoint()
+      deltas = deltas.updated(d,
+        cur.join(contrib, Seq("s", "node"), "left")
+          .select(col("s"), col("node"), col("dist"), col("sigma"),
+            coalesce(col("dnew"), lit(0.0)).as("delta"))
+          .localCheckpoint())
       d -= 1
     }
-    delta.filter(col("node") =!= col("s"))
+    deltas.map(_.select(col("s"), col("node"), col("delta")))
+      .reduce(_ unionByName _)
+      .filter(col("node") =!= col("s"))
       .groupBy("node").agg(r6(sum("delta")).as("betweenness"))
       .orderBy("node")
   }

@@ -35,36 +35,46 @@ object Community {
       .select(col("node"), col("node").as("community"))
     var e = sym
     var lvl = 0
-    while (lvl < levels) {
-      val comm = localMoves(e, passes)
-      // compose: node → old community → new community
-      mapping = mapping
-        .join(comm.withColumnRenamed("node", "community")
-          .withColumnRenamed("new_comm", "next"), Seq("community"))
-        .select(col("node"), col("next").as("community"))
-        .localCheckpoint()
-      // coarsen: communities become nodes
-      e = e
-        .join(comm.withColumnRenamed("node", "src")
-          .withColumnRenamed("new_comm", "c_src"), Seq("src"))
-        .join(comm.withColumnRenamed("node", "dst")
-          .withColumnRenamed("new_comm", "c_dst"), Seq("dst"))
-        .groupBy(col("c_src").as("src"), col("c_dst").as("dst"))
-        .agg(sum("w").as("w"))
-        .localCheckpoint()
+    var moving = true
+    while (lvl < levels && moving) {
+      val (comm, moved) = localMoves(e, passes)
+      moving = moved > 0
+      if (moving) {
+        // compose: node → old community → new community
+        mapping = mapping
+          .join(comm.withColumnRenamed("node", "community")
+            .withColumnRenamed("new_comm", "next"), Seq("community"))
+          .select(col("node"), col("next").as("community"))
+          .localCheckpoint()
+        // coarsen: communities become nodes (skipped entirely once a
+        // level stops moving — the coarse graph would be identical)
+        e = e
+          .join(comm.withColumnRenamed("node", "src")
+            .withColumnRenamed("new_comm", "c_src"), Seq("src"))
+          .join(comm.withColumnRenamed("node", "dst")
+            .withColumnRenamed("new_comm", "c_dst"), Seq("dst"))
+          .groupBy(col("c_src").as("src"), col("c_dst").as("dst"))
+          .agg(sum("w").as("w"))
+          .localCheckpoint()
+      }
       lvl += 1
     }
     mapping.orderBy("node")
   }
 
-  /** Synchronous local-move passes on one level; returns (node, new_comm). */
-  private def localMoves(e: DataFrame, passes: Int): DataFrame = {
+  /** Synchronous local-move passes on one level; returns
+    * ((node, new_comm), total moves). Passes stop early once a pass
+    * moves nothing — one cheap count on the already-computed best-move
+    * frame per pass, against ~6 shuffles for a wasted pass. */
+  private def localMoves(e: DataFrame, passes: Int): (DataFrame, Long) = {
     val m2 = e.agg(sum("w")).head().getDouble(0) // = 2m on symmetric view
     val deg = e.groupBy(col("src").as("node")).agg(sum("w").as("deg"))
       .localCheckpoint()
     var comm = deg.select(col("node"), col("node").as("comm"))
+    var totalMoves = 0L
+    var zeroStreak = 0
     var pass = 0
-    while (pass < passes) {
+    while (pass < passes && zeroStreak < 2) {
       val sigma = comm.join(deg, Seq("node"))
         .groupBy("comm").agg(sum("deg").as("sigma"))
       // weight from each node to each neighboring community
@@ -91,14 +101,20 @@ object Community {
         .select(col("node"), col("cand"), col("comm"), col("score"),
           row_number().over(w).as("rn"))
         .filter(col("rn") === 1)
-      // parity gate: half the nodes move per pass (kills oscillation)
-      comm = best.select(col("node"),
-        when(pmod(col("node"), lit(2)) === lit(pass % 2), col("cand"))
-          .otherwise(col("comm")).as("comm"))
         .localCheckpoint()
+      // parity gate: half the nodes move per pass (kills oscillation)
+      val gate = pmod(col("node"), lit(2)) === lit(pass % 2)
+      val moved = best.filter(gate && col("cand") =!= col("comm")).count()
+      totalMoves += moved
+      // the gate alternates parity, so only TWO consecutive still passes
+      // prove both halves are settled
+      zeroStreak = if (moved == 0) zeroStreak + 1 else 0
+      comm = best.select(col("node"),
+        when(gate, col("cand")).otherwise(col("comm")).as("comm"))
       pass += 1
     }
-    comm.select(col("node"), col("comm").as("new_comm"))
+    (comm.select(col("node"), col("comm").as("new_comm")).localCheckpoint(),
+      totalMoves)
   }
 
   /** Weak clique enumeration (C21): per-vertex seed expansion — v's weak

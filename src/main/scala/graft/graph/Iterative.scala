@@ -144,18 +144,24 @@ object Iterative {
         },
         (a, b) => (a.keySet ++ b.keySet)
           .map(k => k -> (a.getOrElse(k, 0) + b.getOrElse(k, 0))).toMap)
+      // convergence signal rides an accumulator inside the vertex
+      // program, counted while the new graph materializes anyway — the
+      // round-1 version ran an extra vertices-join + count() job every
+      // iteration (up to 50 extra jobs). Task retries can only inflate
+      // the value, and only the ==0 test matters.
+      val moved = spark.sparkContext.longAccumulator(s"kcore-moved-$i")
       val next = g.outerJoinVertices(msgs)((_, est, mOpt) => mOpt match {
-        case None => 0
+        case None => if (est != 0) { moved.add(1L); 0 } else 0
         case Some(hist) =>
           // h-operator: largest k with ≥ k neighbors of (capped) core ≥ k
           var k = est
           while (k > 0 && hist.filter(_._1 >= k).values.sum < k) k -= 1
+          if (k != est) moved.add(1L)
           k
       }).cache()
+      next.vertices.foreachPartition(_ => ()) // runs the vertex program
       next.edges.foreachPartition(_ => ())
-      val delta = g.vertices.join(next.vertices)
-        .filter { case (_, (a, b)) => a != b }.count()
-      changed = delta > 0
+      changed = moved.value > 0
       g.vertices.unpersist(blocking = false)
       g.edges.unpersist(blocking = false)
       g = next

@@ -50,37 +50,30 @@ object Node2Vec {
           joined = joined.join(
             broadcast(nbrs.select(col("src").as("prev"),
               col("nbrs").as("pnbrs"))), Seq("prev"), "left")
-          // Grover–Leskovec second-order weights over cur's candidates
-          val ws = transform(col("nbrs"), x =>
-            when(x === col("prev"), lit(1.0 / p))
-              .when(array_contains(
-                coalesce(col("pnbrs"), array().cast("array<bigint>")), x),
-                lit(1.0))
-              .otherwise(lit(1.0 / q)))
-          val total = aggregate(ws, lit(0.0), (a, w) => a + w)
-          // deterministic u ∈ [0,1): salted so it never correlates with
-          // the uniform-path draw at the same step
-          val u = pmod(xxhash64(col("walk_id"), lit(step + 7919)),
-            lit(1000003L)).cast("double") / 1000003.0
-          // inverse-CDF walk over (candidate, weight) pairs: carry
-          // (remaining mass, selection) and stop at the crossing point
+          // Grover–Leskovec second-order weights, sampled in ONE pass by
+          // the Efraimidis–Spirakis race: P(argmin_x −ln(u_x)/w_x = x)
+          // = w_x/Σw, so no weight array, no total, no cumulative scan —
+          // a nested-lambda inverse-CDF evaluated the weights three
+          // times per row and tripled the step cost. u_x is a
+          // deterministic per-(walker, step, candidate) hash in (0, 1].
           val sel = aggregate(
-            zip_with(col("nbrs"), ws, (x, w) =>
-              struct(x.as("x"), w.as("w"))),
-            struct((u * total).as("rem"), lit(-1L).as("sel")),
-            (acc, c) => when(acc.getField("sel") >= 0, acc)
-              .otherwise(when(acc.getField("rem") <= c.getField("w"),
-                struct(acc.getField("rem").as("rem"),
-                  c.getField("x").as("sel")))
-                .otherwise(struct(
-                  (acc.getField("rem") - c.getField("w")).as("rem"),
-                  lit(-1L).as("sel")))),
+            col("nbrs"),
+            struct(lit(Double.MaxValue).as("key"), lit(-1L).as("sel")),
+            (acc, x) => {
+              val w = when(x === col("prev"), lit(1.0 / p))
+                .when(array_contains(
+                  coalesce(col("pnbrs"), array().cast("array<bigint>")), x),
+                  lit(1.0))
+                .otherwise(lit(1.0 / q))
+              val u = (pmod(xxhash64(col("walk_id"), lit(step + 7919), x),
+                lit(1000003L)).cast("double") + 1.0) / 1000004.0
+              val key = -log(u) / w
+              when(key < acc.getField("key"),
+                struct(key.as("key"), x.as("sel"))).otherwise(acc)
+            },
             acc => acc.getField("sel"))
-          // first hop has no prev (uniform); float residue falls back to
-          // the last candidate
-          when(col("prev").isNull, uniformPick)
-            .otherwise(coalesce(when(sel >= 0, sel),
-              element_at(col("nbrs"), -1)))
+          // first hop has no prev (uniform)
+          when(col("prev").isNull, uniformPick).otherwise(sel)
         }
       walkers = joined
         .select(col("walk_id"),
