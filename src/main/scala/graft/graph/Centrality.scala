@@ -19,16 +19,46 @@ object Centrality {
   private def r6(c: org.apache.spark.sql.Column) = floor(c * 1e6 + 0.5) / 1e6
 
   /** Harmonic closeness over a landmark sample: for each vertex, the mean
-    * of 1/dist to the landmarks it reaches (hop distances, via GraphX
-    * ShortestPaths). */
+    * of 1/dist to the landmarks it reaches. `weighted = false` uses hop
+    * distances (GraphX ShortestPaths); `weighted = true` runs a
+    * multi-landmark weighted-SSSP Pregel where an edge's weight is its
+    * traversal cost — the reference's `weighted` flag
+    * (`ClosenessRunner.scala:25,44`). */
   def closeness(spark: SparkSession, g: Graph[Double, Double],
-      landmarks: Seq[Long]): DataFrame = {
+      landmarks: Seq[Long], weighted: Boolean = false): DataFrame = {
     import spark.implicits._
-    ShortestPaths.run(g, landmarks).vertices
+    val dists: org.apache.spark.rdd.RDD[(Long, Seq[(Long, Double)])] =
+      if (!weighted)
+        ShortestPaths.run(g, landmarks).vertices
+          .map { case (v, m) =>
+            (v, m.toSeq.map { case (l, d) => (l, d.toDouble) }) }
+      else {
+        val lm = landmarks.toSet
+        // landmark→distance maps flow AGAINST edge direction (like
+        // ShortestPaths), so each vertex learns its distance TO every
+        // landmark it can reach along out-edges
+        val init = g.mapVertices((v, _) =>
+          if (lm(v)) Map(v -> 0.0) else Map.empty[Long, Double])
+        def merge(a: Map[Long, Double], b: Map[Long, Double]) =
+          (a.keySet ++ b.keySet).map(k =>
+            k -> math.min(a.getOrElse(k, Double.MaxValue),
+              b.getOrElse(k, Double.MaxValue))).toMap
+        init.pregel(Map.empty[Long, Double])(
+          (_, attr, msg) => merge(attr, msg),
+          t => {
+            val viaDst = t.dstAttr.map { case (l, d) => l -> (d + t.attr) }
+            val improved = viaDst.filter { case (l, d) =>
+              d < t.srcAttr.getOrElse(l, Double.MaxValue) }
+            if (improved.nonEmpty) Iterator((t.srcId, improved))
+            else Iterator.empty
+          },
+          merge).vertices.map { case (v, m) => (v, m.toSeq) }
+      }
+    dists
       .flatMap { case (v, m) =>
         // .toSeq first: mapping a Map to (v, _) pairs would collapse all
         // landmark entries onto the single key v
-        m.toSeq.filter { case (l, d) => l != v && d > 0 }
+        m.filter { case (l, d) => l != v && d > 0 }
           .map { case (_, d) => (v, 1.0 / d) } }
       .toDF("node", "inv")
       .groupBy("node")

@@ -126,6 +126,18 @@ object GraphQueries {
       Motifs.cycles(s, edges(s, d), minLoop = 3, maxLoop = 3)
         .select(concat_ws(",", col("cycle")).as("cycle"), col("length"))
         .orderBy("cycle")),
+    "graph_cycles_rate" -> ((s, d) =>
+      // flow-consistency constrained variant: consecutive edge weights
+      // within a 2× band (C19's minRate/maxRate surface)
+      Motifs.cycles(s, edges(s, d), minLoop = 3, maxLoop = 3,
+        minRate = 0.5, maxRate = 2.0)
+        .select(concat_ws(",", col("cycle")).as("cycle"), col("length"))
+        .orderBy("cycle")),
+    "graph_closeness_w" -> ((s, d) => {
+      val e = edges(s, d)
+      Centrality.closeness(s, GraphSource.toGraph(e), smallestNodes(e, 8),
+        weighted = true)
+    }),
     "graph_mce" -> ((s, d) =>
       Motifs.maximalCliques(s, GraphSource.canonicalUndirected(edges(s, d)))
         .select(concat_ws(",", col("members")).as("members"), col("k"))
@@ -193,6 +205,15 @@ object GraphQueries {
         "CAST(3 AS INTEGER) AS length FROM g x " +
         "JOIN g y ON y.src = x.dst JOIN g z ON z.src = y.dst AND z.dst = x.src " +
         "WHERE x.dst > x.src AND y.dst > x.src AND y.dst <> x.dst " +
+        "ORDER BY cycle"),
+    "graph_cycles_rate" ->
+      (edgeCte +
+        "SELECT CONCAT(x.src, ',', x.dst, ',', y.dst) AS cycle, " +
+        "CAST(3 AS INTEGER) AS length FROM g x " +
+        "JOIN g y ON y.src = x.dst JOIN g z ON z.src = y.dst AND z.dst = x.src " +
+        "WHERE x.dst > x.src AND y.dst > x.src AND y.dst <> x.dst " +
+        "AND y.weight >= x.weight * 0.5 AND y.weight <= x.weight * 2.0 " +
+        "AND z.weight >= y.weight * 0.5 AND z.weight <= y.weight * 2.0 " +
         "ORDER BY cycle"),
     "graph_triangles" ->
       (edgeCte +

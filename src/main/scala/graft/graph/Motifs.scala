@@ -19,29 +19,48 @@ object Motifs {
     * Path growth with rotation canonicalization: paths only start at
     * their minimum vertex (every other extension requires dst > start),
     * so each cycle is emitted exactly once, as [start, ...]. Each length
-    * step is one join against the edge set. */
+    * step is one join against the edge set.
+    *
+    * minRate/maxRate (the reference's constrained variant,
+    * `CycleDetectionWithConstrainsRunner.scala:21-22,91`) bound the
+    * weight ratio of CONSECUTIVE edges along the canonical traversal,
+    * closing edge included: each hop's weight must lie in
+    * [minRate·w_prev, maxRate·w_prev] — the transaction-flow-consistency
+    * constraint. Defaults (0, ∞) disable the filter entirely. */
   def cycles(spark: SparkSession, edges: DataFrame, minLoop: Int = 3,
-      maxLoop: Int = 4): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+      maxLoop: Int = 4, minRate: Double = 0.0,
+      maxRate: Double = Double.PositiveInfinity): DataFrame = {
+    val constrained = minRate > 0.0 || !maxRate.isPosInfinity
+    val e = edges.select(col("src"), col("dst"), col("weight"))
+      .dropDuplicates("src", "dst").localCheckpoint()
     var paths = e.filter(col("dst") > col("src"))
       .select(col("src").as("start"), col("dst").as("cur"),
-        array(col("src"), col("dst")).as("path"))
+        col("weight").as("w_prev"), array(col("src"), col("dst")).as("path"))
     var found: DataFrame = null
     var len = 2
     while (len <= maxLoop) {
-      val ext = paths.join(e, paths("cur") === e("src"))
-      val closed = ext.filter(col("dst") === col("start") &&
-          size(col("path")) >= minLoop)
+      // fresh aliases per join: paths already descends from e, so bare
+      // e("weight") references are ambiguous self-join attributes
+      val step = e.select(col("src").as("_s"), col("dst").as("_d"),
+        col("weight").as("_w"))
+      val ext = paths.join(step, paths("cur") === col("_s"))
+      val rateOk =
+        if (!constrained) lit(true)
+        else col("_w") >= col("w_prev") * minRate &&
+          col("_w") <= col("w_prev") * maxRate
+      val closed = ext.filter(col("_d") === col("start") &&
+          size(col("path")) >= minLoop && rateOk)
         .select(col("path"))
       found = if (found == null) closed else found.unionByName(closed)
       // extending at len == maxLoop would build paths that can never
       // close within the bound — skip the (largest) final join
       paths =
         if (len == maxLoop) paths.limit(0)
-        else ext.filter(col("dst") > col("start") &&
-            !array_contains(col("path"), col("dst")))
-          .select(col("start"), col("dst").as("cur"),
-            concat(col("path"), array(col("dst"))).as("path"))
+        else ext.filter(col("_d") > col("start") &&
+            !array_contains(col("path"), col("_d")) && rateOk)
+          .select(col("start"), col("_d").as("cur"),
+            col("_w").as("w_prev"),
+            concat(col("path"), array(col("_d"))).as("path"))
           .localCheckpoint()
       len += 1
     }

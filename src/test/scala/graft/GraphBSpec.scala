@@ -116,6 +116,37 @@ class GraphBSpec extends AnyFunSuite {
     assert(emb.length == 6)
   }
 
+  test("weighted closeness: hand-computed weighted path distances") {
+    // 1 →(2.0)→ 2 →(3.0)→ 3, landmark {3}: dist(1→3) = 5, dist(2→3) = 3
+    val e = Seq((1L, 2L, 2.0), (2L, 3L, 3.0)).toDF("src", "dst", "weight")
+    val g = GraphSource.toGraph(e)
+    val c = Centrality.closeness(spark, g, Seq(3L), weighted = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(c(1L) == math.floor(1.0 / 5 * 1e6 + 0.5) / 1e6)
+    assert(c(2L) == math.floor(1.0 / 3 * 1e6 + 0.5) / 1e6)
+    assert(!c.contains(3L)) // the landmark reaches no other landmark
+    // hop-based variant ignores the weights: dist(1→3) = 2 hops
+    val h = Centrality.closeness(spark, g, Seq(3L))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(h(1L) == 0.5)
+  }
+
+  test("rate-constrained cycles keep flow-consistent loops only") {
+    // triangle A: weights 1→2→4 (consecutive ratios 2, 2: consistent);
+    // triangle B: weights 1→10→1 (ratio 10: violates maxRate 2.5)
+    val e = Seq(
+      (1L, 2L, 1.0), (2L, 3L, 2.0), (3L, 1L, 4.0),
+      (4L, 5L, 1.0), (5L, 6L, 10.0), (6L, 4L, 1.0))
+      .toDF("src", "dst", "weight")
+    val all = Motifs.cycles(spark, e, minLoop = 3, maxLoop = 3)
+      .collect().map(_.getSeq[Long](0).toList).toSet
+    assert(all == Set(List(1L, 2L, 3L), List(4L, 5L, 6L)))
+    val consistent = Motifs.cycles(spark, e, minLoop = 3, maxLoop = 3,
+      minRate = 1.5, maxRate = 2.5)
+      .collect().map(_.getSeq[Long](0).toList).toSet
+    assert(consistent == Set(List(1L, 2L, 3L)))
+  }
+
   test("node2vec biased (p,q) walks: huge p forbids backtracking on a path") {
     // path 1–2–3 (symmetric). With p→∞ the return weight 1/p ≈ 0, so a
     // walker that moved 1→2 must continue to 3 (and 3→2 must reach 1);

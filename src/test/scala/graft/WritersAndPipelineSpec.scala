@@ -88,6 +88,37 @@ class WritersAndPipelineSpec extends AnyFunSuite {
     assert(preds.forall(_.startsWith("class_")))
   }
 
+  test("LDA model persists and predicts identically after reload in a fresh session") {
+    // the reference's two-session flow (`LDARunner.scala:106-115,185-186`):
+    // train + save in one session, load + predict in another
+    import org.apache.spark.ml.clustering.{DistributedLDAModel, LDA}
+    import org.apache.spark.ml.feature.CountVectorizer
+    val toks = graft.ml.TextModels.tokenized(
+      Tables(spark, sf0001, "documents").limit(100))
+    val feats = new CountVectorizer().setInputCol("tokens")
+      .setOutputCol("features").setVocabSize(64).fit(toks).transform(toks)
+      .localCheckpoint()
+    val m = new LDA().setK(3).setMaxIter(5).setSeed(2020L)
+      .setOptimizer("em").fit(feats)
+    val path = tmp("lda_model")
+    m.write.overwrite().save(path)
+    val before = m.transform(feats).select("topicDistribution").collect()
+      .map(_.getAs[org.apache.spark.ml.linalg.Vector](0))
+    val fresh = spark.newSession()
+    org.apache.spark.sql.SparkSession.setActiveSession(fresh)
+    try {
+      val loaded = DistributedLDAModel.load(path)
+      val after = loaded.transform(feats).select("topicDistribution")
+        .collect().map(_.getAs[org.apache.spark.ml.linalg.Vector](0))
+      assert(before.length == after.length && before.nonEmpty)
+      // the save/load parquet round trip perturbs the EM statistics at
+      // ~1e-6; equality at 1e-4 matches the output rounding discipline
+      before.zip(after).foreach { case (a, b) =>
+        a.toArray.zip(b.toArray).foreach { case (x, y) =>
+          assert(math.abs(x - y) < 1e-4) } }
+    } finally org.apache.spark.sql.SparkSession.setActiveSession(spark)
+  }
+
   test("mllib RDD path agrees with DataFrame path (reference dual-API check)") {
     // Pearson: mllib.stat.Statistics vs SQL corr on two columns
     val li = Tables(spark, sf0001, "lineitem")
