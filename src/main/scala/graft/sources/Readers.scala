@@ -11,6 +11,12 @@ import org.apache.spark.sql.functions._
   */
 object Readers {
 
+  /** Columnar ORC scan — the reference genuinely reads ORC inputs
+    * (`IDFRunner.scala:102`, `IncPageRankRunner.scala:102-110`); same
+    * pushdown/pruning properties as the parquet path. */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** libsvm sparse rows → (label, features) (`DTRunner.scala:201-216`). */
   def libsvm(spark: SparkSession, path: String, numFeatures: Int): DataFrame =
     spark.read.format("libsvm")

@@ -21,6 +21,11 @@ object Writers {
       .parquet(path)
   }
 
+  /** ORC sink, pairing with Readers.orc for the reference's ORC flows. */
+  def orc(df: DataFrame, path: String, compression: String = "snappy"): Unit =
+    df.write.mode(SaveMode.Overwrite).option("compression", compression)
+      .orc(path)
+
   /** CSV with header, compat with the reference's text outputs. */
   def csv(df: DataFrame, path: String, compression: String = "none"): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true")

@@ -30,10 +30,35 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("cnt"), col("value_sum"))
 
-  /** Exactly-once-per-id dedup within the watermark horizon. */
+  /** Exactly-once-per-id dedup within the watermark horizon.
+    * dropDuplicatesWithinWatermark, NOT dropDuplicates: plain
+    * dropDuplicates only evicts state when the event-time column is part
+    * of the dedup key, so keying on event_id alone would grow state
+    * unboundedly on a long-running stream. */
   def dedup(events: DataFrame): DataFrame =
     events.withWatermark("ts", "20 minutes")
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Watermarked stream-stream interval join: for every left event, the
+    * right-side events of the same user within (0, maxDelayMinutes]
+    * AFTER it — the funnel/attribution join. Both sides carry
+    * watermarks, and the time-interval condition lets Spark bound and
+    * evict join state on both sides (unbounded state otherwise). */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      maxDelayMinutes: Int = 10): DataFrame = {
+    val l = left.withWatermark("ts", "20 minutes")
+      .select(col("user_id"), col("event_id").as("l_id"),
+        col("event_type").as("l_type"), col("ts").as("l_ts"))
+    val r = right.withWatermark("ts", "20 minutes")
+      .select(col("user_id").as("r_user"), col("event_id").as("r_id"),
+        col("event_type").as("r_type"), col("ts").as("r_ts"))
+    l.join(r,
+      col("user_id") === col("r_user") &&
+        col("r_ts") > col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $maxDelayMinutes MINUTES"))
+      .select(col("user_id"), col("l_id"), col("l_type"), col("l_ts"),
+        col("r_id"), col("r_type"), col("r_ts"))
+  }
 
   case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
   case class SessionState(start: Long, last: Long, n: Int, sum: Double)

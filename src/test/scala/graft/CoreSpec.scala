@@ -34,6 +34,15 @@ class CoreSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("report json survives NaN metrics and quoted job names") {
+    val r = Harness.Report("na\"me\n", Double.NaN, 1.5,
+      Map("ok" -> 2.0, "bad" -> Double.PositiveInfinity))
+    val j = r.toJson
+    assert(j.contains("\"na\\\"me\\n\""))
+    assert(j.contains("\"load_sec\":null") && j.contains("\"bad\":null"))
+    assert(j.contains("\"ok\":2.0"))
+  }
+
   test("scalar tolerance: the reference's 0.5% relative semantics") {
     assert(VerifyUtils.scalarMatch(100.0, 100.4))
     assert(!VerifyUtils.scalarMatch(100.0, 100.6))

@@ -10,6 +10,16 @@ class SourcesSpec extends AnyFunSuite {
   private def res(name: String): String =
     getClass.getClassLoader.getResource(name).getPath
 
+  test("orc round trip preserves rows and schema") {
+    val df = graft.sources.Tables(spark, sf0001, "region")
+    val path = java.nio.file.Files.createTempDirectory("orc")
+      .resolve("out").toString
+    graft.sources.Writers.orc(df, path)
+    val back = Readers.orc(spark, path)
+    assert(back.schema == df.schema)
+    assert(back.collect().toSet == df.collect().toSet)
+  }
+
   test("csv vectors") {
     val r = Readers.csvVectors(spark, res("vectors.csv")).collect()
     assert(r.length == 2)

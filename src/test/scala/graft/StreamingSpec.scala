@@ -55,6 +55,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches within the window only") {
+    implicit val sql = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, String, Double, Long)]
+    val buys = MemoryStream[(Long, Timestamp, String, Double, Long)]
+    def shaped(m: MemoryStream[(Long, Timestamp, String, Double, Long)]) =
+      m.toDF.toDF("event_id", "ts", "event_type", "value", "user_id")
+    val out = EventStreams.intervalJoin(shaped(clicks), shaped(buys),
+      maxDelayMinutes = 10)
+    val q = out.writeStream.format("memory").queryName("ij")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData((1L, ts(0), "click", 1.0, 7L), (2L, ts(0), "click", 1.0, 8L))
+      // user 7 buys 5 min after the click (in window), 30 min after
+      // (outside), user 9 buys with no click, user 8 never buys
+      buys.addData((10L, ts(5), "buy", 1.0, 7L), (11L, ts(30), "buy", 1.0, 7L),
+        (12L, ts(5), "buy", 1.0, 9L))
+      q.processAllAvailable()
+      val rows = spark.table("ij").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+      assert(rows == Set((7L, 1L, 10L)))
+      // late data beyond both watermarks: a buy at t=5 for user 8 after
+      // the watermark advanced past t=60+ finds the click state evicted
+      clicks.addData((3L, ts(120), "click", 1.0, 99L))
+      buys.addData((13L, ts(120), "buy", 1.0, 98L))
+      q.processAllAvailable()
+      buys.addData((14L, ts(5), "buy", 1.0, 8L))
+      q.processAllAvailable()
+      val after = spark.table("ij").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+      assert(after == Set((7L, 1L, 10L)), s"late row joined: $after")
+    } finally q.stop()
+  }
+
   test("sessionization closes a session when a gap opens a new one") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[SessionEvent]
