@@ -43,6 +43,43 @@ object GraphQueries {
       ", n AS (SELECT DISTINCT v FROM (SELECT src AS v FROM g " +
       "UNION ALL SELECT dst FROM g) nn) "
 
+  private val nodeCte =
+    ", n AS (SELECT src AS v FROM g UNION SELECT dst FROM g) "
+
+  /** Machine-generated chained-CTE oracle for the damped-rank family:
+    * p0 = `init`(v); p_{i+1}(v) = `reset`(v) + damp · Σ_{u→v} p_i(u)·w.
+    * Exactly the GraphX static loop (no dangling redistribution, rank
+    * NOT normalized), with `ne` carrying the per-edge transition weight.
+    * `roundAt` optionally floors-to-1e-6 one intermediate iteration —
+    * the incremental-PageRank query feeds ROUNDED prior ranks back in.
+    * Fixed iteration counts make the whole loop unrollable into plain
+    * SQL, one CTE per step. */
+  private def rankIterSql(neSql: String, iters: Int, init: String,
+      reset: String, outName: String, damp: Double = 0.85,
+      roundAt: Int = -1, extraCte: String = ""): String = {
+    val sb = new StringBuilder(edgeCte + nodeCte)
+    sb ++= extraCte
+    sb ++= s", ne AS ($neSql)"
+    sb ++= s", p0 AS (SELECT v AS node, CAST($init AS DOUBLE) AS rank FROM n)"
+    for (i <- 1 to iters) {
+      val prev = s"p${i - 1}"
+      val rank = s"$reset + $damp * COALESCE(s.m, 0)"
+      val rank2 = if (i == roundAt)
+        s"FLOOR(($rank) * 1000000 + 0.5) / 1000000" else rank
+      sb ++= s", p$i AS (SELECT n.v AS node, $rank2 AS rank FROM n " +
+        s"LEFT JOIN (SELECT ne.dst, SUM(p.rank * ne.w) AS m FROM $prev p " +
+        "JOIN ne ON ne.src = p.node GROUP BY ne.dst) s ON s.dst = n.v)"
+    }
+    sb ++= s" SELECT node, FLOOR(rank * 1000000 + 0.5) / 1000000 AS " +
+      s"$outName FROM p$iters ORDER BY node"
+    sb.toString
+  }
+
+  /** 1/outdegree transition weights (the unweighted PageRank family). */
+  private val neUnweighted =
+    "SELECT g.src, g.dst, 1.0 / d.od AS w FROM g JOIN " +
+      "(SELECT src, COUNT(*) AS od FROM g GROUP BY src) d ON d.src = g.src"
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_edges" -> ((s, d) => edges(s, d).orderBy("src", "dst")),
     "graph_degree" -> ((s, d) => Builtins.degrees(s, graph(s, d))),
@@ -261,6 +298,44 @@ object GraphQueries {
         "WHERE node <> landmark GROUP BY node, landmark) " +
         "SELECT node, FLOOR(SUM(1.0 / dist) / 8 * 1000000 + 0.5) / 1000000 " +
         "AS closeness FROM md WHERE dist > 0 GROUP BY node ORDER BY node"),
+    "graph_pagerank" ->
+      rankIterSql(neUnweighted, 10, "1.0", "0.15", "rank"),
+    "graph_wpr" ->
+      rankIterSql(
+        "SELECT g.src, g.dst, g.weight / d.ow AS w FROM g JOIN " +
+          "(SELECT src, SUM(weight) AS ow FROM g GROUP BY src) d ON d.src = g.src",
+        10, "1.0", "0.15", "rank"),
+    "graph_trustrank" ->
+      rankIterSql(neUnweighted, 10,
+        "CASE WHEN v IN (SELECT v FROM lm) THEN 0.2 ELSE 0 END",
+        "CASE WHEN n.v IN (SELECT v FROM lm) THEN 0.03 ELSE 0 END",
+        "trust",
+        extraCte = ", lm AS (SELECT v FROM n ORDER BY v LIMIT 5)"),
+    // prior = 5 iterations ROUNDED to 1e-6 (the query feeds the rounded
+    // prior frame back in), then 5 incremental iterations
+    "graph_incpr" ->
+      rankIterSql(neUnweighted, 10, "1.0", "0.15", "rank", roundAt = 5),
+    "graph_ppr" ->
+      rankIterSql(neUnweighted, 10,
+        "CASE WHEN v = (SELECT MIN(src) FROM g) THEN 1.0 ELSE 0 END",
+        "CASE WHEN n.v = (SELECT MIN(src) FROM g) THEN 0.15 ELSE 0 END",
+        "rank"),
+    // (graph_ppr_multi stays rows-only: GraphX's vector-batched
+    // runParallelPersonalizedPageRank converges to a measurably
+    // different fixpoint than the scalar personalized loop — observed
+    // effective restart ≈0.2 vs the nominal 0.15 — so a faithful SQL
+    // replica of the published formula does not hash-match it. Covered
+    // by the GraphSpec mass-concentration fixture instead.)
+    // SCC label = min id over the mutually-reachable set (GraphX's
+    // labeling), via the directed reachability closure joined with its
+    // own transpose
+    "graph_scc" ->
+      (edgeCteRec +
+        ", r AS (SELECT v AS node, v AS reach FROM n " +
+        "UNION SELECT r.node, g.dst FROM r JOIN g ON g.src = r.reach) " +
+        "SELECT a.node, MIN(a.reach) AS component FROM r a " +
+        "JOIN r b ON a.reach = b.node AND b.reach = a.node " +
+        "GROUP BY a.node ORDER BY a.node"),
     // undirected reachability closure; component label = min reachable id
     "graph_cc" ->
       (edgeCteRec +
