@@ -298,6 +298,23 @@ object GraphQueries {
         "WHERE node <> landmark GROUP BY node, landmark) " +
         "SELECT node, FLOOR(SUM(1.0 / dist) / 8 * 1000000 + 0.5) / 1000000 " +
         "AS closeness FROM md WHERE dist > 0 GROUP BY node ORDER BY node"),
+    "graph_clustering_coef" ->
+      (edgeCte +
+        ", u AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM g), " +
+        "n AS (SELECT src AS v FROM g UNION SELECT dst FROM g), " +
+        "deg AS (SELECT v, COUNT(*) AS d FROM " +
+        "(SELECT a AS v FROM u UNION ALL SELECT b FROM u) dv GROUP BY v), " +
+        "tri AS (SELECT x.a, x.b, y.b AS c FROM u x " +
+        "JOIN u y ON y.a = x.b JOIN u z ON z.a = x.a AND z.b = y.b), " +
+        "tv AS (SELECT v, COUNT(*) AS t FROM " +
+        "(SELECT a AS v FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri) tt " +
+        "GROUP BY v) " +
+        // CAST keeps Spark SQL on DOUBLE (its CASE would otherwise widen
+        // to DECIMAL and the cross-check string-compare sees 0.229420)
+        "SELECT n.v AS node, CAST(CASE WHEN COALESCE(deg.d, 0) >= 2 THEN " +
+        "FLOOR(COALESCE(tv.t, 0) * 2.0 / (deg.d * (deg.d - 1)) * 1000000 + 0.5) / 1000000 " +
+        "ELSE 0.0 END AS DOUBLE) AS local_cc FROM n LEFT JOIN deg ON deg.v = n.v " +
+        "LEFT JOIN tv ON tv.v = n.v ORDER BY node"),
     "graph_pagerank" ->
       rankIterSql(neUnweighted, 10, "1.0", "0.15", "rank"),
     "graph_wpr" ->

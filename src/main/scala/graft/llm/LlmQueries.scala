@@ -78,6 +78,20 @@ object LlmQueries {
         "ORDER BY query_id, rank"),
     "llm_hll_distinct" ->
       "SELECT COUNT(DISTINCT l_partkey) AS exact_d, TRUE AS approx_ok FROM lineitem",
+    // the LSH banding achieves full recall at threshold 0.5 on this
+    // corpus (duplicates are near-identical), so the verified output
+    // equals the exhaustive Jaccard≥0.5 pair set
+    "llm_near_dup_pairs" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "s AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN list_distinct(toks) " +
+        "ELSE list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] " +
+        "FOR i IN range(1, len(toks) - 1)]) END AS sh FROM t), " +
+        "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "FLOOR(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
+        "len(list_distinct(list_concat(a.sh, b.sh))) * 10000 + 0.5) / 10000 AS jaccard " +
+        "FROM s a JOIN s b ON a.doc_id < b.doc_id) " +
+        "SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.5 " +
+        "ORDER BY doc_a, doc_b"),
     "llm_token_count" ->
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens, " +
         "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) " +

@@ -44,8 +44,10 @@ object MlQueries {
     "ml_knn_class" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, count, lit}
       val e = emb(s, d)
+      // exact-path vote: deterministic, so the confusion matrix is
+      // oracle-checkable end to end
       knn.Knn.fit(s, e)
-        .classify(e.filter(col("vec_id") < 500), k = 5, tau = 0.2, labels = e)
+        .classifyExact(e.filter(col("vec_id") < 500), k = 5, labels = e)
         .join(e.select(col("vec_id").as("query_id"), col("label")), Seq("query_id"))
         .groupBy(col("label").cast("long").as("label"),
           col("prediction").cast("long").as("prediction"))
@@ -126,6 +128,63 @@ object MlQueries {
         "FLOOR(AVG(l_quantity) * 10000 + 0.5) / 10000 AS mean, " +
         "FLOOR(STDDEV_SAMP(l_quantity) * 10000 + 0.5) / 10000 AS std, " +
         "MIN(l_quantity) AS mn, MAX(l_quantity) AS mx FROM lineitem"),
+    // exact 5-NN (self excluded) majority vote, min-label tiebreak,
+    // grouped into the confusion matrix
+    "ml_knn_class" ->
+      ("WITH q AS (SELECT vec_id AS query_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS qe, " +
+        "label FROM embeddings WHERE vec_id < 500), " +
+        "c AS (SELECT vec_id AS nid, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS ce, " +
+        "label AS nl FROM embeddings), " +
+        "s AS (SELECT query_id, nid, nl, LIST_DISTANCE(qe, ce) AS dist FROM q CROSS JOIN c " +
+        "WHERE nid <> query_id), " +
+        "rk AS (SELECT query_id, nl, ROW_NUMBER() OVER (PARTITION BY query_id " +
+        "ORDER BY FLOOR(dist * 1000000 + 0.5) / 1000000, nid) AS rn FROM s), " +
+        "votes AS (SELECT query_id, nl, COUNT(*) AS v FROM rk WHERE rn <= 5 GROUP BY query_id, nl), " +
+        "pred AS (SELECT query_id, nl AS prediction FROM " +
+        "(SELECT query_id, nl, v, ROW_NUMBER() OVER (PARTITION BY query_id " +
+        "ORDER BY v DESC, nl) AS rn FROM votes) t WHERE rn = 1) " +
+        "SELECT CAST(q.label AS BIGINT) AS label, CAST(p.prediction AS BIGINT) AS prediction, " +
+        "COUNT(*) AS cnt FROM pred p JOIN q ON q.query_id = p.query_id " +
+        "GROUP BY q.label, p.prediction ORDER BY label, prediction"),
+    // grid DBSCAN ≡ brute-force DBSCAN at this scale: core = ≥5 in-eps
+    // neighbors (self incl.), cluster = min core id over the core-core
+    // reachability closure, border inherits the min neighbor-core label
+    "ml_dbscan" ->
+      ("WITH RECURSIVE p AS (SELECT vec_id AS id, CAST(embedding[1] AS DOUBLE) AS x, " +
+        "CAST(embedding[2] AS DOUBLE) AS y FROM embeddings), " +
+        "pr AS (SELECT a.id AS a, b.id AS b FROM p a JOIN p b ON " +
+        "(a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 0.05 * 0.05), " +
+        "core AS (SELECT a AS id FROM (SELECT a, COUNT(*) AS n FROM pr GROUP BY a) t WHERE n >= 5), " +
+        "ce AS (SELECT pr.a, pr.b FROM pr JOIN core ca ON ca.id = pr.a " +
+        "JOIN core cb ON cb.id = pr.b WHERE pr.a <> pr.b), " +
+        "r AS (SELECT id AS node, id AS reach FROM core " +
+        "UNION SELECT r.node, ce.b FROM r JOIN ce ON ce.a = r.reach), " +
+        "comp AS (SELECT node AS id, MIN(reach) AS label FROM r GROUP BY node), " +
+        "border AS (SELECT pr.a AS id, MIN(comp.label) AS blabel FROM pr " +
+        "JOIN core ON core.id = pr.b JOIN comp ON comp.id = pr.b " +
+        "WHERE pr.a NOT IN (SELECT id FROM core) GROUP BY pr.a) " +
+        "SELECT p.id, CAST(CASE WHEN comp.id IS NOT NULL THEN 0 " +
+        "WHEN border.id IS NOT NULL THEN 1 ELSE -1 END AS INTEGER) AS point_type, " +
+        "CAST(COALESCE(comp.label, border.blabel, -1) AS BIGINT) AS label " +
+        "FROM p LEFT JOIN comp ON comp.id = p.id LEFT JOIN border ON border.id = p.id " +
+        "ORDER BY p.id"),
+    // PrefixSpan (single-item itemsets, maxPatternLength 3) = a-priori
+    // subsequence counting: support of a pattern = #users with ordered
+    // positions matching it; threshold = ceil(0.2 · #users)
+    "ml_prefixspan" ->
+      ("WITH ev AS (SELECT user_id AS u, event_type AS t, " +
+        "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id, event_type) AS pos " +
+        "FROM events), " +
+        "m AS (SELECT CAST(CEIL(0.2 * COUNT(DISTINCT u)) AS BIGINT) AS mc FROM ev), " +
+        "l1 AS (SELECT t AS pattern, COUNT(DISTINCT u) AS freq FROM ev GROUP BY t), " +
+        "l2 AS (SELECT a.t || ';' || b.t AS pattern, COUNT(DISTINCT a.u) AS freq " +
+        "FROM ev a JOIN ev b ON a.u = b.u AND a.pos < b.pos GROUP BY a.t, b.t), " +
+        "l3 AS (SELECT a.t || ';' || b.t || ';' || c.t AS pattern, COUNT(DISTINCT a.u) AS freq " +
+        "FROM ev a JOIN ev b ON a.u = b.u AND a.pos < b.pos " +
+        "JOIN ev c ON b.u = c.u AND b.pos < c.pos GROUP BY a.t, b.t, c.t) " +
+        "SELECT pattern, freq FROM " +
+        "(SELECT * FROM l1 UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3) all_p, m " +
+        "WHERE freq >= m.mc ORDER BY pattern"),
     "ml_knn" ->
       ("WITH q AS (SELECT vec_id AS query_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS qe " +
         "FROM embeddings WHERE vec_id < 10), " +

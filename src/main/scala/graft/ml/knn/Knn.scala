@@ -190,9 +190,43 @@ object Knn {
         .orderBy("query_id")
     }
 
+    /** Reference-shaped nested output (`knn/KNN.scala:202-212` emits
+      * `neighbors: Array[Struct]` + distances): one row per query,
+      * neighbor ids and distances as rank-ordered array columns. The
+      * flat (query, rank, neighbor, dist) form stays the primary shape —
+      * friendlier to joins — but the typed nested shape is part of the
+      * surface. */
+    def searchNested(queries: DataFrame, k: Int, tau: Double): DataFrame =
+      search(queries, k, tau)
+        .groupBy("query_id")
+        .agg(array_sort(collect_list(struct(col("rank"), col("neighbor_id"),
+          col("dist")))).as("arr"))
+        .select(col("query_id"),
+          transform(col("arr"), x => x.getField("neighbor_id")).as("neighbors"),
+          transform(col("arr"), x => x.getField("dist")).as("distances"))
+        .orderBy("query_id")
+
     /** Per-leaf corpus row counts — introspection for balance checks. */
     def leafSizes: DataFrame =
       corpusWithLeaf.groupBy("leaf").agg(count(lit(1)).as("n"))
+
+    /** classify over the pruned exact search — deterministic, so the
+      * whole vote is DuckDB-oracle-checkable. */
+    def classifyExact(queries: DataFrame, k: Int,
+        labels: DataFrame): DataFrame = {
+      val nn = searchExact(queries, k, excludeSelf = true)
+      val voted = nn
+        .join(labels.select(col(idCol).as("neighbor_id"),
+          col("label").as("n_label")), Seq("neighbor_id"))
+        .groupBy("query_id", "n_label").agg(count(lit(1)).as("votes"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("votes").desc, col("n_label"))
+      voted.select(col("query_id"), col("n_label"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("n_label").as("prediction"))
+        .orderBy("query_id")
+    }
 
     /** Mean-of-neighbor-labels regression (self excluded). */
     def regress(queries: DataFrame, k: Int, tau: Double,

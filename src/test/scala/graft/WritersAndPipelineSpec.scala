@@ -131,6 +131,45 @@ class WritersAndPipelineSpec extends AnyFunSuite {
     assert(math.abs(mllibCorr - sqlCorr) < 1e-9)
   }
 
+  test("kmeans DF path agrees with mllib RDD path (reference dual-API check)") {
+    // `KMeansRunner.scala:136-189` runs both APIs and verifies at the
+    // 0.5% scalar tolerance; ml delegates to mllib, so same seed ⇒ same
+    // clustering
+    import org.apache.spark.ml.clustering.KMeans
+    val data = graft.ml.Supervised.embeddingFeatures(
+      Tables(spark, sf0001, "embeddings"))
+    val ml = new KMeans().setK(4).setMaxIter(10).setSeed(2020L).fit(data)
+    val rdd = data.select("features").rdd.map(r =>
+      org.apache.spark.mllib.linalg.Vectors.fromML(
+        r.getAs[org.apache.spark.ml.linalg.Vector](0)))
+      .cache()
+    val mllibModel = new org.apache.spark.mllib.clustering.KMeans()
+      .setK(4).setMaxIterations(10).setSeed(2020L).run(rdd)
+    val dfCost = ml.summary.trainingCost
+    val rddCost = mllibModel.computeCost(rdd)
+    assert(graft.core.VerifyUtils.scalarMatch(dfCost, rddCost),
+      s"df $dfCost vs rdd $rddCost")
+    rdd.unpersist()
+  }
+
+  test("knn nested output shape mirrors the flat ranking") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables(spark, sf0001, "embeddings")
+    val model = graft.ml.knn.Knn.fit(spark, e)
+    val qs = e.filter(col("vec_id") < 5)
+    val nested = model.searchNested(qs, k = 3, tau = 1e9).collect()
+    val flat = model.search(qs, k = 3, tau = 1e9).collect()
+      .groupBy(_.getLong(0))
+    assert(nested.length == 5)
+    nested.foreach { r =>
+      val ids = r.getSeq[Long](1)
+      val ds = r.getSeq[Double](2)
+      assert(ids.length == 3 && ds.length == 3)
+      val want = flat(r.getLong(0)).sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+      assert(ids == want, s"query ${r.getLong(0)}")
+    }
+  }
+
   test("hll approx distinct within 5% of exact at sf0.001") {
     val li = Tables(spark, sf0001, "lineitem")
     val exact = li.select(countDistinct($"l_partkey")).head().getLong(0)
