@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Relational
+import graft.sources.Tables
+
+/** Physical-plan assertions: the scale properties the DataFrame-first
+  * design claims (predicate pushdown, column pruning, broadcast joins,
+  * whole-stage codegen) must actually show up in the executed plan — a
+  * correct answer computed from a full scan is still a scale bug. */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q02 predicates push down into the parquet scan") {
+    val p = plan(Relational.q02(spark, sf0001))
+    assert(p.contains("PushedFilters: ["), p.take(2000))
+    // the plan's toString truncates the filter list, so match prefixes
+    assert(p.contains("GreaterThan(l_quantity") &&
+      p.contains("EqualTo(l_returnfl"), p.take(2000))
+  }
+
+  test("q01 scan reads only the projected columns") {
+    val p = plan(Relational.q01(spark, sf0001))
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_orderkey") && read.contains("l_quantity"))
+    // pruning: untouched wide columns never reach the scan
+    assert(!read.contains("l_extendedprice") && !read.contains("l_returnflag"),
+      read)
+  }
+
+  test("q20 broadcasts the small dimension sides") {
+    val p = plan(Relational.q20(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("q03 derived-column pipeline stays inside whole-stage codegen") {
+    val df = Relational.q03(spark, sf0001)
+    df.collect() // AQE only materializes the final codegen'd plan on execution
+    val p = plan(df)
+    // the compact toString renders WholeStageCodegen stages as "*(id)"
+    assert(p.contains("WholeStageCodegen") || p.contains("*("), p.take(2000))
+    assert(!p.toLowerCase.contains("batchevalpython"))
+  }
+
+  test("exact dedup shuffles the fixed-width hash, not document payloads") {
+    val p = plan(graft.llm.Dedup.exact(Tables(spark, sf0001, "documents")))
+    // partial aggregation happens before the exchange: HashAggregate
+    // appears below Exchange in the plan tree (map-side combine)
+    val lines = p.linesIterator.toSeq
+    val exchangeIdx = lines.indexWhere(_.contains("Exchange"))
+    val aggBelow = lines.drop(exchangeIdx + 1).exists(_.contains("HashAggregate"))
+    assert(exchangeIdx >= 0 && aggBelow, p.take(3000))
+  }
+}
