@@ -27,6 +27,9 @@ object MlQueries {
     "ml_dtree" -> ((s, d) => Supervised.decisionTree(s, emb(s, d))),
     "ml_rf" -> ((s, d) => Supervised.randomForest(s, emb(s, d))),
     "ml_gbt" -> ((s, d) => Supervised.gbt(s, li(s, d))),
+    "ml_dtree_reg" -> ((s, d) => Supervised.decisionTreeRegressor(s, li(s, d))),
+    "ml_rf_reg" -> ((s, d) => Supervised.randomForestRegressor(s, li(s, d))),
+    "ml_gbt_reg" -> ((s, d) => Supervised.gbtRegressor(s, li(s, d))),
     "ml_kmeans" -> ((s, d) => Unsupervised.kmeans(s, emb(s, d))),
     "ml_pca" -> ((s, d) => Unsupervised.pca(s, emb(s, d))),
     "ml_svd" -> ((s, d) => Unsupervised.svd(s, emb(s, d))),

@@ -4,7 +4,7 @@ import org.apache.spark.ml.classification.{DecisionTreeClassifier, GBTClassifier
 import org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator
 import org.apache.spark.ml.feature.VectorAssembler
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.ml.regression.LinearRegression
+import org.apache.spark.ml.regression.{DecisionTreeRegressor, GBTRegressor, LinearRegression, RandomForestRegressor}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -108,6 +108,39 @@ object Supervised {
       .sortBy { case (v, i) => (-v, i) }.take(5)
       .map { case (v, i) => (s"importance_$i", r4(v)) }
     (("accuracy", r4(acc)) +: top.toSeq).toDF("term", "value")
+  }
+
+  /** Tree-family regressors (the clf+reg dual surface of B5–B7; the
+    * reference runs both heads of each family, `DTRunner.scala:347-407`,
+    * `RFRunner.scala:162-301`, `GBDTRunner.scala:139-259`). Output =
+    * (term, value) rmse summary — small and deterministic. */
+  private def regSummary(spark: SparkSession, name: String,
+      data: DataFrame, predicted: DataFrame): DataFrame = {
+    import spark.implicits._
+    val rmse = math.sqrt(predicted
+      .select(avg(pow(col("label") - col("prediction"), 2)))
+      .head().getDouble(0))
+    Seq((s"${name}_rmse", r4(rmse))).toDF("term", "value")
+  }
+
+  def decisionTreeRegressor(spark: SparkSession, lineitem: DataFrame): DataFrame = {
+    val data = lineitemFeatures(lineitem)
+    val m = new DecisionTreeRegressor().setMaxDepth(5).setSeed(2020L).fit(data)
+    regSummary(spark, "dtree", data, m.transform(data))
+  }
+
+  def randomForestRegressor(spark: SparkSession, lineitem: DataFrame): DataFrame = {
+    val data = lineitemFeatures(lineitem)
+    val m = new RandomForestRegressor().setNumTrees(10).setMaxDepth(5)
+      .setSeed(2020L).fit(data)
+    regSummary(spark, "rf", data, m.transform(data))
+  }
+
+  def gbtRegressor(spark: SparkSession, lineitem: DataFrame): DataFrame = {
+    val data = lineitemFeatures(lineitem)
+    val m = new GBTRegressor().setMaxIter(5).setMaxDepth(3).setSeed(2020L)
+      .fit(data)
+    regSummary(spark, "gbt", data, m.transform(data))
   }
 
   /** GBT binary classifier (returnflag R vs not) on lineitem features. */

@@ -152,6 +152,68 @@ class WritersAndPipelineSpec extends AnyFunSuite {
     rdd.unpersist()
   }
 
+  test("decision tree DF path agrees with mllib RDD path (reference dual-API check)") {
+    // `DTRunner.scala:347-407` runs trainClassifier on the RDD side
+    // against the DF estimator on the same split
+    import org.apache.spark.ml.classification.DecisionTreeClassifier
+    import org.apache.spark.mllib.regression.LabeledPoint
+    import org.apache.spark.mllib.tree.DecisionTree
+    val data = graft.ml.Supervised.embeddingFeatures(
+      Tables(spark, sf0001, "embeddings")).cache()
+    val ml = new DecisionTreeClassifier().setMaxDepth(5).setMaxBins(32)
+      .setImpurity("gini").setSeed(2020L).fit(data)
+    val rdd = data.rdd.map(r => LabeledPoint(r.getDouble(1),
+      org.apache.spark.mllib.linalg.Vectors.fromML(
+        r.getAs[org.apache.spark.ml.linalg.Vector](0)))).cache()
+    val numClasses = data.select("label").distinct().count().toInt
+    val mllibModel = DecisionTree.trainClassifier(rdd, numClasses,
+      Map.empty[Int, Int], "gini", 5, 32)
+    val mlPred = ml.transform(data).select("prediction").collect()
+      .map(_.getDouble(0))
+    val rddPred = rdd.map(p => mllibModel.predict(p.features)).collect()
+    val agree = mlPred.zip(rddPred).count { case (a, b) => a == b }.toDouble /
+      mlPred.length
+    // both paths share the histogram-split core; small drift allowed for
+    // bin-boundary ties
+    assert(agree >= 0.95, s"agreement $agree")
+    rdd.unpersist(); data.unpersist()
+  }
+
+  test("ALS DF path agrees with mllib RDD path (reference dual-API check)") {
+    // `ALSRunner.scala:241-290` RDD path vs `:169-239` DF path
+    import org.apache.spark.ml.recommendation.ALS
+    import org.apache.spark.mllib.recommendation.{ALS => OldALS, Rating}
+    val ratings = Tables(spark, sf0001, "events")
+      .groupBy((col("user_id") % 50).cast("int").as("user"),
+        (col("event_id") % 20).cast("int").as("item"))
+      .agg(avg("value").cast("float").as("rating")).cache()
+    val ml = new ALS().setRank(4).setMaxIter(5).setSeed(2020L)
+      .setRegParam(0.1)
+      .setUserCol("user").setItemCol("item").setRatingCol("rating")
+      .setColdStartStrategy("drop").fit(ratings)
+    val mlRmse = {
+      val p = ml.transform(ratings)
+      math.sqrt(p.select(avg(pow(col("rating") - col("prediction"), 2)))
+        .head().getDouble(0))
+    }
+    val rdd = ratings.rdd.map(r => Rating(r.getInt(0), r.getInt(1),
+      r.getFloat(2).toDouble)).cache()
+    // seed both paths: the unseeded overload draws random init and the
+    // comparison becomes run-to-run noise
+    val old = OldALS.train(rdd, 4, 5, 0.1, -1, 2020L)
+    val preds = old.predict(rdd.map(r => (r.user, r.product)))
+      .map(r => ((r.user, r.product), r.rating))
+    val joined = rdd.map(r => ((r.user, r.product), r.rating)).join(preds)
+    val rddRmse = math.sqrt(joined.map { case (_, (a, b)) =>
+      (a - b) * (a - b) }.mean())
+    // the two front-ends block the factor matrices differently, so the
+    // seeded inits differ and bit-equality is out; both fits are
+    // deterministic and land within 1% of each other (asserted at 2%)
+    assert(graft.core.VerifyUtils.scalarMatch(mlRmse, rddRmse, 0.02),
+      s"df $mlRmse vs rdd $rddRmse")
+    rdd.unpersist(); ratings.unpersist()
+  }
+
   test("knn nested output shape mirrors the flat ranking") {
     import org.apache.spark.sql.functions.col
     val e = Tables(spark, sf0001, "embeddings")
