@@ -4,17 +4,18 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.EuclideanDistance
+import graft.functions.{DotProduct, EuclideanDistance}
 
 /** Engine extensions registered through the public
   * `SparkSessionExtensions` API (SURVEY §2 "custom operators" path (c)):
-  * currently one native function, `graft_euclid(array<float>,
-  * array<float>) -> double`, the codegen'd distance kernel.
+  * native codegen'd kernels `graft_euclid(array<float>, array<float>) ->
+  * double` (distance) and `graft_dot(array<float>, array<float>) ->
+  * double` (similarity).
   *
   * Activate via `SparkSession.builder.withExtensions(new GraftExtensions)`
   * or `--conf spark.sql.extensions=graft.GraftExtensions`. Callers that
   * may run in an unextended session (the KNN/similarity operators) probe
-  * `spark.catalog.functionExists` and fall back to an equivalent UDF.
+  * `spark.catalog.functionExists` and fall back to an equivalent UDF/HOF.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -24,6 +25,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.length == 2, "graft_euclid takes exactly 2 arguments")
         EuclideanDistance(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "graft_dot takes exactly 2 arguments")
+        DotProduct(children.head, children(1))
       }))
   }
 }

@@ -42,9 +42,14 @@ object Similarity {
       col("embedding").as("qe")))
     val c = corpus.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("ce"))
+    // native codegen'd kernel when the session carries GraftExtensions
+    // (no per-row intermediate array); identical IEEE sequence either way
+    val rawDot: Column =
+      if (queries.sparkSession.catalog.functionExists("graft_dot"))
+        expr("graft_dot(qe, ce)")
+      else dot(col("qe"), col("ce"))
     val scored = c.join(q)
-      .select(col("query_id"), col("neighbor_id"),
-        dot(col("qe"), col("ce")).as("raw_dot"))
+      .select(col("query_id"), col("neighbor_id"), rawDot.as("raw_dot"))
       .select(col("query_id"), col("neighbor_id"), col("raw_dot"),
         (floor(col("raw_dot") * 1e6 + 0.5) / 1e6).as("dot6"))
     val w = Window.partitionBy("query_id")

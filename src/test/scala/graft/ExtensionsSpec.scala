@@ -45,6 +45,23 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(diff == 0)
   }
 
+  test("graft_dot registers and is bit-identical to the HOF formulation") {
+    assert(extended.catalog.functionExists("graft_dot"))
+    import extended.implicits._
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))
+      .toDF("a", "b")
+    assert(df.select(expr("graft_dot(a, b)")).head().getDouble(0) == 32.0)
+    val e = Tables(extended, TestSpark.sf0001, "embeddings").limit(50)
+    val pairs = e.select($"vec_id".as("i"), $"embedding".as("a"))
+      .crossJoin(e.select($"vec_id".as("j"), $"embedding".as("b")))
+      .filter($"i" < $"j").limit(500)
+    val diff = pairs
+      .select(expr("graft_dot(a, b)").as("x"),
+        graft.llm.Similarity.dot($"a", $"b").as("y"))
+      .filter($"x" =!= $"y").count()
+    assert(diff == 0)
+  }
+
   test("knn uses the native function in an extended session, same results") {
     import extended.implicits._
     val e = Tables(extended, TestSpark.sf0001, "embeddings")
