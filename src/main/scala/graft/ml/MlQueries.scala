@@ -31,6 +31,7 @@ object MlQueries {
     "ml_rf_reg" -> ((s, d) => Supervised.randomForestRegressor(s, li(s, d))),
     "ml_gbt_reg" -> ((s, d) => Supervised.gbtRegressor(s, li(s, d))),
     "ml_kmeans" -> ((s, d) => Unsupervised.kmeans(s, emb(s, d))),
+    "ml_lloyd_fixed" -> ((s, d) => Unsupervised.lloydFixed(s, emb(s, d))),
     "ml_pca" -> ((s, d) => Unsupervised.pca(s, emb(s, d))),
     "ml_svd" -> ((s, d) => Unsupervised.svd(s, emb(s, d))),
     "ml_idf" -> ((s, d) => TextModels.idf(s, docs(s, d))),
@@ -96,7 +97,45 @@ object MlQueries {
       s"FROM $src a JOIN $src b ON a.vec_id = b.vec_id AND a.i <= b.i " +
       "GROUP BY a.i, b.i ORDER BY i, j"
 
+  /** Unrolled deterministic-Lloyd oracle: one (assign, update, centers)
+    * CTE triple per iteration. LIST_DISTANCE is sequential like the
+    * Spark-side fold; centers rounded to 1e-6 per iteration on both
+    * sides so group-summation order cannot drift; clusters that lose
+    * every point keep their previous center. MATERIALIZED per the
+    * DuckDB-inlines-CTEs-per-reference lesson. */
+  private def lloydSql(k: Int, iters: Int, dim: Int): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH x AS MATERIALIZED (SELECT vec_id, " +
+      "LIST_TRANSFORM(embedding, v -> CAST(v AS DOUBLE)) AS xv FROM embeddings)"
+    sb ++= ", xd AS MATERIALIZED (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v " +
+      s"FROM embeddings, generate_series(1, $dim) t(i))"
+    sb ++= ", c0 AS MATERIALIZED (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster, " +
+      "LIST_TRANSFORM(xv, v -> FLOOR(v * 1000000 + 0.5) / 1000000) AS cv " +
+      s"FROM (SELECT vec_id, xv FROM x ORDER BY vec_id LIMIT $k) t0)"
+    for (i <- 1 to iters) {
+      sb ++= s", a$i AS MATERIALIZED (SELECT vec_id, cluster FROM " +
+        "(SELECT x.vec_id, c.cluster, ROW_NUMBER() OVER (PARTITION BY x.vec_id " +
+        s"ORDER BY LIST_DISTANCE(x.xv, c.cv), c.cluster) AS rn FROM x CROSS JOIN c${i - 1} c) q " +
+        "WHERE rn = 1)"
+      sb ++= s", m$i AS MATERIALIZED (SELECT a.cluster, d.i, " +
+        "FLOOR(AVG(d.v) * 1000000 + 0.5) / 1000000 AS m " +
+        s"FROM a$i a JOIN xd d ON d.vec_id = a.vec_id GROUP BY a.cluster, d.i)"
+      sb ++= s", c$i AS MATERIALIZED (SELECT p.cluster, " +
+        "CASE WHEN COUNT(m.m) = 0 THEN p.cv ELSE LIST(m.m ORDER BY m.i) END AS cv " +
+        s"FROM c${i - 1} p LEFT JOIN m$i m ON m.cluster = p.cluster " +
+        "GROUP BY p.cluster, p.cv)"
+    }
+    sb ++= " SELECT cluster, dim, value FROM (" +
+      s"SELECT c.cluster, CAST(t.i - 1 AS INTEGER) AS dim, c.cv[t.i] AS value " +
+      s"FROM c$iters c, generate_series(1, $dim) t(i) " +
+      "UNION ALL " +
+      s"SELECT cluster, CAST(-1 AS INTEGER) AS dim, CAST(COUNT(*) AS DOUBLE) AS value " +
+      s"FROM a$iters GROUP BY cluster) u ORDER BY cluster, dim"
+    sb.toString
+  }
+
   val oracle: Map[String, String] = Map(
+    "ml_lloyd_fixed" -> lloydSql(k = 4, iters = 5, dim = 64),
     "ml_corr_matrix" ->
       (unpivotCte + upperMatrix("CORR(a.v, b.v)", "x")),
     "ml_cov_matrix" ->

@@ -34,6 +34,55 @@ object Unsupervised {
       .orderBy("term")
   }
 
+  /** Lloyd iterations with DETERMINISTIC initialization (centers = the k
+    * lowest vec_ids) — the oracle-checkable complement to [[kmeans]]
+    * (stock KMeans|| init is seeded RNG state no external engine can
+    * replay). The plan is the scale-correct Lloyd shape: centers live on
+    * the driver (k×dim doubles) and enter the plan as literals, so
+    * assignment is a map-side projection — argmin over k codegen'd
+    * distance expressions, no shuffle — and only the center update
+    * shuffles k×dim partial sums. Centers are rounded to 1e-6 each
+    * iteration so cross-engine float summation order cannot drift.
+    * Output: (cluster, dim, value) flattened centers + (cluster, -1, n)
+    * size rows. */
+  def lloydFixed(spark: SparkSession, embeddings: DataFrame, k: Int = 4,
+      iters: Int = 5, dim: Int = 64): DataFrame = {
+    import spark.implicits._
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    var centers: Array[Array[Double]] = embeddings.orderBy("vec_id").limit(k)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .map(_.map(r6))
+    val xd = transform(col("embedding"), v => v.cast("double"))
+    def distTo(c: Array[Double]): org.apache.spark.sql.Column =
+      sqrt(aggregate(
+        zip_with(xd, typedLit(c.toSeq), (x, cc) => (x - cc) * (x - cc)),
+        lit(0.0), (acc, v) => acc + v))
+    var assigned: DataFrame = null
+    for (_ <- 1 to iters) {
+      val best = centers.zipWithIndex
+        .map { case (c, i) => struct(distTo(c).as("d"), lit(i).as("c")) }
+        .reduce((a, b) => when(a <= b, a).otherwise(b))
+      assigned = embeddings
+        .select(col("vec_id"), xd.as("x"), best.getField("c").as("cluster"))
+      val sums = assigned
+        .select(col("cluster"), posexplode(col("x")).as(Seq("dim", "v")))
+        .groupBy("cluster", "dim").agg(avg("v").as("m"))
+        .collect()
+      val next = centers.map(_.clone())
+      sums.foreach(r =>
+        next(r.getInt(0))(r.getInt(1)) = r6(r.getDouble(2)))
+      centers = next // clusters that lost every point keep their center
+    }
+    val sizes = assigned.groupBy("cluster")
+      .agg(count(lit(1)).cast("double").as("value"))
+      .select(col("cluster").cast("long"), lit(-1).as("dim"), col("value"))
+    val flat = centers.zipWithIndex.flatMap { case (c, i) =>
+      c.zipWithIndex.map { case (v, j) => (i.toLong, j, v) } }
+      .toSeq.toDF("cluster", "dim", "value")
+    flat.unionByName(sizes).orderBy("cluster", "dim")
+  }
+
   /** PCA top-k principal components; output = per-component explained
     * variance (sign-free). */
   def pca(spark: SparkSession, embeddings: DataFrame, k: Int = 8): DataFrame = {

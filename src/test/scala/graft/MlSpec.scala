@@ -126,7 +126,7 @@ class MlSpec extends AnyFunSuite {
     // CustomMlSpec's brute-force differential / MlSpec formula checks
     val duckdbOnly = Set("ml_knn", "ml_corr_matrix", "ml_cov_matrix",
       "ml_spearman_matrix", "ml_idf", "ml_knn_class", "ml_dbscan",
-      "ml_prefixspan")
+      "ml_prefixspan", "ml_lloyd_fixed")
     for (name <- MlQueries.oracle.keys if !duckdbOnly(name)) {
       val dsl = MlQueries.all(name)(spark, sf0001).collect()
         .map(_.toSeq.map(String.valueOf)).toSeq
