@@ -23,9 +23,16 @@ import org.apache.spark.sql.functions._
 object Node2Vec {
 
   def walks(spark: SparkSession, edges: DataFrame, numWalks: Int = 4,
-      walkLength: Int = 6, p: Double = 1.0, q: Double = 1.0): DataFrame = {
+      walkLength: Int = 6, p: Double = 1.0, q: Double = 1.0,
+      maxDegree: Int = 10000): DataFrame = {
+    // hub cap: the second-order step scores O(d_cur · d_prev) per walker
+    // (candidate × prev-adjacency membership); an uncapped 1e6-degree hub
+    // would cost 1e12 ops per visit at full scale. Keeping the `maxDegree`
+    // lexicographically-smallest neighbors biases hub walks toward a
+    // fixed subset — deterministic, documented, and bounded.
     val nbrs = edges.select(col("src"), col("dst")).distinct()
       .groupBy("src").agg(array_sort(collect_set(col("dst"))).as("nbrs"))
+      .select(col("src"), slice(col("nbrs"), 1, maxDegree).as("nbrs"))
       .localCheckpoint()
     var walkers = nbrs.select(col("src").as("cur"))
       .distinct()

@@ -42,6 +42,8 @@ object LlmQueries {
       Similarity.lshNeighbors(e.filter(col("vec_id") < 10), e, maxDist = 1.2)
     }),
     "llm_multimodal" -> ((s, d) => Multimodal.documentsAsMedia(s, docs(s, d))),
+    "llm_multimodal_frames" -> ((s, d) =>
+      Multimodal.documentsAsFrames(s, docs(s, d))),
     "llm_hll_distinct" -> ((s, d) =>
       // 100 TB distinct counting: HLL sketch vs exact. The sketch value
       // itself is impl-defined, so the checkable output is the exact

@@ -52,6 +52,52 @@ object Multimodal {
     }
   }
 
+  /** STUB resize — stands in for an image scale: deterministically
+    * resamples the payload to `targetW × targetH` bytes (nearest-byte
+    * pick). The real op swaps only this function; the schema contract
+    * (payload′ + updated metadata) and the shuffle-free per-row plumbing
+    * are what the engine owns. */
+  def stubResize(payload: Array[Byte], srcW: Int,
+      targetW: Int, targetH: Int): Array[Byte] = {
+    val out = new Array[Byte](math.max(targetW * targetH, 0))
+    val n = math.max(payload.length, 1)
+    var i = 0
+    while (i < out.length) {
+      out(i) = payload((i.toLong * n / math.max(out.length, 1)).toInt % n)
+      i += 1
+    }
+    out
+  }
+
+  /** Resize a media batch: payloads re-encoded, metadata updated. Pure
+    * projection — payloads never shuffle. */
+  def resize(media: Dataset[MediaRow], targetW: Int,
+      targetH: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map(r => MediaRow(r.media_id,
+        stubResize(r.payload, r.width, targetW, targetH),
+        r.format, targetW, targetH))
+    }
+  }
+
+  case class MediaFrame(media_id: Long, frame_no: Int, payload: Array[Byte])
+
+  /** STUB frame sampling — stands in for a video decoder pulling every
+    * k-th frame: slices the payload into `frameBytes`-sized chunks and
+    * keeps each `stride`-th one. One media row explodes into its frame
+    * rows (flatMap — the row multiplier the real op would have), so
+    * downstream per-frame feature extraction parallelizes per frame. */
+  def frameSample(media: Dataset[MediaRow], frameBytes: Int = 64,
+      stride: Int = 2): Dataset[MediaFrame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      r.payload.grouped(frameBytes).zipWithIndex
+        .filter { case (_, i) => i % stride == 0 }
+        .map { case (chunk, i) => MediaFrame(r.media_id, i, chunk) }
+    }
+  }
+
   /** Demo pipeline over the documents table: text bytes stand in for a
     * media payload (UTF-8 is as opaque to the plumbing as JPEG would be).
     * Output: id, dim, rounded feature norm — deterministic. */
@@ -69,5 +115,25 @@ object Multimodal {
           (a, x) => a + x.cast("double") * x.cast("double")) * 10000 + 0.5) / 10000)
           .as("feat_sq_norm"))
       .orderBy("media_id")
+  }
+
+  /** Full media pipeline demo: resize → frame-sample → per-frame feature
+    * extraction. Output: (media_id, frame_no, feat_sq_norm) — the
+    * video-style one-row-to-many-frames shape. */
+  def documentsAsFrames(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val media = docs.select(
+      col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      lit("video/fake").as("format"),
+      col("n_chars").cast("int").as("width"),
+      lit(1).as("height")).as[MediaRow]
+    val frames = frameSample(resize(media, targetW = 128, targetH = 1),
+      frameBytes = 32, stride = 2)
+    frames.map(f => (f.media_id, f.frame_no,
+        math.floor(stubDecode(f.payload, 8)
+          .foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble) * 1e4 + 0.5) / 1e4))
+      .toDF("media_id", "frame_no", "feat_sq_norm")
+      .orderBy("media_id", "frame_no")
   }
 }

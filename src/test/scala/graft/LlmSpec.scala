@@ -105,6 +105,16 @@ class LlmSpec extends AnyFunSuite {
     assert(a.forall(_.getDouble(2) > 0))
   }
 
+  test("multimodal resize + frame-sample pipeline multiplies rows deterministically") {
+    val docs = Tables(spark, sf0001, "documents").limit(20)
+    val a = Multimodal.documentsAsFrames(spark, docs).collect()
+    val b = Multimodal.documentsAsFrames(spark, docs).collect()
+    assert(a.nonEmpty && a.sameElements(b))
+    // resize to 128 bytes, 32-byte frames, stride 2 → frames 0 and 2 per doc
+    val perDoc = a.groupBy(_.getLong(0))
+    assert(perDoc.values.forall(_.map(_.getInt(1)).sorted.toSeq == Seq(0, 2)))
+  }
+
   test("llm oracle-checked queries run nonempty at sf0.001") {
     for ((name, fn) <- LlmQueries.all) {
       val n = fn(spark, sf0001).count()
