@@ -136,6 +136,40 @@ object MlQueries {
 
   val oracle: Map[String, String] = Map(
     "ml_lloyd_fixed" -> lloydSql(k = 4, iters = 5, dim = 64),
+    // regParam 0 with 3 features resolves to the closed-form normal-
+    // equation solver, so OLS via Cramer's rule on the centered 3×3
+    // system reproduces the fit exactly
+    "ml_linreg" ->
+      ("WITH s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, " +
+        "AVG(l_quantity) AS mq, AVG(l_discount) AS md, AVG(l_tax) AS mt, " +
+        "AVG(l_extendedprice) AS my, " +
+        "SUM(l_quantity*l_quantity) AS qq, SUM(l_quantity*l_discount) AS qd, " +
+        "SUM(l_quantity*l_tax) AS qt, SUM(l_discount*l_discount) AS dd, " +
+        "SUM(l_discount*l_tax) AS dt, SUM(l_tax*l_tax) AS tt, " +
+        "SUM(l_quantity*l_extendedprice) AS qy, " +
+        "SUM(l_discount*l_extendedprice) AS dy, " +
+        "SUM(l_tax*l_extendedprice) AS ty FROM lineitem), " +
+        "m AS (SELECT n, mq, md, mt, my, " +
+        "qq - n*mq*mq AS a, qd - n*mq*md AS b, qt - n*mq*mt AS cc, " +
+        "dd - n*md*md AS e, dt - n*md*mt AS f, tt - n*mt*mt AS g, " +
+        "qy - n*mq*my AS r1, dy - n*md*my AS r2, ty - n*mt*my AS r3 FROM s), " +
+        "k AS (SELECT mq, md, mt, my, " +
+        "(r1*(e*g - f*f) - b*(r2*g - f*r3) + cc*(r2*f - e*r3)) / " +
+        "(a*(e*g - f*f) - b*(b*g - f*cc) + cc*(b*f - e*cc)) AS b1, " +
+        "(a*(r2*g - f*r3) - r1*(b*g - f*cc) + cc*(b*r3 - r2*cc)) / " +
+        "(a*(e*g - f*f) - b*(b*g - f*cc) + cc*(b*f - e*cc)) AS b2, " +
+        "(a*(e*r3 - r2*f) - b*(b*r3 - r2*cc) + r1*(b*f - e*cc)) / " +
+        "(a*(e*g - f*f) - b*(b*g - f*cc) + cc*(b*f - e*cc)) AS b3 FROM m), " +
+        "kk AS (SELECT b1, b2, b3, my - b1*mq - b2*md - b3*mt AS b0 FROM k), " +
+        "rm AS (SELECT SQRT(AVG(POW(l_extendedprice - " +
+        "(b0 + b1*l_quantity + b2*l_discount + b3*l_tax), 2))) AS rmse " +
+        "FROM lineitem, kk) " +
+        "SELECT term, FLOOR(value * 10000 + 0.5) / 10000 AS value FROM (" +
+        "SELECT 'coef_0' AS term, b1 AS value FROM kk " +
+        "UNION ALL SELECT 'coef_1', b2 FROM kk " +
+        "UNION ALL SELECT 'coef_2', b3 FROM kk " +
+        "UNION ALL SELECT 'intercept', b0 FROM kk " +
+        "UNION ALL SELECT 'rmse', rmse FROM rm) u ORDER BY term"),
     "ml_corr_matrix" ->
       (unpivotCte + upperMatrix("CORR(a.v, b.v)", "x")),
     "ml_cov_matrix" ->
