@@ -117,6 +117,46 @@ object GraphQueries {
     sb.toString
   }
 
+  /** Unrolled k-core peeling oracle: for each k the subgraph repeatedly
+    * drops nodes of degree < k until stable (`rounds` must cover the
+    * longest cascade — 15 measured at sf0.01), and core(v) = the largest
+    * k whose stable subgraph still contains v. The edge set is
+    * re-restricted to survivors once per k level so the per-round joins
+    * shrink as k grows. MATERIALIZED throughout; CTE count stays under
+    * DuckDB's expression-depth limit of 1000. */
+  private def kcoreSql(maxK: Int, rounds: Int): String = {
+    val parts = scala.collection.mutable.Buffer[String]()
+    parts += edgeCte
+      .replace("e0 AS (", "e0 AS MATERIALIZED (")
+      .replace("g AS (", "g AS MATERIALIZED (")
+      .stripSuffix(" ")
+    parts += ", ee_1 AS MATERIALIZED (SELECT DISTINCT src, dst FROM " +
+      "(SELECT src, dst FROM g UNION ALL SELECT dst AS src, src AS dst FROM g) ss)"
+    parts += s", s_1_$rounds AS MATERIALIZED (SELECT DISTINCT src AS v FROM ee_1)"
+    for (k <- 2 to maxK) {
+      parts += s", ee_$k AS MATERIALIZED (SELECT d.src, d.dst FROM ee_${k - 1} d " +
+        s"JOIN s_${k - 1}_$rounds p1 ON p1.v = d.src " +
+        s"JOIN s_${k - 1}_$rounds p2 ON p2.v = d.dst)"
+      var prev: String = null
+      for (r <- 1 to rounds) {
+        val sname = s"s_${k}_$r"
+        parts +=
+          (if (prev == null)
+            s", $sname AS MATERIALIZED (SELECT src AS v FROM ee_$k " +
+              s"GROUP BY src HAVING COUNT(*) >= $k)"
+          else
+            s", $sname AS MATERIALIZED (SELECT d.src AS v FROM ee_$k d " +
+              s"JOIN $prev p1 ON p1.v = d.src JOIN $prev p2 ON p2.v = d.dst " +
+              s"GROUP BY d.src HAVING COUNT(*) >= $k)")
+        prev = sname
+      }
+    }
+    val unions = (1 to maxK)
+      .map(k => s"SELECT v, $k AS k FROM s_${k}_$rounds").mkString(" UNION ALL ")
+    parts.mkString + s" SELECT v AS node, CAST(MAX(k) AS INTEGER) AS core " +
+      s"FROM ($unions) u GROUP BY v ORDER BY node"
+  }
+
   /** 1/outdegree transition weights (the unweighted PageRank family). */
   private val neUnweighted =
     "SELECT g.src, g.dst, 1.0 / d.od AS w FROM g JOIN " +
@@ -341,6 +381,7 @@ object GraphQueries {
         "SELECT node, FLOOR(SUM(1.0 / dist) / 8 * 1000000 + 0.5) / 1000000 " +
         "AS closeness FROM md WHERE dist > 0 GROUP BY node ORDER BY node"),
     "graph_betweenness" -> betweennessSql(sources = 8, levels = 6),
+    "graph_kcore" -> kcoreSql(maxK = 36, rounds = 16),
     "graph_clustering_coef" ->
       (edgeCte +
         ", u AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM g), " +

@@ -98,15 +98,25 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** 64-bit SimHash over token xxhash64 values: per-bit majority vote of
-    * ±1 contributions, packed into a long. Near-dups differ in few bits
+  /** 60-bit token hash derived from sha2-256 — slower than xxhash64 but
+    * reproducible in any engine with SHA-256 (DuckDB, Trino, …), which
+    * makes the downstream sketch oracle-checkable. 15 hex chars keep the
+    * value inside a signed long. */
+  def sha2TokenHash(t: Column): Column =
+    conv(substring(sha2(t, 256), 1, 15), 16, 10).cast("long")
+
+  /** 64-bit SimHash over hashed tokens: per-bit majority vote of ±1
+    * contributions, packed into a long. Near-dups differ in few bits
     * (compare with bit_count(a ^ b) <= k). Implemented as explode +
     * 64-column hash aggregate (codegen'd, map-side partial) — not nested
-    * lambdas. Empty documents drop out. */
-  def simHash(docs: DataFrame): DataFrame = {
+    * lambdas. Empty documents drop out. `tokenHash` defaults to xxhash64
+    * (fastest); pass [[sha2TokenHash]] for a cross-engine-replicable
+    * sketch. */
+  def simHash(docs: DataFrame,
+      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     val hashes = docs
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+      .select(col("doc_id"), tokenHash(col("t")).as("h"))
     val bitCols = (0 until 64).map(i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1, 1)
         .otherwise(-1)).as(s"b$i"))

@@ -32,7 +32,11 @@ object LlmQueries {
         .orderBy("doc_id")),
     "llm_near_dup_pairs" -> ((s, d) =>
       Dedup.nearDupPairs(docs(s, d), shingleSize = 3, threshold = 0.5)),
-    "llm_simhash" -> ((s, d) => Dedup.simHash(docs(s, d))),
+    "llm_simhash" -> ((s, d) =>
+      // sha2-derived token hash: same sketch machinery, but every engine
+      // can reproduce the hash, so the full 64-bit sketch is
+      // oracle-checked (the xxhash64 default stays for hot paths)
+      Dedup.simHash(docs(s, d), Dedup.sha2TokenHash)),
     "llm_ann_cosine" -> ((s, d) => {
       val e = emb(s, d)
       Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e, k = 5)
@@ -115,6 +119,16 @@ object LlmQueries {
         "FLOOR(LEAST(1.0, uniq_ratio * 0.4 + alpha_ratio * 0.4 + " +
         "LEAST(stopword_ratio * 4, 1.0) * 0.2) * 10000 + 0.5) / 10000 AS quality " +
         "FROM s ORDER BY doc_id"),
+    // 60-bit sha2 token hashes: bits 60..63 are always 0, so summing
+    // bits 0..59 reconstructs the exact packed long
+    "llm_simhash" ->
+      ("WITH t AS (SELECT doc_id, CAST(CONCAT('0x', SUBSTR(sha256(tok), 1, 15)) AS BIGINT) AS h " +
+        "FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents) u), " +
+        "bits AS (SELECT doc_id, i, " +
+        "SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s " +
+        "FROM t, generate_series(0, 59) g(i) GROUP BY doc_id, i) " +
+        "SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) " +
+        "ELSE 0 END) AS BIGINT) AS simhash FROM bits GROUP BY doc_id ORDER BY doc_id"),
     "llm_langid" ->
       ("WITH t AS (SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents), " +
         "s AS (SELECT doc_id, text, " +

@@ -140,7 +140,7 @@ class GraphSpec extends AnyFunSuite {
     // set-semantics UNION, which Spark SQL rejects); they are covered by
     // the DuckDB gate itself
     val duckdbOnly = Set("graph_bfs", "graph_sssp", "graph_closeness",
-      "graph_cc", "graph_scc", "graph_betweenness")
+      "graph_cc", "graph_scc", "graph_betweenness", "graph_kcore")
     for ((name, sql) <- GraphQueries.oracle if !duckdbOnly(name)) {
       val dsl = GraphQueries.all(name)(spark, sf0001).collect()
         .map(_.toSeq.map(String.valueOf)).toSeq
