@@ -52,25 +52,55 @@ object Dedup {
     * aggregate; the signature is assembled post-agg and sliced into
     * `numHashes / rowsPerBand` band buckets. Docs sharing any bucket are
     * near-dup candidates. Empty documents produce no shingles and drop
-    * out (nothing to collide with). */
+    * out (nothing to collide with).
+    *
+    * `replicable = true` swaps the xxhash64 shingle/seed/band hashing
+    * for sha2 shingle hashes + the modular mixing family below — every
+    * value then reproduces in any engine with SHA-256 and 64-bit
+    * integer arithmetic, making the full signature/band output
+    * oracle-checkable. Default stays on xxhash64 (fastest). */
   def minHash(docs: DataFrame, shingleSize: Int = 3,
-      numHashes: Int = 32, rowsPerBand: Int = 4): DataFrame = {
+      numHashes: Int = 32, rowsPerBand: Int = 4,
+      replicable: Boolean = false): DataFrame = {
     require(numHashes % rowsPerBand == 0, "bands must tile the signature")
     val nBands = numHashes / rowsPerBand
     val hashes = withShingleSets(docs, shingleSize)
       .select(col("doc_id"), explode(col("shingle_set")).as("sh"))
-      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
-    val sigCols = (0 until numHashes).map(s => min(xxhash64(col("h"), lit(s))).as(s"m$s"))
+      .select(col("doc_id"),
+        (if (replicable) sha2TokenHash(col("sh")) else xxhash64(col("sh")))
+          .as("h"))
+    val sigCols = (0 until numHashes).map { s =>
+      val mixed =
+        if (replicable) mixMod(col("h"), s) else xxhash64(col("h"), lit(s))
+      min(mixed).as(s"m$s")
+    }
+    val bandCol =
+      if (replicable)
+        transform(sequence(lit(0), lit(nBands - 1)),
+          b => aggregate(
+            slice(col("signature"), b * rowsPerBand + 1, lit(rowsPerBand)),
+            b.cast("long"),
+            (acc, v) => ((acc % MixM) * 31 + (v % MixM) + 7) % MixP))
+      else
+        transform(sequence(lit(0), lit(nBands - 1)),
+          b => xxhash64(concat_ws(",",
+            transform(slice(col("signature"), b * rowsPerBand + 1, lit(rowsPerBand)),
+              x => x.cast("string"))), b))
     hashes.groupBy("doc_id")
       .agg(sigCols.head, sigCols.tail: _*)
       .select(col("doc_id"),
         array((0 until numHashes).map(i => col(s"m$i")): _*).as("signature"))
-      .select(col("doc_id"), col("signature"),
-        transform(sequence(lit(0), lit(nBands - 1)),
-          b => xxhash64(concat_ws(",",
-            transform(slice(col("signature"), b * rowsPerBand + 1, lit(rowsPerBand)),
-              x => x.cast("string"))), b)).as("bands"))
+      .select(col("doc_id"), col("signature"), bandCol.as("bands"))
   }
+
+  /** Modular mixing family for the replicable minhash: overflow-free on
+    * signed 64-bit — inputs reduce mod 2^52 before the ≤65 multiplier,
+    * products stay under 2^58, results under the Mersenne prime 2^61−1.
+    * The same arithmetic evaluates identically in any 64-bit engine. */
+  private val MixM = 4503599627370496L // 2^52
+  private val MixP = 2305843009213693951L // 2^61 - 1
+  private def mixMod(h: Column, s: Int): Column =
+    (lit(2L * s + 3) * (h % MixM) + lit(104729L * s + 12345L)) % MixP
 
   /** Near-duplicate pairs: ids-only LSH candidate join on band buckets,
     * then shingle sets re-joined for exact Jaccard verification,

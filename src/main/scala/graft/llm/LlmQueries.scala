@@ -20,12 +20,15 @@ object LlmQueries {
     "llm_quality" -> ((s, d) => TextOps.quality(docs(s, d))),
     "llm_langid" -> ((s, d) => TextOps.langId(docs(s, d))),
     "llm_token_count" -> ((s, d) => TextOps.tokenCount(docs(s, d))),
-    "llm_fingerprint" -> ((s, d) => TextOps.fingerprint(docs(s, d))),
+    "llm_fingerprint" -> ((s, d) =>
+      // sha2 token hash: the rotate-xor fold becomes engine-replicable
+      TextOps.fingerprint(docs(s, d), Dedup.sha2TokenHash)),
     "llm_dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))),
     "llm_dedup_minhash" -> ((s, d) =>
-      // signature/bands serialized at the query boundary: the driver's
-      // compare cannot hash array cells (round-1 `err`)
-      Dedup.minHash(docs(s, d))
+      // signature/bands serialized at the query boundary (the driver's
+      // compare cannot hash array cells); replicable hashing so the
+      // whole sketch is oracle-checked
+      Dedup.minHash(docs(s, d), replicable = true)
         .select(col("doc_id"),
           concat_ws(",", col("signature")).as("signature"),
           concat_ws(",", col("bands")).as("bands"))
@@ -119,6 +122,40 @@ object LlmQueries {
         "FLOOR(LEAST(1.0, uniq_ratio * 0.4 + alpha_ratio * 0.4 + " +
         "LEAST(stopword_ratio * 4, 1.0) * 0.2) * 10000 + 0.5) / 10000 AS quality " +
         "FROM s ORDER BY doc_id"),
+    // replicable minhash: sha2 shingle hashes + the modular mixing
+    // family (reduce mod 2^52, multiplier ≤65, Mersenne-prime modulus);
+    // bands fold each 4-wide signature slice from the band index
+    "llm_dedup_minhash" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "s1 AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN list_distinct(toks) " +
+        "ELSE list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] " +
+        "FOR i IN range(1, len(toks) - 1)]) END AS sh FROM t), " +
+        "hs AS (SELECT doc_id, CAST(CONCAT('0x', SUBSTR(sha256(s), 1, 15)) AS BIGINT) AS h " +
+        "FROM (SELECT doc_id, UNNEST(sh) AS s FROM s1) ex), " +
+        "mins AS (SELECT doc_id, g.s, " +
+        "MIN(((2 * g.s + 3) * (h % 4503599627370496) + (104729 * g.s + 12345)) " +
+        "% 2305843009213693951) AS m " +
+        "FROM hs, generate_series(0, 31) g(s) GROUP BY doc_id, g.s), " +
+        "sig AS (SELECT doc_id, LIST(m ORDER BY s) AS sg FROM mins GROUP BY doc_id), " +
+        "bnd AS (SELECT doc_id, LIST(bv ORDER BY b) AS bl FROM " +
+        "(SELECT doc_id, b, list_reduce(list_prepend(b, list_slice(sg, 4 * b + 1, 4 * b + 4)), " +
+        "(acc, v) -> ((acc % 4503599627370496) * 31 + (v % 4503599627370496) + 7) " +
+        "% 2305843009213693951) AS bv FROM sig, generate_series(0, 7) gb(b)) q " +
+        "GROUP BY doc_id) " +
+        "SELECT s.doc_id AS doc_id, array_to_string(s.sg, ',') AS signature, " +
+        "array_to_string(b2.bl, ',') AS bands FROM sig s " +
+        "JOIN bnd b2 ON b2.doc_id = s.doc_id ORDER BY s.doc_id"),
+    // rotate-left-1 XOR fold; the rotate is decomposed into 62-bit mask
+    // arithmetic because DuckDB's << refuses signed overflow
+    "llm_fingerprint" ->
+      ("WITH t AS (SELECT doc_id, LIST_TRANSFORM(string_split(text, ' '), " +
+        "tok -> CAST(CONCAT('0x', SUBSTR(sha256(tok), 1, 15)) AS BIGINT)) AS hs " +
+        "FROM documents) " +
+        "SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), hs), " +
+        "(acc, h) -> xor(((acc & 4611686018427387903) * 2 + " +
+        "(CASE WHEN acc < 0 THEN 1 ELSE 0 END)) " +
+        "- ((acc >> 62) & 1) * 9223372036854775807 - ((acc >> 62) & 1), h)) " +
+        "AS fingerprint FROM t ORDER BY doc_id"),
     // 60-bit sha2 token hashes: bits 60..63 are always 0, so summing
     // bits 0..59 reconstructs the exact packed long
     "llm_simhash" ->

@@ -103,10 +103,13 @@ object TextOps {
       .orderBy("doc_id")
 
   /** Rolling-hash document fingerprint: rotate-left-1 XOR fold over
-    * per-token xxhash64 values. Order-sensitive (unlike a token-set hash)
-    * and ANSI-safe (bit ops only, no overflowing arithmetic). */
-  def fingerprint(docs: DataFrame): DataFrame = {
-    val hashes = transform(tokens(col("text")), t => xxhash64(t))
+    * per-token hashes. Order-sensitive (unlike a token-set hash) and
+    * ANSI-safe (bit ops only, no overflowing arithmetic). `tokenHash`
+    * defaults to xxhash64; pass [[Dedup.sha2TokenHash]] for a
+    * cross-engine-replicable fingerprint. */
+  def fingerprint(docs: DataFrame,
+      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+    val hashes = transform(tokens(col("text")), t => tokenHash(t))
     val fp = aggregate(hashes, lit(0L), (acc, h) =>
       shiftleft(acc, 1).bitwiseOR(shiftrightunsigned(acc, 63)).bitwiseXOR(h))
     docs.select(col("doc_id"), fp.as("fingerprint")).orderBy("doc_id")
