@@ -48,6 +48,11 @@ object LlmQueries {
       val e = emb(s, d)
       Similarity.lshNeighbors(e.filter(col("vec_id") < 10), e, maxDist = 1.2)
     }),
+    "llm_ann_lsh_det" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.lshNeighborsDeterministic(
+        e.filter(col("vec_id") < 10), e, maxDist = 1.2)
+    }),
     "llm_multimodal" -> ((s, d) => Multimodal.documentsAsMedia(s, docs(s, d))),
     "llm_multimodal_frames" -> ((s, d) =>
       Multimodal.documentsAsFrames(s, docs(s, d))),
@@ -122,6 +127,25 @@ object LlmQueries {
         "FLOOR(LEAST(1.0, uniq_ratio * 0.4 + alpha_ratio * 0.4 + " +
         "LEAST(stopword_ratio * 4, 1.0) * 0.2) * 10000 + 0.5) / 10000 AS quality " +
         "FROM s ORDER BY doc_id"),
+    // deterministic sign-projection LSH: parity-derived ±1 projections,
+    // bucket = floor(dot/2), equal-bucket candidates, true-distance gate
+    "llm_ann_lsh_det" ->
+      ("WITH x AS (SELECT vec_id, LIST_TRANSFORM(embedding, v -> CAST(v AS DOUBLE)) AS xv " +
+        "FROM embeddings), " +
+        "sgn AS (SELECT t, LIST(CASE WHEN ((2 * t + 3) * j + 104729 * t + 12345) % 2 = 0 " +
+        "THEN -1.0 ELSE 1.0 END ORDER BY j) AS sv " +
+        "FROM generate_series(0, 2) g1(t), generate_series(0, 63) g2(j) GROUP BY t), " +
+        "qb AS (SELECT q.vec_id AS query_id, q.xv AS qe, s.t, " +
+        "FLOOR(LIST_INNER_PRODUCT(q.xv, s.sv) / 2.0) AS b " +
+        "FROM x q CROSS JOIN sgn s WHERE q.vec_id < 10), " +
+        "cb AS (SELECT c.vec_id AS neighbor_id, c.xv AS ce, s.t, " +
+        "FLOOR(LIST_INNER_PRODUCT(c.xv, s.sv) / 2.0) AS b " +
+        "FROM x c CROSS JOIN sgn s), " +
+        "cand AS (SELECT query_id, neighbor_id, MIN(LIST_DISTANCE(qe, ce)) AS d " +
+        "FROM qb JOIN cb ON cb.t = qb.t AND cb.b = qb.b " +
+        "GROUP BY query_id, neighbor_id) " +
+        "SELECT query_id, neighbor_id, FLOOR(d * 10000 + 0.5) / 10000 AS dist " +
+        "FROM cand WHERE d <= 1.2 ORDER BY query_id, neighbor_id"),
     // replicable minhash: sha2 shingle hashes + the modular mixing
     // family (reduce mod 2^52, multiplier ≤65, Mersenne-prime modulus);
     // bands fold each 4-wide signature slice from the band index

@@ -62,6 +62,50 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Deterministic sign-projection LSH: like [[lshNeighbors]] but the
+    * projection vectors are ±1 patterns derived from a closed-form
+    * parity (not an RNG stream), so any engine can rebuild the exact
+    * buckets and the output is oracle-checkable. Candidates share a
+    * (table, bucket) key — bucket = ⌊x·p_t / bucketLength⌋ — and are
+    * verified against the true distance. The same shape scales the same
+    * way: candidate cost is bucket co-occupancy, never |Q|×|C|. */
+  def lshNeighborsDeterministic(queries: DataFrame, corpus: DataFrame,
+      maxDist: Double, bucketLength: Double = 2.0, numTables: Int = 3,
+      dim: Int = 64): DataFrame = {
+    def signs(t: Int): Seq[Double] =
+      (0 until dim).map(j =>
+        if (((2 * t + 3) * j + 104729 * t + 12345) % 2 == 0) -1.0 else 1.0)
+    val xd = transform(col("embedding"), v => v.cast("double"))
+    def bucketed(df: DataFrame, idName: String): DataFrame = {
+      val perTable = (0 until numTables).map { t =>
+        val dot = aggregate(
+          zip_with(xd, typedLit(signs(t)), (x, s) => x * s),
+          lit(0.0), (a, v) => a + v)
+        struct(lit(t).as("t"), floor(dot / bucketLength).as("b"))
+      }
+      df.select(col("vec_id").as(idName), col("embedding"),
+          explode(array(perTable: _*)).as("tb"))
+        .select(col(idName), col("embedding"),
+          col("tb.t").as("t"), col("tb.b").as("b"))
+    }
+    val q = bucketed(queries, "query_id")
+      .select(col("query_id"), col("embedding").as("qe"), col("t"), col("b"))
+    val c = bucketed(corpus, "neighbor_id")
+      .select(col("neighbor_id"), col("embedding").as("ce"), col("t"), col("b"))
+    val dist = sqrt(aggregate(
+      zip_with(col("qe"), col("ce"),
+        (x, y) => (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (a, v) => a + v))
+    q.join(c, Seq("t", "b"))
+      .select(col("query_id"), col("neighbor_id"), dist.as("d"))
+      .groupBy("query_id", "neighbor_id").agg(min("d").as("d"))
+      .filter(col("d") <= maxDist)
+      .select(col("query_id"), col("neighbor_id"),
+        (floor(col("d") * 10000 + 0.5) / 10000).as("dist"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
   /** Approximate neighbors via random-projection LSH buckets: join cost is
     * bounded by bucket co-occupancy instead of |Q|×|C|. Seeded, so output
     * is deterministic. Returns pairs within `maxDist` (euclidean). */

@@ -105,6 +105,14 @@ class LlmSpec extends AnyFunSuite {
     assert(a.forall(_.getDouble(2) > 0))
   }
 
+  test("deterministic sign-projection LSH finds self-matches at distance 0") {
+    val e = Tables(spark, sf0001, "embeddings")
+    val r = Similarity.lshNeighborsDeterministic(
+      e.filter($"vec_id" < 5), e, maxDist = 0.001).collect()
+    val selfPairs = r.filter(x => x.getLong(0) == x.getLong(1))
+    assert(selfPairs.length == 5) // identical vectors share every bucket
+  }
+
   test("multimodal resize + frame-sample pipeline multiplies rows deterministically") {
     val docs = Tables(spark, sf0001, "documents").limit(20)
     val a = Multimodal.documentsAsFrames(spark, docs).collect()
