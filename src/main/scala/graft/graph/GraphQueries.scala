@@ -157,6 +157,72 @@ object GraphQueries {
       s"FROM ($unions) u GROUP BY v ORDER BY node"
   }
 
+  /** Unrolled synchronous-LPA oracle: per round, each vertex takes the
+    * (count DESC, label ASC)-first label over its deduplicated undirected
+    * neighborhood — integer counts and a total tiebreak, so the unroll is
+    * bit-exact. One CTE per round, MATERIALIZED (DuckDB inlines plain
+    * CTEs per reference). */
+  private def lpaSyncSql(iters: Int): String = {
+    val sb = new StringBuilder(
+      edgeCte
+        .replace("e0 AS (", "e0 AS MATERIALIZED (")
+        .replace("g AS (", "g AS MATERIALIZED ("))
+    sb ++= ", ee AS MATERIALIZED (SELECT DISTINCT src, dst FROM " +
+      "(SELECT src, dst FROM g UNION ALL SELECT dst AS src, src AS dst FROM g) u2)"
+    sb ++= ", l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM ee)"
+    for (i <- 1 to iters)
+      sb ++= s", l$i AS MATERIALIZED (SELECT node, label FROM " +
+        "(SELECT e.dst AS node, l.label, ROW_NUMBER() OVER (PARTITION BY e.dst " +
+        s"ORDER BY COUNT(*) DESC, l.label) AS rn FROM ee e JOIN l${i - 1} l " +
+        "ON l.node = e.src GROUP BY e.dst, l.label) q WHERE rn = 1)"
+    sb ++= s" SELECT node, label FROM l$iters ORDER BY node"
+    sb.toString
+  }
+
+  /** Unrolled GraphX Pregel dynamic PageRank (runUntilConvergence):
+    * superstep 0 gives every vertex rank = reset, delta = reset; each
+    * round, ACTIVE vertices (those that received a message last round)
+    * with delta > tol send delta·w along out-edges; receivers update
+    * rank += damp·msg, delta = damp·msg; non-receivers keep rank AND
+    * delta but go inactive. Once no messages flow, the remaining CTEs
+    * are identity — so a fixed unroll past the convergence point
+    * reproduces the data-dependent iteration count exactly. */
+  private def prConvSql(tol: Double, iters: Int,
+      personalized: Boolean = false): String = {
+    val sb = new StringBuilder(
+      (edgeCte + nodeCte)
+        .replace("e0 AS (", "e0 AS MATERIALIZED (")
+        .replace("g AS (", "g AS MATERIALIZED (")
+        .replace("n AS (", "n AS MATERIALIZED ("))
+    sb ++= s", ne AS MATERIALIZED ($neUnweighted)"
+    // superstep 0: standard — every vertex rank=δ=reset; personalized —
+    // the source jumps to 1 (its -∞-sentinel branch), everyone else 0
+    sb ++= (if (personalized)
+      ", v0 AS MATERIALIZED (SELECT v AS node, " +
+        "CAST(CASE WHEN v = (SELECT MIN(src) FROM g) THEN 1.0 ELSE 0.0 END AS DOUBLE) AS rank, " +
+        "CAST(CASE WHEN v = (SELECT MIN(src) FROM g) THEN 1.0 ELSE 0.0 END AS DOUBLE) AS delta, " +
+        "TRUE AS active FROM n)"
+    else
+      ", v0 AS MATERIALIZED (SELECT v AS node, CAST(0.15 AS DOUBLE) AS rank, " +
+        "CAST(0.15 AS DOUBLE) AS delta, TRUE AS active FROM n)")
+    for (i <- 1 to iters) {
+      sb ++= s", m$i AS MATERIALIZED (SELECT ne.dst, SUM(v.delta * ne.w) AS msg " +
+        s"FROM v${i - 1} v JOIN ne ON ne.src = v.node " +
+        s"WHERE v.active AND v.delta > $tol GROUP BY ne.dst)"
+      sb ++= s", v$i AS MATERIALIZED (SELECT n.v AS node, " +
+        "CASE WHEN m.msg IS NULL THEN v.rank ELSE v.rank + 0.85 * m.msg END AS rank, " +
+        "CASE WHEN m.msg IS NULL THEN v.delta ELSE 0.85 * m.msg END AS delta, " +
+        s"m.msg IS NOT NULL AS active FROM n JOIN v${i - 1} v ON v.node = n.v " +
+        s"LEFT JOIN m$i m ON m.dst = n.v)"
+    }
+    // GraphX 4.x normalizeRankSum: ×n/Σ (standard) or ÷Σ (personalized)
+    val scale = if (personalized) "rank / t.s" else "rank * t.cnt / t.s"
+    sb ++= s", tot AS (SELECT SUM(rank) AS s, COUNT(*) AS cnt FROM v$iters)"
+    sb ++= s" SELECT node, FLOOR($scale * 1000000 + 0.5) / 1000000 AS rank " +
+      s"FROM v$iters, tot t ORDER BY node"
+    sb.toString
+  }
+
   /** 1/outdegree transition weights (the unweighted PageRank family). */
   private val neUnweighted =
     "SELECT g.src, g.dst, 1.0 / d.od AS w FROM g JOIN " +
@@ -209,6 +275,8 @@ object GraphQueries {
     "graph_scc" -> ((s, d) =>
       Builtins.stronglyConnectedComponents(s, graph(s, d), 10)),
     "graph_lpa" -> ((s, d) => Builtins.labelPropagation(s, graph(s, d), 5)),
+    "graph_lpa_sync" -> ((s, d) =>
+      Iterative.labelPropagationSync(s, edges(s, d), 5)),
     "graph_kcore" -> ((s, d) => Iterative.kCore(s, ugraph(s, d), maxIter = 20)),
     "graph_modularity" -> ((s, d) => {
       // deterministic hash-partition assignment (node mod 16) so the
@@ -399,6 +467,9 @@ object GraphQueries {
         "FLOOR(COALESCE(tv.t, 0) * 2.0 / (deg.d * (deg.d - 1)) * 1000000 + 0.5) / 1000000 " +
         "ELSE 0.0 END AS DOUBLE) AS local_cc FROM n LEFT JOIN deg ON deg.v = n.v " +
         "LEFT JOIN tv ON tv.v = n.v ORDER BY node"),
+    "graph_lpa_sync" -> lpaSyncSql(5),
+    "graph_pagerank_conv" -> prConvSql(tol = 1e-4, iters = 100),
+    "graph_ppr_conv" -> prConvSql(tol = 1e-4, iters = 100, personalized = true),
     "graph_pagerank" ->
       rankIterSql(neUnweighted, 10, "1.0", "0.15", "rank"),
     "graph_wpr" ->

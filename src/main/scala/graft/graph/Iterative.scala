@@ -170,6 +170,38 @@ object Iterative {
     g.vertices.toDF("node", "core").orderBy("node")
   }
 
+  /** Deterministic synchronous label propagation — the oracle-checkable
+    * companion to the GraphX C10 wrapper (whose tie-break follows
+    * hash-map iteration order and cannot be replayed externally): every
+    * vertex starts at its own id; each round all vertices simultaneously
+    * adopt the most frequent label among their deduplicated undirected
+    * neighbors, ties broken toward the SMALLEST label. Integer counts +
+    * total tiebreak ⇒ bit-exact across engines. Plan: one shuffle per
+    * round (join + partial-agg count + window rank), lineage truncated
+    * per round. */
+  def labelPropagationSync(spark: SparkSession, edges: DataFrame,
+      iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val und = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().cache()
+    var labels = und.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    val w = Window.partitionBy("node").orderBy(desc("cnt"), asc("label"))
+    for (_ <- 1 to iters) {
+      labels = und
+        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), col("label"))
+        .groupBy("node", "label").agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("label"))
+        .localCheckpoint()
+    }
+    und.unpersist(blocking = false)
+    labels.orderBy("node")
+  }
+
   /** Directed modularity (C13) of a community assignment:
     * Q = Σ_c [ e_c/m − (out_c · in_c)/m² ], with e_c = intra-community
     * weight, out_c/in_c community degree sums, m = total weight.

@@ -190,6 +190,46 @@ object LlmQueries {
         "FROM t, generate_series(0, 59) g(i) GROUP BY doc_id, i) " +
         "SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) " +
         "ELSE 0 END) AS BIGINT) AS simhash FROM bits GROUP BY doc_id ORDER BY doc_id"),
+    // stub decode = per-dim INTEGER byte sums (exact) + one double
+    // divide + one float32 rounding — all replicable: bytes come from
+    // hex(encode(text)), the REAL cast mirrors Java's .toFloat, and the
+    // squared-norm reduce runs in dim order like the Spark-side fold
+    "llm_multimodal" ->
+      ("WITH t AS (SELECT doc_id, hex(encode(text)) AS hx, " +
+        "octet_length(encode(text)) AS n FROM documents), " +
+        // the generate_series TVF cannot take a lateral bound; the scalar
+        // list function range(0, n) + UNNEST can
+        "b AS (SELECT doc_id, i % 16 AS dim, " +
+        "CAST(CONCAT('0x', SUBSTR(hx, 2 * i + 1, 2)) AS BIGINT) AS byte " +
+        "FROM (SELECT doc_id, hx, UNNEST(range(0, n)) AS i FROM t) u), " +
+        "s AS (SELECT t.doc_id, d.dim, COALESCE(SUM(b.byte), 0) AS sb " +
+        "FROM t CROSS JOIN generate_series(0, 15) d(dim) " +
+        "LEFT JOIN b ON b.doc_id = t.doc_id AND b.dim = d.dim " +
+        "GROUP BY t.doc_id, d.dim), " +
+        "f AS (SELECT doc_id, dim, " +
+        "CAST(CAST(CAST(sb AS DOUBLE) / 255.0 AS REAL) AS DOUBLE) AS fv FROM s), " +
+        "l AS (SELECT doc_id, LIST(fv * fv ORDER BY dim) AS sq FROM f GROUP BY doc_id) " +
+        "SELECT doc_id AS media_id, CAST(16 AS INTEGER) AS feat_dim, " +
+        "FLOOR(list_reduce(list_prepend(0.0, sq), (a, x) -> a + x) * 10000 + 0.5) / 10000 " +
+        "AS feat_sq_norm FROM l ORDER BY media_id"),
+    // resize(128×1, nearest-byte pick) → 32-byte frames, stride 2 →
+    // 8-dim stub decode per frame; same integer-sum replication
+    "llm_multimodal_frames" ->
+      ("WITH t AS (SELECT doc_id, hex(encode(text)) AS hx, " +
+        "octet_length(encode(text)) AS n FROM documents), " +
+        "r AS (SELECT doc_id, i, CAST(CONCAT('0x', " +
+        "SUBSTR(hx, 2 * (((i * n) // 128) % n) + 1, 2)) AS BIGINT) AS byte " +
+        "FROM t, generate_series(0, 127) g(i)), " +
+        "fr AS (SELECT doc_id, i // 32 AS frame_no, (i % 32) % 8 AS dim, " +
+        "SUM(byte) AS sb FROM r WHERE (i // 32) % 2 = 0 " +
+        "GROUP BY doc_id, i // 32, (i % 32) % 8), " +
+        "f AS (SELECT doc_id, frame_no, dim, " +
+        "CAST(CAST(CAST(sb AS DOUBLE) / 255.0 AS REAL) AS DOUBLE) AS fv FROM fr), " +
+        "l AS (SELECT doc_id, frame_no, LIST(fv * fv ORDER BY dim) AS sq " +
+        "FROM f GROUP BY doc_id, frame_no) " +
+        "SELECT doc_id AS media_id, CAST(frame_no AS INTEGER) AS frame_no, " +
+        "FLOOR(list_reduce(list_prepend(0.0, sq), (a, x) -> a + x) * 10000 + 0.5) / 10000 " +
+        "AS feat_sq_norm FROM l ORDER BY media_id, frame_no"),
     "llm_langid" ->
       ("WITH t AS (SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents), " +
         "s AS (SELECT doc_id, text, " +

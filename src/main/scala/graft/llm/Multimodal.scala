@@ -29,16 +29,19 @@ object Multimodal {
       features: Array[Float])
 
   /** STUB decoder — stands in for an image/audio decode. Deterministic:
-    * folds payload bytes into `dim` float accumulators. A real decoder
-    * replaces only this function. */
+    * folds payload bytes into `dim` INTEGER accumulators, with a single
+    * float division at the end — so the fake features are bit-replicable
+    * by any engine (integer sums are exact; one double divide + one
+    * float rounding, no float32 accumulation-order sensitivity). A real
+    * decoder replaces only this function. */
   def stubDecode(payload: Array[Byte], dim: Int): Array[Float] = {
-    val acc = new Array[Float](dim)
+    val acc = new Array[Long](dim)
     var i = 0
     while (i < payload.length) {
-      acc(i % dim) += (payload(i) & 0xff) / 255.0f
+      acc(i % dim) += (payload(i) & 0xff)
       i += 1
     }
-    acc
+    acc.map(s => (s / 255.0).toFloat)
   }
 
   /** Per-partition batch decode: binary payloads → feature vectors.

@@ -30,6 +30,16 @@ object MlQueries {
     "ml_dtree_reg" -> ((s, d) => Supervised.decisionTreeRegressor(s, li(s, d))),
     "ml_rf_reg" -> ((s, d) => Supervised.randomForestRegressor(s, li(s, d))),
     "ml_gbt_reg" -> ((s, d) => Supervised.gbtRegressor(s, li(s, d))),
+    "ml_logreg_rule" -> ((s, d) => Supervised.logRegRule(s, emb(s, d))),
+    "ml_svc_rule" -> ((s, d) => Supervised.svcRule(s, emb(s, d))),
+    "ml_dtree_rule" -> ((s, d) => Supervised.decisionTreeRule(s, emb(s, d))),
+    "ml_rf_rule" -> ((s, d) => Supervised.randomForestRule(s, emb(s, d))),
+    "ml_gbt_rule" -> ((s, d) => Supervised.gbtRule(s, emb(s, d))),
+    "ml_dtree_reg_rule" -> ((s, d) => Supervised.decisionTreeRegRule(s, emb(s, d))),
+    "ml_rf_reg_rule" -> ((s, d) => Supervised.randomForestRegRule(s, emb(s, d))),
+    "ml_gbt_reg_rule" -> ((s, d) => Supervised.gbtRegRule(s, emb(s, d))),
+    "ml_pca2" -> ((s, d) => Unsupervised.pca2(s, emb(s, d))),
+    "ml_svd2" -> ((s, d) => Unsupervised.svd2(s, emb(s, d))),
     "ml_kmeans" -> ((s, d) => Unsupervised.kmeans(s, emb(s, d))),
     "ml_lloyd_fixed" -> ((s, d) => Unsupervised.lloydFixed(s, emb(s, d))),
     "ml_pca" -> ((s, d) => Unsupervised.pca(s, emb(s, d))),
@@ -134,8 +144,80 @@ object MlQueries {
     sb.toString
   }
 
+  /** Separable-rule fixture shared by the supervised prediction oracles:
+    * labels derive from embedding[1] with the |x| ≤ 0.03 band excluded, so
+    * a correctly-fit model's training predictions equal the rule itself. */
+  private val ruleCte =
+    "WITH d AS (SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x " +
+      "FROM embeddings WHERE ABS(CAST(embedding[1] AS DOUBLE)) > 0.03) "
+
+  // CAST keeps DuckDB on DOUBLE (bare 1.0 literals widen CASE to DECIMAL)
+  private val clsRuleSql = ruleCte +
+    "SELECT vec_id, CAST(CASE WHEN x > 0 THEN 1.0 ELSE 0.0 END AS DOUBLE) " +
+    "AS prediction FROM d ORDER BY vec_id"
+
+  private val regRuleSql = ruleCte +
+    "SELECT vec_id, CAST(CASE WHEN x < 0 THEN 10.0 ELSE 20.0 END AS DOUBLE) " +
+    "AS prediction FROM d ORDER BY vec_id"
+
+  /** Tree-family fixture: coarse integer feature floor(5x), full table
+    * (no margin needed — split candidates sit between integer levels). */
+  private val treeRuleCte =
+    "WITH d AS (SELECT vec_id, FLOOR(CAST(embedding[1] AS DOUBLE) * 5) AS f " +
+      "FROM embeddings) "
+
+  private val treeClsRuleSql = treeRuleCte +
+    "SELECT vec_id, CAST(CASE WHEN f >= 0 THEN 1.0 ELSE 0.0 END AS DOUBLE) " +
+    "AS prediction FROM d ORDER BY vec_id"
+
+  private val treeRegRuleSql = treeRuleCte +
+    "SELECT vec_id, CAST(CASE WHEN f < 0 THEN 10.0 ELSE 20.0 END AS DOUBLE) " +
+    "AS prediction FROM d ORDER BY vec_id"
+
+  /** Closed-form 2×2 eigensystem CTE: a/b/c is the (co)variance or Gram
+    * matrix, l1/l2 its eigenvalues, eigenvector for λ ∝ (b, λ−a). */
+  private def eig2Sql(a: String, b: String, c: String, fromSql: String,
+      rowSql: String): String =
+    "WITH d AS (SELECT CAST(embedding[1] AS DOUBLE) AS x, " +
+      "CAST(embedding[2] AS DOUBLE) AS y FROM embeddings), " +
+      s"s AS (SELECT $a AS a, $b AS b, $c AS c FROM $fromSql), " +
+      "e AS (SELECT a, b, c, " +
+      "(a + c) / 2 + SQRT((a - c) * (a - c) / 4 + b * b) AS l1, " +
+      "(a + c) / 2 - SQRT((a - c) * (a - c) / 4 + b * b) AS l2 FROM s), " +
+      "v AS (SELECT a, b, c, l1, l2, " +
+      "SQRT(b * b + (l1 - a) * (l1 - a)) AS n1, " +
+      "SQRT(b * b + (l2 - a) * (l2 - a)) AS n2 FROM e) " +
+      rowSql
+
   val oracle: Map[String, String] = Map(
     "ml_lloyd_fixed" -> lloydSql(k = 4, iters = 5, dim = 64),
+    "ml_logreg_rule" -> clsRuleSql,
+    "ml_svc_rule" -> clsRuleSql,
+    "ml_dtree_rule" -> treeClsRuleSql,
+    "ml_rf_rule" -> treeClsRuleSql,
+    "ml_gbt_rule" -> treeClsRuleSql,
+    "ml_dtree_reg_rule" -> treeRegRuleSql,
+    "ml_rf_reg_rule" -> treeRegRuleSql,
+    "ml_gbt_reg_rule" -> treeRegRuleSql,
+    // PCA on 2 features: explained variance = λ_i / trace, loadings from
+    // the closed-form eigenvectors (sample covariance, matching Spark)
+    "ml_pca2" -> eig2Sql("VAR_SAMP(x)", "COVAR_SAMP(x, y)", "VAR_SAMP(y)", "d",
+      "SELECT component, FLOOR(ev * 1000000 + 0.5) / 1000000 AS explained_variance, " +
+        "FLOOR(ld1 * 1000000 + 0.5) / 1000000 AS abs_load_1, " +
+        "FLOOR(ld2 * 1000000 + 0.5) / 1000000 AS abs_load_2 FROM (" +
+        "SELECT 0 AS component, l1 / (a + c) AS ev, ABS(b) / n1 AS ld1, " +
+        "ABS(l1 - a) / n1 AS ld2 FROM v " +
+        "UNION ALL SELECT 1, l2 / (a + c), ABS(b) / n2, ABS(l2 - a) / n2 FROM v) u " +
+        "ORDER BY component"),
+    // SVD of the n×2 matrix: σ_i = sqrt(Gram eigenvalues), V from the
+    // same closed form (uncentered sums — Gram, not covariance)
+    "ml_svd2" -> eig2Sql("SUM(x * x)", "SUM(x * y)", "SUM(y * y)", "d",
+      "SELECT idx AS index, FLOOR(SQRT(l) * 1000000 + 0.5) / 1000000 AS singular_value, " +
+        "FLOOR(ld1 * 1000000 + 0.5) / 1000000 AS abs_load_1, " +
+        "FLOOR(ld2 * 1000000 + 0.5) / 1000000 AS abs_load_2 FROM (" +
+        "SELECT 0 AS idx, l1 AS l, ABS(b) / n1 AS ld1, ABS(l1 - a) / n1 AS ld2 FROM v " +
+        "UNION ALL SELECT 1, l2, ABS(b) / n2, ABS(l2 - a) / n2 FROM v) u " +
+        "ORDER BY index"),
     // regParam 0 with 3 features resolves to the closed-form normal-
     // equation solver, so OLS via Cramer's rule on the centered 3×3
     // system reproduces the fit exactly

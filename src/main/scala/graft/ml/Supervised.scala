@@ -143,6 +143,97 @@ object Supervised {
     regSummary(spark, "gbt", data, m.transform(data))
   }
 
+  /** Derived-rule fixture: label = a threshold rule on the first embedding
+    * coordinate with the margin band EXCLUDED (|x| ≤ margin dropped), so a
+    * correctly-fit model reproduces the rule exactly on the training set.
+    * That makes the whole fit→predict path oracle-checkable: the DuckDB
+    * oracle re-derives the rule instead of re-fitting the model (the
+    * lloydFixed trick applied to supervised estimators). Classification
+    * label = x > 0; regression label = 10 / 20 step. */
+  private def ruleData(embeddings: DataFrame, margin: Double): DataFrame = {
+    val x = element_at(col("embedding"), 1).cast("double")
+    embeddings.filter(abs(x) > margin)
+      .select(col("vec_id"),
+        array_to_vector(slice(col("embedding"), 1, 1)).as("features"),
+        (x > 0).cast("double").as("y"),
+        when(x < 0, 10.0).otherwise(20.0).as("yr"))
+  }
+
+  /** Tree-family variant of the rule fixture: the feature is COARSE
+    * (floor(5x) — a handful of distinct integer levels), so tree split
+    * candidates are the midpoints between consecutive levels and the only
+    * perfect split is the rule boundary itself. A continuous feature does
+    * NOT work here: maxBins quantile thresholds rarely fall inside a
+    * margin gap, and the off-gap split misclassifies edge points. */
+  private def treeRuleData(embeddings: DataFrame): DataFrame = {
+    val f = floor(element_at(col("embedding"), 1).cast("double") * 5)
+    embeddings.select(col("vec_id"),
+      array_to_vector(array(f)).as("features"),
+      (f >= 0).cast("double").as("y"),
+      when(f < 0, 10.0).otherwise(20.0).as("yr"))
+  }
+
+  private def rulePred(fitted: DataFrame): DataFrame =
+    fitted.select(col("vec_id"), col("prediction")).orderBy("vec_id")
+
+  private def rulePredR4(fitted: DataFrame): DataFrame =
+    fitted.select(col("vec_id"),
+      (floor(col("prediction") * 1e4 + 0.5) / 1e4).as("prediction"))
+      .orderBy("vec_id")
+
+  /** Classifier fit+predict paths over the separable rule fixture —
+    * output (vec_id, prediction) hash-matches the rule itself. */
+  def logRegRule(spark: SparkSession, embeddings: DataFrame): DataFrame = {
+    val d = ruleData(embeddings, 0.03)
+    rulePred(new LogisticRegression().setMaxIter(100).setRegParam(0.0)
+      .setLabelCol("y").fit(d).transform(d))
+  }
+
+  def svcRule(spark: SparkSession, embeddings: DataFrame): DataFrame = {
+    val d = ruleData(embeddings, 0.03)
+    rulePred(new LinearSVC().setMaxIter(100).setRegParam(0.01)
+      .setLabelCol("y").fit(d).transform(d))
+  }
+
+  def decisionTreeRule(spark: SparkSession, embeddings: DataFrame): DataFrame = {
+    val d = treeRuleData(embeddings)
+    rulePred(new DecisionTreeClassifier().setMaxDepth(3).setSeed(2020L)
+      .setLabelCol("y").fit(d).transform(d))
+  }
+
+  def randomForestRule(spark: SparkSession, embeddings: DataFrame): DataFrame = {
+    val d = treeRuleData(embeddings)
+    rulePred(new RandomForestClassifier().setNumTrees(10).setMaxDepth(3)
+      .setSeed(2020L).setLabelCol("y").fit(d).transform(d))
+  }
+
+  def gbtRule(spark: SparkSession, embeddings: DataFrame): DataFrame = {
+    val d = treeRuleData(embeddings)
+    rulePred(new GBTClassifier().setMaxIter(5).setMaxDepth(2).setSeed(2020L)
+      .setLabelCol("y").fit(d).transform(d))
+  }
+
+  /** Regressor fit+predict paths over the 10/20 step fixture: pure leaves
+    * predict the exact step values (GBT with stepSize 1.0 so the first
+    * tree absorbs the full residual and later trees fit zero). */
+  def decisionTreeRegRule(spark: SparkSession, embeddings: DataFrame): DataFrame = {
+    val d = treeRuleData(embeddings)
+    rulePredR4(new DecisionTreeRegressor().setMaxDepth(3).setSeed(2020L)
+      .setLabelCol("yr").fit(d).transform(d))
+  }
+
+  def randomForestRegRule(spark: SparkSession, embeddings: DataFrame): DataFrame = {
+    val d = treeRuleData(embeddings)
+    rulePredR4(new RandomForestRegressor().setNumTrees(10).setMaxDepth(3)
+      .setSeed(2020L).setLabelCol("yr").fit(d).transform(d))
+  }
+
+  def gbtRegRule(spark: SparkSession, embeddings: DataFrame): DataFrame = {
+    val d = treeRuleData(embeddings)
+    rulePredR4(new GBTRegressor().setMaxIter(10).setMaxDepth(3)
+      .setStepSize(1.0).setSeed(2020L).setLabelCol("yr").fit(d).transform(d))
+  }
+
   /** GBT binary classifier (returnflag R vs not) on lineitem features. */
   def gbt(spark: SparkSession, lineitem: DataFrame): DataFrame = {
     import spark.implicits._

@@ -94,6 +94,43 @@ object Unsupervised {
       .toSeq.toDF("component", "explained_variance").orderBy("component")
   }
 
+  /** 2-feature PCA companion: with d=2 the covariance eigensystem has a
+    * closed form (quadratic roots of the characteristic polynomial), so
+    * the whole covariance→eigendecomposition path is oracle-checkable in
+    * SQL — the same fit-the-real-estimator / re-derive-in-closed-form
+    * trick as the Cramer OLS oracle. Signs are killed with abs(). */
+  def pca2(spark: SparkSession, embeddings: DataFrame): DataFrame = {
+    import spark.implicits._
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val data = embeddings.select(
+      org.apache.spark.ml.functions.array_to_vector(
+        slice(col("embedding"), 1, 2)).as("features"))
+    val m = new PCA().setK(2).setInputCol("features").setOutputCol("pc")
+      .fit(data)
+    val ev = m.explainedVariance.toArray
+    (0 until 2).map(j => (j, r6(ev(j)),
+        r6(math.abs(m.pc(0, j))), r6(math.abs(m.pc(1, j)))))
+      .toDF("component", "explained_variance", "abs_load_1", "abs_load_2")
+      .orderBy("component")
+  }
+
+  /** 2-column SVD companion: singular values / right vectors of the n×2
+    * matrix come from the 2×2 Gram eigensystem — closed-form oracle. */
+  def svd2(spark: SparkSession, embeddings: DataFrame): DataFrame = {
+    import spark.implicits._
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val rows = embeddings.select(slice(col("embedding"), 1, 2).as("xy"))
+      .rdd.map(r => OldVectors.dense(
+        r.getSeq[Float](0).map(_.toDouble).toArray))
+    val svd = new RowMatrix(rows).computeSVD(2, computeU = false)
+    val v = svd.V
+    svd.s.toArray.zipWithIndex
+      .map { case (s, j) => (j, r6(s),
+        r6(math.abs(v(0, j))), r6(math.abs(v(1, j)))) }
+      .toSeq.toDF("index", "singular_value", "abs_load_1", "abs_load_2")
+      .orderBy("index")
+  }
+
   /** Top-k singular values via mllib RowMatrix (distributed Gram matrix +
     * local eigendecomposition — the scalable tall-skinny path). */
   def svd(spark: SparkSession, embeddings: DataFrame, k: Int = 8): DataFrame = {

@@ -123,6 +123,18 @@ class GraphSpec extends AnyFunSuite {
     direct.foreach { case (n, v) => assert(math.abs(inc(n) - v) < 1e-3, s"node $n") }
   }
 
+  test("synchronous LPA with min-label tiebreak is deterministic on the fixture") {
+    // round 1 (simultaneous, neighbors' INITIAL labels): e.g. node 1 sees
+    // {2,3} → 2; node 3 sees {1,2,4} → 1. Re-running must be bit-equal,
+    // and one round from all-distinct labels is hand-checkable.
+    val one = Iterative.labelPropagationSync(spark, fixtureEdges, 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == Map(1L -> 2, 2L -> 1, 3L -> 1, 4L -> 3, 5L -> 4, 6L -> 4))
+    val a = Iterative.labelPropagationSync(spark, fixtureEdges, 5).collect().toSeq
+    val b = Iterative.labelPropagationSync(spark, fixtureEdges, 5).collect().toSeq
+    assert(a == b)
+  }
+
   test("string adapter round-trips names") {
     val e = Seq(("alpha", "beta", 1.0), ("beta", "gamma", 1.0))
       .toDF("src", "dst", "weight")
@@ -140,7 +152,8 @@ class GraphSpec extends AnyFunSuite {
     // set-semantics UNION, which Spark SQL rejects); they are covered by
     // the DuckDB gate itself
     val duckdbOnly = Set("graph_bfs", "graph_sssp", "graph_closeness",
-      "graph_cc", "graph_scc", "graph_betweenness", "graph_kcore")
+      "graph_cc", "graph_scc", "graph_betweenness", "graph_kcore",
+      "graph_lpa_sync", "graph_pagerank_conv", "graph_ppr_conv") // MATERIALIZED CTEs
     for ((name, sql) <- GraphQueries.oracle if !duckdbOnly(name)) {
       val dsl = GraphQueries.all(name)(spark, sf0001).collect()
         .map(_.toSeq.map(String.valueOf)).toSeq

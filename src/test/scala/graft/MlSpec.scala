@@ -126,7 +126,11 @@ class MlSpec extends AnyFunSuite {
     // CustomMlSpec's brute-force differential / MlSpec formula checks
     val duckdbOnly = Set("ml_knn", "ml_corr_matrix", "ml_cov_matrix",
       "ml_spearman_matrix", "ml_idf", "ml_knn_class", "ml_dbscan",
-      "ml_prefixspan", "ml_lloyd_fixed")
+      "ml_prefixspan", "ml_lloyd_fixed",
+      // list-indexing (1-based in DuckDB) rule/eigen fixtures
+      "ml_logreg_rule", "ml_svc_rule", "ml_dtree_rule", "ml_rf_rule",
+      "ml_gbt_rule", "ml_dtree_reg_rule", "ml_rf_reg_rule",
+      "ml_gbt_reg_rule", "ml_pca2", "ml_svd2")
     for (name <- MlQueries.oracle.keys if !duckdbOnly(name)) {
       val dsl = MlQueries.all(name)(spark, sf0001).collect()
         .map(_.toSeq.map(String.valueOf)).toSeq
