@@ -223,6 +223,63 @@ object GraphQueries {
     sb.toString
   }
 
+  /** Unrolled vector-batched multi-source personalized PageRank
+    * (GraphX runParallelPersonalizedPageRank): the scalar personalized
+    * loop per (node, source) — rank' = 0.15·1[node=source] + 0.85·msg —
+    * followed by the method's final fold-and-divide, which normalizes
+    * each source column by its TOTAL rank sum (this final division is
+    * what round 1 mis-read as a ≈0.2 effective restart). */
+  private def pprMultiSql(iters: Int, nsources: Int): String = {
+    val sb = new StringBuilder(
+      (edgeCte + nodeCte)
+        .replace("e0 AS (", "e0 AS MATERIALIZED (")
+        .replace("g AS (", "g AS MATERIALIZED (")
+        .replace("n AS (", "n AS MATERIALIZED ("))
+    sb ++= s", ne AS MATERIALIZED ($neUnweighted)"
+    sb ++= s", lm AS MATERIALIZED (SELECT v FROM n ORDER BY v LIMIT $nsources)"
+    sb ++= ", p0 AS MATERIALIZED (SELECT n.v AS node, lm.v AS source, " +
+      "CAST(CASE WHEN n.v = lm.v THEN 1.0 ELSE 0.0 END AS DOUBLE) AS rank " +
+      "FROM n CROSS JOIN lm)"
+    for (i <- 1 to iters)
+      sb ++= s", p$i AS MATERIALIZED (SELECT b.node, b.source, " +
+        "CAST(CASE WHEN b.node = b.source THEN 0.15 ELSE 0.0 END AS DOUBLE) " +
+        "+ 0.85 * COALESCE(s.m, 0) AS rank FROM p0 b LEFT JOIN " +
+        s"(SELECT ne.dst, p.source, SUM(p.rank * ne.w) AS m FROM p${i - 1} p " +
+        "JOIN ne ON ne.src = p.node GROUP BY ne.dst, p.source) s " +
+        "ON s.dst = b.node AND s.source = b.source)"
+    sb ++= s" SELECT node, source, FLOOR(rank / SUM(rank) OVER (PARTITION BY source) " +
+      s"* 1000000 + 0.5) / 1000000 AS rank FROM p$iters ORDER BY node, source"
+    sb.toString
+  }
+
+  /** Unrolled Bellman–Ford oracle for WEIGHTED closeness: per round,
+    * dist(v, l) relaxes over out-edges as min(dist, w(v,u) + dist(u, l))
+    * — the same landmark-outward accumulation order as the Pregel, so
+    * per-path float sums are bit-identical. `rounds` must cover the max
+    * hop count of any weighted-shortest path; extra rounds are no-ops.
+    * (A recursive CTE diverges here — cycles keep extending float paths —
+    * but a round-bounded unroll with per-round MIN terminates by
+    * construction.) */
+  private def closenessWSql(nLandmarks: Int, rounds: Int): String = {
+    val sb = new StringBuilder(
+      (edgeCte + nodeCte)
+        .replace("e0 AS (", "e0 AS MATERIALIZED (")
+        .replace("g AS (", "g AS MATERIALIZED (")
+        .replace("n AS (", "n AS MATERIALIZED ("))
+    sb ++= s", lm AS MATERIALIZED (SELECT v FROM n ORDER BY v LIMIT $nLandmarks)"
+    sb ++= ", d0 AS MATERIALIZED (SELECT v AS node, v AS landmark, " +
+      "CAST(0 AS DOUBLE) AS dist FROM lm)"
+    for (i <- 1 to rounds)
+      sb ++= s", d$i AS MATERIALIZED (SELECT node, landmark, MIN(dist) AS dist FROM (" +
+        s"SELECT node, landmark, dist FROM d${i - 1} " +
+        s"UNION ALL SELECT g.src AS node, d.landmark, d.dist + g.weight AS dist " +
+        s"FROM d${i - 1} d JOIN g ON g.dst = d.node) u GROUP BY node, landmark)"
+    sb ++= s" SELECT node, FLOOR(SUM(1.0 / dist) / $nLandmarks * 1000000 + 0.5) / 1000000 " +
+      s"AS closeness FROM d$rounds WHERE node <> landmark AND dist > 0 " +
+      "GROUP BY node ORDER BY node"
+    sb.toString
+  }
+
   /** 1/outdegree transition weights (the unweighted PageRank family). */
   private val neUnweighted =
     "SELECT g.src, g.dst, 1.0 / d.od AS w FROM g JOIN " +
@@ -243,9 +300,17 @@ object GraphQueries {
       Builtins.personalizedPageRank(s, GraphSource.toGraph(e), minNode(e), 10)
     }),
     "graph_ppr_multi" -> ((s, d) => {
+      // stock GraphX vector-batched variant — rows-only: its replicated
+      // triplet view lags first-activated vertices one round (probed
+      // empirically), so its trajectory is an engine artifact no external
+      // oracle can replay. The _sync companion below carries the oracle.
       val e = edges(s, d)
       Builtins.parallelPersonalizedPageRank(s, GraphSource.toGraph(e),
         smallestNodes(e, 4), 10)
+    }),
+    "graph_ppr_multi_sync" -> ((s, d) => {
+      val e = edges(s, d)
+      Iterative.parallelPersonalizedPageRankSync(s, e, smallestNodes(e, 4), 10)
     }),
     "graph_ppr_conv" -> ((s, d) => {
       val e = edges(s, d)
@@ -468,6 +533,8 @@ object GraphQueries {
         "ELSE 0.0 END AS DOUBLE) AS local_cc FROM n LEFT JOIN deg ON deg.v = n.v " +
         "LEFT JOIN tv ON tv.v = n.v ORDER BY node"),
     "graph_lpa_sync" -> lpaSyncSql(5),
+    "graph_ppr_multi_sync" -> pprMultiSql(iters = 10, nsources = 4),
+    "graph_closeness_w" -> closenessWSql(nLandmarks = 8, rounds = 20),
     "graph_pagerank_conv" -> prConvSql(tol = 1e-4, iters = 100),
     "graph_ppr_conv" -> prConvSql(tol = 1e-4, iters = 100, personalized = true),
     "graph_pagerank" ->
@@ -492,12 +559,6 @@ object GraphQueries {
         "CASE WHEN v = (SELECT MIN(src) FROM g) THEN 1.0 ELSE 0 END",
         "CASE WHEN n.v = (SELECT MIN(src) FROM g) THEN 0.15 ELSE 0 END",
         "rank"),
-    // (graph_ppr_multi stays rows-only: GraphX's vector-batched
-    // runParallelPersonalizedPageRank converges to a measurably
-    // different fixpoint than the scalar personalized loop — observed
-    // effective restart ≈0.2 vs the nominal 0.15 — so a faithful SQL
-    // replica of the published formula does not hash-match it. Covered
-    // by the GraphSpec mass-concentration fixture instead.)
     // SCC label = min id over the mutually-reachable set (GraphX's
     // labeling), via the directed reachability closure joined with its
     // own transpose

@@ -202,6 +202,50 @@ object Iterative {
     labels.orderBy("node")
   }
 
+  /** Multi-source personalized PageRank, all sources in one pass — the
+    * deterministic companion to the GraphX `runParallelPersonalizedPageRank`
+    * wrapper in Builtins. The long-form (node, source, rank) iteration
+    * shares each edge traversal across all sources exactly like the
+    * vector-batched original (one shuffle per round regardless of source
+    * count), and the clean semantics — scalar personalized loop per
+    * source, final per-source normalization — are oracle-replayable.
+    * (The stock GraphX variant is NOT: its replicated triplet view lags
+    * newly-activated vertices by one round — a vertex's first nonzero
+    * rank vector is invisible to the next round's messages — verified by
+    * probing iterations 1–4; that makes its fixpoint path an engine
+    * artifact rather than a spec.) */
+  def parallelPersonalizedPageRankSync(spark: SparkSession, edges: DataFrame,
+      sources: Seq[Long], numIter: Int, resetProb: Double = 0.15): DataFrame = {
+    import spark.implicits._
+    val ne = edges.select(col("src"), col("dst"))
+      .join(edges.groupBy("src").agg(count(lit(1)).as("od")), Seq("src"))
+      .select(col("src"), col("dst"), (lit(1.0) / col("od")).as("w"))
+      .cache()
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst"))).distinct()
+    val grid = nodes.crossJoin(sources.toDF("source")).cache()
+    var ranks = grid.select(col("node"), col("source"),
+      when(col("node") === col("source"), 1.0).otherwise(0.0).as("rank"))
+    for (_ <- 1 to numIter) {
+      val msgs = ranks
+        .join(ne, ranks("node") === ne("src"))
+        .groupBy(col("dst").as("node"), col("source"))
+        .agg(sum(col("rank") * col("w")).as("m"))
+      ranks = grid
+        .join(msgs, Seq("node", "source"), "left")
+        .select(col("node"), col("source"),
+          (when(col("node") === col("source"), resetProb).otherwise(0.0) +
+            lit(1 - resetProb) * coalesce(col("m"), lit(0.0))).as("rank"))
+        .localCheckpoint()
+    }
+    val bySrc = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    val out = ranks.select(col("node"), col("source"),
+      (floor(col("rank") / sum("rank").over(bySrc) * 1e6 + 0.5) / 1e6).as("rank"))
+      .orderBy("node", "source")
+    ne.unpersist(blocking = false)
+    out
+  }
+
   /** Directed modularity (C13) of a community assignment:
     * Q = Σ_c [ e_c/m − (out_c · in_c)/m² ], with e_c = intra-community
     * weight, out_c/in_c community degree sums, m = total weight.

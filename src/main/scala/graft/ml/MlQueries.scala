@@ -86,6 +86,15 @@ object MlQueries {
         element_at(col("embedding"), 2).cast("double").as("y"))
       clustering.Dbscan.fitPredict(s, pts, eps = 0.05, minPoints = 5)
     }),
+    "ml_spca2" -> ((s, d) => {
+      // 2-column sparse-PCA companion: same COO → sparse-row path as
+      // ml_spca, but the 2×2 eigensystem closed form is oracle-checkable
+      import org.apache.spark.sql.functions._
+      val coo = emb(s, d).select(col("vec_id").as("row"),
+          posexplode(slice(col("embedding"), 1, 2)).as(Seq("col", "value")))
+        .filter(col("value") =!= 0.0f)
+      Spca.fit(s, coo, numCols = 2, k = 2)
+    }),
     "ml_spca" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val coo = emb(s, d).select(col("vec_id").as("row"),
@@ -189,7 +198,60 @@ object MlQueries {
       "SQRT(b * b + (l2 - a) * (l2 - a)) AS n2 FROM e) " +
       rowSql
 
+  /** Unrolled bipartite-SimRank oracle: the BlockMatrix product chain
+    * (S_i ← c·ŴcᵀS_uŴc, S_u ← c·ŴrS_iŴrᵀ, diag reset, |v|≥threshold
+    * pruning — see [[SimRank.userSimilarity]]) as join+group-by matrix
+    * multiplies over (i,j,v) triples, one CTE pair per multiply. The
+    * StringIndexer item encoding is frequency-desc with alphabetical
+    * tiebreak = ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, event_type). */
+  private def simrankSql(iters: Int, damp: Double = 0.6,
+      threshold: Double = 1e-4): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH ev AS MATERIALIZED (SELECT user_id % 100 AS uu, event_type FROM events)"
+    sb ++= ", itm AS MATERIALIZED (SELECT event_type, " +
+      "ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, event_type) - 1 AS item " +
+      "FROM events GROUP BY event_type)"
+    sb ++= ", r AS MATERIALIZED (SELECT ev.uu, itm.item, " +
+      "CAST(COUNT(*) AS DOUBLE) AS w FROM ev JOIN itm USING (event_type) " +
+      "GROUP BY ev.uu, itm.item)"
+    sb ++= ", rs AS (SELECT uu, SUM(w) AS s FROM r GROUP BY uu)"
+    sb ++= ", cs AS (SELECT item, SUM(w) AS s FROM r GROUP BY item)"
+    sb ++= ", wr AS MATERIALIZED (SELECT r.uu, r.item, r.w / rs.s AS v " +
+      "FROM r JOIN rs USING (uu))"
+    sb ++= ", wc AS MATERIALIZED (SELECT r.uu, r.item, r.w / cs.s AS v " +
+      "FROM r JOIN cs USING (item))"
+    // the generate_series TVF rejects subquery bounds; scalar range() + UNNEST doesn't
+    sb ++= ", un AS (SELECT UNNEST(range(0, (SELECT MAX(uu) FROM r) + 1)) AS id)"
+    sb ++= ", im AS (SELECT UNNEST(range(0, (SELECT MAX(item) FROM r) + 1)) AS id)"
+    sb ++= ", su0 AS (SELECT id AS a, id AS b, CAST(1 AS DOUBLE) AS v FROM un)"
+    for (i <- 1 to iters) {
+      // S_i = damp · Wcᵀ S_u Wc, diag 1, pruned
+      sb ++= s", ia$i AS MATERIALIZED (SELECT wc.item AS a, su.b, " +
+        s"SUM(wc.v * su.v) AS v FROM wc JOIN su${i - 1} su ON su.a = wc.uu " +
+        "GROUP BY wc.item, su.b)"
+      sb ++= s", si$i AS MATERIALIZED (SELECT a, b, v FROM (" +
+        s"SELECT x.a, w2.item AS b, $damp * SUM(x.v * w2.v) AS v " +
+        s"FROM ia$i x JOIN wc w2 ON w2.uu = x.b GROUP BY x.a, w2.item) q " +
+        s"WHERE a <> b AND ABS(v) >= $threshold " +
+        "UNION ALL SELECT id, id, CAST(1 AS DOUBLE) FROM im)"
+      // S_u = damp · Wr S_i Wrᵀ, diag 1, pruned
+      sb ++= s", ua$i AS MATERIALIZED (SELECT wr.uu AS a, si.b, " +
+        s"SUM(wr.v * si.v) AS v FROM wr JOIN si$i si ON si.a = wr.item " +
+        "GROUP BY wr.uu, si.b)"
+      sb ++= s", su$i AS MATERIALIZED (SELECT a, b, v FROM (" +
+        s"SELECT x.a, w2.uu AS b, $damp * SUM(x.v * w2.v) AS v " +
+        s"FROM ua$i x JOIN wr w2 ON w2.item = x.b GROUP BY x.a, w2.uu) q " +
+        s"WHERE a <> b AND ABS(v) >= $threshold " +
+        "UNION ALL SELECT id, id, CAST(1 AS DOUBLE) FROM un)"
+    }
+    sb ++= s" SELECT a AS u1, b AS u2, FLOOR(v * 10000 + 0.5) / 10000 AS score " +
+      s"FROM su$iters WHERE a < b AND v >= $threshold " +
+      "ORDER BY score DESC, u1, u2 LIMIT 50"
+    sb.toString
+  }
+
   val oracle: Map[String, String] = Map(
+    "ml_simrank" -> simrankSql(iters = 5),
     "ml_lloyd_fixed" -> lloydSql(k = 4, iters = 5, dim = 64),
     "ml_logreg_rule" -> clsRuleSql,
     "ml_svc_rule" -> clsRuleSql,
@@ -199,6 +261,10 @@ object MlQueries {
     "ml_dtree_reg_rule" -> treeRegRuleSql,
     "ml_rf_reg_rule" -> treeRegRuleSql,
     "ml_gbt_reg_rule" -> treeRegRuleSql,
+    "ml_spca2" -> eig2Sql("VAR_SAMP(x)", "COVAR_SAMP(x, y)", "VAR_SAMP(y)", "d",
+      "SELECT component, FLOOR(ev * 1000000 + 0.5) / 1000000 AS explained_variance FROM (" +
+        "SELECT 0 AS component, l1 / (a + c) AS ev FROM v " +
+        "UNION ALL SELECT 1, l2 / (a + c) FROM v) u ORDER BY component"),
     // PCA on 2 features: explained variance = λ_i / trace, loadings from
     // the closed-form eigenvectors (sample covariance, matching Spark)
     "ml_pca2" -> eig2Sql("VAR_SAMP(x)", "COVAR_SAMP(x, y)", "VAR_SAMP(y)", "d",
