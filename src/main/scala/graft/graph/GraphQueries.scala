@@ -280,6 +280,55 @@ object GraphQueries {
     sb.toString
   }
 
+  /** Maximal-clique oracle: enumerate ALL cliques as strictly-ascending
+    * member lists via a recursive CTE (extend by a neighbor of the last
+    * member adjacent to every earlier member), then keep k≥3 cliques with
+    * no graph-wide extension vertex. Tractable here because the max
+    * clique size is 4 (~60k cliques, <1 s); any extender must neighbor
+    * mem[1], so the maximality probe scans one adjacency list. */
+  private val mceSql: String =
+    edgeCteRec +
+      ", u AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM g)" +
+      ", sym AS (SELECT a AS src, b AS dst FROM u UNION SELECT b, a FROM u)" +
+      ", cliq AS (SELECT b AS last, [a, b] AS mem FROM u " +
+      "UNION ALL SELECT n2.b AS last, list_append(c.mem, n2.b) AS mem " +
+      "FROM cliq c JOIN u n2 ON n2.a = c.last " +
+      "WHERE NOT EXISTS (SELECT 1 FROM UNNEST(c.mem[:-2]) t(m) " +
+      "WHERE NOT EXISTS (SELECT 1 FROM u x WHERE x.a = t.m AND x.b = n2.b)))" +
+      // maximality as joins (deep correlated EXISTS trips the binder):
+      // explode members, count per candidate w how many members it
+      // neighbors — w adjacent to ALL k members extends the clique
+      // (w ∈ mem is impossible there: no self-edges, so its count ≤ k−1)
+      ", c3 AS (SELECT array_to_string(mem, ',') AS cid, len(mem) AS k FROM cliq " +
+      "WHERE len(mem) >= 3)" +
+      ", cm AS (SELECT cid, k, UNNEST(mem) AS m FROM " +
+      "(SELECT array_to_string(mem, ',') AS cid, len(mem) AS k, mem FROM cliq " +
+      "WHERE len(mem) >= 3) q)" +
+      ", ext AS (SELECT cid FROM (SELECT cm.cid, cm.k, e.dst, COUNT(*) AS c " +
+      "FROM cm JOIN sym e ON e.src = cm.m GROUP BY cm.cid, cm.k, e.dst) q " +
+      "WHERE c = k) " +
+      "SELECT cid AS members, CAST(k AS INTEGER) AS k FROM c3 " +
+      "WHERE cid NOT IN (SELECT cid FROM ext) ORDER BY members"
+
+  /** Weak-clique-expansion oracle: strong edges = symmetric pairs whose
+    * endpoint neighbor lists (degree-capped at 64) share ≥ minCommon
+    * nodes; a weak clique is a node plus its strong neighborhood,
+    * deduplicated. Pure list algebra — mirrors Community.weakCliques. */
+  private val wceSql: String =
+    edgeCte +
+      ", u AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM g)" +
+      ", sym AS (SELECT a AS src, b AS dst FROM u UNION SELECT b, a FROM u)" +
+      ", nbrs AS (SELECT src AS n, LIST(DISTINCT dst ORDER BY dst) AS nb " +
+      "FROM sym GROUP BY src HAVING COUNT(DISTINCT dst) <= 64)" +
+      ", strong AS (SELECT s.src, s.dst FROM sym s " +
+      "JOIN nbrs x ON x.n = s.src JOIN nbrs y ON y.n = s.dst " +
+      "WHERE len(list_intersect(x.nb, y.nb)) >= 2)" +
+      ", mems AS (SELECT DISTINCT list_sort(list_append(" +
+      "LIST(DISTINCT dst ORDER BY dst), src)) AS members " +
+      "FROM strong GROUP BY src) " +
+      "SELECT members[1] AS clique_id, array_to_string(members, ',') AS members, " +
+      "CAST(len(members) AS INTEGER) AS clique_size FROM mems ORDER BY clique_id, members"
+
   /** 1/outdegree transition weights (the unweighted PageRank family). */
   private val neUnweighted =
     "SELECT g.src, g.dst, 1.0 / d.od AS w FROM g JOIN " +
@@ -535,6 +584,8 @@ object GraphQueries {
     "graph_lpa_sync" -> lpaSyncSql(5),
     "graph_ppr_multi_sync" -> pprMultiSql(iters = 10, nsources = 4),
     "graph_closeness_w" -> closenessWSql(nLandmarks = 8, rounds = 20),
+    "graph_mce" -> mceSql,
+    "graph_wce" -> wceSql,
     "graph_pagerank_conv" -> prConvSql(tol = 1e-4, iters = 100),
     "graph_ppr_conv" -> prConvSql(tol = 1e-4, iters = 100, personalized = true),
     "graph_pagerank" ->

@@ -154,7 +154,8 @@ class GraphSpec extends AnyFunSuite {
     val duckdbOnly = Set("graph_bfs", "graph_sssp", "graph_closeness",
       "graph_cc", "graph_scc", "graph_betweenness", "graph_kcore",
       "graph_lpa_sync", "graph_pagerank_conv", "graph_ppr_conv",
-      "graph_ppr_multi_sync", "graph_closeness_w") // MATERIALIZED CTEs
+      "graph_ppr_multi_sync", "graph_closeness_w",
+      "graph_mce", "graph_wce") // MATERIALIZED / recursive / list dialect
     for ((name, sql) <- GraphQueries.oracle if !duckdbOnly(name)) {
       val dsl = GraphQueries.all(name)(spark, sf0001).collect()
         .map(_.toSeq.map(String.valueOf)).toSeq
