@@ -329,6 +329,93 @@ object GraphQueries {
       "SELECT members[1] AS clique_id, array_to_string(members, ',') AS members, " +
       "CAST(len(members) AS INTEGER) AS clique_size FROM mems ORDER BY clique_id, members"
 
+  /** Unrolled replicable-walk oracle (companion of Node2Vec
+    * .walksReplicable): per step, explode each walker's neighbor list
+    * with ordinals, weight candidates with the Grover–Leskovec rule
+    * (1/p if back to prev, 1 if adjacent to prev, 1/q otherwise — p, q
+    * powers of two so the window cumulative sum is exact), and take the
+    * first candidate whose cumsum crosses u·total, u drawn from the
+    * SHA-256 of (walk_id|step). First hop (no prev) picks uniformly by
+    * hash mod degree. Walkers on sink nodes stay put. */
+  private def walksSql(numWalks: Int, walkLength: Int, p: Double,
+      q: Double): String = {
+    val sb = new StringBuilder(
+      edgeCte
+        .replace("e0 AS (", "e0 AS MATERIALIZED (")
+        .replace("g AS (", "g AS MATERIALIZED ("))
+    sb ++= ", nbl AS MATERIALIZED (SELECT src, " +
+      "list_sort(LIST(DISTINCT dst))[1:10000] AS nbrs FROM g GROUP BY src)"
+    sb ++= s", w0 AS MATERIALIZED (SELECT src || '_' || wk AS walk_id, " +
+      "src AS cur, CAST(NULL AS BIGINT) AS prev, CAST(src AS VARCHAR) AS path " +
+      s"FROM (SELECT src, UNNEST(range(0, $numWalks)) AS wk FROM nbl) t0)"
+    for (i <- 0 until walkLength) {
+      val h = s"CAST(CONCAT('0x', SUBSTR(sha256(walk_id || '|$i'), 1, 15)) AS BIGINT)"
+      val hj = h.replace("walk_id", "j.walk_id")
+      sb ++= s", j$i AS MATERIALIZED (SELECT w.walk_id, w.cur, w.prev, w.path, " +
+        "nb.nbrs, pn.nbrs AS pnbrs FROM w$I w ".replace("$I", i.toString) +
+        "LEFT JOIN nbl nb ON nb.src = w.cur LEFT JOIN nbl pn ON pn.src = w.prev)"
+      sb ++= s", c$i AS (SELECT walk_id, prev, pnbrs, nbrs, " +
+        s"UNNEST(range(1, len(nbrs) + 1)) AS ord FROM j$i " +
+        "WHERE nbrs IS NOT NULL AND prev IS NOT NULL)"
+      sb ++= s", k$i AS (SELECT walk_id, ord, nbrs[ord] AS x, " +
+        s"CASE WHEN nbrs[ord] = prev THEN ${1.0 / p} " +
+        s"WHEN list_contains(COALESCE(pnbrs, []), nbrs[ord]) THEN 1.0 " +
+        s"ELSE ${1.0 / q} END AS wgt FROM c$i)"
+      sb ++= s", s$i AS (SELECT walk_id, x FROM (SELECT walk_id, x, " +
+        "ROW_NUMBER() OVER (PARTITION BY walk_id ORDER BY ord) AS rn FROM (" +
+        "SELECT walk_id, ord, x, SUM(wgt) OVER (PARTITION BY walk_id ORDER BY ord " +
+        "ROWS UNBOUNDED PRECEDING) AS cum, SUM(wgt) OVER (PARTITION BY walk_id) AS tot, " +
+        s"($h % 1000003 + 1) / 1000004.0 AS u FROM k$i) cc " +
+        "WHERE cum >= u * tot) f WHERE rn = 1)"
+      sb ++= s", w${i + 1} AS MATERIALIZED (SELECT j.walk_id, " +
+        "CASE WHEN j.nbrs IS NULL THEN j.cur WHEN j.prev IS NULL THEN " +
+        s"j.nbrs[CAST($hj % len(j.nbrs) AS INTEGER) + 1] ELSE s.x END AS cur, " +
+        "j.cur AS prev, j.path || ',' || CAST(CASE WHEN j.nbrs IS NULL THEN j.cur " +
+        s"WHEN j.prev IS NULL THEN j.nbrs[CAST($hj % len(j.nbrs) AS INTEGER) + 1] " +
+        s"ELSE s.x END AS VARCHAR) AS path FROM j$i j " +
+        s"LEFT JOIN s$i s ON s.walk_id = j.walk_id)"
+    }
+    sb ++= s" SELECT walk_id, path FROM w$walkLength ORDER BY walk_id"
+    sb.toString
+  }
+
+  /** Unrolled synchronous-Louvain oracle (companion of
+    * Iterative.louvainSync): per round, every node moves to the
+    * candidate community maximizing the rounded gain score
+    * k_{v,c} − deg_v·Σtot_c/2m (ties → smallest community). All sums are
+    * integer-valued edge weights — exact in doubles — so the replica is
+    * bit-identical. */
+  private def louvainSyncSql(iters: Int): String = {
+    val sb = new StringBuilder(
+      edgeCte
+        .replace("e0 AS (", "e0 AS MATERIALIZED (")
+        .replace("g AS (", "g AS MATERIALIZED ("))
+    sb ++= ", cu AS MATERIALIZED (SELECT LEAST(src, dst) AS src, " +
+      "GREATEST(src, dst) AS dst, SUM(weight) AS weight FROM g GROUP BY 1, 2)"
+    sb ++= ", sym AS MATERIALIZED (SELECT src, dst, weight FROM cu " +
+      "UNION ALL SELECT dst, src, weight FROM cu)"
+    sb ++= ", m2 AS (SELECT SUM(weight) AS m2 FROM sym)"
+    sb ++= ", dg AS MATERIALIZED (SELECT src AS node, SUM(weight) AS deg " +
+      "FROM sym GROUP BY src)"
+    sb ++= ", l0 AS MATERIALIZED (SELECT node, node AS comm FROM dg)"
+    for (i <- 1 to iters) {
+      sb ++= s", cd$i AS MATERIALIZED (SELECT l.comm, SUM(d.deg) AS cdeg " +
+        s"FROM l${i - 1} l JOIN dg d ON d.node = l.node GROUP BY l.comm)"
+      sb ++= s", kv$i AS (SELECT s.src AS node, l.comm, SUM(s.weight) AS kvc " +
+        s"FROM sym s JOIN l${i - 1} l ON l.node = s.dst GROUP BY s.src, l.comm)"
+      sb ++= s", cand$i AS (SELECT node, comm, MAX(kvc) AS kvc FROM (" +
+        s"SELECT node, comm, kvc FROM kv$i " +
+        s"UNION ALL SELECT node, comm, 0.0 FROM l${i - 1}) q GROUP BY node, comm)"
+      sb ++= s", l$i AS MATERIALIZED (SELECT node, comm FROM (" +
+        "SELECT c.node, c.comm, ROW_NUMBER() OVER (PARTITION BY c.node ORDER BY " +
+        "FLOOR((c.kvc - d.deg * cd.cdeg / m2.m2) * 1000000 + 0.5) / 1000000 DESC, " +
+        s"c.comm) AS rn FROM cand$i c JOIN cd$i cd ON cd.comm = c.comm " +
+        "JOIN dg d ON d.node = c.node, m2) q WHERE rn = 1)"
+    }
+    sb ++= s" SELECT node, comm FROM l$iters ORDER BY node"
+    sb.toString
+  }
+
   /** 1/outdegree transition weights (the unweighted PageRank family). */
   private val neUnweighted =
     "SELECT g.src, g.dst, 1.0 / d.od AS w FROM g JOIN " +
@@ -391,6 +478,8 @@ object GraphQueries {
     "graph_lpa" -> ((s, d) => Builtins.labelPropagation(s, graph(s, d), 5)),
     "graph_lpa_sync" -> ((s, d) =>
       Iterative.labelPropagationSync(s, edges(s, d), 5)),
+    "graph_louvain_sync" -> ((s, d) =>
+      Iterative.louvainSync(s, GraphSource.canonicalUndirected(edges(s, d)), 4)),
     "graph_kcore" -> ((s, d) => Iterative.kCore(s, ugraph(s, d), maxIter = 20)),
     "graph_modularity" -> ((s, d) => {
       // deterministic hash-partition assignment (node mod 16) so the
@@ -458,6 +547,11 @@ object GraphQueries {
       // biased second-order walks (return-averse, exploration-prone) —
       // the reference's p/q surface (`Node2VecRunner.scala:72-73`)
       Node2Vec.embeddings(s, edges(s, d), p = 2.0, q = 0.5)),
+    "graph_walks_det" -> ((s, d) =>
+      // the walk sampler itself, on the replicable-draw path — the
+      // oracle-checked half of C22 (Word2Vec stays rows-only)
+      Node2Vec.walksReplicable(s, edges(s, d), numWalks = 2,
+        walkLength = 6, p = 2.0, q = 0.5)),
     "graph_adapter" -> ((s, d) => {
       // string-keyed nation→region graph through the encode/decode adapter
       val e = Tables(s, d, "nation")
@@ -584,6 +678,8 @@ object GraphQueries {
     "graph_lpa_sync" -> lpaSyncSql(5),
     "graph_ppr_multi_sync" -> pprMultiSql(iters = 10, nsources = 4),
     "graph_closeness_w" -> closenessWSql(nLandmarks = 8, rounds = 20),
+    "graph_walks_det" -> walksSql(numWalks = 2, walkLength = 6, p = 2.0, q = 0.5),
+    "graph_louvain_sync" -> louvainSyncSql(4),
     "graph_mce" -> mceSql,
     "graph_wce" -> wceSql,
     "graph_pagerank_conv" -> prConvSql(tol = 1e-4, iters = 100),

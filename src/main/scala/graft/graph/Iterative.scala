@@ -246,6 +246,52 @@ object Iterative {
     out
   }
 
+  /** Deterministic synchronous Louvain-style community refinement — the
+    * oracle-checkable companion to Community.louvain (whose sequential
+    * greedy argmax cascades float ties). Each round, EVERY node
+    * simultaneously moves to the candidate community (its own + its
+    * neighbors') maximizing the rounded modularity-gain score
+    * k_{v,c} − deg_v·Σtot_c / 2m, ties toward the smallest community id.
+    * Every sum in the score is a sum of integer-valued edge weights —
+    * exact in doubles regardless of order — so the unrolled SQL replica
+    * is bit-identical. One shuffle round per pass. */
+  def louvainSync(spark: SparkSession, undirected: DataFrame,
+      iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sym = undirected.select(col("src"), col("dst"), col("weight"))
+      .union(undirected.select(col("dst").as("src"), col("src").as("dst"),
+        col("weight")))
+      .cache()
+    val m2 = sym.agg(sum("weight")).head().getDouble(0)
+    val deg = sym.groupBy(col("src").as("node"))
+      .agg(sum("weight").as("deg")).cache()
+    var labels = deg.select(col("node"), col("node").as("comm"))
+    val w = Window.partitionBy("node").orderBy(desc("score"), asc("comm"))
+    for (_ <- 1 to iters) {
+      val commDeg = labels.join(deg, Seq("node"))
+        .groupBy("comm").agg(sum("deg").as("cdeg"))
+      val kvc = sym
+        .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src").as("node"), col("comm"))
+        .agg(sum("weight").as("kvc"))
+      val own = labels.select(col("node"), col("comm"), lit(0.0).as("kvc"))
+      val cand = kvc.unionByName(own)
+        .groupBy("node", "comm").agg(max("kvc").as("kvc"))
+      labels = cand
+        .join(commDeg, Seq("comm"))
+        .join(deg, Seq("node"))
+        .withColumn("score",
+          floor((col("kvc") - col("deg") * col("cdeg") / m2) * 1e6 + 0.5) / 1e6)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("comm"))
+        .localCheckpoint()
+    }
+    sym.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
+    labels.orderBy("node")
+  }
+
   /** Directed modularity (C13) of a community assignment:
     * Q = Σ_c [ e_c/m − (out_c · in_c)/m² ], with e_c = intra-community
     * weight, out_c/in_c community degree sums, m = total weight.

@@ -96,6 +96,79 @@ object Node2Vec {
     walkers.select(col("walk_id"), col("path"))
   }
 
+  /** Engine-replicable biased-walk companion — the oracle-checkable side
+    * of C22 (the [[walks]] sampler is already deterministic, but its
+    * xxhash64 draw and −ln(u)/w race keys are not replayable outside the
+    * JVM: xxhash64 isn't in DuckDB and log() rounding is libm-specific).
+    * Here the per-(walker, step) draw is a SHA-256 hash and the
+    * second-order pick is inverse-CDF over the Grover–Leskovec weights
+    * with p, q POWERS OF TWO, so 1/p, 1, 1/q and every cumulative sum
+    * are exactly representable and the crossing comparison is
+    * bit-identical in any IEEE-754 engine — no transcendentals anywhere
+    * in the pick. Output: (walk_id, path serialized). */
+  def walksReplicable(spark: SparkSession, edges: DataFrame,
+      numWalks: Int = 2, walkLength: Int = 6, p: Double = 2.0,
+      q: Double = 0.5, maxDegree: Int = 10000): DataFrame = {
+    require(math.getExponent(p) >= -30 && p == math.pow(2, math.getExponent(p)),
+      "p must be a power of two for exact weight sums")
+    require(q == math.pow(2, math.getExponent(q)),
+      "q must be a power of two for exact weight sums")
+    def shaH(c: Column): Column =
+      conv(substring(sha2(c, 256), 1, 15), 16, 10).cast("long")
+    val nbrs = edges.select(col("src"), col("dst")).distinct()
+      .groupBy("src").agg(array_sort(collect_set(col("dst"))).as("nbrs"))
+      .select(col("src"), slice(col("nbrs"), 1, maxDegree).as("nbrs"))
+      .localCheckpoint()
+    var walkers = nbrs.select(col("src").as("cur")).distinct()
+      .crossJoin(spark.range(numWalks).select(col("id").as("walk")))
+      .select(concat_ws("_", col("cur"), col("walk")).as("walk_id"),
+        col("cur"), lit(null).cast("long").as("prev"),
+        array(col("cur")).as("path"))
+    var step = 0
+    while (step < walkLength) {
+      val wOf = (x: Column) =>
+        when(x === col("prev"), lit(1.0 / p))
+          .when(array_contains(
+            coalesce(col("pnbrs"), array().cast("array<bigint>")), x), lit(1.0))
+          .otherwise(lit(1.0 / q))
+      val u = (pmod(shaH(concat_ws("|", col("walk_id"), lit(step))),
+        lit(1000003L)).cast("double") + 1.0) / 1000004.0
+      val joined = walkers
+        .join(broadcast(nbrs.withColumnRenamed("src", "cur")), Seq("cur"), "left")
+        .join(broadcast(nbrs.select(col("src").as("prev"),
+          col("nbrs").as("pnbrs"))), Seq("prev"), "left")
+        // threshold once per row — a nested reference inside the fold
+        // would re-evaluate the total per element (O(d²) per step)
+        .withColumn("t_draw",
+          u * aggregate(col("nbrs"), lit(0.0), (acc, x) => acc + wOf(x)))
+      val sel = aggregate(
+        col("nbrs"),
+        struct(lit(0.0).as("cum"), lit(-1L).as("sel")),
+        (acc, x) => {
+          val cum2 = acc.getField("cum") + wOf(x)
+          struct(cum2.as("cum"),
+            when(acc.getField("sel") === -1L && cum2 >= col("t_draw"), x)
+              .otherwise(acc.getField("sel")).as("sel"))
+        },
+        acc => acc.getField("sel"))
+      val uniformPick = element_at(col("nbrs"),
+        (pmod(shaH(concat_ws("|", col("walk_id"), lit(step))),
+          size(col("nbrs"))) + 1).cast("int"))
+      val pick = when(col("prev").isNull, uniformPick).otherwise(sel)
+      walkers = joined
+        .select(col("walk_id"),
+          when(col("nbrs").isNotNull, pick).otherwise(col("cur")).as("next"),
+          col("cur"), col("path"))
+        .select(col("walk_id"), col("next").as("cur"),
+          col("cur").as("prev"),
+          concat(col("path"), array(col("next"))).as("path"))
+      if (step % 3 == 2) walkers = walkers.localCheckpoint()
+      step += 1
+    }
+    walkers.select(col("walk_id"), concat_ws(",", col("path")).as("path"))
+      .orderBy("walk_id")
+  }
+
   /** Train embeddings over the walk corpus; output (node, dims 0..3
     * rounded) — a stable small projection of the vectors. Word2Vec
     * trains with cluster-wide partitions (a single partition serializes

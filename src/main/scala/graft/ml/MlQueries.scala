@@ -46,6 +46,7 @@ object MlQueries {
     "ml_svd" -> ((s, d) => Unsupervised.svd(s, emb(s, d))),
     "ml_idf" -> ((s, d) => TextModels.idf(s, docs(s, d))),
     "ml_als" -> ((s, d) => TextModels.als(s, ev(s, d))),
+    "ml_als_fixed" -> ((s, d) => TextModels.alsFixed(s, ev(s, d))),
     "ml_lda" -> ((s, d) => TextModels.lda(s, docs(s, d))),
     "ml_prefixspan" -> ((s, d) => TextModels.prefixSpan(s, ev(s, d))),
     "ml_knn" -> ((s, d) => {
@@ -250,8 +251,40 @@ object MlQueries {
     sb.toString
   }
 
+  /** Unrolled deterministic rank-1 ALS oracle: one (x, y) CTE pair per
+    * iteration, factors floor-rounded 1e-6 per half-step like the Spark
+    * side; ratings pass through the same float32 narrowing. */
+  private def alsFixedSql(iters: Int, lambda: Double = 0.1): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH itm AS MATERIALIZED (SELECT event_type, " +
+      "ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, event_type) - 1 AS item " +
+      "FROM events GROUP BY event_type)"
+    sb ++= ", r AS MATERIALIZED (SELECT CAST(e.user_id AS INTEGER) AS u, " +
+      "CAST(itm.item AS INTEGER) AS it, " +
+      "CAST(CAST(AVG(e.value) AS REAL) AS DOUBLE) AS rating " +
+      "FROM events e JOIN itm USING (event_type) GROUP BY 1, 2)"
+    sb ++= ", y0 AS (SELECT DISTINCT it, CAST(1.0 AS DOUBLE) AS y FROM r)"
+    for (i <- 1 to iters) {
+      sb ++= s", x$i AS MATERIALIZED (SELECT u, FLOOR(SUM(rating * y) / " +
+        s"(SUM(y * y) + $lambda) * 1000000 + 0.5) / 1000000 AS x " +
+        s"FROM r JOIN y${i - 1} USING (it) GROUP BY u)"
+      sb ++= s", y$i AS MATERIALIZED (SELECT it, FLOOR(SUM(rating * x) / " +
+        s"(SUM(x * x) + $lambda) * 1000000 + 0.5) / 1000000 AS y " +
+        s"FROM r JOIN x$i USING (u) GROUP BY it)"
+    }
+    sb ++= s", p AS (SELECT r.u, r.it, r.rating, x.x * y.y AS p " +
+      s"FROM r JOIN x$iters x USING (u) JOIN y$iters y USING (it))"
+    sb ++= ", rm AS (SELECT SQRT(AVG((rating - p) * (rating - p))) AS rmse FROM p) " +
+      "SELECT CAST(u AS BIGINT) AS \"user\", CAST(it AS BIGINT) AS item, " +
+      "FLOOR(p * 10000 + 0.5) / 10000 AS pred FROM p " +
+      "UNION ALL SELECT -1, -1, FLOOR(rmse * 10000 + 0.5) / 10000 FROM rm " +
+      "ORDER BY \"user\", item"
+    sb.toString
+  }
+
   val oracle: Map[String, String] = Map(
     "ml_simrank" -> simrankSql(iters = 5),
+    "ml_als_fixed" -> alsFixedSql(iters = 5),
     "ml_lloyd_fixed" -> lloydSql(k = 4, iters = 5, dim = 64),
     "ml_logreg_rule" -> clsRuleSql,
     "ml_svc_rule" -> clsRuleSql,

@@ -38,6 +38,52 @@ object TextModels {
   /** events → implicit ratings (user, event_type item) → ALS factors.
     * Output = per-(user, item) predicted rating for the observed pairs,
     * plus rank/rmse metadata — bounded by |users|×|types|. */
+  /** Deterministic rank-1 alternating least squares — the oracle-checkable
+    * companion to the stock [[als]] wrapper (whose seeded random factor
+    * init no external engine can replay). Item factors start at 1.0; each
+    * half-step solves the rank-1 normal equation over the observed
+    * ratings exactly — x_u = Σ r_ui·y_i / (Σ y_i² + λ), then y_i
+    * symmetrically — with factors rounded to 1e-6 per half-step on both
+    * sides so cross-engine summation order cannot drift. Each half-step
+    * is one join + keyed aggregation (shuffle by user or item); factors
+    * never touch the driver. Output shape matches [[als]]:
+    * per-pair predictions + an rmse summary row. */
+  def alsFixed(spark: SparkSession, events: DataFrame, iters: Int = 5,
+      lambda: Double = 0.1): DataFrame = {
+    import spark.implicits._
+    def r6(c: org.apache.spark.sql.Column) = floor(c * 1e6 + 0.5) / 1e6
+    val indexed = new StringIndexer().setInputCol("event_type")
+      .setOutputCol("item").fit(events).transform(events)
+    val ratings = indexed.groupBy(
+        col("user_id").cast("int").as("user"), col("item").cast("int").as("item"))
+      .agg(avg("value").cast("float").cast("double").as("rating")).cache()
+    var items = ratings.select("item").distinct()
+      .select(col("item"), lit(1.0).as("y"))
+    var users: DataFrame = null
+    for (_ <- 1 to iters) {
+      users = ratings.join(items, Seq("item"))
+        .groupBy("user")
+        .agg((sum(col("rating") * col("y")) /
+          (sum(col("y") * col("y")) + lambda)).as("x"))
+        .select(col("user"), r6(col("x")).as("x")).localCheckpoint()
+      items = ratings.join(users, Seq("user"))
+        .groupBy("item")
+        .agg((sum(col("rating") * col("x")) /
+          (sum(col("x") * col("x")) + lambda)).as("y"))
+        .select(col("item"), r6(col("y")).as("y")).localCheckpoint()
+    }
+    val preds = ratings.join(users, Seq("user")).join(items, Seq("item"))
+      .select(col("user"), col("item"), col("rating"),
+        (col("x") * col("y")).as("p")).cache()
+    val rmse = math.sqrt(preds
+      .select(avg(pow(col("rating") - col("p"), 2))).head().getDouble(0))
+    preds.select(col("user").cast("long").as("user"),
+        col("item").cast("long").as("item"),
+        (floor(col("p") * 1e4 + 0.5) / 1e4).as("pred"))
+      .orderBy("user", "item")
+      .union(Seq((-1L, -1L, r4(rmse))).toDF("user", "item", "pred"))
+  }
+
   def als(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
     val indexed = new StringIndexer().setInputCol("event_type")

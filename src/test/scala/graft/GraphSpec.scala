@@ -155,7 +155,8 @@ class GraphSpec extends AnyFunSuite {
       "graph_cc", "graph_scc", "graph_betweenness", "graph_kcore",
       "graph_lpa_sync", "graph_pagerank_conv", "graph_ppr_conv",
       "graph_ppr_multi_sync", "graph_closeness_w",
-      "graph_mce", "graph_wce") // MATERIALIZED / recursive / list dialect
+      "graph_mce", "graph_wce", "graph_walks_det",
+      "graph_louvain_sync") // MATERIALIZED / recursive / list dialect
     for ((name, sql) <- GraphQueries.oracle if !duckdbOnly(name)) {
       val dsl = GraphQueries.all(name)(spark, sf0001).collect()
         .map(_.toSeq.map(String.valueOf)).toSeq
