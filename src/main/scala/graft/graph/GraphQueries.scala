@@ -5,10 +5,12 @@ import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
 
-/** queries()/oracleSql() wiring for the graph layer. The edge builder,
-  * degrees, triangle total, and the string-adapter demo are SQL-
-  * expressible → DuckDB oracles; iterative algorithms are rows-only with
-  * structural unit tests in GraphSpec. */
+/** queries()/oracleSql() wiring for the graph layer. Nearly every row is
+  * DuckDB-oracle-checked — fixed-iteration algorithms via machine-
+  * generated unrolled-CTE SQL, fixpoints via recursive CTEs, and the
+  * stock GraphX wrappers whose trajectories are engine artifacts
+  * (graph_lpa, graph_louvain, graph_ppr_multi, graph_node2vec's
+  * Word2Vec) via deterministic `_sync`/`_det` companions. */
 object GraphQueries {
 
   private def edges(s: SparkSession, d: String): DataFrame =
