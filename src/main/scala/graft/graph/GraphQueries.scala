@@ -408,11 +408,18 @@ object GraphQueries {
       sb ++= s", cand$i AS (SELECT node, comm, MAX(kvc) AS kvc FROM (" +
         s"SELECT node, comm, kvc FROM kv$i " +
         s"UNION ALL SELECT node, comm, 0.0 FROM l${i - 1}) q GROUP BY node, comm)"
-      sb ++= s", l$i AS MATERIALIZED (SELECT node, comm FROM (" +
+      sb ++= s", b$i AS (SELECT node, comm AS best FROM (" +
         "SELECT c.node, c.comm, ROW_NUMBER() OVER (PARTITION BY c.node ORDER BY " +
-        "FLOOR((c.kvc - d.deg * cd.cdeg / m2.m2) * 1000000 + 0.5) / 1000000 DESC, " +
+        "FLOOR((c.kvc - d.deg * (cd.cdeg - CASE WHEN c.comm = cur.comm " +
+        "THEN d.deg ELSE 0.0 END) / m2.m2) * 1000000 + 0.5) / 1000000 DESC, " +
         s"c.comm) AS rn FROM cand$i c JOIN cd$i cd ON cd.comm = c.comm " +
-        "JOIN dg d ON d.node = c.node, m2) q WHERE rn = 1)"
+        s"JOIN dg d ON d.node = c.node JOIN l${i - 1} cur ON cur.node = c.node, m2) q " +
+        "WHERE rn = 1)"
+      // semi-synchronous: a (node, round) integer hash gates each move
+      sb ++= s", l$i AS MATERIALIZED (SELECT p.node, " +
+        s"CASE WHEN ((p.node * 1103515245 + ${i * 12345}) // 65536) % 2 = 0 " +
+        s"THEN b.best ELSE p.comm END AS comm " +
+        s"FROM l${i - 1} p JOIN b$i b ON b.node = p.node)"
     }
     sb ++= s" SELECT node, comm FROM l$iters ORDER BY node"
     sb.toString
@@ -481,7 +488,7 @@ object GraphQueries {
     "graph_lpa_sync" -> ((s, d) =>
       Iterative.labelPropagationSync(s, edges(s, d), 5)),
     "graph_louvain_sync" -> ((s, d) =>
-      Iterative.louvainSync(s, GraphSource.canonicalUndirected(edges(s, d)), 4)),
+      Iterative.louvainSync(s, GraphSource.canonicalUndirected(edges(s, d)), 8)),
     "graph_kcore" -> ((s, d) => Iterative.kCore(s, ugraph(s, d), maxIter = 20)),
     "graph_modularity" -> ((s, d) => {
       // deterministic hash-partition assignment (node mod 16) so the
@@ -681,7 +688,7 @@ object GraphQueries {
     "graph_ppr_multi_sync" -> pprMultiSql(iters = 10, nsources = 4),
     "graph_closeness_w" -> closenessWSql(nLandmarks = 8, rounds = 20),
     "graph_walks_det" -> walksSql(numWalks = 2, walkLength = 6, p = 2.0, q = 0.5),
-    "graph_louvain_sync" -> louvainSyncSql(4),
+    "graph_louvain_sync" -> louvainSyncSql(8),
     "graph_mce" -> mceSql,
     "graph_wce" -> wceSql,
     "graph_pagerank_conv" -> prConvSql(tol = 1e-4, iters = 100),

@@ -267,7 +267,7 @@ object Iterative {
       .agg(sum("weight").as("deg")).cache()
     var labels = deg.select(col("node"), col("node").as("comm"))
     val w = Window.partitionBy("node").orderBy(desc("score"), asc("comm"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val commDeg = labels.join(deg, Seq("node"))
         .groupBy("comm").agg(sum("deg").as("cdeg"))
       val kvc = sym
@@ -277,14 +277,32 @@ object Iterative {
       val own = labels.select(col("node"), col("comm"), lit(0.0).as("kvc"))
       val cand = kvc.unionByName(own)
         .groupBy("node", "comm").agg(max("kvc").as("kvc"))
-      labels = cand
+      val best = cand
         .join(commDeg, Seq("comm"))
         .join(deg, Seq("node"))
+        .join(labels.withColumnRenamed("comm", "curr"), Seq("node"))
+        // standard Louvain: Σtot of v's CURRENT community excludes v's
+        // own degree, else staying is self-penalized and nodes churn
+        .withColumn("cdeg_adj",
+          col("cdeg") - when(col("comm") === col("curr"), col("deg"))
+            .otherwise(lit(0.0)))
         .withColumn("score",
-          floor((col("kvc") - col("deg") * col("cdeg") / m2) * 1e6 + 0.5) / 1e6)
+          floor((col("kvc") - col("deg") * col("cdeg_adj") / m2) * 1e6 + 0.5) / 1e6)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
-        .select(col("node"), col("comm"))
+        .select(col("node"), col("comm").as("best"))
+      // semi-synchronous with a per-round hash gate: fully synchronous
+      // moves oscillate on symmetric ties (adjacent nodes swap
+      // communities forever, and no static 2-coloring exists on odd
+      // cycles). Gating each node's move on a deterministic integer
+      // hash of (node, round) breaks every local symmetry within a few
+      // rounds — and the gate is plain bigint arithmetic, replayable
+      // in any engine.
+      val gate = pmod(shiftright(
+        col("node") * lit(1103515245L) + lit(i * 12345L), 16), lit(2)) === 0
+      labels = labels.join(best, Seq("node"))
+        .select(col("node"),
+          when(gate, col("best")).otherwise(col("comm")).as("comm"))
         .localCheckpoint()
     }
     sym.unpersist(blocking = false)

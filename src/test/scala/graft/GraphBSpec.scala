@@ -23,6 +23,38 @@ class GraphBSpec extends AnyFunSuite {
     assert(comm(1L) != comm(4L))
   }
 
+  test("synchronous louvain separates the two triangles and reruns bit-equal") {
+    val comm = Iterative.louvainSync(spark, twoTriangles, 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comm(1L) == comm(2L) && comm(2L) == comm(3L))
+    assert(comm(4L) == comm(5L) && comm(5L) == comm(6L))
+    assert(comm(1L) != comm(4L))
+    val again = Iterative.louvainSync(spark, twoTriangles, 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == comm)
+  }
+
+  test("replicable biased walks stay on the graph and rerun bit-equal") {
+    val sym = twoTriangles.union(
+      twoTriangles.select($"dst".as("src"), $"src".as("dst"), $"weight"))
+    val edgeSet = sym.select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val w = Node2Vec.walksReplicable(spark, sym, numWalks = 2,
+      walkLength = 5, p = 2.0, q = 0.5).collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    assert(w.length == 12) // 6 nodes × 2 walks
+    for ((_, path) <- w) {
+      val hops = path.split(",").map(_.toLong).toSeq
+      assert(hops.length == 6)
+      hops.sliding(2).foreach { case Seq(a, b) =>
+        assert(a == b || edgeSet((a, b)), s"$a->$b not an edge in $path") }
+    }
+    val again = Node2Vec.walksReplicable(spark, sym, numWalks = 2,
+      walkLength = 5, p = 2.0, q = 0.5).collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    assert(again.toSeq == w.toSeq)
+  }
+
   test("louvain communities beat the trivial split on modularity") {
     val comm = Community.louvain(spark, twoTriangles)
       .withColumnRenamed("community", "community")

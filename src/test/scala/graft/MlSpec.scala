@@ -98,6 +98,19 @@ class MlSpec extends AnyFunSuite {
     assert(out.length > 10)
   }
 
+  test("deterministic rank-1 als fits observed ratings and reruns bit-equal") {
+    val events = Tables(spark, sf0001, "events")
+    val out = TextModels.alsFixed(spark, events).collect()
+    val rmse = out.find(r => r.getLong(0) == -1L).get.getDouble(2)
+    // rank-1 with unit init is a coarse factorization but must beat the
+    // raw value scale by a wide margin
+    assert(rmse >= 0 && rmse < 200)
+    assert(out.length > 10)
+    val again = TextModels.alsFixed(spark, events).collect()
+    assert(again.map(_.toString).sorted.toSeq ==
+      out.map(_.toString).sorted.toSeq)
+  }
+
   test("lda produces k topics with 5 terms each") {
     val docs = Tables(spark, sf0001, "documents").limit(100)
     val out = TextModels.lda(spark, docs, k = 3).collect()
