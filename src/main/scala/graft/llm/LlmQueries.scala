@@ -56,6 +56,11 @@ object LlmQueries {
     "llm_multimodal" -> ((s, d) => Multimodal.documentsAsMedia(s, docs(s, d))),
     "llm_multimodal_frames" -> ((s, d) =>
       Multimodal.documentsAsFrames(s, docs(s, d))),
+    "llm_sessions_batch" -> ((s, d) =>
+      // batch twin of the streaming sessionizer — same 30-min-gap session
+      // definition, gaps-and-islands form (SURVEY §2.D streaming row)
+      graft.streaming.EventStreams.sessionizeBatch(
+        graft.sources.Tables(s, d, "events"))),
     "llm_hll_distinct" -> ((s, d) =>
       // 100 TB distinct counting: HLL sketch vs exact. The sketch value
       // itself is impl-defined, so the checkable output is the exact
@@ -92,6 +97,19 @@ object LlmQueries {
         "ORDER BY query_id, rank"),
     "llm_hll_distinct" ->
       "SELECT COUNT(DISTINCT l_partkey) AS exact_d, TRUE AS approx_ok FROM lineitem",
+    // gaps-and-islands replica: epoch_ms truncation chain (ns→µs→ms)
+    // floors identically on both engines for positive timestamps
+    "llm_sessions_batch" ->
+      ("WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value FROM events), " +
+        "f AS (SELECT *, LAG(ts_ms) OVER (PARTITION BY user_id " +
+        "ORDER BY ts_ms, event_id) AS prev FROM e), " +
+        "g AS (SELECT *, CASE WHEN prev IS NULL OR ts_ms - prev > 1800000 " +
+        "THEN 1 ELSE 0 END AS new_s FROM f), " +
+        "s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id " +
+        "ORDER BY ts_ms, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM g) " +
+        "SELECT user_id, MIN(ts_ms) AS start_ms, MAX(ts_ms) AS end_ms, " +
+        "COUNT(*) AS n_events, FLOOR(SUM(value) * 10000 + 0.5) / 10000 AS value_sum " +
+        "FROM s GROUP BY user_id, sid ORDER BY user_id, start_ms"),
     // the LSH banding achieves full recall at threshold 0.5 on this
     // corpus (duplicates are near-identical), so the verified output
     // equals the exhaustive Jaccard≥0.5 pair set

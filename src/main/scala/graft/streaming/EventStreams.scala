@@ -61,6 +61,35 @@ object EventStreams {
   }
 
   case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
+  /** Batch view of the SAME session definition [[sessionize]] applies in
+    * streaming — a session closes after `gapMinutes` of user inactivity.
+    * Real pipelines run exactly this pair: the streaming state machine
+    * for live data plus a batch gaps-and-islands backfill, and the two
+    * must agree on the session boundaries. The batch form is pure window
+    * functions (LAG + cumulative new-session flags), totally ordered by
+    * (ts, event_id), so it is oracle-checkable — which transitively
+    * checks the session semantics the streaming path implements. */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapMs = gapMinutes * 60000L
+    val byUser = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    val e = events.select(col("user_id"), col("event_id"),
+      unix_millis(col("ts")).as("ts_ms"), col("value"))
+    e.withColumn("prev", lag("ts_ms", 1).over(byUser))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("ts_ms") - col("prev") > gapMs, 1)
+          .otherwise(0))
+      .withColumn("sid", sum("new_s").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(min("ts_ms").as("start_ms"), max("ts_ms").as("end_ms"),
+        count(lit(1)).as("n_events"),
+        (floor(sum("value") * 1e4 + 0.5) / 1e4).as("value_sum"))
+      .select(col("user_id"), col("start_ms"), col("end_ms"),
+        col("n_events"), col("value_sum"))
+      .orderBy("user_id", "start_ms")
+  }
+
   case class SessionState(start: Long, last: Long, n: Int, sum: Double)
   case class Session(user_id: Long, start_ms: Long, end_ms: Long,
       n_events: Int, value_sum: Double)

@@ -109,4 +109,41 @@ class StreamingSpec extends AnyFunSuite {
       assert(s._3 - s._2 == 10L * 60 * 1000)
     } finally q.stop()
   }
+
+  test("batch sessionization agrees with the streaming state machine") {
+    import spark.implicits._
+    // same fixture shape: two bursts with a >30-min gap, two users
+    val rows = Seq(
+      (1L, ts(0), 7L, "a", 1.0, "{}"), (2L, ts(10), 7L, "a", 2.0, "{}"),
+      (3L, ts(120), 7L, "a", 4.0, "{}"), (4L, ts(125), 7L, "a", 1.0, "{}"),
+      (5L, ts(5), 8L, "b", 3.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val batch = EventStreams.sessionizeBatch(rows).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    // sessions: user 7 [0,10] n=2 sum=3; user 7 [120,125] n=2 sum=5;
+    // user 8 [5,5] n=1 sum=3
+    def ms(t: java.sql.Timestamp) = t.getTime
+    assert(batch == Set(
+      (7L, ms(ts(0)), ms(ts(10)), 2L, 3.0),
+      (7L, ms(ts(120)), ms(ts(125)), 2L, 5.0),
+      (8L, ms(ts(5)), ms(ts(5)), 1L, 3.0)))
+    // the streaming path emits the SAME closed session for the first
+    // burst (later sessions stay open pending watermark advance)
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val q = EventStreams.sessionize(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_diff")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(SessionEvent(7L, ts(0), 1.0), SessionEvent(7L, ts(10), 2.0),
+        SessionEvent(7L, ts(120), 4.0), SessionEvent(7L, ts(125), 1.0))
+      q.processAllAvailable()
+      val closed = spark.table("sess_diff").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3).toLong,
+          r.getDouble(4))).toSet
+      assert(closed.subsetOf(batch), s"streaming emitted $closed not in batch")
+      assert(closed.contains((7L, ms(ts(0)), ms(ts(10)), 2L, 3.0)))
+    } finally q.stop()
+  }
 }
