@@ -48,6 +48,7 @@ object MlQueries {
     "ml_als" -> ((s, d) => TextModels.als(s, ev(s, d))),
     "ml_als_fixed" -> ((s, d) => TextModels.alsFixed(s, ev(s, d))),
     "ml_lda" -> ((s, d) => TextModels.lda(s, docs(s, d))),
+    "ml_nmf_topics" -> ((s, d) => TextModels.nmfFixed(s, docs(s, d))),
     "ml_prefixspan" -> ((s, d) => TextModels.prefixSpan(s, ev(s, d))),
     "ml_knn" -> ((s, d) => {
       val e = emb(s, d)
@@ -282,8 +283,55 @@ object MlQueries {
     sb.toString
   }
 
+  /** Unrolled Lee–Seung NMF oracle: one CTE block per iteration — WᵀV,
+    * WᵀW, WᵀWH then the H update, VHᵀ, HHᵀ, WHHᵀ then the W update —
+    * factors floor-rounded 1e-6 per half-update like the Spark side. */
+  private def nmfSql(k: Int, iters: Int, vocabSize: Int): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH tok AS MATERIALIZED (SELECT doc_id, " +
+      "UNNEST(string_split(text, ' ')) AS term FROM documents)"
+    sb ++= s", vocab AS MATERIALIZED (SELECT term, r FROM (SELECT term, " +
+      "ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, term) - 1 AS r " +
+      s"FROM tok GROUP BY term) q WHERE r < $vocabSize)"
+    sb ++= ", v AS MATERIALIZED (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS v " +
+      "FROM tok JOIN vocab USING (term) GROUP BY doc_id, term)"
+    sb ++= s", tp AS (SELECT UNNEST(range(0, $k)) AS t)"
+    sb ++= ", w0 AS MATERIALIZED (SELECT d.doc_id, tp.t, " +
+      "CAST(1.0 + ((d.doc_id + tp.t) % 3) * 0.25 AS DOUBLE) AS w " +
+      "FROM (SELECT DISTINCT doc_id FROM documents) d CROSS JOIN tp)"
+    sb ++= ", h0 AS MATERIALIZED (SELECT tp.t, vocab.term, " +
+      "CAST(1.0 + ((vocab.r + tp.t) % 3) * 0.25 AS DOUBLE) AS h " +
+      "FROM vocab CROSS JOIN tp)"
+    for (i <- 1 to iters) {
+      sb ++= s", wtv$i AS MATERIALIZED (SELECT w.t, v.term, SUM(w.w * v.v) AS wtv " +
+        s"FROM w${i - 1} w JOIN v ON v.doc_id = w.doc_id GROUP BY w.t, v.term)"
+      sb ++= s", wtw$i AS (SELECT a.t, b.t AS t2, SUM(a.w * b.w) AS g " +
+        s"FROM w${i - 1} a JOIN w${i - 1} b ON b.doc_id = a.doc_id GROUP BY a.t, b.t)"
+      sb ++= s", wtwh$i AS (SELECT g.t, h.term, SUM(g.g * h.h) AS d " +
+        s"FROM wtw$i g JOIN h${i - 1} h ON h.t = g.t2 GROUP BY g.t, h.term)"
+      sb ++= s", h$i AS MATERIALIZED (SELECT h.t, h.term, " +
+        "FLOOR(h.h * COALESCE(wtv.wtv, 0) / d.d * 1000000 + 0.5) / 1000000 AS h " +
+        s"FROM h${i - 1} h LEFT JOIN wtv$i wtv ON wtv.t = h.t AND wtv.term = h.term " +
+        s"JOIN wtwh$i d ON d.t = h.t AND d.term = h.term)"
+      sb ++= s", vht$i AS MATERIALIZED (SELECT v.doc_id, h.t, SUM(v.v * h.h) AS vht " +
+        s"FROM v JOIN h$i h USING (term) GROUP BY v.doc_id, h.t)"
+      sb ++= s", hht$i AS (SELECT a.t, b.t AS t2, SUM(a.h * b.h) AS g " +
+        s"FROM h$i a JOIN h$i b USING (term) GROUP BY a.t, b.t)"
+      sb ++= s", whht$i AS (SELECT w.doc_id, g.t, SUM(w.w * g.g) AS d " +
+        s"FROM w${i - 1} w JOIN hht$i g ON g.t2 = w.t GROUP BY w.doc_id, g.t)"
+      sb ++= s", w$i AS MATERIALIZED (SELECT w.doc_id, w.t, " +
+        "FLOOR(w.w * COALESCE(vht.vht, 0) / d.d * 1000000 + 0.5) / 1000000 AS w " +
+        s"FROM w${i - 1} w LEFT JOIN vht$i vht ON vht.doc_id = w.doc_id AND vht.t = w.t " +
+        s"JOIN whht$i d ON d.doc_id = w.doc_id AND d.t = w.t)"
+    }
+    sb ++= s" SELECT t AS topic, term, FLOOR(h * 10000 + 0.5) / 10000 AS weight " +
+      s"FROM h$iters ORDER BY topic, term"
+    sb.toString
+  }
+
   val oracle: Map[String, String] = Map(
     "ml_simrank" -> simrankSql(iters = 5),
+    "ml_nmf_topics" -> nmfSql(k = 3, iters = 3, vocabSize = 64),
     "ml_als_fixed" -> alsFixedSql(iters = 5),
     "ml_lloyd_fixed" -> lloydSql(k = 4, iters = 5, dim = 64),
     "ml_logreg_rule" -> clsRuleSql,

@@ -38,6 +38,72 @@ object TextModels {
   /** events → implicit ratings (user, event_type item) → ALS factors.
     * Output = per-(user, item) predicted rating for the observed pairs,
     * plus rank/rmse metadata — bounded by |users|×|types|. */
+  /** Deterministic NMF topic model — the oracle-checkable companion to
+    * the LDA wrapper (EM from seeded Dirichlet randoms: no external
+    * engine can replay the stock fit). Lee–Seung multiplicative updates
+    * on the doc×term count matrix with a deterministic arithmetic init
+    * (1 + ((row+col) mod 3)/4), factors floor-rounded 1e-6 after every
+    * half-update so cross-engine summation order cannot drift. Every
+    * step is a join+agg matrix product: W stays partitioned by doc, the
+    * k×vocab H and k×k Grams are broadcast-scale. Output: the topic-term
+    * matrix H, rounded — the same "topics as term weights" shape the LDA
+    * query emits. */
+  def nmfFixed(spark: SparkSession, docs: DataFrame, k: Int = 3,
+      iters: Int = 3, vocabSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    def r6(c: org.apache.spark.sql.Column) = floor(c * 1e6 + 0.5) / 1e6
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val vocab = tok.groupBy("term").agg(count(lit(1)).as("c"))
+      .select(col("term"), (row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(desc("c"), asc("term"))) - 1).as("r"))
+      .filter(col("r") < vocabSize).cache()
+    val v = tok.join(broadcast(vocab), Seq("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("v"))
+      .cache()
+    val topics = spark.range(k).select(col("id").as("t"))
+    var w = docs.select(col("doc_id")).distinct().crossJoin(topics)
+      .select(col("doc_id"), col("t"),
+        (lit(1.0) + pmod(col("doc_id") + col("t"), lit(3)) * 0.25).as("w"))
+    var h = vocab.crossJoin(topics)
+      .select(col("t"), col("term"),
+        (lit(1.0) + pmod(col("r") + col("t"), lit(3)) * 0.25).as("h"))
+    for (_ <- 1 to iters) {
+      // H ← H ⊙ WᵀV / WᵀWH
+      val wtv = w.join(v, Seq("doc_id"))
+        .groupBy("t", "term").agg(sum(col("w") * col("v")).as("wtv"))
+      val wtw = w.join(w.select(col("doc_id"), col("t").as("t2"),
+          col("w").as("w2")), Seq("doc_id"))
+        .groupBy("t", "t2").agg(sum(col("w") * col("w2")).as("g"))
+      val wtwh = wtw.join(h.select(col("t").as("t2"), col("term"),
+          col("h").as("h2")), Seq("t2"))
+        .groupBy("t", "term").agg(sum(col("g") * col("h2")).as("d"))
+      h = h.join(wtv, Seq("t", "term"), "left").join(wtwh, Seq("t", "term"))
+        .select(col("t"), col("term"),
+          r6(col("h") * coalesce(col("wtv"), lit(0.0)) / col("d")).as("h"))
+        .localCheckpoint()
+      // W ← W ⊙ VHᵀ / WHHᵀ
+      val vht = v.join(h, Seq("term"))
+        .groupBy("doc_id", "t").agg(sum(col("v") * col("h")).as("vht"))
+      val hht = h.join(h.select(col("t").as("t2"), col("term"),
+          col("h").as("h2")), Seq("term"))
+        .groupBy("t", "t2").agg(sum(col("h") * col("h2")).as("g"))
+      val whht = w.select(col("doc_id"), col("t").as("t2"), col("w"))
+        .join(hht, Seq("t2"))
+        .groupBy("doc_id", "t").agg(sum(col("w") * col("g")).as("d"))
+      w = w.join(vht, Seq("doc_id", "t"), "left").join(whht, Seq("doc_id", "t"))
+        .select(col("doc_id"), col("t"),
+          r6(col("w") * coalesce(col("vht"), lit(0.0)) / col("d")).as("w"))
+        .localCheckpoint()
+    }
+    val out = h.select(col("t").as("topic"), col("term"),
+      (floor(col("h") * 1e4 + 0.5) / 1e4).as("weight"))
+      .orderBy("topic", "term")
+    vocab.unpersist(blocking = false)
+    v.unpersist(blocking = false)
+    out
+  }
+
   /** Deterministic rank-1 alternating least squares — the oracle-checkable
     * companion to the stock [[als]] wrapper (whose seeded random factor
     * init no external engine can replay). Item factors start at 1.0; each

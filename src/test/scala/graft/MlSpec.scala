@@ -144,7 +144,7 @@ class MlSpec extends AnyFunSuite {
       "ml_logreg_rule", "ml_svc_rule", "ml_dtree_rule", "ml_rf_rule",
       "ml_gbt_rule", "ml_dtree_reg_rule", "ml_rf_reg_rule",
       "ml_gbt_reg_rule", "ml_pca2", "ml_svd2", "ml_spca2", "ml_simrank",
-      "ml_als_fixed")
+      "ml_als_fixed", "ml_nmf_topics")
     for (name <- MlQueries.oracle.keys if !duckdbOnly(name)) {
       val dsl = MlQueries.all(name)(spark, sf0001).collect()
         .map(_.toSeq.map(String.valueOf)).toSeq
