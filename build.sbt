@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver machine-reads ONE JSON line from Bench/Verify stdout. sbt's
+// default LoggedOutput prefixes every forked-run line with "[info] ",
+// which made BENCH_r01/r02 unparseable ("parsed": null). StdoutOutput
+// inherits the child's stdout/stderr raw, so the JSON line stays bare.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
