@@ -25,7 +25,15 @@ object Bench {
         errors ::= name
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // each query is an independent job: drop whatever it cached or
+      // localCheckpoint'ed so 112 queries in one JVM don't accumulate
+      // storage pressure (round-2 bench ran node2vec 3x slower inside
+      // the suite than isolated purely from leaked blocks)
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      name -> dt
     }
     def r3(v: Double) = math.floor(v * 1000 + 0.5) / 1000
     // per-query detail only for the BASELINE.md headline set + the known

@@ -26,6 +26,9 @@ object Profile {
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       println(f"PROFILE $name%-24s rep$r rows=$n%-8d ${dt}%8.3f s")
     }
     spark.stop()

@@ -2,6 +2,7 @@ package graft.graph
 
 import org.apache.spark.ml.feature.Word2Vec
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Node2Vec graph embeddings (SURVEY §2.C C22) — closed-source in the
@@ -9,86 +10,97 @@ import org.apache.spark.sql.functions._
   * p/q bias knobs, `:72-73`); re-derived from Grover & Leskovec 2016.
   *
   * Walks are generated fully declaratively: `numWalks` walkers start at
-  * every vertex; each step joins the walker frontier with a broadcast
-  * per-vertex sorted neighbor array. With p = q = 1 the next hop is a
-  * uniform pick at index xxhash64(walk_id, step) mod degree. Otherwise
-  * the full second-order transition runs: the walker also joins its
-  * PREVIOUS vertex's neighbor array, scores every candidate x with the
-  * Grover–Leskovec weights (1/p if x = prev, 1 if x adjacent to prev,
-  * 1/q otherwise) and samples by inverse-CDF over a deterministic
-  * per-(walker, step) hash draw — no RNG state, reruns are identical.
-  * Everything is per-row expression work on broadcast-joined rows: no
-  * shuffle per hop, no driver loop over vertices.
+  * every vertex. Each step is relational — the walker frontier joins a
+  * broadcast position-ranked edge list (one candidate row per neighbor),
+  * candidates score the Grover–Leskovec second-order weights (1/p back
+  * to prev, 1 if adjacent to prev via an equi-join flag, 1/q otherwise),
+  * and a hash aggregate picks the winner per walker. Every operator is
+  * whole-stage-codegen'd; the previous formulation folded nested
+  * higher-order lambdas over neighbor arrays, which Catalyst evaluates
+  * interpreted (CodegenFallback) — O(d_cur·d_prev) boxed evaluations per
+  * walker-step made the sampler the slowest part of the suite.
+  * Draws are deterministic per-(walker, step) hashes — no RNG state,
+  * reruns are identical.
   */
 object Node2Vec {
 
-  def walks(spark: SparkSession, edges: DataFrame, numWalks: Int = 4,
-      walkLength: Int = 6, p: Double = 1.0, q: Double = 1.0,
-      maxDegree: Int = 10000): DataFrame = {
-    // hub cap: the second-order step scores O(d_cur · d_prev) per walker
-    // (candidate × prev-adjacency membership); an uncapped 1e6-degree hub
-    // would cost 1e12 ops per visit at full scale. Keeping the `maxDegree`
-    // lexicographically-smallest neighbors biases hub walks toward a
-    // fixed subset — deterministic, documented, and bounded.
-    val nbrs = edges.select(col("src"), col("dst")).distinct()
-      .groupBy("src").agg(array_sort(collect_set(col("dst"))).as("nbrs"))
-      .select(col("src"), slice(col("nbrs"), 1, maxDegree).as("nbrs"))
+  /** Position-ranked capped out-neighbor table: (src, dst, pos, deg).
+    * pos ranks neighbors ascending (the order the former sorted-array
+    * formulation folded in); the `maxDegree` cap keeps the
+    * lexicographically-smallest neighbors — the second-order candidate
+    * set is O(d) rows per visit, so an uncapped 1e6-degree hub would
+    * dominate every step at full scale. Deterministic, documented,
+    * bounded. */
+  private def rankedEdges(edges: DataFrame, maxDegree: Int): DataFrame = {
+    val bySrc = Window.partitionBy("src").orderBy("dst")
+    edges.select(col("src"), col("dst")).distinct()
+      .withColumn("pos", row_number().over(bySrc))
+      .filter(col("pos") <= maxDegree)
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy("src")))
       .localCheckpoint()
-    var walkers = nbrs.select(col("src").as("cur"))
-      .distinct()
+  }
+
+  private def startWalkers(spark: SparkSession, ce: DataFrame,
+      numWalks: Int): DataFrame =
+    ce.select(col("src").as("cur")).distinct()
       .crossJoin(spark.range(numWalks).select(col("id").as("walk")))
       .select(concat_ws("_", col("cur"), col("walk")).as("walk_id"),
         col("cur"), lit(null).cast("long").as("prev"),
         array(col("cur")).as("path"))
+
+  /** One relational step: frontier ⋈ broadcast(candidates) ⋈ broadcast
+    * (prev-adjacency flag), per-walker pick via hash agg, join back to
+    * extend paths. `pick(cand)` returns (walk_id, next). */
+  private def advance(walkers: DataFrame, picks: DataFrame): DataFrame =
+    walkers.join(picks, Seq("walk_id"), "left")
+      .select(col("walk_id"),
+        coalesce(col("next"), col("cur")).as("cur"), // dead end: stay
+        col("cur").as("prev"),
+        concat(col("path"),
+          array(coalesce(col("next"), col("cur")))).as("path"))
+
+  /** Candidate frame for one step: one row per (walker, neighbor of cur)
+    * with the neighbor's pos/deg and a prev-adjacency flag. Walkers at
+    * dead-end vertices produce no rows (handled by the left join in
+    * [[advance]]). */
+  private def candidates(walkers: DataFrame, ce: DataFrame): DataFrame =
+    walkers.select(col("walk_id"), col("cur"), col("prev"))
+      .join(broadcast(ce.withColumnRenamed("src", "cur")), Seq("cur"))
+      .withColumnRenamed("dst", "x")
+      .join(broadcast(ce.select(col("src").as("prev"),
+        col("dst").as("x"), lit(1).as("adjf"))), Seq("prev", "x"), "left")
+
+  def walks(spark: SparkSession, edges: DataFrame, numWalks: Int = 4,
+      walkLength: Int = 6, p: Double = 1.0, q: Double = 1.0,
+      maxDegree: Int = 10000): DataFrame = {
+    val ce = rankedEdges(edges, maxDegree)
+    var walkers = startWalkers(spark, ce, numWalks)
     val secondOrder = p != 1.0 || q != 1.0
     var step = 0
     while (step < walkLength) {
-      // broadcast the adjacency: each step becomes a map-side join (no
-      // shuffle per hop). At a scale where adjacency exceeds broadcast
-      // range, drop the hint and Catalyst falls back to a shuffle join.
-      var joined = walkers.join(
-        broadcast(nbrs.withColumnRenamed("src", "cur")), Seq("cur"), "left")
-      val uniformPick = element_at(col("nbrs"),
-        (pmod(xxhash64(col("walk_id"), lit(step)), size(col("nbrs"))) + 1)
-          .cast("int"))
-      val pick: Column =
-        if (!secondOrder) uniformPick
+      val cand = candidates(walkers, ce)
+      // uniform pick: the candidate whose pos the walker hash selects
+      val uTarget = pmod(xxhash64(col("walk_id"), lit(step)), col("deg")) + 1
+      val uniformPick = min(when(col("pos") === uTarget, col("x")))
+      val pickCol =
+        if (!secondOrder) uniformPick.as("next")
         else {
-          joined = joined.join(
-            broadcast(nbrs.select(col("src").as("prev"),
-              col("nbrs").as("pnbrs"))), Seq("prev"), "left")
-          // Grover–Leskovec second-order weights, sampled in ONE pass by
-          // the Efraimidis–Spirakis race: P(argmin_x −ln(u_x)/w_x = x)
-          // = w_x/Σw, so no weight array, no total, no cumulative scan —
-          // a nested-lambda inverse-CDF evaluated the weights three
-          // times per row and tripled the step cost. u_x is a
-          // deterministic per-(walker, step, candidate) hash in (0, 1].
-          val sel = aggregate(
-            col("nbrs"),
-            struct(lit(Double.MaxValue).as("key"), lit(-1L).as("sel")),
-            (acc, x) => {
-              val w = when(x === col("prev"), lit(1.0 / p))
-                .when(array_contains(
-                  coalesce(col("pnbrs"), array().cast("array<bigint>")), x),
-                  lit(1.0))
-                .otherwise(lit(1.0 / q))
-              val u = (pmod(xxhash64(col("walk_id"), lit(step + 7919), x),
-                lit(1000003L)).cast("double") + 1.0) / 1000004.0
-              val key = -log(u) / w
-              when(key < acc.getField("key"),
-                struct(key.as("key"), x.as("sel"))).otherwise(acc)
-            },
-            acc => acc.getField("sel"))
+          // Grover–Leskovec weights + the Efraimidis–Spirakis race:
+          // P(argmin_x −ln(u_x)/w_x) = w_x/Σw — a single min-struct agg,
+          // ties broken by ascending x (the former fold's array order)
+          val w = when(col("x") === col("prev"), lit(1.0 / p))
+            .when(col("adjf").isNotNull, lit(1.0))
+            .otherwise(lit(1.0 / q))
+          val u = (pmod(xxhash64(col("walk_id"), lit(step + 7919), col("x")),
+            lit(1000003L)).cast("double") + 1.0) / 1000004.0
+          val key = -log(u) / w
           // first hop has no prev (uniform)
-          when(col("prev").isNull, uniformPick).otherwise(sel)
+          when(max(col("prev")).isNull, uniformPick)
+            .otherwise(min(struct(key.as("key"), col("x"))).getField("x"))
+            .as("next")
         }
-      walkers = joined
-        .select(col("walk_id"),
-          when(col("nbrs").isNotNull, pick).otherwise(col("cur")).as("next"),
-          col("cur"), col("path"))
-        .select(col("walk_id"), col("next").as("cur"),
-          col("cur").as("prev"),
-          concat(col("path"), array(col("next"))).as("path"))
+      val picks = cand.groupBy("walk_id").agg(pickCol)
+      walkers = advance(walkers, picks)
       // truncate plan lineage periodically, not per hop
       if (step % 3 == 2) walkers = walkers.localCheckpoint()
       step += 1
@@ -105,7 +117,10 @@ object Node2Vec {
     * with p, q POWERS OF TWO, so 1/p, 1, 1/q and every cumulative sum
     * are exactly representable and the crossing comparison is
     * bit-identical in any IEEE-754 engine — no transcendentals anywhere
-    * in the pick. Output: (walk_id, path serialized). */
+    * in the pick. The cumulative sum is a window scan in pos order (the
+    * same left-to-right sequence the former fold used; with exact sums
+    * the order is immaterial anyway). Output: (walk_id, path
+    * serialized). */
   def walksReplicable(spark: SparkSession, edges: DataFrame,
       numWalks: Int = 2, walkLength: Int = 6, p: Double = 2.0,
       q: Double = 0.5, maxDegree: Int = 10000): DataFrame = {
@@ -115,53 +130,29 @@ object Node2Vec {
       "q must be a power of two for exact weight sums")
     def shaH(c: Column): Column =
       conv(substring(sha2(c, 256), 1, 15), 16, 10).cast("long")
-    val nbrs = edges.select(col("src"), col("dst")).distinct()
-      .groupBy("src").agg(array_sort(collect_set(col("dst"))).as("nbrs"))
-      .select(col("src"), slice(col("nbrs"), 1, maxDegree).as("nbrs"))
-      .localCheckpoint()
-    var walkers = nbrs.select(col("src").as("cur")).distinct()
-      .crossJoin(spark.range(numWalks).select(col("id").as("walk")))
-      .select(concat_ws("_", col("cur"), col("walk")).as("walk_id"),
-        col("cur"), lit(null).cast("long").as("prev"),
-        array(col("cur")).as("path"))
+    val ce = rankedEdges(edges, maxDegree)
+    var walkers = startWalkers(spark, ce, numWalks)
     var step = 0
     while (step < walkLength) {
-      val wOf = (x: Column) =>
-        when(x === col("prev"), lit(1.0 / p))
-          .when(array_contains(
-            coalesce(col("pnbrs"), array().cast("array<bigint>")), x), lit(1.0))
-          .otherwise(lit(1.0 / q))
+      val w = when(col("x") === col("prev"), lit(1.0 / p))
+        .when(col("adjf").isNotNull, lit(1.0))
+        .otherwise(lit(1.0 / q))
+      val byWalk = Window.partitionBy("walk_id")
       val u = (pmod(shaH(concat_ws("|", col("walk_id"), lit(step))),
         lit(1000003L)).cast("double") + 1.0) / 1000004.0
-      val joined = walkers
-        .join(broadcast(nbrs.withColumnRenamed("src", "cur")), Seq("cur"), "left")
-        .join(broadcast(nbrs.select(col("src").as("prev"),
-          col("nbrs").as("pnbrs"))), Seq("prev"), "left")
-        // threshold once per row — a nested reference inside the fold
-        // would re-evaluate the total per element (O(d²) per step)
-        .withColumn("t_draw",
-          u * aggregate(col("nbrs"), lit(0.0), (acc, x) => acc + wOf(x)))
-      val sel = aggregate(
-        col("nbrs"),
-        struct(lit(0.0).as("cum"), lit(-1L).as("sel")),
-        (acc, x) => {
-          val cum2 = acc.getField("cum") + wOf(x)
-          struct(cum2.as("cum"),
-            when(acc.getField("sel") === -1L && cum2 >= col("t_draw"), x)
-              .otherwise(acc.getField("sel")).as("sel"))
-        },
-        acc => acc.getField("sel"))
-      val uniformPick = element_at(col("nbrs"),
-        (pmod(shaH(concat_ws("|", col("walk_id"), lit(step))),
-          size(col("nbrs"))) + 1).cast("int"))
-      val pick = when(col("prev").isNull, uniformPick).otherwise(sel)
-      walkers = joined
-        .select(col("walk_id"),
-          when(col("nbrs").isNotNull, pick).otherwise(col("cur")).as("next"),
-          col("cur"), col("path"))
-        .select(col("walk_id"), col("next").as("cur"),
-          col("cur").as("prev"),
-          concat(col("path"), array(col("next"))).as("path"))
+      val cand = candidates(walkers, ce)
+        .withColumn("wv", w)
+        .withColumn("cum", sum(col("wv")).over(byWalk.orderBy("pos")))
+        .withColumn("t_draw", u * sum(col("wv")).over(byWalk))
+      val uTarget = pmod(shaH(concat_ws("|", col("walk_id"), lit(step))),
+        col("deg")) + 1
+      val picks = cand.groupBy("walk_id").agg(
+        when(max(col("prev")).isNull,
+          min(when(col("pos") === uTarget, col("x"))))
+          .otherwise(min(when(col("cum") >= col("t_draw"),
+            struct(col("pos"), col("x")))).getField("x"))
+          .as("next"))
+      walkers = advance(walkers, picks)
       if (step % 3 == 2) walkers = walkers.localCheckpoint()
       step += 1
     }

@@ -53,6 +53,21 @@ object LlmQueries {
       Similarity.lshNeighborsDeterministic(
         e.filter(col("vec_id") < 10), e, maxDist = 1.2)
     }),
+    "llm_ann_ivf" -> ((s, d) => {
+      // IVF scale path: coarse-quantize the corpus into cells, probe the
+      // nProbe nearest cells per query — |Q|·nProbe/nlist·|C| candidates
+      val e = emb(s, d)
+      Similarity.ivfTopK(e.filter(col("vec_id") < 10), e, k = 5,
+        centroidStride = 31, nProbe = 4)
+    }),
+    "llm_embed_dedup" -> ((s, d) =>
+      // embedding-space near-dup member of the dedup family: parity-sign
+      // LSH blocking + exact-cosine verification. tau sits where this
+      // synthetic corpus has genuine neighbors (max pairwise cosine
+      // ≈ 0.51 — the vectors are near-orthogonal): ~60 pairs at sf0.01.
+      // Recall is the LSH blocking's (the oracle replicates blocking +
+      // verify, so the output is exactly defined either way).
+      Similarity.cosineNearDupPairs(emb(s, d), tau = 0.4)),
     "llm_multimodal" -> ((s, d) => Multimodal.documentsAsMedia(s, docs(s, d))),
     "llm_multimodal_frames" -> ((s, d) =>
       Multimodal.documentsAsFrames(s, docs(s, d))),
@@ -164,6 +179,49 @@ object LlmQueries {
         "GROUP BY query_id, neighbor_id) " +
         "SELECT query_id, neighbor_id, FLOOR(d * 10000 + 0.5) / 10000 AS dist " +
         "FROM cand WHERE d <= 1.2 ORDER BY query_id, neighbor_id"),
+    // IVF replica: same strided centroids, ROW_NUMBER argmin assignment
+    // on 1e-6-rounded LIST_DISTANCE (the tiebreak order Spark's
+    // min(struct) uses), probe join, dot-product rank
+    "llm_ann_ivf" ->
+      ("WITH x AS (SELECT vec_id, LIST_TRANSFORM(embedding, v -> CAST(v AS DOUBLE)) AS xv " +
+        "FROM embeddings), " +
+        "cents AS (SELECT vec_id AS cid, xv AS cv FROM x WHERE vec_id % 31 = 0), " +
+        "asg AS (SELECT vec_id AS neighbor_id, cid AS cell FROM " +
+        "(SELECT x.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY x.vec_id " +
+        "ORDER BY FLOOR(LIST_DISTANCE(x.xv, c.cv) * 1000000 + 0.5) / 1000000, c.cid) AS rn " +
+        "FROM x CROSS JOIN cents c) q WHERE rn = 1), " +
+        "qc AS (SELECT query_id, cell FROM " +
+        "(SELECT x.vec_id AS query_id, c.cid AS cell, ROW_NUMBER() OVER (PARTITION BY x.vec_id " +
+        "ORDER BY FLOOR(LIST_DISTANCE(x.xv, c.cv) * 1000000 + 0.5) / 1000000, c.cid) AS rn " +
+        "FROM x CROSS JOIN cents c WHERE x.vec_id < 10) q WHERE rn <= 4), " +
+        "s AS (SELECT qc.query_id, asg.neighbor_id, " +
+        "LIST_INNER_PRODUCT(qx.xv, nx.xv) AS raw_dot " +
+        "FROM qc JOIN asg ON asg.cell = qc.cell " +
+        "JOIN x qx ON qx.vec_id = qc.query_id JOIN x nx ON nx.vec_id = asg.neighbor_id), " +
+        "rk AS (SELECT query_id, neighbor_id, " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY query_id " +
+        "ORDER BY FLOOR(raw_dot * 1000000 + 0.5) / 1000000 DESC, neighbor_id) AS INTEGER) AS rank, " +
+        "FLOOR(raw_dot * 10000 + 0.5) / 10000 AS sim FROM s) " +
+        "SELECT query_id, neighbor_id, rank, sim FROM rk WHERE rank <= 5 " +
+        "ORDER BY query_id, rank"),
+    // embedding near-dup replica: parity signs → floor buckets → pair
+    // candidates → exact cosine (same multiply/divide order as the
+    // Spark-side cosine: dot / (norm_a * norm_b))
+    "llm_embed_dedup" ->
+      ("WITH x AS (SELECT vec_id, LIST_TRANSFORM(embedding, v -> CAST(v AS DOUBLE)) AS xv " +
+        "FROM embeddings), " +
+        "sgn AS (SELECT t, LIST(CASE WHEN ((2 * t + 3) * j + 104729 * t + 12345) % 2 = 0 " +
+        "THEN -1.0 ELSE 1.0 END ORDER BY j) AS sv " +
+        "FROM generate_series(0, 2) g1(t), generate_series(0, 63) g2(j) GROUP BY t), " +
+        "bk AS (SELECT x.vec_id, s.t, FLOOR(LIST_INNER_PRODUCT(x.xv, s.sv) / 2.0) AS b " +
+        "FROM x CROSS JOIN sgn s), " +
+        "cand AS (SELECT DISTINCT a.vec_id AS doc_a, b2.vec_id AS doc_b " +
+        "FROM bk a JOIN bk b2 ON a.t = b2.t AND a.b = b2.b AND a.vec_id < b2.vec_id), " +
+        "v AS (SELECT doc_a, doc_b, LIST_INNER_PRODUCT(xa.xv, xb.xv) / " +
+        "(SQRT(LIST_INNER_PRODUCT(xa.xv, xa.xv)) * SQRT(LIST_INNER_PRODUCT(xb.xv, xb.xv))) AS c " +
+        "FROM cand JOIN x xa ON xa.vec_id = doc_a JOIN x xb ON xb.vec_id = doc_b) " +
+        "SELECT doc_a, doc_b, FLOOR(c * 10000 + 0.5) / 10000 AS cos_sim " +
+        "FROM v WHERE c >= 0.4 ORDER BY doc_a, doc_b"),
     // replicable minhash: sha2 shingle hashes + the modular mixing
     // family (reduce mod 2^52, multiplier ≤65, Mersenne-prime modulus);
     // bands fold each 4-wide signature slice from the band index

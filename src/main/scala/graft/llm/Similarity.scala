@@ -106,6 +106,119 @@ object Similarity {
       .orderBy("query_id", "neighbor_id")
   }
 
+  /** IVF (inverted-file) approximate top-k: the corpus is partitioned
+    * into cells by nearest coarse centroid; each query probes only its
+    * `nProbe` nearest cells. Mirrors the coarse-quantize-then-scan
+    * structure of FAISS-style IVF indexes, re-expressed as two joins:
+    *
+    *  - assignment: corpus ⋈ broadcast(centroids) + map-side
+    *    `min(struct(dist, cid))` — a per-row argmin, no wide shuffle
+    *    (the exchange carries (vec_id, cell), not embeddings);
+    *  - probe: query cells ⋈ corpus cells on the cell id — candidate
+    *    cost is |Q| · nProbe/nlist · |C| instead of |Q|×|C|.
+    *
+    * Centroids here are the deterministic `vec_id % centroidStride = 0`
+    * subset, so the whole index is engine-replicable (oracle-checkable);
+    * a k-means-trained centroid set drops in without changing the plan.
+    * Distances/scores are rounded (1e-6) with id tiebreaks, so ranking
+    * is stable across engines and partitionings. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      centroidStride: Int = 31, nProbe: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    val hasNative = spark.catalog.functionExists("graft_euclid")
+    def euclid(a: String, b: String): Column =
+      if (hasNative) expr(s"graft_euclid($a, $b)")
+      else sqrt(aggregate(
+        zip_with(col(a), col(b),
+          (x, y) => (x.cast("double") - y.cast("double")) *
+            (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, v) => acc + v))
+    def dotOf(a: String, b: String): Column =
+      if (spark.catalog.functionExists("graft_dot")) expr(s"graft_dot($a, $b)")
+      else dot(col(a), col(b))
+    val cents = broadcast(
+      corpus.filter(pmod(col("vec_id"), lit(centroidStride)) === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv")))
+    // corpus→cell argmin as a map-side partial agg (struct min orders by
+    // rounded distance then centroid id — deterministic tiebreak)
+    val d6 = floor(euclid("ce", "cv") * 1e6 + 0.5) / 1e6
+    val assign = corpus
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+      .join(cents)
+      .groupBy("neighbor_id")
+      .agg(min(struct(d6.as("d"), col("cid"))).as("mc"),
+        first(col("ce")).as("ce"))
+      .select(col("neighbor_id"), col("ce"), col("mc.cid").as("cell"))
+    val qd6 = floor(euclid("qe", "cv") * 1e6 + 0.5) / 1e6
+    val qCells = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .join(cents)
+      .select(col("query_id"), col("qe"), col("cid"), qd6.as("d"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("d"), col("cid"))))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("qe"), col("cid").as("cell"))
+    val scored = qCells.join(assign, Seq("cell"))
+      .select(col("query_id"), col("neighbor_id"),
+        dotOf("qe", "ce").as("raw_dot"))
+      .select(col("query_id"), col("neighbor_id"), col("raw_dot"),
+        (floor(col("raw_dot") * 1e6 + 0.5) / 1e6).as("dot6"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dot6").desc, col("neighbor_id"))
+    scored
+      .select(col("query_id"), col("neighbor_id"),
+        row_number().over(w).as("rank"),
+        (floor(col("raw_dot") * 10000 + 0.5) / 10000).as("sim"))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs — the embedding-space member
+    * of the dedup family (exact / MinHash / SimHash / n-gram Jaccard /
+    * THIS). Blocking reuses the deterministic parity-sign LSH tables
+    * (candidates share a (table, bucket) key, so cost is bucket
+    * co-occupancy, never |C|²); survivors are verified with the exact
+    * cosine and kept at `tau`. Output (doc_a < doc_b, cos4). */
+  def cosineNearDupPairs(emb: DataFrame, tau: Double,
+      bucketLength: Double = 2.0, numTables: Int = 3,
+      dim: Int = 64): DataFrame = {
+    def signs(t: Int): Seq[Double] =
+      (0 until dim).map(j =>
+        if (((2 * t + 3) * j + 104729 * t + 12345) % 2 == 0) -1.0 else 1.0)
+    val xd = transform(col("embedding"), v => v.cast("double"))
+    val perTable = (0 until numTables).map { t =>
+      val d = aggregate(zip_with(xd, typedLit(signs(t)), (x, s) => x * s),
+        lit(0.0), (a, v) => a + v)
+      struct(lit(t).as("t"), floor(d / bucketLength).as("b"))
+    }
+    val bucketed = emb
+      .select(col("vec_id"), col("embedding"),
+        explode(array(perTable: _*)).as("tb"))
+      .select(col("vec_id"), col("embedding"),
+        col("tb.t").as("t"), col("tb.b").as("b"))
+    // candidate join carries ids only; embeddings rejoin once per
+    // surviving pair, so each cosine is evaluated exactly once
+    val ids = bucketed.select(col("vec_id"), col("t"), col("b"))
+    val cand = ids.select(col("t"), col("b"), col("vec_id").as("doc_a"))
+      .join(ids.select(col("t"), col("b"), col("vec_id").as("doc_b")),
+        Seq("t", "b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b")
+    val e = emb.select(col("vec_id"), col("embedding"))
+    cand
+      .join(e.select(col("vec_id").as("doc_a"),
+        col("embedding").as("ea")), Seq("doc_a"))
+      .join(e.select(col("vec_id").as("doc_b"),
+        col("embedding").as("eb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        cosine(col("ea"), col("eb")).as("c"))
+      .filter(col("c") >= tau)
+      .select(col("doc_a"), col("doc_b"),
+        (floor(col("c") * 10000 + 0.5) / 10000).as("cos_sim"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Approximate neighbors via random-projection LSH buckets: join cost is
     * bounded by bucket co-occupancy instead of |Q|×|C|. Seeded, so output
     * is deterministic. Returns pairs within `maxDist` (euclidean). */

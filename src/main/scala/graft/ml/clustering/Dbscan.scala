@@ -57,13 +57,22 @@ object Dbscan {
     val core = counts.filter(col("n") >= minPoints).select(col("a").as("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // connected components over core-core eps-edges
+    // connected components over core-core eps-edges. Partition count
+    // follows the edge volume: each Pregel superstep schedules a task
+    // per partition across several stages, so a tiny core graph on 32
+    // partitions pays ~1000 empty-task launches (~10 s fixed cost
+    // regardless of data); size to ~100k edges/partition instead.
     val coreEdges = pairs
       .join(core.withColumnRenamed("id", "a"), Seq("a"))
       .join(core.withColumnRenamed("id", "b"), Seq("b"))
       .filter(col("a") =!= col("b"))
+      .select("a", "b")
+    val nParts = math.max(2, math.min(
+      spark.sparkContext.defaultParallelism,
+      (coreEdges.count() / 100000L).toInt + 1))
     val coreGraph = Graph.fromEdges(
-      coreEdges.rdd.map(r => Edge(r.getLong(1), r.getLong(0), 1.0)), 1.0)
+      coreEdges.rdd.coalesce(nParts)
+        .map(r => Edge(r.getLong(0), r.getLong(1), 1.0)), 1.0)
     val compRaw = org.apache.spark.graphx.lib.ConnectedComponents
       .run(coreGraph).vertices.toDF("id", "comp")
     // isolated cores (no core neighbor) form singleton clusters
@@ -86,6 +95,11 @@ object Dbscan {
           .when(col("blabel").isNotNull, 1).otherwise(-1).as("point_type"),
         coalesce(col("label"), col("blabel"), lit(-1L)).as("label"))
       .orderBy("id")
-    out
+    // materialize, then release the working set — callers get a frame
+    // with no pinned upstream blocks
+    val result = out.localCheckpoint()
+    cell.unpersist(false); pairs.unpersist(false); core.unpersist(false)
+    coreGraph.unpersist(false)
+    result
   }
 }

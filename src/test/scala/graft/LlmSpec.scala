@@ -113,6 +113,35 @@ class LlmSpec extends AnyFunSuite {
     assert(selfPairs.length == 5) // identical vectors share every bucket
   }
 
+  test("ivf topk: self found, sims agree with brute force, cells pruned") {
+    val e = Tables(spark, sf0001, "embeddings")
+    val q = e.filter($"vec_id" < 5)
+    val ivf = Similarity.ivfTopK(q, e, k = 5).collect()
+    assert(ivf.nonEmpty)
+    // every query retrieves itself (its own cell is always probed)
+    val selfHits = ivf.filter(r => r.getLong(0) == r.getLong(1))
+    assert(selfHits.length == 5)
+    // IVF is a subset search: any reported (query, neighbor, sim) must
+    // carry the same sim brute force computes for that pair
+    val bf = Similarity.bruteForceTopK(q, e, k = 500).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(ivf.forall(r =>
+      math.abs(bf((r.getLong(0), r.getLong(1))) - r.getDouble(3)) < 1e-9))
+  }
+
+  test("cosine near-dup pairs: planted duplicate found, orthogonal not paired") {
+    val dim = 64
+    def vec(f: Int => Float) = (0 until dim).map(f).toArray
+    val base = vec(j => if (j < 8) 1.0f else 0.0f)
+    val nearDup = vec(j => if (j < 8) (if (j == 0) 0.99f else 1.0f) else 0.0f)
+    val ortho = vec(j => if (j >= 32) 1.0f else 0.0f)
+    val e = Seq((0L, base), (1L, nearDup), (2L, ortho))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.cosineNearDupPairs(e, tau = 0.9).collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1))).toSeq == Seq((0L, 1L)))
+    assert(r.head.getDouble(2) > 0.99)
+  }
+
   test("multimodal resize + frame-sample pipeline multiplies rows deterministically") {
     val docs = Tables(spark, sf0001, "documents").limit(20)
     val a = Multimodal.documentsAsFrames(spark, docs).collect()
