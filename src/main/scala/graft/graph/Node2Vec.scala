@@ -32,14 +32,23 @@ object Node2Vec {
     * dominate every step at full scale. Deterministic, documented,
     * bounded. */
   private def rankedEdges(edges: DataFrame, maxDegree: Int): DataFrame = {
+    // one WindowExec: rank and full degree share the (src, dst) sort —
+    // the count needs an explicit whole-partition frame or it would
+    // default to a running count over the rank's order
     val bySrc = Window.partitionBy("src").orderBy("dst")
+    val whole = bySrc.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
     edges.select(col("src"), col("dst")).distinct()
       .withColumn("pos", row_number().over(bySrc))
+      .withColumn("deg", least(count(lit(1)).over(whole), lit(maxDegree)))
       .filter(col("pos") <= maxDegree)
-      .withColumn("deg", count(lit(1)).over(Window.partitionBy("src")))
       .localCheckpoint()
   }
 
+  /** Walker state hash-partitioned by walk_id ONCE — every subsequent
+    * step is a broadcast join (preserves the partitioning) into a hash
+    * aggregate whose walk_id distribution requirement is already
+    * satisfied, so the whole walk loop runs without a single exchange. */
   private def startWalkers(spark: SparkSession, ce: DataFrame,
       numWalks: Int): DataFrame =
     ce.select(col("src").as("cur")).distinct()
@@ -47,28 +56,33 @@ object Node2Vec {
       .select(concat_ws("_", col("cur"), col("walk")).as("walk_id"),
         col("cur"), lit(null).cast("long").as("prev"),
         array(col("cur")).as("path"))
+      .repartition(col("walk_id"))
 
-  /** One relational step: frontier ⋈ broadcast(candidates) ⋈ broadcast
-    * (prev-adjacency flag), per-walker pick via hash agg, join back to
-    * extend paths. `pick(cand)` returns (walk_id, next). */
-  private def advance(walkers: DataFrame, picks: DataFrame): DataFrame =
-    walkers.join(picks, Seq("walk_id"), "left")
-      .select(col("walk_id"),
-        coalesce(col("next"), col("cur")).as("cur"), // dead end: stay
-        col("cur").as("prev"),
-        concat(col("path"),
-          array(coalesce(col("next"), col("cur")))).as("path"))
-
-  /** Candidate frame for one step: one row per (walker, neighbor of cur)
-    * with the neighbor's pos/deg and a prev-adjacency flag. Walkers at
-    * dead-end vertices produce no rows (handled by the left join in
-    * [[advance]]). */
+  /** Candidate frame for one step: one row per (walker, neighbor of
+    * cur) with the neighbor's pos/deg and a prev-adjacency flag.
+    * Dead-end walkers keep one row with null candidate columns (left
+    * join), so the per-walker aggregate never loses them. */
   private def candidates(walkers: DataFrame, ce: DataFrame): DataFrame =
-    walkers.select(col("walk_id"), col("cur"), col("prev"))
-      .join(broadcast(ce.withColumnRenamed("src", "cur")), Seq("cur"))
+    walkers
+      .join(broadcast(ce.withColumnRenamed("src", "cur")), Seq("cur"), "left")
       .withColumnRenamed("dst", "x")
       .join(broadcast(ce.select(col("src").as("prev"),
         col("dst").as("x"), lit(1).as("adjf"))), Seq("prev", "x"), "left")
+
+  /** Fold the per-walker pick and the path extension into ONE aggregate
+    * over the candidate frame: state columns ride along as first()
+    * (constant within a walker), the winner arrives via `pickAgg`, and
+    * dead ends (null pick) stay put. Output is the next walker state,
+    * still partitioned by walk_id. */
+  private def advance(cand: DataFrame, pickAgg: Column): DataFrame =
+    cand.groupBy("walk_id")
+      .agg(pickAgg.as("next"), first(col("cur")).as("cur0"),
+        first(col("path")).as("path0"))
+      .select(col("walk_id"),
+        coalesce(col("next"), col("cur0")).as("cur"), // dead end: stay
+        col("cur0").as("prev"),
+        concat(col("path0"),
+          array(coalesce(col("next"), col("cur0")))).as("path"))
 
   def walks(spark: SparkSession, edges: DataFrame, numWalks: Int = 4,
       walkLength: Int = 6, p: Double = 1.0, q: Double = 1.0,
@@ -83,7 +97,7 @@ object Node2Vec {
       val uTarget = pmod(xxhash64(col("walk_id"), lit(step)), col("deg")) + 1
       val uniformPick = min(when(col("pos") === uTarget, col("x")))
       val pickCol =
-        if (!secondOrder) uniformPick.as("next")
+        if (!secondOrder) uniformPick
         else {
           // Grover–Leskovec weights + the Efraimidis–Spirakis race:
           // P(argmin_x −ln(u_x)/w_x) = w_x/Σw — a single min-struct agg,
@@ -97,12 +111,15 @@ object Node2Vec {
           // first hop has no prev (uniform)
           when(max(col("prev")).isNull, uniformPick)
             .otherwise(min(struct(key.as("key"), col("x"))).getField("x"))
-            .as("next")
         }
-      val picks = cand.groupBy("walk_id").agg(pickCol)
-      walkers = advance(walkers, picks)
-      // truncate plan lineage periodically, not per hop
-      if (step % 3 == 2) walkers = walkers.localCheckpoint()
+      walkers = advance(cand, pickCol)
+      // lineage: six steps compile into ONE query whose repeated
+      // broadcast builds dedupe via exchange reuse (a per-step
+      // checkpoint forced 2 fresh 450k-row broadcast builds per hop —
+      // 12.5 s of the former 20 s walk cost); checkpoint only often
+      // enough to bound plan depth on long walks
+      if (step % 6 == 5 && step != walkLength - 1)
+        walkers = walkers.localCheckpoint()
       step += 1
     }
     walkers.select(col("walk_id"), col("path"))
@@ -146,14 +163,14 @@ object Node2Vec {
         .withColumn("t_draw", u * sum(col("wv")).over(byWalk))
       val uTarget = pmod(shaH(concat_ws("|", col("walk_id"), lit(step))),
         col("deg")) + 1
-      val picks = cand.groupBy("walk_id").agg(
+      val pickCol =
         when(max(col("prev")).isNull,
           min(when(col("pos") === uTarget, col("x"))))
           .otherwise(min(when(col("cum") >= col("t_draw"),
             struct(col("pos"), col("x")))).getField("x"))
-          .as("next"))
-      walkers = advance(walkers, picks)
-      if (step % 3 == 2) walkers = walkers.localCheckpoint()
+      walkers = advance(cand, pickCol)
+      if (step % 6 == 5 && step != walkLength - 1)
+        walkers = walkers.localCheckpoint()
       step += 1
     }
     walkers.select(col("walk_id"), concat_ws(",", col("path")).as("path"))
@@ -169,11 +186,22 @@ object Node2Vec {
   def embeddings(spark: SparkSession, edges: DataFrame, dim: Int = 16,
       numWalks: Int = 4, walkLength: Int = 6,
       p: Double = 1.0, q: Double = 1.0): DataFrame = {
+    // materialize the walk corpus once: Word2Vec scans it several times
+    // (vocab pass + training), and the walk query should not re-execute
+    // per pass
     val corpus = walks(spark, edges, numWalks, walkLength, p, q)
       .select(transform(col("path"), v => v.cast("string")).as("sentence"))
+      .localCheckpoint()
+    // training partitions follow the corpus (~10k sentences each, capped
+    // at the cluster width): each partition syncs a full parameter copy
+    // per iteration, so 32 near-empty partitions cost 3x the training
+    // time of 8 loaded ones at this scale — and one partition would
+    // serialize the whole corpus through a single task at any scale
+    val nParts = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism, (corpus.count() / 10000L).toInt))
     val w2v = new Word2Vec().setInputCol("sentence").setOutputCol("vec")
       .setVectorSize(dim).setMinCount(1).setSeed(2020L)
-      .setNumPartitions(spark.sparkContext.defaultParallelism)
+      .setNumPartitions(nParts)
       .fit(corpus)
     w2v.getVectors
       .select(col("word").cast("long").as("node"),
