@@ -23,11 +23,15 @@ object Community {
     * (node, community). */
   def louvain(spark: SparkSession, edges: DataFrame, passes: Int = 4,
       levels: Int = 2): DataFrame = {
-    // symmetric view: every undirected edge contributes both directions
+    // symmetric view: every undirected edge contributes both directions.
+    // Partitioned by dst BEFORE the checkpoint: every local-move pass
+    // joins communities in on dst, so the big frame shuffles once here
+    // instead of once per pass (only the small community frame moves).
     val sym = edges.select(col("src"), col("dst"), col("weight"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst"),
         col("weight")))
       .groupBy("src", "dst").agg(sum("weight").as("w"))
+      .repartition(col("dst"))
       .localCheckpoint()
 
     // level loop: local moves, then coarsen; carry vid → community map
@@ -55,6 +59,7 @@ object Community {
             .withColumnRenamed("new_comm", "c_dst"), Seq("dst"))
           .groupBy(col("c_src").as("src"), col("c_dst").as("dst"))
           .agg(sum("w").as("w"))
+          .repartition(col("dst")) // next level's passes join on dst
           .localCheckpoint()
       }
       lvl += 1
@@ -83,11 +88,14 @@ object Community {
           .withColumnRenamed("comm", "comm_dst"), Seq("dst"))
         .groupBy(col("src").as("node"), col("comm_dst").as("cand"))
         .agg(sum("w").as("kin"))
-      // candidate set = neighbor communities ∪ own community (kin 0 if none)
-      val own = comm.select(col("node"), col("comm").as("cand"),
-        lit(0.0).as("kin"))
-      val cands = kin.unionByName(own)
-        .groupBy("node", "cand").agg(max("kin").as("kin"))
+      // candidate set = neighbor communities ∪ own community (kin 0 if
+      // none) — a full-outer join onto the already-(node, cand)-
+      // partitioned kin frame; the former union+re-aggregate pushed the
+      // whole kin frame through a second exchange every pass
+      val own = comm.select(col("node"), col("comm").as("cand"))
+      val cands = kin.join(own, Seq("node", "cand"), "full_outer")
+        .select(col("node"), col("cand"),
+          coalesce(col("kin"), lit(0.0)).as("kin"))
         .join(comm, Seq("node")).join(deg, Seq("node"))
         .join(sigma.withColumnRenamed("comm", "cand"), Seq("cand"))
       // ΔQ-proportional score; own community's sigma excludes the node
@@ -95,12 +103,13 @@ object Community {
         (col("kin") - col("deg") *
           (col("sigma") - when(col("cand") === col("comm"), col("deg"))
             .otherwise(0.0)) / m2).as("score"))
-      val w = Window.partitionBy("node")
-        .orderBy(col("score").desc, col("cand"))
-      val best = scored
-        .select(col("node"), col("cand"), col("comm"), col("score"),
-          row_number().over(w).as("rn"))
-        .filter(col("rn") === 1)
+      // argmax as a partial-aggregating min(struct(-score, cand)) —
+      // the same (score desc, cand asc) order the former row_number
+      // window used, without sorting the whole candidate frame
+      val best = scored.groupBy("node")
+        .agg(min(struct((-col("score")).as("ns"), col("cand"))).as("sel"),
+          first(col("comm")).as("comm"))
+        .select(col("node"), col("sel.cand").as("cand"), col("comm"))
         .localCheckpoint()
       // parity gate: half the nodes move per pass (kills oscillation)
       val gate = pmod(col("node"), lit(2)) === lit(pass % 2)

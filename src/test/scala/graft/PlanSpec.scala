@@ -55,4 +55,29 @@ class PlanSpec extends AnyFunSuite {
     val aggBelow = lines.drop(exchangeIdx + 1).exists(_.contains("HashAggregate"))
     assert(exchangeIdx >= 0 && aggBelow, p.take(3000))
   }
+
+  test("ivf probes cells through joins, never a cartesian corpus scan") {
+    val e = Tables(spark, sf0001, "embeddings")
+    val df = graft.llm.Similarity.ivfTopK(e.filter(
+      org.apache.spark.sql.functions.col("vec_id") < 10), e, k = 5)
+    df.collect()
+    val p = plan(df)
+    // centroid assignment broadcasts the (tiny) centroid set; candidate
+    // generation is an equi-join on the cell id — a CartesianProduct
+    // would mean the coarse quantizer fell back to |Q|x|C|
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("cosine near-dup candidates meet on bucket keys, ids only") {
+    val e = Tables(spark, sf0001, "embeddings")
+    val df = graft.llm.Similarity.cosineNearDupPairs(e, tau = 0.4)
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // the bucket self-join must be an equi-join (SortMerge or Hash)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(3000))
+  }
 }
