@@ -33,6 +33,8 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      // full per-query trace on stderr (stdout stays one JSON line)
+      System.err.println(f"[bench] $name%-24s $dt%8.3f s")
       name -> dt
     }
     def r3(v: Double) = math.floor(v * 1000 + 0.5) / 1000

@@ -23,15 +23,12 @@ object Community {
     * (node, community). */
   def louvain(spark: SparkSession, edges: DataFrame, passes: Int = 4,
       levels: Int = 2): DataFrame = {
-    // symmetric view: every undirected edge contributes both directions.
-    // Partitioned by dst BEFORE the checkpoint: every local-move pass
-    // joins communities in on dst, so the big frame shuffles once here
-    // instead of once per pass (only the small community frame moves).
+    // symmetric view: every undirected edge contributes both directions
+    // (per-pass partitioning is handled inside localMoves)
     val sym = edges.select(col("src"), col("dst"), col("weight"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst"),
         col("weight")))
       .groupBy("src", "dst").agg(sum("weight").as("w"))
-      .repartition(col("dst"))
       .localCheckpoint()
 
     // level loop: local moves, then coarsen; carry vid → community map
@@ -59,7 +56,6 @@ object Community {
             .withColumnRenamed("new_comm", "c_dst"), Seq("dst"))
           .groupBy(col("c_src").as("src"), col("c_dst").as("dst"))
           .agg(sum("w").as("w"))
-          .repartition(col("dst")) // next level's passes join on dst
           .localCheckpoint()
       }
       lvl += 1
@@ -73,7 +69,15 @@ object Community {
     * frame per pass, against ~6 shuffles for a wasted pass. */
   private def localMoves(e: DataFrame, passes: Int): (DataFrame, Long) = {
     val m2 = e.agg(sum("w")).head().getDouble(0) // = 2m on symmetric view
-    val deg = e.groupBy(col("src").as("node")).agg(sum("w").as("deg"))
+    // zero-weight self-loops: every node's own community then arrives
+    // through the normal per-pass kin aggregate (+0.0 changes no sum),
+    // replacing a per-pass full-outer candidate merge; re-partitioned by
+    // dst once so the per-pass community join never re-exchanges it
+    val e2 = e.unionByName(
+      e.select(col("src")).union(e.select(col("dst"))).distinct()
+        .select(col("src"), col("src").as("dst"), lit(0.0).as("w")))
+      .repartition(col("dst")).localCheckpoint()
+    val deg = e2.groupBy(col("src").as("node")).agg(sum("w").as("deg"))
       .localCheckpoint()
     var comm = deg.select(col("node"), col("node").as("comm"))
     var totalMoves = 0L
@@ -82,20 +86,14 @@ object Community {
     while (pass < passes && zeroStreak < 2) {
       val sigma = comm.join(deg, Seq("node"))
         .groupBy("comm").agg(sum("deg").as("sigma"))
-      // weight from each node to each neighboring community
-      val kin = e
+      // weight from each node to each neighboring community; the
+      // self-loops planted in e2 make this the complete candidate set
+      // (neighbor communities plus the node's own)
+      val cands = e2
         .join(comm.withColumnRenamed("node", "dst")
           .withColumnRenamed("comm", "comm_dst"), Seq("dst"))
         .groupBy(col("src").as("node"), col("comm_dst").as("cand"))
         .agg(sum("w").as("kin"))
-      // candidate set = neighbor communities ∪ own community (kin 0 if
-      // none) — a full-outer join onto the already-(node, cand)-
-      // partitioned kin frame; the former union+re-aggregate pushed the
-      // whole kin frame through a second exchange every pass
-      val own = comm.select(col("node"), col("comm").as("cand"))
-      val cands = kin.join(own, Seq("node", "cand"), "full_outer")
-        .select(col("node"), col("cand"),
-          coalesce(col("kin"), lit(0.0)).as("kin"))
         .join(comm, Seq("node")).join(deg, Seq("node"))
         .join(sigma.withColumnRenamed("comm", "cand"), Seq("cand"))
       // ΔQ-proportional score; own community's sigma excludes the node

@@ -181,21 +181,24 @@ object Iterative {
     * per round. */
   def labelPropagationSync(spark: SparkSession, edges: DataFrame,
       iters: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    // partitioned by src before caching: the per-round label join keys
+    // on src, so the big frame shuffles once, not once per round
     val und = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().cache()
+      .distinct().repartition(col("src")).cache()
     var labels = und.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
-    val w = Window.partitionBy("node").orderBy(desc("cnt"), asc("label"))
     for (_ <- 1 to iters) {
       labels = und
         .join(labels.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"), col("label"))
         .groupBy("node", "label").agg(count(lit(1)).as("cnt"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("node"), col("label"))
+        // most-frequent-label argmax with smallest-label tiebreak, as a
+        // partial-aggregating min(struct) — integer counts, bit-exact,
+        // same order the former row_number window sorted by
+        .groupBy("node")
+        .agg(min(struct((-col("cnt")).as("nc"), col("label"))).as("sel"))
+        .select(col("node"), col("sel.label").as("label"))
         .localCheckpoint()
     }
     und.unpersist(blocking = false)
@@ -217,13 +220,18 @@ object Iterative {
   def parallelPersonalizedPageRankSync(spark: SparkSession, edges: DataFrame,
       sources: Seq[Long], numIter: Int, resetProb: Double = 0.15): DataFrame = {
     import spark.implicits._
+    // ne partitioned by src (the per-iteration rank join key) and grid
+    // by (node, source) (the per-iteration message merge key): both big
+    // frames shuffle once at build, never again inside the loop
     val ne = edges.select(col("src"), col("dst"))
       .join(edges.groupBy("src").agg(count(lit(1)).as("od")), Seq("src"))
       .select(col("src"), col("dst"), (lit(1.0) / col("od")).as("w"))
+      .repartition(col("src"))
       .cache()
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst"))).distinct()
-    val grid = nodes.crossJoin(sources.toDF("source")).cache()
+    val grid = nodes.crossJoin(sources.toDF("source"))
+      .repartition(col("node"), col("source")).cache()
     var ranks = grid.select(col("node"), col("source"),
       when(col("node") === col("source"), 1.0).otherwise(0.0).as("rank"))
     for (_ <- 1 to numIter) {
@@ -257,26 +265,36 @@ object Iterative {
     * is bit-identical. One shuffle round per pass. */
   def louvainSync(spark: SparkSession, undirected: DataFrame,
       iters: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val sym = undirected.select(col("src"), col("dst"), col("weight"))
-      .union(undirected.select(col("dst").as("src"), col("src").as("dst"),
+    // partitioned by dst before caching: the per-round community join
+    // keys on dst, so the big frame shuffles once, not once per round.
+    // Zero-weight self-loops guarantee every node a (node, own-comm)
+    // row in the per-round kvc aggregate — the own-community candidate
+    // arrives through the normal join (+0.0 changes no sum) instead of
+    // a full-outer merge that sorted the whole frame every round.
+    val base = undirected.select(col("src"), col("dst"), col("weight"))
+    val sym = base
+      .union(base.select(col("dst").as("src"), col("src").as("dst"),
         col("weight")))
+      .union(base.select(col("src"), col("dst"))
+        .union(base.select(col("dst"), col("src")))
+        .select(col("src"), col("src").as("dst"), lit(0.0).as("weight"))
+        .distinct())
+      .repartition(col("dst"))
       .cache()
     val m2 = sym.agg(sum("weight")).head().getDouble(0)
     val deg = sym.groupBy(col("src").as("node"))
       .agg(sum("weight").as("deg")).cache()
     var labels = deg.select(col("node"), col("node").as("comm"))
-    val w = Window.partitionBy("node").orderBy(desc("score"), asc("comm"))
     for (i <- 1 to iters) {
       val commDeg = labels.join(deg, Seq("node"))
         .groupBy("comm").agg(sum("deg").as("cdeg"))
-      val kvc = sym
+      // the self-loops planted in sym make kvc the complete candidate
+      // set — neighbor communities plus every node's own community —
+      // in this single aggregate
+      val cand = sym
         .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
         .groupBy(col("src").as("node"), col("comm"))
         .agg(sum("weight").as("kvc"))
-      val own = labels.select(col("node"), col("comm"), lit(0.0).as("kvc"))
-      val cand = kvc.unionByName(own)
-        .groupBy("node", "comm").agg(max("kvc").as("kvc"))
       val best = cand
         .join(commDeg, Seq("comm"))
         .join(deg, Seq("node"))
@@ -288,9 +306,13 @@ object Iterative {
             .otherwise(lit(0.0)))
         .withColumn("score",
           floor((col("kvc") - col("deg") * col("cdeg_adj") / m2) * 1e6 + 0.5) / 1e6)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("node"), col("comm").as("best"))
+        // argmax via partial-aggregating min(struct): the same
+        // (score desc, comm asc) order the former row_number window
+        // used (Spark's double ordering treats -0.0 = 0.0, like the
+        // sort), without sorting the whole candidate frame
+        .groupBy("node")
+        .agg(min(struct((-col("score")).as("ns"), col("comm"))).as("sel"))
+        .select(col("node"), col("sel.comm").as("best"))
       // semi-synchronous with a per-round hash gate: fully synchronous
       // moves oscillate on symmetric ties (adjacent nodes swap
       // communities forever, and no static 2-coloring exists on odd
@@ -317,12 +339,14 @@ object Iterative {
   def modularity(spark: SparkSession, edges: DataFrame,
       communities: DataFrame): DataFrame = {
     val c = communities.select(col("node"), col("community"))
+    // materialize the labeled edge frame once: m, intra, out and in
+    // each run a job over it (4 recomputations of the two joins before)
     val e = edges
       .join(c.withColumnRenamed("node", "src")
         .withColumnRenamed("community", "c_src"), Seq("src"))
       .join(c.withColumnRenamed("node", "dst")
         .withColumnRenamed("community", "c_dst"), Seq("dst"))
-    val m = e.agg(sum("weight")).head().getDouble(0)
+      .localCheckpoint()
     val intra = e.filter(col("c_src") === col("c_dst"))
       .groupBy(col("c_src").as("community"))
       .agg(sum("weight").as("e_c"))
@@ -330,6 +354,8 @@ object Iterative {
       .agg(sum("weight").as("out_c"))
     val inDeg = e.groupBy(col("c_dst").as("community"))
       .agg(sum("weight").as("in_c"))
+    // Σ out_c = total weight — no separate full-scan job for m
+    val m = outDeg.agg(sum("out_c")).head().getDouble(0)
     outDeg.join(inDeg, Seq("community"), "full")
       .join(intra, Seq("community"), "left")
       .select(
