@@ -128,6 +128,43 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Near-duplicate CLUSTERS: the near-dup pair graph collapsed to
+    * connected components, each doc mapped to its component's smallest
+    * id (the canonical "keep" doc — the dedup decision a 100 TB
+    * pipeline actually executes). Components come from min-label
+    * propagation over the pair graph: each round every node adopts the
+    * smallest label among itself and its neighbors — one broadcast-free
+    * join + partial hash-agg per round, state is (node, label) only.
+    * Near-dup components are tiny (duplicate families), so `rounds`
+    * bounds the diameter safely; the result equals the true transitive
+    * closure, which is what the DuckDB recursive-CTE oracle computes. */
+  def dedupGroups(docs: DataFrame, shingleSize: Int = 3,
+      threshold: Double = 0.5, rounds: Int = 10): DataFrame = {
+    val pairs = nearDupPairs(docs, shingleSize, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val und = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("node", "nbr")
+      .repartition(col("nbr"))
+      .localCheckpoint()
+    var lbl = und.select(col("node")).distinct()
+      .select(col("node"), col("node").as("keep"))
+    var r = 0
+    while (r < rounds) {
+      // neighbor labels flow along edges; min with own label
+      lbl = und
+        .join(lbl.withColumnRenamed("node", "nbr")
+          .withColumnRenamed("keep", "nkeep"), Seq("nbr"))
+        .select(col("node"), col("nkeep"))
+        .unionByName(lbl.select(col("node"), col("keep").as("nkeep")))
+        .groupBy("node").agg(min("nkeep").as("keep"))
+      if (r % 5 == 4) lbl = lbl.localCheckpoint()
+      r += 1
+    }
+    lbl.select(col("node").as("doc_id"), col("keep").as("keep_id"))
+      .orderBy("doc_id")
+  }
+
   /** 60-bit token hash derived from sha2-256 — slower than xxhash64 but
     * reproducible in any engine with SHA-256 (DuckDB, Trino, …), which
     * makes the downstream sketch oracle-checkable. 15 hex chars keep the

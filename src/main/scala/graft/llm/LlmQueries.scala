@@ -35,6 +35,10 @@ object LlmQueries {
         .orderBy("doc_id")),
     "llm_near_dup_pairs" -> ((s, d) =>
       Dedup.nearDupPairs(docs(s, d), shingleSize = 3, threshold = 0.5)),
+    "llm_dedup_groups" -> ((s, d) =>
+      // the executable dedup decision: near-dup pair graph -> connected
+      // components -> canonical keep id per member
+      Dedup.dedupGroups(docs(s, d), shingleSize = 3, threshold = 0.5)),
     "llm_simhash" -> ((s, d) =>
       // sha2-derived token hash: same sketch machinery, but every engine
       // can reproduce the hash, so the full 64-bit sketch is
@@ -139,6 +143,24 @@ object LlmQueries {
         "FROM s a JOIN s b ON a.doc_id < b.doc_id) " +
         "SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.5 " +
         "ORDER BY doc_a, doc_b"),
+    // component closure of the verified near-dup pair graph: recursive
+    // reachability (components are tiny duplicate families), keep = the
+    // smallest reachable id
+    "llm_dedup_groups" ->
+      ("WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "s AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN list_distinct(toks) " +
+        "ELSE list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] " +
+        "FOR i IN range(1, len(toks) - 1)]) END AS sh FROM t), " +
+        "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+        "FROM s a JOIN s b ON a.doc_id < b.doc_id " +
+        "WHERE FLOOR(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
+        "len(list_distinct(list_concat(a.sh, b.sh))) * 10000 + 0.5) / 10000 >= 0.5), " +
+        "cl AS (SELECT doc_a AS a, doc_b AS b FROM p " +
+        "UNION SELECT doc_b, doc_a FROM p), " +
+        "r AS (SELECT a AS node, b AS x FROM cl " +
+        "UNION SELECT r.node, cl.b FROM r JOIN cl ON cl.a = r.x) " +
+        "SELECT node AS doc_id, LEAST(node, MIN(x)) AS keep_id FROM r " +
+        "GROUP BY node ORDER BY doc_id"),
     "llm_token_count" ->
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens, " +
         "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) " +

@@ -113,6 +113,17 @@ class LlmSpec extends AnyFunSuite {
     assert(selfPairs.length == 5) // identical vectors share every bucket
   }
 
+  test("dedup groups: a duplicate chain collapses to its smallest id") {
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (10L, base), (11L, base + " extra"), (12L, (2 to 31).map(i => s"tok$i").mkString(" ")),
+      (20L, "completely different words entirely unrelated content here"))
+      .toDF("doc_id", "text")
+    val r = Dedup.dedupGroups(docs, shingleSize = 3, threshold = 0.5)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(10L -> 10L, 11L -> 10L, 12L -> 10L)) // 20 not in any pair
+  }
+
   test("ivf topk: self found, sims agree with brute force, cells pruned") {
     val e = Tables(spark, sf0001, "embeddings")
     val q = e.filter($"vec_id" < 5)
