@@ -139,13 +139,22 @@ object Dedup {
     * bounds the diameter safely; the result equals the true transitive
     * closure, which is what the DuckDB recursive-CTE oracle computes. */
   def dedupGroups(docs: DataFrame, shingleSize: Int = 3,
-      threshold: Double = 0.5, rounds: Int = 10): DataFrame = {
+      threshold: Double = 0.5, rounds: Int = 8): DataFrame = {
+    // the pair graph is orders of magnitude smaller than the corpus
+    // (duplicate families only) — size the round-loop partitioning to
+    // it, or ten rounds of 32 near-empty shuffle partitions cost more
+    // than the LSH pipeline that fed them
     val pairs = nearDupPairs(docs, shingleSize, threshold)
       .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    val spark = docs.sparkSession
+    val nParts = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism,
+      (pairs.count() / 200000L).toInt))
     val und = pairs
       .union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("node", "nbr")
-      .repartition(col("nbr"))
+      .repartition(nParts, col("nbr"))
       .localCheckpoint()
     var lbl = und.select(col("node")).distinct()
       .select(col("node"), col("node").as("keep"))

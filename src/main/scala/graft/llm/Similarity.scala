@@ -121,7 +121,13 @@ object Similarity {
     * subset, so the whole index is engine-replicable (oracle-checkable);
     * a k-means-trained centroid set drops in without changing the plan.
     * Distances/scores are rounded (1e-6) with id tiebreaks, so ranking
-    * is stable across engines and partitionings. */
+    * is stable across engines and partitionings.
+    *
+    * Scale note: the centroid set must stay broadcastable — pick
+    * `centroidStride` ≈ |corpus| / nlist for a FIXED nlist (thousands:
+    * 4096 centroids × 64 floats ≈ 1 MB), not a fixed stride. nlist
+    * bounds both the broadcast and the per-row argmin; probe cost is
+    * then |Q| · nProbe/nlist · |C| independent of corpus growth. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       centroidStride: Int = 31, nProbe: Int = 4): DataFrame = {
     val spark = corpus.sparkSession
