@@ -137,13 +137,20 @@ object Iterative {
     var changed = true
     var i = 0
     while (changed && i < maxIter) {
-      val msgs = g.aggregateMessages[Map[Int, Int]](
+      // mutable merge: fold the smaller histogram into the larger in
+      // place — the round-2 immutable version allocated two sets and a
+      // map per merge, and the merge runs once per (vertex, message)
+      val msgs = g.aggregateMessages[scala.collection.mutable.LongMap[Int]](
         ctx => {
-          ctx.sendToDst(Map(math.min(ctx.srcAttr, ctx.dstAttr) -> 1))
-          ctx.sendToSrc(Map(math.min(ctx.dstAttr, ctx.srcAttr) -> 1))
+          val m = math.min(ctx.srcAttr, ctx.dstAttr)
+          ctx.sendToDst(scala.collection.mutable.LongMap(m.toLong -> 1))
+          ctx.sendToSrc(scala.collection.mutable.LongMap(m.toLong -> 1))
         },
-        (a, b) => (a.keySet ++ b.keySet)
-          .map(k => k -> (a.getOrElse(k, 0) + b.getOrElse(k, 0))).toMap)
+        (a, b) => {
+          val (into, from) = if (a.size >= b.size) (a, b) else (b, a)
+          from.foreachEntry((k, v) => into(k) = into.getOrElse(k, 0) + v)
+          into
+        })
       // convergence signal rides an accumulator inside the vertex
       // program, counted while the new graph materializes anyway — the
       // round-1 version ran an extra vertices-join + count() job every
@@ -155,7 +162,12 @@ object Iterative {
         case Some(hist) =>
           // h-operator: largest k with ≥ k neighbors of (capped) core ≥ k
           var k = est
-          while (k > 0 && hist.filter(_._1 >= k).values.sum < k) k -= 1
+          def countGe(k0: Int): Int = {
+            var s = 0
+            hist.foreachEntry((m, c) => if (m >= k0) s += c)
+            s
+          }
+          while (k > 0 && countGe(k) < k) k -= 1
           if (k != est) moved.add(1L)
           k
       }).cache()
