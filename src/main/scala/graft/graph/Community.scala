@@ -41,19 +41,20 @@ object Community {
       val (comm, moved) = localMoves(e, passes)
       moving = moved > 0
       if (moving) {
-        // compose: node → old community → new community
+        // compose: node → old community → new community (comm is one
+        // row per current-level node — broadcast range by construction)
         mapping = mapping
-          .join(comm.withColumnRenamed("node", "community")
-            .withColumnRenamed("new_comm", "next"), Seq("community"))
+          .join(broadcast(comm.withColumnRenamed("node", "community")
+            .withColumnRenamed("new_comm", "next")), Seq("community"))
           .select(col("node"), col("next").as("community"))
           .localCheckpoint()
         // coarsen: communities become nodes (skipped entirely once a
         // level stops moving — the coarse graph would be identical)
         e = e
-          .join(comm.withColumnRenamed("node", "src")
-            .withColumnRenamed("new_comm", "c_src"), Seq("src"))
-          .join(comm.withColumnRenamed("node", "dst")
-            .withColumnRenamed("new_comm", "c_dst"), Seq("dst"))
+          .join(broadcast(comm.withColumnRenamed("node", "src")
+            .withColumnRenamed("new_comm", "c_src")), Seq("src"))
+          .join(broadcast(comm.withColumnRenamed("node", "dst")
+            .withColumnRenamed("new_comm", "c_dst")), Seq("dst"))
           .groupBy(col("c_src").as("src"), col("c_dst").as("dst"))
           .agg(sum("w").as("w"))
           .localCheckpoint()
@@ -71,33 +72,48 @@ object Community {
     val m2 = e.agg(sum("w")).head().getDouble(0) // = 2m on symmetric view
     // zero-weight self-loops: every node's own community then arrives
     // through the normal per-pass kin aggregate (+0.0 changes no sum),
-    // replacing a per-pass full-outer candidate merge; re-partitioned by
-    // dst once so the per-pass community join never re-exchanges it
+    // and the self-loop row tags its group with the node's current
+    // community, so no second community join is needed. Partitioned by
+    // SRC once: with the (small, per-level) community frame broadcast,
+    // the kin aggregate, the per-node window and the final argmax all
+    // inherit this distribution — one shuffle-free stage per pass.
+    // cache, NOT localCheckpoint: a checkpointed frame comes back as a
+    // bare LogicalRDD with its hash partitioning erased, so every pass
+    // would re-exchange it — the cached plan keeps outputPartitioning
     val e2 = e.unionByName(
       e.select(col("src")).union(e.select(col("dst"))).distinct()
         .select(col("src"), col("src").as("dst"), lit(0.0).as("w")))
-      .repartition(col("dst")).localCheckpoint()
-    val deg = e2.groupBy(col("src").as("node")).agg(sum("w").as("deg"))
+      .repartition(col("src")).cache()
+    e2.count()
+    val byNode = Window.partitionBy("node")
+    // the community frame carries each node's degree, making the sigma
+    // aggregate a plain groupBy (no deg join)
+    var comm = e2.groupBy(col("src").as("node")).agg(sum("w").as("deg"))
+      .select(col("node"), col("node").as("comm"), col("deg"))
       .localCheckpoint()
-    var comm = deg.select(col("node"), col("node").as("comm"))
     var totalMoves = 0L
     var zeroStreak = 0
     var pass = 0
     while (pass < passes && zeroStreak < 2) {
-      val sigma = comm.join(deg, Seq("node"))
-        .groupBy("comm").agg(sum("deg").as("sigma"))
+      val sigma = comm.groupBy("comm").agg(sum("deg").as("sigma"))
       // weight from each node to each neighboring community; the
       // self-loops planted in e2 make this the complete candidate set
       // (neighbor communities plus the node's own)
       val cands = e2
-        .join(comm.withColumnRenamed("node", "dst")
-          .withColumnRenamed("comm", "comm_dst"), Seq("dst"))
-        .groupBy(col("src").as("node"), col("comm_dst").as("cand"))
-        .agg(sum("w").as("kin"))
-        .join(comm, Seq("node")).join(deg, Seq("node"))
-        .join(sigma.withColumnRenamed("comm", "cand"), Seq("cand"))
+        .join(broadcast(comm.select(col("node").as("dst"),
+          col("comm").as("cand"))), Seq("dst"))
+        .groupBy(col("src").as("node"), col("cand"))
+        .agg(sum("w").as("kin"),
+          max(when(col("dst") === col("src"), col("cand"))).as("selfc"))
+        .join(broadcast(sigma.withColumnRenamed("comm", "cand")), Seq("cand"))
+        // per-node degree and current community via an unordered window
+        // over the node partition the aggregate already produced —
+        // kin sums are integer-valued, so re-summing them is exact
+        .withColumn("deg", sum("kin").over(byNode))
+        .withColumn("comm", max("selfc").over(byNode))
       // ΔQ-proportional score; own community's sigma excludes the node
       val scored = cands.select(col("node"), col("cand"), col("comm"),
+        col("deg"),
         (col("kin") - col("deg") *
           (col("sigma") - when(col("cand") === col("comm"), col("deg"))
             .otherwise(0.0)) / m2).as("score"))
@@ -106,8 +122,9 @@ object Community {
       // window used, without sorting the whole candidate frame
       val best = scored.groupBy("node")
         .agg(min(struct((-col("score")).as("ns"), col("cand"))).as("sel"),
-          first(col("comm")).as("comm"))
-        .select(col("node"), col("sel.cand").as("cand"), col("comm"))
+          max(col("comm")).as("comm"), max(col("deg")).as("deg"))
+        .select(col("node"), col("sel.cand").as("cand"), col("comm"),
+          col("deg"))
         .localCheckpoint()
       // parity gate: half the nodes move per pass (kills oscillation)
       val gate = pmod(col("node"), lit(2)) === lit(pass % 2)
@@ -117,11 +134,14 @@ object Community {
       // prove both halves are settled
       zeroStreak = if (moved == 0) zeroStreak + 1 else 0
       comm = best.select(col("node"),
-        when(gate, col("cand")).otherwise(col("comm")).as("comm"))
+        when(gate, col("cand")).otherwise(col("comm")).as("comm"),
+        col("deg"))
       pass += 1
     }
-    (comm.select(col("node"), col("comm").as("new_comm")).localCheckpoint(),
-      totalMoves)
+    val out =
+      comm.select(col("node"), col("comm").as("new_comm")).localCheckpoint()
+    e2.unpersist(blocking = false)
+    (out, totalMoves)
   }
 
   /** Weak clique enumeration (C21): per-vertex seed expansion — v's weak

@@ -277,12 +277,16 @@ object Iterative {
     * is bit-identical. One shuffle round per pass. */
   def louvainSync(spark: SparkSession, undirected: DataFrame,
       iters: Int): DataFrame = {
-    // partitioned by dst before caching: the per-round community join
-    // keys on dst, so the big frame shuffles once, not once per round.
-    // Zero-weight self-loops guarantee every node a (node, own-comm)
-    // row in the per-round kvc aggregate — the own-community candidate
-    // arrives through the normal join (+0.0 changes no sum) instead of
-    // a full-outer merge that sorted the whole frame every round.
+    // partitioned by SRC before caching: with the label side broadcast,
+    // every per-round operator — the kvc aggregate keyed (src, comm),
+    // the per-node window, the final argmax keyed node — inherits its
+    // distribution from this one cached partitioning, so a round runs
+    // as a single shuffle-free stage (the round-2 dst-partitioned
+    // formulation paid four broadcast builds and two exchanges per
+    // round). Zero-weight self-loops guarantee every node a
+    // (node, own-comm) row in the per-round kvc aggregate (+0.0 changes
+    // no sum), which also lets the window recover each node's current
+    // community without a second labels join.
     val base = undirected.select(col("src"), col("dst"), col("weight"))
     val sym = base
       .union(base.select(col("dst").as("src"), col("src").as("dst"),
@@ -291,26 +295,40 @@ object Iterative {
         .union(base.select(col("dst"), col("src")))
         .select(col("src"), col("src").as("dst"), lit(0.0).as("weight"))
         .distinct())
-      .repartition(col("dst"))
+      .repartition(col("src"))
       .cache()
     val m2 = sym.agg(sum("weight")).head().getDouble(0)
-    val deg = sym.groupBy(col("src").as("node"))
-      .agg(sum("weight").as("deg")).cache()
-    var labels = deg.select(col("node"), col("node").as("comm"))
+    // labels carry the node degree, so the community-degree aggregate
+    // is a plain groupBy over this 1-row-per-node frame (no deg join).
+    // The O(V)-row broadcast of this frame is the replicated-vertex-view
+    // strategy (what GraphX does for vertex attrs); for a graph whose
+    // label frame outgrows broadcast range, fall back to repartitioning
+    // sym by dst and letting AQE plan the label join as SMJ.
+    var labels = sym.groupBy(col("src").as("node"))
+      .agg(sum("weight").as("deg"))
+      .select(col("node"), col("node").as("comm"), col("deg"))
+      .localCheckpoint()
+    val byNode =
+      org.apache.spark.sql.expressions.Window.partitionBy("node")
     for (i <- 1 to iters) {
-      val commDeg = labels.join(deg, Seq("node"))
-        .groupBy("comm").agg(sum("deg").as("cdeg"))
+      val commDeg = labels.groupBy("comm").agg(sum("deg").as("cdeg"))
       // the self-loops planted in sym make kvc the complete candidate
       // set — neighbor communities plus every node's own community —
-      // in this single aggregate
+      // in this single aggregate; the self-loop row also tags its group
+      // with the node's CURRENT community (selfc)
       val cand = sym
-        .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+        .join(broadcast(labels.select(col("node").as("dst"), col("comm"))),
+          Seq("dst"))
         .groupBy(col("src").as("node"), col("comm"))
-        .agg(sum("weight").as("kvc"))
-      val best = cand
-        .join(commDeg, Seq("comm"))
-        .join(deg, Seq("node"))
-        .join(labels.withColumnRenamed("comm", "curr"), Seq("node"))
+        .agg(sum("weight").as("kvc"),
+          max(when(col("dst") === col("src"), col("comm"))).as("selfc"))
+      val scored = cand
+        .join(broadcast(commDeg), Seq("comm"))
+        // per-node degree and current community via an unordered window
+        // over the node partition the aggregate already produced —
+        // kvc sums are integer-valued, so re-summing them is exact
+        .withColumn("deg", sum("kvc").over(byNode))
+        .withColumn("curr", max("selfc").over(byNode))
         // standard Louvain: Σtot of v's CURRENT community excludes v's
         // own degree, else staying is self-penalized and nodes churn
         .withColumn("cdeg_adj",
@@ -318,13 +336,14 @@ object Iterative {
             .otherwise(lit(0.0)))
         .withColumn("score",
           floor((col("kvc") - col("deg") * col("cdeg_adj") / m2) * 1e6 + 0.5) / 1e6)
-        // argmax via partial-aggregating min(struct): the same
-        // (score desc, comm asc) order the former row_number window
-        // used (Spark's double ordering treats -0.0 = 0.0, like the
-        // sort), without sorting the whole candidate frame
+      // argmax via partial-aggregating min(struct): the same
+      // (score desc, comm asc) order the former row_number window
+      // used (Spark's double ordering treats -0.0 = 0.0, like the
+      // sort), without sorting the whole candidate frame
+      val best = scored
         .groupBy("node")
-        .agg(min(struct((-col("score")).as("ns"), col("comm"))).as("sel"))
-        .select(col("node"), col("sel.comm").as("best"))
+        .agg(min(struct((-col("score")).as("ns"), col("comm"))).as("sel"),
+          max(col("curr")).as("curr"), max(col("deg")).as("deg"))
       // semi-synchronous with a per-round hash gate: fully synchronous
       // moves oscillate on symmetric ties (adjacent nodes swap
       // communities forever, and no static 2-coloring exists on odd
@@ -334,14 +353,14 @@ object Iterative {
       // in any engine.
       val gate = pmod(shiftright(
         col("node") * lit(1103515245L) + lit(i * 12345L), 16), lit(2)) === 0
-      labels = labels.join(best, Seq("node"))
+      labels = best
         .select(col("node"),
-          when(gate, col("best")).otherwise(col("comm")).as("comm"))
+          when(gate, col("sel.comm")).otherwise(col("curr")).as("comm"),
+          col("deg"))
         .localCheckpoint()
     }
     sym.unpersist(blocking = false)
-    deg.unpersist(blocking = false)
-    labels.orderBy("node")
+    labels.select(col("node"), col("comm")).orderBy("node")
   }
 
   /** Directed modularity (C13) of a community assignment:
