@@ -47,8 +47,8 @@ object Bench {
       "llm_dedup_minhash", "llm_near_dup_pairs", "llm_ann_cosine",
       "graph_louvain", "graph_betweenness", "graph_subgraph_tri",
       "graph_node2vec", "graph_kcore", "ml_svc", "ml_dbscan",
-      "llm_ann_ivf", "llm_embed_dedup", "llm_dedup_groups",
-      "graph_louvain_sync")
+      "llm_ann_ivf", "llm_ann_native", "llm_embed_dedup",
+      "llm_dedup_groups", "graph_louvain_sync")
     val qs = results.filter(r => headline(r._1))
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")

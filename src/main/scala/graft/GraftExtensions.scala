@@ -5,12 +5,14 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
 import graft.functions.{DotProduct, EuclideanDistance}
+import graft.plans.TopKJoinStrategy
 
 /** Engine extensions registered through the public
   * `SparkSessionExtensions` API (SURVEY §2 "custom operators" path (c)):
   * native codegen'd kernels `graft_euclid(array<float>, array<float>) ->
   * double` (distance) and `graft_dot(array<float>, array<float>) ->
-  * double` (similarity).
+  * double` (similarity), plus the planner strategy for the
+  * [[graft.plans.TopKJoin]] whole-operator node.
   *
   * Activate via `SparkSession.builder.withExtensions(new GraftExtensions)`
   * or `--conf spark.sql.extensions=graft.GraftExtensions`. Callers that
@@ -33,5 +35,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "graft_dot takes exactly 2 arguments")
         DotProduct(children.head, children(1))
       }))
+    ext.injectPlannerStrategy(_ => TopKJoinStrategy)
   }
 }

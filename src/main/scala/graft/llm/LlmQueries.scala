@@ -48,6 +48,13 @@ object LlmQueries {
       val e = emb(s, d)
       Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e, k = 5)
     }),
+    "llm_ann_native" -> ((s, d) => {
+      // same search as llm_ann_cosine, executed by the custom TopKJoin
+      // plan node (SURVEY §4 path (c)): the |Q|x|C| scoring never leaves
+      // one narrow operator, the only exchange ranks parts*|Q|*k rows
+      val e = emb(s, d)
+      graft.plans.NativeTopK.topK(e.filter(col("vec_id") < 10), e, k = 5)
+    }),
     "llm_ann_lsh" -> ((s, d) => {
       val e = emb(s, d)
       Similarity.lshNeighbors(e.filter(col("vec_id") < 10), e, maxDist = 1.2)
@@ -103,6 +110,20 @@ object LlmQueries {
       ("SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt " +
         "FROM documents GROUP BY text ORDER BY keep_id"),
     "llm_ann_cosine" ->
+      ("WITH q AS (SELECT vec_id AS query_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS qe " +
+        "FROM embeddings WHERE vec_id < 10), " +
+        "c AS (SELECT vec_id AS neighbor_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS ce " +
+        "FROM embeddings), " +
+        "s AS (SELECT query_id, neighbor_id, LIST_INNER_PRODUCT(qe, ce) AS raw_dot FROM q CROSS JOIN c), " +
+        "rk AS (SELECT query_id, neighbor_id, " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY query_id " +
+        "ORDER BY FLOOR(raw_dot * 1000000 + 0.5) / 1000000 DESC, neighbor_id) AS INTEGER) AS rank, " +
+        "FLOOR(raw_dot * 10000 + 0.5) / 10000 AS sim FROM s) " +
+        "SELECT query_id, neighbor_id, rank, sim FROM rk WHERE rank <= 5 " +
+        "ORDER BY query_id, rank"),
+    // the TopKJoin plan node is exact — same defining SQL as the
+    // declarative brute-force path
+    "llm_ann_native" ->
       ("WITH q AS (SELECT vec_id AS query_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS qe " +
         "FROM embeddings WHERE vec_id < 10), " +
         "c AS (SELECT vec_id AS neighbor_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS ce " +
