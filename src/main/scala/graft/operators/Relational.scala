@@ -236,6 +236,28 @@ object Relational {
       .orderBy(col("rev").desc, col("n_name"))
   }
 
+  /** Q21 — statically salted skew join (A-row skew mitigation). When one
+    * join key is pathologically hot, AQE's skew split only kicks in
+    * after the map stage has already produced the skewed partition; the
+    * static form splits the hot key UP FRONT: the fact side derives a
+    * deterministic salt from a non-key column, the other side replicates
+    * `salt` ways, and the equi-join runs on (key, salt) — each hot key
+    * becomes `salt` independent tasks. Output ≡ the unsalted q04 join
+    * (same oracle SQL), so correctness of the rewrite is hash-checked. */
+  def q21(s: SparkSession, dir: String): DataFrame = {
+    val salt = 8
+    val o = t(s, dir)("orders") // "skewed" fact side
+    val c = t(s, dir)("customer") // replicated side
+    val salted = o.withColumn("_salt",
+      pmod(xxhash64(col("o_orderkey")), lit(salt)).cast("int"))
+    val repl = c.withColumn("_salt",
+      explode(array((0 until salt).map(lit): _*)))
+    repl.join(salted, repl("c_custkey") === salted("o_custkey") &&
+        repl("_salt") === salted("_salt"))
+      .select("c_custkey", "o_orderkey")
+      .orderBy("c_custkey", "o_orderkey")
+  }
+
   /** queries-map wiring: name -> builder. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan" -> q01 _, "q02_filter" -> q02 _, "q03_derive" -> q03 _,
@@ -245,7 +267,7 @@ object Relational {
     "q12_window_run" -> q12 _, "q13_window_lag" -> q13 _,
     "q14_intersect" -> q14 _, "q15_string" -> q15 _, "q16_date" -> q16 _,
     "q17_math" -> q17 _, "q18_array" -> q18 _, "q19_json" -> q19 _,
-    "q20_join5_agg" -> q20 _)
+    "q20_join5_agg" -> q20 _, "q21_salted_join" -> q21 _)
 
   /** DuckDB-dialect oracle SQL, one per query, same column names/ordering
     * discipline. Valid Spark SQL too except where noted (q16/q18/q19 use
@@ -290,5 +312,8 @@ object Relational {
     "q19_json" ->
       "SELECT event_id, JSON_EXTRACT_STRING(props,'$.k') AS k FROM events ORDER BY event_id",
     "q20_join5_agg" ->
-      "SELECT n_name, FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS rev FROM customer, orders, lineitem, supplier, nation WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey GROUP BY n_name ORDER BY rev DESC, n_name")
+      "SELECT n_name, FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS rev FROM customer, orders, lineitem, supplier, nation WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey GROUP BY n_name ORDER BY rev DESC, n_name",
+    // the salted rewrite is semantically the plain join — same oracle
+    "q21_salted_join" ->
+      "SELECT c.c_custkey, o.o_orderkey FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey ORDER BY c.c_custkey, o.o_orderkey")
 }

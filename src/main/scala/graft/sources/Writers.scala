@@ -44,4 +44,17 @@ object Writers {
     df.limit(0).write.mode(SaveMode.Overwrite).saveAsTable(table)
     df.write.mode(SaveMode.Append).insertInto(table)
   }
+
+  /** Bucketed managed table (A21/A22 at rest): rows are hash-bucketed
+    * by `keys` at write time, so equi-joins and aggregations on those
+    * keys between co-bucketed tables plan WITHOUT a shuffle — the
+    * pre-partitioning survives restarts, unlike `repartition`, which
+    * only lives for one lineage. At 100 TB this is the difference
+    * between shuffling both fact tables per join and shuffling neither. */
+  def bucketed(df: DataFrame, table: String, keys: Seq[String],
+      numBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
 }

@@ -70,6 +70,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("q21 salted join shuffles on (key, salt), splitting hot keys") {
+    // disable broadcast so the join must shuffle — the point is how the
+    // shuffle partitions, not whether a tiny test side broadcasts
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = Relational.q21(spark, sf0001)
+      df.collect()
+      val p = plan(df).split("== Initial Plan ==").head
+      // both exchanges hash on the composite (join key, _salt): a hot
+      // custkey now lands in `salt` distinct partitions
+      val parts = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+      assert(parts.exists(l => l.contains("c_custkey") && l.contains("_salt")), p.take(3000))
+      assert(parts.exists(l => l.contains("o_custkey") && l.contains("_salt")), p.take(3000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("cosine near-dup candidates meet on bucket keys, ids only") {
     val e = Tables(spark, sf0001, "embeddings")
     val df = graft.llm.Similarity.cosineNearDupPairs(e, tau = 0.4)

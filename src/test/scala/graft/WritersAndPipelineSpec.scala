@@ -232,6 +232,37 @@ class WritersAndPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("co-bucketed tables join without a shuffle") {
+    import org.apache.spark.sql.functions.col
+    val o = Tables(spark, sf0001, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val li = Tables(spark, sf0001, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    Writers.bucketed(o, "orders_b", Seq("o_orderkey"), 4)
+    Writers.bucketed(li.withColumnRenamed("l_orderkey", "o_orderkey"),
+      "lineitem_b", Seq("o_orderkey"), 4)
+    // disable broadcast so the planner must choose between shuffle and
+    // bucket co-location — bucketing has to win
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("orders_b")
+        .join(spark.table("lineitem_b"), "o_orderkey")
+        .groupBy("o_orderkey")
+        .agg(org.apache.spark.sql.functions.sum("l_quantity").as("q"))
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(p.contains("SortMergeJoin"), p.take(3000))
+      assert(!p.contains("Exchange"), p.take(3000))
+      assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"),
+        p.take(3000))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+
   test("hll approx distinct within 5% of exact at sf0.001") {
     val li = Tables(spark, sf0001, "lineitem")
     val exact = li.select(countDistinct($"l_partkey")).head().getLong(0)
