@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{DotProduct, EuclideanDistance}
+import graft.functions.{DotProduct, EuclideanDistance, SimHashAgg}
 import graft.plans.TopKJoinStrategy
 
 /** Engine extensions registered through the public
@@ -34,6 +34,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.length == 2, "graft_dot takes exactly 2 arguments")
         DotProduct(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash_agg"),
+      new ExpressionInfo(classOf[SimHashAgg].getName, "graft_simhash_agg"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1,
+          "graft_simhash_agg takes exactly 1 argument")
+        SimHashAgg(children.head)
       }))
     ext.injectPlannerStrategy(_ => TopKJoinStrategy)
   }

@@ -193,15 +193,25 @@ object Dedup {
     val hashes = docs
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
       .select(col("doc_id"), tokenHash(col("t")).as("h"))
-    val bitCols = (0 until 64).map(i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1, 1)
-        .otherwise(-1)).as(s"b$i"))
-    hashes.groupBy("doc_id")
-      .agg(bitCols.head, bitCols.tail: _*)
-      .select(col("doc_id"),
-        (0 until 64).map(i =>
-          when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
-          .reduce(_ bitwiseOR _).as("simhash"))
-      .orderBy("doc_id")
+    // native one-buffer aggregate (TypedImperativeAggregate, map-side
+    // partial buffers of 64 ints) when the session carries
+    // GraftExtensions; bit-identical 64-column fold otherwise — counters
+    // are exact integers either way, so the sketch cannot differ
+    if (docs.sparkSession.catalog.functionExists("graft_simhash_agg"))
+      hashes.groupBy("doc_id")
+        .agg(expr("graft_simhash_agg(h)").as("simhash"))
+        .orderBy("doc_id")
+    else {
+      val bitCols = (0 until 64).map(i =>
+        sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1, 1)
+          .otherwise(-1)).as(s"b$i"))
+      hashes.groupBy("doc_id")
+        .agg(bitCols.head, bitCols.tail: _*)
+        .select(col("doc_id"),
+          (0 until 64).map(i =>
+            when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+            .reduce(_ bitwiseOR _).as("simhash"))
+        .orderBy("doc_id")
+    }
   }
 }

@@ -62,6 +62,40 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(diff == 0)
   }
 
+  test("graft_simhash_agg matches the 64-column fold bit for bit") {
+    assert(extended.catalog.functionExists("graft_simhash_agg"))
+    val docs = Tables(extended, TestSpark.sf0001, "documents")
+    val native = graft.llm.Dedup.simHash(docs).collect().toSeq
+    // force the declarative fold by shadowing the probe with a session
+    // clone that lacks the function? simpler: compute the fold inline
+    import org.apache.spark.sql.functions._
+    val hashes = docs
+      .select(col("doc_id"),
+        explode(graft.llm.TextOps.tokens(col("text"))).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    val bitCols = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1, 1)
+        .otherwise(-1)).as(s"b$i"))
+    val fold = hashes.groupBy("doc_id")
+      .agg(bitCols.head, bitCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(i =>
+          when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+          .reduce(_ bitwiseOR _).as("simhash"))
+      .orderBy("doc_id").collect().toSeq
+    assert(native == fold)
+  }
+
+  test("simhash aggregate plans with map-side partial object aggregation") {
+    val docs = Tables(extended, TestSpark.sf0001, "documents")
+    val df = graft.llm.Dedup.simHash(docs)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("ObjectHashAggregate"), p.take(3000))
+    assert(p.contains("partial_graft_simhash_agg"), p.take(3000))
+  }
+
   test("knn uses the native function in an extended session, same results") {
     import extended.implicits._
     val e = Tables(extended, TestSpark.sf0001, "embeddings")
