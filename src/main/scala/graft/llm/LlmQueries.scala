@@ -82,6 +82,11 @@ object LlmQueries {
     "llm_multimodal" -> ((s, d) => Multimodal.documentsAsMedia(s, docs(s, d))),
     "llm_multimodal_frames" -> ((s, d) =>
       Multimodal.documentsAsFrames(s, docs(s, d))),
+    "llm_event_pairs" -> ((s, d) =>
+      // batch twin of the stream-stream interval join: same-user event
+      // pairs within a 5-minute band, counted per user
+      graft.streaming.EventStreams.intervalJoinBatch(
+        graft.sources.Tables(s, d, "events"))),
     "llm_sessions_batch" -> ((s, d) =>
       // batch twin of the streaming sessionizer — same 30-min-gap session
       // definition, gaps-and-islands form (SURVEY §2.D streaming row)
@@ -137,6 +142,14 @@ object LlmQueries {
         "ORDER BY query_id, rank"),
     "llm_hll_distinct" ->
       "SELECT COUNT(DISTINCT l_partkey) AS exact_d, TRUE AS approx_ok FROM lineitem",
+    // interval-join replica: same epoch-ms truncation, pairs strictly
+    // after the left event within the 10-minute band, counted per user
+    "llm_event_pairs" ->
+      ("WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events) " +
+        "SELECT l.user_id, COUNT(*) AS n_pairs FROM e l JOIN e r " +
+        "ON r.user_id = l.user_id " +
+        "AND r.ts_ms > l.ts_ms AND r.ts_ms <= l.ts_ms + 600000 " +
+        "GROUP BY l.user_id ORDER BY l.user_id"),
     // gaps-and-islands replica: epoch_ms truncation chain (ns→µs→ms)
     // floors identically on both engines for positive timestamps
     "llm_sessions_batch" ->

@@ -90,6 +90,29 @@ object EventStreams {
       .orderBy("user_id", "start_ms")
   }
 
+  /** Batch twin of [[intervalJoin]]: the SAME pair definition — for
+    * every left event, same-user right events strictly after it and
+    * within `maxDelayMinutes` — as a batch equi-join on user_id with a
+    * range residual, aggregated to per-user pair counts. At scale both
+    * sides shuffle once on the user key and the time band bounds the
+    * per-key fan-out, exactly the state bound the watermark gives the
+    * streaming form; StreamingSpec asserts the two forms agree. */
+  def intervalJoinBatch(events: DataFrame,
+      maxDelayMinutes: Int = 10): DataFrame = {
+    val wMs = maxDelayMinutes * 60000L
+    val e = events.select(col("user_id"), col("event_id"),
+      unix_millis(col("ts")).as("ts_ms"))
+    val l = e.select(col("user_id"), col("event_id").as("l_id"),
+      col("ts_ms").as("l_ms"))
+    val r = e.select(col("user_id"), col("event_id").as("r_id"),
+      col("ts_ms").as("r_ms"))
+    l.join(r, Seq("user_id"))
+      .filter(col("r_ms") > col("l_ms") && col("r_ms") <= col("l_ms") + wMs)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("user_id")
+  }
+
   case class SessionState(start: Long, last: Long, n: Int, sum: Double)
   case class Session(user_id: Long, start_ms: Long, end_ms: Long,
       n_events: Int, value_sum: Double)

@@ -88,6 +88,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("batch interval join agrees with the stream-stream join") {
+    implicit val sql = spark.sqlContext
+    // one user with pairs inside and outside the 10-min band, one pair
+    // at exactly the band edge, one isolated user
+    val data = Seq(
+      (1L, ts(0), "click", 1.0, 7L), (2L, ts(5), "buy", 1.0, 7L),
+      (3L, ts(10), "buy", 1.0, 7L), (4L, ts(40), "click", 1.0, 7L),
+      (5L, ts(0), "click", 1.0, 8L))
+    val batchDf = data.toDF("event_id", "ts", "event_type", "value", "user_id")
+    val batch = EventStreams.intervalJoinBatch(batchDf, maxDelayMinutes = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // streaming: self-join the same events through MemoryStream
+    val mem = MemoryStream[(Long, Timestamp, String, Double, Long)]
+    val df = mem.toDF.toDF("event_id", "ts", "event_type", "value", "user_id")
+    val q = EventStreams.intervalJoin(df, df, maxDelayMinutes = 10)
+      .writeStream.format("memory").queryName("ijb")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(data: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ijb").groupBy("user_id").count()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      // expected pairs for user 7: (1->2), (1->3), (2->3); ts(40) is
+      // outside every band; user 8 has no pairs and appears in neither
+      assert(batch == Map(7L -> 3L), batch.toString)
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    } finally q.stop()
+  }
+
   test("sessionization closes a session when a gap opens a new one") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[SessionEvent]
