@@ -71,6 +71,14 @@ object LlmQueries {
       Similarity.ivfTopK(e.filter(col("vec_id") < 10), e, k = 5,
         centroidStride = 31, nProbe = 4)
     }),
+    "llm_ann_ivf_trained" -> ((s, d) => {
+      // trained coarse quantizer: deterministic Lloyd centers feed the
+      // same assignment/probe/rank plan — the whole index (training
+      // included) is replayed by the composed oracle SQL
+      val e = emb(s, d)
+      Similarity.ivfTopKTrained(e.filter(col("vec_id") < 10), e, k = 5,
+        nlist = 4, iters = 5, nProbe = 2)
+    }),
     "llm_embed_dedup" -> ((s, d) =>
       // embedding-space near-dup member of the dedup family: parity-sign
       // LSH blocking + exact-cosine verification. tau sits where this
@@ -258,6 +266,31 @@ object LlmQueries {
         "CAST(ROW_NUMBER() OVER (PARTITION BY query_id " +
         "ORDER BY FLOOR(raw_dot * 1000000 + 0.5) / 1000000 DESC, neighbor_id) AS INTEGER) AS rank, " +
         "FLOOR(raw_dot * 10000 + 0.5) / 10000 AS sim FROM s) " +
+        "SELECT query_id, neighbor_id, rank, sim FROM rk WHERE rank <= 5 " +
+        "ORDER BY query_id, rank"),
+    // trained-IVF replica: the ml_lloyd_fixed CTE chain trains the
+    // centroids, then the same assignment/probe/rank stages as
+    // llm_ann_ivf run against them — one SQL statement replays index
+    // training AND search
+    "llm_ann_ivf_trained" ->
+      (graft.ml.MlQueries.lloydCentroidCte(k = 4, iters = 5, dim = 64) +
+        ", cents AS (SELECT cluster AS cid, cv FROM c5)" +
+        ", asg AS (SELECT vec_id AS neighbor_id, cid AS cell FROM " +
+        "(SELECT x.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY x.vec_id " +
+        "ORDER BY FLOOR(LIST_DISTANCE(x.xv, c.cv) * 1000000 + 0.5) / 1000000, c.cid) AS rn " +
+        "FROM x CROSS JOIN cents c) q WHERE rn = 1)" +
+        ", qc AS (SELECT query_id, cell FROM " +
+        "(SELECT x.vec_id AS query_id, c.cid AS cell, ROW_NUMBER() OVER (PARTITION BY x.vec_id " +
+        "ORDER BY FLOOR(LIST_DISTANCE(x.xv, c.cv) * 1000000 + 0.5) / 1000000, c.cid) AS rn " +
+        "FROM x CROSS JOIN cents c WHERE x.vec_id < 10) q WHERE rn <= 2)" +
+        ", sc AS (SELECT qc.query_id, asg.neighbor_id, " +
+        "LIST_INNER_PRODUCT(qx.xv, nx.xv) AS raw_dot " +
+        "FROM qc JOIN asg ON asg.cell = qc.cell " +
+        "JOIN x qx ON qx.vec_id = qc.query_id JOIN x nx ON nx.vec_id = asg.neighbor_id)" +
+        ", rk AS (SELECT query_id, neighbor_id, " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY query_id " +
+        "ORDER BY FLOOR(raw_dot * 1000000 + 0.5) / 1000000 DESC, neighbor_id) AS INTEGER) AS rank, " +
+        "FLOOR(raw_dot * 10000 + 0.5) / 10000 AS sim FROM sc) " +
         "SELECT query_id, neighbor_id, rank, sim FROM rk WHERE rank <= 5 " +
         "ORDER BY query_id, rank"),
     // embedding near-dup replica: parity signs → floor buckets → pair

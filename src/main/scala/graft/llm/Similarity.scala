@@ -179,6 +179,65 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF with a TRAINED coarse quantizer: identical probe plan to
+    * [[ivfTopK]], but the cells are the deterministic Lloyd k-means
+    * centers (`Unsupervised.lloydCenters`, rounded 1e-6 per iteration)
+    * instead of a strided corpus subset — the FAISS-style production
+    * shape, where nlist bounds the broadcast and trained cells cut the
+    * per-cell candidate skew of arbitrary striding. Because the trainer
+    * is engine-replicable, the WHOLE index — training, assignment,
+    * probe, rank — is oracle-checkable as one composed SQL query. */
+  def ivfTopKTrained(queries: DataFrame, corpus: DataFrame, k: Int,
+      nlist: Int = 4, iters: Int = 5, nProbe: Int = 2): DataFrame = {
+    import corpus.sparkSession.implicits._
+    val (centers, _) =
+      graft.ml.Unsupervised.lloydCenters(corpus.sparkSession, corpus,
+        nlist, iters)
+    val cents = broadcast(centers.zipWithIndex.toSeq
+      .map { case (c, i) => (i.toLong, c.toSeq) }.toDF("cid", "cv"))
+    val spark = corpus.sparkSession
+    // centroid vectors are doubles (iteration means), so the distance is
+    // the double HOF — same left-to-right IEEE sequence as LIST_DISTANCE
+    def euclidToCent(e: String): Column =
+      sqrt(aggregate(
+        zip_with(transform(col(e), v => v.cast("double")), col("cv"),
+          (x, c) => (x - c) * (x - c)),
+        lit(0.0), (acc, v) => acc + v))
+    def dotOf(a: String, b: String): Column =
+      if (spark.catalog.functionExists("graft_dot")) expr(s"graft_dot($a, $b)")
+      else dot(col(a), col(b))
+    val d6 = floor(euclidToCent("ce") * 1e6 + 0.5) / 1e6
+    val assign = corpus
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+      .join(cents)
+      .groupBy("neighbor_id")
+      .agg(min(struct(d6.as("d"), col("cid"))).as("mc"),
+        first(col("ce")).as("ce"))
+      .select(col("neighbor_id"), col("ce"), col("mc.cid").as("cell"))
+    val qd6 = floor(euclidToCent("qe") * 1e6 + 0.5) / 1e6
+    val qCells = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .join(cents)
+      .select(col("query_id"), col("qe"), col("cid"), qd6.as("d"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("d"), col("cid"))))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("qe"), col("cid").as("cell"))
+    val scored = qCells.join(assign, Seq("cell"))
+      .select(col("query_id"), col("neighbor_id"),
+        dotOf("qe", "ce").as("raw_dot"))
+      .select(col("query_id"), col("neighbor_id"), col("raw_dot"),
+        (floor(col("raw_dot") * 1e6 + 0.5) / 1e6).as("dot6"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dot6").desc, col("neighbor_id"))
+    scored
+      .select(col("query_id"), col("neighbor_id"),
+        row_number().over(w).as("rank"),
+        (floor(col("raw_dot") * 10000 + 0.5) / 10000).as("sim"))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs — the embedding-space member
     * of the dedup family (exact / MinHash / SimHash / n-gram Jaccard /
     * THIS). Blocking reuses the deterministic parity-sign LSH tables

@@ -124,7 +124,11 @@ object MlQueries {
     * sides so group-summation order cannot drift; clusters that lose
     * every point keep their previous center. MATERIALIZED per the
     * DuckDB-inlines-CTEs-per-reference lesson. */
-  private def lloydSql(k: Int, iters: Int, dim: Int): String = {
+  /** The Lloyd CTE chain alone (x/xd/c0/a_i/m_i/c_i up to c$iters) — the
+    * shared prefix of the ml_lloyd_fixed oracle and the composed
+    * trained-IVF oracle (llm_ann_ivf_trained), which appends the
+    * assignment/probe/rank stages on top of the trained centroids. */
+  private[graft] def lloydCentroidCte(k: Int, iters: Int, dim: Int): String = {
     val sb = new StringBuilder
     sb ++= "WITH x AS MATERIALIZED (SELECT vec_id, " +
       "LIST_TRANSFORM(embedding, v -> CAST(v AS DOUBLE)) AS xv FROM embeddings)"
@@ -146,6 +150,11 @@ object MlQueries {
         s"FROM c${i - 1} p LEFT JOIN m$i m ON m.cluster = p.cluster " +
         "GROUP BY p.cluster, p.cv)"
     }
+    sb.toString
+  }
+
+  private def lloydSql(k: Int, iters: Int, dim: Int): String = {
+    val sb = new StringBuilder(lloydCentroidCte(k, iters, dim))
     sb ++= " SELECT cluster, dim, value FROM (" +
       s"SELECT c.cluster, CAST(t.i - 1 AS INTEGER) AS dim, c.cv[t.i] AS value " +
       s"FROM c$iters c, generate_series(1, $dim) t(i) " +

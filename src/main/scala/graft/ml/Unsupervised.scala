@@ -45,9 +45,14 @@ object Unsupervised {
     * iteration so cross-engine float summation order cannot drift.
     * Output: (cluster, dim, value) flattened centers + (cluster, -1, n)
     * size rows. */
-  def lloydFixed(spark: SparkSession, embeddings: DataFrame, k: Int = 4,
-      iters: Int = 5, dim: Int = 64): DataFrame = {
-    import spark.implicits._
+  /** The deterministic Lloyd centers themselves (rounded 1e-6 per
+    * iteration) — reused by [[lloydFixed]] and as the trained coarse
+    * quantizer of the IVF ANN path (`Similarity.ivfTopKTrained`). The
+    * driver only ever holds k×dim doubles. Returns (centers, final
+    * assignment frame). */
+  private[graft] def lloydCenters(spark: SparkSession, embeddings: DataFrame,
+      k: Int = 4, iters: Int = 5)
+      : (Array[Array[Double]], DataFrame) = {
     def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
     var centers: Array[Array[Double]] = embeddings.orderBy("vec_id").limit(k)
       .select("embedding").collect()
@@ -74,6 +79,13 @@ object Unsupervised {
         next(r.getInt(0))(r.getInt(1)) = r6(r.getDouble(2)))
       centers = next // clusters that lost every point keep their center
     }
+    (centers, assigned)
+  }
+
+  def lloydFixed(spark: SparkSession, embeddings: DataFrame, k: Int = 4,
+      iters: Int = 5, dim: Int = 64): DataFrame = {
+    import spark.implicits._
+    val (centers, assigned) = lloydCenters(spark, embeddings, k, iters)
     val sizes = assigned.groupBy("cluster")
       .agg(count(lit(1)).cast("double").as("value"))
       .select(col("cluster").cast("long"), lit(-1).as("dim"), col("value"))

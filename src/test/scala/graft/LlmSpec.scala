@@ -140,6 +140,20 @@ class LlmSpec extends AnyFunSuite {
       math.abs(bf((r.getLong(0), r.getLong(1))) - r.getDouble(3)) < 1e-9))
   }
 
+  test("trained ivf: self found, sims agree with brute force") {
+    val e = Tables(spark, sf0001, "embeddings")
+    val q = e.filter($"vec_id" < 5)
+    val ivf = Similarity.ivfTopKTrained(q, e, k = 5, nlist = 4, nProbe = 2)
+      .collect()
+    assert(ivf.nonEmpty)
+    // a query's own cell is its nearest cell, so it always finds itself
+    assert(ivf.count(r => r.getLong(0) == r.getLong(1)) == 5)
+    val bf = Similarity.bruteForceTopK(q, e, k = 500).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(ivf.forall(r =>
+      math.abs(bf((r.getLong(0), r.getLong(1))) - r.getDouble(3)) < 1e-9))
+  }
+
   test("cosine near-dup pairs: planted duplicate found, orthogonal not paired") {
     val dim = 64
     def vec(f: Int => Float) = (0 until dim).map(f).toArray
