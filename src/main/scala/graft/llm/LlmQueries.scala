@@ -87,6 +87,10 @@ object LlmQueries {
       // Recall is the LSH blocking's (the oracle replicates blocking +
       // verify, so the output is exactly defined either way).
       Similarity.cosineNearDupPairs(emb(s, d), tau = 0.4)),
+    "llm_curation" -> ((s, d) =>
+      // the end-to-end training-data curation flow: quality gate ∧
+      // language gate ∧ near-dup keep decision (TextOps.curate)
+      TextOps.curate(docs(s, d))),
     "llm_multimodal" -> ((s, d) => Multimodal.documentsAsMedia(s, docs(s, d))),
     "llm_multimodal_frames" -> ((s, d) =>
       Multimodal.documentsAsFrames(s, docs(s, d))),
@@ -112,7 +116,8 @@ object LlmQueries {
           (abs(col("approx_d") - col("exact_d")).cast("double") /
             col("exact_d") <= 0.1).as("approx_ok"))))
 
-  val oracle: Map[String, String] = Map(
+  val oracle: Map[String, String] = {
+    val base = Map(
     "llm_text_stats" ->
       ("SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars, " +
         "CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS n_tokens, " +
@@ -420,4 +425,16 @@ object LlmQueries {
         "ELSE 'und' END AS pred_lang, " +
         "FLOOR(GREATEST(cjk, best) * 10000 + 0.5) / 10000 AS confidence " +
         "FROM b ORDER BY doc_id"))
+    // curation replica composed from the three verified operator oracles
+    // — nested WITH is legal inside a DuckDB CTE body, so each piece
+    // embeds verbatim and stays in lock-step with its standalone entry
+    base + ("llm_curation" ->
+      (s"""WITH q AS (${base("llm_quality")}), """ +
+        s"""l AS (${base("llm_langid")}), """ +
+        s"""g AS (${base("llm_dedup_groups")}) """ +
+        "SELECT q.doc_id, q.quality, l.pred_lang FROM q JOIN l USING (doc_id) " +
+        "LEFT JOIN g USING (doc_id) " +
+        "WHERE q.quality >= 0.5 AND l.pred_lang = 'en' " +
+        "AND (g.keep_id IS NULL OR g.keep_id = q.doc_id) ORDER BY doc_id"))
+  }
 }

@@ -114,4 +114,25 @@ object TextOps {
       shiftleft(acc, 1).bitwiseOR(shiftrightunsigned(acc, 63)).bitwiseXOR(h))
     docs.select(col("doc_id"), fp.as("fingerprint")).orderBy("doc_id")
   }
+
+  /** End-to-end training-data curation: quality gate ∧ language gate ∧
+    * near-dup keep decision — the flow a 100 TB corpus pipeline runs
+    * before tokenization, composed from three verified operators
+    * ([[quality]], [[langId]], [[Dedup.dedupGroups]]). Docs outside any
+    * dup pair carry no dedupGroups row and keep themselves (left join).
+    * Every stage is embarrassingly parallel or id-keyed, so the compose
+    * adds two id-equi-joins and nothing else. */
+  def curate(docs: DataFrame, minQuality: Double = 0.5,
+      lang: String = "en", shingleSize: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val q = quality(docs).select("doc_id", "quality")
+    val l = langId(docs).select("doc_id", "pred_lang")
+    val g = Dedup.dedupGroups(docs, shingleSize, threshold)
+    q.join(l, Seq("doc_id"))
+      .join(g, Seq("doc_id"), "left")
+      .filter(col("quality") >= minQuality && col("pred_lang") === lang &&
+        (col("keep_id").isNull || col("keep_id") === col("doc_id")))
+      .select("doc_id", "quality", "pred_lang")
+      .orderBy("doc_id")
+  }
 }

@@ -140,6 +140,17 @@ class LlmSpec extends AnyFunSuite {
       math.abs(bf((r.getLong(0), r.getLong(1))) - r.getDouble(3)) < 1e-9))
   }
 
+  test("curation keeps the clean original, drops dup/language/quality losers") {
+    val docs = Seq(
+      (10L, "the cat and the dog play in the garden all day"), // keeper
+      (11L, "the cat and the dog play in the garden all day today"), // near-dup loser
+      (12L, "der hund und die katze ist nicht hier und das ist gut"), // wrong language
+      (13L, "a a a a a a a a a a")) // low quality (uniq_ratio 0.1)
+      .toDF("doc_id", "text")
+    val kept = TextOps.curate(docs).collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(10L), kept.toString)
+  }
+
   test("trained ivf: self found, sims agree with brute force") {
     val e = Tables(spark, sf0001, "embeddings")
     val q = e.filter($"vec_id" < 5)
