@@ -86,6 +86,15 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(native == fold)
   }
 
+  test("simhash aggregate over zero rows packs the all-tied zero sketch") {
+    import extended.implicits._
+    val empty = Seq.empty[Long].toDF("h")
+    // global aggregate over an empty input: every bit counter is 0,
+    // no counter is strictly positive, so the packed sketch is 0
+    val v = empty.agg(expr("graft_simhash_agg(h)")).head().getLong(0)
+    assert(v == 0L)
+  }
+
   test("simhash aggregate plans with map-side partial object aggregation") {
     val docs = Tables(extended, TestSpark.sf0001, "documents")
     val df = graft.llm.Dedup.simHash(docs)

@@ -50,6 +50,12 @@ class TopKJoinSpec extends AnyFunSuite {
     assert(cand.count() <= parts.toLong * nq * 5)
   }
 
+  test("empty query side yields an empty result, not a failure") {
+    val none = NativeTopK.topK(
+      e.filter(col("vec_id") < 0), e, k = 5).count()
+    assert(none == 0)
+  }
+
   test("rounded-dot ties resolve to the smaller neighbor id") {
     import spark.implicits._
     // corpus of identical vectors: every dot ties, so top-3 must be the
