@@ -87,6 +87,16 @@ object LlmQueries {
       // Recall is the LSH blocking's (the oracle replicates blocking +
       // verify, so the output is exactly defined either way).
       Similarity.cosineNearDupPairs(emb(s, d), tau = 0.4)),
+    "llm_ann_recall" -> ((s, d) => {
+      // continuous ANN quality measurement: recall@5 of the IVF index
+      // against the exact ranking, in-engine (deterministic both sides,
+      // so even the metric itself is oracle-checked)
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") < 10)
+      Similarity.recallAtK(
+        Similarity.ivfTopK(q, e, k = 5, centroidStride = 31, nProbe = 4),
+        Similarity.bruteForceTopK(q, e, k = 5), k = 5)
+    }),
     "llm_curation" -> ((s, d) =>
       // the end-to-end training-data curation flow: quality gate ∧
       // language gate ∧ near-dup keep decision (TextOps.curate)
@@ -435,6 +445,17 @@ object LlmQueries {
         "SELECT q.doc_id, q.quality, l.pred_lang FROM q JOIN l USING (doc_id) " +
         "LEFT JOIN g USING (doc_id) " +
         "WHERE q.quality >= 0.5 AND l.pred_lang = 'en' " +
-        "AND (g.keep_id IS NULL OR g.keep_id = q.doc_id) ORDER BY doc_id"))
+        "AND (g.keep_id IS NULL OR g.keep_id = q.doc_id) ORDER BY doc_id")) +
+    // recall replica: both ANN oracles embed verbatim, the metric is the
+    // per-query hit fraction averaged over the exact side's queries
+    ("llm_ann_recall" ->
+      (s"""WITH iv AS (${base("llm_ann_ivf")}), """ +
+        s"""bf AS (${base("llm_ann_cosine")}), """ +
+        "h AS (SELECT iv.query_id, COUNT(*) AS hit FROM iv JOIN bf " +
+        "ON bf.query_id = iv.query_id AND bf.neighbor_id = iv.neighbor_id " +
+        "GROUP BY iv.query_id) " +
+        "SELECT FLOOR(CAST(SUM(COALESCE(h.hit, 0)) AS DOUBLE) / (COUNT(*) * 5) " +
+        "* 10000 + 0.5) / 10000 AS recall_at_k, COUNT(*) AS n_queries " +
+        "FROM (SELECT DISTINCT query_id FROM bf) q LEFT JOIN h USING (query_id)"))
   }
 }

@@ -284,6 +284,31 @@ object Similarity {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** In-engine ANN quality evaluation: recall@k of an approximate top-k
+    * result against the exact brute-force ranking — the measurement a
+    * production ANN deployment runs continuously (the reference's KNN
+    * verify is the same set-containment idea, `KNNRunner.scala:181-218`).
+    * Both inputs carry (query_id, neighbor_id, rank≤k); output is one
+    * row: mean per-query |approx ∩ exact| / k. Distributed as one
+    * id-equi-join + two aggregations. */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    val hits = approx.select(col("query_id"), col("neighbor_id"))
+      .join(exact.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("hit"))
+    // integer hit sum + ONE final division: an averaged-doubles form
+    // would expose cross-engine float summation order at the rounding
+    // boundary; Σhit / (k·n) is exact until the single divide
+    exact.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"),
+        count(lit(1)).as("n_queries"))
+      .select(
+        (floor(col("hits").cast("double") / (col("n_queries") * k) * 1e4
+          + 0.5) / 1e4).as("recall_at_k"),
+        col("n_queries"))
+  }
+
   /** Approximate neighbors via random-projection LSH buckets: join cost is
     * bounded by bucket co-occupancy instead of |Q|×|C|. Seeded, so output
     * is deterministic. Returns pairs within `maxDist` (euclidean). */

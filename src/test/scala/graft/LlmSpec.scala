@@ -151,6 +151,18 @@ class LlmSpec extends AnyFunSuite {
     assert(kept == Seq(10L), kept.toString)
   }
 
+  test("recall@k: identical rankings score 1.0, disjoint score 0.0") {
+    val e = Tables(spark, sf0001, "embeddings")
+    val q = e.filter($"vec_id" < 5)
+    val bf = Similarity.bruteForceTopK(q, e, k = 5)
+    val perfect = Similarity.recallAtK(bf, bf, k = 5).head()
+    assert(perfect.getDouble(0) == 1.0 && perfect.getLong(1) == 5)
+    // shift the approx side's neighbors so no pair matches
+    val shifted = bf.withColumn("neighbor_id",
+      org.apache.spark.sql.functions.col("neighbor_id") + 1000000L)
+    assert(Similarity.recallAtK(shifted, bf, k = 5).head().getDouble(0) == 0.0)
+  }
+
   test("trained ivf: self found, sims agree with brute force") {
     val e = Tables(spark, sf0001, "embeddings")
     val q = e.filter($"vec_id" < 5)
