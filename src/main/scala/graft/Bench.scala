@@ -48,7 +48,7 @@ object Bench {
       "graph_louvain", "graph_betweenness", "graph_subgraph_tri",
       "graph_node2vec", "graph_kcore", "ml_svc", "ml_dbscan",
       "llm_ann_ivf", "llm_ann_native", "llm_embed_dedup",
-      "llm_dedup_groups", "graph_louvain_sync")
+      "llm_dedup_groups", "llm_curation", "graph_louvain_sync")
     val qs = results.filter(r => headline(r._1))
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
