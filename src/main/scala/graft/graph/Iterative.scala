@@ -126,25 +126,55 @@ object Iterative {
     * (Montresor et al., "Distributed k-core decomposition"): every vertex
     * starts at its degree; repeatedly set core(v) = max k such that at
     * least k neighbors have core ≥ k. Converges to exact core numbers.
-    * Neighbor estimates travel as capped count histograms, so message
-    * size is O(core estimate), not O(degree). */
+    *
+    * Delta-messaging: each vertex keeps a persistent histogram of its
+    * neighbors' (capped) estimates; after the first full exchange, only
+    * vertices whose estimate CHANGED last round send — a (old → −1,
+    * new → +1) count delta per incident edge. Per-round message volume
+    * is O(edges touching changed vertices), not O(E); the fixpoint
+    * trajectory is bit-identical to full resend (same per-round
+    * h-operator inputs), so results are unchanged. One materialization
+    * job per round (triplets forces the vertex program AND the shipped
+    * vertex view the next aggregateMessages needs). */
   def kCore(spark: SparkSession, undirected: Graph[Double, Double],
       maxIter: Int = 50): DataFrame = {
     import spark.implicits._
-    var g = undirected.outerJoinVertices(undirected.degrees)((_, _, d) =>
-      d.getOrElse(0)).cache()
+    import scala.collection.mutable.LongMap
+    // graph attr = (est, prevEst): prev ≠ est ⇒ "changed last round" ⇒
+    // incident edges carry a delta this round. prev = −1 seeds the full
+    // first exchange. The O(degree) histogram is deliberately NOT in the
+    // graph attr — it would be shipped to edge partitions on every
+    // replication; it lives in a co-partitioned VertexRDD instead.
+    var g: Graph[(Int, Int), Double] = undirected
+      .outerJoinVertices(undirected.degrees)((_, _, d) => (d.getOrElse(0), -1))
+      .cache()
     g.edges.foreachPartition(_ => ())
+    // (est, neighbor-estimate histogram); keys capped at own est — when
+    // est drops, mass above the new cap collapses into the cap bucket,
+    // so a later delta from an unchanged neighbor u is addressable at
+    // min(u's old value, current est).
+    var state: VertexRDD[(Int, LongMap[Int])] =
+      g.vertices.mapValues(a => (a._1, LongMap.empty[Int])).cache()
     var changed = true
     var i = 0
     while (changed && i < maxIter) {
-      // mutable merge: fold the smaller histogram into the larger in
-      // place — the round-2 immutable version allocated two sets and a
-      // map per merge, and the merge runs once per (vertex, message)
-      val msgs = g.aggregateMessages[scala.collection.mutable.LongMap[Int]](
+      // net count deltas keyed by the SENDER's uncapped estimate; the
+      // receiver caps at its own est on apply. Mutable merge: fold the
+      // smaller map into the larger in place.
+      val msgs = g.aggregateMessages[LongMap[Int]](
         ctx => {
-          val m = math.min(ctx.srcAttr, ctx.dstAttr)
-          ctx.sendToDst(scala.collection.mutable.LongMap(m.toLong -> 1))
-          ctx.sendToSrc(scala.collection.mutable.LongMap(m.toLong -> 1))
+          val (se, sp) = ctx.srcAttr
+          val (de, dp) = ctx.dstAttr
+          if (se != sp) {
+            val d = LongMap(se.toLong -> 1)
+            if (sp >= 0) d(sp.toLong) = d.getOrElse(sp.toLong, 0) - 1
+            ctx.sendToDst(d)
+          }
+          if (de != dp) {
+            val d = LongMap(de.toLong -> 1)
+            if (dp >= 0) d(dp.toLong) = d.getOrElse(dp.toLong, 0) - 1
+            ctx.sendToSrc(d)
+          }
         },
         (a, b) => {
           val (into, from) = if (a.size >= b.size) (a, b) else (b, a)
@@ -152,34 +182,61 @@ object Iterative {
           into
         })
       // convergence signal rides an accumulator inside the vertex
-      // program, counted while the new graph materializes anyway — the
-      // round-1 version ran an extra vertices-join + count() job every
-      // iteration (up to 50 extra jobs). Task retries can only inflate
-      // the value, and only the ==0 test matters.
+      // program, counted while the new state materializes anyway. Task
+      // retries can only inflate the value; only the ==0 test matters.
       val moved = spark.sparkContext.longAccumulator(s"kcore-moved-$i")
-      val next = g.outerJoinVertices(msgs)((_, est, mOpt) => mOpt match {
-        case None => if (est != 0) { moved.add(1L); 0 } else 0
-        case Some(hist) =>
-          // h-operator: largest k with ≥ k neighbors of (capped) core ≥ k
-          var k = est
-          def countGe(k0: Int): Int = {
-            var s = 0
-            hist.foreachEntry((m, c) => if (m >= k0) s += c)
-            s
+      val newState: VertexRDD[(Int, LongMap[Int])] =
+        state.leftZipJoin(msgs) { case (_, (est, hist0), dOpt) =>
+          dOpt match {
+            case None => (est, hist0) // no delta ⇒ h-operator input unchanged
+            case Some(delta) =>
+              // clone-on-write: hist0 belongs to the cached previous
+              // round; mutating it would double-apply deltas on a task
+              // retry or lineage recompute
+              val hist = hist0.clone()
+              delta.foreachEntry { (k, c) =>
+                val ck = math.min(k, est.toLong)
+                val n = hist.getOrElse(ck, 0) + c
+                if (n == 0) hist.subtractOne(ck) else hist(ck) = n
+              }
+              // h-operator: largest k with ≥ k neighbors of (capped) core ≥ k
+              var k = est
+              def countGe(k0: Long): Int = {
+                var s = 0
+                hist.foreachEntry((m, c) => if (m >= k0) s += c)
+                s
+              }
+              while (k > 0 && countGe(k.toLong) < k) k -= 1
+              if (k != est) {
+                moved.add(1L)
+                // collapse mass above the new cap
+                var excess = 0
+                hist.foreachEntry((m, c) => if (m > k.toLong) excess += c)
+                if (excess != 0) {
+                  val over = hist.keysIterator.filter(_ > k.toLong).toArray
+                  over.foreach(hist.subtractOne)
+                  val n = hist.getOrElse(k.toLong, 0) + excess
+                  if (n == 0) hist.subtractOne(k.toLong) else hist(k.toLong) = n
+                }
+              }
+              (k, hist)
           }
-          while (k > 0 && countGe(k) < k) k -= 1
-          if (k != est) moved.add(1L)
-          k
-      }).cache()
-      next.vertices.foreachPartition(_ => ()) // runs the vertex program
-      next.edges.foreachPartition(_ => ())
+        }.cache()
+      val next = g.outerJoinVertices(newState)((_, old, s) =>
+        (s.map(_._1).getOrElse(old._1), old._1)).cache()
+      // ONE job: shipping the (small) vertex attrs to edge partitions
+      // forces newState's vertex program (accumulator) and leaves the
+      // replicated view the next round's aggregateMessages reads.
+      next.triplets.foreachPartition(_ => ())
       changed = moved.value > 0
+      state.unpersist(blocking = false)
       g.vertices.unpersist(blocking = false)
       g.edges.unpersist(blocking = false)
+      state = newState
       g = next
       i += 1
     }
-    g.vertices.toDF("node", "core").orderBy("node")
+    g.vertices.mapValues(_._1).toDF("node", "core").orderBy("node")
   }
 
   /** Deterministic synchronous label propagation — the oracle-checkable
