@@ -108,9 +108,10 @@ object Dedup {
     * doc_id) — document payloads meet the network exactly twice, keyed by
     * doc_id, for the verification join. */
   def nearDupPairs(docs: DataFrame, shingleSize: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, numHashes: Int = 32,
+      rowsPerBand: Int = 4): DataFrame = {
     val ss = withShingleSets(docs, shingleSize)
-    val exploded = minHash(docs, shingleSize)
+    val exploded = minHash(docs, shingleSize, numHashes, rowsPerBand)
       .select(col("doc_id"), explode(col("bands")).as("bucket"))
     val cand = exploded.select(col("bucket"), col("doc_id").as("doc_a"))
       .join(exploded.select(col("bucket"), col("doc_id").as("doc_b")), Seq("bucket"))
@@ -135,16 +136,22 @@ object Dedup {
     * propagation over the pair graph: each round every node adopts the
     * smallest label among itself and its neighbors — one broadcast-free
     * join + partial hash-agg per round, state is (node, label) only.
-    * Near-dup components are tiny (duplicate families), so `rounds`
-    * bounds the diameter safely; the result equals the true transitive
-    * closure, which is what the DuckDB recursive-CTE oracle computes. */
+    * Labels decrease monotonically, so the loop runs UNTIL QUIESCENT (a
+    * round that changes no label is the global fixpoint = the true
+    * transitive closure, which is what the DuckDB recursive-CTE oracle
+    * computes) — a duplicate chain longer than any fixed round count
+    * cannot be silently split into two keep-groups. Typical duplicate
+    * families collapse in 3–5 rounds; each round's frame is tiny
+    * relative to the corpus, so the per-round convergence probe (an
+    * id-equi-join + isEmpty on co-partitioned frames) is cheap. */
   def dedupGroups(docs: DataFrame, shingleSize: Int = 3,
-      threshold: Double = 0.5, rounds: Int = 8): DataFrame = {
+      threshold: Double = 0.5, numHashes: Int = 32,
+      rowsPerBand: Int = 4): DataFrame = {
     // the pair graph is orders of magnitude smaller than the corpus
     // (duplicate families only) — size the round-loop partitioning to
     // it, or ten rounds of 32 near-empty shuffle partitions cost more
     // than the LSH pipeline that fed them
-    val pairs = nearDupPairs(docs, shingleSize, threshold)
+    val pairs = nearDupPairs(docs, shingleSize, threshold, numHashes, rowsPerBand)
       .select(col("doc_a"), col("doc_b"))
       .localCheckpoint()
     val spark = docs.sparkSession
@@ -158,17 +165,24 @@ object Dedup {
       .localCheckpoint()
     var lbl = und.select(col("node")).distinct()
       .select(col("node"), col("node").as("keep"))
-    var r = 0
-    while (r < rounds) {
-      // neighbor labels flow along edges; min with own label
-      lbl = und
+      .localCheckpoint()
+    var converged = false
+    while (!converged) {
+      // neighbor labels flow along edges; min with own label.
+      // per-iteration localCheckpoint: the loop frames are small, so
+      // plan depth costs more than eager materialization (measured —
+      // every-N cadence was ~15% slower on the PPR loop)
+      val next = und
         .join(lbl.withColumnRenamed("node", "nbr")
           .withColumnRenamed("keep", "nkeep"), Seq("nbr"))
         .select(col("node"), col("nkeep"))
         .unionByName(lbl.select(col("node"), col("keep").as("nkeep")))
         .groupBy("node").agg(min("nkeep").as("keep"))
-      if (r % 5 == 4) lbl = lbl.localCheckpoint()
-      r += 1
+        .localCheckpoint()
+      converged = next
+        .join(lbl.withColumnRenamed("keep", "prev"), Seq("node"))
+        .filter(col("keep") < col("prev")).isEmpty
+      lbl = next
     }
     lbl.select(col("node").as("doc_id"), col("keep").as("keep_id"))
       .orderBy("doc_id")
@@ -196,14 +210,17 @@ object Dedup {
     // native one-buffer aggregate (TypedImperativeAggregate, map-side
     // partial buffers of 64 ints) when the session carries
     // GraftExtensions; bit-identical 64-column fold otherwise — counters
-    // are exact integers either way, so the sketch cannot differ
+    // are exact integers and BOTH paths skip null hashes (the default
+    // xxhash64 never yields one, but a custom tokenHash may), so the
+    // sketch cannot differ between an extended and a plain session
     if (docs.sparkSession.catalog.functionExists("graft_simhash_agg"))
       hashes.groupBy("doc_id")
         .agg(expr("graft_simhash_agg(h)").as("simhash"))
         .orderBy("doc_id")
     else {
       val bitCols = (0 until 64).map(i =>
-        sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1, 1)
+        sum(when(col("h").isNull, lit(null))
+          .when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1, 1)
           .otherwise(-1)).as(s"b$i"))
       hashes.groupBy("doc_id")
         .agg(bitCols.head, bitCols.tail: _*)

@@ -124,6 +124,29 @@ class LlmSpec extends AnyFunSuite {
     assert(r == Map(10L -> 10L, 11L -> 10L, 12L -> 10L)) // 20 not in any pair
   }
 
+  test("dedup groups: a 10-hop duplicate chain collapses to ONE keep group") {
+    // 11 sliding windows of 25 distinct tokens, stride 4: adjacent docs
+    // share 21 tokens → 19 of 27 3-gram shingles union → jaccard 19/27 ≈
+    // 0.704 ≥ 0.5; two-hop docs share 17 tokens → jaccard 15/31 ≈ 0.484 <
+    // 0.5, so the pair graph is a pure PATH of diameter 10 — a fixed
+    // 8-round label propagation would split it into two keep groups.
+    val words = (0 until 65).map(i => f"tok$i%03d")
+    val docs = (0 to 10).map { d =>
+      (100L + d, words.slice(d * 4, d * 4 + 25).mkString(" "))
+    }.toDF("doc_id", "text")
+    // 1 row per band (32 bands) makes every jaccard-0.7 pair an LSH
+    // candidate with near-certainty; guard the fixture: exactly the 10
+    // adjacent pairs survive exact-jaccard verification
+    val pairs = Dedup.nearDupPairs(docs, shingleSize = 3, threshold = 0.5,
+      numHashes = 32, rowsPerBand = 1)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(pairs == (0 until 10).map(d => (100L + d, 101L + d)).toSet)
+    val groups = Dedup.dedupGroups(docs, shingleSize = 3, threshold = 0.5,
+      numHashes = 32, rowsPerBand = 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(groups == (0 to 10).map(d => (100L + d) -> 100L).toMap)
+  }
+
   test("ivf topk: self found, sims agree with brute force, cells pruned") {
     val e = Tables(spark, sf0001, "embeddings")
     val q = e.filter($"vec_id" < 5)
