@@ -70,6 +70,19 @@ object MlQueries {
         .agg(count(lit(1)).as("cnt"))
         .orderBy("label", "prediction")
     }),
+    "ml_knn_prob" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val e = emb(s, d)
+      // the classifier's probability surface (reference
+      // KNNClassifier.scala:144-190): per-class vote fractions over the
+      // exact 5-NN — integer votes / k, so every cell oracle-checks
+      val out = knn.Knn.fit(s, e)
+        .classifyExact(e.filter(col("vec_id") < 500), k = 5, labels = e)
+      out.select(col("query_id") +:
+        col("prediction").cast("long").as("prediction") +:
+        (0 to 9).map(c => col(s"p_$c")): _*)
+        .orderBy("query_id")
+    }),
     "ml_simrank" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val indexed = new org.apache.spark.ml.feature.StringIndexer()
@@ -460,6 +473,27 @@ object MlQueries {
         "SELECT CAST(q.label AS BIGINT) AS label, CAST(p.prediction AS BIGINT) AS prediction, " +
         "COUNT(*) AS cnt FROM pred p JOIN q ON q.query_id = p.query_id " +
         "GROUP BY q.label, p.prediction ORDER BY label, prediction"),
+    // same 5-NN vote, but the per-query probability surface: winner +
+    // per-class vote fraction (votes/5, floor-rounded to 4 dp)
+    "ml_knn_prob" ->
+      ("WITH q AS (SELECT vec_id AS query_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS qe " +
+        "FROM embeddings WHERE vec_id < 500), " +
+        "c AS (SELECT vec_id AS nid, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS ce, " +
+        "label AS nl FROM embeddings), " +
+        "s AS (SELECT query_id, nid, nl, LIST_DISTANCE(qe, ce) AS dist FROM q CROSS JOIN c " +
+        "WHERE nid <> query_id), " +
+        "rk AS (SELECT query_id, nl, ROW_NUMBER() OVER (PARTITION BY query_id " +
+        "ORDER BY FLOOR(dist * 1000000 + 0.5) / 1000000, nid) AS rn FROM s), " +
+        "votes AS (SELECT query_id, nl, COUNT(*) AS v FROM rk WHERE rn <= 5 GROUP BY query_id, nl), " +
+        "pred AS (SELECT query_id, nl AS prediction FROM " +
+        "(SELECT query_id, nl, v, ROW_NUMBER() OVER (PARTITION BY query_id " +
+        "ORDER BY v DESC, nl) AS rn FROM votes) t WHERE rn = 1) " +
+        "SELECT p.query_id, CAST(p.prediction AS BIGINT) AS prediction, " +
+        (0 to 9).map(cl =>
+          s"FLOOR(COALESCE(SUM(CASE WHEN v.nl = $cl THEN v.v END), 0) / 5.0 " +
+            s"* 10000 + 0.5) / 10000 AS p_$cl").mkString(", ") +
+        " FROM pred p JOIN votes v USING (query_id) " +
+        "GROUP BY p.query_id, p.prediction ORDER BY query_id"),
     // grid DBSCAN ≡ brute-force DBSCAN at this scale: core = ≥5 in-eps
     // neighbors (self incl.), cluster = min core id over the core-core
     // reachability closure, border inherits the min neighbor-core label

@@ -169,26 +169,46 @@ object Knn {
       topK(candidates(q2, excludeSelf), k)
     }
 
-    /** Majority-vote classification over the k nearest non-self
-      * neighbors. Corpus must carry a `label` column. */
-    def classify(queries: DataFrame, k: Int, tau: Double,
-        labels: DataFrame): DataFrame = {
-      // self filtered from the candidate set BEFORE the top-k window, so
-      // exactly k neighbors vote even when the query is absent from the
-      // corpus (k+1-then-filter over-voted in that case)
-      val nn = search(queries, k, tau, excludeSelf = true)
+    /** Shared vote pipeline: the k-NN id set joined to labels, counted
+      * per (query, class), then (a) argmax winner (min-label tiebreak)
+      * and (b) per-class vote FRACTIONS — the reference classifier's
+      * rawPrediction/probability surface (`KNNClassifier.scala:144-190`:
+      * vote counts and counts/k). Integer votes / k is exact arithmetic,
+      * so the whole probability row is oracle-checkable; fractions are
+      * emitted as one flat `p_<class>` column per observed corpus class
+      * (flat columns, not a vector: joins and the driver compare both
+      * want scalar cells). Class collection is a driver-side distinct on
+      * the label column — class cardinality is tiny by construction. */
+    private def voteResult(nn: DataFrame, k: Int, labels: DataFrame): DataFrame = {
       val voted = nn
         .join(labels.select(col(idCol).as("neighbor_id"),
           col("label").as("n_label")), Seq("neighbor_id"))
         .groupBy("query_id", "n_label").agg(count(lit(1)).as("votes"))
+      val classes = labels.select(col("label").cast("long").as("c"))
+        .distinct().collect().map(_.getLong(0)).sorted
+      val probCols = classes.map(c =>
+        (floor(coalesce(sum(when(col("n_label").cast("long") === c,
+          col("votes"))), lit(0L)) / k.toDouble * 1e4 + 0.5) / 1e4)
+          .as(s"p_$c"))
+      val probs = voted.groupBy("query_id").agg(probCols.head, probCols.tail: _*)
       val w = Window.partitionBy("query_id")
         .orderBy(col("votes").desc, col("n_label"))
-      voted.select(col("query_id"), col("n_label"),
+      val winner = voted.select(col("query_id"), col("n_label"),
           row_number().over(w).as("rn"))
         .filter(col("rn") === 1)
         .select(col("query_id"), col("n_label").as("prediction"))
-        .orderBy("query_id")
+      winner.join(probs, Seq("query_id")).orderBy("query_id")
     }
+
+    /** Majority-vote classification over the k nearest non-self
+      * neighbors; output = (query_id, prediction, p_<class>...). Corpus
+      * must carry a `label` column. */
+    def classify(queries: DataFrame, k: Int, tau: Double,
+        labels: DataFrame): DataFrame =
+      // self filtered from the candidate set BEFORE the top-k window, so
+      // exactly k neighbors vote even when the query is absent from the
+      // corpus (k+1-then-filter over-voted in that case)
+      voteResult(search(queries, k, tau, excludeSelf = true), k, labels)
 
     /** Reference-shaped nested output (`knn/KNN.scala:202-212` emits
       * `neighbors: Array[Struct]` + distances): one row per query,
@@ -211,22 +231,11 @@ object Knn {
       corpusWithLeaf.groupBy("leaf").agg(count(lit(1)).as("n"))
 
     /** classify over the pruned exact search — deterministic, so the
-      * whole vote is DuckDB-oracle-checkable. */
+      * whole vote (winner AND probability columns) is
+      * DuckDB-oracle-checkable. */
     def classifyExact(queries: DataFrame, k: Int,
-        labels: DataFrame): DataFrame = {
-      val nn = searchExact(queries, k, excludeSelf = true)
-      val voted = nn
-        .join(labels.select(col(idCol).as("neighbor_id"),
-          col("label").as("n_label")), Seq("neighbor_id"))
-        .groupBy("query_id", "n_label").agg(count(lit(1)).as("votes"))
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("votes").desc, col("n_label"))
-      voted.select(col("query_id"), col("n_label"),
-          row_number().over(w).as("rn"))
-        .filter(col("rn") === 1)
-        .select(col("query_id"), col("n_label").as("prediction"))
-        .orderBy("query_id")
-    }
+        labels: DataFrame): DataFrame =
+      voteResult(searchExact(queries, k, excludeSelf = true), k, labels)
 
     /** Mean-of-neighbor-labels regression (self excluded). */
     def regress(queries: DataFrame, k: Int, tau: Double,

@@ -82,6 +82,28 @@ class CustomMlSpec extends AnyFunSuite {
     assert(correct == 60)
   }
 
+  test("knn classifier probability columns: fractions of k, sum to 1, argmax wins") {
+    // mixed neighborhood: point 40 sits between the two clusters, so its
+    // 3-NN vote splits — fractions must reflect the split exactly
+    val pts = ((1 to 30).map(i => (i.toLong, Array(0.0f + i * 0.001f, 0.0f), 0)) ++
+      (31 to 60).map(i => (i.toLong, Array(5.0f + i * 0.001f, 5.0f), 1)))
+      .toDF("vec_id", "embedding", "label")
+    val model = Knn.fit(spark, pts)
+    val rows = model.classify(pts, k = 3, tau = 1e9, labels = pts).collect()
+    assert(rows.length == 60)
+    for (r <- rows) {
+      val p0 = r.getAs[Double]("p_0"); val p1 = r.getAs[Double]("p_1")
+      // integer votes / 3, rounded to 4 dp on write
+      assert(Set(0.0, 0.3333, 0.6667, 1.0).contains(p0), s"p_0=$p0")
+      assert(math.abs(p0 + p1 - 1.0) < 2e-4)
+      val pred = r.getAs[Int]("prediction")
+      assert(if (pred == 0) p0 >= p1 else p1 >= p0)
+    }
+    // deep-cluster points vote unanimously
+    val byId = rows.map(r => r.getLong(0) -> r.getAs[Double]("p_0")).toMap
+    assert(byId(15L) == 1.0 && byId(45L) == 0.0)
+  }
+
   test("simrank: users sharing items are more similar than disjoint users") {
     // users 0,1 rate item 0; user 2 rates item 1 only
     val ratings = Seq((0L, 0L, 1.0), (1L, 0L, 1.0), (2L, 1L, 1.0))
