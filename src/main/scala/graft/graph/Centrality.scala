@@ -78,19 +78,20 @@ object Centrality {
       sources: Seq[Long]): DataFrame = {
     import spark.implicits._
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
-    // settled state lives as ONE CHECKPOINTED FRAME PER LEVEL — the
-    // round-1 running-union re-materialized all previous levels every
-    // level (O(diameter²) data written); a union over already-
-    // checkpointed leaves only ever scans each level once
+    // per-level (dist, sigma) frames for the backward pass, plus ONE
+    // accumulated checkpointed `seen` frame for the forward anti-join —
+    // re-deriving seen as a union of every prior level frame made each
+    // level's plan scan all previous levels again (O(diameter²) frame
+    // scans on a high-diameter graph; flagged in round 3)
     var frames = Vector(sources.map(s => (s, s, 0, 1.0))
       .toDF("s", "node", "dist", "sigma").localCheckpoint())
     var frontier = frames.head
+    var seen = frontier.select(col("s"), col("node").as("dst"))
+      .localCheckpoint()
     var level = 0
     var more = frontier.limit(1).count() > 0
     while (more) {
       level += 1
-      val seen = frames.map(_.select(col("s"), col("node").as("dst")))
-        .reduce(_ unionByName _)
       val next = frontier
         .join(e, frontier("node") === e("src"))
         .select(col("s"), col("dst"), col("sigma"))
@@ -100,8 +101,13 @@ object Centrality {
         .select(col("s"), col("dst").as("node"), lit(level).as("dist"),
           col("sigma"))
         .localCheckpoint()
-      if (next.limit(1).count() > 0) { frames :+= next; frontier = next }
-      else more = false
+      if (next.limit(1).count() > 0) {
+        frames :+= next
+        frontier = next
+        seen = seen
+          .unionByName(next.select(col("s"), col("node").as("dst")))
+          .localCheckpoint()
+      } else more = false
     }
     val maxLevel = frames.length - 1
     // backward pass: dependencies accumulate level-by-level, each level's
