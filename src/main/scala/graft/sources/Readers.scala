@@ -112,6 +112,29 @@ object Readers {
         transform(split(trim(element_at(col("f"), 2)), "\\s+"),
           s => s.cast("double")).as("features"))
 
+  /** Spark object-file compat pair (the reference loads java-serialized
+    * `(id, Vector)` RDDs via `sc.objectFile`: `ALSRunner.scala:125`,
+    * `SimRankRunner.scala:110`; `KMeansRunner.scala:119-124` reads the
+    * Mahout SequenceFile cousin). Kept ONLY so existing object-file
+    * datasets can be ingested — SURVEY §1.4 standardizes on parquet
+    * (java serialization is neither splittable-friendly nor
+    * cross-version stable), so the expected use is
+    * objectVectors → write.parquet once, then parquet thereafter. */
+  def objectVectors(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext
+      .objectFile[(Long, org.apache.spark.ml.linalg.Vector)](path)
+      .toDF("row", "features")
+  }
+
+  /** Writer half of the compat pair — exists to round-trip-test the
+    * reader and to produce fixtures shaped like the reference's inputs. */
+  def saveObjectVectors(df: DataFrame, path: String,
+      idCol: String = "row", vecCol: String = "features"): Unit =
+    df.select(col(idCol), col(vecCol)).rdd
+      .map(r => (r.getLong(0), r.getAs[org.apache.spark.ml.linalg.Vector](1)))
+      .saveAsObjectFile(path)
+
   /** `id\tv1,v2,…` KNN rows; id < testNum marks a query row
     * (`KNNRunner.scala:146-156`). */
   def knnTsv(spark: SparkSession, path: String, testNum: Long): DataFrame =

@@ -6,6 +6,7 @@ import graft.sources.Readers
 
 class SourcesSpec extends AnyFunSuite {
   import TestSpark._
+  import spark.implicits._
 
   private def res(name: String): String =
     getClass.getClassLoader.getResource(name).getPath
@@ -72,6 +73,25 @@ class SourcesSpec extends AnyFunSuite {
     val r = Readers.knnTsv(spark, res("knn.tsv"), testNum = 2).collect()
       .map(x => (x.getLong(0), x.getBoolean(2))).toMap
     assert(r == Map(0L -> true, 1L -> true, 5L -> false))
+  }
+
+  test("object-file vectors: sparse and dense round-trip exactly") {
+    import org.apache.spark.ml.linalg.Vectors
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-objf").toString + "/vecs"
+    val in = Seq(
+      (1L, Vectors.sparse(5, Array(0, 3), Array(0.5, -2.0))),
+      (2L, Vectors.dense(1.0, 2.0, 3.0, 4.0, 5.0)),
+      (3L, Vectors.sparse(5, Array(), Array()))
+    ).toDF("row", "features")
+    Readers.saveObjectVectors(in, dir)
+    val back = Readers.objectVectors(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[org.apache.spark.ml.linalg.Vector](1)).toMap
+    assert(back.keySet == Set(1L, 2L, 3L))
+    assert(back(1L) == Vectors.sparse(5, Array(0, 3), Array(0.5, -2.0)))
+    assert(back(2L) == Vectors.dense(1.0, 2.0, 3.0, 4.0, 5.0))
+    assert(back(3L).numNonzeros == 0 && back(3L).size == 5)
   }
 
   test("libsvm reader yields label/features") {
