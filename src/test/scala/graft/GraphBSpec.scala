@@ -168,6 +168,30 @@ class GraphBSpec extends AnyFunSuite {
     assert(emb.length == 6)
   }
 
+  test("node2vec embeddings place planted communities closer than the bridge") {
+    // seeded Word2Vec over deterministic-enough walks: intra-triangle
+    // pairs must sit closer (mean cosine) than cross-bridge pairs —
+    // the qualitative contract of the embedding, robust to RNG detail
+    val und = twoTriangles
+    val sym = und.union(und.select($"dst".as("src"), $"src".as("dst"), $"weight"))
+    val emb = Node2Vec.embeddings(spark, sym, numWalks = 8, walkLength = 8)
+      .collect()
+      .map(r => r.getLong(0) ->
+        Array(r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      dot / (na * nb)
+    }
+    val intraPairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L))
+    val interPairs = for (a <- 1L to 3L; b <- 4L to 6L) yield (a, b)
+    val intra = intraPairs.map { case (a, b) => cos(emb(a), emb(b)) }.sum / intraPairs.size
+    val inter = interPairs.map { case (a, b) => cos(emb(a), emb(b)) }.sum / interPairs.size
+    assert(intra > inter, s"intra=$intra inter=$inter")
+  }
+
   test("weighted closeness: hand-computed weighted path distances") {
     // 1 →(2.0)→ 2 →(3.0)→ 3, landmark {3}: dist(1→3) = 5, dist(2→3) = 3
     val e = Seq((1L, 2L, 2.0), (2L, 3L, 3.0)).toDF("src", "dst", "weight")

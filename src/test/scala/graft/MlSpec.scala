@@ -60,6 +60,36 @@ class MlSpec extends AnyFunSuite {
     assert(acc > 0.1) // better than random over 10 classes
   }
 
+  test("KMeans fit overloads (plain / ParamMap / ParamPair / Array[ParamMap]) agree") {
+    // the reference drives all four estimator fit overloads
+    // (`KMeansRunner.scala:136-154`); identical params must yield
+    // identical centers through every entry point
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.param.ParamMap
+    val data = embeddings.select(
+      org.apache.spark.ml.functions.array_to_vector($"embedding")
+        .as("features")).localCheckpoint()
+    def centers(m: org.apache.spark.ml.clustering.KMeansModel) =
+      m.clusterCenters.map(_.toArray.toSeq).toSeq.sortBy(_.toString)
+    val plain = centers(
+      new KMeans().setSeed(2020L).setK(4).setMaxIter(5).fit(data))
+    // est leaves k/maxIter at defaults; the overloads must supply them.
+    // ParamMaps are keyed by THIS estimator's param instances (foreign
+    // params are silently dropped by fit)
+    val est = new KMeans().setSeed(2020L)
+    val viaMap = centers(
+      est.fit(data, ParamMap(est.k -> 4).put(est.maxIter, 5)))
+    val viaPairs = centers(est.fit(data, est.k -> 4, est.maxIter -> 5))
+    // Array[ParamMap] overload fits one model per map
+    val viaArray = est.fit(data,
+      Array(ParamMap(est.k -> 4).put(est.maxIter, 5),
+        ParamMap(est.k -> 4).put(est.maxIter, 5)))
+      .map(m => centers(m.asInstanceOf[org.apache.spark.ml.clustering.KMeansModel]))
+    assert(plain == viaMap)
+    assert(plain == viaPairs)
+    assert(viaArray.size == 2 && viaArray.forall(_ == plain))
+  }
+
   test("kmeans partitions all points and reports cost") {
     val r = Unsupervised.kmeans(spark, embeddings, k = 4).collect()
     val sizes = r.filter(_.getString(0).startsWith("cluster_size_"))
@@ -138,7 +168,8 @@ class MlSpec extends AnyFunSuite {
     // indexing, string_split) are covered by the DuckDB gate itself plus
     // CustomMlSpec's brute-force differential / MlSpec formula checks
     val duckdbOnly = Set("ml_knn", "ml_corr_matrix", "ml_cov_matrix",
-      "ml_spearman_matrix", "ml_idf", "ml_knn_class", "ml_dbscan",
+      "ml_spearman_matrix", "ml_idf", "ml_knn_class", "ml_knn_prob",
+      "ml_dbscan",
       "ml_prefixspan", "ml_lloyd_fixed",
       // list-indexing (1-based in DuckDB) rule/eigen fixtures
       "ml_logreg_rule", "ml_svc_rule", "ml_dtree_rule", "ml_rf_rule",

@@ -90,31 +90,42 @@ class WritersAndPipelineSpec extends AnyFunSuite {
 
   test("LDA model persists and predicts identically after reload in a fresh session") {
     // the reference's two-session flow (`LDARunner.scala:106-115,185-186`):
-    // train + save in one session, load + predict in another
+    // train + save in one session; in a FRESH session re-read the raw
+    // table, re-featurize through the persisted vectorizer, load the
+    // model, and predict — the sessions share only the saved artifacts
     import org.apache.spark.ml.clustering.{DistributedLDAModel, LDA}
-    import org.apache.spark.ml.feature.CountVectorizer
+    import org.apache.spark.ml.feature.{CountVectorizer, CountVectorizerModel}
     val toks = graft.ml.TextModels.tokenized(
       Tables(spark, sf0001, "documents").limit(100))
-    val feats = new CountVectorizer().setInputCol("tokens")
-      .setOutputCol("features").setVocabSize(64).fit(toks).transform(toks)
-      .localCheckpoint()
+    val cv = new CountVectorizer().setInputCol("tokens")
+      .setOutputCol("features").setVocabSize(64).fit(toks)
+    val feats = cv.transform(toks).localCheckpoint()
     val m = new LDA().setK(3).setMaxIter(5).setSeed(2020L)
       .setOptimizer("em").fit(feats)
     val path = tmp("lda_model")
+    val cvPath = tmp("lda_cv_model")
     m.write.overwrite().save(path)
-    val before = m.transform(feats).select("topicDistribution").collect()
-      .map(_.getAs[org.apache.spark.ml.linalg.Vector](0))
+    cv.write.overwrite().save(cvPath)
+    val before = m.transform(feats)
+      .select(col("doc_id"), col("topicDistribution")).collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[org.apache.spark.ml.linalg.Vector](1)).toMap
     val fresh = spark.newSession()
     org.apache.spark.sql.SparkSession.setActiveSession(fresh)
     try {
+      val toks2 = graft.ml.TextModels.tokenized(
+        Tables(fresh, sf0001, "documents").limit(100))
+      val feats2 = CountVectorizerModel.load(cvPath).transform(toks2)
       val loaded = DistributedLDAModel.load(path)
-      val after = loaded.transform(feats).select("topicDistribution")
-        .collect().map(_.getAs[org.apache.spark.ml.linalg.Vector](0))
-      assert(before.length == after.length && before.nonEmpty)
+      val after = loaded.transform(feats2)
+        .select(col("doc_id"), col("topicDistribution")).collect()
+        .map(r => r.getLong(0) ->
+          r.getAs[org.apache.spark.ml.linalg.Vector](1)).toMap
+      assert(after.keySet == before.keySet && before.nonEmpty)
       // the save/load parquet round trip perturbs the EM statistics at
       // ~1e-6; equality at 1e-4 matches the output rounding discipline
-      before.zip(after).foreach { case (a, b) =>
-        a.toArray.zip(b.toArray).foreach { case (x, y) =>
+      before.foreach { case (id, a) =>
+        a.toArray.zip(after(id).toArray).foreach { case (x, y) =>
           assert(math.abs(x - y) < 1e-4) } }
     } finally org.apache.spark.sql.SparkSession.setActiveSession(spark)
   }
