@@ -307,6 +307,10 @@ object Similarity {
         (floor(col("hits").cast("double") / (col("n_queries") * k) * 1e4
           + 0.5) / 1e4).as("recall_at_k"),
         col("n_queries"))
+      // an empty exact side must fail visibly (0 rows), not emit a
+      // plausible-looking row with a null recall — a misconfigured
+      // evaluation otherwise reads as a metric
+      .filter(col("n_queries") > 0)
   }
 
   /** Approximate neighbors via random-projection LSH buckets: join cost is

@@ -13,7 +13,9 @@ import org.apache.spark.sql.graft.GraftSqlBridge
   *
   * Falls back to the declarative path when the session was built without
   * [[graft.GraftExtensions]] (the planner would have no strategy for the
-  * node; extension presence is probed via the co-registered function).
+  * node; presence is probed on the planner's strategy list itself — a
+  * session that only registered the graft functions must NOT take the
+  * native path, it would fail at planning time).
   */
 object NativeTopK {
 
@@ -22,7 +24,7 @@ object NativeTopK {
     * brute-force path row for row. */
   def topK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val spark = queries.sparkSession
-    if (!spark.catalog.functionExists("graft_dot"))
+    if (!GraftSqlBridge.hasPlannerStrategy(spark, TopKJoinStrategy))
       return graft.llm.Similarity.bruteForceTopK(queries, corpus, k)
     val q = queries.select(col("vec_id").cast("long").as("query_id"),
       col("embedding").cast("array<float>").as("qe"))

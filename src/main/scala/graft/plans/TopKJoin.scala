@@ -108,7 +108,14 @@ case class TopKJoinExec(queries: SparkPlan, corpus: SparkPlan, k: Int,
           var q = 0
           while (q < nq) {
             val qe = qs(q)._2
-            val n = math.min(qe.length, cn)
+            // fail loudly on mismatched dimensions: silently truncating
+            // the dot product would mask corrupt embeddings at scale
+            // (the declarative path nulls such rows out — neither is a
+            // result a caller should ever build on)
+            if (qe.length != cn) throw new IllegalArgumentException(
+              s"graft TopKJoin: embedding dimension mismatch — query " +
+                s"${qs(q)._1} has ${qe.length}, corpus ${nid} has $cn")
+            val n = cn
             var s = 0.0
             var i = 0
             while (i < n) {

@@ -20,4 +20,14 @@ object GraftSqlBridge {
     * custom BinaryNode can reference child output by ordinal). */
   def analyzed(df: DataFrame): LogicalPlan =
     df.queryExecution.analyzed
+
+  /** Whether the session's planner actually carries `strategy` — the
+    * reliable probe for "was GraftExtensions installed". (Probing a
+    * co-registered FUNCTION is not: a session that registered the
+    * functions directly would pass that probe and then die at planning
+    * time with no strategy for the custom node.) */
+  def hasPlannerStrategy(spark: SparkSession,
+      strategy: org.apache.spark.sql.execution.SparkStrategy): Boolean =
+    spark.asInstanceOf[classic.SparkSession].sessionState.planner
+      .extraPlanningStrategies.contains(strategy)
 }

@@ -147,6 +147,16 @@ class LlmSpec extends AnyFunSuite {
     assert(groups == (0 to 10).map(d => (100L + d) -> 100L).toMap)
   }
 
+  test("recall@k with an empty exact side returns 0 rows, not a null metric") {
+    val e = Tables(spark, sf0001, "embeddings")
+    val some = Similarity.bruteForceTopK(e.filter($"vec_id" < 3), e, k = 5)
+    val none = some.filter($"query_id" < 0)
+    assert(Similarity.recallAtK(some, none, k = 5).count() == 0)
+    // sanity: self-recall on a real exact side is 1.0
+    val r = Similarity.recallAtK(some, some, k = 5).collect()
+    assert(r.length == 1 && r(0).getDouble(0) == 1.0)
+  }
+
   test("ivf topk: self found, sims agree with brute force, cells pruned") {
     val e = Tables(spark, sf0001, "embeddings")
     val q = e.filter($"vec_id" < 5)

@@ -56,6 +56,18 @@ class TopKJoinSpec extends AnyFunSuite {
     assert(none == 0)
   }
 
+  test("mismatched embedding dimensions fail loudly, not truncate") {
+    import spark.implicits._
+    val qBad = Seq((1L, Array(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+    val cBad = Seq((10L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val ex = intercept[org.apache.spark.SparkException] {
+      NativeTopK.topK(qBad, cBad, k = 1).collect()
+    }
+    val msgs = Iterator.iterate[Throwable](ex)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString("; ")
+    assert(msgs.contains("dimension mismatch"), msgs)
+  }
+
   test("rounded-dot ties resolve to the smaller neighbor id") {
     import spark.implicits._
     // corpus of identical vectors: every dot ties, so top-3 must be the
