@@ -61,10 +61,19 @@ object Dedup {
     * oracle-checkable. Default stays on xxhash64 (fastest). */
   def minHash(docs: DataFrame, shingleSize: Int = 3,
       numHashes: Int = 32, rowsPerBand: Int = 4,
+      replicable: Boolean = false): DataFrame =
+    minHashOfSets(withShingleSets(docs, shingleSize), numHashes,
+      rowsPerBand, replicable)
+
+  /** [[minHash]] over a precomputed (doc_id, shingle_set) frame — lets
+    * callers that ALSO need the shingle sets (exact-Jaccard verification)
+    * tokenize and shingle the corpus exactly once. */
+  def minHashOfSets(shingleSets: DataFrame,
+      numHashes: Int = 32, rowsPerBand: Int = 4,
       replicable: Boolean = false): DataFrame = {
     require(numHashes % rowsPerBand == 0, "bands must tile the signature")
     val nBands = numHashes / rowsPerBand
-    val hashes = withShingleSets(docs, shingleSize)
+    val hashes = shingleSets
       .select(col("doc_id"), explode(col("shingle_set")).as("sh"))
       .select(col("doc_id"),
         (if (replicable) sha2TokenHash(col("sh")) else xxhash64(col("sh")))
@@ -110,20 +119,26 @@ object Dedup {
   def nearDupPairs(docs: DataFrame, shingleSize: Int = 3,
       threshold: Double = 0.5, numHashes: Int = 32,
       rowsPerBand: Int = 4): DataFrame = {
-    val ss = withShingleSets(docs, shingleSize)
-    val exploded = minHash(docs, shingleSize, numHashes, rowsPerBand)
+    // shingle once: signature generation and Jaccard verification share
+    // this frame (it used to be tokenized+shingled twice), and the
+    // checkpoint keeps the verification join from re-running the
+    // tokenizer per candidate side
+    val ss = withShingleSets(docs, shingleSize).localCheckpoint()
+    val exploded = minHashOfSets(ss, numHashes, rowsPerBand)
       .select(col("doc_id"), explode(col("bands")).as("bucket"))
     val cand = exploded.select(col("bucket"), col("doc_id").as("doc_a"))
       .join(exploded.select(col("bucket"), col("doc_id").as("doc_b")), Seq("bucket"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
+    // |A∪B| = |A| + |B| − |A∩B|: one array traversal per pair, not two
+    val inter = size(array_intersect(col("set_a"), col("set_b")))
     cand
       .join(ss.select(col("doc_id").as("doc_a"), col("shingle_set").as("set_a")), Seq("doc_a"))
       .join(ss.select(col("doc_id").as("doc_b"), col("shingle_set").as("set_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        (floor(size(array_intersect(col("set_a"), col("set_b"))).cast("double")
-          / size(array_union(col("set_a"), col("set_b"))) * 10000 + 0.5) / 10000)
+        (floor(inter.cast("double")
+          / (size(col("set_a")) + size(col("set_b")) - inter) * 10000 + 0.5) / 10000)
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy("doc_a", "doc_b")
