@@ -79,6 +79,14 @@ object LlmQueries {
       Similarity.ivfTopKTrained(e.filter(col("vec_id") < 10), e, k = 5,
         nlist = 4, iters = 5, nProbe = 2)
     }),
+    "llm_ann_pq" -> ((s, d) => {
+      // product-quantization ADC: corpus compressed to m=4 codes, a
+      // query scores a candidate with 4 table lookups — the code-table
+      // member of the ANN family; training + encoding + search all
+      // deterministic, replayed by one oracle SQL statement
+      val e = emb(s, d)
+      Similarity.pqTopK(e.filter(col("vec_id") < 10), e, k = 5)
+    }),
     "llm_embed_dedup" -> ((s, d) =>
       // embedding-space near-dup member of the dedup family: parity-sign
       // LSH blocking + exact-cosine verification. tau sits where this
@@ -281,6 +289,41 @@ object LlmQueries {
         "CAST(ROW_NUMBER() OVER (PARTITION BY query_id " +
         "ORDER BY FLOOR(raw_dot * 1000000 + 0.5) / 1000000 DESC, neighbor_id) AS INTEGER) AS rank, " +
         "FLOOR(raw_dot * 10000 + 0.5) / 10000 AS sim FROM s) " +
+        "SELECT query_id, neighbor_id, rank, sim FROM rk WHERE rank <= 5 " +
+        "ORDER BY query_id, rank"),
+    // PQ-ADC replica: strided 16-codeword codebook per 16-dim subspace,
+    // ROW_NUMBER argmin encoding on 1e-6-rounded subspace LIST_DISTANCE
+    // (Spark's array_position-of-min tiebreak order), then the ADC score
+    // as an explicit left-associated 4-term sum of code-table lookups
+    "llm_ann_pq" ->
+      ("WITH x AS (SELECT vec_id, LIST_TRANSFORM(embedding, v -> CAST(v AS DOUBLE)) AS xv " +
+        "FROM embeddings), " +
+        "cents AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, xv AS cv FROM " +
+        "(SELECT vec_id, xv FROM x WHERE vec_id % 31 = 0 ORDER BY vec_id LIMIT 16) t), " +
+        "sub AS (SELECT s FROM generate_series(0, 3) g(s)), " +
+        "xs AS (SELECT vec_id, s, xv[s*16+1 : s*16+16] AS sv FROM x CROSS JOIN sub), " +
+        "cs AS (SELECT cid, s, cv[s*16+1 : s*16+16] AS csv FROM cents CROSS JOIN sub), " +
+        "enc AS (SELECT vec_id, s, cid AS code FROM " +
+        "(SELECT xs.vec_id, xs.s, cs.cid, ROW_NUMBER() OVER (PARTITION BY xs.vec_id, xs.s " +
+        "ORDER BY FLOOR(LIST_DISTANCE(xs.sv, cs.csv) * 1000000 + 0.5) / 1000000, cs.cid) AS rn " +
+        "FROM xs JOIN cs ON cs.s = xs.s) q WHERE rn = 1), " +
+        "qd AS (SELECT xs.vec_id AS query_id, xs.s, cs.cid, " +
+        "LIST_INNER_PRODUCT(xs.sv, cs.csv) AS d " +
+        "FROM xs JOIN cs ON cs.s = xs.s WHERE xs.vec_id < 10), " +
+        "sc AS (SELECT q0.query_id, e0.vec_id AS neighbor_id, " +
+        "q0.d + q1.d + q2.d + q3.d AS raw_dot " +
+        "FROM (SELECT * FROM enc WHERE s = 0) e0 " +
+        "JOIN (SELECT * FROM enc WHERE s = 1) e1 ON e1.vec_id = e0.vec_id " +
+        "JOIN (SELECT * FROM enc WHERE s = 2) e2 ON e2.vec_id = e0.vec_id " +
+        "JOIN (SELECT * FROM enc WHERE s = 3) e3 ON e3.vec_id = e0.vec_id " +
+        "JOIN (SELECT * FROM qd WHERE s = 0) q0 ON q0.cid = e0.code " +
+        "JOIN (SELECT * FROM qd WHERE s = 1) q1 ON q1.cid = e1.code AND q1.query_id = q0.query_id " +
+        "JOIN (SELECT * FROM qd WHERE s = 2) q2 ON q2.cid = e2.code AND q2.query_id = q0.query_id " +
+        "JOIN (SELECT * FROM qd WHERE s = 3) q3 ON q3.cid = e3.code AND q3.query_id = q0.query_id), " +
+        "rk AS (SELECT query_id, neighbor_id, " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY query_id " +
+        "ORDER BY FLOOR(raw_dot * 1000000 + 0.5) / 1000000 DESC, neighbor_id) AS INTEGER) AS rank, " +
+        "FLOOR(raw_dot * 10000 + 0.5) / 10000 AS sim FROM sc) " +
         "SELECT query_id, neighbor_id, rank, sim FROM rk WHERE rank <= 5 " +
         "ORDER BY query_id, rank"),
     // trained-IVF replica: the ml_lloyd_fixed CTE chain trains the

@@ -238,6 +238,120 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Product-quantization (PQ) asymmetric-distance top-k — the
+    * code-table member of the ANN family (brute / LSH / IVF / THIS),
+    * mirroring the FAISS PQ-ADC shape: the embedding splits into `m`
+    * subspaces, each corpus vector compresses to `m` small codes
+    * (argmin against a per-subspace codebook), and a query scores a
+    * candidate with `m` TABLE LOOKUPS + adds instead of a full
+    * d-element dot product.
+    *
+    * Scale shape: the codebook is `m · ksub` subvectors (bounded,
+    * broadcast as literals); encoding is one map-side pass over the
+    * corpus (the exchange carries (id, m bytes), never embeddings);
+    * scoring joins the broadcast query tables against the code columns
+    * — per-pair cost is m lookups, so the exhaustive code scan stays
+    * cheap as d grows. Everything is deterministic (strided codebook,
+    * 1e-6-rounded argmin with index tiebreak, explicit left-to-right
+    * subspace sum), so training + encoding + search oracle-check as one
+    * SQL statement.
+    *
+    * Approximation note: ADC score = Σ_s dot(q_s, codebook[code_s]) —
+    * exact dot against the QUANTIZED corpus vector. Recall vs exact
+    * search is evaluated with [[recallAtK]] like the other ANN paths;
+    * `rerank = R > 0` adds the FAISS-style refine stage — the ADC
+    * shortlist of R candidates per query is re-scored with the exact
+    * dot product (|Q|·R pairs, corpus payloads rejoin once by id), the
+    * standard shape when the quantizer is coarse relative to the data. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      m: Int = 4, ksub: Int = 16, stride: Int = 31,
+      rerank: Int = 0): DataFrame = {
+    // codebook: the first ksub strided corpus vectors (driver-side is
+    // ksub × dim doubles — bounded like the IVF centroid set), sliced
+    // per subspace and inlined as literals
+    val cents: Array[Array[Double]] = corpus
+      .filter(pmod(col("vec_id"), lit(stride)) === 0)
+      .orderBy("vec_id").limit(ksub)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(cents.length == ksub, s"corpus too small: ${cents.length} < $ksub codewords")
+    val dim = cents(0).length
+    require(dim % m == 0, s"m=$m must tile dim=$dim")
+    val sub = dim / m
+    def subSlice(c: Column, s: Int): Column =
+      transform(slice(c, s * sub + 1, sub), v => v.cast("double"))
+    def centSlice(j: Int, s: Int): Array[Double] =
+      cents(j).slice(s * sub, (s + 1) * sub)
+    def euclidToLit(x: Column, cw: Array[Double]): Column =
+      sqrt(aggregate(zip_with(x, typedlit(cw.toSeq), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, v) => acc + v))
+    def dotToLit(x: Column, cw: Array[Double]): Column =
+      aggregate(zip_with(x, typedlit(cw.toSeq), (a, b) => a * b),
+        lit(0.0), (acc, v) => acc + v)
+    // encode: per subspace, 1-based position of the (rounded) minimum
+    // distance — ties resolve to the smallest codeword index, the same
+    // order a ROW_NUMBER argmin with (dist, cid) keys replays
+    val codeCols = (0 until m).map { s =>
+      val x = subSlice(col("ce"), s)
+      val ds = array((0 until ksub).map(j =>
+        floor(euclidToLit(x, centSlice(j, s)) * 1e6 + 0.5) / 1e6): _*)
+      (array_position(ds, array_min(ds)) - 1).cast("int").as(s"code$s")
+    }
+    val codes = corpus
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+      .select(col("neighbor_id") +: codeCols: _*)
+    // query tables: per subspace an array of raw dots against all ksub
+    // codewords (codeword order = array order, so code+1 indexes it)
+    val tableCols = (0 until m).map { s =>
+      val x = subSlice(col("qe"), s)
+      array((0 until ksub).map(j => dotToLit(x, centSlice(j, s))): _*)
+        .as(s"t$s")
+    }
+    val q = broadcast(queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .select(col("query_id") +: tableCols: _*))
+    // ADC score: m table lookups, summed in explicit subspace order so
+    // every engine reproduces the same IEEE sequence
+    val score = (0 until m).map(s =>
+      element_at(col(s"t$s"), col(s"code$s") + 1)).reduce(_ + _)
+    val scored = q.join(codes)
+      .select(col("query_id"), col("neighbor_id"), score.as("raw_dot"))
+    val w = Window.partitionBy("query_id")
+      .orderBy((floor(col("raw_dot") * 1e6 + 0.5) / 1e6).desc,
+        col("neighbor_id"))
+    if (rerank <= 0)
+      scored
+        .select(col("query_id"), col("neighbor_id"),
+          row_number().over(w).as("rank"),
+          (floor(col("raw_dot") * 10000 + 0.5) / 10000).as("sim"))
+        .filter(col("rank") <= k)
+        .orderBy("query_id", "rank")
+    else {
+      val short = scored
+        .select(col("query_id"), col("neighbor_id"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= math.max(rerank, k))
+        .select("query_id", "neighbor_id")
+      val qe = broadcast(queries
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe")))
+      val exact = short
+        .join(corpus.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("ce")), Seq("neighbor_id"))
+        .join(qe, Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          dot(col("qe"), col("ce")).as("raw_dot"))
+      val w2 = Window.partitionBy("query_id")
+        .orderBy((floor(col("raw_dot") * 1e6 + 0.5) / 1e6).desc,
+          col("neighbor_id"))
+      exact
+        .select(col("query_id"), col("neighbor_id"),
+          row_number().over(w2).as("rank"),
+          (floor(col("raw_dot") * 10000 + 0.5) / 10000).as("sim"))
+        .filter(col("rank") <= k)
+        .orderBy("query_id", "rank")
+    }
+  }
+
   /** Embedding-cosine near-duplicate pairs — the embedding-space member
     * of the dedup family (exact / MinHash / SimHash / n-gram Jaccard /
     * THIS). Blocking reuses the deterministic parity-sign LSH tables

@@ -147,6 +147,41 @@ class LlmSpec extends AnyFunSuite {
     assert(groups == (0 to 10).map(d => (100L + d) -> 100L).toMap)
   }
 
+  test("pq topk: planted clusters retrieved, rerank lifts recall, reruns bit-equal") {
+    // 4 tight clusters of 10 in 64-dim: member = one-hot axis base +
+    // small deterministic per-id jitter on a second axis
+    val pts = (0 until 40).map { i =>
+      val c = i % 4
+      val v = Array.fill(64)(0.0f)
+      v(c * 16) = 1.0f
+      v(c * 16 + 1) = 0.01f * (i / 4)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val qs = pts.filter($"vec_id" < 4) // one query per cluster
+    // stride 1: the first 4 strided ids are 0..3 — one codeword per
+    // cluster, so each 16-dim subspace carries its cluster's axis
+    val r = Similarity.pqTopK(qs, pts, k = 3, m = 4, ksub = 4, stride = 1)
+      .collect()
+    assert(r.length == 12)
+    // every retrieved neighbor lies in the query's cluster
+    r.foreach(x => assert(x.getLong(1) % 4 == x.getLong(0) % 4, x.toString))
+    val again = Similarity.pqTopK(qs, pts, k = 3, m = 4, ksub = 4, stride = 1)
+      .collect()
+    assert(r.sameElements(again))
+    // refine stage: exact re-rank of the ADC shortlist can only improve
+    // recall vs the exact ranking, and its sims ARE the exact dots
+    val e = Tables(spark, sf0001, "embeddings")
+    val eq = e.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(eq, e, k = 5)
+    def recall(df: org.apache.spark.sql.DataFrame): Double =
+      Similarity.recallAtK(df, exact, k = 5).head().getDouble(0)
+    val pure = recall(Similarity.pqTopK(eq, e, k = 5, stride = 7))
+    val refined = recall(Similarity.pqTopK(eq, e, k = 5, stride = 7,
+      rerank = 50))
+    assert(refined >= pure, s"rerank lowered recall: $pure -> $refined")
+    assert(refined >= 0.5, s"refined recall too low: $refined")
+  }
+
   test("recall@k with an empty exact side returns 0 rows, not a null metric") {
     val e = Tables(spark, sf0001, "embeddings")
     val some = Similarity.bruteForceTopK(e.filter($"vec_id" < 3), e, k = 5)
