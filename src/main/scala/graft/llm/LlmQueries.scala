@@ -87,6 +87,16 @@ object LlmQueries {
       val e = emb(s, d)
       Similarity.pqTopK(e.filter(col("vec_id") < 10), e, k = 5)
     }),
+    "llm_ann_ivfpq" -> ((s, d) => {
+      // the composed production index: IVF cells bound WHICH candidates
+      // a query touches, PQ codes bound WHAT each costs, and the exact
+      // refine stage re-scores the 20-candidate shortlist — coarse
+      // assignment, encoding, probe, ADC scan, and refine all replay in
+      // the single oracle statement
+      val e = emb(s, d)
+      Similarity.ivfPqTopK(e.filter(col("vec_id") < 10), e, k = 5,
+        centroidStride = 31, nProbe = 4, rerank = 20)
+    }),
     "llm_embed_dedup" -> ((s, d) =>
       // embedding-space near-dup member of the dedup family: parity-sign
       // LSH blocking + exact-cosine verification. tau sits where this
@@ -324,6 +334,58 @@ object LlmQueries {
         "CAST(ROW_NUMBER() OVER (PARTITION BY query_id " +
         "ORDER BY FLOOR(raw_dot * 1000000 + 0.5) / 1000000 DESC, neighbor_id) AS INTEGER) AS rank, " +
         "FLOOR(raw_dot * 10000 + 0.5) / 10000 AS sim FROM sc) " +
+        "SELECT query_id, neighbor_id, rank, sim FROM rk WHERE rank <= 5 " +
+        "ORDER BY query_id, rank"),
+    // IVF+PQ replica: llm_ann_ivf's coarse assignment/probe CTEs +
+    // llm_ann_pq's codebook/encoding CTEs, ADC scores restricted to
+    // probed cells, 20-candidate shortlist re-scored with the exact
+    // inner product, then ranked
+    "llm_ann_ivfpq" ->
+      ("WITH x AS (SELECT vec_id, LIST_TRANSFORM(embedding, v -> CAST(v AS DOUBLE)) AS xv " +
+        "FROM embeddings), " +
+        "coarse AS (SELECT vec_id AS cid, xv AS cv FROM x WHERE vec_id % 31 = 0), " +
+        "asg AS (SELECT vec_id AS neighbor_id, cid AS cell FROM " +
+        "(SELECT x.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY x.vec_id " +
+        "ORDER BY FLOOR(LIST_DISTANCE(x.xv, c.cv) * 1000000 + 0.5) / 1000000, c.cid) AS rn " +
+        "FROM x CROSS JOIN coarse c) q WHERE rn = 1), " +
+        "qc AS (SELECT query_id, cell FROM " +
+        "(SELECT x.vec_id AS query_id, c.cid AS cell, ROW_NUMBER() OVER (PARTITION BY x.vec_id " +
+        "ORDER BY FLOOR(LIST_DISTANCE(x.xv, c.cv) * 1000000 + 0.5) / 1000000, c.cid) AS rn " +
+        "FROM x CROSS JOIN coarse c WHERE x.vec_id < 10) q WHERE rn <= 4), " +
+        "pcents AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, xv AS cv FROM " +
+        "(SELECT vec_id, xv FROM x WHERE vec_id % 31 = 0 ORDER BY vec_id LIMIT 16) t), " +
+        "sub AS (SELECT s FROM generate_series(0, 3) g(s)), " +
+        "xs AS (SELECT vec_id, s, xv[s*16+1 : s*16+16] AS sv FROM x CROSS JOIN sub), " +
+        "cs AS (SELECT cid, s, cv[s*16+1 : s*16+16] AS csv FROM pcents CROSS JOIN sub), " +
+        "enc AS (SELECT vec_id, s, cid AS code FROM " +
+        "(SELECT xs.vec_id, xs.s, cs.cid, ROW_NUMBER() OVER (PARTITION BY xs.vec_id, xs.s " +
+        "ORDER BY FLOOR(LIST_DISTANCE(xs.sv, cs.csv) * 1000000 + 0.5) / 1000000, cs.cid) AS rn " +
+        "FROM xs JOIN cs ON cs.s = xs.s) q WHERE rn = 1), " +
+        "qd AS (SELECT xs.vec_id AS query_id, xs.s, cs.cid, " +
+        "LIST_INNER_PRODUCT(xs.sv, cs.csv) AS d " +
+        "FROM xs JOIN cs ON cs.s = xs.s WHERE xs.vec_id < 10), " +
+        "sc AS (SELECT qc.query_id, asg.neighbor_id, " +
+        "q0.d + q1.d + q2.d + q3.d AS raw_dot " +
+        "FROM qc JOIN asg ON asg.cell = qc.cell " +
+        "JOIN (SELECT * FROM enc WHERE s = 0) e0 ON e0.vec_id = asg.neighbor_id " +
+        "JOIN (SELECT * FROM enc WHERE s = 1) e1 ON e1.vec_id = asg.neighbor_id " +
+        "JOIN (SELECT * FROM enc WHERE s = 2) e2 ON e2.vec_id = asg.neighbor_id " +
+        "JOIN (SELECT * FROM enc WHERE s = 3) e3 ON e3.vec_id = asg.neighbor_id " +
+        "JOIN (SELECT * FROM qd WHERE s = 0) q0 ON q0.cid = e0.code AND q0.query_id = qc.query_id " +
+        "JOIN (SELECT * FROM qd WHERE s = 1) q1 ON q1.cid = e1.code AND q1.query_id = qc.query_id " +
+        "JOIN (SELECT * FROM qd WHERE s = 2) q2 ON q2.cid = e2.code AND q2.query_id = qc.query_id " +
+        "JOIN (SELECT * FROM qd WHERE s = 3) q3 ON q3.cid = e3.code AND q3.query_id = qc.query_id), " +
+        "short AS (SELECT query_id, neighbor_id FROM " +
+        "(SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id " +
+        "ORDER BY FLOOR(raw_dot * 1000000 + 0.5) / 1000000 DESC, neighbor_id) AS rn FROM sc) t " +
+        "WHERE rn <= 20), " +
+        "ex AS (SELECT sh.query_id, sh.neighbor_id, " +
+        "LIST_INNER_PRODUCT(qx.xv, nx.xv) AS raw_dot FROM short sh " +
+        "JOIN x qx ON qx.vec_id = sh.query_id JOIN x nx ON nx.vec_id = sh.neighbor_id), " +
+        "rk AS (SELECT query_id, neighbor_id, " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY query_id " +
+        "ORDER BY FLOOR(raw_dot * 1000000 + 0.5) / 1000000 DESC, neighbor_id) AS INTEGER) AS rank, " +
+        "FLOOR(raw_dot * 10000 + 0.5) / 10000 AS sim FROM ex) " +
         "SELECT query_id, neighbor_id, rank, sim FROM rk WHERE rank <= 5 " +
         "ORDER BY query_id, rank"),
     // trained-IVF replica: the ml_lloyd_fixed CTE chain trains the

@@ -266,9 +266,22 @@ object Similarity {
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       m: Int = 4, ksub: Int = 16, stride: Int = 31,
       rerank: Int = 0): DataFrame = {
-    // codebook: the first ksub strided corpus vectors (driver-side is
-    // ksub × dim doubles — bounded like the IVF centroid set), sliced
-    // per subspace and inlined as literals
+    val (cents, sub) = pqCodebook(corpus, m, ksub, stride)
+    val codes = pqCodes(corpus, cents, m, sub, ksub)
+    val q = broadcast(queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .select(col("query_id") +: pqTableCols(cents, m, sub, ksub): _*))
+    val scored = q.join(codes)
+      .select(col("query_id"), col("neighbor_id"),
+        pqAdcScore(m).as("raw_dot"))
+    pqFinish(scored, queries, corpus, k, rerank)
+  }
+
+  /** Codebook: the first ksub strided corpus vectors (driver-side is
+    * ksub × dim doubles — bounded like the IVF centroid set), inlined
+    * as literals downstream. Returns (codewords, subspace width). */
+  private def pqCodebook(corpus: DataFrame, m: Int, ksub: Int,
+      stride: Int): (Array[Array[Double]], Int) = {
     val cents: Array[Array[Double]] = corpus
       .filter(pmod(col("vec_id"), lit(stride)) === 0)
       .orderBy("vec_id").limit(ksub)
@@ -277,45 +290,58 @@ object Similarity {
     require(cents.length == ksub, s"corpus too small: ${cents.length} < $ksub codewords")
     val dim = cents(0).length
     require(dim % m == 0, s"m=$m must tile dim=$dim")
-    val sub = dim / m
-    def subSlice(c: Column, s: Int): Column =
-      transform(slice(c, s * sub + 1, sub), v => v.cast("double"))
-    def centSlice(j: Int, s: Int): Array[Double] =
-      cents(j).slice(s * sub, (s + 1) * sub)
-    def euclidToLit(x: Column, cw: Array[Double]): Column =
-      sqrt(aggregate(zip_with(x, typedlit(cw.toSeq), (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, v) => acc + v))
-    def dotToLit(x: Column, cw: Array[Double]): Column =
-      aggregate(zip_with(x, typedlit(cw.toSeq), (a, b) => a * b),
-        lit(0.0), (acc, v) => acc + v)
-    // encode: per subspace, 1-based position of the (rounded) minimum
-    // distance — ties resolve to the smallest codeword index, the same
-    // order a ROW_NUMBER argmin with (dist, cid) keys replays
+    (cents, dim / m)
+  }
+
+  private def subSlice(c: Column, s: Int, sub: Int): Column =
+    transform(slice(c, s * sub + 1, sub), v => v.cast("double"))
+  private def centSlice(cents: Array[Array[Double]], j: Int, s: Int,
+      sub: Int): Array[Double] = cents(j).slice(s * sub, (s + 1) * sub)
+  private def euclidToLit(x: Column, cw: Array[Double]): Column =
+    sqrt(aggregate(zip_with(x, typedlit(cw.toSeq), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, v) => acc + v))
+  private def dotToLit(x: Column, cw: Array[Double]): Column =
+    aggregate(zip_with(x, typedlit(cw.toSeq), (a, b) => a * b),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Encode the corpus: per subspace, 1-based position of the (rounded)
+    * minimum distance — ties resolve to the smallest codeword index,
+    * the same order a ROW_NUMBER argmin with (dist, cid) keys replays.
+    * Output (neighbor_id, code0..code{m−1}) — ids + m small ints, never
+    * embeddings. */
+  private def pqCodes(corpus: DataFrame, cents: Array[Array[Double]],
+      m: Int, sub: Int, ksub: Int): DataFrame = {
     val codeCols = (0 until m).map { s =>
-      val x = subSlice(col("ce"), s)
+      val x = subSlice(col("ce"), s, sub)
       val ds = array((0 until ksub).map(j =>
-        floor(euclidToLit(x, centSlice(j, s)) * 1e6 + 0.5) / 1e6): _*)
+        floor(euclidToLit(x, centSlice(cents, j, s, sub)) * 1e6 + 0.5) / 1e6): _*)
       (array_position(ds, array_min(ds)) - 1).cast("int").as(s"code$s")
     }
-    val codes = corpus
+    corpus
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
       .select(col("neighbor_id") +: codeCols: _*)
-    // query tables: per subspace an array of raw dots against all ksub
-    // codewords (codeword order = array order, so code+1 indexes it)
-    val tableCols = (0 until m).map { s =>
-      val x = subSlice(col("qe"), s)
-      array((0 until ksub).map(j => dotToLit(x, centSlice(j, s))): _*)
-        .as(s"t$s")
+  }
+
+  /** Query tables: per subspace an array of raw dots against all ksub
+    * codewords (codeword order = array order, so code+1 indexes it). */
+  private def pqTableCols(cents: Array[Array[Double]], m: Int, sub: Int,
+      ksub: Int): Seq[Column] =
+    (0 until m).map { s =>
+      val x = subSlice(col("qe"), s, sub)
+      array((0 until ksub).map(j =>
+        dotToLit(x, centSlice(cents, j, s, sub))): _*).as(s"t$s")
     }
-    val q = broadcast(queries
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-      .select(col("query_id") +: tableCols: _*))
-    // ADC score: m table lookups, summed in explicit subspace order so
-    // every engine reproduces the same IEEE sequence
-    val score = (0 until m).map(s =>
+
+  /** ADC score: m table lookups, summed in explicit subspace order so
+    * every engine reproduces the same IEEE sequence. */
+  private def pqAdcScore(m: Int): Column =
+    (0 until m).map(s =>
       element_at(col(s"t$s"), col(s"code$s") + 1)).reduce(_ + _)
-    val scored = q.join(codes)
-      .select(col("query_id"), col("neighbor_id"), score.as("raw_dot"))
+
+  /** Shared tail: rank the ADC scores (optionally after the FAISS-style
+    * exact-dot refine over the top-`rerank` shortlist). */
+  private def pqFinish(scored: DataFrame, queries: DataFrame,
+      corpus: DataFrame, k: Int, rerank: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy((floor(col("raw_dot") * 1e6 + 0.5) / 1e6).desc,
         col("neighbor_id"))
@@ -350,6 +376,62 @@ object Similarity {
         .filter(col("rank") <= k)
         .orderBy("query_id", "rank")
     }
+  }
+
+  /** IVF+PQ — the composed index every large-scale ANN deployment runs:
+    * the IVF coarse quantizer bounds WHICH candidates a query touches
+    * (nProbe/nlist of the corpus) and PQ bounds WHAT each candidate
+    * costs (m table lookups on m-byte codes). Both stages are the
+    * verified deterministic building blocks ([[ivfTopK]] cells,
+    * [[pqTopK]] codebook/encoding), so the whole composed index —
+    * coarse assignment, encoding, probe, ADC scan, optional exact
+    * refine — replays in one oracle SQL statement.
+    *
+    * Scale shape: the per-query candidate set is nProbe/nlist · |C|
+    * ids+codes (no embeddings move for the ADC scan); only the refine
+    * stage rejoins |Q|·R payload rows by id. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      centroidStride: Int = 31, nProbe: Int = 4,
+      m: Int = 4, ksub: Int = 16, stride: Int = 31,
+      rerank: Int = 0): DataFrame = {
+    val spark = corpus.sparkSession
+    val hasNative = spark.catalog.functionExists("graft_euclid")
+    def euclid(a: String, b: String): Column =
+      if (hasNative) expr(s"graft_euclid($a, $b)")
+      else sqrt(aggregate(
+        zip_with(col(a), col(b),
+          (x, y) => (x.cast("double") - y.cast("double")) *
+            (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, v) => acc + v))
+    val coarse = broadcast(
+      corpus.filter(pmod(col("vec_id"), lit(centroidStride)) === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv")))
+    // coarse assignment: map-side argmin, exchange carries (id, cell)
+    val d6 = floor(euclid("ce", "cv") * 1e6 + 0.5) / 1e6
+    val cells = corpus
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+      .join(coarse)
+      .groupBy("neighbor_id")
+      .agg(min(struct(d6.as("d"), col("cid"))).as("mc"))
+      .select(col("neighbor_id"), col("mc.cid").as("cell"))
+    val (cents, sub) = pqCodebook(corpus, m, ksub, stride)
+    val codes = pqCodes(corpus, cents, m, sub, ksub).join(cells, Seq("neighbor_id"))
+    val qd6 = floor(euclid("qe", "cv") * 1e6 + 0.5) / 1e6
+    val qCells = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .join(coarse)
+      .select(col("query_id"), col("qe"), col("cid"), qd6.as("d"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("d"), col("cid"))))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id") +: col("cid").as("cell") +:
+        pqTableCols(cents, m, sub, ksub): _*)
+    val scored = broadcast(qCells).join(codes, Seq("cell"))
+      .select(col("query_id"), col("neighbor_id"),
+        pqAdcScore(m).as("raw_dot"))
+      // a query may reach a neighbor through one cell only (cells
+      // partition the corpus), so no dedup is needed before ranking
+    pqFinish(scored, queries, corpus, k, rerank)
   }
 
   /** Embedding-cosine near-duplicate pairs — the embedding-space member

@@ -182,6 +182,23 @@ class LlmSpec extends AnyFunSuite {
     assert(refined >= 0.5, s"refined recall too low: $refined")
   }
 
+  test("ivf+pq composed index: refined sims are exact dots, reruns bit-equal") {
+    val e = Tables(spark, sf0001, "embeddings")
+    val q = e.filter($"vec_id" < 5)
+    val r = Similarity.ivfPqTopK(q, e, k = 5, centroidStride = 7,
+      nProbe = 3, rerank = 20).collect()
+    assert(r.length == 25) // 5 queries × k
+    // the refine stage re-scored with exact dots, so every reported sim
+    // must equal the brute-force sim for that (query, neighbor) pair
+    val bf = Similarity.bruteForceTopK(q, e, k = 500).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(3)).toMap
+    r.foreach(x => assert(
+      bf((x.getLong(0), x.getLong(1))) == x.getDouble(3), x.toString))
+    val again = Similarity.ivfPqTopK(q, e, k = 5, centroidStride = 7,
+      nProbe = 3, rerank = 20).collect()
+    assert(r.sameElements(again))
+  }
+
   test("recall@k with an empty exact side returns 0 rows, not a null metric") {
     val e = Tables(spark, sf0001, "embeddings")
     val some = Similarity.bruteForceTopK(e.filter($"vec_id" < 3), e, k = 5)
