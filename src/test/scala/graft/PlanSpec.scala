@@ -86,6 +86,21 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("ivf+pq ADC scan joins on the cell id, never a cartesian corpus scan") {
+    val e = Tables(spark, sf0001, "embeddings")
+    val df = graft.llm.Similarity.ivfPqTopK(e.filter(
+      org.apache.spark.sql.functions.col("vec_id") < 10), e, k = 5,
+      centroidStride = 7, nProbe = 3, rerank = 20)
+    df.collect()
+    val p = plan(df)
+    // the only wide candidate producer must be the cell equi-join of
+    // broadcast probe rows against the code table; a CartesianProduct
+    // would mean the composed index degenerated to |Q|x|C| on payloads
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      p.take(3000))
+  }
+
   test("cosine near-dup candidates meet on bucket keys, ids only") {
     val e = Tables(spark, sf0001, "embeddings")
     val df = graft.llm.Similarity.cosineNearDupPairs(e, tau = 0.4)
