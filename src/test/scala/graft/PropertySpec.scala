@@ -75,6 +75,34 @@ class PropertySpec extends AnyFunSuite {
     } yield (a, b))
   } yield edges.distinct
 
+  test("ANN and dedup results are partition-count invariant") {
+    // the distributed-correctness property behind the rounding + id
+    // tiebreak discipline: re-partitioning the input (different task
+    // boundaries, different partial-agg merge orders) must not change
+    // one output row. Exercised on the two families whose plans have
+    // the most partial aggregation: top-k search and dedup groups.
+    val e = graft.sources.Tables(spark, sf0001, "embeddings")
+    val docs = graft.sources.Tables(spark, sf0001, "documents")
+    val q = e.filter($"vec_id" < 5)
+    for (parts <- Seq(3, 13)) {
+      val ep = e.repartition(parts)
+      val topk = graft.llm.Similarity.bruteForceTopK(q.repartition(2), ep, k = 5)
+        .collect().toSeq
+      val base = graft.llm.Similarity.bruteForceTopK(q, e, k = 5).collect().toSeq
+      assert(topk == base, s"bruteForceTopK drifted at $parts partitions")
+      val pq = graft.llm.Similarity.pqTopK(q.repartition(2), ep, k = 5,
+        stride = 7).collect().toSeq
+      val pqBase = graft.llm.Similarity.pqTopK(q, e, k = 5, stride = 7)
+        .collect().toSeq
+      assert(pq == pqBase, s"pqTopK drifted at $parts partitions")
+      val g = Dedup.dedupGroups(docs.repartition(parts), shingleSize = 3,
+        threshold = 0.5).collect().toSeq
+      val gBase = Dedup.dedupGroups(docs, shingleSize = 3, threshold = 0.5)
+        .collect().toSeq
+      assert(g == gBase, s"dedupGroups drifted at $parts partitions")
+    }
+  }
+
   test("modularity of any partition is in [-1, 1]") {
     forAll(edgeGen) { es =>
       whenever(es.nonEmpty) {
