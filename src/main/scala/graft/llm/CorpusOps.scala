@@ -1,0 +1,110 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-level training-data operators: train/eval contamination
+  * detection and deterministic stratified mixing samplers.
+  *
+  * Both families are 100 TB-shaped by construction: contamination joins
+  * on (optionally hashed) n-gram keys with ids-only payloads, and the
+  * rate sampler is a shuffle-free per-row hash threshold. The reference
+  * has no equivalent; these generalize its tokenize-then-aggregate text
+  * path (`ml/IDFRunner.scala:102-111`) to corpus hygiene.
+  */
+object CorpusOps {
+
+  /** Train/eval n-gram contamination check — the standard benchmark-leak
+    * screen run before training. Docs with `doc_id % evalMod == evalRem`
+    * form the eval split; every distinct token n-gram of an eval doc is
+    * probed against the distinct n-gram set of the train split, and each
+    * eval doc reports its overlap fraction.
+    *
+    * Scale shape: the train set is reduced to distinct n-grams with
+    * map-side partial aggregation before the join, the join is n-gram
+    * equi-keyed carrying only (doc_id) on the probe side, and with
+    * `hashKeys = true` the join key is an 8-byte xxhash64 of the n-gram
+    * instead of the string (collision odds ~ |G|²/2⁶⁵ — negligible
+    * against corpus-scale n-gram counts, and only ever inflates n_hit).
+    * Nothing in the plan is proportional to pair counts; it is two scans
+    * plus one key-partitioned shuffle.
+    */
+  def contamination(docs: DataFrame, n: Int = 3, evalMod: Int = 10,
+      evalRem: Int = 7, flagThreshold: Double = 0.5,
+      hashKeys: Boolean = false): DataFrame = {
+    val sh = Dedup.withShingleSets(docs, n)
+    def key(c: org.apache.spark.sql.Column) =
+      if (hashKeys) xxhash64(c) else c
+    val trainG = sh.filter(col("doc_id") % evalMod =!= evalRem)
+      .select(explode(col("shingle_set")).as("g"))
+      .select(key(col("g")).as("gk")).distinct()
+    val evalG = sh.filter(col("doc_id") % evalMod === evalRem)
+      .select(col("doc_id"), explode(col("shingle_set")).as("g"))
+      .select(col("doc_id"), key(col("g")).as("gk"))
+    evalG.join(trainG.withColumn("hit", lit(1L)), Seq("gk"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_ngrams"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+      .select(col("doc_id"), col("n_ngrams"), col("n_hit"),
+        (floor(col("n_hit").cast("double") / col("n_ngrams") * 10000 + 0.5) / 10000)
+          .as("contamination"))
+      .withColumn("contaminated", col("contamination") >= flagThreshold)
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic per-doc sampling key: md5 of the salted id. Both the
+    * quota and rate samplers order/threshold on this hex string — md5 is
+    * identical in any engine, and lexicographic order on lowercase hex
+    * equals numeric order, so the sample is replicable everywhere. */
+  private def sampleKey(salt: String) =
+    md5(concat(col("doc_id").cast("string"), lit(salt)))
+
+  /** Exact-quota stratified mixing sample: per stratum (language, source,
+    * …) keep exactly `ceil(stratum_count × rate)` docs, chosen by
+    * deterministic hash order — the "data mixing" step that reweights a
+    * corpus toward target domain proportions with a reproducible,
+    * seed-free sample.
+    *
+    * Uses one window rank per stratum. At 100 TB a single giant stratum
+    * serializes its window into one task — for that regime use
+    * [[mixRate]], which needs no shuffle at all; keep the quota variant
+    * for when exact per-stratum counts are contractual (eval set
+    * construction).
+    */
+  def mixQuota(docs: DataFrame, strataCol: String = "lang",
+      rates: Map[String, Double] = Map.empty,
+      defaultRate: Double = 0.5, salt: String = "#mix"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    val w = Window.partitionBy(strataCol).orderBy(sampleKey(salt), col("doc_id"))
+    val cw = Window.partitionBy(strataCol)
+    docs.select(col("doc_id"), col(strataCol),
+        row_number().over(w).cast("long").as("sample_rank"),
+        count(lit(1)).over(cw).as("stratum_n"), rate.as("rate"))
+      .filter(col("sample_rank") <= ceil(col("stratum_n") * col("rate")))
+      .select("doc_id", strataCol, "sample_rank")
+      .orderBy("doc_id")
+  }
+
+  /** Shuffle-free rate-based mixing sample: keep a doc iff the first 8
+    * hex chars of its sampling key fall under the stratum's rate
+    * threshold. Expected (not exact) per-stratum proportions, but the
+    * plan is a pure per-row filter — no exchange, no window — so it is
+    * the 100 TB path. Deterministic and engine-replicable like
+    * [[mixQuota]]. */
+  def mixRate(docs: DataFrame, strataCol: String = "lang",
+      rates: Map[String, Double] = Map.empty,
+      defaultRate: Double = 0.5, salt: String = "#mix"): DataFrame = {
+    def thresholdHex(r: Double): String =
+      if (r >= 1.0) "g" // sorts above every hex char: keep all
+      else f"${math.max(0L, (r * 0x100000000L).toLong)}%08x"
+    val thr = rates.foldLeft(lit(thresholdHex(defaultRate))) {
+      case (acc, (k, v)) => when(col(strataCol) === k, lit(thresholdHex(v))).otherwise(acc)
+    }
+    docs.filter(substring(sampleKey(salt), 1, 8) < thr)
+      .select(col("doc_id"), col(strataCol))
+      .orderBy("doc_id")
+  }
+}

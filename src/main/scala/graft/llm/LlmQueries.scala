@@ -23,6 +23,20 @@ object LlmQueries {
     "llm_fingerprint" -> ((s, d) =>
       // sha2 token hash: the rotate-xor fold becomes engine-replicable
       TextOps.fingerprint(docs(s, d), Dedup.sha2TokenHash)),
+    "llm_repetition" -> ((s, d) => TextOps.repetition(docs(s, d))),
+    "llm_pii_redact" -> ((s, d) =>
+      // the synthetic corpus has no PII, so plant one of each type
+      // deterministically from doc_id — the redaction rules are then
+      // actually exercised and the oracle replays the same planting
+      TextOps.piiRedact(docs(s, d).withColumn("text",
+        concat(col("text"), lit(" u"), col("doc_id").cast("string"),
+          lit("@ex.com ip 10.0.0."), (col("doc_id") % 250).cast("string"),
+          lit(" ssn 123-45-6789 tel +1 555-0199"))))),
+    "llm_contamination" -> ((s, d) => CorpusOps.contamination(docs(s, d))),
+    "llm_mix_quota" -> ((s, d) => CorpusOps.mixQuota(docs(s, d), "lang",
+      Map("en" -> 0.5, "de" -> 0.25, "es" -> 1.0, "zh" -> 0.125))),
+    "llm_mix_rate" -> ((s, d) => CorpusOps.mixRate(docs(s, d), "lang",
+      Map("en" -> 0.5, "de" -> 0.25, "es" -> 1.0, "zh" -> 0.125))),
     "llm_dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))),
     "llm_dedup_minhash" -> ((s, d) =>
       // signature/bands serialized at the query boundary (the driver's
@@ -236,6 +250,80 @@ object LlmQueries {
         "UNION SELECT r.node, cl.b FROM r JOIN cl ON cl.a = r.x) " +
         "SELECT node AS doc_id, LEAST(node, MIN(x)) AS keep_id FROM r " +
         "GROUP BY node ORDER BY doc_id"),
+    // duplicate-fraction per granularity: 1 - distinct/total, with the
+    // short-doc guard via NULL gram lists (ratio 0 on both engines)
+    "llm_repetition" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "g AS (SELECT doc_id, toks, " +
+        "CASE WHEN len(toks) < 2 THEN NULL ELSE " +
+        "[toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))] END AS g2, " +
+        "CASE WHEN len(toks) < 3 THEN NULL ELSE " +
+        "[toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] " +
+        "FOR i IN range(1, len(toks) - 1)] END AS g3 FROM t), " +
+        "r AS (SELECT doc_id, " +
+        "CASE WHEN len(toks) <= 0 THEN 0.0 ELSE " +
+        "1 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END AS d1, " +
+        "CASE WHEN g2 IS NULL THEN 0.0 ELSE " +
+        "1 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2) END AS d2, " +
+        "CASE WHEN g3 IS NULL THEN 0.0 ELSE " +
+        "1 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3) END AS d3 FROM g) " +
+        "SELECT doc_id, FLOOR(d1 * 10000 + 0.5) / 10000 AS dup_token_ratio, " +
+        "FLOOR(d2 * 10000 + 0.5) / 10000 AS dup_2gram_ratio, " +
+        "FLOOR(d3 * 10000 + 0.5) / 10000 AS dup_3gram_ratio, " +
+        "d3 > 0.5 AS repetitive FROM r ORDER BY doc_id"),
+    // same planted-PII construction and regexes as the Spark side
+    // (patterns restricted to the java.util.regex ∩ RE2 common subset)
+    "llm_pii_redact" ->
+      ("WITH t AS (SELECT doc_id, text || ' u' || CAST(doc_id AS VARCHAR) || " +
+        "'@ex.com ip 10.0.0.' || CAST(doc_id % 250 AS VARCHAR) || " +
+        "' ssn 123-45-6789 tel +1 555-0199' AS text FROM documents) " +
+        "SELECT doc_id, " +
+        "CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email, " +
+        "CAST(len(regexp_extract_all(text, '([0-9]{1,3}\\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ip, " +
+        "CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS BIGINT) AS n_ssn, " +
+        "CAST(len(regexp_extract_all(text, '\\+[0-9]{1,2} [0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone, " +
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace(text, " +
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+        "'([0-9]{1,3}\\.){3}[0-9]{1,3}', '<IP>', 'g'), " +
+        "'[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g'), " +
+        "'\\+[0-9]{1,2} [0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted " +
+        "FROM t ORDER BY doc_id"),
+    // eval split = doc_id % 10 = 7; distinct train 3-grams probed by
+    // each eval doc's distinct 3-grams (the Dedup.shingles short-doc
+    // fallback to distinct tokens applies on both sides)
+    "llm_contamination" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "s AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN list_distinct(toks) " +
+        "ELSE list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] " +
+        "FOR i IN range(1, len(toks) - 1)]) END AS sh FROM t), " +
+        "tr AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 10 <> 7), " +
+        "ev AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % 10 = 7), " +
+        "j AS (SELECT ev.doc_id, COUNT(*) AS n_ngrams, COUNT(tr.g) AS n_hit " +
+        "FROM ev LEFT JOIN tr ON ev.g = tr.g GROUP BY ev.doc_id) " +
+        "SELECT doc_id, n_ngrams, n_hit, " +
+        "FLOOR(CAST(n_hit AS DOUBLE) / n_ngrams * 10000 + 0.5) / 10000 AS contamination, " +
+        "FLOOR(CAST(n_hit AS DOUBLE) / n_ngrams * 10000 + 0.5) / 10000 >= 0.5 " +
+        "AS contaminated FROM j ORDER BY doc_id"),
+    // md5-ordered exact-quota stratified sample — the hex key replays in
+    // any engine and lexicographic order on lowercase hex = numeric order
+    "llm_mix_quota" ->
+      ("WITH k AS (SELECT doc_id, lang, " +
+        "md5(CAST(doc_id AS VARCHAR) || '#mix') AS sk FROM documents), " +
+        "r AS (SELECT doc_id, lang, " +
+        "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY sk, doc_id) AS sample_rank, " +
+        "COUNT(*) OVER (PARTITION BY lang) AS n, " +
+        "CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 WHEN 'es' THEN 1.0 " +
+        "WHEN 'zh' THEN 0.125 ELSE 0.5 END AS rate FROM k) " +
+        "SELECT doc_id, lang, sample_rank FROM r " +
+        "WHERE sample_rank <= CEIL(n * rate) ORDER BY doc_id"),
+    // shuffle-free variant: first 8 hex chars of the same key under the
+    // per-stratum threshold ('g' sorts above all hex => keep-all)
+    "llm_mix_rate" ->
+      ("SELECT doc_id, lang FROM documents " +
+        "WHERE substr(md5(CAST(doc_id AS VARCHAR) || '#mix'), 1, 8) < " +
+        "CASE lang WHEN 'en' THEN '80000000' WHEN 'de' THEN '40000000' " +
+        "WHEN 'es' THEN 'g' WHEN 'zh' THEN '20000000' ELSE '80000000' END " +
+        "ORDER BY doc_id"),
     "llm_token_count" ->
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens, " +
         "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) " +

@@ -115,6 +115,69 @@ object TextOps {
     docs.select(col("doc_id"), fp.as("fingerprint")).orderBy("doc_id")
   }
 
+  /** All n-grams of a token array in order, duplicates kept (unlike
+    * [[Dedup.shingles]], which distincts) — repetition measurement needs
+    * the raw multiplicity. Empty array when the doc is shorter than n. */
+  private def gramsAll(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
+
+  /** Within-document repetition ratios — the Gopher-style repetitive-text
+    * filters (duplicate-token fraction, duplicate 2-gram / 3-gram
+    * fraction). `1 - distinct/total` per granularity; a doc whose 3-grams
+    * are mostly repeats of each other is boilerplate or spam. Pure
+    * per-row codegen'd HOFs: no shuffle, embarrassingly parallel at any
+    * scale. */
+  def repetition(docs: DataFrame, flagThreshold: Double = 0.5): DataFrame = {
+    val toks = tokens(col("text"))
+    def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
+    def dupRatio(arr: Column) = {
+      val total = size(arr)
+      when(total <= 0, lit(0.0)).otherwise(
+        lit(1.0) - size(array_distinct(arr)).cast("double") / total)
+    }
+    val dupTok = dupRatio(toks)
+    val dup2 = dupRatio(gramsAll(toks, 2))
+    val dup3 = dupRatio(gramsAll(toks, 3))
+    docs.select(
+      col("doc_id"),
+      r4(dupTok).as("dup_token_ratio"),
+      r4(dup2).as("dup_2gram_ratio"),
+      r4(dup3).as("dup_3gram_ratio"),
+      (dup3 > flagThreshold).as("repetitive"))
+      .orderBy("doc_id")
+  }
+
+  /** PII patterns shared by [[piiRedact]] and its oracle: kept to syntax
+    * both java.util.regex and RE2 interpret identically (no lookaround,
+    * no backrefs). Replacement order = listing order; counts are taken on
+    * the original text. */
+  private[llm] val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"),
+    ("ssn", "[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
+    ("phone", "\\+[0-9]{1,2} [0-9]{3}-[0-9]{4}", "<PHONE>"))
+
+  /** PII redaction for corpus preparation: masks emails, IPv4 addresses,
+    * SSN-shaped ids, and +CC-prefixed phone numbers with typed tokens and
+    * reports per-type match counts. regexp_replace/regexp_extract_all are
+    * codegen'd string expressions — per-row, zero shuffle, so the pass
+    * costs one scan of the corpus at any scale. Counts are computed on
+    * the input text; replacements apply in [[piiPatterns]] order (email
+    * before IP so `a@1.2.3.4`-style locals resolve as email). */
+  def piiRedact(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val redacted = piiPatterns.foldLeft(col(textCol)) {
+      case (acc, (_, pat, token)) => regexp_replace(acc, pat, token)
+    }
+    val counts = piiPatterns.map { case (name, pat, _) =>
+      size(regexp_extract_all(col(textCol), lit(pat), lit(0)))
+        .cast("long").as(s"n_$name")
+    }
+    docs.select(col("doc_id") +: counts :+ redacted.as("redacted"): _*)
+      .orderBy("doc_id")
+  }
+
   /** End-to-end training-data curation: quality gate ∧ language gate ∧
     * near-dup keep decision — the flow a 100 TB corpus pipeline runs
     * before tokenization, composed from three verified operators

@@ -285,6 +285,67 @@ class LlmSpec extends AnyFunSuite {
     assert(perDoc.values.forall(_.map(_.getInt(1)).sorted.toSeq == Seq(0, 2)))
   }
 
+  test("repetition: planted boilerplate flagged, varied text not") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam"),
+      (2L, "one two three four five six seven eight")
+    ).toDF("doc_id", "text")
+    val r = TextOps.repetition(docs).collect()
+    // doc 1: 1 distinct of 6 tokens; all 4 3-grams identical → flagged
+    assert(math.abs(r(0).getDouble(1) - (1 - 1.0 / 6)) < 1e-3)
+    assert(r(0).getDouble(3) == 0.75 && r(0).getBoolean(4))
+    // doc 2: everything distinct → all ratios 0, not flagged
+    assert(r(1).getDouble(1) == 0.0 && r(1).getDouble(3) == 0.0 && !r(1).getBoolean(4))
+  }
+
+  test("pii redaction masks each type and counts on the original text") {
+    val docs = Seq(
+      (1L, "mail bob.smith+x@corp.example.org from 10.0.0.7 ssn 123-45-6789 call +1 555-0199"),
+      (2L, "no pii here at all")
+    ).toDF("doc_id", "text")
+    val r = TextOps.piiRedact(docs).collect()
+    assert((1 to 4).map(r(0).getLong) == Seq(1L, 1L, 1L, 1L))
+    assert(r(0).getString(5) ==
+      "mail <EMAIL> from <IP> ssn <SSN> call <PHONE>")
+    assert((1 to 4).map(r(1).getLong) == Seq(0L, 0L, 0L, 0L))
+    assert(r(1).getString(5) == "no pii here at all")
+  }
+
+  test("contamination: planted eval leak detected; clean eval doc near zero") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // train
+      (2L, "unrelated train corpus text goes here"), // train
+      (7L, "alpha beta gamma delta epsilon zeta"), // eval: full leak of 1
+      (17L, "totally novel evaluation content words") // eval: clean
+    ).toDF("doc_id", "text")
+    val r = CorpusOps.contamination(docs).collect()
+    val byDoc = r.map(x => x.getLong(0) -> x).toMap
+    assert(byDoc(7L).getDouble(3) == 1.0 && byDoc(7L).getBoolean(4))
+    assert(byDoc(17L).getDouble(3) == 0.0 && !byDoc(17L).getBoolean(4))
+    // hashed-key join is a pure implementation swap: identical output
+    val hashed = CorpusOps.contamination(docs, hashKeys = true).collect()
+    assert(hashed.map(_.toSeq).toSet == r.map(_.toSeq).toSet)
+  }
+
+  test("mix samplers: exact quotas per stratum; rate sample deterministic subset") {
+    val docs = Tables(spark, sf0001, "documents")
+    val rates = Map("en" -> 0.5, "de" -> 0.25, "es" -> 1.0, "zh" -> 0.125)
+    val strata = docs.groupBy("lang").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    val q = CorpusOps.mixQuota(docs, "lang", rates)
+    val got = q.groupBy("lang").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    for ((l, n) <- strata)
+      assert(got(l) == math.ceil(n * rates.getOrElse(l, 0.5)).toLong,
+        s"stratum $l quota off")
+    // rate sampler: deterministic across runs, and a doc's membership
+    // never depends on other rows (pure per-row predicate)
+    val r1 = CorpusOps.mixRate(docs, "lang", rates).collect().map(_.getLong(0)).toSet
+    val r2 = CorpusOps.mixRate(docs.sample(0.5, seed = 7), "lang", rates)
+      .collect().map(_.getLong(0)).toSet
+    assert(r2.subsetOf(r1))
+  }
+
   test("llm oracle-checked queries run nonempty at sf0.001") {
     for ((name, fn) <- LlmQueries.all) {
       val n = fn(spark, sf0001).count()
