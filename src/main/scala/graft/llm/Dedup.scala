@@ -251,4 +251,37 @@ object Dedup {
         .orderBy("doc_id")
     }
   }
+
+  /** SimHash near-dup pairs via Hamming-band blocking: the 60-bit sketch
+    * splits into 4 bands of 15 bits; by pigeonhole any pair within
+    * Hamming distance ≤ 3 shares at least one unchanged band, so the
+    * band-bucket equi-join is EXACT blocking (never misses a qualifying
+    * pair — differences in the sketch's zero high bits fall outside every
+    * band, which only ever adds candidates). Candidates carry (id,
+    * sketch) only — 16 bytes — and each survivor pays one bit_count.
+    * Same 100 TB shape as MinHash banding: bucket co-occupancy bounds
+    * the join, nothing is all-pairs. */
+  def simHashNearDupPairs(docs: DataFrame,
+      tokenHash: Column => Column = xxhash64(_),
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-band blocking is exact only for hamming <= 3")
+    val sk = simHash(docs, tokenHash)
+    val bands = sk.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("simhash"), 15 * b)
+            .bitwiseAND(lit(0x7FFFL)).as("bkey"))): _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    bands.join(
+        bands.select(col("band"), col("bkey"),
+          col("doc_id").as("doc_b"), col("simhash").as("sim_b")),
+        Seq("band", "bkey"))
+      .filter(col("doc_id") < col("doc_b"))
+      .select(col("doc_id").as("doc_a"), col("doc_b"),
+        expr("CAST(bit_count(simhash ^ sim_b) AS BIGINT)").as("hamming"))
+      .distinct() // a pair may co-occupy several bands
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
 }

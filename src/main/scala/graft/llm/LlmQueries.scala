@@ -58,6 +58,12 @@ object LlmQueries {
       // can reproduce the hash, so the full 64-bit sketch is
       // oracle-checked (the xxhash64 default stays for hot paths)
       Dedup.simHash(docs(s, d), Dedup.sha2TokenHash)),
+    "llm_simhash_pairs" -> ((s, d) =>
+      // exact duplicates share a sketch (hamming 0), so the corpus's
+      // planted exact dups keep this nonempty; the exact-blocking
+      // guarantee at hamming <= 3 is covered by a planted LlmSpec fixture
+      Dedup.simHashNearDupPairs(docs(s, d), Dedup.sha2TokenHash,
+        maxHamming = 3)),
     "llm_ann_cosine" -> ((s, d) => {
       val e = emb(s, d)
       Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e, k = 5)
@@ -639,6 +645,19 @@ object LlmQueries {
         "LEFT JOIN g USING (doc_id) " +
         "WHERE q.quality >= 0.5 AND l.pred_lang = 'en' " +
         "AND (g.keep_id IS NULL OR g.keep_id = q.doc_id) ORDER BY doc_id")) +
+    // band-blocked simhash pairs: the sketch CTE embeds the verified
+    // llm_simhash oracle verbatim; 4 bands x 15 bits, bit_count verify
+    ("llm_simhash_pairs" ->
+      (s"""WITH sk AS (${base("llm_simhash")}), """ +
+        "b AS (SELECT doc_id, simhash, i AS band, " +
+        "(simhash >> (15 * i)) & 32767 AS bkey " +
+        "FROM sk, generate_series(0, 3) g(i)), " +
+        "p AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b, " +
+        "CAST(bit_count(xor(a.simhash, c.simhash)) AS BIGINT) AS hamming " +
+        "FROM b a JOIN b c ON a.band = c.band AND a.bkey = c.bkey " +
+        "AND a.doc_id < c.doc_id) " +
+        "SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 3 " +
+        "ORDER BY doc_a, doc_b")) +
     // recall replica: both ANN oracles embed verbatim, the metric is the
     // per-query hit fraction averaged over the exact side's queries
     ("llm_ann_recall" ->

@@ -285,6 +285,30 @@ class LlmSpec extends AnyFunSuite {
     assert(perDoc.values.forall(_.map(_.getInt(1)).sorted.toSeq == Seq(0, 2)))
   }
 
+  test("simhash pairs: band blocking equals brute-force hamming scan") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the mat"), // identical -> hamming 0
+      (3L, "the cat sat on the big mat"),
+      (4L, "completely different words entirely here now"),
+      (5L, "alpha beta gamma delta epsilon")
+    ).toDF("doc_id", "text")
+    val got = Dedup.simHashNearDupPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force: every pair's true hamming distance, thresholded
+    val sk = Dedup.simHash(docs)
+    val brute = sk.as("a").crossJoin(sk.select(
+        col("doc_id").as("doc_b"), col("simhash").as("sim_b")))
+      .filter(col("doc_id") < col("doc_b"))
+      .select(col("doc_id"), col("doc_b"),
+        expr("CAST(bit_count(simhash ^ sim_b) AS BIGINT)").as("h"))
+      .filter(col("h") <= 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute)
+    assert(got.contains((1L, 2L, 0L))) // the planted exact dup
+  }
+
   test("repetition: planted boilerplate flagged, varied text not") {
     val docs = Seq(
       (1L, "spam spam spam spam spam spam"),

@@ -101,6 +101,32 @@ class PlanSpec extends AnyFunSuite {
       p.take(3000))
   }
 
+  test("contamination probes train n-grams via equi-join with map-side distinct") {
+    val df = graft.llm.CorpusOps.contamination(
+      Tables(spark, sf0001, "documents"), hashKeys = true)
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // train side reduces to distinct n-gram keys with a partial
+    // HashAggregate below its exchange (map-side combine), and the
+    // probe meets it on the 8-byte hashed key
+    val lines = p.linesIterator.toSeq
+    val exchangeIdx = lines.indexWhere(_.contains("Exchange"))
+    assert(exchangeIdx >= 0 &&
+      lines.drop(exchangeIdx + 1).exists(_.contains("HashAggregate")), p.take(3000))
+    assert(p.contains("xxhash64"), p.take(3000))
+  }
+
+  test("rate-based mixing sample plans as a pure per-row filter, no shuffle") {
+    val df = graft.llm.CorpusOps.mixRate(Tables(spark, sf0001, "documents"))
+    val p = plan(df)
+    // the only exchange allowed is the output contract's final orderBy
+    // (rangepartitioning) — the sampling predicate itself must never
+    // induce a hash shuffle, that is the whole point of the rate variant
+    val shuffles = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(shuffles.forall(_.contains("rangepartitioning")), p.take(3000))
+  }
+
   test("cosine near-dup candidates meet on bucket keys, ids only") {
     val e = Tables(spark, sf0001, "embeddings")
     val df = graft.llm.Similarity.cosineNearDupPairs(e, tau = 0.4)
