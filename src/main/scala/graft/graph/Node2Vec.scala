@@ -48,47 +48,67 @@ object Node2Vec {
   /** Walker state hash-partitioned by walk_id ONCE — every subsequent
     * step is a broadcast join (preserves the partitioning) into a hash
     * aggregate whose walk_id distribution requirement is already
-    * satisfied, so the whole walk loop runs without a single exchange. */
+    * satisfied, so the whole walk loop runs without a single exchange.
+    * The state is NARROW — (walk_id, cur, prev), all fixed-width — so
+    * the per-step aggregate stays a codegen'd HashAggregate; paths are
+    * assembled once at the end from the per-step snapshots (an array
+    * column in the loop forced first(array) into a SortAggregate over
+    * the full candidate explosion — the dominant walk cost). */
   private def startWalkers(spark: SparkSession, ce: DataFrame,
       numWalks: Int): DataFrame =
     ce.select(col("src").as("cur")).distinct()
       .crossJoin(spark.range(numWalks).select(col("id").as("walk")))
       .select(concat_ws("_", col("cur"), col("walk")).as("walk_id"),
-        col("cur"), lit(null).cast("long").as("prev"),
-        array(col("cur")).as("path"))
+        col("cur"), lit(null).cast("long").as("prev"))
       .repartition(col("walk_id"))
 
   /** Candidate frame for one step: one row per (walker, neighbor of
     * cur) with the neighbor's pos/deg and a prev-adjacency flag.
     * Dead-end walkers keep one row with null candidate columns (left
-    * join), so the per-walker aggregate never loses them. */
+    * join), so the per-walker aggregate never loses them. Only the
+    * NARROW state (walk_id, cur, prev) enters the explosion — the
+    * growing path array must never be copied onto every candidate row
+    * (deg× duplication through the join and agg was the dominant walk
+    * cost: 16 s → 3 s at sf0.1 when the path moved to a post-agg
+    * rejoin). */
   private def candidates(walkers: DataFrame, ce: DataFrame): DataFrame =
-    walkers
+    walkers.select("walk_id", "cur", "prev")
       .join(broadcast(ce.withColumnRenamed("src", "cur")), Seq("cur"), "left")
       .withColumnRenamed("dst", "x")
       .join(broadcast(ce.select(col("src").as("prev"),
         col("dst").as("x"), lit(1).as("adjf"))), Seq("prev", "x"), "left")
 
-  /** Fold the per-walker pick and the path extension into ONE aggregate
-    * over the candidate frame: state columns ride along as first()
-    * (constant within a walker), the winner arrives via `pickAgg`, and
-    * dead ends (null pick) stay put. Output is the next walker state,
-    * still partitioned by walk_id. */
+  /** Fold the per-walker pick into ONE aggregate over the candidate
+    * frame: the winner arrives via `pickAgg` and dead ends (null pick)
+    * stay put. All agg inputs and buffers are fixed-width longs, so
+    * this is a pure codegen'd HashAggregate that inherits the walker
+    * partitioning — zero exchanges per step. */
   private def advance(cand: DataFrame, pickAgg: Column): DataFrame =
     cand.groupBy("walk_id")
-      .agg(pickAgg.as("next"), first(col("cur")).as("cur0"),
-        first(col("path")).as("path0"))
+      .agg(pickAgg.as("next"), first(col("cur")).as("cur0"))
       .select(col("walk_id"),
         coalesce(col("next"), col("cur0")).as("cur"), // dead end: stay
-        col("cur0").as("prev"),
-        concat(col("path0"),
-          array(coalesce(col("next"), col("cur0")))).as("path"))
+        col("cur0").as("prev"))
+
+  /** Assemble (walk_id, path) from the per-step position snapshots: one
+    * union (step count × |walkers| narrow rows) into ONE collect_list
+    * aggregate — a single exchange for the whole walk, independent of
+    * walk length. Steps are made contiguous by array_sort on (step,
+    * node) structs. */
+  private def assemblePaths(snapshots: Seq[DataFrame]): DataFrame =
+    snapshots.reduce(_ unionByName _)
+      .groupBy("walk_id")
+      .agg(array_sort(collect_list(struct(col("step"), col("cur")))).as("sp"))
+      .select(col("walk_id"),
+        transform(col("sp"), s => s.getField("cur")).as("path"))
 
   def walks(spark: SparkSession, edges: DataFrame, numWalks: Int = 4,
       walkLength: Int = 6, p: Double = 1.0, q: Double = 1.0,
       maxDegree: Int = 10000): DataFrame = {
     val ce = rankedEdges(edges, maxDegree)
     var walkers = startWalkers(spark, ce, numWalks)
+    val snapshots = Seq.newBuilder[DataFrame]
+    snapshots += walkers.select(col("walk_id"), lit(0).as("step"), col("cur"))
     val secondOrder = p != 1.0 || q != 1.0
     var step = 0
     while (step < walkLength) {
@@ -112,7 +132,17 @@ object Node2Vec {
           when(max(col("prev")).isNull, uniformPick)
             .otherwise(min(struct(key.as("key"), col("x"))).getField("x"))
         }
-      walkers = advance(cand, pickCol)
+      // this state is referenced twice — by the next step's candidates
+      // and by its path snapshot in the final union: persist makes the
+      // second reference a cache read instead of re-deriving the chain
+      // per branch. (Letting branches recompute hangs the DRIVER: each
+      // branch fuses its whole depth-k chain into one giant codegen
+      // method and janino compilation explodes — measured. Persisted
+      // states are narrow 3-column rows, a few MB per step; the harness
+      // clears caches between queries.)
+      walkers = advance(cand, pickCol).persist()
+      snapshots += walkers
+        .select(col("walk_id"), lit(step + 1).as("step"), col("cur"))
       // lineage: six steps compile into ONE query whose repeated
       // broadcast builds dedupe via exchange reuse (a per-step
       // checkpoint forced 2 fresh 450k-row broadcast builds per hop —
@@ -122,7 +152,7 @@ object Node2Vec {
         walkers = walkers.localCheckpoint()
       step += 1
     }
-    walkers.select(col("walk_id"), col("path"))
+    assemblePaths(snapshots.result())
   }
 
   /** Engine-replicable biased-walk companion — the oracle-checkable side
@@ -149,6 +179,8 @@ object Node2Vec {
       conv(substring(sha2(c, 256), 1, 15), 16, 10).cast("long")
     val ce = rankedEdges(edges, maxDegree)
     var walkers = startWalkers(spark, ce, numWalks)
+    val snapshots = Seq.newBuilder[DataFrame]
+    snapshots += walkers.select(col("walk_id"), lit(0).as("step"), col("cur"))
     var step = 0
     while (step < walkLength) {
       val w = when(col("x") === col("prev"), lit(1.0 / p))
@@ -168,12 +200,15 @@ object Node2Vec {
           min(when(col("pos") === uTarget, col("x"))))
           .otherwise(min(when(col("cum") >= col("t_draw"),
             struct(col("pos"), col("x")))).getField("x"))
-      walkers = advance(cand, pickCol)
+      walkers = advance(cand, pickCol).persist()
+      snapshots += walkers
+        .select(col("walk_id"), lit(step + 1).as("step"), col("cur"))
       if (step % 6 == 5 && step != walkLength - 1)
         walkers = walkers.localCheckpoint()
       step += 1
     }
-    walkers.select(col("walk_id"), concat_ws(",", col("path")).as("path"))
+    assemblePaths(snapshots.result())
+      .select(col("walk_id"), concat_ws(",", col("path")).as("path"))
       .orderBy("walk_id")
   }
 

@@ -140,14 +140,26 @@ class GraphBSpec extends AnyFunSuite {
     // so compare plan depths inside one cadence window)
     val und = twoTriangles
     val sym = und.union(und.select($"dst".as("src"), $"src".as("dst"), $"weight"))
-    // count SHUFFLE exchanges only: per-step BroadcastExchange nodes
-    // appear in the static plan but dedupe at runtime via exchange
-    // reuse (same adjacency build every step)
-    def shuffles(len: Int): Int =
-      Node2Vec.walks(spark, sym, numWalks = 1, walkLength = len)
-        .queryExecution.executedPlan.toString
-        .linesIterator.count(l =>
-          l.contains("Exchange hashpartitioning") && !l.contains("Broadcast"))
+    // count RUNTIME shuffle exchanges in the final adaptive plan tree:
+    // per-step BroadcastExchange nodes dedupe via exchange reuse (same
+    // adjacency build every step), ReusedExchange subtrees are skipped,
+    // and cached walker states terminate at their InMemoryTableScan
+    // leaves (their one-off materialization is not a per-step cost)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    def cnt(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => cnt(a.executedPlan)
+      case _: ReusedExchangeExec => 0
+      case q: QueryStageExec => cnt(q.plan)
+      case e: ShuffleExchangeLike => 1 + e.children.map(cnt).sum
+      case o => o.children.map(cnt).sum
+    }
+    def shuffles(len: Int): Int = {
+      val df = Node2Vec.walks(spark, sym, numWalks = 1, walkLength = len)
+      df.collect()
+      cnt(df.queryExecution.executedPlan)
+    }
     assert(shuffles(5) == shuffles(2),
       s"per-step shuffle leak: ${shuffles(2)} -> ${shuffles(5)}")
   }
