@@ -466,14 +466,24 @@ object Similarity {
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
-    val e = emb.select(col("vec_id"), col("embedding"))
+    // verify stage: the pair dot runs through the codegen'd graft_dot
+    // kernel when the session carries GraftExtensions (the HOF fallback
+    // is CodegenFallback — interpreted lambdas dominated this query),
+    // and each vector's norm is computed ONCE before the pair join
+    // instead of per surviving pair. Same IEEE sequence either way:
+    // sqrt(dot(x,x)) per side, then d / (na * nb).
+    val native = emb.sparkSession.catalog.functionExists("graft_dot")
+    def dotOf(a: String, b: String): Column =
+      if (native) expr(s"graft_dot($a, $b)") else dot(col(a), col(b))
+    val e = emb.select(col("vec_id"), col("embedding").as("ev"))
+      .withColumn("nv", sqrt(dotOf("ev", "ev")))
     cand
-      .join(e.select(col("vec_id").as("doc_a"),
-        col("embedding").as("ea")), Seq("doc_a"))
-      .join(e.select(col("vec_id").as("doc_b"),
-        col("embedding").as("eb")), Seq("doc_b"))
+      .join(e.select(col("vec_id").as("doc_a"), col("ev").as("ea"),
+        col("nv").as("na")), Seq("doc_a"))
+      .join(e.select(col("vec_id").as("doc_b"), col("ev").as("eb"),
+        col("nv").as("nb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        cosine(col("ea"), col("eb")).as("c"))
+        (dotOf("ea", "eb") / (col("na") * col("nb"))).as("c"))
       .filter(col("c") >= tau)
       .select(col("doc_a"), col("doc_b"),
         (floor(col("c") * 10000 + 0.5) / 10000).as("cos_sim"))
