@@ -139,6 +139,10 @@ object LlmQueries {
       // the end-to-end training-data curation flow: quality gate ∧
       // language gate ∧ near-dup keep decision (TextOps.curate)
       TextOps.curate(docs(s, d))),
+    "llm_curation_strict" -> ((s, d) =>
+      // full pre-training gate stack: quality ∧ language ∧ dedup-keep ∧
+      // ¬boilerplate (p95-level 3-gram repetition cut on this corpus)
+      TextOps.curate(docs(s, d), maxDup3 = 0.01)),
     "llm_multimodal" -> ((s, d) => Multimodal.documentsAsMedia(s, docs(s, d))),
     "llm_multimodal_frames" -> ((s, d) =>
       Multimodal.documentsAsFrames(s, docs(s, d))),
@@ -645,6 +649,18 @@ object LlmQueries {
         "LEFT JOIN g USING (doc_id) " +
         "WHERE q.quality >= 0.5 AND l.pred_lang = 'en' " +
         "AND (g.keep_id IS NULL OR g.keep_id = q.doc_id) ORDER BY doc_id")) +
+    // strict curation: the same composed-verbatim CTE discipline, plus
+    // the repetition oracle as a fourth gate on its rounded ratio
+    ("llm_curation_strict" ->
+      (s"""WITH q AS (${base("llm_quality")}), """ +
+        s"""l AS (${base("llm_langid")}), """ +
+        s"""g AS (${base("llm_dedup_groups")}), """ +
+        s"""r AS (${base("llm_repetition")}) """ +
+        "SELECT q.doc_id, q.quality, l.pred_lang FROM q JOIN l USING (doc_id) " +
+        "JOIN r USING (doc_id) LEFT JOIN g USING (doc_id) " +
+        "WHERE q.quality >= 0.5 AND l.pred_lang = 'en' " +
+        "AND (g.keep_id IS NULL OR g.keep_id = q.doc_id) " +
+        "AND r.dup_3gram_ratio <= 0.01 ORDER BY doc_id")) +
     // band-blocked simhash pairs: the sketch CTE embeds the verified
     // llm_simhash oracle verbatim; 4 bands x 15 bits, bit_count verify
     ("llm_simhash_pairs" ->

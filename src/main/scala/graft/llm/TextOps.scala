@@ -187,15 +187,22 @@ object TextOps {
     * adds two id-equi-joins and nothing else. */
   def curate(docs: DataFrame, minQuality: Double = 0.5,
       lang: String = "en", shingleSize: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxDup3: Double = 1.0): DataFrame = {
     val q = quality(docs).select("doc_id", "quality")
     val l = langId(docs).select("doc_id", "pred_lang")
     val g = Dedup.dedupGroups(docs, shingleSize, threshold)
-    q.join(l, Seq("doc_id"))
+    val base = q.join(l, Seq("doc_id"))
       .join(g, Seq("doc_id"), "left")
       .filter(col("quality") >= minQuality && col("pred_lang") === lang &&
         (col("keep_id").isNull || col("keep_id") === col("doc_id")))
-      .select("doc_id", "quality", "pred_lang")
-      .orderBy("doc_id")
+    // strict mode adds the boilerplate gate ([[repetition]]'s rounded
+    // dup_3gram_ratio) — one more id-equi-join over a verified,
+    // shuffle-free operator; the default keeps the plan untouched
+    val gated =
+      if (maxDup3 >= 1.0) base
+      else base.join(repetition(docs)
+          .select(col("doc_id"), col("dup_3gram_ratio")), Seq("doc_id"))
+        .filter(col("dup_3gram_ratio") <= maxDup3)
+    gated.select("doc_id", "quality", "pred_lang").orderBy("doc_id")
   }
 }

@@ -236,6 +236,19 @@ class LlmSpec extends AnyFunSuite {
     assert(kept == Seq(10L), kept.toString)
   }
 
+  test("strict curation additionally drops boilerplate the base gates pass") {
+    val docs = Seq(
+      (10L, "the cat and the dog play in the garden all day"), // keeper
+      // quality-passing english text whose 3-grams repeat heavily:
+      // the base pipeline keeps it, the strict repetition gate drops it
+      (14L, "the big dog runs fast the big dog runs fast the big dog runs fast the big dog runs fast"))
+      .toDF("doc_id", "text")
+    val base = TextOps.curate(docs).collect().map(_.getLong(0)).toSeq
+    val strict = TextOps.curate(docs, maxDup3 = 0.2).collect().map(_.getLong(0)).toSeq
+    assert(base == Seq(10L, 14L), base.toString)
+    assert(strict == Seq(10L), strict.toString)
+  }
+
   test("recall@k: identical rankings score 1.0, disjoint score 0.0") {
     val e = Tables(spark, sf0001, "embeddings")
     val q = e.filter($"vec_id" < 5)
