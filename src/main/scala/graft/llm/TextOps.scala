@@ -36,7 +36,7 @@ object TextOps {
   /** Heuristic quality score: unique-token ratio, alphabetic-character
     * ratio, mean token length, stopword ratio — the standard cheap
     * pre-training quality filters. */
-  def quality(docs: DataFrame): DataFrame = {
+  def quality(docs: DataFrame, ordered: Boolean = true): DataFrame = {
     val toks = tokens(col("text"))
     val n = size(toks)
     val stop = typedLit(Seq("the", "a", "and", "of", "to", "in", "is", "it"))
@@ -47,7 +47,7 @@ object TextOps {
     val stopRatio = size(filter(toks, t => array_contains(stop, t)))
       .cast("double") / n
     def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
-    docs.select(
+    val out = docs.select(
       col("doc_id"),
       r4(uniqRatio).as("uniq_ratio"),
       r4(alphaRatio).as("alpha_ratio"),
@@ -58,7 +58,9 @@ object TextOps {
       r4(least(lit(1.0),
         uniqRatio * 0.4 + alphaRatio * 0.4 + least(stopRatio * 4, lit(1.0)) * 0.2))
         .as("quality"))
-      .orderBy("doc_id")
+    // ordered=false keeps the projection streaming-composable (a sort is
+    // illegal in an append-mode stream; the op itself is stateless)
+    if (ordered) out.orderBy("doc_id") else out
   }
 
   private val stopwords: Map[String, Seq[String]] = Map(
@@ -70,7 +72,7 @@ object TextOps {
   /** Stopword/character-class language ID (en/de/es/fr + CJK → zh).
     * Scores = stopword hit-rate per language; CJK characters dominate.
     * Deterministic argmax with 'und' (undetermined) when nothing matches. */
-  def langId(docs: DataFrame): DataFrame = {
+  def langId(docs: DataFrame, ordered: Boolean = true): DataFrame = {
     val toks = tokens(lower(col("text")))
     val nTok = greatest(size(toks), lit(1))
     val hits = stopwords.toSeq.sortBy(_._1).map { case (l, ws) =>
@@ -84,11 +86,11 @@ object TextOps {
     val pick = hits.foldRight(lit("und")) { case ((l, s), acc) =>
       when(s === best && best > 0, l).otherwise(acc)
     }
-    docs.select(
+    val out = docs.select(
       col("doc_id"),
       when(cjkRatio > 0.25, "zh").otherwise(pick).as("pred_lang"),
       (floor(greatest(cjkRatio, best) * 10000 + 0.5) / 10000).as("confidence"))
-      .orderBy("doc_id")
+    if (ordered) out.orderBy("doc_id") else out
   }
 
   /** BPE-ish token count: alpha runs, digit runs, and single punctuation
@@ -166,7 +168,8 @@ object TextOps {
     * costs one scan of the corpus at any scale. Counts are computed on
     * the input text; replacements apply in [[piiPatterns]] order (email
     * before IP so `a@1.2.3.4`-style locals resolve as email). */
-  def piiRedact(docs: DataFrame, textCol: String = "text"): DataFrame = {
+  def piiRedact(docs: DataFrame, textCol: String = "text",
+      ordered: Boolean = true): DataFrame = {
     val redacted = piiPatterns.foldLeft(col(textCol)) {
       case (acc, (_, pat, token)) => regexp_replace(acc, pat, token)
     }
@@ -174,8 +177,8 @@ object TextOps {
       size(regexp_extract_all(col(textCol), lit(pat), lit(0)))
         .cast("long").as(s"n_$name")
     }
-    docs.select(col("doc_id") +: counts :+ redacted.as("redacted"): _*)
-      .orderBy("doc_id")
+    val out = docs.select(col("doc_id") +: counts :+ redacted.as("redacted"): _*)
+    if (ordered) out.orderBy("doc_id") else out
   }
 
   /** End-to-end training-data curation: quality gate ∧ language gate ∧

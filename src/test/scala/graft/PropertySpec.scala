@@ -103,6 +103,22 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("corpus hygiene results are partition-count invariant") {
+    // contamination's distinct + left-join counts and the mix samplers'
+    // hash ranks must not depend on task boundaries
+    val docs = graft.sources.Tables(spark, sf0001, "documents")
+    val rates = Map("en" -> 0.5, "de" -> 0.25, "es" -> 1.0, "zh" -> 0.125)
+    val cBase = graft.llm.CorpusOps.contamination(docs).collect().toSeq
+    val qBase = graft.llm.CorpusOps.mixQuota(docs, "lang", rates).collect().toSeq
+    for (parts <- Seq(2, 11)) {
+      val dp = docs.repartition(parts)
+      assert(graft.llm.CorpusOps.contamination(dp).collect().toSeq == cBase,
+        s"contamination drifted at $parts partitions")
+      assert(graft.llm.CorpusOps.mixQuota(dp, "lang", rates).collect().toSeq == qBase,
+        s"mixQuota drifted at $parts partitions")
+    }
+  }
+
   test("modularity of any partition is in [-1, 1]") {
     forAll(edgeGen) { es =>
       whenever(es.nonEmpty) {

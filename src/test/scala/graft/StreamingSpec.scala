@@ -175,4 +175,41 @@ class StreamingSpec extends AnyFunSuite {
       assert(closed.contains((7L, ms(ts(0)), ms(ts(10)), 2L, 3.0)))
     } finally q.stop()
   }
+
+  test("stateless text operators compose into streams: quality/langid/pii twins") {
+    // a training-data pipeline scores and scrubs documents as they
+    // arrive; the per-row text operators must yield EXACTLY their batch
+    // result when applied to a stream (ordered = false drops only the
+    // output sort, which append mode forbids)
+    implicit val sql = spark.sqlContext
+    import graft.llm.TextOps
+    val rows = Seq(
+      (1L, "the cat sat on the mat and it is a fine day"),
+      (2L, "der hund ist nicht hier und das ist mit zu"),
+      (3L, "mail bob@corp.example.org from 10.0.0.7 now"))
+    val batchDf = rows.toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val streamed = mem.toDF.toDF("doc_id", "text")
+    val quality = TextOps.quality(streamed, ordered = false)
+    val lang = TextOps.langId(streamed, ordered = false)
+    val pii = TextOps.piiRedact(streamed, ordered = false)
+    val qs = Seq(
+      quality.writeStream.format("memory").queryName("tw_q"),
+      lang.writeStream.format("memory").queryName("tw_l"),
+      pii.writeStream.format("memory").queryName("tw_p"))
+      .map(_.outputMode(OutputMode.Append()).start())
+    try {
+      mem.addData(rows: _*)
+      qs.foreach(_.processAllAvailable())
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq.map(String.valueOf)).toSet
+      assert(canon(spark.table("tw_q")) == canon(TextOps.quality(batchDf)))
+      assert(canon(spark.table("tw_l")) == canon(TextOps.langId(batchDf)))
+      assert(canon(spark.table("tw_p")) == canon(TextOps.piiRedact(batchDf)))
+      // the scrub actually fired on the streamed row
+      val red = spark.table("tw_p").filter($"doc_id" === 3L)
+        .head().getString(5)
+      assert(red == "mail <EMAIL> from <IP> now", red)
+    } finally qs.foreach(_.stop())
+  }
 }
