@@ -383,6 +383,18 @@ class LlmSpec extends AnyFunSuite {
     assert(r2.subsetOf(r1))
   }
 
+  test("corpus ops are total on an empty corpus") {
+    import org.apache.spark.sql.functions.lit
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+    assert(TextOps.repetition(empty).count() == 0)
+    assert(TextOps.piiRedact(empty).count() == 0)
+    assert(CorpusOps.contamination(empty).count() == 0)
+    assert(CorpusOps.mixQuota(empty).count() == 0)
+    assert(CorpusOps.mixRate(empty).count() == 0)
+    assert(Dedup.simHashNearDupPairs(empty).count() == 0)
+  }
+
   test("llm oracle-checked queries run nonempty at sf0.001") {
     for ((name, fn) <- LlmQueries.all) {
       val n = fn(spark, sf0001).count()
