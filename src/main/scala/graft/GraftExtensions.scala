@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{DotProduct, EuclideanDistance, SimHashAgg}
+import graft.functions.{DotProduct, EuclideanDistance, ShingleSet, SimHashAgg}
 import graft.plans.TopKJoinStrategy
 
 /** Engine extensions registered through the public
@@ -42,6 +42,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1,
           "graft_simhash_agg takes exactly 1 argument")
         SimHashAgg(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[ShingleSet].getName, "graft_shingles"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "graft_shingles takes exactly 2 arguments")
+        ShingleSet(children.head, children(1))
       }))
     ext.injectPlannerStrategy(_ => TopKJoinStrategy)
   }

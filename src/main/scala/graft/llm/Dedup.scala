@@ -42,10 +42,18 @@ object Dedup {
         i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*))))
 
   /** (doc_id, shingle_set) projection — shared by signature generation and
-    * exact-Jaccard verification. */
+    * exact-Jaccard verification. Resolves to the native
+    * [[graft.functions.ShingleSet]] kernel when the session carries
+    * GraftExtensions (bit-identical output; the declarative HOF chain
+    * interprets a lambda per token and dominated every MinHash-family
+    * query), falling back to the declarative form otherwise. */
   def withShingleSets(docs: DataFrame, shingleSize: Int): DataFrame =
-    docs.select(col("doc_id"),
-      shingles(TextOps.tokens(col("text")), shingleSize).as("shingle_set"))
+    if (docs.sparkSession.catalog.functionExists("graft_shingles"))
+      docs.select(col("doc_id"),
+        expr(s"graft_shingles(text, $shingleSize)").as("shingle_set"))
+    else
+      docs.select(col("doc_id"),
+        shingles(TextOps.tokens(col("text")), shingleSize).as("shingle_set"))
 
   /** MinHash signatures + LSH band-bucket keys via explode + hash-agg:
     * each shingle row is hashed once per seed inside a codegen'd partial

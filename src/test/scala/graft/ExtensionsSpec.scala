@@ -116,4 +116,27 @@ class ExtensionsSpec extends AnyFunSuite {
       "native function not used in extended session")
     assert(out.count() == 9)
   }
+
+  test("graft_shingles is bit-identical to the declarative HOF chain") {
+    import extended.implicits._
+    import graft.llm.{Dedup, TextOps}
+    // edge shapes the kernel must agree on: empty text (one empty token),
+    // single token, runs of spaces (empty tokens preserved), duplicate
+    // shingles (first-occurrence order), shorter-than-n fallback
+    val fixtures = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, ""), (3L, "one"), (4L, "a  b   c"),
+      (5L, "x y z x y z x y z"),
+      (6L, "two words")).toDF("doc_id", "text")
+    val corpus = Tables(extended, TestSpark.sf0001, "documents")
+    for (df <- Seq(fixtures, corpus); n <- Seq(1, 3)) {
+      val native = df.select($"doc_id",
+        expr(s"graft_shingles(text, $n)").as("s")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val decl = df.select($"doc_id",
+        Dedup.shingles(TextOps.tokens($"text"), n).as("s")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      assert(native == decl, s"shingles diverge at n=$n")
+    }
+  }
 }
