@@ -56,8 +56,14 @@ object Supervised {
       .setInputCol("features").setOutputCol("scaled")
       .fit(data)
     val sd = sm.std.toArray.map(s => if (s == 0.0) 1.0 else s)
-    (sm.transform(data).select(col("scaled").as("features"), col("y")),
-      sm.mean.toArray, sd)
+    // persisted: a raw isolated LinearSVC fit on the unpersisted chain
+    // re-derives assembler+scaler from parquet (measured 15.1 -> 8.1 s
+    // at sf0.1 when cached); in-library the fit's internal blockify
+    // already amortizes most of that, so the e2e gain is modest — the
+    // cache mainly spares the logistic summary pass. Callers unpersist
+    // once the fit and its summary are read.
+    (sm.transform(data).select(col("scaled").as("features"), col("y"))
+      .persist(), sm.mean.toArray, sd)
   }
 
   private def linearSummary(coef: Array[Double], intercept: Double,
@@ -91,8 +97,9 @@ object Supervised {
     // the fit already scored the training data: summary.accuracy is the
     // same y == prediction fraction, without re-running the assembler +
     // scaler + model over the corpus twice more
-    linearSummary(m.coefficients.toArray, m.intercept, mu, sd,
-        m.summary.accuracy)
+    val acc = m.summary.accuracy
+    scaled.unpersist(blocking = false)
+    linearSummary(m.coefficients.toArray, m.intercept, mu, sd, acc)
       .toDF("term", "value").orderBy("term")
   }
 
@@ -111,8 +118,9 @@ object Supervised {
       .fit(scaled)
     // same accuracy definition as the former transform+count, computed
     // by the fit's own training summary — saves two corpus passes
-    linearSummary(m.coefficients.toArray, m.intercept, mu, sd,
-        m.summary.accuracy)
+    val acc = m.summary.accuracy
+    scaled.unpersist(blocking = false)
+    linearSummary(m.coefficients.toArray, m.intercept, mu, sd, acc)
       .toDF("term", "value").orderBy("term")
   }
 
