@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.Hints
+
 /** Community detection (SURVEY §2.C C11 Louvain, C21 WCE) — closed-source
   * kernels in the reference (`LouvainRunner.scala:92-99`,
   * `WCERunner.scala:80-84`); re-derived from the published algorithms
@@ -38,23 +40,24 @@ object Community {
     var lvl = 0
     var moving = true
     while (lvl < levels && moving) {
-      val (comm, moved) = localMoves(e, passes)
+      val (comm, moved, v) = localMoves(e, passes)
       moving = moved > 0
       if (moving) {
         // compose: node → old community → new community (comm is one
-        // row per current-level node — broadcast range by construction)
+        // row per current-level node — broadcast while that count is in
+        // range, shuffle join via AQE on a graph too big to replicate)
         mapping = mapping
-          .join(broadcast(comm.withColumnRenamed("node", "community")
-            .withColumnRenamed("new_comm", "next")), Seq("community"))
+          .join(Hints.broadcastIfSmall(comm.withColumnRenamed("node", "community")
+            .withColumnRenamed("new_comm", "next"), v), Seq("community"))
           .select(col("node"), col("next").as("community"))
           .localCheckpoint()
         // coarsen: communities become nodes (skipped entirely once a
         // level stops moving — the coarse graph would be identical)
         e = e
-          .join(broadcast(comm.withColumnRenamed("node", "src")
-            .withColumnRenamed("new_comm", "c_src")), Seq("src"))
-          .join(broadcast(comm.withColumnRenamed("node", "dst")
-            .withColumnRenamed("new_comm", "c_dst")), Seq("dst"))
+          .join(Hints.broadcastIfSmall(comm.withColumnRenamed("node", "src")
+            .withColumnRenamed("new_comm", "c_src"), v), Seq("src"))
+          .join(Hints.broadcastIfSmall(comm.withColumnRenamed("node", "dst")
+            .withColumnRenamed("new_comm", "c_dst"), v), Seq("dst"))
           .groupBy(col("c_src").as("src"), col("c_dst").as("dst"))
           .agg(sum("w").as("w"))
           .localCheckpoint()
@@ -65,10 +68,10 @@ object Community {
   }
 
   /** Synchronous local-move passes on one level; returns
-    * ((node, new_comm), total moves). Passes stop early once a pass
-    * moves nothing — one cheap count on the already-computed best-move
-    * frame per pass, against ~6 shuffles for a wasted pass. */
-  private def localMoves(e: DataFrame, passes: Int): (DataFrame, Long) = {
+    * ((node, new_comm), total moves, node count). Passes stop early once
+    * a pass moves nothing — one cheap count on the already-computed
+    * best-move frame per pass, against ~6 shuffles for a wasted pass. */
+  private def localMoves(e: DataFrame, passes: Int): (DataFrame, Long, Long) = {
     val m2 = e.agg(sum("w")).head().getDouble(0) // = 2m on symmetric view
     // zero-weight self-loops: every node's own community then arrives
     // through the normal per-pass kin aggregate (+0.0 changes no sum),
@@ -91,6 +94,10 @@ object Community {
     var comm = e2.groupBy(col("src").as("node")).agg(sum("w").as("deg"))
       .select(col("node"), col("node").as("comm"), col("deg"))
       .localCheckpoint()
+    // node count of this level — gates the per-pass broadcasts (comm is
+    // 1 row per node, sigma ≤ 1 row per community ≤ v); counted once
+    // off the checkpointed frame
+    val v = comm.count()
     var totalMoves = 0L
     var zeroStreak = 0
     var pass = 0
@@ -100,12 +107,13 @@ object Community {
       // self-loops planted in e2 make this the complete candidate set
       // (neighbor communities plus the node's own)
       val cands = e2
-        .join(broadcast(comm.select(col("node").as("dst"),
-          col("comm").as("cand"))), Seq("dst"))
+        .join(Hints.broadcastIfSmall(comm.select(col("node").as("dst"),
+          col("comm").as("cand")), v), Seq("dst"))
         .groupBy(col("src").as("node"), col("cand"))
         .agg(sum("w").as("kin"),
           max(when(col("dst") === col("src"), col("cand"))).as("selfc"))
-        .join(broadcast(sigma.withColumnRenamed("comm", "cand")), Seq("cand"))
+        .join(Hints.broadcastIfSmall(
+          sigma.withColumnRenamed("comm", "cand"), v), Seq("cand"))
         // per-node degree and current community via an unordered window
         // over the node partition the aggregate already produced —
         // kin sums are integer-valued, so re-summing them is exact
@@ -141,7 +149,7 @@ object Community {
     val out =
       comm.select(col("node"), col("comm").as("new_comm")).localCheckpoint()
     e2.unpersist(blocking = false)
-    (out, totalMoves)
+    (out, totalMoves, v)
   }
 
   /** Weak clique enumeration (C21): per-vertex seed expansion — v's weak

@@ -6,6 +6,8 @@ import org.apache.spark.sql.functions._
 
 import scala.reflect.ClassTag
 
+import graft.core.Hints
+
 /** Custom iterative graph algorithms (SURVEY §2.C C3–C6, C12–C13) —
   * the reference invokes closed-source kernels for these
   * (`WeightedPageRankRunner.scala:115-119`, `TrustRankRunner.scala:105-113`,
@@ -358,13 +360,14 @@ object Iterative {
     // labels carry the node degree, so the community-degree aggregate
     // is a plain groupBy over this 1-row-per-node frame (no deg join).
     // The O(V)-row broadcast of this frame is the replicated-vertex-view
-    // strategy (what GraphX does for vertex attrs); for a graph whose
-    // label frame outgrows broadcast range, fall back to repartitioning
-    // sym by dst and letting AQE plan the label join as SMJ.
+    // strategy (what GraphX does for vertex attrs) — size-gated: past
+    // graft.broadcast.maxRows the hint is dropped and AQE plans the
+    // label join (SMJ/shuffled-hash) from runtime stats.
     var labels = sym.groupBy(col("src").as("node"))
       .agg(sum("weight").as("deg"))
       .select(col("node"), col("node").as("comm"), col("deg"))
       .localCheckpoint()
+    val v = labels.count()
     val byNode =
       org.apache.spark.sql.expressions.Window.partitionBy("node")
     for (i <- 1 to iters) {
@@ -374,13 +377,13 @@ object Iterative {
       // in this single aggregate; the self-loop row also tags its group
       // with the node's CURRENT community (selfc)
       val cand = sym
-        .join(broadcast(labels.select(col("node").as("dst"), col("comm"))),
-          Seq("dst"))
+        .join(Hints.broadcastIfSmall(
+          labels.select(col("node").as("dst"), col("comm")), v), Seq("dst"))
         .groupBy(col("src").as("node"), col("comm"))
         .agg(sum("weight").as("kvc"),
           max(when(col("dst") === col("src"), col("comm"))).as("selfc"))
       val scored = cand
-        .join(broadcast(commDeg), Seq("comm"))
+        .join(Hints.broadcastIfSmall(commDeg, v), Seq("comm"))
         // per-node degree and current community via an unordered window
         // over the node partition the aggregate already produced —
         // kvc sums are integer-valued, so re-summing them is exact

@@ -5,6 +5,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.Hints
+
 /** Node2Vec graph embeddings (SURVEY §2.C C22) — closed-source in the
   * reference (`Node2VecRunner.scala:86-91`, whose signature carries the
   * p/q bias knobs, `:72-73`); re-derived from Grover & Leskovec 2016.
@@ -70,13 +72,18 @@ object Node2Vec {
     * growing path array must never be copied onto every candidate row
     * (deg× duplication through the join and agg was the dominant walk
     * cost: 16 s → 3 s at sf0.1 when the path moved to a post-agg
-    * rejoin). */
-  private def candidates(walkers: DataFrame, ce: DataFrame): DataFrame =
+    * rejoin). The capped adjacency is O(V·maxDegree) rows — broadcast
+    * only while `ceRows` is in range (the zero-exchange walk loop's fast
+    * path); past the gate AQE shuffle-joins it and each step pays the
+    * exchange a billion-vertex graph requires anyway. */
+  private def candidates(walkers: DataFrame, ce: DataFrame,
+      ceRows: Long): DataFrame =
     walkers.select("walk_id", "cur", "prev")
-      .join(broadcast(ce.withColumnRenamed("src", "cur")), Seq("cur"), "left")
+      .join(Hints.broadcastIfSmall(ce.withColumnRenamed("src", "cur"), ceRows),
+        Seq("cur"), "left")
       .withColumnRenamed("dst", "x")
-      .join(broadcast(ce.select(col("src").as("prev"),
-        col("dst").as("x"), lit(1).as("adjf"))), Seq("prev", "x"), "left")
+      .join(Hints.broadcastIfSmall(ce.select(col("src").as("prev"),
+        col("dst").as("x"), lit(1).as("adjf")), ceRows), Seq("prev", "x"), "left")
 
   /** Fold the per-walker pick into ONE aggregate over the candidate
     * frame: the winner arrives via `pickAgg` and dead ends (null pick)
@@ -106,13 +113,14 @@ object Node2Vec {
       walkLength: Int = 6, p: Double = 1.0, q: Double = 1.0,
       maxDegree: Int = 10000): DataFrame = {
     val ce = rankedEdges(edges, maxDegree)
+    val ceRows = ce.count() // cheap: ce is localCheckpoint'd
     var walkers = startWalkers(spark, ce, numWalks)
     val snapshots = Seq.newBuilder[DataFrame]
     snapshots += walkers.select(col("walk_id"), lit(0).as("step"), col("cur"))
     val secondOrder = p != 1.0 || q != 1.0
     var step = 0
     while (step < walkLength) {
-      val cand = candidates(walkers, ce)
+      val cand = candidates(walkers, ce, ceRows)
       // uniform pick: the candidate whose pos the walker hash selects
       val uTarget = pmod(xxhash64(col("walk_id"), lit(step)), col("deg")) + 1
       val uniformPick = min(when(col("pos") === uTarget, col("x")))
@@ -178,6 +186,7 @@ object Node2Vec {
     def shaH(c: Column): Column =
       conv(substring(sha2(c, 256), 1, 15), 16, 10).cast("long")
     val ce = rankedEdges(edges, maxDegree)
+    val ceRows = ce.count() // cheap: ce is localCheckpoint'd
     var walkers = startWalkers(spark, ce, numWalks)
     val snapshots = Seq.newBuilder[DataFrame]
     snapshots += walkers.select(col("walk_id"), lit(0).as("step"), col("cur"))
@@ -189,7 +198,7 @@ object Node2Vec {
       val byWalk = Window.partitionBy("walk_id")
       val u = (pmod(shaH(concat_ws("|", col("walk_id"), lit(step))),
         lit(1000003L)).cast("double") + 1.0) / 1000004.0
-      val cand = candidates(walkers, ce)
+      val cand = candidates(walkers, ce, ceRows)
         .withColumn("wv", w)
         .withColumn("cum", sum(col("wv")).over(byWalk.orderBy("pos")))
         .withColumn("t_draw", u * sum(col("wv")).over(byWalk))

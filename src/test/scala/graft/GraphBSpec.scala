@@ -235,6 +235,47 @@ class GraphBSpec extends AnyFunSuite {
     assert(consistent == Set(List(1L, 2L, 3L)))
   }
 
+  test("broadcast size gate: past the threshold joins plan without broadcast, output unchanged") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeLike
+    def hasBroadcast(p: SparkPlan): Boolean = p match {
+      case a: AdaptiveSparkPlanExec => hasBroadcast(a.executedPlan)
+      case q: QueryStageExec => hasBroadcast(q.plan)
+      case _: BroadcastExchangeLike => true
+      case o => o.children.exists(hasBroadcast)
+    }
+    // reference outputs on the default (broadcast fast) path
+    val sym = twoTriangles.union(
+      twoTriangles.select($"dst".as("src"), $"src".as("dst"), $"weight"))
+    val refLouvain = Community.louvain(spark, twoTriangles).collect().toSeq
+    val refSync = Iterative.louvainSync(spark, twoTriangles, 8).collect().toSeq
+    val refWalks = Node2Vec.walksReplicable(spark, sym, numWalks = 2,
+      walkLength = 5, p = 2.0, q = 0.5).collect().toSeq
+    val prevAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("graft.broadcast.maxRows", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // the gated pattern itself plans a non-broadcast join once tripped
+      val labels = twoTriangles.select($"src".as("dst")).distinct()
+        .withColumn("comm", $"dst")
+      val joined = twoTriangles.join(
+        graft.core.Hints.broadcastIfSmall(labels, labels.count()), Seq("dst"))
+      joined.collect()
+      assert(!hasBroadcast(joined.queryExecution.executedPlan),
+        "gate tripped but a broadcast exchange still planned")
+      // and every gated algorithm produces identical output on the
+      // shuffle-join fallback path
+      assert(Community.louvain(spark, twoTriangles).collect().toSeq == refLouvain)
+      assert(Iterative.louvainSync(spark, twoTriangles, 8).collect().toSeq == refSync)
+      assert(Node2Vec.walksReplicable(spark, sym, numWalks = 2,
+        walkLength = 5, p = 2.0, q = 0.5).collect().toSeq == refWalks)
+    } finally {
+      spark.conf.unset("graft.broadcast.maxRows")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+    }
+  }
+
   test("node2vec biased (p,q) walks: huge p forbids backtracking on a path") {
     // path 1–2–3 (symmetric). With p→∞ the return weight 1/p ≈ 0, so a
     // walker that moved 1→2 must continue to 3 (and 3→2 must reach 1);
