@@ -16,7 +16,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     var errors = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated allowlist for local iteration: time one
+    // query (plus its reruns) without paying for the whole 131-query suite
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None        => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).count()
       catch { case e: Throwable =>
@@ -48,19 +56,17 @@ object Bench {
       "graph_louvain", "graph_betweenness", "graph_subgraph_tri",
       "graph_node2vec", "graph_kcore", "ml_svc", "ml_dbscan",
       "llm_ann_ivf", "llm_ann_native", "llm_embed_dedup",
-      "llm_dedup_groups", "llm_curation", "graph_louvain_sync")
-    // the sub-2s headline queries sit so close to the 2x baseline gate
-    // that one scheduler hiccup breaches it (r3: q11 0.90 s in-suite vs
-    // 0.35-0.43 s steady-state). BASELINE.md documents the variance and
-    // mandates weighting stable queries; for these, report the median of
-    // 3 runs (1 suite pass + 2 re-runs, caches cleared between). The
-    // heavy iterative fits keep their single suite-pass sample, and the
-    // suite total stays the plain single-pass sum.
-    val median3 = Set("q01_scan", "q07_agg", "q11_window_topk",
-      "q20_join5_agg", "ml_kmeans", "ml_knn", "graph_pagerank",
-      "llm_ann_cosine", "llm_ann_ivf", "llm_ann_native")
+      "llm_dedup_groups", "llm_curation", "graph_louvain_sync",
+      "llm_ann_pq", "llm_ann_ivfpq")
+    // Every headline number is the median of 3 runs (1 suite pass + 2
+    // re-runs, caches cleared between). Single samples proved
+    // unadjudicable twice: r4/r5 graph_louvain swung 24 -> 77 s on one
+    // sample while the plan was unchanged — BASELINE.md documents 4x
+    // swings for iterative fits under local[32] contention, and the 2x
+    // gate can't distinguish contention from regression without a
+    // median. The suite total stays the plain single-pass sum.
     val refined = results.map { case (name, t1) =>
-      if (!median3(name) || errors.contains(name)) name -> t1
+      if (!headline(name) || errors.contains(name)) name -> t1
       else {
         val reruns = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
@@ -69,6 +75,7 @@ object Bench {
           spark.catalog.clearCache()
           spark.sparkContext.getPersistentRDDs.values
             .foreach(_.unpersist(blocking = false))
+          System.err.println(f"[bench] $name%-24s $dt%8.3f s (rerun)")
           dt
         }
         name -> (t1 +: reruns).sorted.apply(1)
@@ -82,7 +89,7 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""errors":$errJson,"n_queries":${results.size},"sf":"$sfDir",""" +
-        s""""method":"total=single pass; sub-2s headline queries=median of 3"}"""
+        s""""method":"total=single pass; all headline queries=median of 3"}"""
     // stop FIRST so no executor/log line interleaves with the one
     // machine-read output line
     spark.stop()

@@ -26,10 +26,14 @@ object Hints {
   /** Default cap on rows for a forced broadcast of a per-node frame. */
   val DefaultBroadcastMaxRows: Long = 4L * 1000L * 1000L
 
-  /** Session override: `graft.broadcast.maxRows` (rows). */
+  /** Session override: `graft.broadcast.maxRows` (rows). A non-numeric
+    * value fails fast with a message naming the conf key rather than
+    * surfacing an opaque NumberFormatException from inside an algorithm. */
   def broadcastMaxRows(df: DataFrame): Long =
-    df.sparkSession.conf.getOption("graft.broadcast.maxRows")
-      .map(_.toLong).getOrElse(DefaultBroadcastMaxRows)
+    df.sparkSession.conf.getOption("graft.broadcast.maxRows").map { v =>
+      scala.util.Try(v.trim.toLong).getOrElse(throw new IllegalArgumentException(
+        s"graft.broadcast.maxRows must be a long row count, got '$v'"))
+    }.getOrElse(DefaultBroadcastMaxRows)
 
   /** Broadcast `df` only when `rows` — an upper bound the caller knows
     * (vertex count, capped edge count) — is within range; otherwise

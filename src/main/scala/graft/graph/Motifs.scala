@@ -144,6 +144,26 @@ object Motifs {
       pattern: Seq[(Int, Int)], lessThan: Seq[(Int, Int)] = Nil): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
     require(pattern.nonEmpty)
+    // Bind edges in connected order: every edge after the first must
+    // share a vertex with the already-bound set, otherwise the growth
+    // step would degenerate to an all-pairs crossJoin — ruinous at any
+    // scale. Reordering is semantics-preserving (edge binds commute, and
+    // symmetry constraints apply once both endpoints are bound regardless
+    // of bind order); a genuinely disconnected pattern is rejected.
+    val ordered = {
+      val remaining = scala.collection.mutable.Buffer(pattern.tail: _*)
+      val out = scala.collection.mutable.Buffer(pattern.head)
+      var boundV = Set(pattern.head._1, pattern.head._2)
+      while (remaining.nonEmpty) {
+        val i = remaining.indexWhere { case (f, t) => boundV(f) || boundV(t) }
+        require(i >= 0, s"disconnected pattern: no edge in " +
+          s"${remaining.toList} touches the connected component $boundV")
+        val next = remaining.remove(i)
+        boundV = boundV + next._1 + next._2
+        out += next
+      }
+      out.toSeq
+    }
     def vc(i: Int) = s"v$i"
     var applied = Set.empty[(Int, Int)]
     def constrain(df: DataFrame, have: Set[Int]): DataFrame = {
@@ -152,11 +172,11 @@ object Motifs {
       applied = applied ++ ready
       ready.foldLeft(df) { case (d, (a, b)) => d.filter(col(vc(a)) < col(vc(b))) }
     }
-    val (f0, t0) = pattern.head
+    val (f0, t0) = ordered.head
     var have = Set(f0, t0)
     var bound = constrain(
       e.select(col("src").as(vc(f0)), col("dst").as(vc(t0))), have)
-    for ((f, t) <- pattern.tail) {
+    for ((f, t) <- ordered.tail) {
       val step = e.select(col("src").as(s"_f"), col("dst").as(s"_t"))
       val joined = (have.contains(f), have.contains(t)) match {
         case (true, true) =>
@@ -169,8 +189,9 @@ object Motifs {
           bound.join(step, bound(vc(t)) === step("_t"))
             .withColumn(vc(f), col("_f"))
         case (false, false) =>
-          bound.crossJoin(step)
-            .withColumn(vc(f), col("_f")).withColumn(vc(t), col("_t"))
+          // unreachable: connected ordering guarantees an endpoint is bound
+          throw new IllegalStateException(
+            s"edge ($f,$t) reached the binder with neither endpoint bound")
       }
       have = have + f + t
       bound = constrain(joined.drop("_f", "_t"), have).localCheckpoint()

@@ -33,6 +33,11 @@ object LlmQueries {
           lit("@ex.com ip 10.0.0."), (col("doc_id") % 250).cast("string"),
           lit(" ssn 123-45-6789 tel +1 555-0199"))))),
     "llm_contamination" -> ((s, d) => CorpusOps.contamination(docs(s, d))),
+    // the 100 TB path: xxhash64 join keys instead of n-gram strings.
+    // Hashing only changes the join KEY — absent a 64-bit collision the
+    // output is identical, so the same SQL oracle adjudicates both paths
+    "llm_contamination_hashed" -> ((s, d) =>
+      CorpusOps.contamination(docs(s, d), hashKeys = true)),
     "llm_mix_quota" -> ((s, d) => CorpusOps.mixQuota(docs(s, d), "lang",
       Map("en" -> 0.5, "de" -> 0.25, "es" -> 1.0, "zh" -> 0.125))),
     "llm_mix_rate" -> ((s, d) => CorpusOps.mixRate(docs(s, d), "lang",
@@ -302,6 +307,21 @@ object LlmQueries {
     // each eval doc's distinct 3-grams (the Dedup.shingles short-doc
     // fallback to distinct tokens applies on both sides)
     "llm_contamination" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "s AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN list_distinct(toks) " +
+        "ELSE list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] " +
+        "FOR i IN range(1, len(toks) - 1)]) END AS sh FROM t), " +
+        "tr AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 10 <> 7), " +
+        "ev AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % 10 = 7), " +
+        "j AS (SELECT ev.doc_id, COUNT(*) AS n_ngrams, COUNT(tr.g) AS n_hit " +
+        "FROM ev LEFT JOIN tr ON ev.g = tr.g GROUP BY ev.doc_id) " +
+        "SELECT doc_id, n_ngrams, n_hit, " +
+        "FLOOR(CAST(n_hit AS DOUBLE) / n_ngrams * 10000 + 0.5) / 10000 AS contamination, " +
+        "FLOOR(CAST(n_hit AS DOUBLE) / n_ngrams * 10000 + 0.5) / 10000 >= 0.5 " +
+        "AS contaminated FROM j ORDER BY doc_id"),
+    // hashed-key variant: xxhash64 is join-key-internal, so the string
+    // n-gram SQL is the exact oracle for the hashed plan's output too
+    "llm_contamination_hashed" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
         "s AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN list_distinct(toks) " +
         "ELSE list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] " +

@@ -78,9 +78,14 @@ object MlQueries {
       // exact 5-NN — integer votes / k, so every cell oracle-checks
       val out = knn.Knn.fit(s, e)
         .classifyExact(e.filter(col("vec_id") < 500), k = 5, labels = e)
+      // p_<class> columns derived from the vote output, not hard-coded:
+      // voteResult only emits columns for classes present in the corpus,
+      // so a corpus missing a class must not fail at analysis time
+      val probCols = out.columns.filter(_.startsWith("p_"))
+        .sortBy(_.stripPrefix("p_").toLong)
       out.select(col("query_id") +:
         col("prediction").cast("long").as("prediction") +:
-        (0 to 9).map(c => col(s"p_$c")): _*)
+        probCols.toSeq.map(col): _*)
         .orderBy("query_id")
     }),
     "ml_simrank" -> ((s, d) => {

@@ -25,6 +25,21 @@ import org.apache.spark.sql.functions._
   */
 object Supervised {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** The iteration caps on the SVC fits exist to dodge OWLQN's NaN
+    * line-search thrash on flat hinge gradients — but a cap without a
+    * convergence check silently under-converges on OTHER data. Warn when
+    * a capped fit exhausts its iterations without meeting tol so the
+    * condition is visible instead of silent. */
+  private def warnIfCapped(name: String,
+      totalIterations: Int, maxIter: Int): Unit =
+    if (totalIterations >= maxIter)
+      log.warn(s"$name hit its iteration cap ($maxIter) before the tol " +
+        "convergence criterion; coefficients may be under-converged. The " +
+        "cap avoids OWLQN NaN-thrash on flat hinge gradients — raise " +
+        "maxIter only with data where the gradient stays informative.")
+
   /** lineitem → (features = [quantity, discount, tax], label = extendedprice). */
   def lineitemFeatures(lineitem: DataFrame): DataFrame =
     new VectorAssembler()
@@ -114,8 +129,11 @@ object Supervised {
     // (and thrashes in history resets) once the gradient flattens —
     // observed from iteration ~6 at sf0.1 on any regParam/tol. Five
     // clean iterations land the same near-zero solution 2.5× faster.
-    val m = new LinearSVC().setMaxIter(5).setRegParam(0.1).setLabelCol("y")
-      .fit(scaled)
+    // explicit tol: converging before the cap stops early; exhausting the
+    // cap unconverged is logged rather than silent
+    val m = new LinearSVC().setMaxIter(5).setTol(1e-6).setRegParam(0.1)
+      .setLabelCol("y").fit(scaled)
+    warnIfCapped("LinearSVC(linearSvc)", m.summary.totalIterations, 5)
     // same accuracy definition as the former transform+count, computed
     // by the fit's own training summary — saves two corpus passes
     val acc = m.summary.accuracy
@@ -235,8 +253,10 @@ object Supervised {
     // 20 iterations, not 100: the separable fixture converges to the
     // same coefficient (21.9401 at sf0.1, 4 dp) by iteration 20; past
     // ~25 OWLQN enters benign-but-noisy NaNHistory line-search resets
-    rulePred(new LinearSVC().setMaxIter(20).setRegParam(0.01)
-      .setLabelCol("y").fit(d).transform(d))
+    val m = new LinearSVC().setMaxIter(20).setTol(1e-6).setRegParam(0.01)
+      .setLabelCol("y").fit(d)
+    warnIfCapped("LinearSVC(svcRule)", m.summary.totalIterations, 20)
+    rulePred(m.transform(d))
   }
 
   def decisionTreeRule(spark: SparkSession, embeddings: DataFrame): DataFrame = {

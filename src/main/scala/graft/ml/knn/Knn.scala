@@ -226,6 +226,14 @@ object Knn {
           transform(col("arr"), x => x.getField("dist")).as("distances"))
         .orderBy("query_id")
 
+    /** search with tau auto-estimated from the fitted corpus via the
+      * power-law extrapolation ([[Knn.estimateTau]]) — the no-hand-tuning
+      * entry point: neither exact-everything nor a blind guess. */
+    def searchAuto(queries: DataFrame, k: Int,
+        excludeSelf: Boolean = false): DataFrame =
+      search(queries, k,
+        Knn.estimateTau(spark, corpusWithLeaf, k, vecCol), excludeSelf)
+
     /** Per-leaf corpus row counts — introspection for balance checks. */
     def leafSizes: DataFrame =
       corpusWithLeaf.groupBy("leaf").agg(count(lit(1)).as("n"))

@@ -112,19 +112,60 @@ object Readers {
         transform(split(trim(element_at(col("f"), 2)), "\\s+"),
           s => s.cast("double")).as("features"))
 
+  /** Any serialized vector the reference's object files hold → ml. The
+    * reference writes MLLIB types (`LDARunner.scala:144` reads
+    * `RDD[(Long, mllib.linalg.Vector)]`; `ALSRunner.scala:125` reads
+    * `RDD[mllib.linalg.SparseVector]`), so deserializing straight into
+    * an ml type ClassCastExceptions on genuine reference data. */
+  private def toML(v: Any): org.apache.spark.ml.linalg.Vector = v match {
+    case m: org.apache.spark.ml.linalg.Vector    => m
+    case m: org.apache.spark.mllib.linalg.Vector => m.asML
+    case other => throw new IllegalArgumentException(
+      s"object file holds ${other.getClass.getName}, expected an " +
+        "ml.linalg or mllib.linalg Vector")
+  }
+
   /** Spark object-file compat pair (the reference loads java-serialized
-    * `(id, Vector)` RDDs via `sc.objectFile`: `ALSRunner.scala:125`,
-    * `SimRankRunner.scala:110`; `KMeansRunner.scala:119-124` reads the
-    * Mahout SequenceFile cousin). Kept ONLY so existing object-file
-    * datasets can be ingested — SURVEY §1.4 standardizes on parquet
-    * (java serialization is neither splittable-friendly nor
-    * cross-version stable), so the expected use is
-    * objectVectors → write.parquet once, then parquet thereafter. */
+    * `(id, mllib.Vector)` RDDs via `sc.objectFile`: `LDARunner.scala:144`;
+    * `KMeansRunner.scala:119-124` reads the Mahout SequenceFile cousin).
+    * Accepts both mllib- and ml-typed payloads (converted via `.asML`).
+    * Kept ONLY so existing object-file datasets can be ingested — SURVEY
+    * §1.4 standardizes on parquet (java serialization is neither
+    * splittable-friendly nor cross-version stable), so the expected use
+    * is objectVectors → write.parquet once, then parquet thereafter. */
   def objectVectors(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     spark.sparkContext
-      .objectFile[(Long, org.apache.spark.ml.linalg.Vector)](path)
+      .objectFile[(Long, Any)](path)
+      .map { case (id, v) => (id, toML(v)) }
       .toDF("row", "features")
+  }
+
+  /** Bare per-element vectors with no id (`ALSRunner.scala:125` reads
+    * `RDD[mllib.SparseVector]`) — row ids assigned by element order. */
+  def objectSparseRows(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.objectFile[Any](path)
+      .zipWithIndex()
+      .map { case (v, i) => (i, toML(v)) }
+      .toDF("row", "features")
+  }
+
+  /** Rating triples (`SimRankRunner.scala:110` reads
+    * `RDD[ml.recommendation.ALS.Rating[Int]]`; the mllib
+    * `recommendation.Rating` shape from `ALSRunner.scala:9` also
+    * accepted). */
+  def objectRatings(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.objectFile[Any](path).map {
+      case r: org.apache.spark.ml.recommendation.ALS.Rating[_] =>
+        (r.user.asInstanceOf[Number].intValue,
+          r.item.asInstanceOf[Number].intValue, r.rating.toDouble)
+      case r: org.apache.spark.mllib.recommendation.Rating =>
+        (r.user, r.product, r.rating)
+      case other => throw new IllegalArgumentException(
+        s"object file holds ${other.getClass.getName}, expected a Rating")
+    }.toDF("user", "item", "rating")
   }
 
   /** Writer half of the compat pair — exists to round-trip-test the

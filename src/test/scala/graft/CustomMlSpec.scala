@@ -104,6 +104,26 @@ class CustomMlSpec extends AnyFunSuite {
     assert(byId(15L) == 1.0 && byId(45L) == 0.0)
   }
 
+  test("knn classifier: corpus with gap classes emits only observed p_ columns") {
+    import org.apache.spark.sql.functions.col
+    // labels {0, 2, 5} — classes 1, 3, 4 absent. voteResult must emit
+    // exactly p_0/p_2/p_5, and a consumer deriving the class list from
+    // the output (ml_knn_prob) must not reference a missing p_<c>
+    val pts = ((1 to 20).map(i => (i.toLong, Array(0.0f + i * 0.001f, 0.0f), 0)) ++
+      (21 to 40).map(i => (i.toLong, Array(5.0f + i * 0.001f, 5.0f), 2)) ++
+      (41 to 60).map(i => (i.toLong, Array(0.0f, 9.0f + i * 0.001f), 5)))
+      .toDF("vec_id", "embedding", "label")
+    val out = Knn.fit(spark, pts).classifyExact(pts, k = 3, labels = pts)
+    val probCols = out.columns.filter(_.startsWith("p_")).toSeq
+    assert(probCols.sorted == Seq("p_0", "p_2", "p_5"))
+    // the ml_knn_prob selection pattern over the derived columns works
+    val sel = out.select(col("query_id") +:
+      col("prediction").cast("long").as("prediction") +:
+      probCols.sortBy(_.stripPrefix("p_").toLong).map(col): _*).collect()
+    assert(sel.length == 60)
+    assert(sel.forall(r => Set(0L, 2L, 5L).contains(r.getLong(1))))
+  }
+
   test("simrank: users sharing items are more similar than disjoint users") {
     // users 0,1 rate item 0; user 2 rates item 1 only
     val ratings = Seq((0L, 0L, 1.0), (1L, 0L, 1.0), (2L, 1L, 1.0))

@@ -132,6 +132,21 @@ class GraphBSpec extends AnyFunSuite {
     assert(m.length == 1 && m(0).toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("subgraph matching: out-of-order connected pattern binds, disconnected throws") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L)).map { case (a, b) => (a, b, 1.0) }
+      .toDF("src", "dst", "weight")
+    // edge (2,3) shares nothing with the head edge's {0,1} at its listed
+    // position — the binder must reorder it behind (1,2), not crossJoin
+    val m = Motifs.subgraphMatch(spark, e, Seq((0, 1), (2, 3), (1, 2))).collect()
+    assert(m.length == 1 && m(0).toSeq == Seq(1L, 2L, 3L, 4L))
+    // a genuinely disconnected pattern is rejected up front instead of
+    // silently planning an all-pairs product
+    val err = intercept[IllegalArgumentException] {
+      Motifs.subgraphMatch(spark, e, Seq((0, 1), (2, 3)))
+    }
+    assert(err.getMessage.contains("disconnected pattern"))
+  }
+
   test("walk loop compiles to a plan whose exchange count is step-invariant") {
     // the SCALE.md claim, asserted: each step is a broadcast join + an
     // aggregate that inherits the walker partitioning, so extra steps
@@ -248,10 +263,12 @@ class GraphBSpec extends AnyFunSuite {
     // reference outputs on the default (broadcast fast) path
     val sym = twoTriangles.union(
       twoTriangles.select($"dst".as("src"), $"src".as("dst"), $"weight"))
-    val refLouvain = Community.louvain(spark, twoTriangles).collect().toSeq
-    val refSync = Iterative.louvainSync(spark, twoTriangles, 8).collect().toSeq
+    // sets, not seqs: aggregate row order is not stable across join
+    // strategies, and the assertion is same-contents not same-order
+    val refLouvain = Community.louvain(spark, twoTriangles).collect().toSet
+    val refSync = Iterative.louvainSync(spark, twoTriangles, 8).collect().toSet
     val refWalks = Node2Vec.walksReplicable(spark, sym, numWalks = 2,
-      walkLength = 5, p = 2.0, q = 0.5).collect().toSeq
+      walkLength = 5, p = 2.0, q = 0.5).collect().toSet
     val prevAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("graft.broadcast.maxRows", "0")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -266,14 +283,24 @@ class GraphBSpec extends AnyFunSuite {
         "gate tripped but a broadcast exchange still planned")
       // and every gated algorithm produces identical output on the
       // shuffle-join fallback path
-      assert(Community.louvain(spark, twoTriangles).collect().toSeq == refLouvain)
-      assert(Iterative.louvainSync(spark, twoTriangles, 8).collect().toSeq == refSync)
+      assert(Community.louvain(spark, twoTriangles).collect().toSet == refLouvain)
+      assert(Iterative.louvainSync(spark, twoTriangles, 8).collect().toSet == refSync)
       assert(Node2Vec.walksReplicable(spark, sym, numWalks = 2,
-        walkLength = 5, p = 2.0, q = 0.5).collect().toSeq == refWalks)
+        walkLength = 5, p = 2.0, q = 0.5).collect().toSet == refWalks)
     } finally {
       spark.conf.unset("graft.broadcast.maxRows")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
     }
+  }
+
+  test("broadcast gate conf: non-numeric value fails naming the conf key") {
+    spark.conf.set("graft.broadcast.maxRows", "lots")
+    try {
+      val err = intercept[IllegalArgumentException] {
+        graft.core.Hints.broadcastMaxRows(twoTriangles)
+      }
+      assert(err.getMessage.contains("graft.broadcast.maxRows"))
+    } finally spark.conf.unset("graft.broadcast.maxRows")
   }
 
   test("node2vec biased (p,q) walks: huge p forbids backtracking on a path") {

@@ -94,6 +94,50 @@ class SourcesSpec extends AnyFunSuite {
     assert(back(3L).numNonzeros == 0 && back(3L).size == 5)
   }
 
+  test("object-file vectors: genuine mllib-typed reference files read via asML") {
+    // the reference writes mllib types (LDARunner.scala:144 reads
+    // RDD[(Long, mllib.Vector)]) — write exactly that shape with
+    // saveAsObjectFile and read it back through the compat readers
+    import org.apache.spark.mllib.linalg.{Vectors => MllibVectors}
+    val base = java.nio.file.Files.createTempDirectory("graft-objf-mllib")
+    val pairDir = base.toString + "/pairs"
+    spark.sparkContext.parallelize(Seq(
+      (1L, MllibVectors.sparse(4, Array(1, 2), Array(7.0, -1.5))
+        : org.apache.spark.mllib.linalg.Vector),
+      (2L, MllibVectors.dense(0.5, 0.0, 2.5, 9.0)
+        : org.apache.spark.mllib.linalg.Vector)), 2)
+      .saveAsObjectFile(pairDir)
+    val pairs = Readers.objectVectors(spark, pairDir).collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[org.apache.spark.ml.linalg.Vector](1)).toMap
+    assert(pairs(1L) ==
+      org.apache.spark.ml.linalg.Vectors.sparse(4, Array(1, 2), Array(7.0, -1.5)))
+    assert(pairs(2L) ==
+      org.apache.spark.ml.linalg.Vectors.dense(0.5, 0.0, 2.5, 9.0))
+
+    // ALSRunner.scala:125 shape: bare RDD[mllib.SparseVector], no ids
+    val rowsDir = base.toString + "/rows"
+    spark.sparkContext.parallelize(Seq(
+      new org.apache.spark.mllib.linalg.SparseVector(3, Array(0), Array(4.0)),
+      new org.apache.spark.mllib.linalg.SparseVector(3, Array(2), Array(6.0))), 1)
+      .saveAsObjectFile(rowsDir)
+    val rows = Readers.objectSparseRows(spark, rowsDir).collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[org.apache.spark.ml.linalg.Vector](1)).toMap
+    assert(rows.keySet == Set(0L, 1L))
+    assert(rows(0L)(0) == 4.0 && rows(1L)(2) == 6.0)
+
+    // SimRankRunner.scala:110 shape: RDD[ml ALS.Rating[Int]]
+    val ratingsDir = base.toString + "/ratings"
+    spark.sparkContext.parallelize(Seq(
+      org.apache.spark.ml.recommendation.ALS.Rating(1, 10, 0.5f),
+      org.apache.spark.ml.recommendation.ALS.Rating(2, 20, 1.5f)), 1)
+      .saveAsObjectFile(ratingsDir)
+    val ratings = Readers.objectRatings(spark, ratingsDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(ratings == Set((1, 10, 0.5), (2, 20, 1.5)))
+  }
+
   test("libsvm reader yields label/features") {
     val r = Readers.libsvm(spark, res("train.libsvm"), numFeatures = 4).collect()
     assert(r.length == 2)

@@ -117,6 +117,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("interval-join watermark eviction: state rows removed, batch twin still matches") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Double, Long)]
+    val df = mem.toDF.toDF("event_id", "ts", "event_type", "value", "user_id")
+    val q = EventStreams.intervalJoin(df, df, maxDelayMinutes = 10)
+      .writeStream.format("memory").queryName("ijev")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val early = Seq((1L, ts(0), "click", 1.0, 7L), (2L, ts(5), "buy", 1.0, 7L))
+      mem.addData(early: _*)
+      q.processAllAvailable()
+      // advance event time far past the 20-min watermark + 10-min band so
+      // the t≈0 join state becomes evictable, then run one more batch so
+      // the advanced watermark commits and eviction executes
+      val advance = Seq((3L, ts(240), "click", 1.0, 50L),
+        (4L, ts(245), "buy", 1.0, 50L))
+      mem.addData(advance: _*)
+      q.processAllAvailable()
+      val tail = Seq((5L, ts(250), "click", 1.0, 51L))
+      mem.addData(tail: _*)
+      q.processAllAvailable()
+      // the watermark GENUINELY evicted join state (not merely filtered
+      // late input): the state store reports removed rows
+      assert(q.recentProgress.exists(_.stateOperators.exists(_.numRowsRemoved > 0)),
+        "watermark advanced but no state rows were evicted")
+      // a late arrival inside the evicted horizon can no longer pair
+      // (click 1 @ t=0 is gone), so it must not produce (1 -> 6)
+      mem.addData((6L, ts(8), "buy", 1.0, 7L))
+      q.processAllAvailable()
+      val streamed = spark.table("ijev").groupBy("user_id").count()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      // batch twin over the on-time rows agrees exactly: eviction dropped
+      // ONLY late data, never a valid in-horizon pair
+      val batch = EventStreams.intervalJoinBatch(
+        (early ++ advance ++ tail)
+          .toDF("event_id", "ts", "event_type", "value", "user_id"),
+        maxDelayMinutes = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(batch == Map(7L -> 1L, 50L -> 1L), batch.toString)
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    } finally q.stop()
+  }
+
   test("sessionization closes a session when a gap opens a new one") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[SessionEvent]

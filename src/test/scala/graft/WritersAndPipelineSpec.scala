@@ -63,6 +63,62 @@ class WritersAndPipelineSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS region_copy")
   }
 
+  test("DDL + graph adapter round trip against a Hive (derby) metastore") {
+    // the reference's Hive runners target a REAL metastore
+    // (`PageRankHiveRunner.scala:34` enableHiveSupport, `:59-67` DDL);
+    // the session-catalog test above proves the flow against the
+    // in-memory catalog — this proves the same surface against
+    // HiveExternalCatalog backed by a local derby metastore
+    import org.apache.spark.sql.SparkSession
+    val ms = Files.createTempDirectory("graft-hive")
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val hive = SparkSession.builder()
+        .enableHiveSupport()
+        .config("spark.sql.warehouse.dir", ms.resolve("warehouse").toString)
+        .config("javax.jdo.option.ConnectionURL",
+          s"jdbc:derby:;databaseName=${ms.resolve("metastore_db")};create=true")
+        .getOrCreate()
+      assert(hive.sharedState.externalCatalog.unwrapped.getClass.getName
+        .contains("HiveExternalCatalog"),
+        s"expected a hive-backed catalog, got " +
+          hive.sharedState.externalCatalog.unwrapped.getClass.getName)
+      try {
+        // DDL + insert (A32) lands in the metastore-backed catalog
+        val region = Tables(hive, sf0001, "region")
+        Writers.createAndInsert(hive, region, "region_hive")
+        assert(hive.table("region_hive").count() == region.count())
+        // the graph_adapter round trip: encode the string-keyed graph,
+        // compute degrees, decode, persist the result as a metastore
+        // table and read it back
+        val e = Tables(hive, sf0001, "nation")
+          .join(Tables(hive, sf0001, "region"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_name").as("src"), col("r_name").as("dst"),
+            lit(1.0).as("weight"))
+        val (enc, dict) = graft.graph.GraphSource.encodeStringEdges(hive, e)
+        val deg = graft.graph.Builtins.degrees(hive,
+          graft.graph.GraphSource.toGraph(enc))
+        val decoded = graft.graph.GraphSource.decode(deg, dict, "node")
+          .select(col("node_name").as("name"), col("degree"))
+        Writers.createAndInsert(hive, decoded, "degrees_hive")
+        val back = hive.table("degrees_hive")
+        assert(back.count() == decoded.count() && back.count() > 0)
+        // and the table genuinely lives in the metastore, not the session
+        val meta = hive.sessionState.catalog.externalCatalog
+          .getTable("default", "degrees_hive")
+        assert(meta.provider.isDefined)
+      } finally {
+        hive.sql("DROP TABLE IF EXISTS region_hive")
+        hive.sql("DROP TABLE IF EXISTS degrees_hive")
+      }
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("StringIndexer/VectorIndexer/IndexToString pipeline round trips labels") {
     val data = Tables(spark, sf0001, "embeddings")
       .select(array_to_vector(col("embedding")).as("rawFeatures"),
