@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table loaders for the driver test data
   * (`/root/testdata/sf*`; schemas in FIXTURES.md §1).
@@ -10,11 +10,13 @@ import org.apache.spark.sql.types.LongType
   * Columnar-first by design (SURVEY §1.3): parquet + vectorized reader +
   * whole-stage codegen; filters/projections push into the scan via Catalyst.
   *
-  * `events.ts` is parquet TIMESTAMP(NANOS), which Spark cannot represent as
-  * a timestamp; sessions must set `spark.sql.legacy.parquet.nanosAsLong=true`
-  * and this loader converts the raw nanos to a microsecond timestamp by
-  * truncation — exactly what DuckDB does when it reads TIMESTAMP_NS, so the
-  * oracle sees identical values.
+  * `events.ts` has shipped as parquet TIMESTAMP(NANOS) in some testdata
+  * generations and TIMESTAMP(MICROS, no-UTC-adjust) in others; this loader
+  * normalizes whatever shape arrives to a plain `TimestampType` in the
+  * (UTC) session zone — nanos truncate to micros, exactly what DuckDB does
+  * reading TIMESTAMP_NS, so the oracle sees identical values. Callers keep
+  * setting `spark.sql.legacy.parquet.nanosAsLong=true` so the nanos shape
+  * reads as a raw long instead of failing.
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -27,10 +29,13 @@ object Tables {
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" &&
-        df.schema.fields.exists(f => f.name == "ts" && f.dataType == LongType))
-      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else df
+    if (name == "events") df.schema("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) read under nanosAsLong
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => // TIMESTAMP(MICROS, isAdjustedToUTC=false)
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    } else df
   }
 
   /** Register every table as a temp view named after the table. */
