@@ -176,6 +176,30 @@ object Readers {
       .map(r => (r.getLong(0), r.getAs[org.apache.spark.ml.linalg.Vector](1)))
       .saveAsObjectFile(path)
 
+  /** Mahout SequenceFile vectors — the reference's KMeans input
+    * (`KMeansRunner.scala:119-124` reads
+    * `sc.sequenceFile[LongWritable, VectorWritable]`). The Mahout jar is
+    * not a dependency: [[MahoutVectorWritable]] implements the published
+    * Apache Mahout `VectorWritable` wire format and is aliased to the
+    * Mahout class name (which SequenceFile headers carry) through
+    * Hadoop's `WritableName` registry. [[MahoutSequenceFileInputFormat]]
+    * performs that registration inside `getRecordReader`, i.e. in
+    * whichever JVM actually opens the file — executor-safe on a real
+    * cluster, where a driver-side static registration would never reach
+    * the task JVMs. Returns (row, features: array<double>). */
+  def mahoutVectors(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.hadoopFile(path,
+        classOf[MahoutSequenceFileInputFormat],
+        classOf[org.apache.hadoop.io.LongWritable],
+        classOf[MahoutVectorWritable])
+      // Hadoop reuses Writable instances across records, but readFields
+      // REPLACES the values array each record, so extracting the
+      // reference here (before any shuffle/collect) is reuse-safe
+      .map { case (k, v) => (k.get, v.values) }
+      .toDF("row", "features")
+  }
+
   /** `id\tv1,v2,…` KNN rows; id < testNum marks a query row
     * (`KNNRunner.scala:146-156`). */
   def knnTsv(spark: SparkSession, path: String, testNum: Long): DataFrame =
@@ -185,4 +209,96 @@ object Readers {
         transform(split(element_at(col("f"), 2), ","), s => s.cast("float"))
           .as("embedding"))
       .withColumn("is_query", col("id") < testNum)
+}
+
+/** Wire-format stand-in for Apache Mahout's `VectorWritable` (public
+  * format: one flags byte — dense 0x1 / sequential 0x2 / named 0x4 /
+  * lax-precision 0x8 — an unsigned LSB-first varint size, then either
+  * `size` doubles (floats when lax) for dense, or a varint nnz followed
+  * by (index varint, value) pairs with delta-coded indices when
+  * sequential; a flagged trailing name string is ignored). `write` emits
+  * the dense non-lax shape, so files we produce are readable by genuine
+  * Mahout consumers too. */
+class MahoutVectorWritable extends org.apache.hadoop.io.Writable {
+  var values: Array[Double] = Array.emptyDoubleArray
+
+  /** Mahout Varint.readUnsignedVarInt: LSB-first 7-bit groups, high bit
+    * continues. */
+  private def readVarInt(in: java.io.DataInput): Int = {
+    var v = 0; var shift = 0; var b = 0x80
+    while ((b & 0x80) != 0) {
+      b = in.readUnsignedByte()
+      v |= (b & 0x7F) << shift
+      shift += 7
+    }
+    v
+  }
+
+  private def writeVarInt(out: java.io.DataOutput, value0: Int): Unit = {
+    var value = value0
+    while ((value & 0xFFFFFF80) != 0) {
+      out.writeByte((value & 0x7F) | 0x80); value >>>= 7
+    }
+    out.writeByte(value & 0x7F)
+  }
+
+  override def readFields(in: java.io.DataInput): Unit = {
+    val flags = in.readByte()
+    val lax = (flags & 0x08) != 0
+    def value(): Double = if (lax) in.readFloat().toDouble else in.readDouble()
+    val size = readVarInt(in)
+    val arr = new Array[Double](size)
+    if ((flags & 0x01) != 0) { // dense
+      var i = 0
+      while (i < size) { arr(i) = value(); i += 1 }
+    } else {
+      val nnz = readVarInt(in)
+      val sequential = (flags & 0x02) != 0
+      var last = 0
+      var i = 0
+      while (i < nnz) {
+        val idx =
+          if (sequential) { last += readVarInt(in); last }
+          else readVarInt(in)
+        arr(idx) = value()
+        i += 1
+      }
+    }
+    // a FLAG_NAMED (0x4) vector carries a trailing writeUTF name — nothing
+    // after the values matters to the numeric payload, so don't read it
+    values = arr
+  }
+
+  override def write(out: java.io.DataOutput): Unit = {
+    out.writeByte(0x01 | 0x02) // dense + sequential, full precision
+    writeVarInt(out, values.length)
+    values.foreach(out.writeDouble)
+  }
+}
+
+object MahoutVectorWritable {
+  /** Alias this class to the name Mahout-written SequenceFile headers
+    * declare. Hadoop's `WritableName` registry is JVM-static, so this
+    * must run in the JVM that opens the reader — see
+    * [[MahoutSequenceFileInputFormat]]. Idempotent. */
+  def register(): Unit = org.apache.hadoop.io.WritableName.setName(
+    classOf[MahoutVectorWritable], "org.apache.mahout.math.VectorWritable")
+}
+
+/** SequenceFileInputFormat that registers the [[MahoutVectorWritable]]
+  * name alias at `getRecordReader` time — the one hook guaranteed to run
+  * in every JVM (driver or executor) before `SequenceFile.Reader.init`
+  * resolves the header's value-class name. */
+class MahoutSequenceFileInputFormat
+    extends org.apache.hadoop.mapred.SequenceFileInputFormat[
+      org.apache.hadoop.io.LongWritable, MahoutVectorWritable] {
+  override def getRecordReader(
+      split: org.apache.hadoop.mapred.InputSplit,
+      job: org.apache.hadoop.mapred.JobConf,
+      reporter: org.apache.hadoop.mapred.Reporter)
+      : org.apache.hadoop.mapred.RecordReader[
+        org.apache.hadoop.io.LongWritable, MahoutVectorWritable] = {
+    MahoutVectorWritable.register()
+    super.getRecordReader(split, job, reporter)
+  }
 }

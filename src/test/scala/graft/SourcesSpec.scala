@@ -146,4 +146,80 @@ class SourcesSpec extends AnyFunSuite {
     assert(byLabel(1.0).toArray.toSeq == Seq(0.5, 0.0, 1.5, 0.0))
     assert(byLabel(0.0).toArray.toSeq == Seq(0.0, 2.0, 0.0, 0.0))
   }
+
+  test("mahout sequence-file vectors decode without the mahout jar") {
+    // Build a genuine uncompressed Hadoop SequenceFile BY HAND, with the
+    // header declaring org.apache.mahout.math.VectorWritable — the class
+    // is NOT on the classpath, which is the whole point: the raw-binary
+    // reader must decode the published wire format, not deserialize.
+    import java.io.{ByteArrayOutputStream, DataOutputStream}
+    def varint(out: DataOutputStream, value0: Int): Unit = {
+      var value = value0
+      while ((value & 0xFFFFFF80) != 0) {
+        out.writeByte((value & 0x7F) | 0x80); value >>>= 7
+      }
+      out.writeByte(value & 0x7F)
+    }
+    // Hadoop Text.writeString: WritableUtils vint length + UTF-8 bytes
+    // (class names are < 112 chars, so the vint is the single length byte)
+    def hstring(out: DataOutputStream, s: String): Unit = {
+      val b = s.getBytes("UTF-8"); out.writeByte(b.length); out.write(b)
+    }
+    def denseVec(lax: Boolean, named: Boolean, vs: Double*): Array[Byte] = {
+      val bo = new ByteArrayOutputStream(); val o = new DataOutputStream(bo)
+      o.writeByte(0x01 | 0x02 | (if (named) 0x04 else 0) |
+        (if (lax) 0x08 else 0))
+      varint(o, vs.length)
+      vs.foreach(v => if (lax) o.writeFloat(v.toFloat) else o.writeDouble(v))
+      if (named) o.writeUTF("a name the decoder must not trip on")
+      bo.toByteArray
+    }
+    def sparseVec(sequential: Boolean, size: Int,
+        cells: Seq[(Int, Double)]): Array[Byte] = {
+      val bo = new ByteArrayOutputStream(); val o = new DataOutputStream(bo)
+      o.writeByte(if (sequential) 0x02 else 0x00)
+      varint(o, size)
+      varint(o, cells.length)
+      var last = 0
+      cells.foreach { case (idx, v) =>
+        varint(o, if (sequential) { val d = idx - last; last = idx; d }
+          else idx)
+        o.writeDouble(v)
+      }
+      bo.toByteArray
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-mahout")
+    val file = dir.resolve("part-00000").toFile
+    val out = new DataOutputStream(new java.io.FileOutputStream(file))
+    out.write("SEQ".getBytes("UTF-8")); out.writeByte(6) // version-6 header
+    hstring(out, "org.apache.hadoop.io.LongWritable")
+    hstring(out, "org.apache.mahout.math.VectorWritable")
+    out.writeBoolean(false); out.writeBoolean(false) // no (block) compression
+    out.writeInt(0) // empty metadata
+    val sync = Array.tabulate[Byte](16)(i => (i * 17 + 3).toByte)
+    out.write(sync)
+    // size 400 and index 350 force multi-byte varints in both the size
+    // and the sequential-delta position
+    val records = Seq(
+      1L -> denseVec(lax = false, named = false, 1.5, -2.25, 3.0),
+      2L -> sparseVec(sequential = true, 400, Seq(5 -> 7.5, 350 -> -4.0)),
+      3L -> sparseVec(sequential = false, 6, Seq(4 -> 9.0, 1 -> 0.5)),
+      4L -> denseVec(lax = true, named = true, 0.5, 8.25))
+    records.foreach { case (id, value) =>
+      val key = java.nio.ByteBuffer.allocate(8).putLong(id).array()
+      out.writeInt(key.length + value.length)
+      out.writeInt(key.length)
+      out.write(key); out.write(value)
+    }
+    out.close()
+
+    val got = Readers.mahoutVectors(spark, file.toString).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    assert(got(1L) == Seq(1.5, -2.25, 3.0))
+    assert(got(2L).length == 400 && got(2L)(5) == 7.5 &&
+      got(2L)(350) == -4.0 && got(2L).count(_ != 0.0) == 2)
+    assert(got(3L) == Seq(0.0, 0.5, 0.0, 0.0, 9.0, 0.0))
+    assert(got(4L) == Seq(0.5, 8.25)) // lax floats widen exactly
+  }
 }
