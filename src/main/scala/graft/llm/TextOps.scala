@@ -19,6 +19,10 @@ object TextOps {
   /** Whitespace tokens of a text column. */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** 4-decimal floor-rounding — the cross-engine-canonical form the
+    * DuckDB oracles replicate exactly (Spark ROUND ≠ DuckDB ROUND). */
+  private def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
+
   /** Deterministic per-document stats. The token count is defined by the
     * single-space formula (len - len(no-spaces) + 1) so the SQL oracle can
     * reproduce it with pure string functions in any dialect. */
@@ -36,7 +40,10 @@ object TextOps {
   /** Heuristic quality score: unique-token ratio, alphabetic-character
     * ratio, mean token length, stopword ratio — the standard cheap
     * pre-training quality filters. */
-  def quality(docs: DataFrame, ordered: Boolean = true): DataFrame = {
+  /** (uniqRatio, alphaRatio, meanTokenLen, stopwordRatio) expression
+    * pack over an unresolved `text` column — shared by [[quality]] and
+    * the single-scan [[curate]] projection. */
+  private def qualityParts: (Column, Column, Column, Column) = {
     val toks = tokens(col("text"))
     val n = size(toks)
     val stop = typedLit(Seq("the", "a", "and", "of", "to", "in", "is", "it"))
@@ -46,7 +53,19 @@ object TextOps {
     val meanLen = (length(col("text")) - (n - 1)).cast("double") / n
     val stopRatio = size(filter(toks, t => array_contains(stop, t)))
       .cast("double") / n
-    def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
+    (uniqRatio, alphaRatio, meanLen, stopRatio)
+  }
+
+  /** The blended quality score in [0,1], rounded — identical to the
+    * `quality` column of [[quality]]. */
+  private[llm] def qualityScoreExpr: Column = {
+    val (uniqRatio, alphaRatio, _, stopRatio) = qualityParts
+    r4(least(lit(1.0),
+      uniqRatio * 0.4 + alphaRatio * 0.4 + least(stopRatio * 4, lit(1.0)) * 0.2))
+  }
+
+  def quality(docs: DataFrame, ordered: Boolean = true): DataFrame = {
+    val (uniqRatio, alphaRatio, meanLen, stopRatio) = qualityParts
     val out = docs.select(
       col("doc_id"),
       r4(uniqRatio).as("uniq_ratio"),
@@ -55,9 +74,7 @@ object TextOps {
       r4(stopRatio).as("stopword_ratio"),
       // quality = blended score in [0,1]: penalize dup-heavy or
       // non-alphabetic or stopword-free (keyword-spam-like) text.
-      r4(least(lit(1.0),
-        uniqRatio * 0.4 + alphaRatio * 0.4 + least(stopRatio * 4, lit(1.0)) * 0.2))
-        .as("quality"))
+      qualityScoreExpr.as("quality"))
     // ordered=false keeps the projection streaming-composable (a sort is
     // illegal in an append-mode stream; the op itself is stateless)
     if (ordered) out.orderBy("doc_id") else out
@@ -72,7 +89,9 @@ object TextOps {
   /** Stopword/character-class language ID (en/de/es/fr + CJK → zh).
     * Scores = stopword hit-rate per language; CJK characters dominate.
     * Deterministic argmax with 'und' (undetermined) when nothing matches. */
-  def langId(docs: DataFrame, ordered: Boolean = true): DataFrame = {
+  /** (pred_lang, confidence) expression pair over an unresolved `text`
+    * column — shared by [[langId]] and the single-scan [[curate]]. */
+  private[llm] def langIdExprs: (Column, Column) = {
     val toks = tokens(lower(col("text")))
     val nTok = greatest(size(toks), lit(1))
     val hits = stopwords.toSeq.sortBy(_._1).map { case (l, ws) =>
@@ -86,10 +105,14 @@ object TextOps {
     val pick = hits.foldRight(lit("und")) { case ((l, s), acc) =>
       when(s === best && best > 0, l).otherwise(acc)
     }
+    (when(cjkRatio > 0.25, "zh").otherwise(pick),
+      r4(greatest(cjkRatio, best)))
+  }
+
+  def langId(docs: DataFrame, ordered: Boolean = true): DataFrame = {
+    val (predLang, confidence) = langIdExprs
     val out = docs.select(
-      col("doc_id"),
-      when(cjkRatio > 0.25, "zh").otherwise(pick).as("pred_lang"),
-      (floor(greatest(cjkRatio, best) * 10000 + 0.5) / 10000).as("confidence"))
+      col("doc_id"), predLang.as("pred_lang"), confidence.as("confidence"))
     if (ordered) out.orderBy("doc_id") else out
   }
 
@@ -131,14 +154,21 @@ object TextOps {
     * are mostly repeats of each other is boilerplate or spam. Pure
     * per-row codegen'd HOFs: no shuffle, embarrassingly parallel at any
     * scale. */
+  /** `1 - distinct/total` duplicate fraction of an array, 0 when empty. */
+  private def dupRatio(arr: Column): Column = {
+    val total = size(arr)
+    when(total <= 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(arr)).cast("double") / total)
+  }
+
+  /** Rounded duplicate-3-gram fraction — identical to the
+    * `dup_3gram_ratio` column of [[repetition]]; shared with the
+    * single-scan [[curate]]. */
+  private[llm] def dup3RatioExpr: Column =
+    r4(dupRatio(gramsAll(tokens(col("text")), 3)))
+
   def repetition(docs: DataFrame, flagThreshold: Double = 0.5): DataFrame = {
     val toks = tokens(col("text"))
-    def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
-    def dupRatio(arr: Column) = {
-      val total = size(arr)
-      when(total <= 0, lit(0.0)).otherwise(
-        lit(1.0) - size(array_distinct(arr)).cast("double") / total)
-    }
     val dupTok = dupRatio(toks)
     val dup2 = dupRatio(gramsAll(toks, 2))
     val dup3 = dupRatio(gramsAll(toks, 3))
@@ -191,21 +221,22 @@ object TextOps {
   def curate(docs: DataFrame, minQuality: Double = 0.5,
       lang: String = "en", shingleSize: Int = 3,
       threshold: Double = 0.5, maxDup3: Double = 1.0): DataFrame = {
-    val q = quality(docs).select("doc_id", "quality")
-    val l = langId(docs).select("doc_id", "pred_lang")
-    val g = Dedup.dedupGroups(docs, shingleSize, threshold)
-    val base = q.join(l, Seq("doc_id"))
-      .join(g, Seq("doc_id"), "left")
+    // every non-dedup gate is a pure per-row expression, so they share
+    // ONE corpus scan (at 100 TB, the former operator-per-scan + join
+    // composition read the corpus up to 4x and shuffled it for each
+    // doc_id equi-join); the expressions are the operators' own
+    // (qualityScoreExpr / langIdExprs / dup3RatioExpr), so the outputs —
+    // and the composed-CTE oracle — are unchanged
+    val perRow = docs.select(col("doc_id"),
+        qualityScoreExpr.as("quality"), langIdExprs._1.as("pred_lang"),
+        dup3RatioExpr.as("dup_3gram_ratio"))
       .filter(col("quality") >= minQuality && col("pred_lang") === lang &&
-        (col("keep_id").isNull || col("keep_id") === col("doc_id")))
-    // strict mode adds the boilerplate gate ([[repetition]]'s rounded
-    // dup_3gram_ratio) — one more id-equi-join over a verified,
-    // shuffle-free operator; the default keeps the plan untouched
-    val gated =
-      if (maxDup3 >= 1.0) base
-      else base.join(repetition(docs)
-          .select(col("doc_id"), col("dup_3gram_ratio")), Seq("doc_id"))
-        .filter(col("dup_3gram_ratio") <= maxDup3)
-    gated.select("doc_id", "quality", "pred_lang").orderBy("doc_id")
+        (if (maxDup3 >= 1.0) lit(true) else col("dup_3gram_ratio") <= maxDup3))
+    // the one remaining join: the dedup keep-decision genuinely needs its
+    // own (minhash-banded) pipeline; survivors-only on the probe side
+    perRow.join(Dedup.dedupGroups(docs, shingleSize, threshold),
+        Seq("doc_id"), "left")
+      .filter(col("keep_id").isNull || col("keep_id") === col("doc_id"))
+      .select("doc_id", "quality", "pred_lang").orderBy("doc_id")
   }
 }
