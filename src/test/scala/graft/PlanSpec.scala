@@ -137,4 +137,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       p.contains("BroadcastHashJoin"), p.take(3000))
   }
+
+  test("strict curation reads the corpus once for all per-row gates") {
+    val docs = Tables(spark, sf0001, "documents")
+    val df = graft.llm.TextOps.curate(docs, maxDup3 = 0.01)
+    // quality + langId + dup3 gates are one projection over one scan; the
+    // dedup keep-decision side materializes through localCheckpoint
+    // (LogicalRDD), so a second "Scan parquet" in the plan means a gate
+    // regressed to its own corpus read
+    val scans = plan(df).linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected 1 parquet scan, got $scans")
+  }
 }
