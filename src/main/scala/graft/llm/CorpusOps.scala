@@ -59,6 +59,62 @@ object CorpusOps {
   private def sampleKey(salt: String) =
     md5(concat(col("doc_id").cast("string"), lit(salt)))
 
+  /** Deterministic hash sharding for training export — the write-side
+    * counterpart of [[mixRate]]'s read-side sampling: shard ∈
+    * [0, nShards), assigned by hash so shards are balanced regardless of
+    * id layout, stable across runs, and independent of partitioning.
+    *
+    * Stock path keys on full-width xxhash64 (the 100 TB path);
+    * `replicable = true` derives the shard from the first two hex chars
+    * of the md5 sampling key (0..255, folded mod nShards — balanced to
+    * ±1/256) so any engine replays the assignment exactly. Pure per-row
+    * projection: no shuffle, no state. */
+  /** The shard-assignment expression shared by [[shard]] and [[pack]]
+    * (pack inlines it rather than joining, so packing stays one scan). */
+  private def shardExpr(nShards: Int, replicable: Boolean,
+      salt: String): org.apache.spark.sql.Column =
+    if (replicable) {
+      // position of each hex char in the digit alphabet = its value
+      val d1 = instr(lit("0123456789abcdef"),
+        substring(sampleKey(salt), 1, 1)) - 1
+      val d2 = instr(lit("0123456789abcdef"),
+        substring(sampleKey(salt), 2, 1)) - 1
+      ((d1 * 16 + d2) % nShards).cast("long")
+    } else pmod(xxhash64(concat(col("doc_id").cast("string"), lit(salt))),
+      lit(nShards)).cast("long")
+
+  def shard(docs: DataFrame, nShards: Int = 8,
+      replicable: Boolean = false, salt: String = "#shard"): DataFrame =
+    docs.select(col("doc_id"),
+      shardExpr(nShards, replicable, salt).as("shard")).orderBy("doc_id")
+
+  /** Greedy-by-order sequence packing for training export: within each
+    * shard, docs in doc_id order pack into sequences of ~`budget` tokens;
+    * `seq_id = floor(tokens_before / budget)`. A doc may straddle a
+    * boundary by less than its own length (bounded overflow), which keeps
+    * packing a pure window over the shard partition instead of a
+    * sequential reset loop — the property that makes it distributable:
+    * each shard's window sorts locally after one hash exchange on
+    * `shard`, and shards are independent, so the 100 TB plan is
+    * exchange + per-partition sort, never a global single-partition
+    * window. Token counts use the single-space formula from
+    * [[TextOps.stats]] so the oracle replays them with pure string
+    * functions. */
+  def pack(docs: DataFrame, budget: Int = 2048, nShards: Int = 8,
+      replicable: Boolean = false, salt: String = "#shard"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nWs = length(col("text")) - length(regexp_replace(col("text"), " ", ""))
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col("doc_id"),
+        shardExpr(nShards, replicable, salt).as("shard"),
+        (nWs + 1).cast("long").as("n_tokens"))
+      .withColumn("seq_id",
+        floor(coalesce(sum("n_tokens").over(w), lit(0L)) / budget.toDouble)
+          .cast("long"))
+      .orderBy("doc_id")
+  }
+
   /** Exact-quota stratified mixing sample: per stratum (language, source,
     * …) keep exactly `ceil(stratum_count × rate)` docs, chosen by
     * deterministic hash order — the "data mixing" step that reweights a

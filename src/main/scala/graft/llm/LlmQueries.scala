@@ -42,6 +42,17 @@ object LlmQueries {
       Map("en" -> 0.5, "de" -> 0.25, "es" -> 1.0, "zh" -> 0.125))),
     "llm_mix_rate" -> ((s, d) => CorpusOps.mixRate(docs(s, d), "lang",
       Map("en" -> 0.5, "de" -> 0.25, "es" -> 1.0, "zh" -> 0.125))),
+    // training-export stage: deterministic sharding, in-shard sequence
+    // packing, and context-window chunking (replicable hash paths so the
+    // oracle replays shard and seq assignment exactly; the stock
+    // xxhash64 shard path is covered by LlmSpec invariants)
+    "llm_shard" -> ((s, d) =>
+      CorpusOps.shard(docs(s, d), nShards = 8, replicable = true)),
+    "llm_pack" -> ((s, d) =>
+      CorpusOps.pack(docs(s, d), budget = 2048, nShards = 8,
+        replicable = true)),
+    "llm_chunk" -> ((s, d) =>
+      TextOps.chunk(docs(s, d), window = 32, overlap = 8)),
     "llm_dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))),
     "llm_dedup_minhash" -> ((s, d) =>
       // signature/bands serialized at the query boundary (the driver's
@@ -354,6 +365,36 @@ object LlmQueries {
         "CASE lang WHEN 'en' THEN '80000000' WHEN 'de' THEN '40000000' " +
         "WHEN 'es' THEN 'g' WHEN 'zh' THEN '20000000' ELSE '80000000' END " +
         "ORDER BY doc_id"),
+    // shard value = first two hex chars of the md5 sampling key (strpos
+    // in the digit alphabet = hex value), folded mod 8 — byte-identical
+    // to the Spark replicable path
+    "llm_shard" ->
+      ("SELECT doc_id, " +
+        "CAST(((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || '#shard'), 1, 1)) - 1) * 16 " +
+        "+ (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || '#shard'), 2, 1)) - 1)) AS BIGINT) % 8 " +
+        "AS shard FROM documents ORDER BY doc_id"),
+    // seq_id = floor(tokens-before-this-doc / budget) within the shard,
+    // doc_id order; token count is the single-space formula of llm_stats
+    "llm_pack" ->
+      ("WITH s AS (SELECT doc_id, " +
+        "CAST(((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || '#shard'), 1, 1)) - 1) * 16 " +
+        "+ (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || '#shard'), 2, 1)) - 1)) AS BIGINT) % 8 AS shard, " +
+        "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens FROM documents) " +
+        "SELECT doc_id, shard, n_tokens, " +
+        "CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0) AS BIGINT) AS seq_id " +
+        "FROM s ORDER BY doc_id"),
+    // window=32 overlap=8 => stride 24; chunk list built per doc and
+    // unnested, exactly the Spark transform+posexplode
+    "llm_chunk" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "p AS (SELECT doc_id, toks, GREATEST(1, CAST(CEIL((len(toks) - 32) / 24.0) AS BIGINT) + 1) AS nc FROM t), " +
+        "c AS (SELECT doc_id, unnest([{'chunk_id': i, 'chunk_text': " +
+        "array_to_string(list_slice(toks, i*24 + 1, i*24 + 32), ' ')} " +
+        "FOR i IN range(0, nc)], recursive := true) FROM p) " +
+        "SELECT doc_id, chunk_id, chunk_text, " +
+        "CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS n_chunk_tokens " +
+        "FROM c ORDER BY doc_id, chunk_id"),
     "llm_token_count" ->
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens, " +
         "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) " +

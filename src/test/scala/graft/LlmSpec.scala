@@ -249,6 +249,56 @@ class LlmSpec extends AnyFunSuite {
     assert(strict == Seq(10L), strict.toString)
   }
 
+  test("shard: stable, in-range, and balanced on both hash paths") {
+    val docs = Tables(spark, sf0001, "documents")
+    for (replicable <- Seq(false, true)) {
+      val a = CorpusOps.shard(docs, nShards = 8, replicable = replicable)
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      val b = CorpusOps.shard(docs, nShards = 8, replicable = replicable)
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      assert(a.sameElements(b)) // deterministic across runs
+      assert(a.forall { case (_, s) => s >= 0 && s < 8 })
+      val counts = a.groupBy(_._2).values.map(_.length)
+      // hash balance: no shard more than 3x the ideal eighth
+      assert(counts.max <= a.length * 3 / 8, counts.toSeq.sorted)
+    }
+  }
+
+  test("pack: seq_id is the floor-cumsum of in-shard tokens before the doc") {
+    val docs = Tables(spark, sf0001, "documents")
+    val rows = CorpusOps.pack(docs, budget = 500, nShards = 4,
+      replicable = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows.groupBy(_._2).values.foreach { shardRows =>
+      var cum = 0L
+      shardRows.sortBy(_._1).foreach { case (_, _, n, seqId) =>
+        assert(seqId == cum / 500, s"cum=$cum seq=$seqId")
+        cum += n
+      }
+    }
+    // budget respected up to the documented bounded overflow: tokens
+    // BEFORE each doc stay inside its sequence's budget window
+    assert(rows.nonEmpty && rows.map(_._4).max >= 1)
+  }
+
+  test("chunk: windows advance by stride, short docs are one chunk, " +
+      "overlap reconstructs the doc") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b")).toDF("doc_id", "text")
+    val r = TextOps.chunk(docs, window = 4, overlap = 1).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2), x.getLong(3)))
+    val d1 = r.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(_._3).toSeq == Seq(
+      "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))
+    assert(d1.map(_._4).toSeq == Seq(4L, 4L, 4L))
+    // overlap=1: dropping each successor's first token rebuilds the doc
+    val rebuilt = (d1.head._3 +: d1.tail.map(_._3.split(" ").drop(1)
+      .mkString(" "))).mkString(" ")
+    assert(rebuilt == (1 to 10).map(i => s"t$i").mkString(" "))
+    assert(r.filter(_._1 == 2L).map(_._3).toSeq == Seq("a b"))
+  }
+
   test("recall@k: identical rankings score 1.0, disjoint score 0.0") {
     val e = Tables(spark, sf0001, "embeddings")
     val q = e.filter($"vec_id" < 5)
