@@ -45,6 +45,18 @@ object Writers {
     df.write.mode(SaveMode.Append).insertInto(table)
   }
 
+  /** Sharded training-export write: one directory per shard
+    * (`shard=N/`), each written by its own tasks after one hash exchange
+    * on the shard column — the physical counterpart of
+    * `llm/CorpusOps.shard`. Downstream trainers read a shard as a unit;
+    * `repartition` on the shard key keeps every task writing exactly one
+    * shard directory instead of every task appending to every shard
+    * (files-per-shard = tasks-per-shard, not tasks × shards). */
+  def sharded(df: DataFrame, path: String,
+      shardCol: String = "shard"): Unit =
+    df.repartition(col(shardCol))
+      .write.mode(SaveMode.Overwrite).partitionBy(shardCol).parquet(path)
+
   /** Bucketed managed table (A21/A22 at rest): rows are hash-bucketed
     * by `keys` at write time, so equi-joins and aggregations on those
     * keys between co-bucketed tables plan WITHOUT a shuffle — the

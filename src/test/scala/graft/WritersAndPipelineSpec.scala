@@ -35,6 +35,28 @@ class WritersAndPipelineSpec extends AnyFunSuite {
       .map(_.toString).count(_.contains("n_regionkey=")) >= 2)
   }
 
+  test("sharded export writes one directory per shard, one file per task") {
+    val docs = Tables(spark, sf0001, "documents")
+    val withShard = docs.join(
+      graft.llm.CorpusOps.shard(docs, nShards = 4), Seq("doc_id"))
+    val path = tmp("shards")
+    Writers.sharded(withShard, path)
+    val back = spark.read.parquet(path)
+    assert(back.count() == docs.count())
+    val dirs = Files.list(java.nio.file.Paths.get(path)).toArray
+      .map(_.toString).filter(_.contains("shard="))
+    assert(dirs.length == 4, dirs.toSeq)
+    // the repartition on shard keeps each shard directory to the files
+    // of its own tasks — not one file per (input task x shard)
+    dirs.foreach { d =>
+      val files = Files.list(java.nio.file.Paths.get(d)).toArray
+        .map(_.toString).filter(_.endsWith(".parquet"))
+      assert(files.length == 1, s"$d has ${files.length} files")
+    }
+    // shard column survives the round trip as partition metadata
+    assert(back.select("shard").distinct().count() == 4)
+  }
+
   test("csv and text round trips preserve rows") {
     val df = Tables(spark, sf0001, "region")
     val p1 = tmp("csv"); val p2 = tmp("txt")
