@@ -138,6 +138,18 @@ class PlanSpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
+  test("pack plans one hash exchange on shard, never a global window") {
+    val docs = Tables(spark, sf0001, "documents")
+    val p = plan(graft.llm.CorpusOps.pack(docs, budget = 512, nShards = 4))
+    // the window must partition by shard: a missing PARTITION BY plans
+    // a single-partition window (the non-scalable shape), which Spark
+    // surfaces as an Exchange SinglePartition
+    assert(!p.contains("SinglePartition"), p.take(3000))
+    val hashEx = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.size == 1 && hashEx.head.contains("shard"), p.take(3000))
+  }
+
   test("strict curation reads the corpus once for all per-row gates") {
     val docs = Tables(spark, sf0001, "documents")
     val df = graft.llm.TextOps.curate(docs, maxDup3 = 0.01)
