@@ -59,20 +59,16 @@ object CorpusOps {
   private def sampleKey(salt: String) =
     md5(concat(col("doc_id").cast("string"), lit(salt)))
 
-  /** Deterministic hash sharding for training export — the write-side
-    * counterpart of [[mixRate]]'s read-side sampling: shard ∈
-    * [0, nShards), assigned by hash so shards are balanced regardless of
-    * id layout, stable across runs, and independent of partitioning.
-    *
-    * Stock path keys on full-width xxhash64 (the 100 TB path);
-    * `replicable = true` derives the shard from the first two hex chars
-    * of the md5 sampling key (0..255, folded mod nShards — balanced to
-    * ±1/256) so any engine replays the assignment exactly. Pure per-row
-    * projection: no shuffle, no state. */
   /** The shard-assignment expression shared by [[shard]] and [[pack]]
-    * (pack inlines it rather than joining, so packing stays one scan). */
+    * (pack inlines it rather than joining, so packing stays one scan).
+    * The replicable path folds two md5 hex digits (256 values), so it
+    * caps nShards at 256 — validated by the callers. */
   private def shardExpr(nShards: Int, replicable: Boolean,
-      salt: String): org.apache.spark.sql.Column =
+      salt: String): org.apache.spark.sql.Column = {
+    require(nShards > 0, s"need nShards > 0, got $nShards")
+    require(!replicable || nShards <= 256,
+      s"replicable sharding folds 2 md5 hex digits (256 values); " +
+        s"nShards=$nShards would leave shards ${256}..${nShards - 1} empty")
     if (replicable) {
       // position of each hex char in the digit alphabet = its value
       val d1 = instr(lit("0123456789abcdef"),
@@ -82,11 +78,28 @@ object CorpusOps {
       ((d1 * 16 + d2) % nShards).cast("long")
     } else pmod(xxhash64(concat(col("doc_id").cast("string"), lit(salt))),
       lit(nShards)).cast("long")
+  }
 
+  /** Deterministic hash sharding for training export — the write-side
+    * counterpart of [[mixRate]]'s read-side sampling: shard ∈
+    * [0, nShards), assigned by hash so shards are balanced regardless of
+    * id layout, stable across runs, and independent of partitioning.
+    *
+    * Stock path keys on full-width xxhash64 (the 100 TB path);
+    * `replicable = true` derives the shard from the first two hex chars
+    * of the md5 sampling key (0..255, folded mod nShards ≤ 256 —
+    * balanced to ±1/256) so any engine replays the assignment exactly.
+    * The assignment itself is a pure per-row projection — no shuffle, no
+    * state; `ordered = true` (the oracle-presentation default) appends a
+    * global ORDER BY, so pass `ordered = false` on the export path
+    * (e.g. into `Writers.sharded`, which re-partitions anyway). */
   def shard(docs: DataFrame, nShards: Int = 8,
-      replicable: Boolean = false, salt: String = "#shard"): DataFrame =
-    docs.select(col("doc_id"),
-      shardExpr(nShards, replicable, salt).as("shard")).orderBy("doc_id")
+      replicable: Boolean = false, salt: String = "#shard",
+      ordered: Boolean = true): DataFrame = {
+    val out = docs.select(col("doc_id"),
+      shardExpr(nShards, replicable, salt).as("shard"))
+    if (ordered) out.orderBy("doc_id") else out
+  }
 
   /** Greedy-by-order sequence packing for training export: within each
     * shard, docs in doc_id order pack into sequences of ~`budget` tokens;
@@ -99,20 +112,23 @@ object CorpusOps {
     * exchange + per-partition sort, never a global single-partition
     * window. Token counts use the single-space formula from
     * [[TextOps.stats]] so the oracle replays them with pure string
-    * functions. */
+    * functions. `ordered = false` skips the presentation ORDER BY (the
+    * in-shard window still sorts each shard internally). */
   def pack(docs: DataFrame, budget: Int = 2048, nShards: Int = 8,
-      replicable: Boolean = false, salt: String = "#shard"): DataFrame = {
+      replicable: Boolean = false, salt: String = "#shard",
+      ordered: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(budget > 0, s"need budget > 0, got $budget")
     val nWs = length(col("text")) - length(regexp_replace(col("text"), " ", ""))
     val w = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    docs.select(col("doc_id"),
+    val out = docs.select(col("doc_id"),
         shardExpr(nShards, replicable, salt).as("shard"),
         (nWs + 1).cast("long").as("n_tokens"))
       .withColumn("seq_id",
         floor(coalesce(sum("n_tokens").over(w), lit(0L)) / budget.toDouble)
           .cast("long"))
-      .orderBy("doc_id")
+    if (ordered) out.orderBy("doc_id") else out
   }
 
   /** Exact-quota stratified mixing sample: per stratum (language, source,

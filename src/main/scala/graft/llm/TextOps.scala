@@ -211,23 +211,17 @@ object TextOps {
     if (ordered) out.orderBy("doc_id") else out
   }
 
-  /** End-to-end training-data curation: quality gate ∧ language gate ∧
-    * near-dup keep decision — the flow a 100 TB corpus pipeline runs
-    * before tokenization, composed from three verified operators
-    * ([[quality]], [[langId]], [[Dedup.dedupGroups]]). Docs outside any
-    * dup pair carry no dedupGroups row and keep themselves (left join).
-    * Every stage is embarrassingly parallel or id-keyed, so the compose
-    * adds two id-equi-joins and nothing else. */
   /** Fixed-window token chunking with overlap — the context-length
     * splitter of a training-data pipeline: each doc becomes
     * `max(1, ceil((n - window) / (window - overlap)) + 1)` chunks of up
     * to `window` tokens whose starts advance by `window - overlap`; the
     * final chunk may be short, a shorter-than-window doc is one chunk.
     * Pure per-row explode — chunk counts scale with each doc's own
-    * length, nothing global, so the 100 TB plan is a single scan with no
-    * exchange. */
-  def chunk(docs: DataFrame, window: Int = 128, overlap: Int = 16)
-      : DataFrame = {
+    * length, nothing global, so the 100 TB plan is a single scan whose
+    * only exchange is the `ordered = true` presentation ORDER BY (pass
+    * `ordered = false` on the export path). */
+  def chunk(docs: DataFrame, window: Int = 128, overlap: Int = 16,
+      ordered: Boolean = true): DataFrame = {
     require(window > overlap && overlap >= 0,
       s"need window > overlap >= 0, got window=$window overlap=$overlap")
     val stride = window - overlap
@@ -236,13 +230,22 @@ object TextOps {
       ceil((size(toks) - window) / stride.toDouble) + 1)
     val chunks = transform(sequence(lit(0L), nChunks - 1),
       i => array_join(slice(toks, (i * stride + 1).cast("int"), lit(window)), " "))
-    docs.select(col("doc_id"), posexplode(chunks).as(Seq("chunk_id", "chunk_text")))
+    val out = docs
+      .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_id", "chunk_text")))
       .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
         col("chunk_text"),
         size(tokens(col("chunk_text"))).cast("long").as("n_chunk_tokens"))
-      .orderBy("doc_id", "chunk_id")
+    if (ordered) out.orderBy("doc_id", "chunk_id") else out
   }
 
+  /** End-to-end training-data curation: quality gate ∧ language gate ∧
+    * near-dup keep decision (strict mode adds ¬boilerplate) — the flow a
+    * 100 TB corpus pipeline runs before tokenization. The per-row gates
+    * reuse the operators' own expressions ([[qualityScoreExpr]],
+    * [[langIdExprs]], [[dup3RatioExpr]]) projected in ONE corpus scan;
+    * the [[Dedup.dedupGroups]] keep decision is the single remaining
+    * id-equi-join, and docs outside any dup pair carry no dedupGroups
+    * row and keep themselves (left join). */
   def curate(docs: DataFrame, minQuality: Double = 0.5,
       lang: String = "en", shingleSize: Int = 3,
       threshold: Double = 0.5, maxDup3: Double = 1.0): DataFrame = {

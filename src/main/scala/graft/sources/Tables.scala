@@ -29,13 +29,15 @@ object Tables {
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events") df.schema("ts").dataType match {
-      case LongType => // TIMESTAMP(NANOS) read under nanosAsLong
-        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      case TimestampNTZType => // TIMESTAMP(MICROS, isAdjustedToUTC=false)
-        df.withColumn("ts", col("ts").cast(TimestampType))
-      case _ => df
-    } else df
+    if (name == "events")
+      df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+        case Some(LongType) => // TIMESTAMP(NANOS) read under nanosAsLong
+          df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        case Some(TimestampNTZType) => // TIMESTAMP(MICROS, no-UTC-adjust)
+          df.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => df
+      }
+    else df
   }
 
   /** Register every table as a temp view named after the table. */

@@ -264,6 +264,21 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("shard: invalid nShards fail fast instead of degrading silently") {
+    val docs = Tables(spark, sf0001, "documents")
+    // replicable path folds 2 hex digits: >256 shards would silently
+    // leave the tail empty, so it must throw instead
+    intercept[IllegalArgumentException] {
+      CorpusOps.shard(docs, nShards = 512, replicable = true)
+    }
+    intercept[IllegalArgumentException] {
+      CorpusOps.shard(docs, nShards = 0)
+    }
+    // the stock xxhash64 path has no digit cap
+    assert(CorpusOps.shard(docs, nShards = 512).collect()
+      .forall(r => r.getLong(1) >= 0 && r.getLong(1) < 512))
+  }
+
   test("pack: seq_id is the floor-cumsum of in-shard tokens before the doc") {
     val docs = Tables(spark, sf0001, "documents")
     val rows = CorpusOps.pack(docs, budget = 500, nShards = 4,
