@@ -53,6 +53,7 @@ object LlmQueries {
         replicable = true)),
     "llm_chunk" -> ((s, d) =>
       TextOps.chunk(docs(s, d), window = 32, overlap = 8)),
+    "llm_vocab" -> ((s, d) => TextOps.vocab(docs(s, d), maxSize = 500)),
     "llm_dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))),
     "llm_dedup_minhash" -> ((s, d) =>
       // signature/bands serialized at the query boundary (the driver's
@@ -384,6 +385,13 @@ object LlmQueries {
         "CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0) AS BIGINT) AS seq_id " +
         "FROM s ORDER BY doc_id"),
+    // (tf desc, token asc) is a total order, so the top-500 cut is
+    // deterministic in both engines
+    "llm_vocab" ->
+      ("SELECT token, CAST(COUNT(*) AS BIGINT) AS tf, " +
+        "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df " +
+        "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token " +
+        "FROM documents) GROUP BY token ORDER BY tf DESC, token LIMIT 500"),
     // window=32 overlap=8 => stride 24; chunk list built per doc and
     // unnested, exactly the Spark transform+posexplode
     "llm_chunk" ->

@@ -211,6 +211,25 @@ object TextOps {
     if (ordered) out.orderBy("doc_id") else out
   }
 
+  /** Corpus token vocabulary — the tokenizer-training precursor: distinct
+    * whitespace tokens with term frequency and document frequency, ranked
+    * (tf desc, token asc — a total order, so the cut is deterministic)
+    * and cut to `maxSize`.
+    *
+    * Scale shape: explode → hash aggregate keyed on token (tf partials
+    * combine map-side; df needs the distinct (token, doc_id) pairs, so
+    * the shuffle carries one row per distinct pair, never raw token
+    * occurrences) → `TakeOrderedAndProject` for the ranked cut, which
+    * keeps maxSize rows per partition and merges — no global sort
+    * materialization. */
+  def vocab(docs: DataFrame, maxSize: Int = 1000): DataFrame = {
+    require(maxSize > 0, s"need maxSize > 0, got $maxSize")
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
+      .orderBy(desc("tf"), asc("token")).limit(maxSize)
+  }
+
   /** Fixed-window token chunking with overlap — the context-length
     * splitter of a training-data pipeline: each doc becomes
     * `max(1, ceil((n - window) / (window - overlap)) + 1)` chunks of up

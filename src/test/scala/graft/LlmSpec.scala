@@ -249,6 +249,18 @@ class LlmSpec extends AnyFunSuite {
     assert(strict == Seq(10L), strict.toString)
   }
 
+  test("vocab: tf counts occurrences, df counts docs, rank cut is total") {
+    val docs = Seq(
+      (1L, "the cat the cat the"),
+      (2L, "the dog"),
+      (3L, "zebra")).toDF("doc_id", "text")
+    val v = TextOps.vocab(docs, maxSize = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // 'the': tf 4 across docs 1+2 => df 2; 'cat': tf 2 df 1; then the
+    // tf-1 tie breaks token-ascending => 'dog' beats 'zebra' at the cut
+    assert(v.toSeq == Seq(("the", 4L, 2L), ("cat", 2L, 1L), ("dog", 1L, 1L)))
+  }
+
   test("shard: stable, in-range, and balanced on both hash paths") {
     val docs = Tables(spark, sf0001, "documents")
     for (replicable <- Seq(false, true)) {
