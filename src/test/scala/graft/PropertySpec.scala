@@ -158,4 +158,52 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  private val chunkParamGen: Gen[(Int, Int)] = for {
+    window <- Gen.choose(2, 6)
+    overlap <- Gen.choose(0, window - 1)
+  } yield (window, overlap)
+
+  test("chunk covers every token in order for any window/overlap") {
+    forAll(docGen.flatMap(d => chunkParamGen.map(p => (d, p)))) {
+      case (docs, (window, overlap)) =>
+        val df = docs.toDF("doc_id", "text")
+        val stride = window - overlap
+        val chunks = TextOps.chunk(df, window, overlap).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+          .groupBy(_._1)
+        docs.foreach { case (id, text) =>
+          val toks = text.split(" ").toSeq
+          val cs = chunks(id).sortBy(_._2).map(_._3.split(" ").toSeq)
+          // every chunk except the last is exactly `window` tokens
+          assert(cs.init.forall(_.length == window))
+          // stride-stitching the chunks (drop each successor's first
+          // `overlap` tokens) rebuilds the doc exactly
+          val rebuilt = cs.head ++ cs.tail.flatMap(_.drop(overlap))
+          assert(rebuilt == toks, s"window=$window overlap=$overlap")
+        }
+    }
+  }
+
+  test("pack never puts a sequence's token-start past the budget boundary") {
+    forAll(docGen) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val budget = 8
+      val rows = graft.llm.CorpusOps.pack(df, budget = budget, nShards = 2,
+        replicable = true).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      rows.groupBy(_._2).values.foreach { shardRows =>
+        var cum = 0L
+        shardRows.sortBy(_._1).foreach { case (_, _, n, seqId) =>
+          // the defining invariant: a doc starts in the sequence its
+          // preceding token count falls in
+          assert(seqId == cum / budget)
+          cum += n
+        }
+        // monotone: later docs never land in earlier sequences
+        val ordered = shardRows.sortBy(_._1).map(_._4)
+        assert(ordered.zip(ordered.drop(1)).forall { case (a, b) => a <= b })
+      }
+    }
+  }
 }
