@@ -138,6 +138,19 @@ class PlanSpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
+  test("shard and chunk plan no hash exchange — per-row projections only") {
+    val docs = Tables(spark, sf0001, "documents")
+    // ordered=false is the export path; the assertion is that the
+    // assignment/explode itself induces no exchange of any kind
+    val ps = plan(graft.llm.CorpusOps.shard(docs, nShards = 8,
+      ordered = false))
+    assert(!ps.contains("Exchange"), ps.take(2000))
+    val pc = plan(graft.llm.TextOps.chunk(docs, window = 8, overlap = 2,
+      ordered = false))
+    assert(!pc.contains("Exchange"), pc.take(2000))
+    assert(pc.contains("Generate"), pc.take(2000)) // the posexplode
+  }
+
   test("pack plans one hash exchange on shard, never a global window") {
     val docs = Tables(spark, sf0001, "documents")
     val p = plan(graft.llm.CorpusOps.pack(docs, budget = 512, nShards = 4))
