@@ -160,6 +160,52 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Temperature-based mixing sampler — the multilingual/domain
+    * rebalancing formula (sampling probability ∝ p^α, the XLM-R /
+    * mC4 convention): strata shares p_s are reweighted to
+    * q_s ∝ p_s^α and the corpus is downsampled to ≈ `targetFrac` of its
+    * rows with per-stratum rates that realize q. α = 1 keeps natural
+    * proportions (every stratum sampled at `targetFrac`); α → 0 flattens
+    * toward uniform, upweighting rare strata. Rates cap at 1 (a stratum
+    * cannot be oversampled without replacement — the standard truncation).
+    *
+    * Cross-engine exactness: stratum weights p^α round to 1e-6 and
+    * normalize as INTEGER micro-units (the one float SUM becomes an
+    * exact bigint sum), so each rate is literal-from-integers double
+    * arithmetic; the per-row keep test compares the md5 key's leading
+    * 8 hex digits NUMERICALLY against floor(rate·2³²).
+    *
+    * Scale shape: one tiny per-stratum aggregate (map-side partials),
+    * rates broadcast back, then the same shuffle-free per-row threshold
+    * filter as [[mixRate]] — no window, no global state. */
+  def mixTemperature(docs: DataFrame, strataCol: String = "lang",
+      alpha: Double = 0.3, targetFrac: Double = 0.5,
+      salt: String = "#mix"): DataFrame = {
+    require(alpha >= 0.0, s"need alpha >= 0, got $alpha")
+    require(targetFrac > 0.0 && targetFrac <= 1.0,
+      s"need 0 < targetFrac <= 1, got $targetFrac")
+    val counts = docs.groupBy(strataCol).agg(count(lit(1)).as("n_s"))
+    val total = counts.agg(sum("n_s").as("n")) // one literal row
+    // w6 = round(p^alpha * 1e6) as bigint; W6 = Σ w6 exact
+    val w6 = floor(pow(col("n_s").cast("double") / col("n"), alpha) * 1e6
+      + 0.5).cast("long")
+    val weights = counts.crossJoin(broadcast(total))
+      .select(col(strataCol), col("n_s"), col("n"), w6.as("w6"))
+    val wSum = weights.agg(sum("w6").as("ws6")) // exact integer sum
+    // rate = targetFrac * (N * w6) / (W6 * n_s): exact bigint products,
+    // one double multiply + one divide — deterministic in any engine
+    val rates = broadcast(weights.crossJoin(broadcast(wSum))
+      .select(col(strataCol),
+        least(lit(1.0), lit(targetFrac) * (col("n") * col("w6")).cast("double")
+          / (col("ws6") * col("n_s")).cast("double")).as("rate")))
+    val u = conv(substring(sampleKey(salt), 1, 8), 16, 10).cast("long")
+    docs.join(rates, Seq(strataCol))
+      .filter(u < floor(col("rate") * 4294967296.0).cast("long"))
+      .select(col("doc_id"), col(strataCol),
+        (floor(col("rate") * 1e6 + 0.5) / 1e6).as("rate"))
+      .orderBy("doc_id")
+  }
+
   /** Shuffle-free rate-based mixing sample: keep a doc iff the first 8
     * hex chars of its sampling key fall under the stratum's rate
     * threshold. Expected (not exact) per-stratum proportions, but the

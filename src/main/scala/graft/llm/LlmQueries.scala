@@ -42,6 +42,16 @@ object LlmQueries {
       Map("en" -> 0.5, "de" -> 0.25, "es" -> 1.0, "zh" -> 0.125))),
     "llm_mix_rate" -> ((s, d) => CorpusOps.mixRate(docs(s, d), "lang",
       Map("en" -> 0.5, "de" -> 0.25, "es" -> 1.0, "zh" -> 0.125))),
+    // temperature rebalancing: rates computed FROM the corpus (p^0.3
+    // reweighting toward rare languages), then the same shuffle-free
+    // md5-threshold keep test as llm_mix_rate
+    "llm_mix_temperature" -> ((s, d) =>
+      CorpusOps.mixTemperature(docs(s, d), "lang", alpha = 0.3,
+        targetFrac = 0.5)),
+    // BM25 keyword retrieval: integer micro-unit contribution sums make
+    // the per-doc score independent of float summation order
+    "llm_bm25" -> ((s, d) =>
+      TextOps.bm25(docs(s, d), Seq("spark", "window", "table"), k = 20)),
     // training-export stage: deterministic sharding, in-shard sequence
     // packing, and context-window chunking (replicable hash paths so the
     // oracle replays shard and seq assignment exactly; the stock
@@ -134,6 +144,11 @@ object LlmQueries {
       Similarity.ivfPqTopK(e.filter(col("vec_id") < 10), e, k = 5,
         centroidStride = 31, nProbe = 4, rerank = 20)
     }),
+    "llm_semdedup" -> ((s, d) =>
+      // SemDeDup: deterministic-Lloyd cells block the pair comparisons;
+      // a vector is dropped iff a lower-id cluster-mate exceeds tau.
+      // Training + assignment + pruning replay in one composed oracle.
+      Similarity.semDedup(emb(s, d), tau = 0.4, nlist = 4, iters = 5)),
     "llm_embed_dedup" -> ((s, d) =>
       // embedding-space near-dup member of the dedup family: parity-sign
       // LSH blocking + exact-cosine verification. tau sits where this
@@ -366,6 +381,41 @@ object LlmQueries {
         "CASE lang WHEN 'en' THEN '80000000' WHEN 'de' THEN '40000000' " +
         "WHEN 'es' THEN 'g' WHEN 'zh' THEN '20000000' ELSE '80000000' END " +
         "ORDER BY doc_id"),
+    // temperature mixing replica: per-stratum counts → integer-micro-unit
+    // normalized p^0.3 weights → exact-integer rate arithmetic → numeric
+    // md5 threshold (hex prefix parsed as a number, same as Spark's conv)
+    "llm_mix_temperature" ->
+      ("WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_s FROM documents GROUP BY lang), " +
+        "t AS (SELECT SUM(n_s) AS n FROM c), " +
+        "w AS (SELECT lang, n_s, n, " +
+        "CAST(FLOOR(POW(CAST(n_s AS DOUBLE) / n, 0.3) * 1000000 + 0.5) AS BIGINT) AS w6 FROM c, t), " +
+        "ws AS (SELECT SUM(w6) AS ws6 FROM w), " +
+        "r AS (SELECT lang, LEAST(CAST(1 AS DOUBLE), " +
+        "CAST(0.5 AS DOUBLE) * CAST(n * w6 AS DOUBLE) / CAST(ws6 * n_s AS DOUBLE)) AS rate FROM w, ws) " +
+        "SELECT d.doc_id, d.lang, FLOOR(r.rate * 1000000 + 0.5) / 1000000 AS rate " +
+        "FROM documents d JOIN r ON r.lang = d.lang " +
+        "WHERE CAST(CONCAT('0x', SUBSTR(md5(CAST(d.doc_id AS VARCHAR) || '#mix'), 1, 8)) AS BIGINT) " +
+        "< CAST(FLOOR(r.rate * 4294967296.0) AS BIGINT) ORDER BY d.doc_id"),
+    // BM25 replica: identical parenthesization to the Spark expression
+    // (per-term contributions floor to 1e-6 integer micro-units; the
+    // per-doc SUM is then exact, so ranking is engine-independent)
+    "llm_bm25" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "st AS (SELECT CAST(SUM(len(toks)) AS BIGINT) AS sdl, CAST(COUNT(*) AS BIGINT) AS n FROM t), " +
+        "e AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS tok FROM t), " +
+        "tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf, MAX(dl) AS dl " +
+        "FROM e WHERE tok IN ('spark', 'window', 'table') GROUP BY doc_id, tok), " +
+        "df AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY tok), " +
+        "co AS (SELECT tf.doc_id, CAST(FLOOR(" +
+        "((LN(CAST(1 AS DOUBLE) + (st.n - df.df + CAST(0.5 AS DOUBLE)) / (df.df + CAST(0.5 AS DOUBLE))) * tf.tf) " +
+        "* (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE))) " +
+        "/ (tf.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) " +
+        "+ (CAST(0.75 AS DOUBLE) * tf.dl) / (CAST(st.sdl AS DOUBLE) / st.n))) " +
+        "* 1000000 + 0.5) AS BIGINT) AS c6 " +
+        "FROM tf JOIN df ON df.tok = tf.tok, st), " +
+        "s AS (SELECT doc_id, SUM(c6) AS s6 FROM co GROUP BY doc_id) " +
+        "SELECT doc_id, FLOOR(CAST(s6 AS DOUBLE) / 1000000 * 10000 + 0.5) / 10000 AS score " +
+        "FROM s ORDER BY s6 DESC, doc_id LIMIT 20"),
     // shard value = first two hex chars of the md5 sampling key (strpos
     // in the digit alphabet = hex value), folded mod 8 — byte-identical
     // to the Spark replicable path
@@ -580,6 +630,24 @@ object LlmQueries {
         "FLOOR(raw_dot * 10000 + 0.5) / 10000 AS sim FROM sc) " +
         "SELECT query_id, neighbor_id, rank, sim FROM rk WHERE rank <= 5 " +
         "ORDER BY query_id, rank"),
+    // SemDeDup replica: the trained-IVF Lloyd CTE + assignment verbatim,
+    // then within-cell pairs and the low-id-wins keep rule (a vector is
+    // dropped iff a lower-id cluster-mate's exact cosine reaches tau)
+    "llm_semdedup" ->
+      (graft.ml.MlQueries.lloydCentroidCte(k = 4, iters = 5, dim = 64) +
+        ", cents AS (SELECT cluster AS cid, cv FROM c5)" +
+        ", asg AS (SELECT vec_id, cid AS cell FROM " +
+        "(SELECT x.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY x.vec_id " +
+        "ORDER BY FLOOR(LIST_DISTANCE(x.xv, c.cv) * 1000000 + 0.5) / 1000000, c.cid) AS rn " +
+        "FROM x CROSS JOIN cents c) q WHERE rn = 1)" +
+        ", cand AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b " +
+        "FROM asg a JOIN asg b ON b.cell = a.cell AND a.vec_id < b.vec_id)" +
+        ", dup AS (SELECT DISTINCT doc_b AS vec_id FROM cand " +
+        "JOIN x xa ON xa.vec_id = doc_a JOIN x xb ON xb.vec_id = doc_b " +
+        "WHERE LIST_INNER_PRODUCT(xa.xv, xb.xv) / " +
+        "(SQRT(LIST_INNER_PRODUCT(xa.xv, xa.xv)) * SQRT(LIST_INNER_PRODUCT(xb.xv, xb.xv))) >= 0.4) " +
+        "SELECT asg.vec_id, asg.cell, dup.vec_id IS NULL AS keep " +
+        "FROM asg LEFT JOIN dup ON dup.vec_id = asg.vec_id ORDER BY asg.vec_id"),
     // embedding near-dup replica: parity signs → floor buckets → pair
     // candidates → exact cosine (same multiply/divide order as the
     // Spark-side cosine: dot / (norm_a * norm_b))

@@ -492,6 +492,76 @@ object Similarity {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** SemDeDup — semantic deduplication by cluster-blocked cosine pruning
+    * (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+    * through semantic deduplication"): k-means the embedding space, then
+    * compare ONLY within each cluster and drop every vector that has a
+    * lower-id cluster-mate above `tau` (low-id-wins keep rule — a total
+    * order, so the keep set is deterministic and engine-replicable).
+    * The cluster-blocked member of the dedup family (exact / MinHash /
+    * SimHash / LSH-cosine / THIS). Returns one row per corpus vector:
+    * (vec_id, cell, keep).
+    *
+    * Training reuses the deterministic Lloyd trainer that backs
+    * [[ivfTopKTrained]] (1e-6-rounded iteration means, id-ordered init),
+    * so clustering + assignment + pruning replay as ONE composed oracle
+    * SQL statement.
+    *
+    * Scale shape: centroids are nlist-bounded and broadcast; assignment
+    * is a map-side argmin (the exchange carries (id, cell) only); the
+    * pair join is equi-keyed on `cell` — never all-pairs — and carries
+    * ids only, embeddings rejoining once per candidate pair with norms
+    * precomputed per vector. Within-cell candidates are the quadratic
+    * term SemDeDup accepts by design; nlist ∝ √N keeps cells bounded as
+    * the corpus grows. */
+  def semDedup(emb: DataFrame, tau: Double, nlist: Int = 4,
+      iters: Int = 5): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (centers, _) =
+      graft.ml.Unsupervised.lloydCenters(spark, emb, nlist, iters)
+    val cents = broadcast(centers.zipWithIndex.toSeq
+      .map { case (c, i) => (i.toLong, c.toSeq) }.toDF("cid", "cv"))
+    // same rounded-distance argmin as the trained-IVF assignment — the
+    // equivalence to the oracle's LIST_DISTANCE is already proven by
+    // llm_ann_ivf_trained
+    val euclidToCent = sqrt(aggregate(
+      zip_with(transform(col("ce"), v => v.cast("double")), col("cv"),
+        (x, c) => (x - c) * (x - c)),
+      lit(0.0), (acc, v) => acc + v))
+    val d6 = floor(euclidToCent * 1e6 + 0.5) / 1e6
+    val assign = emb
+      .select(col("vec_id"), col("embedding").as("ce"))
+      .join(cents)
+      .groupBy("vec_id")
+      .agg(min(struct(d6.as("d"), col("cid"))).as("mc"))
+      .select(col("vec_id"), col("mc.cid").as("cell"))
+      .localCheckpoint()
+    val native = spark.catalog.functionExists("graft_dot")
+    def dotOf(a: String, b: String): Column =
+      if (native) expr(s"graft_dot($a, $b)") else dot(col(a), col(b))
+    // candidate pairs carry ids only; norms are computed once per vector
+    val e = emb.select(col("vec_id"), col("embedding").as("ev"))
+      .withColumn("nv", sqrt(dotOf("ev", "ev")))
+    val ids = assign.select(col("cell"), col("vec_id"))
+    val cand = ids.select(col("cell"), col("vec_id").as("doc_a"))
+      .join(ids.select(col("cell"), col("vec_id").as("doc_b")), Seq("cell"))
+      .filter(col("doc_a") < col("doc_b"))
+    val dups = cand
+      .join(e.select(col("vec_id").as("doc_a"), col("ev").as("ea"),
+        col("nv").as("na")), Seq("doc_a"))
+      .join(e.select(col("vec_id").as("doc_b"), col("ev").as("eb"),
+        col("nv").as("nb")), Seq("doc_b"))
+      .select(col("doc_b"),
+        (dotOf("ea", "eb") / (col("na") * col("nb"))).as("c"))
+      .filter(col("c") >= tau)
+      .select(col("doc_b").as("vec_id")).distinct()
+    assign
+      .join(dups.withColumn("dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("dup").isNull.as("keep"))
+      .orderBy("vec_id")
+  }
+
   /** In-engine ANN quality evaluation: recall@k of an approximate top-k
     * result against the exact brute-force ranking — the measurement a
     * production ANN deployment runs continuously (the reference's KNN

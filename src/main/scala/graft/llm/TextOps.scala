@@ -267,6 +267,61 @@ object TextOps {
     if (ordered) out.orderBy("doc_id", "chunk_id") else out
   }
 
+  /** BM25 keyword retrieval over the corpus — the ranking a training-data
+    * pipeline uses for dataset search and targeted decontamination
+    * sweeps (Robertson–Spärck Jones BM25, the Okapi formulation with
+    * `idf = ln(1 + (N − df + ½)/(df + ½))`).
+    *
+    * Cross-engine exactness: per-(doc, term) contributions are rounded
+    * to 1e-6 and summed as INTEGER micro-units, so the per-doc score is
+    * independent of float summation order — the one place a naive BM25
+    * would diverge between engines. The only transcendental is `ln`,
+    * applied to identical double inputs on both sides.
+    *
+    * Scale shape: one corpus scan explodes tokens and keeps only query
+    * terms (the filter runs before the aggregate, so the shuffle carries
+    * matching (doc, term) partial counts only — a |terms|-bounded sliver
+    * of the corpus); `df` aggregates that already-tiny frame and
+    * broadcasts back; the ranked cut is TakeOrderedAndProject. Corpus
+    * length stats are one scalar aggregate joined as a broadcast
+    * literal-row. Nothing driver-side, nothing proportional to corpus
+    * pairs. */
+  def bm25(docs: DataFrame, terms: Seq[String], k: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    require(k > 0, s"need k > 0, got $k")
+    val toks = tokens(col("text"))
+    // corpus stats: Σdl and N as exact integers; ONE double divide for
+    // avgdl happens inside the scoring expression on both engines
+    val stats = broadcast(
+      docs.select(size(tokens(col("text"))).cast("long").as("dl"))
+        .agg(sum("dl").as("sdl"), count(lit(1)).as("n")))
+    val tf = docs
+      .select(col("doc_id"), size(toks).cast("long").as("dl"),
+        explode(toks).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+    val df = broadcast(tf.groupBy("tok")
+      .agg(count_distinct(col("doc_id")).as("df")))
+    // explicit association: (idf * tf) * (k1+1) / denom, with
+    // denom = tf + k1 * (1 - b + (b * dl) / (sdl / n)) — the SQL oracle
+    // parenthesizes identically, so the double sequence matches
+    val idf = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
+    val denom = col("tf") + lit(k1) *
+      (lit(1.0 - b) + (lit(b) * col("dl")) /
+        (col("sdl").cast("double") / col("n")))
+    val c6 = floor(((idf * col("tf")) * lit(k1 + 1.0)) / denom * 1e6 + 0.5)
+      .cast("long")
+    val scored = tf.join(df, Seq("tok")).crossJoin(stats)
+      .select(col("doc_id"), c6.as("c6"))
+      .groupBy("doc_id").agg(sum("c6").as("s6"))
+    scored
+      .orderBy(desc("s6"), asc("doc_id")).limit(k)
+      .select(col("doc_id"),
+        (floor(col("s6") / 1e6 * 10000 + 0.5) / 10000).as("score"))
+  }
+
   /** End-to-end training-data curation: quality gate ∧ language gate ∧
     * near-dup keep decision (strict mode adds ¬boilerplate) — the flow a
     * 100 TB corpus pipeline runs before tokenization. The per-row gates

@@ -365,6 +365,75 @@ class LlmSpec extends AnyFunSuite {
     assert(r.head.getDouble(2) > 0.99)
   }
 
+  test("semdedup: near-identical cluster-mate dropped low-id-wins, " +
+      "cross-cluster vectors untouched") {
+    val dim = 64
+    def vec(f: Int => Float) = (0 until dim).map(f).toArray
+    val a = vec(j => if (j < 8) 1.0f else 0.0f)
+    val b = vec(j => if (j >= 32) 1.0f else 0.0f) // orthogonal cluster
+    // ids 0 and 1 are the Lloyd init centers — one per planted cluster
+    val e = Seq(
+      (0L, a),
+      (1L, b),
+      (2L, vec(j => if (j < 8) (if (j == 0) 0.99f else 1.0f) else 0.0f)),
+      (3L, vec(j => if (j < 16) 1.0f else 0.0f)), // same cluster, below tau
+      (4L, vec(j => if (j >= 40) 1.0f else 0.0f))
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.semDedup(e, tau = 0.9, nlist = 2, iters = 3)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getBoolean(2)))
+      .toMap
+    // cells: {0,2,3} vs {1,4}
+    assert(r(0L)._1 == r(2L)._1 && r(0L)._1 == r(3L)._1)
+    assert(r(1L)._1 == r(4L)._1 && r(0L)._1 != r(1L)._1)
+    // only the planted near-duplicate is dropped, and the LOWER id wins
+    assert(!r(2L)._2, "near-dup of vec 0 must be dropped")
+    assert(Seq(0L, 1L, 3L, 4L).forall(r(_)._2), r.toString)
+  }
+
+  test("bm25: docs without query terms absent, tf/idf ranking, k cut") {
+    val docs = Seq(
+      (1L, "spark spark spark"),
+      (2L, "spark table"),
+      (3L, "other words here")
+    ).toDF("doc_id", "text")
+    val r = TextOps.bm25(docs, Seq("spark", "table"), k = 10).collect()
+    // d3 has no query term; d2 outranks d1 (rare 'table' idf dominates
+    // d1's repeated common term under tf saturation)
+    assert(r.map(_.getLong(0)).toSeq == Seq(2L, 1L))
+    assert(r.forall(_.getDouble(1) > 0))
+    val top1 = TextOps.bm25(docs, Seq("spark", "table"), k = 1).collect()
+    assert(top1.map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("mix temperature: alpha=1 keeps natural rates, alpha=0 flattens, " +
+      "rates cap at 1") {
+    import org.apache.spark.sql.functions.lit
+    // exact micro-unit shares: p = (.5, .25, .25) so W6 = 1e6 exactly
+    val docs = (0L until 40L).map(i =>
+        (i, if (i < 20) "en" else if (i < 30) "de" else "es"))
+      .toDF("doc_id", "lang").withColumn("text", lit("x"))
+    def rates(alpha: Double, f: Double) =
+      CorpusOps.mixTemperature(docs, "lang", alpha, f)
+        .select("lang", "rate").distinct().collect()
+        .map(x => x.getString(0) -> x.getDouble(1)).toMap
+    // alpha=1: q = p, so every stratum samples at exactly targetFrac
+    assert(rates(1.0, 0.5).values.toSet == Set(0.5))
+    // alpha=0: uniform target — rare strata upweighted over common
+    val r0 = rates(0.0, 0.5)
+    assert(r0("en") < r0("de") && math.abs(r0("en") - 0.333333) < 1e-9)
+    assert(math.abs(r0("de") - 0.666667) < 1e-9)
+    // cap: targetFrac=1 with alpha=0 wants rate 4/3 for rare strata ->
+    // truncates to 1.0, every doc of that stratum kept
+    val capped = CorpusOps.mixTemperature(docs, "lang", 0.0, 1.0)
+    assert(capped.filter($"lang" === "de").count() == 10)
+    // determinism: same corpus, same sample
+    val s1 = CorpusOps.mixTemperature(docs, "lang", 0.3, 0.5)
+      .collect().map(_.getLong(0)).toSeq
+    val s2 = CorpusOps.mixTemperature(docs, "lang", 0.3, 0.5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(s1 == s2 && s1.nonEmpty)
+  }
+
   test("multimodal resize + frame-sample pipeline multiplies rows deterministically") {
     val docs = Tables(spark, sf0001, "documents").limit(20)
     val a = Multimodal.documentsAsFrames(spark, docs).collect()

@@ -70,6 +70,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("semdedup pair generation joins on the cell id, never all-pairs") {
+    val e = Tables(spark, sf0001, "embeddings")
+    val df = graft.llm.Similarity.semDedup(e, tau = 0.4)
+    df.collect()
+    val p = plan(df)
+    // the centroid join is the (tiny) broadcast; the quadratic pair arm
+    // must be the cell equi-join — a CartesianProduct here means the
+    // blocking degenerated to |C|²
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("q21 salted join shuffles on (key, salt), splitting hot keys") {
     // disable broadcast so the join must shuffle — the point is how the
     // shuffle partitions, not whether a tiny test side broadcasts
