@@ -216,6 +216,51 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Span-level exact-duplication stats — the within-corpus form of the
+    * substring dedup in Lee et al. 2022 ("Deduplicating Training Data
+    * Makes Language Models Better"): every overlapping `span`-token
+    * window of every doc is counted globally, and each doc reports how
+    * many of its spans occur more than once in the corpus (including
+    * repeats inside one doc — the paper's definition). Docs shorter than
+    * `span` carry zero spans and a 0.0 fraction.
+    *
+    * Scale shape: one corpus scan explodes the rolling windows; the
+    * global count is a key-partitioned hash aggregate with map-side
+    * partials; the per-doc rollup joins counts back by span key and
+    * re-aggregates on doc_id. With `hashKeys = true` (the 100 TB path)
+    * the exploded rows and the join key carry an 8-byte xxhash64 instead
+    * of the span string — a collision only ever inflates n_dup_spans,
+    * with odds ~ |spans|²/2⁶⁵. Nothing is pairwise; cost is linear in
+    * corpus tokens. */
+  def spanDups(docs: DataFrame, span: Int = 20,
+      flagThreshold: Double = 0.5, hashKeys: Boolean = false): DataFrame = {
+    require(span > 0, s"need span > 0, got $span")
+    // xxhash64(null) is the SEED, not null — hash only real spans so the
+    // explode_outer placeholder of a short doc stays null (n_spans 0)
+    def key(c: Column) =
+      if (hashKeys) when(c.isNotNull, xxhash64(c)) else c
+    val spans = docs
+      .select(col("doc_id"),
+        explode_outer(TextOps.gramsAll(TextOps.tokens(col("text")), span))
+          .as("g"))
+      .select(col("doc_id"), key(col("g")).as("gk"))
+    val counts = spans.filter(col("gk").isNotNull)
+      .groupBy("gk").agg(count(lit(1)).as("n_occ"))
+    spans.join(counts, Seq("gk"), "left")
+      .groupBy("doc_id")
+      .agg(count(col("gk")).as("n_spans"),
+        coalesce(sum(when(col("n_occ") > 1, lit(1L)).otherwise(lit(0L))),
+          lit(0L)).as("n_dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+        // explicit zero-guard: ANSI mode makes 0/0 an error, not a null
+        when(col("n_spans") > 0,
+          floor(col("n_dup_spans").cast("double") / col("n_spans")
+            * 10000 + 0.5) / 10000)
+          .otherwise(lit(0.0)).as("dup_fraction"))
+      .withColumn("flagged", col("dup_fraction") >= flagThreshold)
+      .orderBy("doc_id")
+  }
+
   /** 60-bit token hash derived from sha2-256 — slower than xxhash64 but
     * reproducible in any engine with SHA-256 (DuckDB, Trino, …), which
     * makes the downstream sketch oracle-checkable. 15 hex chars keep the

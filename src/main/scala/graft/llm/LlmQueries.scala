@@ -65,6 +65,11 @@ object LlmQueries {
       TextOps.chunk(docs(s, d), window = 32, overlap = 8)),
     "llm_vocab" -> ((s, d) => TextOps.vocab(docs(s, d), maxSize = 500)),
     "llm_dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))),
+    // span-level exact duplication (Lee et al. 2022 within-corpus form):
+    // rolling 20-token windows counted globally, per-doc dup fraction.
+    // String keys here so the oracle replays; the xxhash64 key path is
+    // asserted identical by LlmSpec (hashing only changes the join key)
+    "llm_span_dups" -> ((s, d) => Dedup.spanDups(docs(s, d), span = 20)),
     "llm_dedup_minhash" -> ((s, d) =>
       // signature/bands serialized at the query boundary (the driver's
       // compare cannot hash array cells); replicable hashing so the
@@ -361,6 +366,24 @@ object LlmQueries {
         "FLOOR(CAST(n_hit AS DOUBLE) / n_ngrams * 10000 + 0.5) / 10000 AS contamination, " +
         "FLOOR(CAST(n_hit AS DOUBLE) / n_ngrams * 10000 + 0.5) / 10000 >= 0.5 " +
         "AS contaminated FROM j ORDER BY doc_id"),
+    // span-dup replica: rolling 20-token windows (generate_series start
+    // positions, space-joined slices = gramsAll), global occurrence
+    // counts, per-doc rollup; spanless docs re-enter via left join
+    "llm_span_dups" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "g AS (SELECT doc_id, UNNEST([array_to_string(list_slice(toks, i, i + 19), ' ') " +
+        "FOR i IN range(1, len(toks) - 18)]) AS gk FROM t WHERE len(toks) >= 20), " +
+        "c AS (SELECT gk, COUNT(*) AS n_occ FROM g GROUP BY gk), " +
+        "d AS (SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans, " +
+        "CAST(SUM(CASE WHEN c.n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans " +
+        "FROM g JOIN c ON c.gk = g.gk GROUP BY g.doc_id) " +
+        "SELECT t.doc_id, COALESCE(d.n_spans, 0) AS n_spans, " +
+        "COALESCE(d.n_dup_spans, 0) AS n_dup_spans, " +
+        "COALESCE(FLOOR(CAST(d.n_dup_spans AS DOUBLE) / d.n_spans * 10000 + 0.5) / 10000, " +
+        "CAST(0 AS DOUBLE)) AS dup_fraction, " +
+        "COALESCE(FLOOR(CAST(d.n_dup_spans AS DOUBLE) / d.n_spans * 10000 + 0.5) / 10000, " +
+        "CAST(0 AS DOUBLE)) >= 0.5 AS flagged " +
+        "FROM t LEFT JOIN d ON d.doc_id = t.doc_id ORDER BY t.doc_id"),
     // md5-ordered exact-quota stratified sample — the hex key replays in
     // any engine and lexicographic order on lowercase hex = numeric order
     "llm_mix_quota" ->

@@ -143,7 +143,7 @@ object TextOps {
   /** All n-grams of a token array in order, duplicates kept (unlike
     * [[Dedup.shingles]], which distincts) — repetition measurement needs
     * the raw multiplicity. Empty array when the doc is shorter than n. */
-  private def gramsAll(toks: Column, n: Int): Column =
+  private[llm] def gramsAll(toks: Column, n: Int): Column =
     when(size(toks) < n, array().cast("array<string>")).otherwise(
       transform(sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))

@@ -390,6 +390,30 @@ class LlmSpec extends AnyFunSuite {
     assert(Seq(0L, 1L, 3L, 4L).forall(r(_)._2), r.toString)
   }
 
+  test("span dups: exact-dup docs fully flagged, partial overlap counted, " +
+      "short docs zero, hashed keys identical") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the mat"), // exact dup: every span repeated
+      (3L, "the cat sat on the big mat"), // shares 3 of its 5 spans
+      (4L, "completely different words entirely here now"),
+      (5L, "too short") // < span tokens: zero spans, 0.0 fraction
+    ).toDF("doc_id", "text")
+    val r = Dedup.spanDups(docs, span = 3).collect()
+      .map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3), x.getBoolean(4))).toMap
+    assert(r(1L) == (4L, 4L, 1.0, true) && r(2L) == (4L, 4L, 1.0, true))
+    assert(r(3L) == (5L, 3L, 0.6, true))
+    assert(r(4L) == (4L, 0L, 0.0, false))
+    assert(r(5L) == (0L, 0L, 0.0, false))
+    // the xxhash64 key path only changes the JOIN KEY — absent a 64-bit
+    // collision the output is identical (same guarantee as contamination)
+    val h = Dedup.spanDups(docs, span = 3, hashKeys = true).collect()
+      .map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3), x.getBoolean(4))).toMap
+    assert(h == r)
+  }
+
   test("bm25: docs without query terms absent, tf/idf ranking, k cut") {
     val docs = Seq(
       (1L, "spark spark spark"),
@@ -539,6 +563,9 @@ class LlmSpec extends AnyFunSuite {
     assert(CorpusOps.mixQuota(empty).count() == 0)
     assert(CorpusOps.mixRate(empty).count() == 0)
     assert(Dedup.simHashNearDupPairs(empty).count() == 0)
+    assert(Dedup.spanDups(empty).count() == 0)
+    assert(CorpusOps.mixTemperature(empty).count() == 0)
+    assert(TextOps.bm25(empty, Seq("x")).count() == 0)
   }
 
   test("llm oracle-checked queries run nonempty at sf0.001") {
