@@ -239,10 +239,13 @@ object Dedup {
     // explode_outer placeholder of a short doc stays null (n_spans 0)
     def key(c: Column) =
       if (hashKeys) when(c.isNotNull, xxhash64(c)) else c
+    // tokenize ONCE into a bound column before the gram build — inlined,
+    // the interpreted transform lambda would re-split the text for every
+    // window (CollapseProject keeps the alias: it is referenced n times)
     val spans = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
-        explode_outer(TextOps.gramsAll(TextOps.tokens(col("text")), span))
-          .as("g"))
+        explode_outer(TextOps.gramsAll(col("toks"), span)).as("g"))
       .select(col("doc_id"), key(col("g")).as("gk"))
     val counts = spans.filter(col("gk").isNotNull)
       .groupBy("gk").agg(count(lit(1)).as("n_occ"))

@@ -144,9 +144,14 @@ object TextOps {
     * [[Dedup.shingles]], which distincts) — repetition measurement needs
     * the raw multiplicity. Empty array when the doc is shorter than n. */
   private[llm] def gramsAll(toks: Column, n: Int): Column =
+    // array_join(slice(...)) evaluates `toks` ONCE per gram; the former
+    // concat_ws over n element_at calls re-evaluated the whole toks
+    // expression n times per gram inside the interpreted lambda — 20x
+    // the tokenize cost at span widths (identical output: split yields
+    // no nulls, and array_join == concat_ws on null-free string arrays)
     when(size(toks) < n, array().cast("array<string>")).otherwise(
       transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
+        i => array_join(slice(toks, i.cast("int"), lit(n)), " ")))
 
   /** Within-document repetition ratios — the Gopher-style repetitive-text
     * filters (duplicate-token fraction, duplicate 2-gram / 3-gram
