@@ -552,6 +552,9 @@ object Similarity {
         col("nv").as("na")), Seq("doc_a"))
       .join(e.select(col("vec_id").as("doc_b"), col("ev").as("eb"),
         col("nv").as("nb")), Seq("doc_b"))
+      // zero-norm vectors have no defined cosine — never duplicates
+      // (also keeps ANSI mode from raising on the 0·0 divide)
+      .filter(col("na") > 0 && col("nb") > 0)
       .select(col("doc_b"),
         (dotOf("ea", "eb") / (col("na") * col("nb"))).as("c"))
       .filter(col("c") >= tau)

@@ -119,6 +119,40 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("span-dup stats are row-order and partition-count invariant, " +
+      "and bounded by span counts") {
+    forAll(docGen) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val base = Dedup.spanDups(df, span = 2).collect().toSeq
+      // counts are global aggregates: task boundaries and input order
+      // must not matter
+      assert(Dedup.spanDups(df.repartition(5), span = 2).collect().toSeq
+        == base)
+      assert(Dedup.spanDups(df.orderBy(org.apache.spark.sql.functions
+        .col("doc_id").desc), span = 2).collect().toSeq == base)
+      base.foreach { r =>
+        assert(r.getLong(2) <= r.getLong(1), "dup spans exceed span count")
+        assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      }
+    }
+  }
+
+  test("semdedup always keeps the lowest id of every cell") {
+    // low-id-wins: whatever the clustering does, the minimum vec_id of
+    // each cell can have no lower-id cluster-mate, so it always keeps
+    val dim = 8
+    forAll(Gen.listOfN(12, Gen.choose(-5, 5)), n = 3) { seeds =>
+      val e = seeds.zipWithIndex.map { case (s, i) =>
+        (i.toLong, (0 until dim).map(j => (s * (j + 1) % 7).toFloat).toArray)
+      }.toDF("vec_id", "embedding")
+      val r = graft.llm.Similarity.semDedup(e, tau = 0.8, nlist = 3)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getBoolean(2)))
+      r.groupBy(_._2).foreach { case (_, members) =>
+        assert(members.minBy(_._1)._3, s"cell min id dropped: $members")
+      }
+    }
+  }
+
   test("modularity of any partition is in [-1, 1]") {
     forAll(edgeGen) { es =>
       whenever(es.nonEmpty) {
