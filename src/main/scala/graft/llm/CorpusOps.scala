@@ -184,7 +184,12 @@ object CorpusOps {
     require(alpha >= 0.0, s"need alpha >= 0, got $alpha")
     require(targetFrac > 0.0 && targetFrac <= 1.0,
       s"need 0 < targetFrac <= 1, got $targetFrac")
+    // materialized once: feeds the weight projection AND the size gate
+    // for the rate broadcast (one row per stratum — fine for languages
+    // or sources, unbounded for a URL-domain strata column)
     val counts = docs.groupBy(strataCol).agg(count(lit(1)).as("n_s"))
+      .localCheckpoint()
+    val nStrata = counts.count()
     val total = counts.agg(sum("n_s").as("n")) // one literal row
     // w6 = round(p^alpha * 1e6) as bigint; W6 = Σ w6 exact
     val w6 = floor(pow(col("n_s").cast("double") / col("n"), alpha) * 1e6
@@ -194,10 +199,16 @@ object CorpusOps {
     val wSum = weights.agg(sum("w6").as("ws6")) // exact integer sum
     // rate = targetFrac * (N * w6) / (W6 * n_s): exact bigint products,
     // one double multiply + one divide — deterministic in any engine
-    val rates = broadcast(weights.crossJoin(broadcast(wSum))
-      .select(col(strataCol),
-        least(lit(1.0), lit(targetFrac) * (col("n") * col("w6")).cast("double")
-          / (col("ws6") * col("n_s")).cast("double")).as("rate")))
+    // size-gated broadcast: one row per stratum is tiny for languages or
+    // sources but unbounded for a URL-domain strata column — past the
+    // gate AQE plans the join from runtime statistics instead of a
+    // forced build (same discipline as the graph per-node frames)
+    val rates = graft.core.Hints.broadcastIfSmall(
+      weights.crossJoin(broadcast(wSum))
+        .select(col(strataCol),
+          least(lit(1.0), lit(targetFrac) * (col("n") * col("w6")).cast("double")
+            / (col("ws6") * col("n_s")).cast("double")).as("rate")),
+      nStrata)
     val u = conv(substring(sampleKey(salt), 1, 8), 16, 10).cast("long")
     docs.join(rates, Seq(strataCol))
       .filter(u < floor(col("rate") * 4294967296.0).cast("long"))
