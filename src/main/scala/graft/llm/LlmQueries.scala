@@ -149,6 +149,17 @@ object LlmQueries {
       Similarity.ivfPqTopK(e.filter(col("vec_id") < 10), e, k = 5,
         centroidStride = 31, nProbe = 4, rerank = 20)
     }),
+    // cluster-balanced (diversity) sampling: Lloyd cells as strata,
+    // alpha=0 temperature = uniform target over cells — upweights
+    // sparse regions of embedding space, the curation move SemDeDup-
+    // style pipelines pair with dedup. Pure composition of two verified
+    // operators; clustering + rates + keep test replay in one oracle.
+    "llm_cluster_balance" -> ((s, d) => {
+      val asg = Similarity.lloydAssign(emb(s, d))
+        .withColumnRenamed("vec_id", "doc_id")
+      CorpusOps.mixTemperature(docs(s, d).join(asg, Seq("doc_id")),
+        "cell", alpha = 0.0, targetFrac = 0.5)
+    }),
     "llm_semdedup" -> ((s, d) =>
       // SemDeDup: deterministic-Lloyd cells block the pair comparisons;
       // a vector is dropped iff a lower-id cluster-mate exceeds tau.
@@ -653,6 +664,32 @@ object LlmQueries {
         "FLOOR(raw_dot * 10000 + 0.5) / 10000 AS sim FROM sc) " +
         "SELECT query_id, neighbor_id, rank, sim FROM rk WHERE rank <= 5 " +
         "ORDER BY query_id, rank"),
+    // cluster-balance replica: Lloyd assignment verbatim, then the
+    // temperature-rate pipeline with alpha=0 over cell strata (pow(p,0)
+    // = 1 exactly, so the only float is the final rate arithmetic on
+    // exact integers) and the numeric md5 keep test
+    "llm_cluster_balance" ->
+      (graft.ml.MlQueries.lloydCentroidCte(k = 4, iters = 5, dim = 64) +
+        ", cents AS (SELECT cluster AS cid, cv FROM c5)" +
+        ", asg AS (SELECT vec_id, cid AS cell FROM " +
+        "(SELECT x.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY x.vec_id " +
+        "ORDER BY FLOOR(LIST_DISTANCE(x.xv, c.cv) * 1000000 + 0.5) / 1000000, c.cid) AS rn " +
+        "FROM x CROSS JOIN cents c) q WHERE rn = 1)" +
+        ", cellc AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_s " +
+        "FROM asg JOIN documents d ON d.doc_id = asg.vec_id GROUP BY cell)" +
+        ", cellt AS (SELECT SUM(n_s) AS n FROM cellc)" +
+        ", cellw AS (SELECT cell, n_s, n, " +
+        "CAST(FLOOR(POW(CAST(n_s AS DOUBLE) / n, 0.0) * 1000000 + 0.5) AS BIGINT) AS w6 " +
+        "FROM cellc, cellt)" +
+        ", cellws AS (SELECT SUM(w6) AS ws6 FROM cellw)" +
+        ", cellr AS (SELECT cell, LEAST(CAST(1 AS DOUBLE), " +
+        "CAST(0.5 AS DOUBLE) * CAST(n * w6 AS DOUBLE) / CAST(ws6 * n_s AS DOUBLE)) AS rate " +
+        "FROM cellw, cellws) " +
+        "SELECT a.vec_id AS doc_id, a.cell, " +
+        "FLOOR(r.rate * 1000000 + 0.5) / 1000000 AS rate " +
+        "FROM asg a JOIN cellr r ON r.cell = a.cell " +
+        "WHERE CAST(CONCAT('0x', SUBSTR(md5(CAST(a.vec_id AS VARCHAR) || '#mix'), 1, 8)) AS BIGINT) " +
+        "< CAST(FLOOR(r.rate * 4294967296.0) AS BIGINT) ORDER BY doc_id"),
     // SemDeDup replica: the trained-IVF Lloyd CTE + assignment verbatim,
     // then within-cell pairs and the low-id-wins keep rule (a vector is
     // dropped iff a lower-id cluster-mate's exact cosine reaches tau)

@@ -514,7 +514,13 @@ object Similarity {
     * precomputed per vector. Within-cell candidates are the quadratic
     * term SemDeDup accepts by design; nlist ∝ √N keeps cells bounded as
     * the corpus grows. */
-  def semDedup(emb: DataFrame, tau: Double, nlist: Int = 4,
+  /** Deterministic Lloyd cell assignment: (vec_id, cell) for every
+    * corpus vector — the trained coarse quantizer of [[ivfTopKTrained]]
+    * exposed as its own frame. Centroids are nlist-bounded and
+    * broadcast; the argmin is a map-side partial agg over rounded
+    * distances (cid tiebreak), so the exchange carries (id, cell) only.
+    * Shared by [[semDedup]] and cluster-balanced sampling. */
+  def lloydAssign(emb: DataFrame, nlist: Int = 4,
       iters: Int = 5): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
@@ -530,13 +536,19 @@ object Similarity {
         (x, c) => (x - c) * (x - c)),
       lit(0.0), (acc, v) => acc + v))
     val d6 = floor(euclidToCent * 1e6 + 0.5) / 1e6
-    val assign = emb
+    emb
       .select(col("vec_id"), col("embedding").as("ce"))
       .join(cents)
       .groupBy("vec_id")
       .agg(min(struct(d6.as("d"), col("cid"))).as("mc"))
       .select(col("vec_id"), col("mc.cid").as("cell"))
       .localCheckpoint()
+  }
+
+  def semDedup(emb: DataFrame, tau: Double, nlist: Int = 4,
+      iters: Int = 5): DataFrame = {
+    val spark = emb.sparkSession
+    val assign = lloydAssign(emb, nlist, iters)
     val native = spark.catalog.functionExists("graft_dot")
     def dotOf(a: String, b: String): Column =
       if (native) expr(s"graft_dot($a, $b)") else dot(col(a), col(b))
