@@ -45,6 +45,18 @@ object Writers {
     df.write.mode(SaveMode.Append).insertInto(table)
   }
 
+  /** JSONL sink — the training-data interchange format (one JSON object
+    * per line). Compressed per-file (gzip default: universally readable
+    * by tokenizer/loader tooling); pass `partitionBy` to lay out by
+    * shard/split so trainers read a partition as a unit. */
+  def jsonl(df: DataFrame, path: String, partitionBy: Seq[String] = Nil,
+      compression: String = "gzip"): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+      .option("compression", compression)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .json(path)
+  }
+
   /** Sharded training-export write: one directory per shard
     * (`shard=N/`), each written by its own tasks after one hash exchange
     * on the shard column — the physical counterpart of

@@ -57,6 +57,27 @@ class WritersAndPipelineSpec extends AnyFunSuite {
     assert(back.select("shard").distinct().count() == 4)
   }
 
+  test("jsonl export round trips, gzipped one object per line, " +
+      "partitioned by shard") {
+    val docs = Tables(spark, sf0001, "documents").select("doc_id", "text")
+    val withShard = docs.join(
+      graft.llm.CorpusOps.shard(docs, nShards = 2), Seq("doc_id"))
+    val path = tmp("jsonl")
+    Writers.jsonl(withShard, path, partitionBy = Seq("shard"))
+    val back = spark.read.json(path)
+    assert(back.count() == docs.count())
+    // per-shard layout + gzip per file (readable by any loader tooling)
+    val dirs = Files.list(java.nio.file.Paths.get(path)).toArray
+      .map(_.toString).filter(_.contains("shard="))
+    assert(dirs.length == 2, dirs.toSeq)
+    val files = Files.list(java.nio.file.Paths.get(dirs.head)).toArray
+      .map(_.toString).filter(_.endsWith(".json.gz"))
+    assert(files.nonEmpty, s"no gzipped jsonl in ${dirs.head}")
+    // content fidelity, not just counts
+    val origIds = docs.collect().map(_.getLong(0)).toSet
+    assert(back.select("doc_id").collect().map(_.getLong(0)).toSet == origIds)
+  }
+
   test("csv and text round trips preserve rows") {
     val df = Tables(spark, sf0001, "region")
     val p1 = tmp("csv"); val p2 = tmp("txt")
