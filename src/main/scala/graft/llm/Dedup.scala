@@ -169,15 +169,26 @@ object Dedup {
     * id-equi-join + isEmpty on co-partitioned frames) is cheap. */
   def dedupGroups(docs: DataFrame, shingleSize: Int = 3,
       threshold: Double = 0.5, numHashes: Int = 32,
-      rowsPerBand: Int = 4): DataFrame = {
+      rowsPerBand: Int = 4): DataFrame =
+    minLabelComponents(
+      nearDupPairs(docs, shingleSize, threshold, numHashes, rowsPerBand)
+        .select(col("doc_a"), col("doc_b")))
+      .select(col("node").as("doc_id"), col("keep").as("keep_id"))
+      .orderBy("doc_id")
+
+  /** Connected components of an undirected pair graph by min-label
+    * propagation to quiescence — the keep-decision kernel shared by
+    * [[dedupGroups]] and `Similarity.semDedupGroups`. Input (doc_a,
+    * doc_b) pairs; output one (node, keep) row per node that appears in
+    * a pair, `keep` = the component's minimum id (nodes with no pair
+    * are absent — callers left-join and default to self). */
+  private[llm] def minLabelComponents(pairFrame: DataFrame): DataFrame = {
     // the pair graph is orders of magnitude smaller than the corpus
     // (duplicate families only) — size the round-loop partitioning to
     // it, or ten rounds of 32 near-empty shuffle partitions cost more
     // than the LSH pipeline that fed them
-    val pairs = nearDupPairs(docs, shingleSize, threshold, numHashes, rowsPerBand)
-      .select(col("doc_a"), col("doc_b"))
-      .localCheckpoint()
-    val spark = docs.sparkSession
+    val pairs = pairFrame.localCheckpoint()
+    val spark = pairFrame.sparkSession
     val nParts = math.max(1, math.min(
       spark.sparkContext.defaultParallelism,
       (pairs.count() / 200000L).toInt))
@@ -212,8 +223,7 @@ object Dedup {
       converged = next.filter(col("keep") < col("prev")).isEmpty
       lbl = next.select(col("node"), col("keep"))
     }
-    lbl.select(col("node").as("doc_id"), col("keep").as("keep_id"))
-      .orderBy("doc_id")
+    lbl
   }
 
   /** Span-level exact-duplication stats — the within-corpus form of the

@@ -165,6 +165,11 @@ object LlmQueries {
       // a vector is dropped iff a lower-id cluster-mate exceeds tau.
       // Training + assignment + pruning replay in one composed oracle.
       Similarity.semDedup(emb(s, d), tau = 0.4, nlist = 4, iters = 5)),
+    "llm_semdedup_groups" -> ((s, d) =>
+      // paper-faithful variant: one representative per connected
+      // duplicate group (min-label closure over the verified pair graph)
+      Similarity.semDedupGroups(emb(s, d), tau = 0.4, nlist = 4,
+        iters = 5)),
     "llm_embed_dedup" -> ((s, d) =>
       // embedding-space near-dup member of the dedup family: parity-sign
       // LSH blocking + exact-cosine verification. tau sits where this
@@ -708,6 +713,30 @@ object LlmQueries {
         "(SQRT(LIST_INNER_PRODUCT(xa.xv, xa.xv)) * SQRT(LIST_INNER_PRODUCT(xb.xv, xb.xv))) >= 0.4) " +
         "SELECT asg.vec_id, asg.cell, dup.vec_id IS NULL AS keep " +
         "FROM asg LEFT JOIN dup ON dup.vec_id = asg.vec_id ORDER BY asg.vec_id"),
+    // group-keep variant: the same Lloyd + within-cell verified pairs,
+    // then the recursive min-label closure (the llm_dedup_groups shape)
+    // and a left join so pairless vectors keep themselves
+    "llm_semdedup_groups" ->
+      ((graft.ml.MlQueries.lloydCentroidCte(k = 4, iters = 5, dim = 64) +
+        ", cents AS (SELECT cluster AS cid, cv FROM c5)" +
+        ", asg AS (SELECT vec_id, cid AS cell FROM " +
+        "(SELECT x.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY x.vec_id " +
+        "ORDER BY FLOOR(LIST_DISTANCE(x.xv, c.cv) * 1000000 + 0.5) / 1000000, c.cid) AS rn " +
+        "FROM x CROSS JOIN cents c) q WHERE rn = 1)" +
+        ", cand AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b " +
+        "FROM asg a JOIN asg b ON b.cell = a.cell AND a.vec_id < b.vec_id)" +
+        ", sp AS (SELECT doc_a, doc_b FROM cand " +
+        "JOIN x xa ON xa.vec_id = doc_a JOIN x xb ON xb.vec_id = doc_b " +
+        "WHERE LIST_INNER_PRODUCT(xa.xv, xb.xv) / " +
+        "(SQRT(LIST_INNER_PRODUCT(xa.xv, xa.xv)) * SQRT(LIST_INNER_PRODUCT(xb.xv, xb.xv))) >= 0.4)" +
+        ", cl AS (SELECT doc_a AS a, doc_b AS b FROM sp " +
+        "UNION SELECT doc_b, doc_a FROM sp)" +
+        ", r AS (SELECT a AS node, b AS xx FROM cl " +
+        "UNION SELECT r.node, cl.b FROM r JOIN cl ON cl.a = r.xx)" +
+        ", kp AS (SELECT node, LEAST(node, MIN(xx)) AS keep FROM r GROUP BY node) " +
+        "SELECT asg.vec_id, asg.cell, COALESCE(kp.keep, asg.vec_id) AS keep_id " +
+        "FROM asg LEFT JOIN kp ON kp.node = asg.vec_id ORDER BY asg.vec_id")
+        .replaceFirst("^WITH ", "WITH RECURSIVE ")),
     // embedding near-dup replica: parity signs → floor buckets → pair
     // candidates → exact cosine (same multiply/divide order as the
     // Spark-side cosine: dot / (norm_a * norm_b))

@@ -492,28 +492,6 @@ object Similarity {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** SemDeDup — semantic deduplication by cluster-blocked cosine pruning
-    * (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
-    * through semantic deduplication"): k-means the embedding space, then
-    * compare ONLY within each cluster and drop every vector that has a
-    * lower-id cluster-mate above `tau` (low-id-wins keep rule — a total
-    * order, so the keep set is deterministic and engine-replicable).
-    * The cluster-blocked member of the dedup family (exact / MinHash /
-    * SimHash / LSH-cosine / THIS). Returns one row per corpus vector:
-    * (vec_id, cell, keep).
-    *
-    * Training reuses the deterministic Lloyd trainer that backs
-    * [[ivfTopKTrained]] (1e-6-rounded iteration means, id-ordered init),
-    * so clustering + assignment + pruning replay as ONE composed oracle
-    * SQL statement.
-    *
-    * Scale shape: centroids are nlist-bounded and broadcast; assignment
-    * is a map-side argmin (the exchange carries (id, cell) only); the
-    * pair join is equi-keyed on `cell` — never all-pairs — and carries
-    * ids only, embeddings rejoining once per candidate pair with norms
-    * precomputed per vector. Within-cell candidates are the quadratic
-    * term SemDeDup accepts by design; nlist ∝ √N keeps cells bounded as
-    * the corpus grows. */
   /** Deterministic Lloyd cell assignment: (vec_id, cell) for every
     * corpus vector — the trained coarse quantizer of [[ivfTopKTrained]]
     * exposed as its own frame. Centroids are nlist-bounded and
@@ -545,21 +523,22 @@ object Similarity {
       .localCheckpoint()
   }
 
-  def semDedup(emb: DataFrame, tau: Double, nlist: Int = 4,
-      iters: Int = 5): DataFrame = {
-    val spark = emb.sparkSession
-    val assign = lloydAssign(emb, nlist, iters)
-    val native = spark.catalog.functionExists("graft_dot")
+  /** Verified within-cell cosine pairs (doc_a < doc_b, cosine ≥ tau) —
+    * the candidate kernel shared by [[semDedup]] and [[semDedupGroups]].
+    * Candidates meet on the cell equi-key carrying ids only; embeddings
+    * and once-computed norms rejoin per surviving candidate. */
+  private def semDupPairs(assign: DataFrame, emb: DataFrame,
+      tau: Double): DataFrame = {
+    val native = emb.sparkSession.catalog.functionExists("graft_dot")
     def dotOf(a: String, b: String): Column =
       if (native) expr(s"graft_dot($a, $b)") else dot(col(a), col(b))
-    // candidate pairs carry ids only; norms are computed once per vector
     val e = emb.select(col("vec_id"), col("embedding").as("ev"))
       .withColumn("nv", sqrt(dotOf("ev", "ev")))
     val ids = assign.select(col("cell"), col("vec_id"))
     val cand = ids.select(col("cell"), col("vec_id").as("doc_a"))
       .join(ids.select(col("cell"), col("vec_id").as("doc_b")), Seq("cell"))
       .filter(col("doc_a") < col("doc_b"))
-    val dups = cand
+    cand
       .join(e.select(col("vec_id").as("doc_a"), col("ev").as("ea"),
         col("nv").as("na")), Seq("doc_a"))
       .join(e.select(col("vec_id").as("doc_b"), col("ev").as("eb"),
@@ -567,13 +546,66 @@ object Similarity {
       // zero-norm vectors have no defined cosine — never duplicates
       // (also keeps ANSI mode from raising on the 0·0 divide)
       .filter(col("na") > 0 && col("nb") > 0)
-      .select(col("doc_b"),
+      .select(col("doc_a"), col("doc_b"),
         (dotOf("ea", "eb") / (col("na") * col("nb"))).as("c"))
       .filter(col("c") >= tau)
+      .select(col("doc_a"), col("doc_b"))
+  }
+
+  /** SemDeDup — semantic deduplication by cluster-blocked cosine pruning
+    * (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+    * through semantic deduplication"): k-means the embedding space, then
+    * compare ONLY within each cluster and drop every vector that has a
+    * lower-id cluster-mate above `tau` (low-id-wins keep rule — a total
+    * order, so the keep set is deterministic and engine-replicable; for
+    * the paper's one-representative-per-GROUP rule see
+    * [[semDedupGroups]]). The cluster-blocked member of the dedup family
+    * (exact / MinHash / SimHash / LSH-cosine / THIS). Returns one row
+    * per corpus vector: (vec_id, cell, keep).
+    *
+    * Training reuses the deterministic Lloyd trainer that backs
+    * [[ivfTopKTrained]] (1e-6-rounded iteration means, id-ordered init),
+    * so clustering + assignment + pruning replay as ONE composed oracle
+    * SQL statement.
+    *
+    * Scale shape: centroids are nlist-bounded and broadcast; assignment
+    * is a map-side argmin (the exchange carries (id, cell) only); the
+    * pair join is equi-keyed on `cell` — never all-pairs — and carries
+    * ids only, embeddings rejoining once per candidate pair with norms
+    * precomputed per vector. Within-cell candidates are the quadratic
+    * term SemDeDup accepts by design; nlist ∝ √N keeps cells bounded as
+    * the corpus grows. */
+  def semDedup(emb: DataFrame, tau: Double, nlist: Int = 4,
+      iters: Int = 5): DataFrame = {
+    val assign = lloydAssign(emb, nlist, iters)
+    val dups = semDupPairs(assign, emb, tau)
       .select(col("doc_b").as("vec_id")).distinct()
     assign
       .join(dups.withColumn("dup", lit(true)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"), col("dup").isNull.as("keep"))
+      .orderBy("vec_id")
+  }
+
+  /** [[semDedup]] with the paper-faithful keep rule: ONE representative
+    * per connected duplicate GROUP (transitive closure of the verified
+    * pair graph, minimum id as the canonical representative), not
+    * per-pair low-id. The two differ on star-shaped groups — in
+    * {1~5, 3~5}, the pairwise rule keeps 3 (its only mate is higher),
+    * the group rule collapses all three to representative 1. Returns
+    * one row per corpus vector: (vec_id, cell, keep_id); keep_id = own
+    * id for vectors with no duplicate.
+    *
+    * The closure runs on `Dedup.minLabelComponents` — min-label
+    * propagation to quiescence over the pair graph, which is orders of
+    * magnitude smaller than the corpus. */
+  def semDedupGroups(emb: DataFrame, tau: Double, nlist: Int = 4,
+      iters: Int = 5): DataFrame = {
+    val assign = lloydAssign(emb, nlist, iters)
+    val comp = Dedup.minLabelComponents(semDupPairs(assign, emb, tau))
+    assign
+      .join(comp.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("keep"), col("vec_id")).as("keep_id"))
       .orderBy("vec_id")
   }
 

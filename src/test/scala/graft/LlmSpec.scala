@@ -414,6 +414,31 @@ class LlmSpec extends AnyFunSuite {
     assert(h == r)
   }
 
+  test("semdedup groups: star-shaped dup group collapses to one " +
+      "representative where the pairwise rule keeps two") {
+    val dim = 64
+    def block(lo: Int, hi: Int) =
+      (0 until dim).map(j => if (j >= lo && j < hi) 1.0f else 0.0f).toArray
+    // cluster A: 1 = left block, 3 = right block, 5 = both blocks.
+    // cos(1,5) = cos(3,5) = 1/sqrt(2) ~ 0.707; cos(1,3) = 0 — a star.
+    // cluster B (orthogonal): 2 and 4, no dups. Init centers = ids 1,2.
+    val e = Seq(
+      (1L, block(0, 8)), (2L, block(32, 40)), (3L, block(8, 16)),
+      (4L, block(40, 48)), (5L, block(0, 16))
+    ).toDF("vec_id", "embedding")
+    val grp = Similarity.semDedupGroups(e, tau = 0.7, nlist = 2)
+      .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
+    // the whole star is ONE group kept by its minimum id
+    assert(grp == Map(1L -> 1L, 3L -> 1L, 5L -> 1L, 2L -> 2L, 4L -> 4L),
+      grp.toString)
+    // the pairwise low-id rule keeps 3 as well (its only mate, 5, is
+    // higher) — the documented difference between the two keep rules
+    val pw = Similarity.semDedup(e, tau = 0.7, nlist = 2)
+      .collect().map(x => x.getLong(0) -> x.getBoolean(2)).toMap
+    assert(pw == Map(1L -> true, 2L -> true, 3L -> true, 4L -> true,
+      5L -> false), pw.toString)
+  }
+
   test("bm25: docs without query terms absent, tf/idf ranking, k cut") {
     val docs = Seq(
       (1L, "spark spark spark"),
