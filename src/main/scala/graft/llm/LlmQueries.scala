@@ -65,6 +65,13 @@ object LlmQueries {
       TextOps.chunk(docs(s, d), window = 32, overlap = 8)),
     "llm_vocab" -> ((s, d) => TextOps.vocab(docs(s, d), maxSize = 500)),
     "llm_dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))),
+    // canonical pre-dedup normalization (lowercase, strip non-alnum,
+    // collapse whitespace) and its composition with exact dedup —
+    // catches case/punctuation variants of the same content
+    "llm_normalize" -> ((s, d) => TextOps.normalize(docs(s, d))),
+    "llm_dedup_normalized" -> ((s, d) =>
+      Dedup.exact(TextOps.normalize(docs(s, d))
+        .select(col("doc_id"), col("norm_text").as("text")))),
     // span-level exact duplication (Lee et al. 2022 within-corpus form):
     // rolling 20-token windows counted globally, per-doc dup fraction.
     // String keys here so the oracle replays; the xxhash64 key path is
@@ -382,6 +389,20 @@ object LlmQueries {
         "FLOOR(CAST(n_hit AS DOUBLE) / n_ngrams * 10000 + 0.5) / 10000 AS contamination, " +
         "FLOOR(CAST(n_hit AS DOUBLE) / n_ngrams * 10000 + 0.5) / 10000 >= 0.5 " +
         "AS contaminated FROM j ORDER BY doc_id"),
+    // normalization replica: DuckDB regexp_replace needs the 'g' flag
+    // for the replace-all semantics Spark has by default
+    "llm_normalize" ->
+      ("SELECT doc_id, TRIM(regexp_replace(regexp_replace(LOWER(text), " +
+        "'[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g')) AS norm_text, " +
+        "TRIM(regexp_replace(regexp_replace(LOWER(text), " +
+        "'[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g')) <> text AS changed " +
+        "FROM documents ORDER BY doc_id"),
+    "llm_dedup_normalized" ->
+      ("WITH n AS (SELECT doc_id, TRIM(regexp_replace(regexp_replace(" +
+        "LOWER(text), '[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g')) AS text " +
+        "FROM documents) " +
+        "SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt " +
+        "FROM n GROUP BY text ORDER BY keep_id"),
     // span-dup replica: rolling 20-token windows (generate_series start
     // positions, space-joined slices = gramsAll), global occurrence
     // counts, per-doc rollup; spanless docs re-enter via left join

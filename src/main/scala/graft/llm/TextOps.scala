@@ -272,6 +272,23 @@ object TextOps {
     if (ordered) out.orderBy("doc_id", "chunk_id") else out
   }
 
+  /** Text normalization — the canonical pre-dedup transform (CCNet-style):
+    * lowercase, strip everything outside [a-z0-9 ], collapse whitespace
+    * runs, trim. Exact dedup over the normalized text then catches
+    * case/punctuation variants of the same content. Pure per-row
+    * codegen'd string expressions (regexes stay in the java∩RE2 subset,
+    * like [[piiRedact]], so any engine replays them); no unicode NFC —
+    * normalization forms differ across engines and the corpus is ASCII.
+    * Output (doc_id, norm_text, changed). */
+  def normalize(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col(textCol)), "[^a-z0-9 ]+", " "),
+      " +", " "))
+    docs.select(col("doc_id"), norm.as("norm_text"),
+        (norm =!= col(textCol)).as("changed"))
+      .orderBy("doc_id")
+  }
+
   /** BM25 keyword retrieval over the corpus — the ranking a training-data
     * pipeline uses for dataset search and targeted decontamination
     * sweeps (Robertson–Spärck Jones BM25, the Okapi formulation with

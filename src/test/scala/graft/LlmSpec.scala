@@ -439,6 +439,23 @@ class LlmSpec extends AnyFunSuite {
       5L -> false), pw.toString)
   }
 
+  test("normalize: case/punct variants collapse, exact dedup then merges them") {
+    val docs = Seq(
+      (1L, "The Cat, Sat!"),
+      (2L, "the  cat sat"), // same content after normalization
+      (3L, "a different doc")
+    ).toDF("doc_id", "text")
+    val n = TextOps.normalize(docs).collect()
+      .map(x => x.getLong(0) -> (x.getString(1), x.getBoolean(2))).toMap
+    assert(n(1L) == ("the cat sat", true))
+    assert(n(2L) == ("the cat sat", true)) // double space collapsed
+    assert(n(3L) == ("a different doc", false))
+    val d = Dedup.exact(TextOps.normalize(docs)
+        .select($"doc_id", $"norm_text".as("text"))).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(d == Map(1L -> 2L, 3L -> 1L)) // 1+2 merge under keep-id 1
+  }
+
   test("bm25: docs without query terms absent, tf/idf ranking, k cut") {
     val docs = Seq(
       (1L, "spark spark spark"),
