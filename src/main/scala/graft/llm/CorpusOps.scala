@@ -217,6 +217,127 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** UniMax mixing sampler — epoch-capped uniform allocation (Chung et
+    * al. 2023): a total budget of `floor(N · budgetFrac)` docs is spread
+    * as uniformly as possible across strata, except no stratum
+    * contributes more than `maxEpochs` passes over its own data. The
+    * water-filling solution: visit strata in ascending size order; a
+    * stratum whose cap is below the fair share of the remaining budget
+    * takes its cap, every remaining stratum splits what is left evenly.
+    * This is the principled alternative to temperature mixing
+    * ([[mixTemperature]]) — rare strata are upweighted to uniform but
+    * never repeated past the epoch cap.
+    *
+    * Cross-engine exactness: caps, budgets, and cumulative sums are
+    * exact BIGINT arithmetic; the capped test `cap·slots ≤ budget − cum`
+    * multiplies integers (no division); the single fair-share division
+    * happens once, as doubles built from exact integers, then floors.
+    * The per-row keep test is the same numeric md5 threshold as
+    * [[mixTemperature]].
+    *
+    * Scale shape: the allocation runs on the per-stratum counts frame
+    * (one row per stratum — the window and the pivot aggregate are over
+    * that tiny frame, never the corpus); rates join back size-gated, and
+    * the keep test is a shuffle-free per-row filter. */
+  def mixUnimax(docs: DataFrame, strataCol: String = "lang",
+      budgetFrac: Double = 0.5, maxEpochs: Int = 1,
+      salt: String = "#mix"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgetFrac > 0.0 && budgetFrac <= maxEpochs,
+      s"need 0 < budgetFrac <= maxEpochs, got $budgetFrac vs $maxEpochs")
+    require(maxEpochs >= 1, s"need maxEpochs >= 1, got $maxEpochs")
+    val counts = docs.groupBy(strataCol).agg(count(lit(1)).as("n_s"))
+      .localCheckpoint() // one row per stratum; feeds gate + allocation
+    val nStrata = counts.count()
+    val tot = counts.agg(sum("n_s").as("n"),
+      count(lit(1)).as("k")) // one literal row
+    // ascending-cap visit order; cum = Σ caps of already-visited strata
+    val ord = Window.orderBy(col("cap"), col(strataCol)) // k rows, bounded
+    val annot = counts.crossJoin(broadcast(tot))
+      .select(col(strataCol), col("n_s"), col("n"), col("k"),
+        (col("n_s") * maxEpochs).as("cap"))
+      .select(col("*"),
+        row_number().over(ord).cast("long").as("idx"),
+        coalesce(sum("cap").over(
+          ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("cum"),
+        floor(col("n") * budgetFrac).cast("long").as("bud"))
+      .withColumn("capped",
+        col("cap") * (col("k") - col("idx") + 1) <= col("bud") - col("cum"))
+      .localCheckpoint() // referenced twice: rows + pivot aggregate
+    // pivot stats: how much budget the capped prefix consumed
+    val pivot = broadcast(annot.agg(
+      coalesce(sum(when(col("capped"), col("cap"))), lit(0L)).as("csum"),
+      coalesce(sum(when(col("capped"), lit(1L))), lit(0L)).as("np")))
+    val alloc = when(col("capped"), col("cap").cast("double"))
+      .otherwise(floor((col("bud") - col("csum")).cast("double") /
+        greatest(col("k") - col("np"), lit(1L))))
+    val rates = graft.core.Hints.broadcastIfSmall(
+      annot.crossJoin(pivot)
+        .select(col(strataCol),
+          least(lit(1.0), alloc / col("n_s").cast("double")).as("rate")),
+      nStrata)
+    val u = conv(substring(sampleKey(salt), 1, 8), 16, 10).cast("long")
+    docs.join(rates, Seq(strataCol))
+      .filter(u < floor(col("rate") * 4294967296.0).cast("long"))
+      .select(col("doc_id"), col(strataCol),
+        (floor(col("rate") * 1e6 + 0.5) / 1e6).as("rate"))
+      .orderBy("doc_id")
+  }
+
+  /** DSIR importance weights (Xie et al. 2023, unigram-feature form):
+    * each document's log importance weight `Σ_w c_{d,w} · (ln p_t(w) −
+    * ln q(w))` under add-1-smoothed unigram models of the TARGET slice
+    * (`strataCol = targetVal`, e.g. curated-domain docs) versus the RAW
+    * corpus, both smoothed over the raw corpus's joint vocabulary. Docs
+    * that look like the target get high weights; data selection keeps
+    * the top slice (see the `llm_dsir_select` query: a
+    * TakeOrderedAndProject cut, never a global window).
+    *
+    * Cross-engine exactness: the per-TYPE log ratio is floored once to
+    * 1e-6 micro-units on the vocab frame; per-doc weights are exact
+    * BIGINT dot products `Σ c_{d,w} · ratio6(w)` — summation-order
+    * independent, same discipline as [[TextOps.bm25]].
+    *
+    * Scale shape: two vocab-sized aggregates (map-side partials), one
+    * size-gated broadcast join onto per-doc token counts (the exploded
+    * corpus pre-aggregates to (doc, token, c) before joining, so the
+    * join input is distinct-pairs, not raw occurrences), one hash agg
+    * keyed on doc_id. */
+  def dsirWeights(docs: DataFrame, strataCol: String = "lang",
+      targetVal: String = "en", ordered: Boolean = true): DataFrame = {
+    val toks = split(col("text"), " ")
+    // raw counts define the joint vocab; target counts left-join onto it
+    val raw = docs.select(explode(toks).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cq"))
+    val tgt = docs.filter(col(strataCol) === targetVal)
+      .select(explode(toks).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("ct"))
+    val joined = raw.join(tgt, Seq("tok"), "left")
+      .select(col("tok"), col("cq"), coalesce(col("ct"), lit(0L)).as("ct"))
+      .localCheckpoint() // feeds totals AND the ratio projection
+    val nVocab = joined.count()
+    val st = broadcast(joined.agg(sum("cq").as("nq"), sum("ct").as("nt"),
+      count(lit(1)).as("v")))
+    // ratio6 = floor((ln p_t − ln q)·1e6 + ½) per token TYPE
+    val ratio6 = floor((
+      log((col("ct") + 1).cast("double") / (col("nt") + col("v") + 1)) -
+        log((col("cq") + 1).cast("double") / (col("nq") + col("v") + 1)))
+      * 1e6 + 0.5).cast("long")
+    val ratios = graft.core.Hints.broadcastIfSmall(
+      joined.crossJoin(st).select(col("tok"), ratio6.as("ratio6")), nVocab)
+    val out = docs
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .join(ratios, Seq("tok")) // every scored token is in the joint vocab
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"),
+        sum(col("c") * col("ratio6")).as("s6"))
+      .select(col("doc_id"), col("n_tokens"),
+        (floor(col("s6").cast("double") / 1e6 * 10000 + 0.5) / 10000)
+          .as("log_weight"))
+    if (ordered) out.orderBy("doc_id") else out
+  }
+
   /** Shuffle-free rate-based mixing sample: keep a doc iff the first 8
     * hex chars of its sampling key fall under the stratum's rate
     * threshold. Expected (not exact) per-stratum proportions, but the

@@ -216,6 +216,30 @@ object LlmQueries {
       // definition, gaps-and-islands form (SURVEY §2.D streaming row)
       graft.streaming.EventStreams.sessionizeBatch(
         graft.sources.Tables(s, d, "events"))),
+    // UniMax epoch-capped mixing: budget spread uniformly across
+    // languages, small strata capped at one epoch — the principled
+    // alternative to temperature mixing; allocation + keep test replay
+    // in one oracle statement
+    "llm_mix_unimax" -> ((s, d) =>
+      CorpusOps.mixUnimax(docs(s, d), "lang", budgetFrac = 0.5,
+        maxEpochs = 1)),
+    // DSIR importance weights: log p_target/p_raw under add-1 unigram
+    // models (target = English slice) — integer micro-unit dot products
+    "llm_dsir" -> ((s, d) => CorpusOps.dsirWeights(docs(s, d))),
+    // the data-selection cut: top-100 docs by importance weight via
+    // TakeOrderedAndProject (never a global window)
+    "llm_dsir_select" -> ((s, d) =>
+      CorpusOps.dsirWeights(docs(s, d), ordered = false)
+        .orderBy(desc("log_weight"), asc("doc_id")).limit(100)),
+    // CCNet-style perplexity filter: add-1 unigram LM trained on the
+    // English slice, every doc scored by per-token avg NLL
+    "llm_perplexity" -> ((s, d) => TextOps.perplexity(docs(s, d))),
+    // hybrid retrieval: BM25 keyword arm + exact-cosine embedding arm
+    // fused by Reciprocal Rank Fusion on integer micro-units
+    "llm_hybrid_rrf" -> ((s, d) =>
+      Retrieval.hybridRrf(docs(s, d), emb(s, d),
+        Seq("spark", "window", "table"), queryVecId = 0L, k = 10,
+        kEach = 20)),
     "llm_hll_distinct" -> ((s, d) =>
       // 100 TB distinct counting: HLL sketch vs exact. The sketch value
       // itself is impl-defined, so the checkable output is the exact
@@ -267,6 +291,111 @@ object LlmQueries {
         "ORDER BY query_id, rank"),
     "llm_hll_distinct" ->
       "SELECT COUNT(DISTINCT l_partkey) AS exact_d, TRUE AS approx_ok FROM lineitem",
+    // UniMax water-filling replica: ascending-cap visit order, exact
+    // bigint caps/cumsums, one fair-share division, numeric md5 keep test
+    "llm_mix_unimax" ->
+      ("WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_s FROM documents GROUP BY lang), " +
+        "t AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k FROM c), " +
+        "a AS (SELECT lang, n_s, n, k, n_s * 1 AS cap, " +
+        "CAST(ROW_NUMBER() OVER (ORDER BY n_s * 1, lang) AS BIGINT) AS idx, " +
+        "CAST(COALESCE(SUM(n_s * 1) OVER (ORDER BY n_s * 1, lang " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum, " +
+        "CAST(FLOOR(n * 0.5) AS BIGINT) AS bud FROM c, t), " +
+        "b AS (SELECT *, cap * (k - idx + 1) <= bud - cum AS capped FROM a), " +
+        "p AS (SELECT CAST(COALESCE(SUM(CASE WHEN capped THEN cap END), 0) AS BIGINT) AS csum, " +
+        "CAST(COALESCE(SUM(CASE WHEN capped THEN 1 END), 0) AS BIGINT) AS np FROM b), " +
+        "r AS (SELECT lang, LEAST(CAST(1 AS DOUBLE), " +
+        "(CASE WHEN capped THEN CAST(cap AS DOUBLE) " +
+        "ELSE FLOOR(CAST(bud - csum AS DOUBLE) / GREATEST(k - np, 1)) END) " +
+        "/ CAST(n_s AS DOUBLE)) AS rate FROM b, p) " +
+        "SELECT d.doc_id, d.lang, FLOOR(r.rate * 1000000 + 0.5) / 1000000 AS rate " +
+        "FROM documents d JOIN r ON r.lang = d.lang " +
+        "WHERE CAST(CONCAT('0x', SUBSTR(md5(CAST(d.doc_id AS VARCHAR) || '#mix'), 1, 8)) AS BIGINT) " +
+        "< CAST(FLOOR(r.rate * 4294967296.0) AS BIGINT) ORDER BY d.doc_id"),
+    // DSIR replica: joint vocab from raw counts, per-TYPE log ratio
+    // floored to 1e-6 micro-units, per-doc exact bigint dot products
+    "llm_dsir" ->
+      ("WITH e AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+        "raw AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cq FROM e GROUP BY tok), " +
+        "tgt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS ct FROM e WHERE lang = 'en' GROUP BY tok), " +
+        "j AS (SELECT raw.tok, raw.cq, COALESCE(tgt.ct, 0) AS ct FROM raw LEFT JOIN tgt ON tgt.tok = raw.tok), " +
+        "st AS (SELECT CAST(SUM(cq) AS BIGINT) AS nq, CAST(SUM(ct) AS BIGINT) AS nt, " +
+        "CAST(COUNT(*) AS BIGINT) AS v FROM j), " +
+        "r AS (SELECT tok, CAST(FLOOR((LN(CAST(ct + 1 AS DOUBLE) / (nt + v + 1)) " +
+        "- LN(CAST(cq + 1 AS DOUBLE) / (nq + v + 1))) * 1000000 + 0.5) AS BIGINT) AS ratio6 FROM j, st), " +
+        "dc AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY doc_id, tok), " +
+        "s AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, CAST(SUM(c * ratio6) AS BIGINT) AS s6 " +
+        "FROM dc JOIN r ON r.tok = dc.tok GROUP BY doc_id) " +
+        "SELECT doc_id, n_tokens, FLOOR(CAST(s6 AS DOUBLE) / 1000000 * 10000 + 0.5) / 10000 AS log_weight " +
+        "FROM s ORDER BY doc_id"),
+    // the selection cut over the same weights (rounded-weight total order)
+    "llm_dsir_select" ->
+      ("WITH e AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+        "raw AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cq FROM e GROUP BY tok), " +
+        "tgt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS ct FROM e WHERE lang = 'en' GROUP BY tok), " +
+        "j AS (SELECT raw.tok, raw.cq, COALESCE(tgt.ct, 0) AS ct FROM raw LEFT JOIN tgt ON tgt.tok = raw.tok), " +
+        "st AS (SELECT CAST(SUM(cq) AS BIGINT) AS nq, CAST(SUM(ct) AS BIGINT) AS nt, " +
+        "CAST(COUNT(*) AS BIGINT) AS v FROM j), " +
+        "r AS (SELECT tok, CAST(FLOOR((LN(CAST(ct + 1 AS DOUBLE) / (nt + v + 1)) " +
+        "- LN(CAST(cq + 1 AS DOUBLE) / (nq + v + 1))) * 1000000 + 0.5) AS BIGINT) AS ratio6 FROM j, st), " +
+        "dc AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY doc_id, tok), " +
+        "s AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, CAST(SUM(c * ratio6) AS BIGINT) AS s6 " +
+        "FROM dc JOIN r ON r.tok = dc.tok GROUP BY doc_id) " +
+        "SELECT doc_id, n_tokens, FLOOR(CAST(s6 AS DOUBLE) / 1000000 * 10000 + 0.5) / 10000 AS log_weight " +
+        "FROM s ORDER BY log_weight DESC, doc_id LIMIT 100"),
+    // perplexity replica: per-TYPE -ln p floored to micro-units (add-1
+    // smoothing, shared unseen mass), exact bigint per-doc sums, one exp
+    // on a 1e-6-stabilized input
+    "llm_perplexity" ->
+      ("WITH tr AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents WHERE lang = 'en'), " +
+        "cnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM tr GROUP BY tok), " +
+        "st AS (SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v FROM cnt), " +
+        "nl AS (SELECT tok, CAST(FLOOR(-LN(CAST(c + 1 AS DOUBLE) / (n + v + 1)) * 1000000 + 0.5) AS BIGINT) AS nll6 FROM cnt, st), " +
+        "un AS (SELECT CAST(FLOOR(-LN(CAST(1 AS DOUBLE) / (n + v + 1)) * 1000000 + 0.5) AS BIGINT) AS unll6 FROM st), " +
+        "e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+        "s AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, " +
+        "CAST(SUM(COALESCE(nl.nll6, un.unll6)) AS BIGINT) AS s6 " +
+        "FROM e LEFT JOIN nl ON nl.tok = e.tok, un GROUP BY doc_id) " +
+        "SELECT doc_id, n_tokens, " +
+        "FLOOR(CAST(s6 AS DOUBLE) / 1000000 / n_tokens * 10000 + 0.5) / 10000 AS avg_nll, " +
+        "FLOOR(EXP(FLOOR(CAST(s6 AS DOUBLE) / 1000000 / n_tokens * 1000000 + 0.5) / 1000000) * 10000 + 0.5) / 10000 AS ppl, " +
+        "FLOOR(EXP(FLOOR(CAST(s6 AS DOUBLE) / 1000000 / n_tokens * 1000000 + 0.5) / 1000000) * 10000 + 0.5) / 10000 > 5000.0 AS flagged " +
+        "FROM s ORDER BY doc_id"),
+    // RRF fusion replica: the bm25 CTE (s6 order bounds the arm, rounded
+    // score re-ranks it) + the exact-cosine CTE (1e-6-rounded dot order),
+    // fused as integer micro-unit reciprocal ranks
+    "llm_hybrid_rrf" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "st AS (SELECT CAST(SUM(len(toks)) AS BIGINT) AS sdl, CAST(COUNT(*) AS BIGINT) AS n FROM t), " +
+        "e AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS tok FROM t), " +
+        "tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf, MAX(dl) AS dl " +
+        "FROM e WHERE tok IN ('spark', 'window', 'table') GROUP BY doc_id, tok), " +
+        "df AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY tok), " +
+        "co AS (SELECT tf.doc_id, CAST(FLOOR(" +
+        "((LN(CAST(1 AS DOUBLE) + (st.n - df.df + CAST(0.5 AS DOUBLE)) / (df.df + CAST(0.5 AS DOUBLE))) * tf.tf) " +
+        "* (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE))) " +
+        "/ (tf.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) " +
+        "+ (CAST(0.75 AS DOUBLE) * tf.dl) / (CAST(st.sdl AS DOUBLE) / st.n))) " +
+        "* 1000000 + 0.5) AS BIGINT) AS c6 " +
+        "FROM tf JOIN df ON df.tok = tf.tok, st), " +
+        "bs AS (SELECT doc_id, SUM(c6) AS s6 FROM co GROUP BY doc_id), " +
+        "bm AS (SELECT doc_id, FLOOR(CAST(s6 AS DOUBLE) / 1000000 * 10000 + 0.5) / 10000 AS score " +
+        "FROM bs ORDER BY s6 DESC, doc_id LIMIT 20), " +
+        "kw AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS kw_rank FROM bm), " +
+        "q AS (SELECT LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS qe FROM embeddings WHERE vec_id = 0), " +
+        "cc AS (SELECT vec_id AS neighbor_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS ce FROM embeddings), " +
+        "sc AS (SELECT neighbor_id, LIST_INNER_PRODUCT(qe, ce) AS raw_dot FROM q CROSS JOIN cc), " +
+        "an AS (SELECT neighbor_id AS doc_id, CAST(ROW_NUMBER() OVER (" +
+        "ORDER BY FLOOR(raw_dot * 1000000 + 0.5) / 1000000 DESC, neighbor_id) AS BIGINT) AS ann_rank FROM sc), " +
+        "af AS (SELECT doc_id, ann_rank FROM an WHERE ann_rank <= 20), " +
+        "f AS (SELECT COALESCE(kw.doc_id, af.doc_id) AS doc_id, kw.kw_rank, af.ann_rank " +
+        "FROM kw FULL JOIN af ON af.doc_id = kw.doc_id), " +
+        "g AS (SELECT doc_id, kw_rank, ann_rank, " +
+        "(COALESCE(CAST(FLOOR(1000000.0 / (60 + kw_rank) + 0.5) AS BIGINT), 0) " +
+        "+ COALESCE(CAST(FLOOR(1000000.0 / (60 + ann_rank) + 0.5) AS BIGINT), 0)) AS rrf6 FROM f) " +
+        "SELECT doc_id, COALESCE(kw_rank, -1) AS kw_rank, COALESCE(ann_rank, -1) AS ann_rank, rrf6, " +
+        "FLOOR(CAST(rrf6 AS DOUBLE) / 1000000 * 10000 + 0.5) / 10000 AS rrf_score " +
+        "FROM g ORDER BY rrf6 DESC, doc_id LIMIT 10"),
     // interval-join replica: same epoch-ms truncation, pairs strictly
     // after the left event within the 10-minute band, counted per user
     "llm_event_pairs" ->

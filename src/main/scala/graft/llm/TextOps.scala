@@ -344,6 +344,61 @@ object TextOps {
         (floor(col("s6") / 1e6 * 10000 + 0.5) / 10000).as("score"))
   }
 
+  /** Unigram-LM perplexity scoring — the CCNet-style quality filter: an
+    * add-1-smoothed unigram language model is trained on the `refLang`
+    * slice of the corpus and every document is scored by its per-token
+    * average negative log-likelihood; high-perplexity docs (off-language,
+    * gibberish, boilerplate code) get flagged. `p(w) = (c_w + 1) /
+    * (N + V + 1)` with one shared unseen-token mass `1 / (N + V + 1)`.
+    *
+    * Cross-engine exactness: each token TYPE's −ln p is floored once to
+    * 1e-6 integer micro-units on the (vocab-sized) counts frame; per-doc
+    * scores are then exact BIGINT sums of those micro-units, so document
+    * scores are independent of float summation order. The only
+    * transcendentals are `ln` (per vocab entry) and one `exp` per doc,
+    * both applied to identical double inputs on either engine — the same
+    * discipline as [[bm25]]'s idf.
+    *
+    * Scale shape: one corpus scan aggregates reference token counts
+    * (map-side partials; shuffle carries one row per distinct token); the
+    * scoring scan explodes tokens and joins the vocab frame — size-gated
+    * broadcast, so the exploded corpus never shuffles when the vocab fits
+    * (a natural-language vocab does; past the gate AQE plans from runtime
+    * stats). Per-doc aggregation is a hash agg keyed on doc_id. Nothing
+    * driver-side, nothing pairwise. */
+  def perplexity(docs: DataFrame, refLang: String = "en",
+      flagThreshold: Double = 5000.0, ordered: Boolean = true): DataFrame = {
+    val cnt = docs.filter(col("lang") === refLang)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds the nll projection AND the size gate
+    val nVocab = cnt.count()
+    val st = broadcast(cnt.agg(sum("c").as("n"), count(lit(1)).as("v")))
+    // per-TYPE micro-unit cost: nll6 = floor(-ln((c+1)/(n+v+1))·1e6 + ½);
+    // the unseen cost reuses the same expression with c = 0
+    def nll6(c: Column, n: Column, v: Column) =
+      floor(-log(c.cast("double") / (n + v + 1)) * 1e6 + 0.5).cast("long")
+    val costs = graft.core.Hints.broadcastIfSmall(
+      cnt.crossJoin(st).select(col("tok"),
+        nll6(col("c") + 1, col("n"), col("v")).as("nll6")), nVocab)
+    val unseen = broadcast(st.select(
+      nll6(lit(1), col("n"), col("v")).as("unll6")))
+    val avg = col("s6").cast("double") / 1e6 / col("n_tokens")
+    val avg6 = floor(avg * 1e6 + 0.5) / 1e6 // exp input, stabilized first
+    val out = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .join(costs, Seq("tok"), "left")
+      .crossJoin(unseen)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("nll6"), col("unll6"))).as("s6"))
+      .select(col("doc_id"), col("n_tokens"),
+        r4(avg).as("avg_nll"),
+        r4(exp(avg6)).as("ppl"))
+      .withColumn("flagged", col("ppl") > flagThreshold)
+    if (ordered) out.orderBy("doc_id") else out
+  }
+
   /** End-to-end training-data curation: quality gate ∧ language gate ∧
     * near-dup keep decision (strict mode adds ¬boilerplate) — the flow a
     * 100 TB corpus pipeline runs before tokenization. The per-row gates

@@ -595,6 +595,109 @@ class LlmSpec extends AnyFunSuite {
     assert(r2.subsetOf(r1))
   }
 
+  test("mix unimax: small strata capped at one epoch, leftover split " +
+      "evenly, maxEpochs relaxes the cap") {
+    import org.apache.spark.sql.functions.lit
+    // en=30, de=4, es=6; B = floor(40*0.5) = 20. Ascending caps: de(4)
+    // and es(6) fit under the fair share -> capped (rate 1); en takes
+    // the remaining 10 of 30 -> rate 1/3
+    val docs = (0L until 40L).map(i =>
+        (i, if (i < 30) "en" else if (i < 34) "de" else "es"))
+      .toDF("doc_id", "lang").withColumn("text", lit("x"))
+    def rates(frac: Double, epochs: Int) =
+      CorpusOps.mixUnimax(docs, "lang", frac, epochs)
+        .select("lang", "rate").distinct().collect()
+        .map(x => x.getString(0) -> x.getDouble(1)).toMap
+    val r = rates(0.5, 1)
+    assert(r("de") == 1.0 && r("es") == 1.0)
+    assert(math.abs(r("en") - 0.333333) < 1e-9)
+    // rate 1.0 keeps the whole stratum (epoch cap, not a sample)
+    val kept = CorpusOps.mixUnimax(docs, "lang", 0.5, 1)
+    assert(kept.filter($"lang" === "de").count() == 4)
+    assert(kept.filter($"lang" === "es").count() == 6)
+    // maxEpochs=2, budget=N: de caps at 8 (rate truncates to 1), en
+    // takes floor(20/1)=20 of 30
+    val r2 = rates(1.0, 2)
+    assert(r2("de") == 1.0 && r2("es") == 1.0)
+    assert(math.abs(r2("en") - 0.666667) < 1e-9)
+    // determinism
+    val s1 = CorpusOps.mixUnimax(docs, "lang").collect().map(_.getLong(0)).toSeq
+    assert(s1 == CorpusOps.mixUnimax(docs, "lang").collect().map(_.getLong(0)).toSeq)
+  }
+
+  test("dsir weights: target-like docs outweigh off-target docs; " +
+      "selection cut keeps the target-like top") {
+    val docs = Seq(
+      (1L, "good clean data", "en"),
+      (2L, "good clean tokens", "en"),
+      (3L, "junk noise spam", "xx"),
+      (4L, "good clean data", "xx") // target-LIKE text, off-target label
+    ).toDF("doc_id", "text", "lang")
+    val w = CorpusOps.dsirWeights(docs).collect()
+      .map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    // weights score the TEXT against the target model, not the label
+    assert(w(1L) > w(3L) && w(4L) > w(3L))
+    assert(w(1L) == w(4L)) // identical text, identical weight
+    val top = CorpusOps.dsirWeights(docs, ordered = false)
+      .orderBy(org.apache.spark.sql.functions.desc("log_weight"),
+        org.apache.spark.sql.functions.asc("doc_id"))
+      .limit(2).collect().map(_.getLong(0)).toSet
+    assert(!top.contains(3L))
+  }
+
+  test("perplexity: reference-like text scores low, off-language text " +
+      "high; unseen tokens cost the shared unseen mass") {
+    val docs = Seq(
+      (1L, "the cat sat", "en"),
+      (2L, "the cat sat", "en"),
+      (3L, "the cat sat", "en"),
+      (4L, "zqx wvu jkl", "fr") // every token unseen by the en LM
+    ).toDF("doc_id", "text", "lang")
+    val r = TextOps.perplexity(docs, flagThreshold = 8.0).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2),
+        x.getDouble(3), x.getBoolean(4))).toList
+    val byId = r.map(x => x._1 -> x).toMap
+    assert(byId(1L)._2 == 3) // n_tokens
+    assert(byId(1L)._4 < byId(4L)._4) // in-domain ppl < off-domain ppl
+    assert(byId(1L)._3 == byId(2L)._3) // identical text, identical score
+    // ppl = exp(avg_nll) to rounding
+    assert(math.abs(byId(1L)._4 - math.exp(byId(1L)._3)) < 0.01 * byId(1L)._4)
+    assert(byId(4L)._5 && !byId(1L)._5) // threshold separates the fixture
+    // unseen-token doc costs exactly the unseen mass per token:
+    // -ln(1/(N+V+1)) with N=9, V=3 -> ln(13)
+    assert(math.abs(byId(4L)._3 - math.log(13.0)) < 1e-3)
+  }
+
+  test("hybrid rrf: doc top-ranked in both arms wins; single-arm docs " +
+      "carry the -1 sentinel") {
+    val docs = Seq(
+      (0L, "gamma delta epsilon"),
+      (1L, "alpha alpha alpha"),
+      (2L, "alpha beta beta"),
+      (3L, "zeta eta theta")
+    ).toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)), // query
+      (1L, Seq(2.0f, 0.0f)), // top dot
+      (2L, Seq(1.0f, 1.0f)),
+      (3L, Seq(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val r = Retrieval.hybridRrf(docs, emb, Seq("alpha"), queryVecId = 0L,
+      k = 4, kEach = 4).collect()
+    // doc 1: rank 1 in bm25 (highest tf) AND rank 1 in cosine
+    assert(r.head.getLong(0) == 1L)
+    assert(r.head.getLong(1) == 1L && r.head.getLong(2) == 1L)
+    val byId = r.map(x => x.getLong(0) ->
+      (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    // doc 0 matches no keyword: kw sentinel, ann rank only
+    assert(byId(0L)._1 == -1L && byId(0L)._2 > 0)
+    // fused score = sum of the two reciprocal-rank micro-unit terms
+    val c = 60
+    def rrf6(rank: Long) = if (rank < 0) 0L
+      else math.floor(1e6 / (c + rank) + 0.5).toLong
+    for ((_, (kw, ann, s6)) <- byId) assert(s6 == rrf6(kw) + rrf6(ann))
+  }
+
   test("corpus ops are total on an empty corpus") {
     import org.apache.spark.sql.functions.lit
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
@@ -608,6 +711,9 @@ class LlmSpec extends AnyFunSuite {
     assert(Dedup.spanDups(empty).count() == 0)
     assert(CorpusOps.mixTemperature(empty).count() == 0)
     assert(TextOps.bm25(empty, Seq("x")).count() == 0)
+    assert(CorpusOps.mixUnimax(empty).count() == 0)
+    assert(CorpusOps.dsirWeights(empty).count() == 0)
+    assert(TextOps.perplexity(empty).count() == 0)
   }
 
   test("llm oracle-checked queries run nonempty at sf0.001") {
