@@ -184,4 +184,30 @@ class PlanSpec extends AnyFunSuite {
     val scans = plan(df).linesIterator.count(_.contains("Scan parquet"))
     assert(scans == 1, s"expected 1 parquet scan, got $scans")
   }
+
+  test("perplexity and dsir join per-TYPE costs via broadcast — the " +
+      "exploded corpus never shuffles for the join") {
+    val docs = Tables(spark, sf0001, "documents")
+    for (df <- Seq(graft.llm.TextOps.perplexity(docs),
+        graft.llm.CorpusOps.dsirWeights(docs))) {
+      val p = plan(df)
+      // the vocab-sized cost frame builds the broadcast side; a
+      // SortMergeJoin here would shuffle the exploded corpus by token
+      assert(p.contains("BroadcastHashJoin"), p.take(3000))
+      assert(!p.contains("SortMergeJoin"), p.take(3000))
+    }
+  }
+
+  test("unimax allocation windows run on the counts frame, not the corpus") {
+    val docs = Tables(spark, sf0001, "documents")
+    val p = plan(graft.llm.CorpusOps.mixUnimax(docs))
+    // the water-filling window ran inside the counts frame's
+    // localCheckpoint (annot materializes as a LogicalRDD), so the
+    // corpus-facing plan must contain NO window at all — rates reach
+    // the corpus as a broadcast build side over one parquet scan
+    val lines = p.linesIterator.toSeq
+    assert(!lines.exists(_.contains("Window")), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(lines.count(_.contains("Scan parquet")) == 1, p.take(3000))
+  }
 }
