@@ -240,6 +240,17 @@ object LlmQueries {
       Retrieval.hybridRrf(docs(s, d), emb(s, d),
         Seq("spark", "window", "table"), queryVecId = 0L, k = 10,
         kEach = 20)),
+    // BPE tokenizer training: 3 merges learned from corpus word
+    // frequencies (the whole loop — pair counts, argmax, rewrite —
+    // replays in the unrolled oracle CTEs)
+    "llm_bpe_merges" -> ((s, d) => TextOps.bpeLearn(docs(s, d), nMerges = 3)),
+    // applying the learned tokenizer: per-doc word vs BPE-symbol counts;
+    // the oracle re-learns the same merges and re-encodes
+    "llm_bpe_encode" -> ((s, d) => {
+      val m = TextOps.bpeLearn(docs(s, d), nMerges = 3).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextOps.bpeEncode(docs(s, d), m)
+    }),
     "llm_hll_distinct" -> ((s, d) =>
       // 100 TB distinct counting: HLL sketch vs exact. The sketch value
       // itself is impl-defined, so the checkable output is the exact
@@ -251,6 +262,48 @@ object LlmQueries {
         .select(col("exact_d"),
           (abs(col("approx_d") - col("exact_d")).cast("double") /
             col("exact_d") <= 0.1).as("approx_ok"))))
+
+  /** Unrolled-CTE prefix shared by the BPE oracles: `w`/`v0` = corpus
+    * word frequencies as char representations (the one corpus-scale
+    * stage); per step k: adjacent-pair counts (`pK`), the
+    * (count desc, pair asc) argmax (`bK`), and the rewritten vocab
+    * (`vK` — pad, double literal replace, trim: byte-identical to
+    * `TextOps.applyMerge`). */
+  private def bpeCtes(steps: Int): String = {
+    val v0 = "w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS tf FROM " +
+      "(SELECT unnest(string_split(text, ' ')) AS word FROM documents) " +
+      "WHERE length(word) > 0 GROUP BY word), " +
+      "v0 AS (SELECT array_to_string(regexp_extract_all(word, '.'), ' ') " +
+      "AS repr, tf FROM w)"
+    val stepCtes = (1 to steps).map { k =>
+      val prev = s"v${k - 1}"
+      val f = s"' ' || (SELECT pair FROM b$k) || ' '"
+      val t = s"' ' || (SELECT replace(pair, ' ', '') FROM b$k) || ' '"
+      s"p$k AS (SELECT unnest([syms[i] || ' ' || syms[i+1] " +
+        s"FOR i IN range(1, len(syms))]) AS pair, tf " +
+        s"FROM (SELECT string_split(repr, ' ') AS syms, tf FROM $prev)), " +
+        s"b$k AS (SELECT pair, CAST(SUM(tf) AS BIGINT) AS cnt FROM p$k " +
+        "GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1), " +
+        s"v$k AS (SELECT trim(replace(replace(' ' || repr || ' ', $f, $t), " +
+        s"$f, $t)) AS repr, tf FROM $prev)"
+    }.mkString(", ")
+    s"$v0, $stepCtes"
+  }
+
+  private def bpeMergeRow(k: Int): String =
+    s"SELECT CAST($k AS BIGINT) AS step, string_split(pair, ' ')[1] AS lhs, " +
+      s"string_split(pair, ' ')[2] AS rhs, cnt AS pair_count FROM b$k"
+
+  /** The per-word encode chain of the llm_bpe_encode oracle — char
+    * split, then each learned merge as pad + double replace + trim, in
+    * learned order (columns q1..qN carry the merge pairs). */
+  private def bpeEncodeExpr(steps: Int): String =
+    (1 to steps).map(k => s"q$k").foldLeft(
+      "array_to_string(regexp_extract_all(w, '.'), ' ')") { (x, q) =>
+      val f = s"' ' || $q || ' '"
+      val t = s"' ' || replace($q, ' ', '') || ' '"
+      s"trim(replace(replace(' ' || $x || ' ', $f, $t), $f, $t))"
+    }
 
   val oracle: Map[String, String] = {
     val base = Map(
@@ -1060,6 +1113,23 @@ object LlmQueries {
         "GROUP BY iv.query_id) " +
         "SELECT FLOOR(CAST(SUM(COALESCE(h.hit, 0)) AS DOUBLE) / (COUNT(*) * 5) " +
         "* 10000 + 0.5) / 10000 AS recall_at_k, COUNT(*) AS n_queries " +
-        "FROM (SELECT DISTINCT query_id FROM bf) q LEFT JOIN h USING (query_id)"))
+        "FROM (SELECT DISTINCT query_id FROM bf) q LEFT JOIN h USING (query_id)")) +
+    // BPE training replica: the whole 3-merge loop unrolled — per-step
+    // pair counts, argmax, and the pad/double-replace/trim rewrite
+    ("llm_bpe_merges" ->
+      ("WITH " + bpeCtes(3) + " " +
+        (1 to 3).map(bpeMergeRow).mkString(" UNION ALL ") + " ORDER BY step")) +
+    // encode replica: re-learn the same merges, then re-encode each doc
+    // word-by-word with the identical pad/replace/trim chain
+    ("llm_bpe_encode" ->
+      ("WITH " + bpeCtes(3) + ", " +
+        "m AS (SELECT (SELECT pair FROM b1) AS q1, (SELECT pair FROM b2) AS q2, " +
+        "(SELECT pair FROM b3) AS q3), " +
+        "enc AS (SELECT doc_id, list_filter(string_split(text, ' '), " +
+        "w -> length(w) > 0) AS toks, q1, q2, q3 FROM documents, m) " +
+        "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+        "CAST(COALESCE(list_sum(list_transform(toks, w -> len(string_split(" +
+        bpeEncodeExpr(3) + ", ' ')))), 0) AS BIGINT) AS n_bpe " +
+        "FROM enc ORDER BY doc_id"))
   }
 }

@@ -344,6 +344,99 @@ object TextOps {
         (floor(col("s6") / 1e6 * 10000 + 0.5) / 10000).as("score"))
   }
 
+  /** Space-separated character representation of a word — the BPE
+    * working form. `regexp_extract_all(w, '.')` (not `split(w, "")`)
+    * because its char-splitting semantics are identical in every
+    * regex engine. */
+  private def charRepr(w: Column): Column =
+    array_join(regexp_extract_all(w, lit("."), lit(0)), " ")
+
+  /** One whole-symbol BPE merge applied to a space-separated symbol
+    * string: pad, literal-replace " a b " → " ab " TWICE (pass one
+    * takes alternating links of an a-b-a-b chain — sequential
+    * left-to-right non-overlapping replace semantics, identical in
+    * every engine; the survivors are isolated, so pass two takes every
+    * remaining occurrence), trim. */
+  private def applyMerge(repr: Column, a: String, b: String): Column = {
+    val from = s" $a $b "
+    val to = s" $a$b "
+    trim(replace(replace(concat(lit(" "), repr, lit(" ")),
+      lit(from), lit(to)), lit(from), lit(to)))
+  }
+
+  /** BPE tokenizer training (Sennrich et al. 2016, word-level form):
+    * learn `nMerges` byte-pair merges from corpus word frequencies.
+    * Output one row per learned merge: (step, lhs, rhs, pair_count) —
+    * the merge table IS the tokenizer artifact ([[bpeEncode]] applies
+    * it). No end-of-word marker (the classic `</w>`): merges never
+    * cross word boundaries here, so the marker would be dead weight.
+    *
+    * Scale shape: the ONE corpus-scale stage is the word-frequency
+    * aggregate (explode → map-side-combined hash agg; the shuffle
+    * carries one row per distinct word). Everything after runs on that
+    * vocab-bounded frame: each merge step explodes adjacent symbol
+    * pairs of the word REPRESENTATIONS (weighted by tf — never
+    * re-reading the corpus), takes the (count desc, pair asc) argmax
+    * via TakeOrderedAndProject, and rewrites representations with two
+    * literal replaces. Driver state is one (pair, count) row per merge
+    * — bounded by `nMerges`, like the Lloyd-center collects. Each step
+    * localCheckpoints to cap lineage, the repo's iterative-loop
+    * discipline. */
+  def bpeLearn(docs: DataFrame, nMerges: Int = 10): DataFrame = {
+    require(nMerges > 0 && nMerges <= 10000,
+      s"need 0 < nMerges <= 10000, got $nMerges")
+    val session = docs.sparkSession
+    import session.implicits._
+    var vocab = docs.select(explode(tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("tf"))
+      .select(charRepr(col("word")).as("repr"), col("tf"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    var step = 1
+    var exhausted = false
+    while (step <= nMerges && !exhausted) {
+      val best = vocab
+        .select(explode(gramsAll(split(col("repr"), " "), 2)).as("pair"),
+          col("tf"))
+        .groupBy("pair").agg(sum("tf").as("cnt"))
+        .orderBy(desc("cnt"), asc("pair")).limit(1).collect()
+      if (best.isEmpty) exhausted = true // every word is one symbol
+      else {
+        val pair = best(0).getString(0)
+        val Array(a, b) = pair.split(" ", 2)
+        merges += ((step.toLong, a, b, best(0).getLong(1)))
+        val prev = vocab
+        vocab = vocab.select(applyMerge(col("repr"), a, b).as("repr"),
+          col("tf")).localCheckpoint()
+        prev.unpersist(blocking = false)
+        step += 1
+      }
+    }
+    merges.toSeq.toDF("step", "lhs", "rhs", "pair_count").orderBy("step")
+  }
+
+  /** BPE encoding with a learned merge table: every word char-splits
+    * and replays the merges IN LEARNED ORDER; the output counts
+    * whitespace words vs resulting BPE symbols per doc — the token
+    * budget a trained tokenizer would actually bill. `merges` is the
+    * driver-side artifact from [[bpeLearn]] (bounded by nMerges).
+    * Pure per-row expressions — one corpus scan, no shuffle beyond the
+    * `ordered` presentation sort. */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)],
+      ordered: Boolean = true): DataFrame = {
+    val toks = filter(tokens(col("text")), w => length(w) > 0)
+    val encodeWord = (w: Column) => merges.foldLeft(charRepr(w)) {
+      case (acc, (a, b)) => applyMerge(acc, a, b)
+    }
+    val out = docs.select(col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      coalesce(aggregate(toks, lit(0L),
+        (acc, w) => acc + size(split(encodeWord(w), " "))), lit(0L))
+        .as("n_bpe"))
+    if (ordered) out.orderBy("doc_id") else out
+  }
+
   /** Unigram-LM perplexity scoring — the CCNet-style quality filter: an
     * add-1-smoothed unigram language model is trained on the `refLang`
     * slice of the corpus and every document is scored by its per-token

@@ -698,6 +698,48 @@ class LlmSpec extends AnyFunSuite {
     for ((_, (kw, ann, s6)) <- byId) assert(s6 == rrf6(kw) + rrf6(ann))
   }
 
+  test("bpe learn: hand-computed merge sequence, asc-pair tiebreak, " +
+      "early exhaustion") {
+    // low x3, lower x2, newest x1: pair counts l-o 5, o-w 5, w-e 3,
+    // e-r 2, n-e/e-w/e-s/s-t 1 — the 5-5 tie breaks to "l o" (asc)
+    val docs = Seq((1L, "low low low lower lower newest"))
+      .toDF("doc_id", "text")
+    val m = TextOps.bpeLearn(docs, nMerges = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m.toList == List((1L, "l", "o", 5L), (2L, "lo", "w", 5L),
+      (3L, "e", "r", 2L)))
+    // single-char words exhaust immediately
+    assert(TextOps.bpeLearn(Seq((1L, "a a b")).toDF("doc_id", "text"),
+      nMerges = 5).count() == 0)
+    // a 2-char word yields exactly one merge then stops early
+    val one = TextOps.bpeLearn(Seq((1L, "ab")).toDF("doc_id", "text"),
+      nMerges = 5).collect()
+    assert(one.length == 1 && one(0).getString(1) == "a" &&
+      one(0).getString(2) == "b")
+  }
+
+  test("bpe encode: learned merges compress known words, strangers " +
+      "stay chars, chained merges take every occurrence") {
+    val train = Seq((1L, "low low low lower lower newest"))
+      .toDF("doc_id", "text")
+    val merges = TextOps.bpeLearn(train, nMerges = 3).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val out = TextOps.bpeEncode(
+      Seq((1L, "low lower"), (2L, "xyz"), (3L, "low low low low"))
+        .toDF("doc_id", "text"), merges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // low -> [low] (1), lower -> [low, er] (2)
+    assert(out(1L) == ((2L, 3L)))
+    // no merge applies to an out-of-vocab word: 3 chars
+    assert(out(2L) == ((1L, 3L)))
+    // the alternating-chain double-replace takes all four occurrences
+    assert(out(3L) == ((4L, 4L)))
+    // empty merge table = pure char split
+    val raw = TextOps.bpeEncode(Seq((1L, "ab cde")).toDF("doc_id", "text"),
+      Seq.empty).collect()(0)
+    assert(raw.getLong(1) == 2 && raw.getLong(2) == 5)
+  }
+
   test("corpus ops are total on an empty corpus") {
     import org.apache.spark.sql.functions.lit
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
@@ -714,6 +756,8 @@ class LlmSpec extends AnyFunSuite {
     assert(CorpusOps.mixUnimax(empty).count() == 0)
     assert(CorpusOps.dsirWeights(empty).count() == 0)
     assert(TextOps.perplexity(empty).count() == 0)
+    assert(TextOps.bpeLearn(empty).count() == 0)
+    assert(TextOps.bpeEncode(empty, Seq(("a", "b"))).count() == 0)
   }
 
   test("llm oracle-checked queries run nonempty at sf0.001") {
