@@ -152,6 +152,55 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Incremental near-dup detection — the production ingestion path: an
+    * INCOMING batch is checked against an EXISTING corpus (instead of
+    * all-pairs within one frame). Same machinery as [[nearDupPairs]]:
+    * band-bucket equi-join for candidates (ids only), exact Jaccard
+    * verification on the rejoined shingle sets, `jaccard >= threshold`
+    * kept. Output (new_id, corpus_id, jaccard).
+    *
+    * Scale shape: the corpus side's signatures/bands are recomputed
+    * here for self-containment, but at 100 TB a deployment persists
+    * [[minHash]]'s output as the dedup index and feeds only the (tiny)
+    * incoming batch through shingling — the candidate join is then
+    * index-lookup-shaped: bands of the batch probe the stored band
+    * table, and only matched corpus docs rejoin their shingle sets. */
+  def incrementalNearDups(newDocs: DataFrame, corpus: DataFrame,
+      shingleSize: Int = 3, threshold: Double = 0.5,
+      numHashes: Int = 32, rowsPerBand: Int = 4): DataFrame = {
+    val ssNew = withShingleSets(newDocs, shingleSize).localCheckpoint()
+    val ssCor = withShingleSets(corpus, shingleSize).localCheckpoint()
+    val bNew = minHashOfSets(ssNew, numHashes, rowsPerBand)
+      .select(col("doc_id").as("new_id"), explode(col("bands")).as("bucket"))
+    val bCor = minHashOfSets(ssCor, numHashes, rowsPerBand)
+      .select(col("doc_id").as("corpus_id"), explode(col("bands")).as("bucket"))
+    val cand = bNew.join(bCor, Seq("bucket"))
+      .select("new_id", "corpus_id").dropDuplicates("new_id", "corpus_id")
+    val inter = size(array_intersect(col("set_a"), col("set_b")))
+    cand
+      .join(ssNew.select(col("doc_id").as("new_id"),
+        col("shingle_set").as("set_a")), Seq("new_id"))
+      .join(ssCor.select(col("doc_id").as("corpus_id"),
+        col("shingle_set").as("set_b")), Seq("corpus_id"))
+      .select(col("new_id"), col("corpus_id"),
+        (floor(inter.cast("double")
+          / (size(col("set_a")) + size(col("set_b")) - inter) * 10000 + 0.5)
+          / 10000).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy("new_id", "corpus_id")
+  }
+
+  /** The admit decision over [[incrementalNearDups]]: incoming docs
+    * that near-duplicate NOTHING in the corpus (left-anti join on the
+    * match set) — what an ingestion pipeline actually appends. */
+  def incrementalAdmit(newDocs: DataFrame, corpus: DataFrame,
+      shingleSize: Int = 3, threshold: Double = 0.5): DataFrame =
+    newDocs.join(
+        incrementalNearDups(newDocs, corpus, shingleSize, threshold)
+          .select(col("new_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      .select("doc_id").orderBy("doc_id")
+
   /** Near-duplicate CLUSTERS: the near-dup pair graph collapsed to
     * connected components, each doc mapped to its component's smallest
     * id (the canonical "keep" doc — the dedup decision a 100 TB

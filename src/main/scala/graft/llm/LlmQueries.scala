@@ -88,6 +88,21 @@ object LlmQueries {
         .orderBy("doc_id")),
     "llm_near_dup_pairs" -> ((s, d) =>
       Dedup.nearDupPairs(docs(s, d), shingleSize = 3, threshold = 0.5)),
+    // incremental ingestion dedup: docs with doc_id % 5 == 0 play the
+    // incoming batch, the rest the existing corpus; matches + the admit
+    // decision are both oracle-checked (the LSH achieves full recall on
+    // this corpus — planted duplicates are near-identical — so the
+    // verified output equals the exhaustive cross-Jaccard pair set)
+    "llm_incr_dedup" -> ((s, d) => {
+      val all = docs(s, d)
+      Dedup.incrementalNearDups(all.filter(col("doc_id") % 5 === 0),
+        all.filter(col("doc_id") % 5 =!= 0))
+    }),
+    "llm_incr_admit" -> ((s, d) => {
+      val all = docs(s, d)
+      Dedup.incrementalAdmit(all.filter(col("doc_id") % 5 === 0),
+        all.filter(col("doc_id") % 5 =!= 0))
+    }),
     "llm_dedup_groups" -> ((s, d) =>
       // the executable dedup decision: near-dup pair graph -> connected
       // components -> canonical keep id per member
@@ -484,6 +499,32 @@ object LlmQueries {
         "FROM s a JOIN s b ON a.doc_id < b.doc_id) " +
         "SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.5 " +
         "ORDER BY doc_a, doc_b"),
+    // incremental ingestion replicas: exhaustive cross-Jaccard between
+    // the % 5 == 0 incoming batch and the rest (full-recall LSH, same
+    // justification as llm_near_dup_pairs)
+    "llm_incr_dedup" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "s AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN list_distinct(toks) " +
+        "ELSE list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] " +
+        "FOR i IN range(1, len(toks) - 1)]) END AS sh FROM t), " +
+        "p AS (SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, " +
+        "FLOOR(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
+        "len(list_distinct(list_concat(a.sh, b.sh))) * 10000 + 0.5) / 10000 AS jaccard " +
+        "FROM s a JOIN s b ON a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0) " +
+        "SELECT new_id, corpus_id, jaccard FROM p WHERE jaccard >= 0.5 " +
+        "ORDER BY new_id, corpus_id"),
+    "llm_incr_admit" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "s AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN list_distinct(toks) " +
+        "ELSE list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] " +
+        "FOR i IN range(1, len(toks) - 1)]) END AS sh FROM t), " +
+        "p AS (SELECT a.doc_id AS new_id, " +
+        "FLOOR(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
+        "len(list_distinct(list_concat(a.sh, b.sh))) * 10000 + 0.5) / 10000 AS jaccard " +
+        "FROM s a JOIN s b ON a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0) " +
+        "SELECT doc_id FROM documents WHERE doc_id % 5 = 0 " +
+        "AND doc_id NOT IN (SELECT new_id FROM p WHERE jaccard >= 0.5) " +
+        "ORDER BY doc_id"),
     // component closure of the verified near-dup pair graph: recursive
     // reachability (components are tiny duplicate families), keep = the
     // smallest reachable id

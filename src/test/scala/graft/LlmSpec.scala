@@ -698,6 +698,33 @@ class LlmSpec extends AnyFunSuite {
     for ((_, (kw, ann, s6)) <- byId) assert(s6 == rrf6(kw) + rrf6(ann))
   }
 
+  test("incremental dedup: incoming dup of a corpus doc matched and " +
+      "rejected, fresh docs admitted, within-batch dups not its job") {
+    val corpus = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "a completely different corpus document here"),
+      (3L, "yet another unrelated piece of stored text")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "the cat sat on the mat"), // exact dup of corpus 1
+      (11L, "entirely novel incoming content nothing matches"),
+      (12L, "entirely novel incoming content nothing matches") // dup of 11
+    ).toDF("doc_id", "text")
+    val m = Dedup.incrementalNearDups(incoming, corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(m == Set((10L, 1L)))
+    // admit: only the corpus-matched doc is rejected; within-batch
+    // duplication (11 vs 12) is nearDupPairs/dedupGroups territory
+    val admitted = Dedup.incrementalAdmit(incoming, corpus)
+      .collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(11L, 12L))
+    // empty corpus admits everything; empty batch admits nothing
+    val none = corpus.limit(0)
+    assert(Dedup.incrementalAdmit(incoming, none)
+      .collect().map(_.getLong(0)).toSet == Set(10L, 11L, 12L))
+    assert(Dedup.incrementalAdmit(incoming.limit(0), corpus).count() == 0)
+  }
+
   test("bpe learn: hand-computed merge sequence, asc-pair tiebreak, " +
       "early exhaustion") {
     // low x3, lower x2, newest x1: pair counts l-o 5, o-w 5, w-e 3,
