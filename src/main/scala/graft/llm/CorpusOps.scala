@@ -52,6 +52,66 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Eval decontamination — [[contamination]] with the roles flipped,
+    * the REMOVAL direction a pipeline actually executes before
+    * training: every TRAIN doc reports what fraction of its n-grams
+    * appear in the eval split's distinct n-gram set, and docs at or
+    * over `maxOverlap` are flagged `dropped`.
+    *
+    * Scale shape: this direction is strictly friendlier than
+    * [[contamination]] — the built side is the EVAL n-gram set
+    * (benchmarks are tiny next to a 100 TB corpus), so the probe join
+    * broadcasts it (size-gated) and the train corpus never shuffles
+    * for the join; the per-doc aggregate is a doc_id-keyed hash agg.
+    * `hashKeys = true` swaps string n-grams for 8-byte xxhash64 keys
+    * (same collision argument as [[contamination]]). */
+  def decontaminate(docs: DataFrame, n: Int = 3, evalMod: Int = 10,
+      evalRem: Int = 7, maxOverlap: Double = 0.5,
+      hashKeys: Boolean = false): DataFrame = {
+    val sh = Dedup.withShingleSets(docs, n)
+    def key(c: org.apache.spark.sql.Column) =
+      if (hashKeys) xxhash64(c) else c
+    val evalG = sh.filter(col("doc_id") % evalMod === evalRem)
+      .select(explode(col("shingle_set")).as("g"))
+      .select(key(col("g")).as("gk")).distinct()
+      .withColumn("hit", lit(1L))
+      .localCheckpoint() // feeds the probe join AND the size gate
+    val nEval = evalG.count()
+    val trainG = sh.filter(col("doc_id") % evalMod =!= evalRem)
+      .select(col("doc_id"), explode(col("shingle_set")).as("g"))
+      .select(col("doc_id"), key(col("g")).as("gk"))
+    trainG.join(graft.core.Hints.broadcastIfSmall(evalG, nEval),
+        Seq("gk"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_ngrams"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+      .select(col("doc_id"), col("n_ngrams"), col("n_hit"),
+        (floor(col("n_hit").cast("double") / col("n_ngrams") * 10000 + 0.5)
+          / 10000).as("overlap"))
+      .withColumn("dropped", col("overlap") >= maxOverlap)
+      .orderBy("doc_id")
+  }
+
+  /** Corpus composition rollup — the per-(source, lang) accounting a
+    * training-data platform reports: doc, token (single-space formula),
+    * and char totals at every grouping level of `ROLLUP(source, lang)`,
+    * with the null grouping labels coalesced to `<all>` so the output
+    * is engine-portable. One scan, map-side-combined aggregate over a
+    * bounded (source × lang) key space. */
+  def statsRollup(docs: DataFrame): DataFrame = {
+    val nTok = (length(col("text")) -
+      length(regexp_replace(col("text"), " ", "")) + 1).cast("long")
+    docs.select(col("source"), col("lang"), nTok.as("n_tok"),
+        length(col("text")).cast("long").as("n_chr"))
+      .rollup("source", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+        sum("n_chr").as("n_chars"))
+      .select(coalesce(col("source"), lit("<all>")).as("source"),
+        coalesce(col("lang"), lit("<all>")).as("lang"),
+        col("n_docs"), col("n_tokens"), col("n_chars"))
+      .orderBy("source", "lang")
+  }
+
   /** Deterministic per-doc sampling key: md5 of the salted id. Both the
     * quota and rate samplers order/threshold on this hex string — md5 is
     * identical in any engine, and lexicographic order on lowercase hex

@@ -38,6 +38,12 @@ object LlmQueries {
     // output is identical, so the same SQL oracle adjudicates both paths
     "llm_contamination_hashed" -> ((s, d) =>
       CorpusOps.contamination(docs(s, d), hashKeys = true)),
+    // the removal direction of the contamination check: train docs
+    // scored against the eval split's distinct n-grams, over-threshold
+    // docs flagged dropped; eval set broadcasts (size-gated)
+    "llm_decontaminate" -> ((s, d) => CorpusOps.decontaminate(docs(s, d))),
+    // corpus composition accounting at every ROLLUP(source, lang) level
+    "llm_stats_rollup" -> ((s, d) => CorpusOps.statsRollup(docs(s, d))),
     "llm_mix_quota" -> ((s, d) => CorpusOps.mixQuota(docs(s, d), "lang",
       Map("en" -> 0.5, "de" -> 0.25, "es" -> 1.0, "zh" -> 0.125))),
     "llm_mix_rate" -> ((s, d) => CorpusOps.mixRate(docs(s, d), "lang",
@@ -597,6 +603,29 @@ object LlmQueries {
         "FLOOR(CAST(n_hit AS DOUBLE) / n_ngrams * 10000 + 0.5) / 10000 AS contamination, " +
         "FLOOR(CAST(n_hit AS DOUBLE) / n_ngrams * 10000 + 0.5) / 10000 >= 0.5 " +
         "AS contaminated FROM j ORDER BY doc_id"),
+    // decontamination replica: the same shingle CTEs with the probe
+    // direction flipped (train docs scored against distinct eval grams)
+    "llm_decontaminate" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "s AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN list_distinct(toks) " +
+        "ELSE list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] " +
+        "FOR i IN range(1, len(toks) - 1)]) END AS sh FROM t), " +
+        "ev AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 10 = 7), " +
+        "tr AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % 10 <> 7), " +
+        "j AS (SELECT tr.doc_id, COUNT(*) AS n_ngrams, COUNT(ev.g) AS n_hit " +
+        "FROM tr LEFT JOIN ev ON tr.g = ev.g GROUP BY tr.doc_id) " +
+        "SELECT doc_id, n_ngrams, n_hit, " +
+        "FLOOR(CAST(n_hit AS DOUBLE) / n_ngrams * 10000 + 0.5) / 10000 AS overlap, " +
+        "FLOOR(CAST(n_hit AS DOUBLE) / n_ngrams * 10000 + 0.5) / 10000 >= 0.5 " +
+        "AS dropped FROM j ORDER BY doc_id"),
+    // rollup replica: GROUP BY ROLLUP with the null grouping labels
+    // coalesced to '<all>' on both engines
+    "llm_stats_rollup" ->
+      ("SELECT COALESCE(source, '<all>') AS source, COALESCE(lang, '<all>') AS lang, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS BIGINT) AS n_tokens, " +
+        "CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars " +
+        "FROM documents GROUP BY ROLLUP (source, lang) ORDER BY source, lang"),
     // hashed-key variant: xxhash64 is join-key-internal, so the string
     // n-gram SQL is the exact oracle for the hashed plan's output too
     "llm_contamination_hashed" ->

@@ -698,6 +698,42 @@ class LlmSpec extends AnyFunSuite {
     for ((_, (kw, ann, s6)) <- byId) assert(s6 == rrf6(kw) + rrf6(ann))
   }
 
+  test("decontaminate: train doc copying eval text dropped, clean train " +
+      "doc kept; hashed keys identical") {
+    // doc 7 is the eval split (%10==7); doc 3 plagiarizes it, doc 4 is
+    // clean — decontamination must flag 3 and keep 4
+    val docs = Seq(
+      (7L, "the secret eval benchmark question about turtles"),
+      (3L, "the secret eval benchmark question about turtles"),
+      (4L, "an unrelated training document with fresh content here")
+    ).toDF("doc_id", "text")
+    val r = CorpusOps.decontaminate(docs).collect()
+      .map(x => x.getLong(0) -> (x.getDouble(3), x.getBoolean(4))).toMap
+    assert(r.keySet == Set(3L, 4L)) // only train docs scored
+    assert(r(3L)._1 == 1.0 && r(3L)._2)
+    assert(r(4L)._1 == 0.0 && !r(4L)._2)
+    val hashed = CorpusOps.decontaminate(docs, hashKeys = true).collect()
+      .map(x => x.getLong(0) -> (x.getDouble(3), x.getBoolean(4))).toMap
+    assert(hashed == r) // the key hash never changes the output
+  }
+
+  test("stats rollup: group rows sum to stratum and grand totals") {
+    val docs = Seq(
+      (1L, "a b c", "s1", "en"),
+      (2L, "d e", "s1", "de"),
+      (3L, "f g h i", "s2", "en")
+    ).toDF("doc_id", "text", "source", "lang")
+    val r = CorpusOps.statsRollup(docs).collect()
+      .map(x => (x.getString(0), x.getString(1)) ->
+        (x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    assert(r(("<all>", "<all>")) == ((3L, 9L, 15L)))
+    assert(r(("s1", "<all>")) == ((2L, 5L, 8L)))
+    assert(r(("s1", "en")) == ((1L, 3L, 5L)))
+    assert(r(("s2", "en")) == ((1L, 4L, 7L)))
+    // every grouping level present: 1 grand + 2 source + 3 leaf rows
+    assert(r.size == 6)
+  }
+
   test("incremental dedup: incoming dup of a corpus doc matched and " +
       "rejected, fresh docs admitted, within-batch dups not its job") {
     val corpus = Seq(
