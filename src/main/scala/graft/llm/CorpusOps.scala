@@ -398,6 +398,112 @@ object CorpusOps {
     if (ordered) out.orderBy("doc_id") else out
   }
 
+  /** Deterministic train/val/test assignment — the split every training
+    * run needs pinned before anything else: each doc lands in exactly one
+    * named bucket, chosen by the numeric value of its md5 sampling key
+    * against cumulative `fractions` thresholds. Hash-based (not
+    * row-number-based), so the assignment is stable under corpus
+    * reordering, repartitioning, and incremental ingestion — a doc's
+    * split never changes when its neighbors do.
+    *
+    * The last bucket is the catch-all (`otherwise`), so threshold
+    * rounding can never drop a row. Expected (not exact) proportions —
+    * the [[mixRate]] trade: the plan is a pure per-row projection, no
+    * shuffle, no window, replicable in any engine with md5.
+    */
+  def splitAssign(docs: DataFrame,
+      fractions: Seq[(String, Double)] =
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+      salt: String = "#split", ordered: Boolean = true): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 > 0),
+      s"need non-empty positive fractions, got $fractions")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1, got ${fractions.map(_._2).sum}")
+    require(fractions.map(_._1).distinct.size == fractions.size,
+      s"duplicate split names in $fractions")
+    val u = conv(substring(sampleKey(salt), 1, 8), 16, 10).cast("long")
+    // ascending cumulative thresholds in 2^32 units; first match wins
+    val cums = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+    val assign = fractions.init.zip(cums.init)
+      .map { case ((nm, _), c) => nm -> math.floor(c * 4294967296.0).toLong }
+      .foldRight(lit(fractions.last._1)) { case ((nm, t), acc) =>
+        when(u < t, nm).otherwise(acc)
+      }
+    val out = docs.select(col("doc_id"), assign.as("split"))
+    if (ordered) out.orderBy("doc_id") else out
+  }
+
+  /** Corpus length diagnostics — the per-source token-count distribution
+    * a pipeline checks before choosing packing budgets and context
+    * windows: doc counts, mean, and exact interpolated percentiles
+    * (p50/p90/p99) of the single-space token count. Percentiles use the
+    * linear-interpolation definition (`pos = p·(n−1)`) that Spark's
+    * `percentile` and ANSI `quantile_cont` share, so the oracle replays
+    * them exactly.
+    *
+    * Scale shape: one scan; exact percentiles group-sort within each
+    * source partition (map-side partial counts do not apply to exact
+    * quantiles — that is the price of exactness; for a monitoring-only
+    * number swap in `approx_percentile`, same output schema). The key
+    * space is bounded (one row per source). */
+  def lengthStats(docs: DataFrame): DataFrame = {
+    val nTok = (length(col("text")) -
+      length(regexp_replace(col("text"), " ", "")) + 1).cast("long")
+    def r4(c: org.apache.spark.sql.Column) = floor(c * 10000 + 0.5) / 10000
+    docs.select(col("source"), nTok.as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        // mean as exact-bigint sum / count (not avg()) so both engines
+        // divide identical integers
+        r4(sum("n_tok").cast("double") / count(lit(1))).as("mean_tokens"),
+        percentile(col("n_tok"), typedLit(Seq(0.5, 0.9, 0.99))).as("pct"))
+      .select(col("source"), col("n_docs"), col("mean_tokens"),
+        r4(col("pct").getItem(0)).as("p50_tokens"),
+        r4(col("pct").getItem(1)).as("p90_tokens"),
+        r4(col("pct").getItem(2)).as("p99_tokens"))
+      .orderBy("source")
+  }
+
+  /** Unigram KL divergence `KL(target ‖ corpus)` — the mixture-design
+    * diagnostic that quantifies how far a target slice's token
+    * distribution sits from the raw corpus (the quantity DSIR importance
+    * weights are log-ratios of; see [[dsirWeights]]). Both distributions
+    * are add-1-smoothed over the raw corpus's joint vocabulary (the
+    * [[dsirWeights]] smoothing convention), so every term is finite; the
+    * sum runs over observed types (the smoothed unseen-type mass is
+    * excluded, as in any finite-vocab KL estimate).
+    *
+    * Cross-engine exactness: each type's contribution
+    * `p_t · (ln p_t − ln q)` floors ONCE to 1e-12 units on the vocab
+    * frame; the corpus-wide total is an exact BIGINT sum — independent
+    * of summation order, same discipline as [[dsirWeights]]' ratio6.
+    *
+    * Scale shape: two vocab-sized aggregates with map-side partials, a
+    * bounded final aggregate over the vocab frame. The corpus is
+    * scanned twice (raw + target slice) and never shuffled beyond the
+    * token-keyed aggregation. */
+  def tokenKl(docs: DataFrame, strataCol: String = "lang",
+      targetVal: String = "en"): DataFrame = {
+    val toks = split(col("text"), " ")
+    val raw = docs.select(explode(toks).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cq"))
+    val tgt = docs.filter(col(strataCol) === targetVal)
+      .select(explode(toks).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("ct"))
+    val joined = raw.join(tgt, Seq("tok"), "left")
+      .select(col("tok"), col("cq"), coalesce(col("ct"), lit(0L)).as("ct"))
+    val st = broadcast(joined.agg(sum("cq").as("nq"), sum("ct").as("nt"),
+      count(lit(1)).as("v")))
+    val pt = (col("ct") + 1).cast("double") / (col("nt") + col("v") + 1)
+    val pq = (col("cq") + 1).cast("double") / (col("nq") + col("v") + 1)
+    val c12 = floor(pt * (log(pt) - log(pq)) * 1e12 + 0.5).cast("long")
+    joined.crossJoin(st)
+      .select(c12.as("c12"))
+      .agg(count(lit(1)).as("n_vocab"), sum("c12").as("s12"))
+      .select(col("n_vocab"),
+        (floor(col("s12").cast("double") / 1e12 * 1e6 + 0.5) / 1e6).as("kl"))
+  }
+
   /** Shuffle-free rate-based mixing sample: keep a doc iff the first 8
     * hex chars of its sampling key fall under the stratum's rate
     * threshold. Expected (not exact) per-stratum proportions, but the

@@ -44,6 +44,19 @@ object LlmQueries {
     "llm_decontaminate" -> ((s, d) => CorpusOps.decontaminate(docs(s, d))),
     // corpus composition accounting at every ROLLUP(source, lang) level
     "llm_stats_rollup" -> ((s, d) => CorpusOps.statsRollup(docs(s, d))),
+    // per-source token-length distribution (exact interpolated
+    // percentiles) — the packing-budget / context-window diagnostic
+    "llm_length_stats" -> ((s, d) => CorpusOps.lengthStats(docs(s, d))),
+    // deterministic hash-based train/val/test assignment: stable under
+    // reordering and incremental ingestion, pure per-row projection
+    "llm_split" -> ((s, d) => CorpusOps.splitAssign(docs(s, d))),
+    // unigram KL(target-slice ‖ corpus) in exact 1e-12 integer units —
+    // the mixture-design distance DSIR's log-ratios integrate
+    "llm_token_kl" -> ((s, d) => CorpusOps.tokenKl(docs(s, d))),
+    // model-based quality gate: logistic score over the heuristic
+    // feature pack, logit floored once to 1e-6 so exp() sees identical
+    // doubles in both engines
+    "llm_quality_model" -> ((s, d) => TextOps.qualityModel(docs(s, d))),
     "llm_mix_quota" -> ((s, d) => CorpusOps.mixQuota(docs(s, d), "lang",
       Map("en" -> 0.5, "de" -> 0.25, "es" -> 1.0, "zh" -> 0.125))),
     "llm_mix_rate" -> ((s, d) => CorpusOps.mixRate(docs(s, d), "lang",
@@ -626,6 +639,56 @@ object LlmQueries {
         "CAST(SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS BIGINT) AS n_tokens, " +
         "CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars " +
         "FROM documents GROUP BY ROLLUP (source, lang) ORDER BY source, lang"),
+    // per-source token-length distribution: quantile_cont shares
+    // percentile's pos = p*(n-1) linear-interpolation definition; mean
+    // is exact-bigint sum / count in both engines
+    "llm_length_stats" ->
+      ("WITH t AS (SELECT source, CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS n_tok FROM documents) " +
+        "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "FLOOR(CAST(SUM(n_tok) AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000 AS mean_tokens, " +
+        "FLOOR(quantile_cont(n_tok, 0.5) * 10000 + 0.5) / 10000 AS p50_tokens, " +
+        "FLOOR(quantile_cont(n_tok, 0.9) * 10000 + 0.5) / 10000 AS p90_tokens, " +
+        "FLOOR(quantile_cont(n_tok, 0.99) * 10000 + 0.5) / 10000 AS p99_tokens " +
+        "FROM t GROUP BY source ORDER BY source"),
+    // split thresholds are the cumulative fractions in 2^32 units:
+    // floor(0.9*2^32)=3865470566, floor(0.95*2^32)=4080218931; the md5
+    // key parse is the llm_mix_temperature pattern
+    "llm_split" ->
+      ("SELECT doc_id, CASE WHEN u < 3865470566 THEN 'train' " +
+        "WHEN u < 4080218931 THEN 'val' ELSE 'test' END AS split FROM " +
+        "(SELECT doc_id, CAST(CONCAT('0x', SUBSTR(md5(CAST(doc_id AS VARCHAR) || '#split'), 1, 8)) AS BIGINT) AS u " +
+        "FROM documents) ORDER BY doc_id"),
+    // KL replica: identical smoothing, identical per-type expression
+    // tree, exact bigint contribution sum
+    "llm_token_kl" ->
+      ("WITH r AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents), " +
+        "cq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cq FROM r GROUP BY tok), " +
+        "tg AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents WHERE lang = 'en'), " +
+        "ct AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS ct FROM tg GROUP BY tok), " +
+        "j AS (SELECT cq.tok, cq.cq, COALESCE(ct.ct, 0) AS ct FROM cq LEFT JOIN ct ON ct.tok = cq.tok), " +
+        "st AS (SELECT CAST(SUM(cq) AS BIGINT) AS nq, CAST(SUM(ct) AS BIGINT) AS nt, CAST(COUNT(*) AS BIGINT) AS v FROM j), " +
+        "c AS (SELECT CAST(FLOOR(CAST(ct + 1 AS DOUBLE) / (nt + v + 1) * " +
+        "(LN(CAST(ct + 1 AS DOUBLE) / (nt + v + 1)) - LN(CAST(cq + 1 AS DOUBLE) / (nq + v + 1))) * 1e12 + 0.5) AS BIGINT) AS c12 FROM j, st) " +
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab, " +
+        "FLOOR(CAST(SUM(c12) AS DOUBLE) / 1e12 * 1000000 + 0.5) / 1000000 AS kl FROM c"),
+    // classifier-gate replica: the llm_quality feature CTE feeds the
+    // same logit6-then-exp expression tree
+    "llm_quality_model" ->
+      ("WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents), " +
+        "s AS (SELECT doc_id, " +
+        "CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS uniq_ratio, " +
+        "CAST(LENGTH(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / " +
+        "GREATEST(LENGTH(text), 1) AS alpha_ratio, " +
+        "CAST(LENGTH(text) - (len(toks) - 1) AS DOUBLE) / len(toks) AS mean_token_len, " +
+        "CAST(len(list_filter(toks, x -> list_contains(" +
+        "['the','a','and','of','to','in','is','it'], x))) AS DOUBLE) / len(toks) " +
+        "AS stopword_ratio FROM t), " +
+        "z AS (SELECT doc_id, CAST(FLOOR((-4.0 + uniq_ratio * 2.0 + alpha_ratio * 4.0 + " +
+        "stopword_ratio * 3.0 + mean_token_len * 0.5) * 1000000 + 0.5) AS BIGINT) AS logit6 FROM s) " +
+        "SELECT doc_id, logit6, " +
+        "FLOOR(1.0 / (1.0 + EXP(-(CAST(logit6 AS DOUBLE) / 1000000))) * 10000 + 0.5) / 10000 AS score, " +
+        "FLOOR(1.0 / (1.0 + EXP(-(CAST(logit6 AS DOUBLE) / 1000000))) * 10000 + 0.5) / 10000 >= 0.5 AS keep " +
+        "FROM z ORDER BY doc_id"),
     // hashed-key variant: xxhash64 is join-key-internal, so the string
     // n-gram SQL is the exact oracle for the hashed plan's output too
     "llm_contamination_hashed" ->

@@ -80,6 +80,39 @@ object TextOps {
     if (ordered) out.orderBy("doc_id") else out
   }
 
+  /** Model-based quality filter — the GPT-3/CCNet-style classifier gate:
+    * a logistic model over the [[quality]] feature pack scores each doc
+    * and `keep = score >= threshold` is the filter decision. The weights
+    * default to a hand-set separator over the heuristic features (in
+    * production they come from a fit against labeled data — e.g. the
+    * library's own LogisticRegression, SURVEY §2.B3 — but scoring, the
+    * 100 TB-side operation, is exactly this per-row projection either
+    * way).
+    *
+    * Cross-engine exactness: the logit is floored ONCE to 1e-6
+    * micro-units (`logit6`, an exact BIGINT), so both engines
+    * exponentiate bit-identical doubles; the score then rounds to 4
+    * decimals like every ratio column ([[quality]] discipline, same
+    * stabilized-exp convention as [[perplexity]]).
+    *
+    * Scale shape: pure per-row codegen'd projection — no shuffle, no
+    * state; composes with [[curate]]'s id-equi-join pattern. */
+  def qualityModel(docs: DataFrame, bias: Double = -4.0,
+      wUniq: Double = 2.0, wAlpha: Double = 4.0, wStop: Double = 3.0,
+      wLen: Double = 0.5, threshold: Double = 0.5,
+      ordered: Boolean = true): DataFrame = {
+    require(threshold > 0 && threshold < 1,
+      s"need 0 < threshold < 1, got $threshold")
+    val (uniqRatio, alphaRatio, meanLen, stopRatio) = qualityParts
+    val logit6 = floor((lit(bias) + uniqRatio * wUniq + alphaRatio * wAlpha +
+      stopRatio * wStop + meanLen * wLen) * 1e6 + 0.5).cast("long")
+    val score = lit(1.0) / (lit(1.0) + exp(-(logit6.cast("double") / 1e6)))
+    val out = docs.select(
+      col("doc_id"), logit6.as("logit6"), r4(score).as("score"),
+      (r4(score) >= threshold).as("keep"))
+    if (ordered) out.orderBy("doc_id") else out
+  }
+
   private val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "you", "that", "it"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ich", "mit", "ein", "zu"),

@@ -803,6 +803,87 @@ class LlmSpec extends AnyFunSuite {
     assert(raw.getLong(1) == 2 && raw.getLong(2) == 5)
   }
 
+  test("split assign: exhaustive, deterministic, stable under reordering, " +
+      "validated fractions") {
+    val docs = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val r = CorpusOps.splitAssign(docs).collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r.size == 200, "every doc assigned exactly once")
+    assert(r.values.toSet.subsetOf(Set("train", "val", "test")))
+    // hash-based: the assignment of doc i is independent of which other
+    // docs are present — the property row-number splits do NOT have
+    val half = CorpusOps.splitAssign(docs.filter($"doc_id" <= 100)).collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(half.forall { case (id, s) => r(id) == s })
+    // 90/5/5 in expectation: train dominates on 200 docs
+    assert(r.values.count(_ == "train") > 150)
+    intercept[IllegalArgumentException] {
+      CorpusOps.splitAssign(docs, Seq("a" -> 0.5, "b" -> 0.4))
+    }
+    intercept[IllegalArgumentException] {
+      CorpusOps.splitAssign(docs, Seq("a" -> 0.5, "a" -> 0.5))
+    }
+  }
+
+  test("length stats: hand-computed mean and interpolated percentiles") {
+    // token counts 1..5 in one source: mean 3, p50 = 3,
+    // p90 = 4 + 0.6*(5-4) = 4.6, p99 = 4 + 0.96*(5-4) = 4.96
+    val docs = Seq(
+      (1L, "a", "s1"), (2L, "a b", "s1"), (3L, "a b c", "s1"),
+      (4L, "a b c d", "s1"), (5L, "a b c d e", "s1"),
+      (6L, "x y", "s2"))
+      .toDF("doc_id", "text", "source")
+    val r = CorpusOps.lengthStats(docs).collect()
+      .map(x => x.getString(0) -> x).toMap
+    val s1 = r("s1")
+    assert(s1.getLong(1) == 5)
+    assert(s1.getDouble(2) == 3.0)
+    assert(s1.getDouble(3) == 3.0)
+    assert(s1.getDouble(4) == 4.6)
+    assert(s1.getDouble(5) == 4.96)
+    assert(r("s2").getLong(1) == 1 && r("s2").getDouble(3) == 2.0)
+  }
+
+  test("token kl: zero when target is the whole corpus, positive when " +
+      "the target slice skews") {
+    val same = Seq(
+      (1L, "alpha beta gamma", "en"), (2L, "beta gamma delta", "en"))
+      .toDF("doc_id", "text", "lang")
+    val kl0 = CorpusOps.tokenKl(same).collect()(0)
+    assert(kl0.getLong(0) > 0)
+    assert(kl0.getDouble(1) == 0.0, "identical distributions => KL 0")
+    val skew = Seq(
+      (1L, "aaa aaa aaa aaa aaa aaa aaa aaa", "en"),
+      (2L, "bbb ccc ddd eee fff ggg hhh iii", "de"))
+      .toDF("doc_id", "text", "lang")
+    // add-1 smoothing flattens hard at fixture scale; positive and
+    // clearly away from the identical-distribution zero is the claim
+    val klS = CorpusOps.tokenKl(skew).collect()(0).getDouble(1)
+    assert(klS > 0.01, s"skewed target should diverge, got $klS")
+  }
+
+  test("quality model: clean prose outscores junk; keep flag consistent " +
+      "with threshold") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog in the sun"),
+      (2L, "zz zz zz zz zz zz zz zz zz zz zz zz"),
+      (3L, "9 9 9 9 $$$ ### 9 9 9 9 !!!"))
+      .toDF("doc_id", "text")
+    val r = TextOps.qualityModel(docs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    val (good, junk1, junk2) =
+      (r(1L).getDouble(2), r(2L).getDouble(2), r(3L).getDouble(2))
+    assert(good > junk1 && good > junk2,
+      s"prose $good should beat junk $junk1 / $junk2")
+    r.values.foreach { x =>
+      assert(x.getDouble(2) > 0 && x.getDouble(2) < 1)
+      assert(x.getBoolean(3) == (x.getDouble(2) >= 0.5),
+        "keep must be score >= threshold")
+    }
+    assert(r(1L).getBoolean(3), "clean prose should pass the gate")
+    assert(!r(2L).getBoolean(3), "repeated junk should fail the gate")
+  }
+
   test("corpus ops are total on an empty corpus") {
     import org.apache.spark.sql.functions.lit
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
@@ -821,6 +902,12 @@ class LlmSpec extends AnyFunSuite {
     assert(TextOps.perplexity(empty).count() == 0)
     assert(TextOps.bpeLearn(empty).count() == 0)
     assert(TextOps.bpeEncode(empty, Seq(("a", "b"))).count() == 0)
+    assert(CorpusOps.splitAssign(empty).count() == 0)
+    assert(TextOps.qualityModel(empty).count() == 0)
+    assert(CorpusOps.lengthStats(empty.withColumn("source", lit("web")))
+      .count() == 0)
+    // tokenKl's single aggregate row is defined (n_vocab 0) on empty input
+    assert(CorpusOps.tokenKl(empty).collect()(0).getLong(0) == 0)
   }
 
   test("llm oracle-checked queries run nonempty at sf0.001") {
