@@ -57,6 +57,18 @@ object LlmQueries {
     // feature pack, logit floored once to 1e-6 so exp() sees identical
     // doubles in both engines
     "llm_quality_model" -> ((s, d) => TextOps.qualityModel(docs(s, d))),
+    // hashing-trick embeddings straight from text (sha2 buckets + ±1
+    // signs, L2-normalized) — the from-text on-ramp to the ANN family
+    "llm_featurize" -> ((s, d) => TextOps.featurize(docs(s, d))),
+    // end-to-end text → embedding → exact top-k neighbors, no external
+    // model anywhere: featurize feeds bruteForceTopK (float-cast to the
+    // embeddings-table shape, so the native graft_dot kernel applies)
+    "llm_ann_text" -> ((s, d) => {
+      val f = TextOps.featurize(docs(s, d), ordered = false)
+        .select(col("doc_id").as("vec_id"),
+          col("embedding").cast("array<float>").as("embedding"))
+      Similarity.bruteForceTopK(f.filter(col("vec_id") < 5), f, k = 5)
+    }),
     "llm_mix_quota" -> ((s, d) => CorpusOps.mixQuota(docs(s, d), "lang",
       Map("en" -> 0.5, "de" -> 0.25, "es" -> 1.0, "zh" -> 0.125))),
     "llm_mix_rate" -> ((s, d) => CorpusOps.mixRate(docs(s, d), "lang",
@@ -689,6 +701,39 @@ object LlmQueries {
         "FLOOR(1.0 / (1.0 + EXP(-(CAST(logit6 AS DOUBLE) / 1000000))) * 10000 + 0.5) / 10000 AS score, " +
         "FLOOR(1.0 / (1.0 + EXP(-(CAST(logit6 AS DOUBLE) / 1000000))) * 10000 + 0.5) / 10000 >= 0.5 AS keep " +
         "FROM z ORDER BY doc_id"),
+    // feature-hashing replica: sha256 buckets/signs, integer signed
+    // counts, one sqrt on an exact integer sum
+    "llm_featurize" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "hs AS (SELECT doc_id, list_transform(toks, tok -> CAST(CONCAT('0x', SUBSTR(sha256(tok), 1, 15)) AS BIGINT)) AS hl FROM t), " +
+        "v AS (SELECT doc_id, [CAST(COALESCE(list_sum(list_transform(hl, h -> " +
+        "CASE WHEN h % 16 = i THEN (CASE WHEN (h >> 30) & 1 = 0 THEN 1 ELSE -1 END) ELSE 0 END)), 0) AS BIGINT) " +
+        "FOR i IN range(0, 16)] AS v FROM hs), " +
+        "n AS (SELECT doc_id, v, SQRT(CAST(list_sum(list_transform(v, x -> x * x)) AS DOUBLE)) AS nrm FROM v) " +
+        "SELECT doc_id, CASE WHEN nrm = 0 THEN list_transform(v, x -> 0.0) " +
+        "ELSE list_transform(v, x -> FLOOR(CAST(x AS DOUBLE) / nrm * 10000 + 0.5) / 10000) END AS embedding " +
+        "FROM n ORDER BY doc_id"),
+    // text-to-neighbors composition: the featurize CTE feeds the
+    // llm_ann_cosine ranking verbatim (float-cast like the parquet
+    // embeddings, double accumulation like graft_dot)
+    "llm_ann_text" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "hs AS (SELECT doc_id, list_transform(toks, tok -> CAST(CONCAT('0x', SUBSTR(sha256(tok), 1, 15)) AS BIGINT)) AS hl FROM t), " +
+        "v AS (SELECT doc_id, [CAST(COALESCE(list_sum(list_transform(hl, h -> " +
+        "CASE WHEN h % 16 = i THEN (CASE WHEN (h >> 30) & 1 = 0 THEN 1 ELSE -1 END) ELSE 0 END)), 0) AS BIGINT) " +
+        "FOR i IN range(0, 16)] AS v FROM hs), " +
+        "n AS (SELECT doc_id, v, SQRT(CAST(list_sum(list_transform(v, x -> x * x)) AS DOUBLE)) AS nrm FROM v), " +
+        "f AS (SELECT doc_id, CASE WHEN nrm = 0 THEN list_transform(v, x -> 0.0) " +
+        "ELSE list_transform(v, x -> FLOOR(CAST(x AS DOUBLE) / nrm * 10000 + 0.5) / 10000) END AS embedding FROM n), " +
+        "q AS (SELECT doc_id AS query_id, list_transform(embedding, x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS qe FROM f WHERE doc_id < 5), " +
+        "c AS (SELECT doc_id AS neighbor_id, list_transform(embedding, x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS ce FROM f), " +
+        "s AS (SELECT query_id, neighbor_id, LIST_INNER_PRODUCT(qe, ce) AS raw_dot FROM q CROSS JOIN c), " +
+        "rk AS (SELECT query_id, neighbor_id, " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY query_id " +
+        "ORDER BY FLOOR(raw_dot * 1000000 + 0.5) / 1000000 DESC, neighbor_id) AS INTEGER) AS rank, " +
+        "FLOOR(raw_dot * 10000 + 0.5) / 10000 AS sim FROM s) " +
+        "SELECT query_id, neighbor_id, rank, sim FROM rk WHERE rank <= 5 " +
+        "ORDER BY query_id, rank"),
     // hashed-key variant: xxhash64 is join-key-internal, so the string
     // n-gram SQL is the exact oracle for the hashed plan's output too
     "llm_contamination_hashed" ->

@@ -113,6 +113,49 @@ object TextOps {
     if (ordered) out.orderBy("doc_id") else out
   }
 
+  /** Hashing-trick text featurization (feature hashing, Weinberger et
+    * al. 2009): each token hashes to one of `dim` buckets with a ±1
+    * sign, the signed counts are L2-normalized, and the result is a
+    * dense embedding computed from NOTHING but the text — the
+    * from-text on-ramp to the ANN / semantic-dedup family
+    * ([[Similarity.bruteForceTopK]], [[Similarity.semDedup]], …) when
+    * no external embedding model is in the loop.
+    *
+    * Hashes derive from sha2-256 ([[Dedup.sha2TokenHash]]: bucket =
+    * h mod dim, sign = bit 30 of h), so any engine replays the exact
+    * vectors. Components round to 4 decimals after the one sqrt —
+    * norm² is an exact integer sum, so both engines root identical
+    * doubles.
+    *
+    * Scale shape: per-row projection, no shuffle. The lambdas are
+    * interpreted, so the token-hash array, the signed-count vector,
+    * and the norm each materialize as their own projection column and
+    * are REFERENCED (never re-derived) downstream — the
+    * single-reference rule; cost is O(dim·tokens) comparisons but only
+    * one sha2 pass per token. */
+  def featurize(docs: DataFrame, dim: Int = 16,
+      ordered: Boolean = true): DataFrame = {
+    require(dim > 0 && dim <= 4096, s"need 0 < dim <= 4096, got $dim")
+    val hl = transform(tokens(col("text")), t => Dedup.sha2TokenHash(t))
+    val vExpr = transform(sequence(lit(0), lit(dim - 1)), i =>
+      aggregate(col("hl"), lit(0L), (acc, h) =>
+        acc + when(pmod(h, lit(dim)) === i,
+          when(shiftright(h, 30).bitwiseAND(1) === 0, 1L).otherwise(-1L))
+          .otherwise(0L)))
+    val out = docs
+      .select(col("doc_id"), hl.as("hl"))
+      .select(col("doc_id"), vExpr.as("v"))
+      .select(col("doc_id"), col("v"),
+        sqrt(aggregate(col("v"), lit(0L), (a, x) => a + x * x)
+          .cast("double")).as("nrm"))
+      .select(col("doc_id"),
+        when(col("nrm") === 0, transform(col("v"), _ => lit(0.0)))
+          .otherwise(transform(col("v"), x =>
+            floor(x.cast("double") / col("nrm") * 10000 + 0.5) / 10000))
+          .as("embedding"))
+    if (ordered) out.orderBy("doc_id") else out
+  }
+
   private val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "you", "that", "it"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ich", "mit", "ein", "zu"),

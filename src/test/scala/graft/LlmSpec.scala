@@ -884,6 +884,37 @@ class LlmSpec extends AnyFunSuite {
     assert(!r(2L).getBoolean(3), "repeated junk should fail the gate")
   }
 
+  test("featurize: unit-norm hashed embeddings; self is nearest neighbor " +
+      "end-to-end") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the mat"), // identical text
+      (3L, "a completely different set of words here"))
+      .toDF("doc_id", "text")
+    val f = TextOps.featurize(docs, dim = 16).collect()
+      .map(x => x.getLong(0) -> x.getSeq[Double](1)).toMap
+    assert(f.values.forall(_.size == 16))
+    // identical text => identical vector (hash determinism)
+    assert(f(1L) == f(2L))
+    assert(f(1L) != f(3L))
+    // L2 norm ~ 1 (components rounded to 4 decimals after normalizing)
+    f.values.foreach { v =>
+      val n2 = v.map(x => x * x).sum
+      assert(math.abs(n2 - 1.0) < 1e-2, s"norm² $n2 not ~1")
+    }
+    // end-to-end text -> embedding -> exact ANN: each query's top hit is
+    // itself or its exact-duplicate twin at sim ~ 1
+    val emb = TextOps.featurize(docs, dim = 16, ordered = false)
+      .select($"doc_id".as("vec_id"),
+        $"embedding".cast("array<float>").as("embedding"))
+    val top = Similarity.bruteForceTopK(emb, emb, k = 1).collect()
+    assert(top.length == 3)
+    top.foreach { r =>
+      assert(math.abs(r.getDouble(3) - 1.0) < 1e-3,
+        s"self-sim should be ~1, got $r")
+    }
+  }
+
   test("corpus ops are total on an empty corpus") {
     import org.apache.spark.sql.functions.lit
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")

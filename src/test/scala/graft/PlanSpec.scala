@@ -210,4 +210,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
     assert(lines.count(_.contains("Scan parquet")) == 1, p.take(3000))
   }
+
+  test("split assignment and quality model plan as pure per-row " +
+      "projections — no exchange of any kind") {
+    val docs = Tables(spark, sf0001, "documents")
+    // ordered=false is the pipeline-composition path; the assignment
+    // and the classifier score must not induce a shuffle or a window
+    val ps = plan(graft.llm.CorpusOps.splitAssign(docs, ordered = false))
+    assert(!ps.contains("Exchange") && !ps.contains("Window"), ps.take(2000))
+    val pq = plan(graft.llm.TextOps.qualityModel(docs, ordered = false))
+    assert(!pq.contains("Exchange") && !pq.contains("Window"), pq.take(2000))
+  }
+
+  test("token kl aggregates on the vocab frame — token-keyed exchanges " +
+      "only, no corpus-row join") {
+    val docs = Tables(spark, sf0001, "documents")
+    val p = plan(graft.llm.CorpusOps.tokenKl(docs))
+    // the corpus contributes via two token aggregates; the KL reduction
+    // itself is a single-row aggregate. No window, no cartesian against
+    // corpus rows — the one legal nested-loop is the single-row stats
+    // frame crossJoin (a broadcast of one row).
+    assert(!p.contains("Window"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
 }

@@ -236,10 +236,14 @@ class StreamingSpec extends AnyFunSuite {
     val quality = TextOps.quality(streamed, ordered = false)
     val lang = TextOps.langId(streamed, ordered = false)
     val pii = TextOps.piiRedact(streamed, ordered = false)
+    val qmodel = TextOps.qualityModel(streamed, ordered = false)
+    val split = graft.llm.CorpusOps.splitAssign(streamed, ordered = false)
     val qs = Seq(
       quality.writeStream.format("memory").queryName("tw_q"),
       lang.writeStream.format("memory").queryName("tw_l"),
-      pii.writeStream.format("memory").queryName("tw_p"))
+      pii.writeStream.format("memory").queryName("tw_p"),
+      qmodel.writeStream.format("memory").queryName("tw_m"),
+      split.writeStream.format("memory").queryName("tw_s"))
       .map(_.outputMode(OutputMode.Append()).start())
     try {
       mem.addData(rows: _*)
@@ -249,6 +253,10 @@ class StreamingSpec extends AnyFunSuite {
       assert(canon(spark.table("tw_q")) == canon(TextOps.quality(batchDf)))
       assert(canon(spark.table("tw_l")) == canon(TextOps.langId(batchDf)))
       assert(canon(spark.table("tw_p")) == canon(TextOps.piiRedact(batchDf)))
+      assert(canon(spark.table("tw_m")) ==
+        canon(TextOps.qualityModel(batchDf)))
+      assert(canon(spark.table("tw_s")) ==
+        canon(graft.llm.CorpusOps.splitAssign(batchDf)))
       // the scrub actually fired on the streamed row
       val red = spark.table("tw_p").filter($"doc_id" === 3L)
         .head().getString(5)
