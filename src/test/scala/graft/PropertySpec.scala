@@ -240,4 +240,48 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("split assignment is exhaustive, exclusive, and subset-stable " +
+      "for any fraction list") {
+    val fracGen = for {
+      k <- Gen.choose(2, 4)
+      ws <- Gen.listOfN(k, Gen.choose(1, 10))
+    } yield {
+      val tot = ws.sum.toDouble
+      // exact-sum-to-1 by construction: last bucket takes the remainder
+      val fs = ws.init.map(_ / tot)
+      ws.indices.map(i => s"b$i").zip(fs :+ (1.0 - fs.sum)).toList
+    }
+    forAll(Gen.zip(docGen, fracGen)) { case (docs, fracs) =>
+      val df = docs.toDF("doc_id", "text")
+      val full = graft.llm.CorpusOps.splitAssign(df, fracs).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(full.size == docs.size, "one assignment per doc")
+      assert(full.values.toSet.subsetOf(fracs.map(_._1).toSet))
+      // dropping rows never changes a surviving row's bucket
+      val sub = graft.llm.CorpusOps.splitAssign(
+        df.filter($"doc_id" % 2 === 0), fracs).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(sub.forall { case (id, b) => full(id) == b })
+    }
+  }
+
+  test("featurized embeddings are unit-norm (or zero) and text-functional " +
+      "for any corpus") {
+    forAll(docGen, n = 3) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val f = TextOps.featurize(df, dim = 8).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      f.values.foreach { v =>
+        assert(v.size == 8)
+        val n2 = v.map(x => x * x).sum
+        // all-cancelled (zero) vectors are legal; otherwise unit norm
+        assert(n2 == 0.0 || math.abs(n2 - 1.0) < 2e-2, s"norm² $n2")
+      }
+      // same text ⇒ same vector, regardless of doc id
+      docs.groupBy(_._2).values.foreach { group =>
+        assert(group.map(g => f(g._1)).distinct.length == 1)
+      }
+    }
+  }
 }
