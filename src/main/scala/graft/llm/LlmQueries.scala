@@ -249,6 +249,10 @@ object LlmQueries {
       // full pre-training gate stack: quality ∧ language ∧ dedup-keep ∧
       // ¬boilerplate (p95-level 3-gram repetition cut on this corpus)
       TextOps.curate(docs(s, d), maxDup3 = 0.01)),
+    // the operator-facing drop report for the same strict gate stack:
+    // per-stage in/dropped/out counts in the sequential gate order
+    "llm_curation_funnel" -> ((s, d) =>
+      TextOps.curationFunnel(docs(s, d), maxDup3 = 0.01)),
     "llm_multimodal" -> ((s, d) => Multimodal.documentsAsMedia(s, docs(s, d))),
     "llm_multimodal_frames" -> ((s, d) =>
       Multimodal.documentsAsFrames(s, docs(s, d))),
@@ -1268,6 +1272,29 @@ object LlmQueries {
         "WHERE q.quality >= 0.5 AND l.pred_lang = 'en' " +
         "AND (g.keep_id IS NULL OR g.keep_id = q.doc_id) " +
         "AND r.dup_3gram_ratio <= 0.01 ORDER BY doc_id")) +
+    // funnel replica: same composed gate CTEs, sequential survivor
+    // counters unpivoted into the four fixed stage rows
+    ("llm_curation_funnel" ->
+      (s"""WITH q AS (${base("llm_quality")}), """ +
+        s"""l AS (${base("llm_langid")}), """ +
+        s"""g AS (${base("llm_dedup_groups")}), """ +
+        s"""r AS (${base("llm_repetition")}), """ +
+        "f AS (SELECT q.doc_id, q.quality >= 0.5 AS gq, " +
+        "l.pred_lang = 'en' AS gl, r.dup_3gram_ratio <= 0.01 AS gr, " +
+        "(g.keep_id IS NULL OR g.keep_id = q.doc_id) AS gd " +
+        "FROM q JOIN l USING (doc_id) JOIN r USING (doc_id) " +
+        "LEFT JOIN g USING (doc_id)), " +
+        "c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0, " +
+        "CAST(SUM(CASE WHEN gq THEN 1 ELSE 0 END) AS BIGINT) AS n1, " +
+        "CAST(SUM(CASE WHEN gq AND gl THEN 1 ELSE 0 END) AS BIGINT) AS n2, " +
+        "CAST(SUM(CASE WHEN gq AND gl AND gr THEN 1 ELSE 0 END) AS BIGINT) AS n3, " +
+        "CAST(SUM(CASE WHEN gq AND gl AND gr AND gd THEN 1 ELSE 0 END) AS BIGINT) AS n4 FROM f) " +
+        "SELECT * FROM (" +
+        "SELECT CAST(1 AS BIGINT) AS stage_id, 'quality' AS stage, n0 AS n_in, n1 AS n_out, n0 - n1 AS n_dropped FROM c " +
+        "UNION ALL SELECT 2, 'language', n1, n2, n1 - n2 FROM c " +
+        "UNION ALL SELECT 3, 'boilerplate', n2, n3, n2 - n3 FROM c " +
+        "UNION ALL SELECT 4, 'dedup', n3, n4, n3 - n4 FROM c) " +
+        "ORDER BY stage_id")) +
     // band-blocked simhash pairs: the sketch CTE embeds the verified
     // llm_simhash oracle verbatim; 4 bands x 15 bits, bit_count verify
     ("llm_simhash_pairs" ->

@@ -597,4 +597,45 @@ object TextOps {
       .filter(col("keep_id").isNull || col("keep_id") === col("doc_id"))
       .select("doc_id", "quality", "pred_lang").orderBy("doc_id")
   }
+
+  /** Curation funnel report — the per-gate drop accounting an operator
+    * of a [[curate]]-style pipeline watches: for each stage in the
+    * sequential gate order (quality → language → boilerplate → dedup),
+    * how many docs entered, how many it dropped, how many survived.
+    * Gate expressions are the operators' own ([[qualityScoreExpr]],
+    * [[langIdExprs]], [[dup3RatioExpr]], [[Dedup.dedupGroups]] keep),
+    * so the funnel is exactly the accounting of [[curate]]'s filter.
+    *
+    * Scale shape: the same ONE corpus scan + one dedup keep join as
+    * [[curate]], then a single 5-counter aggregate (map-side partials)
+    * unpivoted into 4 fixed rows — output size is constant. */
+  def curationFunnel(docs: DataFrame, minQuality: Double = 0.5,
+      lang: String = "en", shingleSize: Int = 3,
+      threshold: Double = 0.5, maxDup3: Double = 1.0): DataFrame = {
+    val flags = docs.select(col("doc_id"),
+        (qualityScoreExpr >= minQuality).as("g_quality"),
+        (langIdExprs._1 === lang).as("g_lang"),
+        (if (maxDup3 >= 1.0) lit(true) else dup3RatioExpr <= maxDup3)
+          .as("g_rep"))
+      .join(Dedup.dedupGroups(docs, shingleSize, threshold),
+        Seq("doc_id"), "left")
+      .withColumn("g_dedup",
+        col("keep_id").isNull || col("keep_id") === col("doc_id"))
+    def surv(c: org.apache.spark.sql.Column) =
+      coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L))
+    val c = flags.agg(
+      count(lit(1)).as("n0"),
+      surv(col("g_quality")).as("n1"),
+      surv(col("g_quality") && col("g_lang")).as("n2"),
+      surv(col("g_quality") && col("g_lang") && col("g_rep")).as("n3"),
+      surv(col("g_quality") && col("g_lang") && col("g_rep") &&
+        col("g_dedup")).as("n4"))
+    c.select(expr(
+        "stack(4, 1, 'quality', n0, n1, 2, 'language', n1, n2, " +
+          "3, 'boilerplate', n2, n3, 4, 'dedup', n3, n4) " +
+          "AS (stage_id, stage, n_in, n_out)"))
+      .select(col("stage_id").cast("long").as("stage_id"), col("stage"),
+        col("n_in"), col("n_out"), (col("n_in") - col("n_out")).as("n_dropped"))
+      .orderBy("stage_id")
+  }
 }

@@ -915,6 +915,34 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("curation funnel: stages chain (n_out feeds next n_in) and agree " +
+      "with curate's survivor count") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog in the sun"), // keeps
+      (2L, "zz zz zz zz zz zz zz zz zz zz"), // fails quality
+      (3L, "der hund ist nicht hier und das war mit zu klein heute"), // fails lang
+      (4L, "the quick brown fox jumps over a lazy dog in the sun")) // dup of 1
+      .toDF("doc_id", "text")
+    val f = TextOps.curationFunnel(docs, shingleSize = 1, threshold = 0.5)
+      .collect()
+    assert(f.map(_.getString(1)).toSeq ==
+      Seq("quality", "language", "boilerplate", "dedup"))
+    // funnel chains: each stage's n_out is the next stage's n_in, and
+    // n_in - n_dropped = n_out everywhere
+    f.foreach(r => assert(r.getLong(2) - r.getLong(4) == r.getLong(3)))
+    f.zip(f.drop(1)).foreach { case (a, b) =>
+      assert(a.getLong(3) == b.getLong(2))
+    }
+    assert(f(0).getLong(2) == 4) // corpus size enters stage 1
+    assert(f(0).getLong(4) == 1) // doc 2 drops at quality
+    assert(f(1).getLong(4) == 1) // doc 3 drops at language
+    assert(f(3).getLong(4) == 1) // doc 4 drops at dedup (dup of 1)
+    // final survivors == curate's output rows under the same params
+    val survivors = TextOps.curate(docs, shingleSize = 1, threshold = 0.5)
+      .count()
+    assert(f(3).getLong(3) == survivors)
+  }
+
   test("corpus ops are total on an empty corpus") {
     import org.apache.spark.sql.functions.lit
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
