@@ -51,5 +51,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ShingleSet(children.head, children(1))
       }))
     ext.injectPlannerStrategy(_ => TopKJoinStrategy)
+    // optimizer rule: the portable HOF dot-product pattern on float
+    // arrays becomes the codegen'd kernel — same IEEE sequence, so
+    // results and oracle hashes are unchanged (ExtensionsSpec)
+    ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
   }
 }

@@ -504,6 +504,30 @@ object CorpusOps {
         (floor(col("s12").cast("double") / 1e12 * 1e6 + 0.5) / 1e6).as("kl"))
   }
 
+  /** Per-source duplication rates — the corpus-health readout that tells
+    * a pipeline WHICH ingestion sources are dirty: every doc joins the
+    * near-dup keep decision ([[Dedup.dedupGroups]]; docs outside any dup
+    * pair keep themselves), and each source reports its doc count, loser
+    * count, and duplicate rate.
+    *
+    * Scale shape: the dedup machinery is the verified banded pipeline
+    * (ids-only candidates); the accounting adds one left equi-join on
+    * doc_id and a bounded per-source aggregate with map-side partials. */
+  def dedupRateBySource(docs: DataFrame, shingleSize: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val isDup = col("keep_id").isNotNull && col("keep_id") =!= col("doc_id")
+    docs.select(col("doc_id"), col("source"))
+      .join(Dedup.dedupGroups(docs, shingleSize, threshold),
+        Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(when(isDup, 1L).otherwise(0L)), lit(0L)).as("n_dups"))
+      .select(col("source"), col("n_docs"), col("n_dups"),
+        (floor(col("n_dups").cast("double") / col("n_docs") * 10000 + 0.5)
+          / 10000).as("dup_rate"))
+      .orderBy("source")
+  }
+
   /** Shuffle-free rate-based mixing sample: keep a doc iff the first 8
     * hex chars of its sampling key fall under the stratum's rate
     * threshold. Expected (not exact) per-stratum proportions, but the

@@ -253,6 +253,9 @@ object LlmQueries {
     // per-stage in/dropped/out counts in the sequential gate order
     "llm_curation_funnel" -> ((s, d) =>
       TextOps.curationFunnel(docs(s, d), maxDup3 = 0.01)),
+    // which ingestion sources are dirty: per-source near-dup loser rates
+    "llm_dedup_by_source" -> ((s, d) =>
+      CorpusOps.dedupRateBySource(docs(s, d))),
     "llm_multimodal" -> ((s, d) => Multimodal.documentsAsMedia(s, docs(s, d))),
     "llm_multimodal_frames" -> ((s, d) =>
       Multimodal.documentsAsFrames(s, docs(s, d))),
@@ -1272,6 +1275,16 @@ object LlmQueries {
         "WHERE q.quality >= 0.5 AND l.pred_lang = 'en' " +
         "AND (g.keep_id IS NULL OR g.keep_id = q.doc_id) " +
         "AND r.dup_3gram_ratio <= 0.01 ORDER BY doc_id")) +
+    // per-source dup-rate replica: the dedup-groups closure CTE embeds
+    // verbatim, the accounting is one join + grouped counters
+    ("llm_dedup_by_source" ->
+      (s"""WITH g AS (${base("llm_dedup_groups")}) """ +
+        "SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(CASE WHEN g.keep_id IS NOT NULL AND g.keep_id <> d.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dups, " +
+        "FLOOR(CAST(SUM(CASE WHEN g.keep_id IS NOT NULL AND g.keep_id <> d.doc_id THEN 1 ELSE 0 END) AS DOUBLE) " +
+        "/ COUNT(*) * 10000 + 0.5) / 10000 AS dup_rate " +
+        "FROM documents d LEFT JOIN g ON g.doc_id = d.doc_id " +
+        "GROUP BY d.source ORDER BY d.source")) +
     // funnel replica: same composed gate CTEs, sequential survivor
     // counters unpivoted into the four fixed stage rows
     ("llm_curation_funnel" ->

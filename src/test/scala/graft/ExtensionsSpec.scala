@@ -62,6 +62,38 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(diff == 0)
   }
 
+  test("optimizer rule rewrites the HOF dot pattern to the native kernel " +
+      "on float arrays only, bit-identically") {
+    import extended.implicits._
+    val e = Tables(extended, TestSpark.sf0001, "embeddings").limit(50)
+    val pairs = e.select($"vec_id".as("i"), $"embedding".as("a"))
+      .crossJoin(e.select($"vec_id".as("j"), $"embedding".as("b")))
+      .filter($"i" < $"j").limit(500)
+    // the portable HOF form now optimizes into graft_dot…
+    val rewritten = pairs.select(
+      graft.llm.Similarity.dot($"a", $"b").as("x"))
+    assert(rewritten.queryExecution.optimizedPlan.toString
+      .contains("graft_dot"),
+      rewritten.queryExecution.optimizedPlan.toString.take(2000))
+    // …and equals the interpreted chain bit for bit. Ground truth uses a
+    // swapped-operand merge ((acc, v) -> v + acc): IEEE addition is
+    // commutative, so the value is identical, but the shape defeats the
+    // matcher and stays interpreted.
+    val interpreted = pairs.select(aggregate(
+      zip_with($"a", $"b", (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => v + acc).as("x"))
+    assert(!interpreted.queryExecution.optimizedPlan.toString
+      .contains("graft_dot"))
+    val diff = rewritten.collect().map(_.getDouble(0))
+      .zip(interpreted.collect().map(_.getDouble(0)))
+      .count { case (x, y) => x != y }
+    assert(diff == 0)
+    // double arrays keep the portable form — the kernel is float-only
+    val dbl = pairs.select(graft.llm.Similarity.dot(
+      $"a".cast("array<double>"), $"b".cast("array<double>")).as("x"))
+    assert(!dbl.queryExecution.optimizedPlan.toString.contains("graft_dot"))
+  }
+
   test("graft_simhash_agg matches the 64-column fold bit for bit") {
     assert(extended.catalog.functionExists("graft_simhash_agg"))
     val docs = Tables(extended, TestSpark.sf0001, "documents")

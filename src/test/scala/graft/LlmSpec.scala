@@ -943,6 +943,23 @@ class LlmSpec extends AnyFunSuite {
     assert(f(3).getLong(3) == survivors)
   }
 
+  test("dedup rate by source: dirty source reports its losers, clean " +
+      "source reports zero") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat", "dirty"),
+      (2L, "the cat sat on the mat", "dirty"), // loser (dup of 1)
+      (3L, "the cat sat on the mat", "dirty"), // loser (dup of 1)
+      (4L, "completely different words entirely here now", "clean"),
+      (5L, "another unique document with its own content", "clean"))
+      .toDF("doc_id", "text", "source")
+    val r = CorpusOps.dedupRateBySource(docs, shingleSize = 1,
+      threshold = 0.5).collect().map(x => x.getString(0) -> x).toMap
+    assert(r("dirty").getLong(1) == 3 && r("dirty").getLong(2) == 2)
+    assert(r("dirty").getDouble(3) == 0.6667)
+    assert(r("clean").getLong(1) == 2 && r("clean").getLong(2) == 0)
+    assert(r("clean").getDouble(3) == 0.0)
+  }
+
   test("corpus ops are total on an empty corpus") {
     import org.apache.spark.sql.functions.lit
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
