@@ -492,6 +492,10 @@ object CorpusOps {
       .groupBy("tok").agg(count(lit(1)).as("ct"))
     val joined = raw.join(tgt, Seq("tok"), "left")
       .select(col("tok"), col("cq"), coalesce(col("ct"), lit(0L)).as("ct"))
+      // referenced twice (totals + contributions): materialize the
+      // vocab frame once or both references re-run the corpus-scale
+      // token aggregates — the [[dsirWeights]] discipline
+      .localCheckpoint()
     val st = broadcast(joined.agg(sum("cq").as("nq"), sum("ct").as("nt"),
       count(lit(1)).as("v")))
     val pt = (col("ct") + 1).cast("double") / (col("nt") + col("v") + 1)

@@ -106,10 +106,16 @@ object TextOps {
     val (uniqRatio, alphaRatio, meanLen, stopRatio) = qualityParts
     val logit6 = floor((lit(bias) + uniqRatio * wUniq + alphaRatio * wAlpha +
       stopRatio * wStop + meanLen * wLen) * 1e6 + 0.5).cast("long")
-    val score = lit(1.0) / (lit(1.0) + exp(-(logit6.cast("double") / 1e6)))
-    val out = docs.select(
-      col("doc_id"), logit6.as("logit6"), r4(score).as("score"),
-      (r4(score) >= threshold).as("keep"))
+    // staged projections: the (partly interpreted) feature pack
+    // evaluates ONCE into logit6; score and keep derive from the
+    // materialized columns (single-reference rule)
+    val out = docs
+      .select(col("doc_id"), logit6.as("logit6"))
+      .select(col("doc_id"), col("logit6"),
+        r4(lit(1.0) / (lit(1.0) +
+          exp(-(col("logit6").cast("double") / 1e6)))).as("score"))
+      .select(col("doc_id"), col("logit6"), col("score"),
+        (col("score") >= threshold).as("keep"))
     if (ordered) out.orderBy("doc_id") else out
   }
 
