@@ -46,7 +46,7 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_ngrams"),
         coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
       .select(col("doc_id"), col("n_ngrams"), col("n_hit"),
-        (floor(col("n_hit").cast("double") / col("n_ngrams") * 10000 + 0.5) / 10000)
+        TextOps.r4(col("n_hit").cast("double") / col("n_ngrams"))
           .as("contamination"))
       .withColumn("contaminated", col("contamination") >= flagThreshold)
       .orderBy("doc_id")
@@ -86,8 +86,7 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_ngrams"),
         coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
       .select(col("doc_id"), col("n_ngrams"), col("n_hit"),
-        (floor(col("n_hit").cast("double") / col("n_ngrams") * 10000 + 0.5)
-          / 10000).as("overlap"))
+        TextOps.r4(col("n_hit").cast("double") / col("n_ngrams")).as("overlap"))
       .withColumn("dropped", col("overlap") >= maxOverlap)
       .orderBy("doc_id")
   }
@@ -363,8 +362,15 @@ object CorpusOps {
     * corpus pre-aggregates to (doc, token, c) before joining, so the
     * join input is distinct-pairs, not raw occurrences), one hash agg
     * keyed on doc_id. */
-  def dsirWeights(docs: DataFrame, strataCol: String = "lang",
-      targetVal: String = "en", ordered: Boolean = true): DataFrame = {
+  /** The (raw corpus, target slice) token-count vocab frame shared by
+    * [[dsirWeights]] and [[tokenKl]]: `(tok, cq, ct)` over the raw
+    * corpus's joint vocabulary (target counts left-joined, absent = 0),
+    * its row count, and the broadcast one-row totals `(nq, nt, v)`.
+    * localCheckpoint'ed because every caller references it at least
+    * twice (totals + per-type projection) — without it each reference
+    * re-runs the corpus-scale token aggregates. */
+  private def vocabFrame(docs: DataFrame, strataCol: String,
+      targetVal: String): (DataFrame, Long, DataFrame) = {
     val toks = split(col("text"), " ")
     // raw counts define the joint vocab; target counts left-join onto it
     val raw = docs.select(explode(toks).as("tok"))
@@ -374,10 +380,16 @@ object CorpusOps {
       .groupBy("tok").agg(count(lit(1)).as("ct"))
     val joined = raw.join(tgt, Seq("tok"), "left")
       .select(col("tok"), col("cq"), coalesce(col("ct"), lit(0L)).as("ct"))
-      .localCheckpoint() // feeds totals AND the ratio projection
-    val nVocab = joined.count()
+      .localCheckpoint()
     val st = broadcast(joined.agg(sum("cq").as("nq"), sum("ct").as("nt"),
       count(lit(1)).as("v")))
+    (joined, joined.count(), st)
+  }
+
+  def dsirWeights(docs: DataFrame, strataCol: String = "lang",
+      targetVal: String = "en", ordered: Boolean = true): DataFrame = {
+    val toks = split(col("text"), " ")
+    val (joined, nVocab, st) = vocabFrame(docs, strataCol, targetVal)
     // ratio6 = floor((ln p_t − ln q)·1e6 + ½) per token TYPE
     val ratio6 = floor((
       log((col("ct") + 1).cast("double") / (col("nt") + col("v") + 1)) -
@@ -393,7 +405,7 @@ object CorpusOps {
       .agg(sum("c").as("n_tokens"),
         sum(col("c") * col("ratio6")).as("s6"))
       .select(col("doc_id"), col("n_tokens"),
-        (floor(col("s6").cast("double") / 1e6 * 10000 + 0.5) / 10000)
+        TextOps.r4(col("s6").cast("double") / 1e6)
           .as("log_weight"))
     if (ordered) out.orderBy("doc_id") else out
   }
@@ -449,7 +461,7 @@ object CorpusOps {
   def lengthStats(docs: DataFrame): DataFrame = {
     val nTok = (length(col("text")) -
       length(regexp_replace(col("text"), " ", "")) + 1).cast("long")
-    def r4(c: org.apache.spark.sql.Column) = floor(c * 10000 + 0.5) / 10000
+    import TextOps.r4
     docs.select(col("source"), nTok.as("n_tok"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
@@ -484,20 +496,7 @@ object CorpusOps {
     * token-keyed aggregation. */
   def tokenKl(docs: DataFrame, strataCol: String = "lang",
       targetVal: String = "en"): DataFrame = {
-    val toks = split(col("text"), " ")
-    val raw = docs.select(explode(toks).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("cq"))
-    val tgt = docs.filter(col(strataCol) === targetVal)
-      .select(explode(toks).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("ct"))
-    val joined = raw.join(tgt, Seq("tok"), "left")
-      .select(col("tok"), col("cq"), coalesce(col("ct"), lit(0L)).as("ct"))
-      // referenced twice (totals + contributions): materialize the
-      // vocab frame once or both references re-run the corpus-scale
-      // token aggregates — the [[dsirWeights]] discipline
-      .localCheckpoint()
-    val st = broadcast(joined.agg(sum("cq").as("nq"), sum("ct").as("nt"),
-      count(lit(1)).as("v")))
+    val (joined, _, st) = vocabFrame(docs, strataCol, targetVal)
     val pt = (col("ct") + 1).cast("double") / (col("nt") + col("v") + 1)
     val pq = (col("cq") + 1).cast("double") / (col("nq") + col("v") + 1)
     val c12 = floor(pt * (log(pt) - log(pq)) * 1e12 + 0.5).cast("long")
@@ -527,8 +526,7 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_docs"),
         coalesce(sum(when(isDup, 1L).otherwise(0L)), lit(0L)).as("n_dups"))
       .select(col("source"), col("n_docs"), col("n_dups"),
-        (floor(col("n_dups").cast("double") / col("n_docs") * 10000 + 0.5)
-          / 10000).as("dup_rate"))
+        TextOps.r4(col("n_dups").cast("double") / col("n_docs")).as("dup_rate"))
       .orderBy("source")
   }
 

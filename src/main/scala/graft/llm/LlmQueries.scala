@@ -720,27 +720,6 @@ object LlmQueries {
         "SELECT doc_id, CASE WHEN nrm = 0 THEN list_transform(v, x -> 0.0) " +
         "ELSE list_transform(v, x -> FLOOR(CAST(x AS DOUBLE) / nrm * 10000 + 0.5) / 10000) END AS embedding " +
         "FROM n ORDER BY doc_id"),
-    // text-to-neighbors composition: the featurize CTE feeds the
-    // llm_ann_cosine ranking verbatim (float-cast like the parquet
-    // embeddings, double accumulation like graft_dot)
-    "llm_ann_text" ->
-      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
-        "hs AS (SELECT doc_id, list_transform(toks, tok -> CAST(CONCAT('0x', SUBSTR(sha256(tok), 1, 15)) AS BIGINT)) AS hl FROM t), " +
-        "v AS (SELECT doc_id, [CAST(COALESCE(list_sum(list_transform(hl, h -> " +
-        "CASE WHEN h % 16 = i THEN (CASE WHEN (h >> 30) & 1 = 0 THEN 1 ELSE -1 END) ELSE 0 END)), 0) AS BIGINT) " +
-        "FOR i IN range(0, 16)] AS v FROM hs), " +
-        "n AS (SELECT doc_id, v, SQRT(CAST(list_sum(list_transform(v, x -> x * x)) AS DOUBLE)) AS nrm FROM v), " +
-        "f AS (SELECT doc_id, CASE WHEN nrm = 0 THEN list_transform(v, x -> 0.0) " +
-        "ELSE list_transform(v, x -> FLOOR(CAST(x AS DOUBLE) / nrm * 10000 + 0.5) / 10000) END AS embedding FROM n), " +
-        "q AS (SELECT doc_id AS query_id, list_transform(embedding, x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS qe FROM f WHERE doc_id < 5), " +
-        "c AS (SELECT doc_id AS neighbor_id, list_transform(embedding, x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS ce FROM f), " +
-        "s AS (SELECT query_id, neighbor_id, LIST_INNER_PRODUCT(qe, ce) AS raw_dot FROM q CROSS JOIN c), " +
-        "rk AS (SELECT query_id, neighbor_id, " +
-        "CAST(ROW_NUMBER() OVER (PARTITION BY query_id " +
-        "ORDER BY FLOOR(raw_dot * 1000000 + 0.5) / 1000000 DESC, neighbor_id) AS INTEGER) AS rank, " +
-        "FLOOR(raw_dot * 10000 + 0.5) / 10000 AS sim FROM s) " +
-        "SELECT query_id, neighbor_id, rank, sim FROM rk WHERE rank <= 5 " +
-        "ORDER BY query_id, rank"),
     // hashed-key variant: xxhash64 is join-key-internal, so the string
     // n-gram SQL is the exact oracle for the hashed plan's output too
     "llm_contamination_hashed" ->
@@ -1275,6 +1254,20 @@ object LlmQueries {
         "WHERE q.quality >= 0.5 AND l.pred_lang = 'en' " +
         "AND (g.keep_id IS NULL OR g.keep_id = q.doc_id) " +
         "AND r.dup_3gram_ratio <= 0.01 ORDER BY doc_id")) +
+    // text-to-neighbors composition: the verified featurize oracle
+    // embeds verbatim and feeds the llm_ann_cosine ranking (float-cast
+    // like the parquet embeddings, double accumulation like graft_dot)
+    ("llm_ann_text" ->
+      (s"""WITH f AS (${base("llm_featurize")}), """ +
+        "q AS (SELECT doc_id AS query_id, list_transform(embedding, x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS qe FROM f WHERE doc_id < 5), " +
+        "c AS (SELECT doc_id AS neighbor_id, list_transform(embedding, x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS ce FROM f), " +
+        "s AS (SELECT query_id, neighbor_id, LIST_INNER_PRODUCT(qe, ce) AS raw_dot FROM q CROSS JOIN c), " +
+        "rk AS (SELECT query_id, neighbor_id, " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY query_id " +
+        "ORDER BY FLOOR(raw_dot * 1000000 + 0.5) / 1000000 DESC, neighbor_id) AS INTEGER) AS rank, " +
+        "FLOOR(raw_dot * 10000 + 0.5) / 10000 AS sim FROM s) " +
+        "SELECT query_id, neighbor_id, rank, sim FROM rk WHERE rank <= 5 " +
+        "ORDER BY query_id, rank")) +
     // per-source dup-rate replica: the dedup-groups closure CTE embeds
     // verbatim, the accounting is one join + grouped counters
     ("llm_dedup_by_source" ->

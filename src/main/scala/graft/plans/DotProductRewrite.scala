@@ -26,16 +26,26 @@ import graft.functions.DotProduct
   * Equivalence: [[DotProduct]] accumulates float→double products
   * left-to-right — the identical IEEE sequence to the HOF chain
   * (ExtensionsSpec asserts bit-equality), so plans, oracles, and hashes
-  * are unchanged. Like the library's explicit `graft_dot` call sites,
-  * the rewrite assumes the embedding contract "no null ELEMENTS inside a
-  * vector" (a null vector still yields null); the HOF form would
-  * null-propagate a null element where the kernel reads it as 0 — no
-  * shipped table or operator produces such a vector.
+  * are unchanged. Two guards keep the substitution exact: (1) operands
+  * must be plain attributes, so wrapping them in the length check below
+  * duplicates only a column read, never a computation; (2) the rewrite
+  * emits `if (size(a) = size(b)) graft_dot(a, b) else null` — zip_with
+  * null-pads the shorter array and the multiply null-propagates, so the
+  * HOF yields null on a length mismatch where the raw kernel would
+  * return a truncated dot (and a null array makes the size comparison
+  * null, taking the null branch like both forms). The one remaining
+  * divergence — a null ELEMENT inside equal-length vectors
+  * null-propagates in the HOF but reads as 0 in the kernel — matches
+  * the library's explicit `graft_dot` call sites and the embedding
+  * data contract; no shipped table or operator produces such a vector.
   */
 object DotProductRewrite extends Rule[LogicalPlan] {
 
-  private def isFloatArray(e: Expression): Boolean = e.dataType match {
-    case ArrayType(FloatType, _) => true
+  private def isFloatArrayAttr(e: Expression): Boolean = e match {
+    case a: Attribute => a.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
     case _ => false
   }
 
@@ -58,10 +68,13 @@ object DotProductRewrite extends Rule[LogicalPlan] {
             zero,
             LambdaFunction(Add(al, ar, _), Seq(acc, v), _),
             LambdaFunction(fin, Seq(fa), _))
-          if isFloatArray(a) && isFloatArray(b) &&
+          if isFloatArrayAttr(a) && isFloatArrayAttr(b) &&
             zero == Literal(0.0) &&
             isDoubleOf(mx, x) && isDoubleOf(my, y) &&
             isVar(al, acc) && isVar(ar, v) && isVar(fin, fa) =>
-        DotProduct(a, b)
+        If(EqualTo(Size(a, legacySizeOfNull = false),
+            Size(b, legacySizeOfNull = false)),
+          DotProduct(a, b),
+          Literal(null, DoubleType))
     }
 }

@@ -92,6 +92,16 @@ class ExtensionsSpec extends AnyFunSuite {
     val dbl = pairs.select(graft.llm.Similarity.dot(
       $"a".cast("array<double>"), $"b".cast("array<double>")).as("x"))
     assert(!dbl.queryExecution.optimizedPlan.toString.contains("graft_dot"))
+    // length mismatch: zip_with null-pads, so the HOF yields null — the
+    // rewrite's size guard must preserve that, not a truncated dot.
+    // localCheckpoint blocks constant folding so the rule actually fires
+    // (a literal LocalRelation would be evaluated away before it).
+    val ragged = Seq((Array(1.0f, 2.0f), Array(3.0f)))
+      .toDF("a", "b").localCheckpoint()
+      .select(graft.llm.Similarity.dot($"a", $"b").as("x"))
+    assert(ragged.queryExecution.optimizedPlan.toString.contains("graft_dot"),
+      ragged.queryExecution.optimizedPlan.toString.take(1000))
+    assert(ragged.head().isNullAt(0))
   }
 
   test("graft_simhash_agg matches the 64-column fold bit for bit") {
