@@ -47,6 +47,17 @@ object Dedup {
     * GraftExtensions (bit-identical output; the declarative HOF chain
     * interprets a lambda per token and dominated every MinHash-family
     * query), falling back to the declarative form otherwise. */
+  /** The shingle-set Column over an unresolved `text` column — the
+    * kernel-or-declarative probe of [[withShingleSets]] as a bare
+    * expression, for callers that must PRESERVE other columns (the
+    * streaming ingest path keeps its event-time column for the
+    * watermark). */
+  def shingleSetExpr(spark: org.apache.spark.sql.SparkSession,
+      shingleSize: Int): Column =
+    if (spark.catalog.functionExists("graft_shingles"))
+      expr(s"graft_shingles(text, $shingleSize)")
+    else shingles(TextOps.tokens(col("text")), shingleSize)
+
   def withShingleSets(docs: DataFrame, shingleSize: Int): DataFrame =
     if (docs.sparkSession.catalog.functionExists("graft_shingles"))
       docs.select(col("doc_id"),
@@ -91,23 +102,56 @@ object Dedup {
         if (replicable) mixMod(col("h"), s) else xxhash64(col("h"), lit(s))
       min(mixed).as(s"m$s")
     }
-    val bandCol =
-      if (replicable)
-        transform(sequence(lit(0), lit(nBands - 1)),
-          b => aggregate(
-            slice(col("signature"), b * rowsPerBand + 1, lit(rowsPerBand)),
-            b.cast("long"),
-            (acc, v) => ((acc % MixM) * 31 + (v % MixM) + 7) % MixP))
-      else
-        transform(sequence(lit(0), lit(nBands - 1)),
-          b => xxhash64(concat_ws(",",
-            transform(slice(col("signature"), b * rowsPerBand + 1, lit(rowsPerBand)),
-              x => x.cast("string"))), b))
+    val bandCol = bandsExpr(nBands, rowsPerBand, replicable)
     hashes.groupBy("doc_id")
       .agg(sigCols.head, sigCols.tail: _*)
       .select(col("doc_id"),
         array((0 until numHashes).map(i => col(s"m$i")): _*).as("signature"))
       .select(col("doc_id"), col("signature"), bandCol.as("bands"))
+  }
+
+  /** Band-bucket keys from a per-row `signature` array — shared by the
+    * batch aggregate path ([[minHashOfSets]]) and the per-row streaming
+    * path ([[minHashPerRow]]), so both derive identical buckets. */
+  private def bandsExpr(nBands: Int, rowsPerBand: Int,
+      replicable: Boolean): Column =
+    if (replicable)
+      transform(sequence(lit(0), lit(nBands - 1)),
+        b => aggregate(
+          slice(col("signature"), b * rowsPerBand + 1, lit(rowsPerBand)),
+          b.cast("long"),
+          (acc, v) => ((acc % MixM) * 31 + (v % MixM) + 7) % MixP))
+    else
+      transform(sequence(lit(0), lit(nBands - 1)),
+        b => xxhash64(concat_ws(",",
+          transform(slice(col("signature"), b * rowsPerBand + 1, lit(rowsPerBand)),
+            x => x.cast("string"))), b))
+
+  /** Per-row MinHash signature + bands over a frame carrying a
+    * `shingle_set` column: value-identical to [[minHashOfSets]] (the
+    * minimum over the same shingle-hash multiset, the same band keys)
+    * but computed ENTIRELY inside the row — no aggregation, so it
+    * composes into append-mode STREAMING plans where a groupBy would be
+    * stateful. All other columns pass through. Empty shingle sets yield
+    * null signatures and are dropped, matching the batch path (an empty
+    * doc produces no rows to aggregate there).
+    *
+    * Cost is O(numHashes·|set|) interpreted lambda evaluations per row —
+    * right for an ingest micro-batch; corpus-scale jobs keep the
+    * codegen'd explode+partial-agg path of [[minHashOfSets]]. */
+  def minHashPerRow(shingleSets: DataFrame, numHashes: Int = 32,
+      rowsPerBand: Int = 4): DataFrame = {
+    require(numHashes % rowsPerBand == 0, "bands must tile the signature")
+    val hl = transform(col("shingle_set"), sh => xxhash64(sh))
+    val sig = transform(sequence(lit(0), lit(numHashes - 1)), s =>
+      array_min(transform(col("__hl"), h => xxhash64(h, s))))
+    shingleSets
+      .withColumn("__hl", hl)
+      .withColumn("signature", sig)
+      .drop("__hl")
+      .filter(size(col("shingle_set")) > 0)
+      .withColumn("bands",
+        bandsExpr(numHashes / rowsPerBand, rowsPerBand, replicable = false))
   }
 
   /** Modular mixing family for the replicable minhash: overflow-free on

@@ -21,9 +21,9 @@ object TextOps {
 
   /** 4-decimal floor-rounding — the cross-engine-canonical form the
     * DuckDB oracles replicate exactly (Spark ROUND ≠ DuckDB ROUND).
-    * Shared across the llm package so the convention has ONE definition
-    * (CorpusOps ratio columns use it too). */
-  private[llm] def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
+    * Shared across the engine so the convention has ONE definition
+    * (CorpusOps ratio columns and the streaming jaccard use it too). */
+  private[graft] def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
 
   /** Deterministic per-document stats. The token count is defined by the
     * single-space formula (len - len(no-spaces) + 1) so the SQL oracle can

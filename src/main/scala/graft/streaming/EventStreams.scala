@@ -39,6 +39,53 @@ object EventStreams {
     events.withWatermark("ts", "20 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Ingestion-time near-dup flagging — the streaming twin of
+    * [[graft.llm.Dedup.incrementalNearDups]]: documents arriving on a
+    * stream `(ts, doc_id, text)` probe the STATIC corpus's LSH band
+    * index and report `(new_id, corpus_id, jaccard)` for every corpus
+    * doc they near-duplicate, in flight.
+    *
+    * Streaming shape: shingling, the per-row MinHash signature
+    * ([[graft.llm.Dedup.minHashPerRow]] — value-identical to the batch
+    * aggregate path, but stateless), and the exact-Jaccard verify are
+    * all per-row; the band probe and the shingle-set rejoin are
+    * stream-STATIC equi-joins (stateless in append mode). The one
+    * stateful operator is the pair dedup (a pair can match on several
+    * bands), bounded by `dropDuplicatesWithinWatermark` — so total
+    * state is the watermark horizon's worth of matched pairs, never
+    * the corpus. At 100 TB the static side is the persisted minhash
+    * index, exactly like the batch incremental path. */
+  def streamingNearDups(docsStream: DataFrame, corpus: DataFrame,
+      shingleSize: Int = 3, threshold: Double = 0.5,
+      numHashes: Int = 32, rowsPerBand: Int = 4,
+      watermark: String = "20 minutes"): DataFrame = {
+    import graft.llm.Dedup
+    // static side: banded index + shingle sets, shingled once
+    val ssCor = Dedup.withShingleSets(corpus, shingleSize).localCheckpoint()
+    val bCor = Dedup.minHashOfSets(ssCor, numHashes, rowsPerBand)
+      .select(col("doc_id").as("corpus_id"), explode(col("bands")).as("bucket"))
+    val setB = ssCor.select(col("doc_id").as("corpus_id"),
+      col("shingle_set").as("set_b"))
+    // stream side: everything per-row, event-time column retained
+    val probe = Dedup.minHashPerRow(
+        docsStream.withWatermark("ts", watermark)
+          .select(col("ts"), col("doc_id"),
+            Dedup.shingleSetExpr(corpus.sparkSession, shingleSize)
+              .as("shingle_set")),
+        numHashes, rowsPerBand)
+      .select(col("ts"), col("doc_id").as("new_id"),
+        col("shingle_set").as("set_a"), explode(col("bands")).as("bucket"))
+    val inter = size(array_intersect(col("set_a"), col("set_b")))
+    probe.join(bCor, Seq("bucket"))
+      .join(setB, Seq("corpus_id"))
+      .select(col("ts"), col("new_id"), col("corpus_id"),
+        graft.llm.TextOps.r4(inter.cast("double")
+          / (size(col("set_a")) + size(col("set_b")) - inter)).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .dropDuplicatesWithinWatermark("new_id", "corpus_id")
+      .select("new_id", "corpus_id", "jaccard")
+  }
+
   /** Watermarked stream-stream interval join: for every left event, the
     * right-side events of the same user within (0, maxDelayMinutes]
     * AFTER it — the funnel/attribution join. Both sides carry

@@ -263,4 +263,41 @@ class StreamingSpec extends AnyFunSuite {
       assert(red == "mail <EMAIL> from <IP> now", red)
     } finally qs.foreach(_.stop())
   }
+
+  test("streaming ingest dedup: in-flight near-dup flags equal the batch " +
+      "incremental probe") {
+    implicit val sql = spark.sqlContext
+    import graft.llm.Dedup
+    val corpus = Seq(
+      (100L, "the cat sat on the mat today"),
+      (101L, "a completely different corpus document here"),
+      (102L, "yet another unrelated piece of text entirely"))
+      .toDF("doc_id", "text")
+    // doc 1 near-duplicates corpus 100; docs 2 and 3 are fresh
+    val incoming = Seq(
+      (1L, ts(0), "the cat sat on the mat today"),
+      (2L, ts(1), "brand new content never seen before anywhere"),
+      (3L, ts(2), "the quick brown fox jumps over everything"))
+    val batchTwin = Dedup.incrementalNearDups(
+        incoming.map(r => (r._1, r._3)).toDF("doc_id", "text"), corpus,
+        shingleSize = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batchTwin.map(p => (p._1, p._2)) == Set((1L, 100L)),
+      batchTwin.toString)
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val df = mem.toDF.toDF("doc_id", "ts", "text")
+    val q = EventStreams.streamingNearDups(df, corpus, shingleSize = 1)
+      .writeStream.format("memory").queryName("snd")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(incoming: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("snd").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed == batchTwin, s"streamed=$streamed batch=$batchTwin")
+      // a pair that matched on several bands still appears exactly once
+      assert(spark.table("snd").count() ==
+        spark.table("snd").distinct().count())
+    } finally q.stop()
+  }
 }
