@@ -362,20 +362,20 @@ object CorpusOps {
     * corpus pre-aggregates to (doc, token, c) before joining, so the
     * join input is distinct-pairs, not raw occurrences), one hash agg
     * keyed on doc_id. */
-  /** The (raw corpus, target slice) token-count vocab frame shared by
-    * [[dsirWeights]] and [[tokenKl]]: `(tok, cq, ct)` over the raw
+  /** The (raw corpus, target corpus) token-count vocab frame shared by
+    * the DSIR and KL families: `(tok, cq, ct)` over the raw
     * corpus's joint vocabulary (target counts left-joined, absent = 0),
     * its row count, and the broadcast one-row totals `(nq, nt, v)`.
     * localCheckpoint'ed because every caller references it at least
     * twice (totals + per-type projection) — without it each reference
     * re-runs the corpus-scale token aggregates. */
-  private def vocabFrame(docs: DataFrame, strataCol: String,
-      targetVal: String): (DataFrame, Long, DataFrame) = {
+  private def vocabFrame(docs: DataFrame,
+      targetDocs: DataFrame): (DataFrame, Long, DataFrame) = {
     val toks = split(col("text"), " ")
     // raw counts define the joint vocab; target counts left-join onto it
     val raw = docs.select(explode(toks).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("cq"))
-    val tgt = docs.filter(col(strataCol) === targetVal)
+    val tgt = targetDocs
       .select(explode(toks).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("ct"))
     val joined = raw.join(tgt, Seq("tok"), "left")
@@ -387,9 +387,19 @@ object CorpusOps {
   }
 
   def dsirWeights(docs: DataFrame, strataCol: String = "lang",
-      targetVal: String = "en", ordered: Boolean = true): DataFrame = {
+      targetVal: String = "en", ordered: Boolean = true): DataFrame =
+    dsirWeightsAgainst(docs, docs.filter(col(strataCol) === targetVal),
+      ordered)
+
+  /** [[dsirWeights]] with an EXTERNAL target corpus — the setup the
+    * paper actually runs (target = a curated corpus like Wikipedia, not
+    * a slice of the raw corpus). The slice form is this with
+    * `target = docs.filter(strataCol === targetVal)`; both share one
+    * implementation, so the slice-based oracle transfers. */
+  def dsirWeightsAgainst(docs: DataFrame, targetDocs: DataFrame,
+      ordered: Boolean = true): DataFrame = {
     val toks = split(col("text"), " ")
-    val (joined, nVocab, st) = vocabFrame(docs, strataCol, targetVal)
+    val (joined, nVocab, st) = vocabFrame(docs, targetDocs)
     // ratio6 = floor((ln p_t − ln q)·1e6 + ½) per token TYPE
     val ratio6 = floor((
       log((col("ct") + 1).cast("double") / (col("nt") + col("v") + 1)) -
@@ -495,8 +505,14 @@ object CorpusOps {
     * scanned twice (raw + target slice) and never shuffled beyond the
     * token-keyed aggregation. */
   def tokenKl(docs: DataFrame, strataCol: String = "lang",
-      targetVal: String = "en"): DataFrame = {
-    val (joined, _, st) = vocabFrame(docs, strataCol, targetVal)
+      targetVal: String = "en"): DataFrame =
+    tokenKlAgainst(docs, docs.filter(col(strataCol) === targetVal))
+
+  /** [[tokenKl]] with an EXTERNAL target corpus — corpus-drift
+    * monitoring between two snapshots, or distance to a curated
+    * reference corpus. Shares the slice form's implementation. */
+  def tokenKlAgainst(docs: DataFrame, targetDocs: DataFrame): DataFrame = {
+    val (joined, _, st) = vocabFrame(docs, targetDocs)
     val pt = (col("ct") + 1).cast("double") / (col("nt") + col("v") + 1)
     val pq = (col("cq") + 1).cast("double") / (col("nq") + col("v") + 1)
     val c12 = floor(pt * (log(pt) - log(pq)) * 1e12 + 0.5).cast("long")

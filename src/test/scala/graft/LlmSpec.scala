@@ -960,6 +960,31 @@ class LlmSpec extends AnyFunSuite {
     assert(r("clean").getDouble(3) == 0.0)
   }
 
+  test("external-target DSIR/KL: slice form equals the external form fed " +
+      "the same slice; a disjoint external target shifts the weights") {
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha", "en"),
+      (2L, "delta epsilon zeta eta", "de"),
+      (3L, "alpha beta theta iota", "en"))
+      .toDF("doc_id", "text", "lang")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf)).toSeq
+    assert(rows(CorpusOps.dsirWeightsAgainst(docs,
+        docs.filter($"lang" === "en"))) ==
+      rows(CorpusOps.dsirWeights(docs)))
+    assert(rows(CorpusOps.tokenKlAgainst(docs,
+        docs.filter($"lang" === "en"))) ==
+      rows(CorpusOps.tokenKl(docs)))
+    // the published DSIR setup: target is a separate curated corpus —
+    // docs sharing its vocabulary outweigh docs that do not
+    val curated = Seq((900L, "alpha beta alpha beta gamma", "xx"))
+      .toDF("doc_id", "text", "lang")
+    val w = CorpusOps.dsirWeightsAgainst(docs, curated).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w(1L) > w(2L) && w(3L) > w(2L),
+      s"target-like docs must outweigh off-target: $w")
+  }
+
   test("corpus ops are total on an empty corpus") {
     import org.apache.spark.sql.functions.lit
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
