@@ -212,11 +212,31 @@ object Dedup {
   def incrementalNearDups(newDocs: DataFrame, corpus: DataFrame,
       shingleSize: Int = 3, threshold: Double = 0.5,
       numHashes: Int = 32, rowsPerBand: Int = 4): DataFrame = {
-    val ssNew = withShingleSets(newDocs, shingleSize).localCheckpoint()
     val ssCor = withShingleSets(corpus, shingleSize).localCheckpoint()
+    incrementalNearDupsIndexed(newDocs,
+      minHashOfSets(ssCor, numHashes, rowsPerBand), ssCor,
+      shingleSize, threshold, numHashes, rowsPerBand)
+  }
+
+  /** [[incrementalNearDups]] probing a PRE-BUILT index — the shape a
+    * 100 TB deployment actually runs: `corpusIndex` is a persisted
+    * [[minHash]]/[[minHashOfSets]] output `(doc_id, signature, bands)`
+    * and `corpusShingles` a persisted [[withShingleSets]] output
+    * `(doc_id, shingle_set)`, both loaded from storage; only the (tiny)
+    * incoming batch is shingled and signed here. The probe is then
+    * index-lookup-shaped: batch bands equi-join the stored band table,
+    * and only matched corpus docs rejoin their shingle sets. The
+    * signature parameters must match the ones the index was built with
+    * (same numHashes/rowsPerBand/shingleSize — buckets are meaningless
+    * across configurations). */
+  def incrementalNearDupsIndexed(newDocs: DataFrame,
+      corpusIndex: DataFrame, corpusShingles: DataFrame,
+      shingleSize: Int = 3, threshold: Double = 0.5,
+      numHashes: Int = 32, rowsPerBand: Int = 4): DataFrame = {
+    val ssNew = withShingleSets(newDocs, shingleSize).localCheckpoint()
     val bNew = minHashOfSets(ssNew, numHashes, rowsPerBand)
       .select(col("doc_id").as("new_id"), explode(col("bands")).as("bucket"))
-    val bCor = minHashOfSets(ssCor, numHashes, rowsPerBand)
+    val bCor = corpusIndex
       .select(col("doc_id").as("corpus_id"), explode(col("bands")).as("bucket"))
     val cand = bNew.join(bCor, Seq("bucket"))
       .select("new_id", "corpus_id").dropDuplicates("new_id", "corpus_id")
@@ -224,12 +244,11 @@ object Dedup {
     cand
       .join(ssNew.select(col("doc_id").as("new_id"),
         col("shingle_set").as("set_a")), Seq("new_id"))
-      .join(ssCor.select(col("doc_id").as("corpus_id"),
+      .join(corpusShingles.select(col("doc_id").as("corpus_id"),
         col("shingle_set").as("set_b")), Seq("corpus_id"))
       .select(col("new_id"), col("corpus_id"),
-        (floor(inter.cast("double")
-          / (size(col("set_a")) + size(col("set_b")) - inter) * 10000 + 0.5)
-          / 10000).as("jaccard"))
+        TextOps.r4(inter.cast("double")
+          / (size(col("set_a")) + size(col("set_b")) - inter)).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy("new_id", "corpus_id")
   }

@@ -381,4 +381,31 @@ class WritersAndPipelineSpec extends AnyFunSuite {
     assert(math.abs(approx - exact).toDouble / exact < 0.05,
       s"approx $approx vs exact $exact")
   }
+
+  test("persisted minhash index round trip: incremental probe against a " +
+      "loaded index equals the self-contained path") {
+    import graft.llm.Dedup
+    val corpus = Seq(
+      (100L, "the cat sat on the mat today"),
+      (101L, "a completely different corpus document here"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, "the cat sat on the mat today"),
+      (2L, "brand new content never seen before"))
+      .toDF("doc_id", "text")
+    // build and PERSIST the dedup index — the 100 TB deployment keeps
+    // these two tables in storage and never re-shingles the corpus
+    val dir = tmp("graft-dedup-index")
+    Dedup.withShingleSets(corpus, 1).write.parquet(s"$dir/shingles")
+    Dedup.minHash(corpus, shingleSize = 1).write.parquet(s"$dir/bands")
+    val viaIndex = Dedup.incrementalNearDupsIndexed(incoming,
+        spark.read.parquet(s"$dir/bands"),
+        spark.read.parquet(s"$dir/shingles"), shingleSize = 1)
+      .collect().map(_.toSeq).toSet
+    val selfContained = Dedup.incrementalNearDups(incoming, corpus,
+        shingleSize = 1)
+      .collect().map(_.toSeq).toSet
+    assert(viaIndex == selfContained && viaIndex.nonEmpty,
+      s"index=$viaIndex self=$selfContained")
+  }
 }
