@@ -433,10 +433,12 @@ object CorpusOps {
     * the [[mixRate]] trade: the plan is a pure per-row projection, no
     * shuffle, no window, replicable in any engine with md5.
     */
-  def splitAssign(docs: DataFrame,
-      fractions: Seq[(String, Double)] =
-        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
-      salt: String = "#split", ordered: Boolean = true): DataFrame = {
+  /** The bucket-assignment Column behind [[splitAssign]] — exposed
+    * within the object so compositions ([[exportTrainingSet]]) assign
+    * splits in the same projection as their other columns instead of
+    * paying an id-equi-join. */
+  private def splitExpr(fractions: Seq[(String, Double)],
+      salt: String): org.apache.spark.sql.Column = {
     require(fractions.nonEmpty && fractions.forall(_._2 > 0),
       s"need non-empty positive fractions, got $fractions")
     require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
@@ -446,13 +448,51 @@ object CorpusOps {
     val u = conv(substring(sampleKey(salt), 1, 8), 16, 10).cast("long")
     // ascending cumulative thresholds in 2^32 units; first match wins
     val cums = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
-    val assign = fractions.init.zip(cums.init)
+    fractions.init.zip(cums.init)
       .map { case ((nm, _), c) => nm -> math.floor(c * 4294967296.0).toLong }
       .foldRight(lit(fractions.last._1)) { case ((nm, t), acc) =>
         when(u < t, nm).otherwise(acc)
       }
-    val out = docs.select(col("doc_id"), assign.as("split"))
+  }
+
+  def splitAssign(docs: DataFrame,
+      fractions: Seq[(String, Double)] =
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+      salt: String = "#split", ordered: Boolean = true): DataFrame = {
+    val out = docs.select(col("doc_id"),
+      splitExpr(fractions, salt).as("split"))
     if (ordered) out.orderBy("doc_id") else out
+  }
+
+  /** End-to-end training-set materialization — the whole pre-training
+    * data flow in one call: curate (quality ∧ language ∧ dedup-keep ∧
+    * ¬boilerplate via [[TextOps.curate]]), assign the deterministic
+    * train/val/test split and shard, and write JSONL laid out
+    * `split=<s>/shard=<n>/` so a trainer reads one partition directory
+    * as a unit.
+    *
+    * Scale shape: curate's one-scan-plus-keep-join produces the
+    * survivor ids; the survivors rejoin their payload once (id
+    * equi-join), and split + shard are assigned IN THE SAME projection
+    * (no further joins — [[splitExpr]]/[[shardExpr]] are pure
+    * expressions). The write repartitions on (split, shard) so each
+    * task writes exactly one partition directory. */
+  def exportTrainingSet(docs: DataFrame, path: String,
+      minQuality: Double = 0.5, lang: String = "en",
+      shingleSize: Int = 3, threshold: Double = 0.5,
+      maxDup3: Double = 1.0,
+      fractions: Seq[(String, Double)] =
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+      nShards: Int = 8): Unit = {
+    val kept = TextOps.curate(docs, minQuality, lang, shingleSize,
+      threshold, maxDup3).select("doc_id")
+    val assigned = docs.join(kept, Seq("doc_id"))
+      .select(col("doc_id"), col("text"),
+        splitExpr(fractions, "#split").as("split"),
+        shardExpr(nShards, replicable = false, "#shard").as("shard"))
+    graft.sources.Writers.jsonl(
+      assigned.repartition(col("split"), col("shard")),
+      path, partitionBy = Seq("split", "shard"))
   }
 
   /** Corpus length diagnostics — the per-source token-count distribution

@@ -382,6 +382,39 @@ class WritersAndPipelineSpec extends AnyFunSuite {
       s"approx $approx vs exact $exact")
   }
 
+  test("exportTrainingSet: curated survivors land in split=/shard= JSONL " +
+      "partitions with operator-consistent assignments") {
+    import graft.llm.{CorpusOps, TextOps}
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog in the sun"),
+      (2L, "zz zz zz zz zz zz zz zz zz zz"), // fails quality
+      (3L, "the quick brown fox jumps over a lazy dog in the sun"), // dup of 1
+      (4L, "it is a truth universally acknowledged that a reader wants data"))
+      .toDF("doc_id", "text")
+    val dir = tmp("graft-export-train")
+    CorpusOps.exportTrainingSet(docs, dir, shingleSize = 1, nShards = 2)
+    val back = spark.read.json(dir)
+    val ids = back.select("doc_id").collect().map(_.getLong(0)).toSet
+    val survivors = TextOps.curate(docs, shingleSize = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == survivors && ids.nonEmpty, s"got $ids want $survivors")
+    // split/shard in the files equal the standalone operators' decisions
+    val expSplit = CorpusOps.splitAssign(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expShard = CorpusOps.shard(docs, nShards = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    back.collect().foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[String]("split") == expSplit(id))
+      // partition-dir values read back as inferred ints
+      assert(r.getAs[Number]("shard").longValue == expShard(id))
+    }
+    // physical layout: split=<s>/shard=<n>/ directories
+    val splitDirs = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(splitDirs.forall(_.startsWith("split=")), splitDirs.toString)
+  }
+
   test("persisted minhash index round trip: incremental probe against a " +
       "loaded index equals the self-contained path") {
     import graft.llm.Dedup
