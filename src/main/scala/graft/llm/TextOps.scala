@@ -135,24 +135,28 @@ object TextOps {
     * norm² is an exact integer sum, so both engines root identical
     * doubles.
     *
-    * Scale shape: per-row projection, no shuffle. The lambdas are
-    * interpreted, so the token-hash array, the signed-count vector,
-    * and the norm each materialize as their own projection column and
-    * are REFERENCED (never re-derived) downstream — the
-    * single-reference rule; cost is O(dim·tokens) comparisons but only
-    * one sha2 pass per token. */
+    * Scale shape: explode + dim-column codegen'd hash aggregate with
+    * map-side partials — the [[Dedup.simHash]] design: an interpreted
+    * per-row lambda chain measured ~10× slower on the corpus (nested
+    * HOF lambdas pay a per-invocation interpretation cost; the signed
+    * bucket sums here are straight codegen). One doc_id-keyed shuffle
+    * of (int, long) pairs; normalization is per-row off the assembled
+    * vector, referenced once per the single-reference rule. */
   def featurize(docs: DataFrame, dim: Int = 16,
       ordered: Boolean = true): DataFrame = {
     require(dim > 0 && dim <= 4096, s"need 0 < dim <= 4096, got $dim")
-    val hl = transform(tokens(col("text")), t => Dedup.sha2TokenHash(t))
-    val vExpr = transform(sequence(lit(0), lit(dim - 1)), i =>
-      aggregate(col("hl"), lit(0L), (acc, h) =>
-        acc + when(pmod(h, lit(dim)) === i,
-          when(shiftright(h, 30).bitwiseAND(1) === 0, 1L).otherwise(-1L))
-          .otherwise(0L)))
-    val out = docs
-      .select(col("doc_id"), hl.as("hl"))
-      .select(col("doc_id"), vExpr.as("v"))
+    val exploded = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), Dedup.sha2TokenHash(col("tok")).as("h"))
+      .select(col("doc_id"), pmod(col("h"), lit(dim)).cast("int").as("i"),
+        when(shiftright(col("h"), 30).bitwiseAND(1) === 0, 1L)
+          .otherwise(-1L).as("s"))
+    val sums = (0 until dim).map(i =>
+      sum(when(col("i") === i, col("s")).otherwise(0L)).as(s"v$i"))
+    val out = exploded.groupBy("doc_id")
+      .agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"),
+        array((0 until dim).map(i => col(s"v$i")): _*).as("v"))
       .select(col("doc_id"), col("v"),
         sqrt(aggregate(col("v"), lit(0L), (a, x) => a + x * x)
           .cast("double")).as("nrm"))
