@@ -372,14 +372,20 @@ object CorpusOps {
   private def vocabFrame(docs: DataFrame,
       targetDocs: DataFrame): (DataFrame, Long, DataFrame) = {
     val toks = split(col("text"), " ")
-    // raw counts define the joint vocab; target counts left-join onto it
     val raw = docs.select(explode(toks).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("cq"))
     val tgt = targetDocs
       .select(explode(toks).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("ct"))
-    val joined = raw.join(tgt, Seq("tok"), "left")
-      .select(col("tok"), col("cq"), coalesce(col("ct"), lit(0L)).as("ct"))
+    // FULL outer: the joint vocabulary is the union of both corpora's
+    // types. With a slice target this degenerates to the raw vocab
+    // (slice tokens ⊆ raw — the oracle-checked case, values unchanged);
+    // with an EXTERNAL target, target-only tokens must stay in the
+    // frame and the nt/v totals, or exactly the strongest drift (new
+    // vocabulary) would vanish from the KL sum and misnormalize p_t.
+    val joined = raw.join(tgt, Seq("tok"), "full_outer")
+      .select(col("tok"), coalesce(col("cq"), lit(0L)).as("cq"),
+        coalesce(col("ct"), lit(0L)).as("ct"))
       .localCheckpoint()
     val st = broadcast(joined.agg(sum("cq").as("nq"), sum("ct").as("nt"),
       count(lit(1)).as("v")))

@@ -59,12 +59,8 @@ object Dedup {
     else shingles(TextOps.tokens(col("text")), shingleSize)
 
   def withShingleSets(docs: DataFrame, shingleSize: Int): DataFrame =
-    if (docs.sparkSession.catalog.functionExists("graft_shingles"))
-      docs.select(col("doc_id"),
-        expr(s"graft_shingles(text, $shingleSize)").as("shingle_set"))
-    else
-      docs.select(col("doc_id"),
-        shingles(TextOps.tokens(col("text")), shingleSize).as("shingle_set"))
+    docs.select(col("doc_id"),
+      shingleSetExpr(docs.sparkSession, shingleSize).as("shingle_set"))
 
   /** MinHash signatures + LSH band-bucket keys via explode + hash-agg:
     * each shingle row is hashed once per seed inside a codegen'd partial
@@ -227,14 +223,16 @@ object Dedup {
     * index-lookup-shaped: batch bands equi-join the stored band table,
     * and only matched corpus docs rejoin their shingle sets. The
     * signature parameters must match the ones the index was built with
-    * (same numHashes/rowsPerBand/shingleSize — buckets are meaningless
-    * across configurations). */
+    * — same numHashes/rowsPerBand/shingleSize AND the same
+    * `replicable` hash family: buckets from one family never equal the
+    * other's, so a mismatch silently reports every doc clean. */
   def incrementalNearDupsIndexed(newDocs: DataFrame,
       corpusIndex: DataFrame, corpusShingles: DataFrame,
       shingleSize: Int = 3, threshold: Double = 0.5,
-      numHashes: Int = 32, rowsPerBand: Int = 4): DataFrame = {
+      numHashes: Int = 32, rowsPerBand: Int = 4,
+      replicable: Boolean = false): DataFrame = {
     val ssNew = withShingleSets(newDocs, shingleSize).localCheckpoint()
-    val bNew = minHashOfSets(ssNew, numHashes, rowsPerBand)
+    val bNew = minHashOfSets(ssNew, numHashes, rowsPerBand, replicable)
       .select(col("doc_id").as("new_id"), explode(col("bands")).as("bucket"))
     val bCor = corpusIndex
       .select(col("doc_id").as("corpus_id"), explode(col("bands")).as("bucket"))

@@ -136,15 +136,19 @@ object TextOps {
     * doubles.
     *
     * Scale shape: explode + dim-column codegen'd hash aggregate with
-    * map-side partials — the [[Dedup.simHash]] design: an interpreted
-    * per-row lambda chain measured ~10× slower on the corpus (nested
-    * HOF lambdas pay a per-invocation interpretation cost; the signed
+    * map-side partials — the [[Dedup.simHash]] design: the interpreted
+    * per-row lambda form measured ~3× slower end-to-end (nested HOF
+    * lambdas pay a per-invocation interpretation cost; the signed
     * bucket sums here are straight codegen). One doc_id-keyed shuffle
     * of (int, long) pairs; normalization is per-row off the assembled
-    * vector, referenced once per the single-reference rule. */
+    * vector, referenced once per the single-reference rule. dim caps
+    * at 1024: the aggregate is one column per dimension, and past
+    * `spark.sql.codegen.maxFields` (default 100) whole-stage fusion
+    * falls back to per-expression codegen — still compiled, but plans
+    * in the thousands of columns only add planner cost. */
   def featurize(docs: DataFrame, dim: Int = 16,
       ordered: Boolean = true): DataFrame = {
-    require(dim > 0 && dim <= 4096, s"need 0 < dim <= 4096, got $dim")
+    require(dim > 0 && dim <= 1024, s"need 0 < dim <= 1024, got $dim")
     val exploded = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .select(col("doc_id"), Dedup.sha2TokenHash(col("tok")).as("h"))

@@ -60,30 +60,55 @@ object EventStreams {
       numHashes: Int = 32, rowsPerBand: Int = 4,
       watermark: String = "20 minutes"): DataFrame = {
     import graft.llm.Dedup
-    // static side: banded index + shingle sets, shingled once
-    val ssCor = Dedup.withShingleSets(corpus, shingleSize).localCheckpoint()
-    val bCor = Dedup.minHashOfSets(ssCor, numHashes, rowsPerBand)
+    // static side built in-place and persist()ed — NOT localCheckpoint:
+    // every micro-batch re-evaluates the static plan, so the cache is
+    // what stops the corpus-wide minhash aggregate re-running per
+    // batch, and persist keeps lineage so a lost executor recomputes
+    // instead of failing a long-lived query
+    val ssCor = Dedup.withShingleSets(corpus, shingleSize).persist()
+    streamingNearDupsIndexed(docsStream,
+      Dedup.minHashOfSets(ssCor, numHashes, rowsPerBand).persist(), ssCor,
+      shingleSize, threshold, numHashes, rowsPerBand, watermark)
+  }
+
+  /** [[streamingNearDups]] probing a PRE-BUILT index — the deployment
+    * shape, mirroring [[graft.llm.Dedup.incrementalNearDupsIndexed]]:
+    * `corpusIndex` `(doc_id, signature, bands)` and `corpusShingles`
+    * `(doc_id, shingle_set)` are loaded from storage (or persist()ed),
+    * so the corpus is never re-shingled inside the stream. Build
+    * parameters must match the index's (numHashes/rowsPerBand/
+    * shingleSize, stock hash family). */
+  def streamingNearDupsIndexed(docsStream: DataFrame,
+      corpusIndex: DataFrame, corpusShingles: DataFrame,
+      shingleSize: Int = 3, threshold: Double = 0.5,
+      numHashes: Int = 32, rowsPerBand: Int = 4,
+      watermark: String = "20 minutes"): DataFrame = {
+    import graft.llm.Dedup
+    val bCor = corpusIndex
       .select(col("doc_id").as("corpus_id"), explode(col("bands")).as("bucket"))
-    val setB = ssCor.select(col("doc_id").as("corpus_id"),
+    val setB = corpusShingles.select(col("doc_id").as("corpus_id"),
       col("shingle_set").as("set_b"))
     // stream side: everything per-row, event-time column retained
     val probe = Dedup.minHashPerRow(
         docsStream.withWatermark("ts", watermark)
           .select(col("ts"), col("doc_id"),
-            Dedup.shingleSetExpr(corpus.sparkSession, shingleSize)
+            Dedup.shingleSetExpr(docsStream.sparkSession, shingleSize)
               .as("shingle_set")),
         numHashes, rowsPerBand)
       .select(col("ts"), col("doc_id").as("new_id"),
         col("shingle_set").as("set_a"), explode(col("bands")).as("bucket"))
     val inter = size(array_intersect(col("set_a"), col("set_b")))
     probe.join(bCor, Seq("bucket"))
+      // dedup candidates BEFORE the verify join — a true near-dup
+      // collides on several bands, and each extra row would re-run the
+      // exact-Jaccard set intersection; the batch path dedups at the
+      // same point. set_a rides along (identical per new_id).
+      .dropDuplicatesWithinWatermark("new_id", "corpus_id")
       .join(setB, Seq("corpus_id"))
-      .select(col("ts"), col("new_id"), col("corpus_id"),
+      .select(col("new_id"), col("corpus_id"),
         graft.llm.TextOps.r4(inter.cast("double")
           / (size(col("set_a")) + size(col("set_b")) - inter)).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .dropDuplicatesWithinWatermark("new_id", "corpus_id")
-      .select("new_id", "corpus_id", "jaccard")
   }
 
   /** Watermarked stream-stream interval join: for every left event, the

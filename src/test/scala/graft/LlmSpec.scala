@@ -983,6 +983,19 @@ class LlmSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(w(1L) > w(2L) && w(3L) > w(2L),
       s"target-like docs must outweigh off-target: $w")
+    // new-vocabulary drift must REGISTER: a target sharing no types
+    // with the corpus diverges more than the in-vocab curated target
+    // (the full-outer joint vocab keeps target-only tokens in the sum)
+    val alien = Seq((901L, "xq xw xe xr xt xy xu xi", "xx"))
+      .toDF("doc_id", "text", "lang")
+    val klAlien = CorpusOps.tokenKlAgainst(docs, alien)
+      .collect()(0).getDouble(1)
+    val klCurated = CorpusOps.tokenKlAgainst(docs, curated)
+      .collect()(0).getDouble(1)
+    // 10x+ separation is the claim; absolute scale stays small under
+    // add-1 smoothing at fixture size
+    assert(klAlien > 10 * klCurated && klAlien > 0.2,
+      s"disjoint-vocab target must dominate: alien=$klAlien curated=$klCurated")
   }
 
   test("corpus ops are total on an empty corpus") {
