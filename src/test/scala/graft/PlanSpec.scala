@@ -222,6 +222,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!pq.contains("Exchange") && !pq.contains("Window"), pq.take(2000))
   }
 
+  test("featurize plans a doc-keyed hash aggregate with map-side " +
+      "partial sums, one exchange") {
+    val docs = Tables(spark, sf0001, "documents")
+    val df = graft.llm.TextOps.featurize(docs, ordered = false)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // partial sums before the exchange, final after — the simHash shape
+    assert(p.contains("HashAggregate"), p.take(3000))
+    assert(p.contains("partial_sum") || p.contains("partial sum"),
+      p.take(3000))
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"want exactly the agg exchange, got $exchanges\n"
+      + p.take(3000))
+  }
+
   test("token kl aggregates on the vocab frame — token-keyed exchanges " +
       "only, no corpus-row join") {
     val docs = Tables(spark, sf0001, "documents")
