@@ -440,5 +440,16 @@ class WritersAndPipelineSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(viaIndex == selfContained && viaIndex.nonEmpty,
       s"index=$viaIndex self=$selfContained")
+    // an index built with the sha2/replicable family must be probed
+    // with the matching flag — and then finds the same planted dup
+    Dedup.minHash(corpus, shingleSize = 1, replicable = true)
+      .write.parquet(s"$dir/bands_r")
+    val viaReplicable = Dedup.incrementalNearDupsIndexed(incoming,
+        spark.read.parquet(s"$dir/bands_r"),
+        spark.read.parquet(s"$dir/shingles"), shingleSize = 1,
+        replicable = true)
+      .collect().map(_.toSeq).toSet
+    assert(viaReplicable == selfContained,
+      s"replicable-family probe drifted: $viaReplicable")
   }
 }
