@@ -269,6 +269,17 @@ object LlmQueries {
       // definition, gaps-and-islands form (SURVEY §2.D streaming row)
       graft.streaming.EventStreams.sessionizeBatch(
         graft.sources.Tables(s, d, "events"))),
+    // windowed corpus ingest monitor: ONE function serves batch and
+    // streaming (window() groups identically; watermark is a batch
+    // no-op), so this batch run oracle-checks the streaming rollup.
+    // Synthetic event time: doc_id minutes past a fixed origin.
+    "llm_monitor_windows" -> ((s, d) => {
+      val withTs = docs(s, d).withColumn("ts",
+        expr("timestampadd(MINUTE, CAST(doc_id AS INT), " +
+          "TIMESTAMP '2026-01-01 00:00:00')"))
+      graft.streaming.EventStreams.corpusMonitor(withTs)
+        .orderBy("window_start", "source")
+    }),
     // UniMax epoch-capped mixing: budget spread uniformly across
     // languages, small strata capped at one epoch — the principled
     // alternative to temperature mixing; allocation + keep test replay
@@ -1268,6 +1279,23 @@ object LlmQueries {
         "FLOOR(raw_dot * 10000 + 0.5) / 10000 AS sim FROM s) " +
         "SELECT query_id, neighbor_id, rank, sim FROM rk WHERE rank <= 5 " +
         "ORDER BY query_id, rank")) +
+    // monitor replica: time_bucket's sub-month buckets align to the
+    // 2000-01-01 origin, whose epoch is divisible by 600 — identical
+    // boundaries to Spark's epoch-aligned 10-minute windows; quality
+    // comes from the embedded llm_quality CTE re-floored to exact
+    // 1e-4-unit bigints before the order-independent sum
+    ("llm_monitor_windows" ->
+      (s"""WITH q AS (${base("llm_quality")}), """ +
+        "t AS (SELECT doc_id, source, text, " +
+        "TIMESTAMP '2026-01-01 00:00:00' + doc_id * INTERVAL 1 MINUTE AS ts FROM documents), " +
+        "w AS (SELECT t.source, time_bucket(INTERVAL '10 minutes', t.ts) AS window_start, " +
+        "CAST(LENGTH(t.text) - LENGTH(REPLACE(t.text, ' ', '')) + 1 AS BIGINT) AS n_tok, " +
+        "CAST(FLOOR(q.quality * 10000 + 0.5) AS BIGINT) AS q4 " +
+        "FROM t JOIN q ON q.doc_id = t.doc_id) " +
+        "SELECT window_start, source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(n_tok) AS BIGINT) AS n_tokens, " +
+        "FLOOR(CAST(SUM(q4) AS DOUBLE) / COUNT(*) / 10000 * 10000 + 0.5) / 10000 AS mean_quality " +
+        "FROM w GROUP BY window_start, source ORDER BY window_start, source")) +
     // per-source dup-rate replica: the dedup-groups closure CTE embeds
     // verbatim, the accounting is one join + grouped counters
     ("llm_dedup_by_source" ->

@@ -60,7 +60,7 @@ object TextOps {
 
   /** The blended quality score in [0,1], rounded — identical to the
     * `quality` column of [[quality]]. */
-  private[llm] def qualityScoreExpr: Column = {
+  private[graft] def qualityScoreExpr: Column = {
     val (uniqRatio, alphaRatio, _, stopRatio) = qualityParts
     r4(least(lit(1.0),
       uniqRatio * 0.4 + alphaRatio * 0.4 + least(stopRatio * 4, lit(1.0)) * 0.2))

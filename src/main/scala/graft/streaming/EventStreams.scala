@@ -71,6 +71,38 @@ object EventStreams {
       shingleSize, threshold, numHashes, rowsPerBand, watermark)
   }
 
+  /** Corpus ingest monitor — the per-window health rollup an ingestion
+    * pipeline watches: for each 10-minute event-time window and source,
+    * the doc count, token total (single-space formula), and mean
+    * quality score. ONE function serves batch and streaming: `window()`
+    * groups identically in both modes and the watermark is a no-op on a
+    * batch frame, so the batch run IS the oracle-checkable twin of the
+    * stream.
+    *
+    * Cross-engine exactness: per-doc quality re-floors to an exact
+    * 1e-4-unit BIGINT before summing (order-independent), one divide at
+    * the end — the [[graft.llm.TextOps.bm25]] discipline.
+    *
+    * Scale shape: windowed hash aggregate with map-side partials;
+    * streaming state is (window × source) keys inside the watermark
+    * horizon. */
+  def corpusMonitor(docs: DataFrame,
+      watermark: String = "20 minutes"): DataFrame = {
+    import graft.llm.TextOps
+    val nTok = (length(col("text")) -
+      length(regexp_replace(col("text"), " ", "")) + 1).cast("long")
+    val q4 = floor(TextOps.qualityScoreExpr * 10000 + 0.5).cast("long")
+    docs.withWatermark("ts", watermark)
+      .select(col("ts"), col("source"), nTok.as("n_tok"), q4.as("q4"))
+      .groupBy(window(col("ts"), "10 minutes"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+        sum("q4").as("q4s"))
+      .select(col("window.start").as("window_start"), col("source"),
+        col("n_docs"), col("n_tokens"),
+        TextOps.r4(col("q4s").cast("double") / col("n_docs") / 10000)
+          .as("mean_quality"))
+  }
+
   /** [[streamingNearDups]] probing a PRE-BUILT index — the deployment
     * shape, mirroring [[graft.llm.Dedup.incrementalNearDupsIndexed]]:
     * `corpusIndex` `(doc_id, signature, bands)` and `corpusShingles`

@@ -264,6 +264,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally qs.foreach(_.stop())
   }
 
+  test("corpus monitor: streaming windowed rollup equals the batch run " +
+      "of the same function") {
+    implicit val sql = spark.sqlContext
+    val rows = Seq(
+      (1L, ts(0), "the cat sat on the mat", "web"),
+      (2L, ts(3), "a fine day in the sun", "web"),
+      (3L, ts(7), "zz zz zz zz", "spam"),
+      (4L, ts(12), "another window entirely here", "web"))
+    val batchDf = rows.toDF("doc_id", "ts", "text", "source")
+    val batch = EventStreams.corpusMonitor(batchDf).collect()
+      .map(_.toSeq.map(String.valueOf)).toSet
+    // two windows for web (t0-10, t10-20), one for spam
+    assert(batch.size == 3, batch.toString)
+    val mem = MemoryStream[(Long, Timestamp, String, String)]
+    val df = mem.toDF.toDF("doc_id", "ts", "text", "source")
+    val q = EventStreams.corpusMonitor(df)
+      .writeStream.format("memory").queryName("cmon")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      // advance the watermark so every window closes and emits
+      mem.addData((99L, ts(120), "late straggler closes windows", "web"))
+      q.processAllAvailable()
+      val streamed = spark.table("cmon")
+        .filter($"window_start" < ts(60)).collect()
+        .map(_.toSeq.map(String.valueOf)).toSet
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    } finally q.stop()
+  }
+
   test("streaming ingest dedup: in-flight near-dup flags equal the batch " +
       "incremental probe") {
     implicit val sql = spark.sqlContext
