@@ -266,6 +266,23 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("corpus monitor conserves docs and tokens across windows for any " +
+      "corpus") {
+    import java.sql.Timestamp
+    forAll(docGen, n = 3) { docs =>
+      val df = docs.map { case (id, t) =>
+        (id, new Timestamp(1700000000000L + id * 60000L), t, s"s${id % 2}")
+      }.toDF("doc_id", "ts", "text", "source")
+      val m = graft.streaming.EventStreams.corpusMonitor(df).collect()
+      assert(m.map(_.getLong(2)).sum == docs.size,
+        "every doc lands in exactly one (window, source) row")
+      val totTok = docs.map(_._2.split(" ").length.toLong).sum
+      assert(m.map(_.getLong(3)).sum == totTok, "token totals conserve")
+      m.foreach(r => assert(r.getDouble(4) >= 0 && r.getDouble(4) <= 1.0001,
+        s"mean quality bounded: $r"))
+    }
+  }
+
   test("featurized embeddings are unit-norm (or zero) and text-functional " +
       "for any corpus") {
     forAll(docGen, n = 3) { docs =>
