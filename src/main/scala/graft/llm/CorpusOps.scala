@@ -98,9 +98,7 @@ object CorpusOps {
     * is engine-portable. One scan, map-side-combined aggregate over a
     * bounded (source × lang) key space. */
   def statsRollup(docs: DataFrame): DataFrame = {
-    val nTok = (length(col("text")) -
-      length(regexp_replace(col("text"), " ", "")) + 1).cast("long")
-    docs.select(col("source"), col("lang"), nTok.as("n_tok"),
+    docs.select(col("source"), col("lang"), TextOps.nTokExpr.as("n_tok"),
         length(col("text")).cast("long").as("n_chr"))
       .rollup("source", "lang")
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
@@ -178,12 +176,11 @@ object CorpusOps {
       ordered: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(budget > 0, s"need budget > 0, got $budget")
-    val nWs = length(col("text")) - length(regexp_replace(col("text"), " ", ""))
     val w = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     val out = docs.select(col("doc_id"),
         shardExpr(nShards, replicable, salt).as("shard"),
-        (nWs + 1).cast("long").as("n_tokens"))
+        TextOps.nTokExpr.as("n_tokens"))
       .withColumn("seq_id",
         floor(coalesce(sum("n_tokens").over(w), lit(0L)) / budget.toDouble)
           .cast("long"))
@@ -515,10 +512,8 @@ object CorpusOps {
     * number swap in `approx_percentile`, same output schema). The key
     * space is bounded (one row per source). */
   def lengthStats(docs: DataFrame): DataFrame = {
-    val nTok = (length(col("text")) -
-      length(regexp_replace(col("text"), " ", "")) + 1).cast("long")
     import TextOps.r4
-    docs.select(col("source"), nTok.as("n_tok"))
+    docs.select(col("source"), TextOps.nTokExpr.as("n_tok"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         // mean as exact-bigint sum / count (not avg()) so both engines

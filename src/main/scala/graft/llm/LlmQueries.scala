@@ -1279,11 +1279,15 @@ object LlmQueries {
         "FLOOR(raw_dot * 10000 + 0.5) / 10000 AS sim FROM s) " +
         "SELECT query_id, neighbor_id, rank, sim FROM rk WHERE rank <= 5 " +
         "ORDER BY query_id, rank")) +
-    // monitor replica: time_bucket's sub-month buckets align to the
-    // 2000-01-01 origin, whose epoch is divisible by 600 — identical
-    // boundaries to Spark's epoch-aligned 10-minute windows; quality
-    // comes from the embedded llm_quality CTE re-floored to exact
-    // 1e-4-unit bigints before the order-independent sum
+    // monitor replica: DuckDB time_bucket's sub-month buckets align to
+    // the 2000-01-03 (Monday) origin — epoch 946857600, divisible by
+    // 600, so 10-minute boundaries land on Spark's epoch-aligned grid.
+    // CAUTION on other widths: check divisibility against 946857600,
+    // NOT the 2000-01-01 epoch (946684800) — the two differ by
+    // 172800 s, and a width dividing one but not the other would shift
+    // every DuckDB bucket. Quality comes from the embedded llm_quality
+    // CTE re-floored to exact 1e-4-unit bigints before the
+    // order-independent sum.
     ("llm_monitor_windows" ->
       (s"""WITH q AS (${base("llm_quality")}), """ +
         "t AS (SELECT doc_id, source, text, " +

@@ -19,6 +19,15 @@ object TextOps {
   /** Whitespace tokens of a text column. */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** The single-space token count `len(text) − len(no-spaces) + 1` —
+    * ONE definition for the formula every oracle replays with pure
+    * string functions ([[stats]], rollups, packing, the streaming
+    * monitor); five inlined copies previously risked drifting one
+    * operator away from its oracle-checked twins. */
+  private[graft] def nTokExpr: Column =
+    (length(col("text")) -
+      length(regexp_replace(col("text"), " ", "")) + 1).cast("long")
+
   /** 4-decimal floor-rounding — the cross-engine-canonical form the
     * DuckDB oracles replicate exactly (Spark ROUND ≠ DuckDB ROUND).
     * Shared across the engine so the convention has ONE definition
@@ -33,7 +42,7 @@ object TextOps {
     docs.select(
       col("doc_id"),
       length(col("text")).cast("long").as("n_chars"),
-      (nWs + 1).cast("long").as("n_tokens"),
+      nTokExpr.as("n_tokens"),
       (floor((length(col("text")) - nWs).cast("double") / (nWs + 1) * 10000 + 0.5) / 10000)
         .as("avg_token_len"))
       .orderBy("doc_id")

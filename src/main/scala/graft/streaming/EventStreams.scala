@@ -89,11 +89,10 @@ object EventStreams {
   def corpusMonitor(docs: DataFrame,
       watermark: String = "20 minutes"): DataFrame = {
     import graft.llm.TextOps
-    val nTok = (length(col("text")) -
-      length(regexp_replace(col("text"), " ", "")) + 1).cast("long")
     val q4 = floor(TextOps.qualityScoreExpr * 10000 + 0.5).cast("long")
     docs.withWatermark("ts", watermark)
-      .select(col("ts"), col("source"), nTok.as("n_tok"), q4.as("q4"))
+      .select(col("ts"), col("source"), TextOps.nTokExpr.as("n_tok"),
+        q4.as("q4"))
       .groupBy(window(col("ts"), "10 minutes"), col("source"))
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
         sum("q4").as("q4s"))
