@@ -561,8 +561,18 @@ object TextOps {
     * stats). Per-doc aggregation is a hash agg keyed on doc_id. Nothing
     * driver-side, nothing pairwise. */
   def perplexity(docs: DataFrame, refLang: String = "en",
+      flagThreshold: Double = 5000.0, ordered: Boolean = true): DataFrame =
+    perplexityAgainst(docs, docs.filter(col("lang") === refLang),
+      flagThreshold, ordered)
+
+  /** [[perplexity]] with an EXTERNAL reference corpus — the CCNet
+    * deployment shape (the LM trains on curated Wikipedia, not on a
+    * slice of the corpus being scored). The slice form is this with
+    * `refDocs = docs.filter(lang === refLang)`, so its oracle transfers
+    * to the shared implementation. */
+  def perplexityAgainst(docs: DataFrame, refDocs: DataFrame,
       flagThreshold: Double = 5000.0, ordered: Boolean = true): DataFrame = {
-    val cnt = docs.filter(col("lang") === refLang)
+    val cnt = refDocs
       .select(explode(tokens(col("text"))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))
       .localCheckpoint() // feeds the nll projection AND the size gate

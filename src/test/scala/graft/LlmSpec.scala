@@ -996,6 +996,16 @@ class LlmSpec extends AnyFunSuite {
     // add-1 smoothing at fixture size
     assert(klAlien > 10 * klCurated && klAlien > 0.2,
       s"disjoint-vocab target must dominate: alien=$klAlien curated=$klCurated")
+    // perplexity completes the external-reference family: slice form ==
+    // external form fed the same slice; against the curated reference,
+    // the doc sharing its vocabulary scores lower ppl than the alien one
+    assert(rows(TextOps.perplexityAgainst(docs,
+        docs.filter($"lang" === "en"))) ==
+      rows(TextOps.perplexity(docs)))
+    val ppl = TextOps.perplexityAgainst(docs, curated).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(ppl(1L) < ppl(2L),
+      s"reference-like doc must score lower perplexity: $ppl")
   }
 
   test("corpus ops are total on an empty corpus") {
