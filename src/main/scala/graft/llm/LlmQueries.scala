@@ -58,8 +58,16 @@ object LlmQueries {
     // doubles in both engines
     "llm_quality_model" -> ((s, d) => TextOps.qualityModel(docs(s, d))),
     // hashing-trick embeddings straight from text (sha2 buckets + ±1
-    // signs, L2-normalized) — the from-text on-ramp to the ANN family
-    "llm_featurize" -> ((s, d) => TextOps.featurize(docs(s, d))),
+    // signs, L2-normalized) — the from-text on-ramp to the ANN family.
+    // The oracle query posexplodes to scalar (doc_id, dim, component)
+    // rows: the driver's comparator sorts rows with pandas and cannot
+    // sort an array-typed cell, so no oracle query may emit one. The
+    // API (TextOps.featurize) keeps returning the array column.
+    "llm_featurize" -> ((s, d) =>
+      TextOps.featurize(docs(s, d), ordered = false)
+        .select(col("doc_id"),
+          posexplode(col("embedding")).as(Seq("dim", "component")))
+        .orderBy("doc_id", "dim")),
     // end-to-end text → embedding → exact top-k neighbors, no external
     // model anywhere: featurize feeds bruteForceTopK (float-cast to the
     // embeddings-table shape, so the native graft_dot kernel applies)
@@ -1373,6 +1381,16 @@ object LlmQueries {
         "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
         "CAST(COALESCE(list_sum(list_transform(toks, w -> len(string_split(" +
         bpeEncodeExpr(3) + ", ' ')))), 0) AS BIGINT) AS n_bpe " +
-        "FROM enc ORDER BY doc_id"))
+        "FROM enc ORDER BY doc_id")) +
+    // scalar-reshaped featurize oracle: the driver's comparator sorts
+    // rows with pandas and cannot sort array cells, so the registered
+    // entry posexplodes each vector to (doc_id, dim, component) rows.
+    // base("llm_featurize") keeps the array form for the llm_ann_text
+    // composition above; this override only changes the checked shape.
+    ("llm_featurize" ->
+      (s"""WITH f AS (${base("llm_featurize")}) """ +
+        "SELECT f.doc_id, CAST(r.range AS INTEGER) AS dim, " +
+        "f.embedding[CAST(r.range AS INTEGER) + 1] AS component " +
+        "FROM f, range(0, 16) r ORDER BY doc_id, dim"))
   }
 }

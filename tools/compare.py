@@ -18,15 +18,18 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def norm(df):
     df = df[sorted(df.columns)]
-    # stringify to avoid array/object sort crashes; round floats first
+    # Sort RAW like the driver does — an array-typed output column must
+    # crash here exactly as it crashes in the driver's comparator
+    # (pandas lexsort: "unhashable type: numpy.ndarray"), so the local
+    # pre-flight is a faithful replica. Stringify only AFTER the sort.
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     def cell(x):
         if isinstance(x, float):
             if math.isnan(x):
                 return "NaN"
             return repr(round(x, 9))
         return repr(x)
-    out = df.apply(lambda c: c.map(cell))
-    return out.sort_values(by=list(out.columns)).reset_index(drop=True)
+    return df.apply(lambda c: c.map(cell))
 
 def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
