@@ -15,10 +15,24 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * Semantics match the HOF path and DuckDB's `list_inner_product` on
   * double lists exactly: products accumulated left-to-right in double —
   * same IEEE op sequence, so oracle hashes are unchanged whichever
-  * implementation a session resolves.
+  * implementation a session resolves. A null ELEMENT null-propagates
+  * like the HOF chain (zip_with multiply → aggregate add), so the
+  * [[graft.plans.DotProductRewrite]] substitution is exact for vectors
+  * whose type admits null elements too — the per-element null check is
+  * only generated when `containsNull` says it can occur, so the
+  * non-null embedding hot path keeps the branch-free loop.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  private def elementsNullable: Boolean = Seq(left, right).exists(_.dataType
+    match {
+      case ArrayType(_, n) => n
+      case _ => false
+    })
+
+  override def nullable: Boolean =
+    left.nullable || right.nullable || elementsNullable
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType) = dt match {
@@ -42,6 +56,7 @@ case class DotProduct(left: Expression, right: Expression)
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (elementsNullable && (x.isNullAt(i) || y.isNullAt(i))) return null
       s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -53,10 +68,19 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      // `${ev.isNull} = true` is only legal when nullable is true, which
+      // elementsNullable guarantees whenever this check is generated
+      val nullCheck =
+        if (elementsNullable)
+          s"""if ($a.isNullAt($i) || $b.isNullAt($i)) {
+             |  ${ev.isNull} = true; break;
+             |}""".stripMargin
+        else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |}
          |${ev.value} = $s;

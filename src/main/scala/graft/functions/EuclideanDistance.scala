@@ -14,10 +14,23 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * Semantics match the UDF and DuckDB's `list_distance` exactly:
   * difference-based squared terms accumulated left-to-right in double,
   * then sqrt — the same IEEE op sequence, so oracle hashes are unchanged
-  * whichever implementation a session resolves.
+  * whichever implementation a session resolves. A null ELEMENT
+  * null-propagates like the portable HOF chain (zip_with subtract →
+  * aggregate add), keeping the [[graft.plans.DotProductRewrite]]
+  * euclid substitution exact; the per-element check is only generated
+  * when the array type's `containsNull` says it can occur.
   */
 case class EuclideanDistance(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  private def elementsNullable: Boolean = Seq(left, right).exists(_.dataType
+    match {
+      case ArrayType(_, n) => n
+      case _ => false
+    })
+
+  override def nullable: Boolean =
+    left.nullable || right.nullable || elementsNullable
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType) = dt match {
@@ -41,6 +54,7 @@ case class EuclideanDistance(left: Expression, right: Expression)
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (elementsNullable && (x.isNullAt(i) || y.isNullAt(i))) return null
       val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
       s += d * d
       i += 1
@@ -54,10 +68,19 @@ case class EuclideanDistance(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       val d = ctx.freshName("d")
+      // `${ev.isNull} = true` is only legal when nullable is true, which
+      // elementsNullable guarantees whenever this check is generated
+      val nullCheck =
+        if (elementsNullable)
+          s"""if ($a.isNullAt($i) || $b.isNullAt($i)) {
+             |  ${ev.isNull} = true; break;
+             |}""".stripMargin
+        else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
          |  $s += $d * $d;
          |}

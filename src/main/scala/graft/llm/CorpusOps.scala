@@ -362,12 +362,15 @@ object CorpusOps {
   /** The (raw corpus, target corpus) token-count vocab frame shared by
     * the DSIR and KL families: `(tok, cq, ct)` over the raw
     * corpus's joint vocabulary (target counts left-joined, absent = 0),
-    * its row count, and the broadcast one-row totals `(nq, nt, v)`.
-    * localCheckpoint'ed because every caller references it at least
-    * twice (totals + per-type projection) — without it each reference
-    * re-runs the corpus-scale token aggregates. */
+    * a thunk for its row count, and the broadcast one-row totals
+    * `(nq, nt, v)`. localCheckpoint'ed because every caller references
+    * it at least twice (totals + per-type projection) — without it each
+    * reference re-runs the corpus-scale token aggregates. The count is
+    * a THUNK, not a value: only the DSIR caller needs it (for the
+    * broadcast size gate), and an eager count would charge every KL
+    * call an extra vocab-sized job it then discards. */
   private def vocabFrame(docs: DataFrame,
-      targetDocs: DataFrame): (DataFrame, Long, DataFrame) = {
+      targetDocs: DataFrame): (DataFrame, () => Long, DataFrame) = {
     val toks = split(col("text"), " ")
     val raw = docs.select(explode(toks).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("cq"))
@@ -386,7 +389,7 @@ object CorpusOps {
       .localCheckpoint()
     val st = broadcast(joined.agg(sum("cq").as("nq"), sum("ct").as("nt"),
       count(lit(1)).as("v")))
-    (joined, joined.count(), st)
+    (joined, () => joined.count(), st)
   }
 
   def dsirWeights(docs: DataFrame, strataCol: String = "lang",
@@ -402,14 +405,14 @@ object CorpusOps {
   def dsirWeightsAgainst(docs: DataFrame, targetDocs: DataFrame,
       ordered: Boolean = true): DataFrame = {
     val toks = split(col("text"), " ")
-    val (joined, nVocab, st) = vocabFrame(docs, targetDocs)
+    val (joined, nVocabF, st) = vocabFrame(docs, targetDocs)
     // ratio6 = floor((ln p_t − ln q)·1e6 + ½) per token TYPE
     val ratio6 = floor((
       log((col("ct") + 1).cast("double") / (col("nt") + col("v") + 1)) -
         log((col("cq") + 1).cast("double") / (col("nq") + col("v") + 1)))
       * 1e6 + 0.5).cast("long")
     val ratios = graft.core.Hints.broadcastIfSmall(
-      joined.crossJoin(st).select(col("tok"), ratio6.as("ratio6")), nVocab)
+      joined.crossJoin(st).select(col("tok"), ratio6.as("ratio6")), nVocabF())
     val out = docs
       .select(col("doc_id"), explode(toks).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))

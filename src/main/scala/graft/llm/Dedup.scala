@@ -136,18 +136,20 @@ object Dedup {
     * right for an ingest micro-batch; corpus-scale jobs keep the
     * codegen'd explode+partial-agg path of [[minHashOfSets]]. */
   def minHashPerRow(shingleSets: DataFrame, numHashes: Int = 32,
-      rowsPerBand: Int = 4): DataFrame = {
+      rowsPerBand: Int = 4, replicable: Boolean = false): DataFrame = {
     require(numHashes % rowsPerBand == 0, "bands must tile the signature")
-    val hl = transform(col("shingle_set"), sh => xxhash64(sh))
+    val hl = transform(col("shingle_set"),
+      sh => if (replicable) sha2TokenHash(sh) else xxhash64(sh))
     val sig = transform(sequence(lit(0), lit(numHashes - 1)), s =>
-      array_min(transform(col("__hl"), h => xxhash64(h, s))))
+      array_min(transform(col("__hl"),
+        h => if (replicable) mixModCol(h, s) else xxhash64(h, s))))
     shingleSets
       .withColumn("__hl", hl)
       .withColumn("signature", sig)
       .drop("__hl")
       .filter(size(col("shingle_set")) > 0)
       .withColumn("bands",
-        bandsExpr(numHashes / rowsPerBand, rowsPerBand, replicable = false))
+        bandsExpr(numHashes / rowsPerBand, rowsPerBand, replicable))
   }
 
   /** Modular mixing family for the replicable minhash: overflow-free on
@@ -158,6 +160,15 @@ object Dedup {
   private val MixP = 2305843009213693951L // 2^61 - 1
   private def mixMod(h: Column, s: Int): Column =
     (lit(2L * s + 3) * (h % MixM) + lit(104729L * s + 12345L)) % MixP
+
+  /** [[mixMod]] with the seed as a column (the per-row HOF form, where
+    * the seed is a `sequence()` element) — same arithmetic, so the
+    * per-row and batch-aggregate signatures stay value-identical. */
+  private def mixModCol(h: Column, s: Column): Column = {
+    val sl = s.cast("long")
+    ((lit(2L) * sl + lit(3L)) * (h % MixM) +
+      (lit(104729L) * sl + lit(12345L))) % MixP
+  }
 
   /** Near-duplicate pairs: ids-only LSH candidate join on band buckets,
     * then shingle sets re-joined for exact Jaccard verification,

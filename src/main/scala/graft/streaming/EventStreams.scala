@@ -58,7 +58,8 @@ object EventStreams {
   def streamingNearDups(docsStream: DataFrame, corpus: DataFrame,
       shingleSize: Int = 3, threshold: Double = 0.5,
       numHashes: Int = 32, rowsPerBand: Int = 4,
-      watermark: String = "20 minutes"): DataFrame = {
+      watermark: String = "20 minutes",
+      replicable: Boolean = false): DataFrame = {
     import graft.llm.Dedup
     // static side built in-place and persist()ed — NOT localCheckpoint:
     // every micro-batch re-evaluates the static plan, so the cache is
@@ -67,8 +68,9 @@ object EventStreams {
     // instead of failing a long-lived query
     val ssCor = Dedup.withShingleSets(corpus, shingleSize).persist()
     streamingNearDupsIndexed(docsStream,
-      Dedup.minHashOfSets(ssCor, numHashes, rowsPerBand).persist(), ssCor,
-      shingleSize, threshold, numHashes, rowsPerBand, watermark)
+      Dedup.minHashOfSets(ssCor, numHashes, rowsPerBand, replicable)
+        .persist(), ssCor,
+      shingleSize, threshold, numHashes, rowsPerBand, watermark, replicable)
   }
 
   /** Corpus ingest monitor — the per-window health rollup an ingestion
@@ -107,13 +109,17 @@ object EventStreams {
     * `corpusIndex` `(doc_id, signature, bands)` and `corpusShingles`
     * `(doc_id, shingle_set)` are loaded from storage (or persist()ed),
     * so the corpus is never re-shingled inside the stream. Build
-    * parameters must match the index's (numHashes/rowsPerBand/
-    * shingleSize, stock hash family). */
+    * parameters must match the index's — same numHashes/rowsPerBand/
+    * shingleSize AND the same `replicable` hash family: buckets from
+    * one family never equal the other's, so a mismatch silently
+    * reports every streamed doc clean (the batch twin's warning
+    * applies verbatim here). */
   def streamingNearDupsIndexed(docsStream: DataFrame,
       corpusIndex: DataFrame, corpusShingles: DataFrame,
       shingleSize: Int = 3, threshold: Double = 0.5,
       numHashes: Int = 32, rowsPerBand: Int = 4,
-      watermark: String = "20 minutes"): DataFrame = {
+      watermark: String = "20 minutes",
+      replicable: Boolean = false): DataFrame = {
     import graft.llm.Dedup
     val bCor = corpusIndex
       .select(col("doc_id").as("corpus_id"), explode(col("bands")).as("bucket"))
@@ -125,7 +131,7 @@ object EventStreams {
           .select(col("ts"), col("doc_id"),
             Dedup.shingleSetExpr(docsStream.sparkSession, shingleSize)
               .as("shingle_set")),
-        numHashes, rowsPerBand)
+        numHashes, rowsPerBand, replicable)
       .select(col("ts"), col("doc_id").as("new_id"),
         col("shingle_set").as("set_a"), explode(col("bands")).as("bucket"))
     val inter = size(array_intersect(col("set_a"), col("set_b")))

@@ -104,6 +104,74 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(ragged.head().isNullAt(0))
   }
 
+  test("optimizer rule rewrites the HOF euclid pattern to the native " +
+      "kernel on float arrays only, bit-identically") {
+    import extended.implicits._
+    def hofEuclid(a: org.apache.spark.sql.Column,
+        b: org.apache.spark.sql.Column) =
+      sqrt(aggregate(
+        zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, v) => acc + v))
+    val e = Tables(extended, TestSpark.sf0001, "embeddings").limit(50)
+    val pairs = e.select($"vec_id".as("i"), $"embedding".as("a"))
+      .crossJoin(e.select($"vec_id".as("j"), $"embedding".as("b")))
+      .filter($"i" < $"j").limit(500)
+    val rewritten = pairs.select(hofEuclid($"a", $"b").as("x"))
+    assert(rewritten.queryExecution.optimizedPlan.toString
+      .contains("graft_euclid"),
+      rewritten.queryExecution.optimizedPlan.toString.take(2000))
+    // ground truth stays interpreted: the swapped-operand merge defeats
+    // the matcher, and IEEE addition commutes so the value is identical
+    val interpreted = pairs.select(sqrt(aggregate(
+      zip_with($"a", $"b", (x, y) => (x.cast("double") - y.cast("double")) *
+        (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => v + acc)).as("x"))
+    assert(!interpreted.queryExecution.optimizedPlan.toString
+      .contains("graft_euclid"))
+    val diff = rewritten.collect().map(_.getDouble(0))
+      .zip(interpreted.collect().map(_.getDouble(0)))
+      .count { case (x, y) => x != y }
+    assert(diff == 0)
+    // double arrays keep the portable form — the kernel is float-only
+    val dbl = pairs.select(hofEuclid(
+      $"a".cast("array<double>"), $"b".cast("array<double>")).as("x"))
+    assert(!dbl.queryExecution.optimizedPlan.toString.contains("graft_euclid"))
+    // length mismatch: zip_with null-pads → HOF null; the size guard
+    // must preserve that, not a truncated-prefix distance
+    val ragged = Seq((Array(1.0f, 2.0f), Array(3.0f)))
+      .toDF("a", "b").localCheckpoint()
+      .select(hofEuclid($"a", $"b").as("x"))
+    assert(ragged.queryExecution.optimizedPlan.toString.contains("graft_euclid"),
+      ragged.queryExecution.optimizedPlan.toString.take(1000))
+    assert(ragged.head().isNullAt(0))
+  }
+
+  test("kernels null-propagate on null ELEMENTS like the HOF chain") {
+    // Array-typed literals via SQL so the element type is nullable
+    // (Scala Array[Float] encodes containsNull=false and would skip the
+    // generated check); localCheckpoint blocks constant folding so the
+    // rewrite + codegen path actually runs.
+    val df = extended.sql(
+      """SELECT array(cast(1.0 as float), cast(null as float)) AS a,
+        |       array(cast(2.0 as float), cast(3.0 as float)) AS b,
+        |       array(cast(4.0 as float), cast(5.0 as float)) AS c
+        |""".stripMargin).localCheckpoint()
+    val r = df.selectExpr(
+      "graft_dot(a, b) AS dn", "graft_euclid(a, b) AS en",
+      "graft_dot(c, b) AS dv", "graft_euclid(c, b) AS ev").head()
+    assert(r.isNullAt(0) && r.isNullAt(1),
+      "null element must null-propagate through both kernels")
+    assert(r.getDouble(2) == 4.0 * 2.0 + 5.0 * 3.0)
+    assert(r.getDouble(3) == math.sqrt(2.0 * 2.0 + 2.0 * 2.0))
+    // and the rewritten HOF forms agree (null where the HOF is null)
+    import org.apache.spark.sql.Column
+    def hofDot(a: Column, b: Column) =
+      graft.llm.Similarity.dot(a, b)
+    val h = df.select(hofDot(col("a"), col("b")).as("x")).head()
+    assert(h.isNullAt(0))
+  }
+
   test("graft_simhash_agg matches the 64-column fold bit for bit") {
     assert(extended.catalog.functionExists("graft_simhash_agg"))
     val docs = Tables(extended, TestSpark.sf0001, "documents")

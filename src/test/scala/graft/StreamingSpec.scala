@@ -331,4 +331,90 @@ class StreamingSpec extends AnyFunSuite {
         spark.table("snd").distinct().count())
     } finally q.stop()
   }
+
+  test("per-row replicable minhash is value-identical to the batch " +
+      "aggregate, and the streaming probe honors a replicable index") {
+    implicit val sql = spark.sqlContext
+    import graft.llm.Dedup
+    val corpus = Seq(
+      (100L, "the cat sat on the mat today"),
+      (101L, "a completely different corpus document here"))
+      .toDF("doc_id", "text")
+    val ss = Dedup.withShingleSets(corpus, 1).localCheckpoint()
+    // signature + band identity between the stateless per-row form and
+    // the batch aggregate, for BOTH hash families
+    for (rep <- Seq(false, true)) {
+      val batch = Dedup.minHashOfSets(ss, 32, 4, rep).collect()
+        .map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getSeq[Long](2)))
+        .toMap
+      val perRow = Dedup.minHashPerRow(ss, 32, 4, rep)
+        .select("doc_id", "signature", "bands").collect()
+        .map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getSeq[Long](2)))
+        .toMap
+      assert(perRow == batch, s"per-row/batch diverge at replicable=$rep")
+    }
+    // a replicable-built index probed with replicable=true finds the
+    // dup — before the flag existed the stream hashed with the stock
+    // family and silently reported every doc clean
+    val idx = Dedup.minHashOfSets(ss, replicable = true).localCheckpoint()
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val df = mem.toDF.toDF("doc_id", "ts", "text")
+    val q = EventStreams.streamingNearDupsIndexed(df, idx, ss,
+        shingleSize = 1, replicable = true)
+      .writeStream.format("memory").queryName("sndrep")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((1L, ts(0), "the cat sat on the mat today"))
+      q.processAllAvailable()
+      val got = spark.table("sndrep").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 100L)), got.toString)
+    } finally q.stop()
+  }
+
+  test("streaming ingest dedup under load: the same doc arriving in two " +
+      "micro-batches is flagged once, new arrivals still flag") {
+    implicit val sql = spark.sqlContext
+    import graft.llm.Dedup
+    val corpus = Seq(
+      (100L, "the cat sat on the mat today"),
+      (101L, "a completely different corpus document here"))
+      .toDF("doc_id", "text")
+    val ss = Dedup.withShingleSets(corpus, 1).localCheckpoint()
+    val idx = Dedup.minHashOfSets(ss).localCheckpoint()
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val df = mem.toDF.toDF("doc_id", "ts", "text")
+    val q = EventStreams.streamingNearDupsIndexed(df, idx, ss,
+        shingleSize = 1)
+      .writeStream.format("memory").queryName("sndml")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: doc 1 near-duplicates corpus 100
+      mem.addData((1L, ts(0), "the cat sat on the mat today"))
+      q.processAllAvailable()
+      assert(spark.table("sndml").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 100L)))
+      // batch 2: the SAME doc id + text arrives again (a retried ingest),
+      // inside the watermark — dropDuplicatesWithinWatermark holds the
+      // (new_id, corpus_id) pair in state across batch boundaries, so no
+      // second row is emitted; a genuinely new near-dup still flags
+      mem.addData(
+        (1L, ts(1), "the cat sat on the mat today"),
+        (2L, ts(1), "a completely different corpus document here"))
+      q.processAllAvailable()
+      val after = spark.table("sndml").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(after == Set((1L, 100L), (2L, 101L)), after.toString)
+      assert(spark.table("sndml").count() == 2,
+        "the re-arrived pair must not produce a duplicate row")
+      // batch-twin agreement on the union of both batches (pair set —
+      // the batch path emits each pair once too)
+      val batchTwin = Dedup.incrementalNearDupsIndexed(
+          Seq((1L, "the cat sat on the mat today"),
+            (2L, "a completely different corpus document here"))
+            .toDF("doc_id", "text"), idx, ss, shingleSize = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(after == batchTwin, s"stream=$after batch=$batchTwin")
+    } finally q.stop()
+  }
 }
