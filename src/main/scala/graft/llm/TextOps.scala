@@ -475,17 +475,45 @@ object TextOps {
     * Scale shape: the ONE corpus-scale stage is the word-frequency
     * aggregate (explode → map-side-combined hash agg; the shuffle
     * carries one row per distinct word). Everything after runs on that
-    * vocab-bounded frame: each merge step explodes adjacent symbol
-    * pairs of the word REPRESENTATIONS (weighted by tf — never
-    * re-reading the corpus), takes the (count desc, pair asc) argmax
-    * via TakeOrderedAndProject, and rewrites representations with two
-    * literal replaces. Driver state is one (pair, count) row per merge
-    * — bounded by `nMerges`, like the Lloyd-center collects. Each step
-    * localCheckpoints to cap lineage, the repo's iterative-loop
-    * discipline. */
-  def bpeLearn(docs: DataFrame, nMerges: Int = 10): DataFrame = {
-    require(nMerges > 0 && nMerges <= 10000,
-      s"need 0 < nMerges <= 10000, got $nMerges")
+    * vocab-bounded frame: each ROUND explodes adjacent symbol pairs of
+    * the word REPRESENTATIONS (weighted by tf — never re-reading the
+    * corpus), takes the top-`mergesPerRound` pairs by (count desc,
+    * pair asc) via TakeOrderedAndProject, and rewrites representations
+    * with two literal replaces per kept merge. Driver state is one
+    * (pair, count) row per merge — bounded by `nMerges`, like the
+    * Lloyd-center collects. Each round localCheckpoints to cap
+    * lineage, the repo's iterative-loop discipline.
+    *
+    * `mergesPerRound` is the job-cadence lever: sequential BPE at
+    * production merge counts (32k–100k) would schedule one tiny Spark
+    * job per merge; batching applies up to m merges per round, cutting
+    * driver round-trips ~m×. Each round examines the top 4m candidate
+    * pairs in (count desc, pair asc) rank order and keeps up to m that
+    * are SYMBOL-DISJOINT (a candidate sharing a symbol with a better
+    * kept pair — or naming a symbol a better kept pair just created —
+    * is deferred to a later round, where its count is re-measured):
+    * merging (a,b) only perturbs adjacencies that touch a or b, so
+    * every kept pair's recorded count is exact at application time.
+    * The classic divergence from strictly-sequential BPE remains: a
+    * merge CREATED mid-round (e.g. (x, ab) after (a,b)) cannot
+    * out-rank this round's survivors until the next round, and a kept
+    * lower-count pair may precede a deferred higher-count one in step
+    * order. Early rounds are inventory-limited (at most
+    * |symbols| / 2 disjoint pairs exist), so the cadence win
+    * compounds as merges grow the symbol inventory — the production
+    * 32k–100k regime, where the vocabulary holds thousands of
+    * symbols. `mergesPerRound = 1` (the default) IS
+    * strictly-sequential BPE, bit-identical to the pre-batching
+    * implementation — the oracle-checked path. */
+  def bpeLearn(docs: DataFrame, nMerges: Int = 10,
+      mergesPerRound: Int = 1): DataFrame = {
+    require(mergesPerRound > 0 && mergesPerRound <= 4096,
+      s"need 0 < mergesPerRound <= 4096, got $mergesPerRound")
+    // the real ceiling is ROUNDS (driver round-trips), not merges
+    require(nMerges > 0 && (nMerges + mergesPerRound - 1) / mergesPerRound
+        <= 10000,
+      s"nMerges=$nMerges at mergesPerRound=$mergesPerRound exceeds the " +
+        "10000-round cadence cap; raise mergesPerRound")
     val session = docs.sparkSession
     import session.implicits._
     var vocab = docs.select(explode(tokens(col("text"))).as("word"))
@@ -497,21 +525,37 @@ object TextOps {
     var step = 1
     var exhausted = false
     while (step <= nMerges && !exhausted) {
+      val m = math.min(mergesPerRound, nMerges - step + 1)
+      // fetch deeper than m: dense symbol conflicts near the top of the
+      // ranking would otherwise starve the round (tiny rows, driver-safe)
       val best = vocab
         .select(explode(gramsAll(split(col("repr"), " "), 2)).as("pair"),
           col("tf"))
         .groupBy("pair").agg(sum("tf").as("cnt"))
-        .orderBy(desc("cnt"), asc("pair")).limit(1).collect()
+        .orderBy(desc("cnt"), asc("pair")).limit(4 * m).collect()
       if (best.isEmpty) exhausted = true // every word is one symbol
       else {
-        val pair = best(0).getString(0)
-        val Array(a, b) = pair.split(" ", 2)
-        merges += ((step.toLong, a, b, best(0).getLong(1)))
+        // greedy symbol-disjoint filter in rank order: `touched` holds
+        // every symbol a kept pair reads AND the symbol it writes, so no
+        // later kept pair can consume a mid-round creation
+        val touched = scala.collection.mutable.Set[String]()
+        val kept = best.iterator
+          .map(r => (r.getString(0), r.getLong(1)))
+          .filter { case (pair, _) =>
+            val Array(a, b) = pair.split(" ", 2)
+            if (touched(a) || touched(b)) false
+            else { touched += a; touched += b; touched += (a + b); true }
+          }.take(m).toSeq
+        var repr = col("repr")
+        kept.foreach { case (pair, cnt) =>
+          val Array(a, b) = pair.split(" ", 2)
+          merges += ((step.toLong, a, b, cnt))
+          repr = applyMerge(repr, a, b)
+          step += 1
+        }
         val prev = vocab
-        vocab = vocab.select(applyMerge(col("repr"), a, b).as("repr"),
-          col("tf")).localCheckpoint()
+        vocab = vocab.select(repr.as("repr"), col("tf")).localCheckpoint()
         prev.unpersist(blocking = false)
-        step += 1
       }
     }
     merges.toSeq.toDF("step", "lhs", "rhs", "pair_count").orderBy("step")

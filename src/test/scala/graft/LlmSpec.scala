@@ -781,6 +781,68 @@ class LlmSpec extends AnyFunSuite {
       one(0).getString(2) == "b")
   }
 
+  test("bpe batched rounds: symbol-disjoint keeps, conflict deferral, " +
+      "budget-limited final round, disjoint-case equality") {
+    val docs = Seq((1L, "low low low lower lower newest"))
+      .toDF("doc_id", "text")
+    // round 1 scans 4m=12 candidates in rank order: (l o,5) kept;
+    // (o w,5) shares o — deferred; (w e,3) disjoint — kept; (e r,2),
+    // (e s,1), (e w,1), (n e,1) all touch e — deferred; (s t,1)
+    // disjoint — kept, filling the m=3 budget in one round.
+    val batched = TextOps.bpeLearn(docs, nMerges = 3, mergesPerRound = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(batched.toList == List((1L, "l", "o", 5L), (2L, "w", "e", 3L),
+      (3L, "s", "t", 1L)))
+    // when the top pairs are symbol-disjoint, one batched round IS the
+    // sequential table — counts of disjoint pairs don't interact
+    val dj = Seq((1L, Seq.fill(9)("aa").mkString(" ")),
+      (2L, Seq.fill(8)("bb").mkString(" ")),
+      (3L, Seq.fill(7)("cc").mkString(" "))).toDF("doc_id", "text")
+    val seqTab = TextOps.bpeLearn(dj, nMerges = 3).collect().toList
+    val batTab = TextOps.bpeLearn(dj, nMerges = 3, mergesPerRound = 3)
+      .collect().toList
+    assert(seqTab == batTab)
+    // the cadence cap is on ROUNDS, not merges
+    intercept[IllegalArgumentException] {
+      TextOps.bpeLearn(docs, nMerges = 50000, mergesPerRound = 1)
+    }
+  }
+
+  test("bpe batched merges: 1k merges complete in bounded driver rounds") {
+    val sc = spark.sparkContext
+    // 600 distinct words (~11 symbols each — the decimal-digit prefix
+    // makes them pairwise distinct), ~5k merges available. The char
+    // inventory is ~400 symbols wide (Latin-1/Extended block, no
+    // whitespace): early-round disjoint capacity must exceed m, like a
+    // real corpus's thousands of symbols — a 26-letter alphabet caps
+    // keeps at 13/round and tests the inventory limit, not the cadence.
+    val words = (0 until 600).map { i =>
+      i.toString.map(d => ('a' + (d - '0')).toChar).mkString +
+        (0 until 8).map(j => (0xC0 + ((i * (j + 3) + j * 7) % 384)).toChar)
+          .mkString
+    }
+    val docs = words.zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    sc.setJobGroup("bpe-batched", "bounded-round bpe learn",
+      interruptOnCancel = false)
+    val n =
+      try TextOps.bpeLearn(docs, nMerges = 1000, mergesPerRound = 64).count()
+      finally sc.clearJobGroup()
+    assert(n == 1000, s"expected 1000 merges, got $n")
+    // poll the (async) status store until the job count stabilizes
+    var jobs = -1; var prev = -2; var tries = 0
+    while (jobs != prev && tries < 50) {
+      prev = jobs; Thread.sleep(200)
+      jobs = sc.statusTracker.getJobIdsForGroup("bpe-batched").length
+      tries += 1
+    }
+    // ~16 rounds × (top-m collect + localCheckpoint) + setup; sequential
+    // BPE would schedule well over 2000 jobs here
+    assert(jobs > 0 && jobs <= 200,
+      s"1000 merges at mergesPerRound=64 took $jobs jobs — cadence not batched")
+  }
+
   test("bpe encode: learned merges compress known words, strangers " +
       "stay chars, chained merges take every occurrence") {
     val train = Seq((1L, "low low low lower lower newest"))
