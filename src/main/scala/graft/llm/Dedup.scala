@@ -183,8 +183,13 @@ object Dedup {
     // checkpoint keeps the verification join from re-running the
     // tokenizer per candidate side
     val ss = withShingleSets(docs, shingleSize).localCheckpoint()
+    // materialized: the band self-join would otherwise run the whole
+    // signature aggregate once PER SIDE (no exchange reuse across the
+    // alias split — the r6 plan showed 6 HashAggregates here).
+    // (doc_id, bucket) rows only — nBands per doc, never the payload.
     val exploded = minHashOfSets(ss, numHashes, rowsPerBand)
       .select(col("doc_id"), explode(col("bands")).as("bucket"))
+      .localCheckpoint()
     val cand = exploded.select(col("bucket"), col("doc_id").as("doc_a"))
       .join(exploded.select(col("bucket"), col("doc_id").as("doc_b")), Seq("bucket"))
       .filter(col("doc_a") < col("doc_b"))
@@ -453,6 +458,9 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-band blocking is exact only for hamming <= 3")
     val sk = simHash(docs, tokenHash)
+    // materialized for the same reason as nearDupPairs' band frame: the
+    // self-join would run the corpus-scale sketch aggregate once per
+    // side. 4 × (doc_id, simhash, band, bkey) rows per doc — 32 bytes.
     val bands = sk.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
@@ -460,6 +468,7 @@ object Dedup {
             .bitwiseAND(lit(0x7FFFL)).as("bkey"))): _*)).as("bk"))
       .select(col("doc_id"), col("simhash"),
         col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      .localCheckpoint()
     bands.join(
         bands.select(col("band"), col("bkey"),
           col("doc_id").as("doc_b"), col("simhash").as("sim_b")),
