@@ -609,4 +609,162 @@ object CorpusOps {
       .select(col("doc_id"), col(strataCol))
       .orderBy("doc_id")
   }
+
+  /** Cross-source duplication matrix — which sources copy from which:
+    * every verified near-dup pair ([[Dedup.nearDupPairs]]) maps to its
+    * (source, source) pair, reported undirected (lexicographically
+    * ordered) with pair counts. The curation diagnostic behind
+    * source-level dedup decisions: a heavy off-diagonal cell means two
+    * feeds mirror each other and one can be dropped wholesale.
+    *
+    * Scale shape: the LSH pair machinery bounds everything upstream;
+    * this adds two id-keyed joins against an ids+source projection and
+    * one hash agg over a (sources²)-bounded key space. */
+  def sourceOverlap(docs: DataFrame, shingleSize: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    Dedup.nearDupPairs(docs, shingleSize, threshold)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+        Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+        Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** Per-doc n-gram novelty — the fraction of a doc's distinct n-grams
+    * whose FIRST corpus occurrence (minimum doc_id) is that doc. Low
+    * novelty marks template/boilerplate-heavy documents that n-gram
+    * Jaccard misses when the copying is diffuse (many sources, no
+    * single near-dup partner); the memorization-risk screen run next
+    * to span-level dup stats.
+    *
+    * Scale shape: same as [[contamination]] — one explode to distinct
+    * per-doc n-grams, one gram-keyed hash agg for first occurrence
+    * (map-side partial min), one gram-keyed equi-join carrying ids
+    * only, one doc-keyed agg. Nothing pair-proportional. */
+  def ngramNovelty(docs: DataFrame, n: Int = 3): DataFrame = {
+    val g = Dedup.withShingleSets(docs, n)
+      .select(col("doc_id"), explode(col("shingle_set")).as("g"))
+    val first = g.groupBy("g").agg(min("doc_id").as("first_id"))
+    g.join(first, Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("first_id") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_new"))
+      .select(col("doc_id"), col("n_ngrams"), col("n_new"),
+        TextOps.r4(col("n_new").cast("double") / col("n_ngrams"))
+          .as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality-score calibration histogram: corpus share per decile (or
+    * `buckets`-ile) of [[TextOps.quality]] — the threshold-picking
+    * diagnostic behind every `quality >= x` gate. Bucketing runs on
+    * the score's EXACT 1e-4 integer form (`q4 div (10000/buckets)`),
+    * so no float boundary can disagree across engines.
+    *
+    * Scale shape: per-row projection + one hash agg over ≤ `buckets`
+    * keys; the share divides by the total via a window on the
+    * bucket-bounded aggregate frame, never the corpus. */
+  def qualityCalibration(docs: DataFrame, buckets: Int = 10): DataFrame = {
+    require(buckets > 0 && 10000 % buckets == 0,
+      s"buckets must divide 10000, got $buckets")
+    val q4 = floor(TextOps.qualityScoreExpr * 10000 + 0.5).cast("long")
+    // q4 is a nonneg integer ≤ 10000 and exact bucket multiples are
+    // exactly representable doubles, so floor(q4 / width) never crosses
+    // an integer boundary — identical to DuckDB's `//` integer division
+    val bucket = least(
+      floor(q4 / lit((10000 / buckets).toDouble)).cast("long"),
+      lit((buckets - 1).toLong)).as("bucket")
+    val agged = docs.select(bucket).groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)) // ≤ buckets rows — single partition is the point
+    agged
+      .select(col("bucket"), col("n_docs"),
+        TextOps.r4(col("n_docs").cast("double") / sum("n_docs").over(w))
+          .as("share"))
+      .orderBy("bucket")
+  }
+
+  /** Second independent 60-bit sha256 hash (hex chars 16–30) — pairs
+    * with [[Dedup.sha2TokenHash]] (chars 1–15) for the
+    * Kirsch–Mitzenmacher double-hashing scheme in
+    * [[bloomDecontaminate]]. Engine-replicable like its sibling. */
+  private def sha2TokenHash2(t: org.apache.spark.sql.Column) =
+    conv(substring(sha2(t, 256), 16, 15), 16, 10).cast("long")
+
+  /** [[decontaminate]] through a replicable Bloom filter — the shape
+    * that survives an eval set too large to broadcast raw: the eval
+    * split's distinct n-grams compress into an `mBits`-bit Bloom
+    * bitmap (built with a corpus-side bit_or aggregate, collected as
+    * `⌈mBits/63⌉` longs — 63-bit words so no replicating engine ever
+    * evaluates a checked `1 << 63`; driver state bounded by
+    * construction, the Lloyd-center discipline), and the train corpus
+    * probes it as a
+    * PURE PER-ROW projection against the literal bitmap: no join, no
+    * shuffle of corpus n-grams at all; the only exchange left is the
+    * doc-keyed final aggregate.
+    *
+    * One-sided by construction: a Bloom filter has no false negatives,
+    * so `n_maybe >= ` the exact [[decontaminate]] `n_hit` per doc and
+    * `dropped` is a SUPERSET of the exact screen's (the safe direction
+    * — contaminated docs can never slip through; the false-positive
+    * rate `(1 - e^(-k·n/m))^k` over-drops a bounded sliver). Hashing
+    * is the replicable sha256 double-hash family, so the bitmap and
+    * every probe replay exactly in any engine — the full output is
+    * oracle-checkable despite being an approximation of the exact op. */
+  def bloomDecontaminate(docs: DataFrame, n: Int = 3, evalMod: Int = 10,
+      evalRem: Int = 7, maxOverlap: Double = 0.5,
+      mBits: Int = 1 << 16, numHashes: Int = 4): DataFrame = {
+    require(mBits >= 64 && mBits <= (1 << 26),
+      s"need 64 <= mBits <= 2^26, got $mBits")
+    require(numHashes > 0 && numHashes <= 16,
+      s"need 0 < numHashes <= 16, got $numHashes")
+    val sh = Dedup.withShingleSets(docs, n)
+    val h1 = pmod(Dedup.sha2TokenHash(col("g")), lit(mBits.toLong))
+    val h2 = pmod(sha2TokenHash2(col("g")), lit(mBits.toLong))
+    // build: distinct eval grams → k positions each → word-indexed OR
+    val posRows = sh.filter(col("doc_id") % evalMod === evalRem)
+      .select(explode(col("shingle_set")).as("g")).distinct()
+      .select(h1.as("h1"), h2.as("h2"))
+      .select(explode(sequence(lit(0L), lit(numHashes - 1L))).as("s"),
+        col("h1"), col("h2"))
+      .select(((col("h1") + col("s") * col("h2")) % mBits).as("pos"))
+      // 63-bit words (sign bit unused): an engine with CHECKED shift
+      // arithmetic (DuckDB) rejects 1 << 63, so the replicable layout
+      // never touches it
+      .select(expr("CAST(pos DIV 63 AS INT)").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))").as("bit"))
+      .groupBy("w").agg(expr("bit_or(bit)").as("bits"))
+      .collect()
+    val bitmap = new Array[Long]((mBits + 62) / 63)
+    posRows.foreach(r => bitmap(r.getInt(0)) = r.getLong(1))
+    val bm = typedlit(bitmap.toSeq)
+    // probe: per-row, codegen'd — k unrolled literal-array lookups
+    // (expr strings because shiftright's Scala DSL form only takes a
+    // literal Int shift; the SQL function accepts a column)
+    def bitSet(s: Int): org.apache.spark.sql.Column =
+      expr(s"(shiftright(element_at(__bm, " +
+        s"CAST((h1 + ${s}L * h2) % $mBits DIV 63 + 1 AS INT)), " +
+        s"CAST((h1 + ${s}L * h2) % $mBits % 63 AS INT)) & 1) = 1")
+    sh.filter(col("doc_id") % evalMod =!= evalRem)
+      .select(col("doc_id"), explode(col("shingle_set")).as("g"))
+      .select(col("doc_id"), h1.as("h1"), h2.as("h2"))
+      .withColumn("__bm", bm)
+      .withColumn("hit",
+        when((0 until numHashes).map(bitSet).reduce(_ && _), 1L)
+          .otherwise(0L))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_ngrams"), sum("hit").as("n_maybe"))
+      .select(col("doc_id"), col("n_ngrams"), col("n_maybe"),
+        TextOps.r4(col("n_maybe").cast("double") / col("n_ngrams"))
+          .as("overlap_ub"))
+      .withColumn("dropped", col("overlap_ub") >= maxOverlap)
+      .orderBy("doc_id")
+  }
 }

@@ -42,6 +42,19 @@ object LlmQueries {
     // scored against the eval split's distinct n-grams, over-threshold
     // docs flagged dropped; eval set broadcasts (size-gated)
     "llm_decontaminate" -> ((s, d) => CorpusOps.decontaminate(docs(s, d))),
+    // Bloom-compressed decontamination: replicable sha256 double-hash
+    // bitmap, per-row probe against the broadcast literal — the shape
+    // for an eval set too big to broadcast raw. Superset of the exact
+    // screen by construction (no false negatives).
+    "llm_decontaminate_bloom" -> ((s, d) =>
+      CorpusOps.bloomDecontaminate(docs(s, d))),
+    // cross-source duplication matrix off the verified near-dup pairs
+    "llm_source_overlap" -> ((s, d) => CorpusOps.sourceOverlap(docs(s, d))),
+    // first-occurrence n-gram novelty — the diffuse-boilerplate screen
+    "llm_ngram_novelty" -> ((s, d) => CorpusOps.ngramNovelty(docs(s, d))),
+    // quality-score decile histogram on the exact 1e-4 integer form
+    "llm_quality_calibration" -> ((s, d) =>
+      CorpusOps.qualityCalibration(docs(s, d))),
     // corpus composition accounting at every ROLLUP(source, lang) level
     "llm_stats_rollup" -> ((s, d) => CorpusOps.statsRollup(docs(s, d))),
     // per-source token-length distribution (exact interpolated
@@ -1391,6 +1404,67 @@ object LlmQueries {
       (s"""WITH f AS (${base("llm_featurize")}) """ +
         "SELECT f.doc_id, CAST(r.range AS INTEGER) AS dim, " +
         "f.embedding[CAST(r.range AS INTEGER) + 1] AS component " +
-        "FROM f, range(0, 16) r ORDER BY doc_id, dim"))
+        "FROM f, range(0, 16) r ORDER BY doc_id, dim")) +
+    // cross-source dup matrix: the verified pair oracle embeds verbatim,
+    // sources joined by id, lexicographically undirected
+    ("llm_source_overlap" ->
+      (s"""WITH p AS (${base("llm_near_dup_pairs")}) """ +
+        "SELECT LEAST(da.source, db.source) AS source_a, " +
+        "GREATEST(da.source, db.source) AS source_b, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_pairs " +
+        "FROM p JOIN documents da ON da.doc_id = p.doc_a " +
+        "JOIN documents db ON db.doc_id = p.doc_b " +
+        "GROUP BY 1, 2 ORDER BY source_a, source_b")) +
+    // first-occurrence novelty: the contamination shingle CTE verbatim,
+    // min-doc_id first occurrence per gram, per-doc new-gram fraction
+    ("llm_ngram_novelty" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "s AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN list_distinct(toks) " +
+        "ELSE list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] " +
+        "FOR i IN range(1, len(toks) - 1)]) END AS sh FROM t), " +
+        "gr AS (SELECT doc_id, unnest(sh) AS g FROM s), " +
+        "f AS (SELECT g, MIN(doc_id) AS first_id FROM gr GROUP BY g), " +
+        "j AS (SELECT gr.doc_id, CASE WHEN f.first_id = gr.doc_id THEN 1 ELSE 0 END AS nw " +
+        "FROM gr JOIN f USING (g)) " +
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams, " +
+        "CAST(SUM(nw) AS BIGINT) AS n_new, " +
+        "FLOOR(CAST(SUM(nw) AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000 AS novelty " +
+        "FROM j GROUP BY doc_id ORDER BY doc_id")) +
+    // calibration replica: the quality oracle embeds verbatim; bucketing
+    // on the exact 1e-4 integer form, share over the bucket totals
+    ("llm_quality_calibration" ->
+      (s"""WITH q AS (${base("llm_quality")}), """ +
+        "b AS (SELECT LEAST(CAST(FLOOR(quality * 10000 + 0.5) AS BIGINT) // 1000, 9) AS bucket FROM q), " +
+        "a AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs FROM b GROUP BY bucket) " +
+        "SELECT bucket, n_docs, " +
+        "FLOOR(CAST(n_docs AS DOUBLE) / (SELECT SUM(n_docs) FROM a) * 10000 + 0.5) / 10000 AS share " +
+        "FROM a ORDER BY bucket")) +
+    // Bloom decontamination replica: the filter is fully deterministic
+    // (sha256 double-hash, 65536 bits, 4 probes), so DuckDB rebuilds the
+    // identical bitmap with bit_or and replays every probe — the
+    // approximation itself is oracle-checked, not just bounded
+    ("llm_decontaminate_bloom" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "s AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN list_distinct(toks) " +
+        "ELSE list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] " +
+        "FOR i IN range(1, len(toks) - 1)]) END AS sh FROM t), " +
+        "ev AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 10 = 7), " +
+        "eh AS (SELECT CAST(CONCAT('0x', SUBSTR(sha256(g), 1, 15)) AS BIGINT) % 65536 AS h1, " +
+        "CAST(CONCAT('0x', SUBSTR(sha256(g), 16, 15)) AS BIGINT) % 65536 AS h2 FROM ev), " +
+        "ep AS (SELECT (h1 + r.range * h2) % 65536 AS pos FROM eh, range(0, 4) r), " +
+        "bm AS (SELECT CAST(pos // 63 AS INTEGER) AS w, " +
+        "bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INTEGER)) AS bits FROM ep GROUP BY 1), " +
+        "tg AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % 10 <> 7), " +
+        "th AS (SELECT doc_id, g, CAST(CONCAT('0x', SUBSTR(sha256(g), 1, 15)) AS BIGINT) % 65536 AS h1, " +
+        "CAST(CONCAT('0x', SUBSTR(sha256(g), 16, 15)) AS BIGINT) % 65536 AS h2 FROM tg), " +
+        "tp AS (SELECT doc_id, g, (h1 + r.range * h2) % 65536 AS pos FROM th, range(0, 4) r), " +
+        "tj AS (SELECT doc_id, g, MIN(CASE WHEN ((COALESCE(bm.bits, 0) >> CAST(pos % 63 AS INTEGER)) & 1) = 1 " +
+        "THEN 1 ELSE 0 END) AS hit FROM tp LEFT JOIN bm ON bm.w = CAST(pos // 63 AS INTEGER) " +
+        "GROUP BY doc_id, g) " +
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams, " +
+        "CAST(SUM(hit) AS BIGINT) AS n_maybe, " +
+        "FLOOR(CAST(SUM(hit) AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000 AS overlap_ub, " +
+        "FLOOR(CAST(SUM(hit) AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000 >= 0.5 AS dropped " +
+        "FROM tj GROUP BY doc_id ORDER BY doc_id"))
   }
 }

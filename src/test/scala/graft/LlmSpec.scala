@@ -717,6 +717,85 @@ class LlmSpec extends AnyFunSuite {
     assert(hashed == r) // the key hash never changes the output
   }
 
+  test("bloom decontaminate: superset of the exact screen, identical " +
+      "n-gram accounting, planted leak flagged") {
+    val docs = Seq(
+      (7L, "the secret eval benchmark question about turtles"),
+      (3L, "the secret eval benchmark question about turtles"),
+      (4L, "an unrelated training document with fresh content here"),
+      (14L, "another clean training document nothing shared at all")
+    ).toDF("doc_id", "text")
+    val exact = CorpusOps.decontaminate(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(4)))
+      .toMap
+    val bloom = CorpusOps.bloomDecontaminate(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(4)))
+      .toMap
+    assert(bloom.keySet == exact.keySet)
+    for ((id, (nEx, hitEx, dropEx)) <- exact) {
+      val (nBl, hitBl, dropBl) = bloom(id)
+      assert(nBl == nEx, s"doc $id n-gram accounting diverged")
+      // no false negatives: every exact hit is a bloom maybe-hit
+      assert(hitBl >= hitEx, s"doc $id lost an exact hit")
+      assert(!dropEx || dropBl, s"doc $id slipped through the bloom screen")
+    }
+    assert(bloom(3L)._3) // the plagiarist is dropped
+    // superset also holds on the real corpus
+    val corpus = Tables(spark, TestSpark.sf0001, "documents")
+    val ce = CorpusOps.decontaminate(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val cb = CorpusOps.bloomDecontaminate(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(ce.forall { case (id, h) => cb(id) >= h })
+  }
+
+  test("source overlap: cross-source near-dup pair lands in the " +
+      "lexicographically ordered cell") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat today again", "web"),
+      (2L, "the cat sat on the mat today again", "books"),
+      (3L, "completely different text with nothing shared", "web"),
+      (4L, "the cat sat on the mat today again", "web")
+    ).toDF("doc_id", "text", "source")
+    val r = CorpusOps.sourceOverlap(docs, shingleSize = 1).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
+    // pairs: (1,2) books-web, (1,4) web-web, (2,4) books-web
+    assert(r == Map(("books", "web") -> 2L, ("web", "web") -> 1L))
+  }
+
+  test("ngram novelty: first occurrence wins, verbatim copy scores zero") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"), // verbatim copy — nothing new
+      (3L, "epsilon zeta eta theta")
+    ).toDF("doc_id", "text")
+    val r = CorpusOps.ngramNovelty(docs).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3)))
+      .toMap
+    assert(r(1L) == ((2L, 2L, 1.0)))
+    assert(r(2L) == ((2L, 0L, 0.0)))
+    assert(r(3L) == ((2L, 2L, 1.0)))
+  }
+
+  test("quality calibration: buckets partition the corpus, shares sum " +
+      "to ~1, bucket matches the direct score") {
+    val corpus = Tables(spark, TestSpark.sf0001, "documents")
+    val cal = CorpusOps.qualityCalibration(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cal.map(_._2).sum == corpus.count())
+    assert(cal.forall(c => c._1 >= 0 && c._1 <= 9))
+    assert(math.abs(cal.map(_._3).sum - 1.0) < 0.001)
+    // the bucket of each doc's direct quality score lands in the histo
+    val q = TextOps.quality(corpus).select("quality").collect()
+      .map(_.getDouble(0))
+    // same exact 1e-4 integer form as the impl — (v*10).toInt could
+    // disagree on a 0.x000 boundary where v*10 rounds below the integer
+    val direct = q
+      .groupBy(v => math.min((math.floor(v * 10000 + 0.5) / 1000).toInt, 9))
+      .view.mapValues(_.length.toLong).toMap
+    assert(cal.map(c => c._1.toInt -> c._2).toMap == direct)
+  }
+
   test("stats rollup: group rows sum to stratum and grand totals") {
     val docs = Seq(
       (1L, "a b c", "s1", "en"),
