@@ -720,16 +720,63 @@ object CorpusOps {
     * oracle-checkable despite being an approximation of the exact op. */
   def bloomDecontaminate(docs: DataFrame, n: Int = 3, evalMod: Int = 10,
       evalRem: Int = 7, maxOverlap: Double = 0.5,
+      mBits: Int = 1 << 16, numHashes: Int = 4): DataFrame =
+    bloomDecontaminateAgainst(
+      docs.filter(col("doc_id") % evalMod =!= evalRem),
+      docs.filter(col("doc_id") % evalMod === evalRem),
+      n, maxOverlap, mBits, numHashes)
+
+  /** [[bloomDecontaminate]] with an EXTERNAL eval corpus — the
+    * deployment shape (benchmarks live in their own tables, not in an
+    * id-modulo slice of the training corpus). The slice form delegates
+    * here, so the oracle-checked path and this one share every line. */
+  def bloomDecontaminateAgainst(trainDocs: DataFrame, evalDocs: DataFrame,
+      n: Int = 3, maxOverlap: Double = 0.5,
       mBits: Int = 1 << 16, numHashes: Int = 4): DataFrame = {
+    val bitmap = bloomBuild(evalDocs, n, mBits, numHashes)
+    val bm = typedlit(bitmap.toSeq)
+    // probe: per-row, codegen'd — k unrolled literal-array lookups
+    val hit = bloomHitExpr(bm, mBits, numHashes)(col("g"))
+    Dedup.withShingleSets(trainDocs, n)
+      .select(col("doc_id"), explode(col("shingle_set")).as("g"))
+      .withColumn("hit", when(hit, 1L).otherwise(0L))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_ngrams"), sum("hit").as("n_maybe"))
+      .select(col("doc_id"), col("n_ngrams"), col("n_maybe"),
+        TextOps.r4(col("n_maybe").cast("double") / col("n_ngrams"))
+          .as("overlap_ub"))
+      .withColumn("dropped", col("overlap_ub") >= maxOverlap)
+      .orderBy("doc_id")
+  }
+
+  /** Duplicate-family size histogram: how many near-dup groups
+    * ([[Dedup.dedupGroups]]) exist at each family size — the dedup-ROI
+    * diagnostic (a corpus dominated by size-2 families dedups very
+    * differently from one with thousand-doc template families, where
+    * group-keep removes (size−1)/size of the bytes).
+    *
+    * Scale shape: the pair machinery bounds everything upstream; this
+    * adds two hash aggs over the (families)-bounded keep frame. */
+  def dupGroupSizes(docs: DataFrame, shingleSize: Int = 3,
+      threshold: Double = 0.5): DataFrame =
+    Dedup.dedupGroups(docs, shingleSize, threshold)
+      .groupBy("keep_id").agg(count(lit(1)).as("group_size"))
+      .groupBy("group_size").agg(count(lit(1)).as("n_groups"))
+      .orderBy("group_size")
+
+  /** Builds the `⌈mBits/63⌉`-word Bloom bitmap over the distinct token
+    * n-grams of `evalDocs`: k double-hash positions per gram, word-
+    * indexed bit_or aggregate, collected driver-side (bounded by
+    * `mBits`, never by the corpus). */
+  private[graft] def bloomBuild(evalDocs: DataFrame, n: Int,
+      mBits: Int, numHashes: Int): Array[Long] = {
     require(mBits >= 64 && mBits <= (1 << 26),
       s"need 64 <= mBits <= 2^26, got $mBits")
     require(numHashes > 0 && numHashes <= 16,
       s"need 0 < numHashes <= 16, got $numHashes")
-    val sh = Dedup.withShingleSets(docs, n)
     val h1 = pmod(Dedup.sha2TokenHash(col("g")), lit(mBits.toLong))
     val h2 = pmod(sha2TokenHash2(col("g")), lit(mBits.toLong))
-    // build: distinct eval grams → k positions each → word-indexed OR
-    val posRows = sh.filter(col("doc_id") % evalMod === evalRem)
+    val posRows = Dedup.withShingleSets(evalDocs, n)
       .select(explode(col("shingle_set")).as("g")).distinct()
       .select(h1.as("h1"), h2.as("h2"))
       .select(explode(sequence(lit(0L), lit(numHashes - 1L))).as("s"),
@@ -744,27 +791,27 @@ object CorpusOps {
       .collect()
     val bitmap = new Array[Long]((mBits + 62) / 63)
     posRows.foreach(r => bitmap(r.getInt(0)) = r.getLong(1))
-    val bm = typedlit(bitmap.toSeq)
-    // probe: per-row, codegen'd — k unrolled literal-array lookups
-    // (expr strings because shiftright's Scala DSL form only takes a
-    // literal Int shift; the SQL function accepts a column)
-    def bitSet(s: Int): org.apache.spark.sql.Column =
-      expr(s"(shiftright(element_at(__bm, " +
-        s"CAST((h1 + ${s}L * h2) % $mBits DIV 63 + 1 AS INT)), " +
-        s"CAST((h1 + ${s}L * h2) % $mBits % 63 AS INT)) & 1) = 1")
-    sh.filter(col("doc_id") % evalMod =!= evalRem)
-      .select(col("doc_id"), explode(col("shingle_set")).as("g"))
-      .select(col("doc_id"), h1.as("h1"), h2.as("h2"))
-      .withColumn("__bm", bm)
-      .withColumn("hit",
-        when((0 until numHashes).map(bitSet).reduce(_ && _), 1L)
-          .otherwise(0L))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_ngrams"), sum("hit").as("n_maybe"))
-      .select(col("doc_id"), col("n_ngrams"), col("n_maybe"),
-        TextOps.r4(col("n_maybe").cast("double") / col("n_ngrams"))
-          .as("overlap_ub"))
-      .withColumn("dropped", col("overlap_ub") >= maxOverlap)
-      .orderBy("doc_id")
+    bitmap
+  }
+
+  /** All-k-bits-set membership test for one n-gram column against the
+    * literal bitmap — pure column expressions (ShiftRight via
+    * `call_function`, so the shift amount can be a column), usable both
+    * on an exploded gram column (codegen'd, the batch path) and inside
+    * a HOF lambda (interpreted, the per-row streaming path). The
+    * integer-boundary safety of `pos / 63.0`: pos < 2^26 and exact
+    * multiples of 63 are exactly representable, so the correctly-
+    * rounded division never crosses an integer boundary. */
+  private[graft] def bloomHitExpr(bm: org.apache.spark.sql.Column,
+      mBits: Int, numHashes: Int)(
+      g: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val h1 = pmod(Dedup.sha2TokenHash(g), lit(mBits.toLong))
+    val h2 = pmod(sha2TokenHash2(g), lit(mBits.toLong))
+    (0 until numHashes).map { s =>
+      val pos = (h1 + lit(s.toLong) * h2) % mBits
+      val word = element_at(bm, (pos / lit(63.0)).cast("int") + 1)
+      call_function("shiftright", word, (pos % 63).cast("int"))
+        .bitwiseAND(lit(1L)) === 1
+    }.reduce(_ && _)
   }
 }

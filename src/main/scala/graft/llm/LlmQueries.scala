@@ -55,6 +55,8 @@ object LlmQueries {
     // quality-score decile histogram on the exact 1e-4 integer form
     "llm_quality_calibration" -> ((s, d) =>
       CorpusOps.qualityCalibration(docs(s, d))),
+    // duplicate-family size histogram — the dedup-ROI diagnostic
+    "llm_dup_group_sizes" -> ((s, d) => CorpusOps.dupGroupSizes(docs(s, d))),
     // corpus composition accounting at every ROLLUP(source, lang) level
     "llm_stats_rollup" -> ((s, d) => CorpusOps.statsRollup(docs(s, d))),
     // per-source token-length distribution (exact interpolated
@@ -1439,6 +1441,14 @@ object LlmQueries {
         "SELECT bucket, n_docs, " +
         "FLOOR(CAST(n_docs AS DOUBLE) / (SELECT SUM(n_docs) FROM a) * 10000 + 0.5) / 10000 AS share " +
         "FROM a ORDER BY bucket")) +
+    // family-size histogram: the dedup-groups closure CTE embeds
+    // verbatim, two grouped counts over it
+    ("llm_dup_group_sizes" ->
+      (s"""WITH g AS (${base("llm_dedup_groups")}), """ +
+        "f AS (SELECT keep_id, CAST(COUNT(*) AS BIGINT) AS group_size " +
+        "FROM g GROUP BY keep_id) " +
+        "SELECT group_size, CAST(COUNT(*) AS BIGINT) AS n_groups " +
+        "FROM f GROUP BY group_size ORDER BY group_size")) +
     // Bloom decontamination replica: the filter is fully deterministic
     // (sha256 double-hash, 65536 bits, 4 probes), so DuckDB rebuilds the
     // identical bitmap with bit_or and replays every probe — the

@@ -269,4 +269,43 @@ object EventStreams {
           }
       }
   }
+
+  /** In-flight decontamination — the streaming twin of
+    * [[graft.llm.CorpusOps.bloomDecontaminateAgainst]]: documents
+    * arriving on a stream `(ts, doc_id, text)` are screened against a
+    * STATIC eval corpus compressed into a replicable Bloom bitmap at
+    * query-build time. The probe is a pure per-row projection (shingle
+    * HOF + k literal-bitmap lookups), so the plan is STATELESS in
+    * append mode — no join, no aggregation, no watermark state; at
+    * 100 TB/day ingest this screens every doc for the cost of a map.
+    * Same one-sided guarantee as the batch op: no false negatives, so
+    * nothing contaminated slips through.
+    *
+    * Value-identity with the batch twin: per doc, `n_ngrams` counts
+    * the distinct shingle set and `n_maybe` its bloom-positive subset
+    * — the same numbers the batch path gets from explode + hash agg
+    * (the shingle set is already distinct, so per-row HOF counting and
+    * per-gram-row aggregation see the same multiset). Docs with empty
+    * shingle sets drop out, matching the batch aggregate. */
+  def streamingDecontaminate(docsStream: DataFrame, evalDocs: DataFrame,
+      shingleSize: Int = 3, maxOverlap: Double = 0.5,
+      mBits: Int = 1 << 16, numHashes: Int = 4): DataFrame = {
+    import graft.llm.{CorpusOps, Dedup, TextOps}
+    val bm = typedlit(
+      CorpusOps.bloomBuild(evalDocs, shingleSize, mBits, numHashes).toSeq)
+    val probed = docsStream
+      .select(col("ts"), col("doc_id"),
+        Dedup.shingleSetExpr(docsStream.sparkSession, shingleSize)
+          .as("shingle_set"))
+      .filter(size(col("shingle_set")) > 0)
+      .select(col("ts"), col("doc_id"),
+        size(col("shingle_set")).cast("long").as("n_ngrams"),
+        size(filter(col("shingle_set"),
+          g => CorpusOps.bloomHitExpr(bm, mBits, numHashes)(g)))
+          .cast("long").as("n_maybe"))
+    probed.select(col("ts"), col("doc_id"), col("n_ngrams"), col("n_maybe"),
+        TextOps.r4(col("n_maybe").cast("double") / col("n_ngrams"))
+          .as("overlap_ub"))
+      .withColumn("dropped", col("overlap_ub") >= maxOverlap)
+  }
 }

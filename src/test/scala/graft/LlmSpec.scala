@@ -796,6 +796,21 @@ class LlmSpec extends AnyFunSuite {
     assert(cal.map(c => c._1.toInt -> c._2).toMap == direct)
   }
 
+  test("dup group sizes: family histogram matches the hand-built groups") {
+    // docs 1,2,3 one family (size 3); docs 5,6 another (size 2); 4 alone
+    val docs = Seq(
+      (1L, "the cat sat on the mat today again and again"),
+      (2L, "the cat sat on the mat today again and again"),
+      (3L, "the cat sat on the mat today again and again"),
+      (4L, "completely different text with nothing shared here at all"),
+      (5L, "pack my box with five dozen liquor jugs right now"),
+      (6L, "pack my box with five dozen liquor jugs right now"))
+      .toDF("doc_id", "text")
+    val r = CorpusOps.dupGroupSizes(docs, shingleSize = 1).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(3L -> 1L, 2L -> 1L))
+  }
+
   test("stats rollup: group rows sum to stratum and grand totals") {
     val docs = Seq(
       (1L, "a b c", "s1", "en"),

@@ -372,6 +372,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming decontamination: stateless per-row bloom screen equals " +
+      "the batch twin, planted leak flagged in flight") {
+    implicit val sql = spark.sqlContext
+    import graft.llm.CorpusOps
+    val evalDocs = Seq(
+      (100L, "the secret eval benchmark question about turtles"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, ts(0), "the secret eval benchmark question about turtles"),
+      (2L, ts(1), "an unrelated training document with fresh content"),
+      (3L, ts(2), "another clean document nothing shared at all today"))
+    val batchTwin = CorpusOps.bloomDecontaminateAgainst(
+        incoming.map(r => (r._1, r._3)).toDF("doc_id", "text"), evalDocs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(4)))
+      .toSet
+    assert(batchTwin.exists(r => r._1 == 1L && r._4), batchTwin.toString)
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val df = mem.toDF.toDF("doc_id", "ts", "text")
+    val q = EventStreams.streamingDecontaminate(df, evalDocs)
+      .writeStream.format("memory").queryName("sdec")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(incoming: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sdec")
+        .select("doc_id", "n_ngrams", "n_maybe", "dropped").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+        .toSet
+      assert(streamed == batchTwin, s"streamed=$streamed batch=$batchTwin")
+      // stateless plan: no state store operators in the progress
+      assert(q.lastProgress == null ||
+        q.lastProgress.stateOperators.isEmpty,
+        "per-row bloom screen must not hold streaming state")
+    } finally q.stop()
+  }
+
   test("streaming ingest dedup under load: the same doc arriving in two " +
       "micro-batches is flagged once, new arrivals still flag") {
     implicit val sql = spark.sqlContext
