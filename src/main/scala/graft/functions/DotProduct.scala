@@ -25,8 +25,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  private def elementsNullable: Boolean = Seq(left, right).exists(_.dataType
-    match {
+  // lazy val, not def: this is read per ROW on the interpreted path
+  // (and per element if referenced in a loop) — a dataType pattern
+  // match there costs more than the dot product itself
+  private lazy val elementsNullable: Boolean =
+    Seq(left, right).exists(_.dataType match {
       case ArrayType(_, n) => n
       case _ => false
     })
@@ -53,10 +56,11 @@ case class DotProduct(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
+    val checkNulls = elementsNullable
     var s = 0.0
     var i = 0
     while (i < n) {
-      if (elementsNullable && (x.isNullAt(i) || y.isNullAt(i))) return null
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
