@@ -249,4 +249,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
+
+  test("bloom decontamination probes per-row against the literal " +
+      "bitmap — no gram join, one doc-keyed exchange") {
+    val docs = Tables(spark, sf0001, "documents")
+    val df = graft.llm.CorpusOps.bloomDecontaminate(docs)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the exact op joins train grams to the eval gram set; the bloom
+    // probe must not join at all — the eval set is inside the bitmap
+    assert(!p.contains("Join"), p.take(3000))
+    val hashEx = p.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"want exactly the doc-keyed agg exchange, " +
+      s"got $hashEx\n" + p.take(3000))
+  }
+
+  test("quality calibration and ngram novelty scan the corpus once; " +
+      "novelty joins on the gram key only") {
+    val docs = Tables(spark, sf0001, "documents")
+    val pc = plan(graft.llm.CorpusOps.qualityCalibration(docs))
+    assert(pc.linesIterator.count(_.contains("Scan parquet")) == 1,
+      pc.take(3000))
+    val pn = plan(graft.llm.CorpusOps.ngramNovelty(docs))
+    assert(!pn.contains("CartesianProduct") &&
+      !pn.contains("BroadcastNestedLoopJoin"), pn.take(3000))
+  }
 }
