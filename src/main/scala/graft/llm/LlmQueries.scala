@@ -87,9 +87,12 @@ object LlmQueries {
     // model anywhere: featurize feeds bruteForceTopK (float-cast to the
     // embeddings-table shape, so the native graft_dot kernel applies)
     "llm_ann_text" -> ((s, d) => {
+      // materialized once: query and corpus sides both derive from f,
+      // and without it the 16-column featurize aggregate runs per side
       val f = TextOps.featurize(docs(s, d), ordered = false)
         .select(col("doc_id").as("vec_id"),
           col("embedding").cast("array<float>").as("embedding"))
+        .localCheckpoint()
       Similarity.bruteForceTopK(f.filter(col("vec_id") < 5), f, k = 5)
     }),
     "llm_mix_quota" -> ((s, d) => CorpusOps.mixQuota(docs(s, d), "lang",
