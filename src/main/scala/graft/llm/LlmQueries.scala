@@ -341,6 +341,9 @@ object LlmQueries {
         .map(r => (r.getString(1), r.getString(2))).toSeq
       TextOps.bpeEncode(docs(s, d), m)
     }),
+    // the shipped tokenizer artifact: character inventory + merges as
+    // one (token_id, token) table
+    "llm_bpe_vocab" -> ((s, d) => TextOps.bpeVocab(docs(s, d), nMerges = 3)),
     "llm_hll_distinct" -> ((s, d) =>
       // 100 TB distinct counting: HLL sketch vs exact. The sketch value
       // itself is impl-defined, so the checkable output is the exact
@@ -1400,6 +1403,21 @@ object LlmQueries {
         "CAST(COALESCE(list_sum(list_transform(toks, w -> len(string_split(" +
         bpeEncodeExpr(3) + ", ' ')))), 0) AS BIGINT) AS n_bpe " +
         "FROM enc ORDER BY doc_id")) +
+    // vocab-artifact replica: the same unrolled 3-merge CTEs, character
+    // inventory ids from a binary-collation ROW_NUMBER, merge ids offset
+    // by the inventory size
+    ("llm_bpe_vocab" ->
+      ("WITH " + bpeCtes(3) + ", " +
+        "ch AS (SELECT DISTINCT unnest(regexp_extract_all(word, '.')) AS token FROM w), " +
+        "ci AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY token) - 1 AS BIGINT) AS token_id, token FROM ch), " +
+        "cc AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM ch), " +
+        "mg AS (SELECT CAST(cc.c + k.step - 1 AS BIGINT) AS token_id, " +
+        "replace(k.pair, ' ', '') AS token FROM " +
+        "(SELECT CAST(1 AS BIGINT) AS step, pair FROM b1 " +
+        "UNION ALL SELECT 2, pair FROM b2 " +
+        "UNION ALL SELECT 3, pair FROM b3) k, cc) " +
+        "SELECT token_id, token FROM " +
+        "(SELECT * FROM ci UNION ALL SELECT * FROM mg) ORDER BY token_id")) +
     // scalar-reshaped featurize oracle: the driver's comparator sorts
     // rows with pandas and cannot sort array cells, so the registered
     // entry posexplodes each vector to (doc_id, dim, component) rows.

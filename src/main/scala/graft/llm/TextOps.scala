@@ -561,6 +561,38 @@ object TextOps {
     merges.toSeq.toDF("step", "lhs", "rhs", "pair_count").orderBy("step")
   }
 
+  /** BPE tokenizer vocabulary — the id table a training export ships:
+    * the corpus's character inventory (binary-sorted, ids 0..C−1)
+    * followed by one entry per learned merge in learned order (id
+    * C+step−1, token = lhs+rhs). Character ids are assignment-stable
+    * under corpus reordering (sorted, not first-seen).
+    *
+    * Scale shape: one corpus scan for the distinct-character inventory
+    * (hash agg over ≤ |alphabet| keys), a window over that bounded
+    * inventory frame for the ids, plus [[bpeLearn]]'s own loop; the
+    * merge rows come from its bounded driver-side table. */
+  def bpeVocab(docs: DataFrame, nMerges: Int = 3,
+      mergesPerRound: Int = 1): DataFrame = {
+    val session = docs.sparkSession
+    import session.implicits._
+    val inv = docs.select(explode(tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .select(explode(regexp_extract_all(col("word"), lit("."), lit(0)))
+        .as("token"))
+      .distinct()
+      .localCheckpoint() // feeds the id window AND the offset count
+    // single-partition window is the point: the inventory is bounded
+    // by the alphabet, never the corpus
+    val w = org.apache.spark.sql.expressions.Window.orderBy("token")
+    val charIds = inv.select(
+      (row_number().over(w) - 1).cast("long").as("token_id"), col("token"))
+    val c = inv.count()
+    val mergeRows = bpeLearn(docs, nMerges, mergesPerRound).collect()
+      .map(r => (c + r.getLong(0) - 1, r.getString(1) + r.getString(2)))
+    charIds.union(mergeRows.toSeq.toDF("token_id", "token"))
+      .orderBy("token_id")
+  }
+
   /** BPE encoding with a learned merge table: every word char-splits
     * and replays the merges IN LEARNED ORDER; the output counts
     * whitespace words vs resulting BPE symbols per doc — the token

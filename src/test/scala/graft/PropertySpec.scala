@@ -301,4 +301,54 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("ngram novelty conserves first occurrences: sum of n_new = " +
+      "distinct gram count, for any corpus") {
+    import graft.llm.CorpusOps
+    forAll(docGen, n = 3) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val nov = CorpusOps.ngramNovelty(df, n = 1).collect()
+      // every distinct gram is new for exactly one doc (its min id)
+      val distinctGrams = Dedup.withShingleSets(df, 1)
+        .select(org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.col("shingle_set")))
+        .distinct().count()
+      assert(nov.map(_.getLong(2)).sum == distinctGrams)
+      // novelty bounded, counts consistent
+      nov.foreach { r =>
+        assert(r.getLong(2) <= r.getLong(1))
+        assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      }
+    }
+  }
+
+  test("source overlap conserves the verified pair count, for any corpus") {
+    import graft.llm.CorpusOps
+    forAll(docGen, n = 3) { docs =>
+      val df = docs.toDF("doc_id", "text")
+        .withColumn("source",
+          org.apache.spark.sql.functions.expr("CASE WHEN doc_id % 2 = 0 " +
+            "THEN 'web' ELSE 'books' END"))
+      val total = Dedup.nearDupPairs(df, shingleSize = 1).count()
+      val cells = CorpusOps.sourceOverlap(df, shingleSize = 1).collect()
+      assert(cells.map(_.getLong(2)).sum == total)
+      // undirected: cells are lexicographically ordered
+      cells.foreach(c => assert(c.getString(0) <= c.getString(1)))
+    }
+  }
+
+  test("bpe vocab ids are contiguous, chars single, merges the learned " +
+      "concatenations") {
+    val docs = Seq((1L, "low low low lower lower newest"))
+      .toDF("doc_id", "text")
+    val vocab = TextOps.bpeVocab(docs, nMerges = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(vocab.map(_._1).toSeq == vocab.indices.map(_.toLong))
+    val merges = TextOps.bpeLearn(docs, nMerges = 3).collect()
+      .map(r => r.getString(1) + r.getString(2))
+    val (chars, mergeToks) = vocab.splitAt(vocab.length - merges.length)
+    assert(chars.forall(_._2.length == 1))
+    assert(chars.map(_._2).toSeq == chars.map(_._2).sorted.toSeq)
+    assert(mergeToks.map(_._2).toSeq == merges.toSeq)
+  }
 }
