@@ -257,6 +257,24 @@ object LlmQueries {
       // Recall is the LSH blocking's (the oracle replicates blocking +
       // verify, so the output is exactly defined either way).
       Similarity.cosineNearDupPairs(emb(s, d), tau = 0.4)),
+    // the which-index-do-I-ship table: recall@5 of every ANN variant
+    // against the exact ranking, one row per index, all deterministic —
+    // the metric sweep itself is oracle-checked
+    "llm_ann_recall_all" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") < 10)
+      val bf = Similarity.bruteForceTopK(q, e, k = 5).localCheckpoint()
+      def row(m: String, ap: org.apache.spark.sql.DataFrame) =
+        Similarity.recallAtK(ap, bf, k = 5).withColumn("method", lit(m))
+      row("ivf",
+          Similarity.ivfTopK(q, e, k = 5, centroidStride = 31, nProbe = 4))
+        .union(row("ivf_trained", Similarity.ivfTopKTrained(q, e, k = 5,
+          nlist = 4, iters = 5, nProbe = 2)))
+        .union(row("ivfpq", Similarity.ivfPqTopK(q, e, k = 5,
+          centroidStride = 31, nProbe = 4, rerank = 20)))
+        .union(row("pq", Similarity.pqTopK(q, e, k = 5)))
+        .orderBy("method")
+    }),
     "llm_ann_recall" -> ((s, d) => {
       // continuous ANN quality measurement: recall@5 of the IVF index
       // against the exact ranking, in-engine (deterministic both sides,
@@ -1403,6 +1421,29 @@ object LlmQueries {
         "CAST(COALESCE(list_sum(list_transform(toks, w -> len(string_split(" +
         bpeEncodeExpr(3) + ", ' ')))), 0) AS BIGINT) AS n_bpe " +
         "FROM enc ORDER BY doc_id")) +
+    // recall sweep replica: every variant's verified oracle embeds
+    // verbatim; per variant the same hit-fraction reduction as
+    // llm_ann_recall, one labeled row each
+    ("llm_ann_recall_all" -> {
+      def recallRow(m: String, cte: String) =
+        s"SELECT '$m' AS method, " +
+          "FLOOR(CAST(SUM(COALESCE(h.hit, 0)) AS DOUBLE) / (COUNT(*) * 5) " +
+          "* 10000 + 0.5) / 10000 AS recall_at_k, COUNT(*) AS n_queries " +
+          "FROM (SELECT DISTINCT query_id FROM bf) q LEFT JOIN " +
+          s"(SELECT a.query_id, COUNT(*) AS hit FROM $cte a JOIN bf " +
+          "ON bf.query_id = a.query_id AND bf.neighbor_id = a.neighbor_id " +
+          "GROUP BY a.query_id) h USING (query_id)"
+      s"""WITH bf AS (${base("llm_ann_cosine")}), """ +
+        s"""iv AS (${base("llm_ann_ivf")}), """ +
+        s"""it AS (${base("llm_ann_ivf_trained")}), """ +
+        s"""pq AS (${base("llm_ann_pq")}), """ +
+        s"""ip AS (${base("llm_ann_ivfpq")}) """ +
+        "SELECT method, recall_at_k, n_queries FROM (" +
+        recallRow("ivf", "iv") + " UNION ALL " +
+        recallRow("ivf_trained", "it") + " UNION ALL " +
+        recallRow("ivfpq", "ip") + " UNION ALL " +
+        recallRow("pq", "pq") + ") ORDER BY method"
+    }) +
     // vocab-artifact replica: the same unrolled 3-merge CTEs, character
     // inventory ids from a binary-collation ROW_NUMBER, merge ids offset
     // by the inventory size
