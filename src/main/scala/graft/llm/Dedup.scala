@@ -400,6 +400,51 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Span-level dedup TRANSFORM — the removal [[spanDups]] only counts:
+    * every `span`-token window occurring more than once in the corpus
+    * keeps its FIRST occurrence (minimum (doc_id, pos)) and every other
+    * occurrence's tokens are removed from their documents (Lee et al.
+    * 2022's substring-dedup semantics). Output
+    * `(doc_id, clean_text, n_removed)`, every input doc present.
+    *
+    * Scale shape: the [[spanDups]] pipeline plus a canonical-occurrence
+    * min(struct) carried in the SAME gram-keyed aggregate (map-side
+    * partials, no window over gram partitions), one gram-keyed
+    * equi-join carrying (doc, pos) only, a doc-keyed removed-positions
+    * aggregate bounded by doc length, and a per-row HOF rebuild. The
+    * per-token membership test is linear in a doc's own removed set —
+    * bounded by document length, never the corpus. */
+  def spanRemove(docs: DataFrame, span: Int = 20): DataFrame = {
+    require(span > 0, s"need span > 0, got $span")
+    val wins = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        posexplode(TextOps.gramsAll(col("toks"), span)))
+      // 1-based window start, matching gramsAll's slice positions
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("gk"))
+    val agg = wins.groupBy("gk").agg(
+      count(lit(1)).as("n_occ"),
+      min(struct(col("doc_id"), col("pos"))).as("canon"))
+    val removable = wins.join(agg, Seq("gk"))
+      .filter(col("n_occ") > 1 && !(col("canon.doc_id") === col("doc_id") &&
+        col("canon.pos") === col("pos")))
+      .select(col("doc_id"), col("pos"))
+    val removed = removable
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (span - 1))).as("tp"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("tp"))).as("removed"))
+    val toks = TextOps.tokens(col("text"))
+    docs.join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("removed").isNull, col("text"))
+          .otherwise(array_join(filter(toks,
+            (_, i) => !array_contains(col("removed"), i + 1)), " "))
+          .as("clean_text"),
+        coalesce(size(col("removed")), lit(0)).cast("long").as("n_removed"))
+      .orderBy("doc_id")
+  }
+
   /** 60-bit token hash derived from sha2-256 — slower than xxhash64 but
     * reproducible in any engine with SHA-256 (DuckDB, Trino, …), which
     * makes the downstream sketch oracle-checkable. 15 hex chars keep the

@@ -134,6 +134,10 @@ object LlmQueries {
     // String keys here so the oracle replays; the xxhash64 key path is
     // asserted identical by LlmSpec (hashing only changes the join key)
     "llm_span_dups" -> ((s, d) => Dedup.spanDups(docs(s, d), span = 20)),
+    // the removal the stats only count: duplicated 20-token windows
+    // keep their first (doc_id, pos) occurrence, every other occurrence
+    // is cut from its document
+    "llm_span_remove" -> ((s, d) => Dedup.spanRemove(docs(s, d), span = 20)),
     "llm_dedup_minhash" -> ((s, d) =>
       // signature/bands serialized at the query boundary (the driver's
       // compare cannot hash array cells); replicable hashing so the
@@ -825,6 +829,28 @@ object LlmQueries {
         "COALESCE(FLOOR(CAST(d.n_dup_spans AS DOUBLE) / d.n_spans * 10000 + 0.5) / 10000, " +
         "CAST(0 AS DOUBLE)) >= 0.5 AS flagged " +
         "FROM t LEFT JOIN d ON d.doc_id = t.doc_id ORDER BY t.doc_id"),
+    // span-removal replica: windows with their 1-based start position
+    // (correlated range lateral), keep-first via rank over (doc_id, pos)
+    // within each window key, covered token indices exploded + deduped,
+    // text rebuilt by a position-filtered list comprehension
+    "llm_span_remove" ->
+      ("WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents), " +
+        "g0 AS (SELECT doc_id, UNNEST([struct_pack(pos := i, " +
+        "gk := array_to_string(list_slice(toks, i, i + 19), ' ')) " +
+        "FOR i IN range(1, len(toks) - 18)]) AS w FROM t WHERE len(toks) >= 20), " +
+        "g AS (SELECT doc_id, CAST(w.pos AS INTEGER) AS pos, w.gk AS gk FROM g0), " +
+        "rk AS (SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY gk) AS n_occ, " +
+        "ROW_NUMBER() OVER (PARTITION BY gk ORDER BY doc_id, pos) AS rn FROM g), " +
+        "rem AS (SELECT DISTINCT doc_id, pos + CAST(r2.range AS INTEGER) AS tp " +
+        "FROM rk, range(0, 20) r2 WHERE n_occ > 1 AND rn > 1), " +
+        "rl AS (SELECT doc_id, list_sort(list(tp)) AS removed FROM rem GROUP BY doc_id) " +
+        // COALESCE: DuckDB's array_to_string is NULL on an empty list
+        // where Spark's array_join is '' (a fully-removed doc)
+        "SELECT t.doc_id, CASE WHEN rl.removed IS NULL THEN t.text " +
+        "ELSE COALESCE(array_to_string([t.toks[j] FOR j IN range(1, len(t.toks) + 1) " +
+        "IF NOT list_contains(rl.removed, j)], ' '), '') END AS clean_text, " +
+        "CAST(COALESCE(len(rl.removed), 0) AS BIGINT) AS n_removed " +
+        "FROM t LEFT JOIN rl ON rl.doc_id = t.doc_id ORDER BY t.doc_id"),
     // md5-ordered exact-quota stratified sample — the hex key replays in
     // any engine and lexicographic order on lowercase hex = numeric order
     "llm_mix_quota" ->

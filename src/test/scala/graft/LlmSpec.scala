@@ -796,6 +796,24 @@ class LlmSpec extends AnyFunSuite {
     assert(cal.map(c => c._1.toInt -> c._2).toMap == direct)
   }
 
+  test("span remove: keep-first removal, verbatim copy emptied, " +
+      "within-doc repeats keep one occurrence") {
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e f"), // verbatim copy — doc 1 is canonical
+      (3L, "x y z w q r"), // unique — untouched
+      (4L, "p q r p q r p q r") // self-repeating — first period survives
+    ).toDF("doc_id", "text")
+    val r = Dedup.spanRemove(docs, span = 3).collect()
+      .map(x => x.getLong(0) -> (x.getString(1), x.getLong(2))).toMap
+    assert(r(1L) == (("a b c d e f", 0L)), r(1L))
+    assert(r(2L) == (("", 6L)), r(2L))
+    assert(r(3L) == (("x y z w q r", 0L)), r(3L))
+    // windows "p q r"(1,4,7) "q r p"(2,5) "r p q"(3,6): non-canonical
+    // occurrences cover token positions 4..9
+    assert(r(4L) == (("p q r", 6L)), r(4L))
+  }
+
   test("dup group sizes: family histogram matches the hand-built groups") {
     // docs 1,2,3 one family (size 3); docs 5,6 another (size 2); 4 alone
     val docs = Seq(
