@@ -413,15 +413,22 @@ object Dedup {
     * equi-join carrying (doc, pos) only, a doc-keyed removed-positions
     * aggregate bounded by doc length, and a per-row HOF rebuild. The
     * per-token membership test is linear in a doc's own removed set —
-    * bounded by document length, never the corpus. */
-  def spanRemove(docs: DataFrame, span: Int = 20): DataFrame = {
+    * bounded by document length, never the corpus. `hashKeys = true`
+    * (the 100 TB path, as in [[spanDups]]) carries an 8-byte xxhash64
+    * of each window instead of its string through the aggregate and
+    * join; a collision only ever removes extra tokens, with odds
+    * ~ |spans|²/2⁶⁵. */
+  def spanRemove(docs: DataFrame, span: Int = 20,
+      hashKeys: Boolean = false): DataFrame = {
     require(span > 0, s"need span > 0, got $span")
+    def key(c: Column) = if (hashKeys) xxhash64(c) else c
     val wins = docs
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         posexplode(TextOps.gramsAll(col("toks"), span)))
       // 1-based window start, matching gramsAll's slice positions
-      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("gk"))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"),
+        key(col("col")).as("gk"))
     val agg = wins.groupBy("gk").agg(
       count(lit(1)).as("n_occ"),
       min(struct(col("doc_id"), col("pos"))).as("canon"))

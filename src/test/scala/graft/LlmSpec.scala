@@ -812,6 +812,10 @@ class LlmSpec extends AnyFunSuite {
     // windows "p q r"(1,4,7) "q r p"(2,5) "r p q"(3,6): non-canonical
     // occurrences cover token positions 4..9
     assert(r(4L) == (("p q r", 6L)), r(4L))
+    // the hashed-key scale path never changes the output
+    val hashed = Dedup.spanRemove(docs, span = 3, hashKeys = true).collect()
+      .map(x => x.getLong(0) -> (x.getString(1), x.getLong(2))).toMap
+    assert(hashed == r)
   }
 
   test("dup group sizes: family histogram matches the hand-built groups") {
