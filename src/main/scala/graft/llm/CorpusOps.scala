@@ -764,6 +764,57 @@ object CorpusOps {
       .groupBy("group_size").agg(count(lit(1)).as("n_groups"))
       .orderBy("group_size")
 
+  /** Embedding-drift monitor — the distribution-shift diagnostic a
+    * continuously-ingested corpus needs: per event-time window, the
+    * cosine drift `1 − cos(window centroid, corpus centroid)` of the
+    * hashing-trick embeddings ([[TextOps.featurize]]). A spike marks a
+    * window whose content distribution moved (a new crawl source, a
+    * language flip, spam floods) long before token-level stats react.
+    *
+    * Cross-engine exactness: embedding components re-floor to exact
+    * 1e-4-unit BIGINTs; window and corpus centroids are then integer
+    * per-dimension SUMS (cosine is scale-invariant, so the division by
+    * n never happens) and the one cosine per window evaluates the same
+    * left-to-right double expression in any engine.
+    *
+    * Scale shape: featurize's doc-keyed aggregate, one (window)-keyed
+    * hash agg with 16 integer partial sums, a single-row global
+    * aggregate broadcast back, and one cosine per window row. */
+  def driftWindows(docs: DataFrame, dim: Int = 16): DataFrame = {
+    val f = TextOps.featurize(docs, dim, ordered = false)
+    val e4 = transform(col("embedding"),
+      x => floor(x * 10000 + 0.5).cast("long"))
+    val rows = docs.select(col("doc_id"), col("ts"))
+      .join(f, Seq("doc_id"))
+      .select(col("ts"), e4.as("e4"))
+    val sums = (0 until dim).map(i =>
+      sum(element_at(col("e4"), i + 1)).as(s"s$i"))
+    val aggCols = count(lit(1)).as("n_docs") +: sums
+    val w = rows.groupBy(window(col("ts"), "10 minutes"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .select(col("window.start").as("window_start") +: col("n_docs") +:
+        (0 until dim).map(i => col(s"s$i")): _*)
+    val g = broadcast(w.agg(
+      (0 until dim).map(i => sum(col(s"s$i")).as(s"g$i")).head,
+      (0 until dim).map(i => sum(col(s"s$i")).as(s"g$i")).tail: _*))
+    // products in DOUBLE: integer squares of corpus-level sums overflow
+    // int64 past ~3e5 docs (ANSI = runtime error); the fixed
+    // left-to-right double tree evaluates identically in any engine
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val dot = (0 until dim).map(i => d(col(s"s$i")) * d(col(s"g$i")))
+      .reduce(_ + _)
+    val nw = (0 until dim).map(i => d(col(s"s$i")) * d(col(s"s$i")))
+      .reduce(_ + _)
+    val ng = (0 until dim).map(i => d(col(s"g$i")) * d(col(s"g$i")))
+      .reduce(_ + _)
+    w.crossJoin(g)
+      .select(col("window_start"), col("n_docs"),
+        when(nw === 0 || ng === 0, lit(null).cast("double"))
+          .otherwise(TextOps.r4(lit(1.0) - dot / (sqrt(nw) * sqrt(ng))))
+          .as("drift"))
+      .orderBy("window_start")
+  }
+
   /** Builds the `⌈mBits/63⌉`-word Bloom bitmap over the distinct token
     * n-grams of `evalDocs`: k double-hash positions per gram, word-
     * indexed bit_or aggregate, collected driver-side (bounded by

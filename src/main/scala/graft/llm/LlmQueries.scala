@@ -328,6 +328,14 @@ object LlmQueries {
       graft.streaming.EventStreams.corpusMonitor(withTs)
         .orderBy("window_start", "source")
     }),
+    // embedding-drift monitor: per-window centroid vs corpus centroid
+    // cosine drift over the hashing-trick embeddings
+    "llm_drift_windows" -> ((s, d) => {
+      val withTs = docs(s, d).withColumn("ts",
+        expr("timestampadd(MINUTE, CAST(doc_id AS INT), " +
+          "TIMESTAMP '2026-01-01 00:00:00')"))
+      CorpusOps.driftWindows(withTs)
+    }),
     // UniMax epoch-capped mixing: budget spread uniformly across
     // languages, small strata capped at one epoch — the principled
     // alternative to temperature mixing; allocation + keep test replay
@@ -1447,6 +1455,41 @@ object LlmQueries {
         "CAST(COALESCE(list_sum(list_transform(toks, w -> len(string_split(" +
         bpeEncodeExpr(3) + ", ' ')))), 0) AS BIGINT) AS n_bpe " +
         "FROM enc ORDER BY doc_id")) +
+    // drift replica: the verified featurize oracle embeds verbatim;
+    // components re-floor to exact 1e-4 BIGINTs, centroids are integer
+    // per-dim sums (cosine is scale-invariant), and the one cosine per
+    // window is the same left-to-right double tree on both engines.
+    // time_bucket origin: see the llm_monitor_windows note — 10-minute
+    // widths divide DuckDB's 2000-01-03 origin epoch, so buckets align.
+    ("llm_drift_windows" -> {
+      val sums = (0 until 16)
+        .map(i => s"CAST(SUM(e4[${i + 1}]) AS BIGINT) AS s$i").mkString(", ")
+      val gsums = (0 until 16)
+        .map(i => s"CAST(SUM(s$i) AS BIGINT) AS g$i").mkString(", ")
+      val dot = (0 until 16)
+        .map(i => s"CAST(s$i AS DOUBLE) * CAST(g$i AS DOUBLE)")
+        .mkString(" + ")
+      val nw = (0 until 16)
+        .map(i => s"CAST(s$i AS DOUBLE) * CAST(s$i AS DOUBLE)")
+        .mkString(" + ")
+      val ng = (0 until 16)
+        .map(i => s"CAST(g$i AS DOUBLE) * CAST(g$i AS DOUBLE)")
+        .mkString(" + ")
+      s"""WITH f AS (${base("llm_featurize")}), """ +
+        "e AS (SELECT doc_id, list_transform(embedding, " +
+        "x -> CAST(FLOOR(x * 10000 + 0.5) AS BIGINT)) AS e4 FROM f), " +
+        "t AS (SELECT doc_id, TIMESTAMP '2026-01-01 00:00:00' " +
+        "+ doc_id * INTERVAL 1 MINUTE AS ts FROM documents), " +
+        "j AS (SELECT time_bucket(INTERVAL '10 minutes', t.ts) AS window_start, e4 " +
+        "FROM t JOIN e USING (doc_id)), " +
+        s"w AS (SELECT window_start, CAST(COUNT(*) AS BIGINT) AS n_docs, $sums " +
+        "FROM j GROUP BY window_start), " +
+        s"g AS (SELECT $gsums FROM w) " +
+        "SELECT window_start, n_docs, " +
+        s"CASE WHEN ($nw) = 0 OR ($ng) = 0 THEN NULL " +
+        s"ELSE FLOOR((1.0 - ($dot) / (SQRT($nw) * SQRT($ng))) * 10000 + 0.5) / 10000 " +
+        "END AS drift FROM w, g ORDER BY window_start"
+    }) +
     // recall sweep replica: every variant's verified oracle embeds
     // verbatim; per variant the same hit-fraction reduction as
     // llm_ann_recall, one labeled row each

@@ -818,6 +818,27 @@ class LlmSpec extends AnyFunSuite {
     assert(hashed == r)
   }
 
+  test("drift windows: shifted-content window spikes, homogeneous " +
+      "windows agree, doc counts partition the corpus") {
+    import org.apache.spark.sql.functions.expr
+    // minutes 0-19: two windows of identical content; minutes 20-29:
+    // a vocabulary flip — its centroid must sit farther from the
+    // corpus centroid than either homogeneous window's
+    val docs = ((0L to 19L).map(i => (i, "alpha beta gamma delta")) ++
+      (20L to 29L).map(i => (i, "zulu yankee xray whiskey")))
+      .toDF("doc_id", "text")
+      .withColumn("ts", expr("timestampadd(MINUTE, CAST(doc_id AS INT), " +
+        "TIMESTAMP '2026-01-01 00:00:00')"))
+    val r = CorpusOps.driftWindows(docs).collect()
+      .map(x => (x.getTimestamp(0), x.getLong(1), x.getDouble(2)))
+      .sortBy(_._1.getTime)
+    assert(r.length == 3 && r.map(_._2).sum == 30)
+    val Array(w1, w2, w3) = r.map(_._3)
+    assert(w1 == w2, s"homogeneous windows diverged: $w1 vs $w2")
+    assert(w3 > w1, s"vocabulary flip not detected: $w3 <= $w1")
+    assert(r.forall(x => x._3 >= 0.0 && x._3 <= 2.0))
+  }
+
   test("dup group sizes: family histogram matches the hand-built groups") {
     // docs 1,2,3 one family (size 3); docs 5,6 another (size 2); 4 alone
     val docs = Seq(
