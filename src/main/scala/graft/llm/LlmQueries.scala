@@ -336,6 +336,17 @@ object LlmQueries {
           "TIMESTAMP '2026-01-01 00:00:00')"))
       CorpusOps.driftWindows(withTs)
     }),
+    // reference-anchored drift (the streamable form, run in batch mode
+    // — the batch run IS the stream's oracle-checkable twin): windows
+    // compared against the pinned en-slice centroid
+    "llm_drift_ref" -> ((s, d) => {
+      val withTs = docs(s, d).withColumn("ts",
+        expr("timestampadd(MINUTE, CAST(doc_id AS INT), " +
+          "TIMESTAMP '2026-01-01 00:00:00')"))
+      graft.streaming.EventStreams.streamingDrift(withTs,
+          docs(s, d).filter(col("lang") === "en"))
+        .orderBy("window_start")
+    }),
     // UniMax epoch-capped mixing: budget spread uniformly across
     // languages, small strata capped at one epoch — the principled
     // alternative to temperature mixing; allocation + keep test replay
@@ -1485,6 +1496,39 @@ object LlmQueries {
         s"w AS (SELECT window_start, CAST(COUNT(*) AS BIGINT) AS n_docs, $sums " +
         "FROM j GROUP BY window_start), " +
         s"g AS (SELECT $gsums FROM w) " +
+        "SELECT window_start, n_docs, " +
+        s"CASE WHEN ($nw) = 0 OR ($ng) = 0 THEN NULL " +
+        s"ELSE FLOOR((1.0 - ($dot) / (SQRT($nw) * SQRT($ng))) * 10000 + 0.5) / 10000 " +
+        "END AS drift FROM w, g ORDER BY window_start"
+    }) +
+    // reference-drift replica: featurize is per-doc, so ONE featurize
+    // CTE serves both sides — the reference centroid is the en-slice's
+    // per-dim sums, window sums come from the same e4 frame
+    ("llm_drift_ref" -> {
+      val sums = (0 until 16)
+        .map(i => s"CAST(SUM(e4[${i + 1}]) AS BIGINT) AS s$i").mkString(", ")
+      val gsums = (0 until 16)
+        .map(i => s"CAST(SUM(e4[${i + 1}]) AS BIGINT) AS g$i").mkString(", ")
+      val dot = (0 until 16)
+        .map(i => s"CAST(s$i AS DOUBLE) * CAST(g$i AS DOUBLE)")
+        .mkString(" + ")
+      val nw = (0 until 16)
+        .map(i => s"CAST(s$i AS DOUBLE) * CAST(s$i AS DOUBLE)")
+        .mkString(" + ")
+      val ng = (0 until 16)
+        .map(i => s"CAST(g$i AS DOUBLE) * CAST(g$i AS DOUBLE)")
+        .mkString(" + ")
+      s"""WITH f AS (${base("llm_featurize")}), """ +
+        "e AS (SELECT doc_id, list_transform(embedding, " +
+        "x -> CAST(FLOOR(x * 10000 + 0.5) AS BIGINT)) AS e4 FROM f), " +
+        s"g AS (SELECT $gsums FROM e JOIN documents d USING (doc_id) " +
+        "WHERE d.lang = 'en'), " +
+        "t AS (SELECT doc_id, TIMESTAMP '2026-01-01 00:00:00' " +
+        "+ doc_id * INTERVAL 1 MINUTE AS ts FROM documents), " +
+        "j AS (SELECT time_bucket(INTERVAL '10 minutes', t.ts) AS window_start, e4 " +
+        "FROM t JOIN e USING (doc_id)), " +
+        s"w AS (SELECT window_start, CAST(COUNT(*) AS BIGINT) AS n_docs, $sums " +
+        "FROM j GROUP BY window_start) " +
         "SELECT window_start, n_docs, " +
         s"CASE WHEN ($nw) = 0 OR ($ng) = 0 THEN NULL " +
         s"ELSE FLOOR((1.0 - ($dot) / (SQRT($nw) * SQRT($ng))) * 10000 + 0.5) / 10000 " +

@@ -181,6 +181,29 @@ object TextOps {
     if (ordered) out.orderBy("doc_id") else out
   }
 
+  /** Per-row twin of [[featurize]] — the same hashing-trick embedding
+    * as a single Column over `text`, with no doc-keyed aggregate, so it
+    * composes into append-mode STREAMING plans (the [[minHashPerRow]]
+    * pattern). Value-identical by construction: the per-slot sums are
+    * integer and commutative, and the norm/rounding chain reuses the
+    * exact expressions of the batch path. Cost is O(dim·|tokens|)
+    * interpreted lambda steps per row — right for ingest micro-batches;
+    * corpus-scale featurization keeps the codegen'd aggregate. */
+  private[graft] def featurizePerRow(dim: Int = 16): Column = {
+    require(dim > 0 && dim <= 1024, s"need 0 < dim <= 1024, got $dim")
+    val hl = transform(tokens(col("text")), t => Dedup.sha2TokenHash(t))
+    def sign(h: Column) =
+      when(shiftright(h, 30).bitwiseAND(1) === 0, 1L).otherwise(-1L)
+    val v = aggregate(hl, array_repeat(lit(0L), dim),
+      (acc, h) => transform(acc, (x, i) =>
+        x + when(pmod(h, lit(dim)).cast("int") === i, sign(h))
+          .otherwise(0L)))
+    val nrm = sqrt(aggregate(v, lit(0L), (a, x) => a + x * x).cast("double"))
+    when(nrm === 0, transform(v, _ => lit(0.0)))
+      .otherwise(transform(v, x =>
+        floor(x.cast("double") / nrm * 10000 + 0.5) / 10000))
+  }
+
   private val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "you", "that", "it"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ich", "mit", "ein", "zu"),

@@ -308,4 +308,52 @@ object EventStreams {
           .as("overlap_ub"))
       .withColumn("dropped", col("overlap_ub") >= maxOverlap)
   }
+
+  /** Reference-anchored embedding drift — the streamable form of
+    * [[graft.llm.CorpusOps.driftWindows]]: a FIXED reference corpus's
+    * centroid (integer per-dim sums, collected at query-build time —
+    * `dim` longs of driver state) anchors the comparison, so each
+    * event-time window needs only its own windowed aggregate; per-doc
+    * embeddings come from the stateless [[TextOps.featurizePerRow]].
+    * ONE function serves batch and streaming (the [[corpusMonitor]]
+    * discipline): `window()` groups identically in both modes and the
+    * watermark is a no-op on a batch frame, so the batch run IS the
+    * oracle-checkable twin of the stream.
+    *
+    * Anchoring on a reference (not the self-average) is also the more
+    * principled monitor: a slowly drifting corpus drags its own global
+    * centroid along and hides the trend; a pinned reference doesn't. */
+  def streamingDrift(docs: DataFrame, refDocs: DataFrame, dim: Int = 16,
+      watermark: String = "20 minutes"): DataFrame = {
+    import graft.llm.TextOps
+    val e4of = (e: org.apache.spark.sql.Column) =>
+      transform(e, x => floor(x * 10000 + 0.5).cast("long"))
+    val refRow = TextOps.featurize(refDocs, dim, ordered = false)
+      .select(e4of(col("embedding")).as("e4"))
+      .select((0 until dim).map(i =>
+        sum(element_at(col("e4"), i + 1)).as(s"g$i")): _*)
+      .collect()
+    val g = (0 until dim).map(i =>
+      if (refRow.isEmpty || refRow(0).isNullAt(i)) 0L else refRow(0).getLong(i))
+    val sums = (0 until dim).map(i =>
+      sum(element_at(col("e4"), i + 1)).as(s"s$i"))
+    val aggCols = count(lit(1)).as("n_docs") +: sums
+    val w = docs.withWatermark("ts", watermark)
+      .select(col("ts"), e4of(TextOps.featurizePerRow(dim)).as("e4"))
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(aggCols.head, aggCols.tail: _*)
+    // the same left-to-right double tree as driftWindows / the oracle;
+    // reference terms fold driver-side in the identical order
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val dot = (0 until dim).map(i => d(col(s"s$i")) * lit(g(i).toDouble))
+      .reduce(_ + _)
+    val nw = (0 until dim).map(i => d(col(s"s$i")) * d(col(s"s$i")))
+      .reduce(_ + _)
+    val ng = (0 until dim).map(i => g(i).toDouble * g(i).toDouble)
+      .reduce(_ + _)
+    w.select(col("window.start").as("window_start"), col("n_docs"),
+      when(nw === 0 || lit(ng) === 0, lit(null).cast("double"))
+        .otherwise(TextOps.r4(lit(1.0) - dot / (sqrt(nw) * sqrt(lit(ng)))))
+        .as("drift"))
+  }
 }

@@ -372,6 +372,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("reference-anchored drift: streaming windowed centroids equal the " +
+      "batch run of the same function, shifted window spikes") {
+    implicit val sql = spark.sqlContext
+    val refDocs = Seq(
+      (100L, "alpha beta gamma delta"),
+      (101L, "alpha beta gamma epsilon")).toDF("doc_id", "text")
+    val rows = Seq(
+      (1L, ts(0), "alpha beta gamma delta"),
+      (2L, ts(3), "alpha beta gamma epsilon"),
+      (3L, ts(12), "zulu yankee xray whiskey"), // vocabulary flip
+      (4L, ts(14), "zulu yankee xray victor"))
+    val batchDf = rows.toDF("doc_id", "ts", "text")
+    val batch = EventStreams.streamingDrift(batchDf, refDocs).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batch.size == 2, batch.toString)
+    val byStart = batch.toSeq.sortBy(_._1.getTime).map(_._3)
+    assert(byStart(1) > byStart(0),
+      s"flipped window must drift farther from the reference: $byStart")
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val df = mem.toDF.toDF("doc_id", "ts", "text")
+    val q = EventStreams.streamingDrift(df, refDocs)
+      .writeStream.format("memory").queryName("sdrift")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      mem.addData((99L, ts(120), "late straggler closes windows"))
+      q.processAllAvailable()
+      val streamed = spark.table("sdrift")
+        .filter($"window_start" < ts(60)).collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    } finally q.stop()
+  }
+
   test("streaming decontamination: stateless per-row bloom screen equals " +
       "the batch twin, planted leak flagged in flight") {
     implicit val sql = spark.sqlContext
