@@ -261,6 +261,14 @@ object LlmQueries {
       // Recall is the LSH blocking's (the oracle replicates blocking +
       // verify, so the output is exactly defined either way).
       Similarity.cosineNearDupPairs(emb(s, d), tau = 0.4)),
+    // ingest-time SEMANTIC probe: the %5==0 slice arrives as the batch,
+    // the rest is the corpus — same blocking + verify as llm_embed_dedup
+    "llm_incr_embed_dedup" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.incrementalCosineNearDups(
+        e.filter(col("vec_id") % 5 === 0),
+        e.filter(col("vec_id") % 5 =!= 0), tau = 0.4)
+    }),
     // the which-index-do-I-ship table: recall@5 of every ANN variant
     // against the exact ranking, one row per index, all deterministic —
     // the metric sweep itself is oracle-checked
@@ -1225,6 +1233,24 @@ object LlmQueries {
         "FROM cand JOIN x xa ON xa.vec_id = doc_a JOIN x xb ON xb.vec_id = doc_b) " +
         "SELECT doc_a, doc_b, FLOOR(c * 10000 + 0.5) / 10000 AS cos_sim " +
         "FROM v WHERE c >= 0.4 ORDER BY doc_a, doc_b"),
+    // asymmetric twin of llm_embed_dedup: identical blocking + verify,
+    // candidates restricted to (batch slice) x (corpus remainder)
+    "llm_incr_embed_dedup" ->
+      ("WITH x AS (SELECT vec_id, LIST_TRANSFORM(embedding, v -> CAST(v AS DOUBLE)) AS xv " +
+        "FROM embeddings), " +
+        "sgn AS (SELECT t, LIST(CASE WHEN ((2 * t + 3) * j + 104729 * t + 12345) % 2 = 0 " +
+        "THEN -1.0 ELSE 1.0 END ORDER BY j) AS sv " +
+        "FROM generate_series(0, 2) g1(t), generate_series(0, 63) g2(j) GROUP BY t), " +
+        "bk AS (SELECT x.vec_id, s.t, FLOOR(LIST_INNER_PRODUCT(x.xv, s.sv) / 2.0) AS b " +
+        "FROM x CROSS JOIN sgn s), " +
+        "cand AS (SELECT DISTINCT a.vec_id AS new_id, b2.vec_id AS corpus_id " +
+        "FROM bk a JOIN bk b2 ON a.t = b2.t AND a.b = b2.b " +
+        "AND a.vec_id % 5 = 0 AND b2.vec_id % 5 <> 0), " +
+        "v AS (SELECT new_id, corpus_id, LIST_INNER_PRODUCT(xa.xv, xb.xv) / " +
+        "(SQRT(LIST_INNER_PRODUCT(xa.xv, xa.xv)) * SQRT(LIST_INNER_PRODUCT(xb.xv, xb.xv))) AS c " +
+        "FROM cand JOIN x xa ON xa.vec_id = new_id JOIN x xb ON xb.vec_id = corpus_id) " +
+        "SELECT new_id, corpus_id, FLOOR(c * 10000 + 0.5) / 10000 AS cos_sim " +
+        "FROM v WHERE c >= 0.4 ORDER BY new_id, corpus_id"),
     // replicable minhash: sha2 shingle hashes + the modular mixing
     // family (reduce mod 2^52, multiplier ≤65, Mersenne-prime modulus);
     // bands fold each 4-wide signature slice from the band index

@@ -445,23 +445,9 @@ object Similarity {
   def cosineNearDupPairs(emb: DataFrame, tau: Double,
       bucketLength: Double = 2.0, numTables: Int = 3,
       dim: Int = 64): DataFrame = {
-    def signs(t: Int): Seq[Double] =
-      (0 until dim).map(j =>
-        if (((2 * t + 3) * j + 104729 * t + 12345) % 2 == 0) -1.0 else 1.0)
-    val xd = transform(col("embedding"), v => v.cast("double"))
-    val perTable = (0 until numTables).map { t =>
-      val d = aggregate(zip_with(xd, typedLit(signs(t)), (x, s) => x * s),
-        lit(0.0), (a, v) => a + v)
-      struct(lit(t).as("t"), floor(d / bucketLength).as("b"))
-    }
-    val bucketed = emb
-      .select(col("vec_id"), col("embedding"),
-        explode(array(perTable: _*)).as("tb"))
-      .select(col("vec_id"), col("embedding"),
-        col("tb.t").as("t"), col("tb.b").as("b"))
     // candidate join carries ids only; embeddings rejoin once per
     // surviving pair, so each cosine is evaluated exactly once
-    val ids = bucketed.select(col("vec_id"), col("t"), col("b"))
+    val ids = signBuckets(emb, bucketLength, numTables, dim)
     val cand = ids.select(col("t"), col("b"), col("vec_id").as("doc_a"))
       .join(ids.select(col("t"), col("b"), col("vec_id").as("doc_b")),
         Seq("t", "b"))
@@ -490,6 +476,73 @@ object Similarity {
       .select(col("doc_a"), col("doc_b"),
         (floor(col("c") * 10000 + 0.5) / 10000).as("cos_sim"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Parity-sign LSH bucket keys `(vec_id, t, b)` for a vector frame —
+    * the blocking shared by [[cosineNearDupPairs]] and the incremental/
+    * streaming probes. Pure per-row expressions (projection + dot with
+    * a literal sign pattern), so the same Column tree composes into
+    * append-mode streams unchanged. */
+  /** The per-row `(t, b)` struct array behind [[signBuckets]] — exposed
+    * within graft so the streaming probe can explode it while keeping
+    * its event-time column. */
+  private[graft] def signBucketsExpr(bucketLength: Double,
+      numTables: Int, dim: Int): Column = {
+    def signs(t: Int): Seq[Double] =
+      (0 until dim).map(j =>
+        if (((2 * t + 3) * j + 104729 * t + 12345) % 2 == 0) -1.0 else 1.0)
+    val xd = transform(col("embedding"), v => v.cast("double"))
+    array((0 until numTables).map { t =>
+      val d = aggregate(zip_with(xd, typedLit(signs(t)), (x, s) => x * s),
+        lit(0.0), (a, v) => a + v)
+      struct(lit(t).as("t"), floor(d / bucketLength).as("b"))
+    }: _*)
+  }
+
+  private def signBuckets(emb: DataFrame, bucketLength: Double,
+      numTables: Int, dim: Int): DataFrame =
+    emb.select(col("vec_id"),
+        explode(signBucketsExpr(bucketLength, numTables, dim)).as("tb"))
+      .select(col("vec_id"), col("tb.t").as("t"), col("tb.b").as("b"))
+
+  /** Ingest-time SEMANTIC near-dup probe — the embedding-space twin of
+    * [[graft.llm.Dedup.incrementalNearDups]]: an incoming batch of
+    * vectors is checked against an EXISTING corpus with the same
+    * sign-LSH blocking + exact-cosine verify as [[cosineNearDupPairs]].
+    * Output `(new_id, corpus_id, cos_sim)` for every corpus vector the
+    * batch near-duplicates at `tau`.
+    *
+    * Scale shape: asymmetric bucket equi-join (ids only, the tiny batch
+    * side probes the corpus bucket table — at 100 TB the corpus side is
+    * persisted once, like the MinHash index), candidates dedup before
+    * the verify join, norms computed once per side, codegen'd
+    * `graft_dot` verify. */
+  def incrementalCosineNearDups(newEmb: DataFrame, corpusEmb: DataFrame,
+      tau: Double, bucketLength: Double = 2.0, numTables: Int = 3,
+      dim: Int = 64): DataFrame = {
+    val bNew = signBuckets(newEmb, bucketLength, numTables, dim)
+      .select(col("t"), col("b"), col("vec_id").as("new_id"))
+    val bCor = signBuckets(corpusEmb, bucketLength, numTables, dim)
+      .select(col("t"), col("b"), col("vec_id").as("corpus_id"))
+    val cand = bNew.join(bCor, Seq("t", "b"))
+      .select("new_id", "corpus_id").dropDuplicates("new_id", "corpus_id")
+    val native = corpusEmb.sparkSession.catalog.functionExists("graft_dot")
+    def dotOf(a: String, b: String): Column =
+      if (native) expr(s"graft_dot($a, $b)") else dot(col(a), col(b))
+    def withNorm(df: DataFrame) =
+      df.select(col("vec_id"), col("embedding").as("ev"))
+        .withColumn("nv", sqrt(dotOf("ev", "ev")))
+    cand
+      .join(withNorm(newEmb).select(col("vec_id").as("new_id"),
+        col("ev").as("ea"), col("nv").as("na")), Seq("new_id"))
+      .join(withNorm(corpusEmb).select(col("vec_id").as("corpus_id"),
+        col("ev").as("eb"), col("nv").as("nb")), Seq("corpus_id"))
+      .select(col("new_id"), col("corpus_id"),
+        (dotOf("ea", "eb") / (col("na") * col("nb"))).as("c"))
+      .filter(col("c") >= tau)
+      .select(col("new_id"), col("corpus_id"),
+        (floor(col("c") * 10000 + 0.5) / 10000).as("cos_sim"))
+      .orderBy("new_id", "corpus_id")
   }
 
   /** Deterministic Lloyd cell assignment: (vec_id, cell) for every

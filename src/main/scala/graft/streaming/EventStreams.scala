@@ -309,6 +309,55 @@ object EventStreams {
       .withColumn("dropped", col("overlap_ub") >= maxOverlap)
   }
 
+  /** Ingest-time SEMANTIC near-dup flagging — the embedding-space
+    * sibling of [[streamingNearDups]]: vectors arriving on a stream
+    * `(ts, vec_id, embedding)` probe the STATIC corpus's sign-LSH
+    * bucket table and report `(new_id, corpus_id, cos_sim)` for every
+    * corpus vector they near-duplicate at `tau`, in flight. Batch twin
+    * = [[graft.llm.Similarity.incrementalCosineNearDups]].
+    *
+    * Streaming shape: the sign-LSH bucket keys are pure per-row
+    * expressions even in batch, so the stream side needs no special
+    * form; the bucket probe and the norm rejoin are stream-static
+    * equi-joins (stateless in append mode); the one stateful operator
+    * is the multi-table pair dedup, watermark-bounded like the lexical
+    * probe. The corpus bucket/norm frames persist here so micro-batches
+    * never recompute them. */
+  def streamingEmbedDedup(embStream: DataFrame, corpusEmb: DataFrame,
+      tau: Double, bucketLength: Double = 2.0, numTables: Int = 3,
+      dim: Int = 64, watermark: String = "20 minutes"): DataFrame = {
+    import graft.llm.Similarity
+    val native = corpusEmb.sparkSession.catalog.functionExists("graft_dot")
+    def dotOf(a: String, b: String) =
+      if (native) expr(s"graft_dot($a, $b)")
+      else Similarity.dot(col(a), col(b))
+    val bCor = corpusEmb.select(col("vec_id").as("corpus_id"),
+        explode(Similarity.signBucketsExpr(bucketLength, numTables, dim))
+          .as("tb"))
+      .select(col("corpus_id"), col("tb.t").as("t"), col("tb.b").as("b"))
+      .persist()
+    val corNorm = corpusEmb
+      .select(col("vec_id").as("corpus_id"), col("embedding").as("eb"))
+      .withColumn("nb", sqrt(dotOf("eb", "eb")))
+      .persist()
+    val probe = embStream.withWatermark("ts", watermark)
+      .select(col("ts"), col("vec_id").as("new_id"),
+        col("embedding").as("ea"),
+        explode(Similarity.signBucketsExpr(bucketLength, numTables, dim))
+          .as("tb"))
+      .select(col("ts"), col("new_id"), col("ea"),
+        col("tb.t").as("t"), col("tb.b").as("b"))
+    probe.join(bCor, Seq("t", "b"))
+      // dedup candidates BEFORE the verify join, as in the lexical probe
+      .dropDuplicatesWithinWatermark("new_id", "corpus_id")
+      .join(corNorm, Seq("corpus_id"))
+      .select(col("new_id"), col("corpus_id"),
+        (dotOf("ea", "eb") / (sqrt(dotOf("ea", "ea")) * col("nb"))).as("c"))
+      .filter(col("c") >= tau)
+      .select(col("new_id"), col("corpus_id"),
+        (floor(col("c") * 10000 + 0.5) / 10000).as("cos_sim"))
+  }
+
   /** Reference-anchored embedding drift — the streamable form of
     * [[graft.llm.CorpusOps.driftWindows]]: a FIXED reference corpus's
     * centroid (integer per-dim sums, collected at query-build time —

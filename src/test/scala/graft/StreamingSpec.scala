@@ -372,6 +372,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming embed dedup: in-flight semantic flags equal the batch " +
+      "incremental probe") {
+    implicit val sql = spark.sqlContext
+    import graft.llm.Similarity
+    def vec(seed: Int): Array[Float] = {
+      val v = (0 until 64).map(j =>
+        (((seed * 31 + j * 17) % 13) - 6).toFloat).toArray
+      v
+    }
+    val corpus = Seq(
+      (100L, vec(1)), (101L, vec(2)), (102L, vec(3)))
+      .toDF("vec_id", "embedding")
+    // vec 1 duplicates corpus 100 exactly; 2 and 3 are fresh directions
+    val incoming = Seq(
+      (1L, ts(0), vec(1)), (2L, ts(1), vec(7)), (3L, ts(2), vec(9)))
+    val batchTwin = Similarity.incrementalCosineNearDups(
+        incoming.map(r => (r._1, r._3)).toDF("vec_id", "embedding"),
+        corpus, tau = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(batchTwin.map(p => (p._1, p._2)).contains((1L, 100L)),
+      batchTwin.toString)
+    val mem = MemoryStream[(Long, Timestamp, Array[Float])]
+    val df = mem.toDF.toDF("vec_id", "ts", "embedding")
+    val q = EventStreams.streamingEmbedDedup(df, corpus, tau = 0.9)
+      .writeStream.format("memory").queryName("semb")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(incoming.map(r => (r._1, r._2, r._3)): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("semb").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed == batchTwin, s"streamed=$streamed batch=$batchTwin")
+      // multi-table collisions still emit each pair exactly once
+      assert(spark.table("semb").count() ==
+        spark.table("semb").distinct().count())
+    } finally q.stop()
+  }
+
   test("reference-anchored drift: streaming windowed centroids equal the " +
       "batch run of the same function, shifted window spikes") {
     implicit val sql = spark.sqlContext
