@@ -58,7 +58,8 @@ object Bench {
       "llm_ann_ivf", "llm_ann_native", "llm_embed_dedup",
       "llm_dedup_groups", "llm_curation", "graph_louvain_sync",
       "llm_ann_pq", "llm_ann_ivfpq", "llm_semdedup", "llm_span_dups",
-      "llm_ann_text", "llm_hybrid_rrf", "llm_bpe_encode")
+      "llm_ann_text", "llm_hybrid_rrf", "llm_bpe_encode",
+      "llm_span_remove", "llm_decontaminate_bloom")
     // Every headline number is the median of 3 runs (1 suite pass + 2
     // re-runs, caches cleared between). Single samples proved
     // unadjudicable twice: r4/r5 graph_louvain swung 24 -> 77 s on one
