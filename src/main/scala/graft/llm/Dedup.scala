@@ -278,6 +278,40 @@ object Dedup {
         Seq("doc_id"), "left_anti")
       .select("doc_id").orderBy("doc_id")
 
+  /** [[incrementalAdmit]] against a PRE-BUILT index — the deployment
+    * form, pairing with [[incrementalNearDupsIndexed]]: the admit
+    * decision without ever re-shingling the corpus. Same parameter-
+    * match caveat: numHashes/rowsPerBand/shingleSize and the
+    * `replicable` family must equal the index's. */
+  def incrementalAdmitIndexed(newDocs: DataFrame,
+      corpusIndex: DataFrame, corpusShingles: DataFrame,
+      shingleSize: Int = 3, threshold: Double = 0.5,
+      numHashes: Int = 32, rowsPerBand: Int = 4,
+      replicable: Boolean = false): DataFrame =
+    newDocs.join(
+        incrementalNearDupsIndexed(newDocs, corpusIndex, corpusShingles,
+          shingleSize, threshold, numHashes, rowsPerBand, replicable)
+          .select(col("new_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      .select("doc_id").orderBy("doc_id")
+
+  /** The index DELTA for a batch of ADMITTED docs — the append step
+    * that closes the ingestion loop: probe the index
+    * ([[incrementalNearDupsIndexed]]), admit the clean docs
+    * ([[incrementalAdmitIndexed]]), then append this delta's `bands`
+    * and `shingles` frames to the stored index (`.write.mode("append")`)
+    * so the NEXT batch also dedups against everything admitted so far.
+    * Built with exactly [[minHash]]'s machinery, so the appended rows
+    * are indistinguishable from an index built from scratch — probing
+    * (old ∪ delta) equals probing a full rebuild, which the pipeline
+    * spec asserts. The corpus is never re-shingled at any step. */
+  def indexDelta(admitted: DataFrame, shingleSize: Int = 3,
+      numHashes: Int = 32, rowsPerBand: Int = 4,
+      replicable: Boolean = false): (DataFrame, DataFrame) = {
+    val ss = withShingleSets(admitted, shingleSize).localCheckpoint()
+    (minHashOfSets(ss, numHashes, rowsPerBand, replicable), ss)
+  }
+
   /** Near-duplicate CLUSTERS: the near-dup pair graph collapsed to
     * connected components, each doc mapped to its component's smallest
     * id (the canonical "keep" doc — the dedup decision a 100 TB

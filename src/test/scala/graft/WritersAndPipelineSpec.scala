@@ -452,4 +452,49 @@ class WritersAndPipelineSpec extends AnyFunSuite {
     assert(viaReplicable == selfContained,
       s"replicable-family probe drifted: $viaReplicable")
   }
+
+  test("ingestion loop: probe -> admit -> append delta; the next batch " +
+      "dedups against what the last one admitted") {
+    import graft.llm.Dedup
+    val corpus = Seq(
+      (100L, "the cat sat on the mat today"))
+      .toDF("doc_id", "text")
+    val dir = tmp("graft-ingest-loop")
+    Dedup.withShingleSets(corpus, 1).write.parquet(s"$dir/shingles")
+    Dedup.minHash(corpus, shingleSize = 1).write.parquet(s"$dir/bands")
+    def bands = spark.read.parquet(s"$dir/bands")
+    def shingles = spark.read.parquet(s"$dir/shingles")
+    // batch 1: one corpus dup (rejected), one fresh doc (admitted)
+    val batch1 = Seq(
+      (1L, "the cat sat on the mat today"),
+      (2L, "pack my box with five dozen liquor jugs"))
+      .toDF("doc_id", "text")
+    val admitted1 = Dedup.incrementalAdmitIndexed(batch1, bands, shingles,
+      shingleSize = 1)
+    assert(admitted1.collect().map(_.getLong(0)).toSet == Set(2L))
+    // append the admitted docs' index delta — the loop-closing step
+    val keep1 = batch1.join(admitted1, Seq("doc_id"))
+    val (dBands, dShingles) = Dedup.indexDelta(keep1, shingleSize = 1)
+    dBands.write.mode("append").parquet(s"$dir/bands")
+    dShingles.write.mode("append").parquet(s"$dir/shingles")
+    // batch 2: a dup OF BATCH 1's admission — only the updated index
+    // can reject it — plus a fresh doc
+    val batch2 = Seq(
+      (10L, "pack my box with five dozen liquor jugs"),
+      (11L, "completely different words entirely here now"))
+      .toDF("doc_id", "text")
+    val admitted2 = Dedup.incrementalAdmitIndexed(batch2, bands, shingles,
+        shingleSize = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(admitted2 == Set(11L),
+      s"stale index: batch-1 admission not deduped against, got $admitted2")
+    // the appended index is indistinguishable from a full rebuild
+    val rebuilt = corpus.union(keep1)
+    val viaAppend = Dedup.incrementalNearDupsIndexed(batch2, bands, shingles,
+      shingleSize = 1).collect().map(_.toSeq).toSet
+    val viaRebuild = Dedup.incrementalNearDups(batch2, rebuilt,
+      shingleSize = 1).collect().map(_.toSeq).toSet
+    assert(viaAppend == viaRebuild && viaAppend.nonEmpty,
+      s"append=$viaAppend rebuild=$viaRebuild")
+  }
 }
