@@ -598,16 +598,19 @@ object CorpusOps {
     * [[mixQuota]]. */
   def mixRate(docs: DataFrame, strataCol: String = "lang",
       rates: Map[String, Double] = Map.empty,
-      defaultRate: Double = 0.5, salt: String = "#mix"): DataFrame = {
+      defaultRate: Double = 0.5, salt: String = "#mix",
+      ordered: Boolean = true): DataFrame = {
     def thresholdHex(r: Double): String =
       if (r >= 1.0) "g" // sorts above every hex char: keep all
       else f"${math.max(0L, (r * 0x100000000L).toLong)}%08x"
     val thr = rates.foldLeft(lit(thresholdHex(defaultRate))) {
       case (acc, (k, v)) => when(col(strataCol) === k, lit(thresholdHex(v))).otherwise(acc)
     }
-    docs.filter(substring(sampleKey(salt), 1, 8) < thr)
+    val out = docs.filter(substring(sampleKey(salt), 1, 8) < thr)
       .select(col("doc_id"), col(strataCol))
-      .orderBy("doc_id")
+    // ordered=false keeps the filter streaming-composable (a sort is
+    // illegal in an append-mode stream; the sampler itself is stateless)
+    if (ordered) out.orderBy("doc_id") else out
   }
 
   /** Cross-source duplication matrix — which sources copy from which:

@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.expr
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -238,12 +239,17 @@ class StreamingSpec extends AnyFunSuite {
     val pii = TextOps.piiRedact(streamed, ordered = false)
     val qmodel = TextOps.qualityModel(streamed, ordered = false)
     val split = graft.llm.CorpusOps.splitAssign(streamed, ordered = false)
+    val streamWithLang = streamed
+      .withColumn("lang", expr("CASE WHEN doc_id = 2 THEN 'de' ELSE 'en' END"))
+    val rate = graft.llm.CorpusOps.mixRate(streamWithLang,
+      rates = Map("en" -> 0.99, "de" -> 0.0), ordered = false)
     val qs = Seq(
       quality.writeStream.format("memory").queryName("tw_q"),
       lang.writeStream.format("memory").queryName("tw_l"),
       pii.writeStream.format("memory").queryName("tw_p"),
       qmodel.writeStream.format("memory").queryName("tw_m"),
-      split.writeStream.format("memory").queryName("tw_s"))
+      split.writeStream.format("memory").queryName("tw_s"),
+      rate.writeStream.format("memory").queryName("tw_r"))
       .map(_.outputMode(OutputMode.Append()).start())
     try {
       mem.addData(rows: _*)
@@ -257,6 +263,13 @@ class StreamingSpec extends AnyFunSuite {
         canon(TextOps.qualityModel(batchDf)))
       assert(canon(spark.table("tw_s")) ==
         canon(graft.llm.CorpusOps.splitAssign(batchDf)))
+      val batchWithLang = batchDf
+        .withColumn("lang", expr("CASE WHEN doc_id = 2 THEN 'de' ELSE 'en' END"))
+      assert(canon(spark.table("tw_r")) ==
+        canon(graft.llm.CorpusOps.mixRate(batchWithLang,
+          rates = Map("en" -> 0.99, "de" -> 0.0))))
+      // the de stratum's rate-0 filter actually dropped its row in-flight
+      assert(!spark.table("tw_r").collect().map(_.getLong(0)).contains(2L))
       // the scrub actually fired on the streamed row
       val red = spark.table("tw_p").filter($"doc_id" === 3L)
         .head().getString(5)
