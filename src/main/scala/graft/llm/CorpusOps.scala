@@ -470,6 +470,63 @@ object CorpusOps {
     if (ordered) out.orderBy("doc_id") else out
   }
 
+  /** Token-budget selection: keep the highest-quality documents whose
+    * combined token count fits a training budget — "give me the best
+    * N-token corpus" — the greedy cut over the quality-model ordering
+    * (score desc, doc_id asc). A doc is kept iff the tokens of every
+    * strictly-better doc total UNDER the budget, so exactly one doc may
+    * straddle the boundary ([[pack]]'s bounded-overflow discipline,
+    * which is what keeps the rule windowable). Output
+    * `(doc_id, score4, n_tokens, kept)` for every doc.
+    *
+    * Scale shape: NO global window. The per-row projection (score4,
+    * n_tokens) aggregates into a score-keyed histogram — bounded by the
+    * 10001 possible score4 values, the Lloyd-centers driver-state
+    * discipline — and the driver walks it best-first to find the one
+    * score bucket where the cumulative token count crosses the budget.
+    * Docs above the cut keep unconditionally, docs below drop
+    * unconditionally (both pure per-row tests); ONLY the cut bucket's
+    * docs pay a window (single-partition, bounded by one score value's
+    * population — the corpus never sorts globally). Two corpus scans
+    * (histogram + output), each pruned to doc_id/text. */
+  def tokenBudgetSelect(docs: DataFrame, budget: Long): DataFrame = {
+    require(budget > 0, s"need budget > 0, got $budget")
+    val scored = docs.select(col("doc_id"),
+      TextOps.score4(TextOps.qualityLogit6Expr()).as("score4"),
+      TextOps.nTokExpr.as("n_tokens"))
+    val hist = scored.groupBy("score4")
+      .agg(sum("n_tokens").as("btoks"))
+      .collect() // bounded: score4 has at most 10001 distinct values
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(-_._1)
+    // walk buckets best-first for the one where cumulative tokens cross
+    var cum = 0L
+    var cut = -1L
+    var cumBefore = 0L
+    val it = hist.iterator
+    while (it.hasNext && cut < 0) {
+      val (s4, t) = it.next()
+      if (cum + t >= budget) { cut = s4; cumBefore = cum }
+      cum += t
+    }
+    if (cut < 0) { // whole corpus fits the budget
+      scored.withColumn("kept", lit(true)).orderBy("doc_id")
+    } else {
+      val win = org.apache.spark.sql.expressions.Window
+        .orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)
+      val cutBucket = scored.filter(col("score4") === cut)
+        .withColumn("kept",
+          coalesce(sum("n_tokens").over(win), lit(0L)) +
+            lit(cumBefore) < budget)
+      scored.filter(col("score4") =!= cut)
+        .withColumn("kept", col("score4") > cut)
+        .unionByName(cutBucket)
+        .orderBy("doc_id")
+    }
+  }
+
   /** End-to-end training-set materialization — the whole pre-training
     * data flow in one call: curate (quality ∧ language ∧ dedup-keep ∧
     * ¬boilerplate via [[TextOps.curate]]), assign the deterministic

@@ -336,6 +336,49 @@ object Dedup {
       .select(col("node").as("doc_id"), col("keep").as("keep_id"))
       .orderBy("doc_id")
 
+  /** Quality-aware near-dup resolution — [[dedupGroups]] with the keep
+    * decision upgraded from "smallest id" to "highest quality-model
+    * score" (ties → smallest id): within each duplicate family the BEST
+    * copy survives, the decision a production pipeline actually wants
+    * when near-dups differ in OCR noise or boilerplate contamination.
+    * Output `(doc_id, family_id, keep_id, kept, score4)` for every doc:
+    * `family_id` is the component's minimum id (= [[dedupGroups]]'s
+    * label, so the two decisions join on it), `score4` the
+    * 1e-4-integer quality score, singletons keep themselves.
+    *
+    * Scale shape: the argmax runs on the FAMILY frame (paired docs
+    * only — orders of magnitude smaller than the corpus), not the
+    * corpus: per-row scores inner-join the component labels, one
+    * family-keyed min(struct) picks the winner, and the corpus-side
+    * cost is one per-row projection plus one left join against the
+    * tiny (doc → family, keep) frame. The tie-break rides the same
+    * struct ordering (negated score first, id second), so no window
+    * ever runs. */
+  def dedupKeepBest(docs: DataFrame, shingleSize: Int = 3,
+      threshold: Double = 0.5, numHashes: Int = 32,
+      rowsPerBand: Int = 4): DataFrame = {
+    val fam = minLabelComponents(
+      nearDupPairs(docs, shingleSize, threshold, numHashes, rowsPerBand)
+        .select(col("doc_a"), col("doc_b")))
+      .select(col("node").as("doc_id"), col("keep").as("family_id"))
+    // 1e-4-integer sigmoid of the quality-model logit: exact argmax key
+    val scored = TextOps.qualityModel(docs, ordered = false)
+      .select(col("doc_id"), TextOps.score4(col("logit6")).as("score4"))
+    val famScored = scored.join(fam, Seq("doc_id")) // paired docs only
+    val best = famScored.groupBy("family_id")
+      .agg(min(struct((-col("score4")).as("ns"),
+        col("doc_id").as("d"))).as("b"))
+      .select(col("family_id"), col("b.d").as("keep_id"))
+    scored
+      .join(fam.join(best, Seq("family_id")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("family_id"), col("doc_id")).as("family_id"),
+        coalesce(col("keep_id"), col("doc_id")).as("keep_id"),
+        col("score4"))
+      .withColumn("kept", col("doc_id") === col("keep_id"))
+      .orderBy("doc_id")
+  }
+
   /** Connected components of an undirected pair graph by min-label
     * propagation to quiescence — the keep-decision kernel shared by
     * [[dedupGroups]] and `Similarity.semDedupGroups`. Input (doc_a,
@@ -470,6 +513,17 @@ object Dedup {
       .filter(col("n_occ") > 1 && !(col("canon.doc_id") === col("doc_id") &&
         col("canon.pos") === col("pos")))
       .select(col("doc_id"), col("pos"))
+    removeWindowTokens(docs, removable, span)
+  }
+
+  /** Shared tail of [[spanRemove]] / [[boilerplateRemove]]: expand
+    * removable window START positions (1-based `(doc_id, pos)` rows)
+    * into covered token positions, aggregate each doc's removed set
+    * (bounded by the doc's own length, never the corpus), and rebuild
+    * the text with a per-row position-filtered HOF. Docs with nothing
+    * removed re-enter via the left join with their text untouched. */
+  private def removeWindowTokens(docs: DataFrame, removable: DataFrame,
+      span: Int): DataFrame = {
     val removed = removable
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (span - 1))).as("tp"))
@@ -484,6 +538,45 @@ object Dedup {
           .as("clean_text"),
         coalesce(size(col("removed")), lit(0)).cast("long").as("n_removed"))
       .orderBy("doc_id")
+  }
+
+  /** Boilerplate removal — the CCNet/C4-style CROSS-document filter the
+    * span ops don't express: a `span`-token window whose text occurs in
+    * at least `minDocs` DISTINCT documents is boilerplate (headers,
+    * license blocks, navigation chrome) and its tokens are removed from
+    * EVERY document — including the first occurrence, unlike
+    * [[spanRemove]]'s keep-first semantics, because boilerplate has no
+    * canonical owner. Output `(doc_id, clean_text, n_removed)`, every
+    * input doc present.
+    *
+    * Scale shape: one corpus scan explodes the rolling windows; the
+    * doc-frequency gate is a two-level hash aggregate — a (gram, doc)
+    * distinct with map-side partials, then a gram-keyed count — so no
+    * count-distinct state ever exceeds one row per (gram, doc). The
+    * boilerplate gram set joins back on the gram key carrying
+    * (doc, pos) only, and the rebuild is [[spanRemove]]'s doc-bounded
+    * tail. With `hashKeys = true` (the 100 TB path, as in [[spanDups]])
+    * every aggregate/join key is an 8-byte xxhash64 instead of the
+    * window string; a collision only ever removes extra tokens, with
+    * odds ~ |spans|²/2⁶⁵. */
+  def boilerplateRemove(docs: DataFrame, span: Int = 10, minDocs: Int = 3,
+      hashKeys: Boolean = false): DataFrame = {
+    require(span > 0, s"need span > 0, got $span")
+    require(minDocs >= 2, s"need minDocs >= 2, got $minDocs")
+    def key(c: Column) = if (hashKeys) xxhash64(c) else c
+    val wins = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        posexplode(TextOps.gramsAll(col("toks"), span)))
+      // 1-based window start, matching gramsAll's slice positions
+      .select(col("doc_id"), (col("pos") + 1).as("pos"),
+        key(col("col")).as("gk"))
+    val common = wins.select(col("gk"), col("doc_id")).distinct()
+      .groupBy("gk").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select("gk")
+    removeWindowTokens(docs,
+      wins.join(common, Seq("gk")).select(col("doc_id"), col("pos")), span)
   }
 
   /** 60-bit token hash derived from sha2-256 — slower than xxhash64 but

@@ -168,6 +168,16 @@ object LlmQueries {
       // the executable dedup decision: near-dup pair graph -> connected
       // components -> canonical keep id per member
       Dedup.dedupGroups(docs(s, d), shingleSize = 3, threshold = 0.5)),
+    // quality-aware keep decision: within each dup family the highest
+    // quality-model score survives (ties -> smallest id) — 8 of the 23
+    // sf0.01 families pick a different doc than min-id keep
+    "llm_dedup_keep_best" -> ((s, d) =>
+      Dedup.dedupKeepBest(docs(s, d), shingleSize = 3, threshold = 0.5)),
+    // cross-document boilerplate: 10-token windows seen in >= 3 distinct
+    // docs are cut from every doc (no canonical owner, unlike
+    // span_remove's keep-first)
+    "llm_boilerplate" -> ((s, d) =>
+      Dedup.boilerplateRemove(docs(s, d), span = 10, minDocs = 3)),
     "llm_simhash" -> ((s, d) =>
       // sha2-derived token hash: same sketch machinery, but every engine
       // can reproduce the hash, so the full 64-bit sketch is
@@ -373,6 +383,17 @@ object LlmQueries {
     // CCNet-style perplexity filter: add-1 unigram LM trained on the
     // English slice, every doc scored by per-token avg NLL
     "llm_perplexity" -> ((s, d) => TextOps.perplexity(docs(s, d))),
+    // CCNet head/middle/tail: per-lang perplexity terciles by exact
+    // integer rank arithmetic over the micro-unit avg_nll order
+    "llm_ccnet_buckets" -> ((s, d) => TextOps.ccnetBuckets(docs(s, d))),
+    // the deployment form: fixed avg_nll cut points, pure per-row gate
+    "llm_ccnet_fixed" -> ((s, d) =>
+      TextOps.ccnetBucketsFixed(docs(s, d), headMax = 3.40,
+        middleMax = 3.41)),
+    // token-budget selection: best-quality docs until 15k tokens (the
+    // one boundary doc may straddle, the pack discipline)
+    "llm_token_budget" -> ((s, d) =>
+      CorpusOps.tokenBudgetSelect(docs(s, d), budget = 15000L)),
     // hybrid retrieval: BM25 keyword arm + exact-cosine embedding arm
     // fused by Reciprocal Rank Fusion on integer micro-units
     "llm_hybrid_rrf" -> ((s, d) =>
@@ -1676,6 +1697,78 @@ object LlmQueries {
         "CAST(SUM(hit) AS BIGINT) AS n_maybe, " +
         "FLOOR(CAST(SUM(hit) AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000 AS overlap_ub, " +
         "FLOOR(CAST(SUM(hit) AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000 >= 0.5 AS dropped " +
-        "FROM tj GROUP BY doc_id ORDER BY doc_id"))
+        "FROM tj GROUP BY doc_id ORDER BY doc_id")) +
+    // quality-aware keep replica: the dedup-groups closure + the quality
+    // model embed verbatim; singletons re-enter via the documents left
+    // join, the family winner ranks on (score4 desc, doc_id)
+    ("llm_dedup_keep_best" ->
+      (s"""WITH g AS (${base("llm_dedup_groups")}), """ +
+        s"""qm AS (${base("llm_quality_model")}), """ +
+        "f AS (SELECT d.doc_id, COALESCE(g.keep_id, d.doc_id) AS family_id " +
+        "FROM documents d LEFT JOIN g ON g.doc_id = d.doc_id), " +
+        "s AS (SELECT f.doc_id, f.family_id, " +
+        "CAST(FLOOR(1.0 / (1.0 + EXP(-(CAST(qm.logit6 AS DOUBLE) / 1000000))) * 10000 + 0.5) AS BIGINT) AS score4 " +
+        "FROM f JOIN qm ON qm.doc_id = f.doc_id), " +
+        "b AS (SELECT family_id, doc_id AS keep_id FROM " +
+        "(SELECT family_id, doc_id, ROW_NUMBER() OVER " +
+        "(PARTITION BY family_id ORDER BY score4 DESC, doc_id) AS rn FROM s) " +
+        "WHERE rn = 1) " +
+        "SELECT s.doc_id, s.family_id, b.keep_id, s.score4, " +
+        "s.doc_id = b.keep_id AS kept " +
+        "FROM s JOIN b USING (family_id) ORDER BY s.doc_id")) +
+    // boilerplate replica: the span_remove window CTE at span 10, gated
+    // on >= 3 DISTINCT docs per window key, removal covers EVERY
+    // occurrence (no keep-first rank)
+    ("llm_boilerplate" ->
+      ("WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents), " +
+        "g0 AS (SELECT doc_id, UNNEST([struct_pack(pos := i, " +
+        "gk := array_to_string(list_slice(toks, i, i + 9), ' ')) " +
+        "FOR i IN range(1, len(toks) - 8)]) AS w FROM t WHERE len(toks) >= 10), " +
+        "g AS (SELECT doc_id, CAST(w.pos AS INTEGER) AS pos, w.gk AS gk FROM g0), " +
+        "c AS (SELECT gk FROM (SELECT gk, COUNT(DISTINCT doc_id) AS nd " +
+        "FROM g GROUP BY gk) WHERE nd >= 3), " +
+        "rem AS (SELECT DISTINCT g.doc_id, g.pos + CAST(r2.range AS INTEGER) AS tp " +
+        "FROM g, c, range(0, 10) r2 WHERE g.gk = c.gk), " +
+        "rl AS (SELECT doc_id, list_sort(list(tp)) AS removed FROM rem GROUP BY doc_id) " +
+        "SELECT t.doc_id, CASE WHEN rl.removed IS NULL THEN t.text " +
+        "ELSE COALESCE(array_to_string([t.toks[j] FOR j IN range(1, len(t.toks) + 1) " +
+        "IF NOT list_contains(rl.removed, j)], ' '), '') END AS clean_text, " +
+        "CAST(COALESCE(len(rl.removed), 0) AS BIGINT) AS n_removed " +
+        "FROM t LEFT JOIN rl ON rl.doc_id = t.doc_id ORDER BY t.doc_id")) +
+    // CCNet tercile replica: the perplexity oracle embeds verbatim;
+    // bucket = floor(3*(rank-1)/count) over (avg_nll, doc_id) per lang
+    ("llm_ccnet_buckets" ->
+      (s"""WITH p AS (${base("llm_perplexity")}), """ +
+        "j AS (SELECT p.doc_id, d.lang, p.avg_nll FROM p " +
+        "JOIN documents d ON d.doc_id = p.doc_id), " +
+        "r AS (SELECT doc_id, lang, avg_nll, " +
+        "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY avg_nll, doc_id) AS rn, " +
+        "COUNT(*) OVER (PARTITION BY lang) AS cnt FROM j) " +
+        "SELECT doc_id, lang, avg_nll, " +
+        "['head','middle','tail'][CAST(3 * (rn - 1) // cnt AS INTEGER) + 1] AS bucket " +
+        "FROM r ORDER BY doc_id")) +
+    // fixed-threshold form: same scoring CTE, per-row cut-point gate on
+    // the 1e-4-floored avg_nll (identical doubles on both engines)
+    ("llm_ccnet_fixed" ->
+      (s"""WITH p AS (${base("llm_perplexity")}), """ +
+        "j AS (SELECT p.doc_id, d.lang, p.avg_nll FROM p " +
+        "JOIN documents d ON d.doc_id = p.doc_id) " +
+        "SELECT doc_id, lang, avg_nll, " +
+        "CASE WHEN avg_nll <= 3.40 THEN 'head' WHEN avg_nll <= 3.41 THEN 'middle' " +
+        "ELSE 'tail' END AS bucket FROM j ORDER BY doc_id")) +
+    // token-budget replica: the quality-model oracle embeds verbatim;
+    // kept = tokens of strictly-better docs (score4 desc, doc_id) under
+    // the budget, token count by the single-space formula of llm_pack
+    ("llm_token_budget" ->
+      (s"""WITH qm AS (${base("llm_quality_model")}), """ +
+        "q AS (SELECT doc_id, " +
+        "CAST(FLOOR(1.0 / (1.0 + EXP(-(CAST(logit6 AS DOUBLE) / 1000000))) * 10000 + 0.5) AS BIGINT) AS score4 FROM qm), " +
+        "n AS (SELECT doc_id, CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS n_tokens FROM documents), " +
+        "w AS (SELECT q.doc_id, q.score4, n.n_tokens, " +
+        "COALESCE(SUM(n.n_tokens) OVER (ORDER BY q.score4 DESC, q.doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef " +
+        "FROM q JOIN n ON n.doc_id = q.doc_id) " +
+        "SELECT doc_id, score4, n_tokens, bef < 15000 AS kept " +
+        "FROM w ORDER BY doc_id"))
   }
 }

@@ -91,6 +91,25 @@ object TextOps {
     if (ordered) out.orderBy("doc_id") else out
   }
 
+  /** The quality-model logit floored ONCE to 1e-6 micro-units (an exact
+    * BIGINT) — the shared core of [[qualityModel]] and the selection
+    * ops that rank on its score ([[Dedup.dedupKeepBest]],
+    * `CorpusOps.tokenBudgetSelect`). */
+  private[llm] def qualityLogit6Expr(bias: Double = -4.0,
+      wUniq: Double = 2.0, wAlpha: Double = 4.0, wStop: Double = 3.0,
+      wLen: Double = 0.5): Column = {
+    val (uniqRatio, alphaRatio, meanLen, stopRatio) = qualityParts
+    floor((lit(bias) + uniqRatio * wUniq + alphaRatio * wAlpha +
+      stopRatio * wStop + meanLen * wLen) * 1e6 + 0.5).cast("long")
+  }
+
+  /** 1e-4-integer sigmoid of a micro-unit logit — the exact ordering /
+    * argmax key the selection ops sort on (the rounded double `score`
+    * column of [[qualityModel]] could round-trip off by one ulp). */
+  private[llm] def score4(logit6: Column): Column =
+    floor(lit(1.0) / (lit(1.0) +
+      exp(-(logit6.cast("double") / 1e6))) * 1e4 + 0.5).cast("long")
+
   /** Model-based quality filter — the GPT-3/CCNet-style classifier gate:
     * a logistic model over the [[quality]] feature pack scores each doc
     * and `keep = score >= threshold` is the filter decision. The weights
@@ -114,9 +133,7 @@ object TextOps {
       ordered: Boolean = true): DataFrame = {
     require(threshold > 0 && threshold < 1,
       s"need 0 < threshold < 1, got $threshold")
-    val (uniqRatio, alphaRatio, meanLen, stopRatio) = qualityParts
-    val logit6 = floor((lit(bias) + uniqRatio * wUniq + alphaRatio * wAlpha +
-      stopRatio * wStop + meanLen * wLen) * 1e6 + 0.5).cast("long")
+    val logit6 = qualityLogit6Expr(bias, wUniq, wAlpha, wStop, wLen)
     // staged projections: the (partly interpreted) feature pack
     // evaluates ONCE into logit6; score and keep derive from the
     // materialized columns (single-reference rule)
@@ -699,6 +716,62 @@ object TextOps {
         r4(avg).as("avg_nll"),
         r4(exp(avg6)).as("ppl"))
       .withColumn("flagged", col("ppl") > flagThreshold)
+    if (ordered) out.orderBy("doc_id") else out
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): within each
+    * language, docs rank by their unigram-LM perplexity against the
+    * `refLang` reference slice and split into head / middle / tail
+    * thirds — head (lowest perplexity, most reference-like) is what
+    * CCNet keeps outright, middle is optionally kept, tail is dropped
+    * or down-weighted. Ranking runs on the exact micro-unit `avg_nll`
+    * (ties → doc_id), and the bucket index is pure integer arithmetic
+    * `floor(3·(rank−1)/count)` — both engines replay it bit-for-bit.
+    * Output `(doc_id, lang, avg_nll, bucket)`.
+    *
+    * Scale shape: the [[perplexityAgainst]] pipeline plus ONE window
+    * partitioned by language — a group-sort whose skew is bounded by
+    * the largest language's share, acceptable for the corpus-analysis
+    * / threshold-derivation role this op plays ([[mixQuota]]'s exact
+    * stratified discipline). The production filter-at-ingest path is
+    * [[ccnetBucketsFixed]]: derive the cut points ONCE from this (or
+    * from a sample), then gate per-row with zero shuffles. */
+  def ccnetBuckets(docs: DataFrame, refLang: String = "en",
+      ordered: Boolean = true): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("avg_nll"), col("doc_id"))
+    val n = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+    val out = perplexity(docs, refLang, ordered = false)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("avg_nll"),
+        row_number().over(w).as("rn"), count(lit(1)).over(n).as("cnt"))
+      .select(col("doc_id"), col("lang"), col("avg_nll"),
+        element_at(typedLit(Seq("head", "middle", "tail")),
+          (floor(lit(3) * (col("rn") - 1) / col("cnt")) + 1).cast("int"))
+          .as("bucket"))
+    if (ordered) out.orderBy("doc_id") else out
+  }
+
+  /** The deployment form of [[ccnetBuckets]]: bucket by FIXED
+    * `avg_nll` cut points (doc ≤ headMax → head, ≤ middleMax → middle,
+    * else tail) instead of within-corpus ranks — CCNet's actual
+    * at-scale shape, where thresholds come from a reference run and
+    * each incoming shard buckets independently. Pure per-row
+    * projection after the [[perplexityAgainst]] scoring scan: no
+    * window, no shuffle beyond perplexity's own doc-keyed agg, and
+    * bucket assignment is stable under corpus growth (a rank bucket
+    * reshuffles every doc's fate whenever the corpus changes). */
+  def ccnetBucketsFixed(docs: DataFrame, headMax: Double,
+      middleMax: Double, refLang: String = "en",
+      ordered: Boolean = true): DataFrame = {
+    require(headMax <= middleMax,
+      s"need headMax <= middleMax, got $headMax > $middleMax")
+    val out = perplexity(docs, refLang, ordered = false)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("avg_nll"),
+        when(col("avg_nll") <= headMax, "head")
+          .when(col("avg_nll") <= middleMax, "middle")
+          .otherwise("tail").as("bucket"))
     if (ordered) out.orderBy("doc_id") else out
   }
 

@@ -1240,6 +1240,114 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("boilerplate removal: three-doc window cut from EVERY doc " +
+      "(no canonical owner), two-doc windows survive minDocs=3, " +
+      "hashed keys identical") {
+    val docs = Seq(
+      (1L, "copy right notice a b c"),
+      (2L, "copy right notice d e f"),
+      (3L, "copy right notice g h i"), // "copy right notice" in 3 docs
+      (4L, "two doc only x y z"),
+      (5L, "two doc only w v u") // "two doc only" in just 2 docs
+    ).toDF("doc_id", "text")
+    val r = Dedup.boilerplateRemove(docs, span = 3, minDocs = 3).collect()
+      .map(x => x.getLong(0) -> (x.getString(1), x.getLong(2))).toMap
+    assert(r(1L) == (("a b c", 3L)), r(1L)) // first occurrence cut too
+    assert(r(2L) == (("d e f", 3L)), r(2L))
+    assert(r(3L) == (("g h i", 3L)), r(3L))
+    assert(r(4L)._2 == 0L && r(5L)._2 == 0L, (r(4L), r(5L)))
+    val hashed = Dedup.boilerplateRemove(docs, span = 3, minDocs = 3,
+      hashKeys = true).collect()
+      .map(x => x.getLong(0) -> (x.getString(1), x.getLong(2))).toMap
+    assert(hashed == r)
+  }
+
+  test("dedup keep-best: family keeps the highest-scoring member, not " +
+      "the smallest id; singletons keep themselves; family ids match " +
+      "dedupGroups labels") {
+    val docs = Seq(
+      // near-dups (token jaccard 1.0): doc 10 repeats tokens, so its
+      // uniq_ratio — and quality score — is strictly lower than 11's
+      (10L, "alpha beta gamma delta epsilon zeta alpha alpha alpha"),
+      (11L, "alpha beta gamma delta epsilon zeta"),
+      (12L, "completely different singleton words")
+    ).toDF("doc_id", "text")
+    val r = Dedup.dedupKeepBest(docs, shingleSize = 1, threshold = 0.5)
+      .collect()
+      .map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getBoolean(4))).toMap
+    assert(r(10L) == ((10L, 11L, false)), r(10L)) // better copy wins
+    assert(r(11L) == ((10L, 11L, true)), r(11L))
+    assert(r(12L) == ((12L, 12L, true)), r(12L)) // singleton
+    // family labels agree with the min-id dedupGroups partition
+    val fams = Dedup.dedupGroups(docs, shingleSize = 1, threshold = 0.5)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(fams == Map(10L -> 10L, 11L -> 10L))
+  }
+
+  test("ccnet buckets: per-lang thirds by rank, extremes land in " +
+      "head/tail, fixed cut points replay the rank assignment") {
+    // six en docs spanning common -> rare vocabulary (the LM trains on
+    // the en slice, so rare-token docs score higher avg_nll) + three de
+    val docs = Seq(
+      (0L, "the the the cat", "en"), (1L, "the cat sat mat", "en"),
+      (2L, "the cat ran far", "en"), (3L, "cat mat sat bat", "en"),
+      (4L, "weird zap qux f", "en"), (5L, "zap qux vex jag", "en"),
+      (6L, "der hund lief x", "de"), (7L, "der hund kam he", "de"),
+      (8L, "die katze sass", "de")
+    ).toDF("doc_id", "text", "lang")
+    val r = TextOps.ccnetBuckets(docs).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getDouble(2),
+        x.getString(3)))
+    val en = r.filter(_._2 == "en")
+    assert(en.groupBy(_._4).view.mapValues(_.length).toMap ==
+      Map("head" -> 2, "middle" -> 2, "tail" -> 2))
+    val de = r.filter(_._2 == "de")
+    assert(de.groupBy(_._4).view.mapValues(_.length).toMap ==
+      Map("head" -> 1, "middle" -> 1, "tail" -> 1))
+    // rank order respected: min avg_nll -> head, max -> tail (per lang)
+    for (g <- Seq(en, de)) {
+      assert(g.minBy(x => (x._3, x._1))._4 == "head")
+      assert(g.maxBy(x => (x._3, x._1))._4 == "tail")
+    }
+    // fixed thresholds chosen from the observed en terciles reproduce
+    // the rank buckets for en docs (the deployment-path equivalence)
+    val sorted = en.sortBy(x => (x._3, x._1))
+    val fixed = TextOps.ccnetBucketsFixed(docs,
+      headMax = sorted(1)._3, middleMax = sorted(3)._3).collect()
+      .map(x => x.getLong(0) -> x.getString(3)).toMap
+    for ((id, _, _, b) <- en) assert(fixed(id) == b, s"doc $id")
+  }
+
+  test("token-budget selection: kept set is the maximal quality-ordered " +
+      "prefix under the budget, bounded overflow, degenerate budgets") {
+    val docs = Tables(spark, sf0001, "documents")
+    val budget = 2000L
+    val r = CorpusOps.tokenBudgetSelect(docs, budget).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getBoolean(3)))
+    // replay the rule directly from the returned (score4, n_tokens)
+    var before = 0L
+    val expected = r.sortBy(x => (-x._2, x._1)).map { x =>
+      val kept = before < budget
+      before += x._3
+      x._1 -> kept
+    }.toMap
+    assert(r.map(x => x._1 -> x._4).toMap == expected)
+    val keptTokens = r.filter(_._4).map(_._3).sum
+    val maxDoc = r.map(_._3).max
+    assert(keptTokens < budget + maxDoc) // one straddler at most
+    assert(keptTokens >= math.min(budget, r.map(_._3).sum))
+    // budget beyond the corpus: everything kept
+    val all = CorpusOps.tokenBudgetSelect(docs, 10000000L).collect()
+    assert(all.forall(_.getBoolean(3)))
+    // n_tokens matches the single-space formula
+    val nt = docs.selectExpr("doc_id",
+      "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS LONG)")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r.forall(x => nt(x._1) == x._3))
+  }
+
   test("llm oracle SQL matches DSL output via Spark SQL (portable subset)") {
     Tables.registerAll(spark, sf0001)
     for (name <- Seq("llm_text_stats", "llm_dedup_exact")) {
