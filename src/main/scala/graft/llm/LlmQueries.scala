@@ -414,6 +414,13 @@ object LlmQueries {
     // the shipped tokenizer artifact: character inventory + merges as
     // one (token_id, token) table
     "llm_bpe_vocab" -> ((s, d) => TextOps.bpeVocab(docs(s, d), nMerges = 3)),
+    // per-source tokenizer cost: BPE symbols per word + whole-word
+    // coverage under the same 3-merge table the encode query replays
+    "llm_bpe_fertility" -> ((s, d) => {
+      val m = TextOps.bpeLearn(docs(s, d), nMerges = 3).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextOps.bpeFertility(docs(s, d), m)
+    }),
     "llm_hll_distinct" -> ((s, d) =>
       // 100 TB distinct counting: HLL sketch vs exact. The sketch value
       // itself is impl-defined, so the checkable output is the exact
@@ -1513,6 +1520,25 @@ object LlmQueries {
         "CAST(COALESCE(list_sum(list_transform(toks, w -> len(string_split(" +
         bpeEncodeExpr(3) + ", ' ')))), 0) AS BIGINT) AS n_bpe " +
         "FROM enc ORDER BY doc_id")) +
+    // fertility replica: the encode CTEs with a per-word unnest and a
+    // source-keyed rollup (pieces per word evaluated once per word)
+    ("llm_bpe_fertility" ->
+      ("WITH " + bpeCtes(3) + ", " +
+        "m AS (SELECT (SELECT pair FROM b1) AS q1, (SELECT pair FROM b2) AS q2, " +
+        "(SELECT pair FROM b3) AS q3), " +
+        "enc AS (SELECT source, list_filter(string_split(text, ' '), " +
+        "w -> length(w) > 0) AS toks, q1, q2, q3 FROM documents, m), " +
+        "pw AS (SELECT source, CAST(len(string_split(" + bpeEncodeExpr(3) +
+        ", ' ')) AS BIGINT) AS pieces FROM " +
+        "(SELECT source, unnest(toks) AS w, q1, q2, q3 FROM enc)), " +
+        "a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words, " +
+        "CAST(SUM(pieces) AS BIGINT) AS n_pieces, " +
+        "CAST(SUM(CASE WHEN pieces = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_whole " +
+        "FROM pw GROUP BY source) " +
+        "SELECT source, n_words, n_pieces, " +
+        "FLOOR(CAST(n_pieces AS DOUBLE) / n_words * 10000 + 0.5) / 10000 AS fertility, " +
+        "FLOOR(CAST(n_whole AS DOUBLE) / n_words * 10000 + 0.5) / 10000 AS whole_word_rate " +
+        "FROM a ORDER BY source")) +
     // drift replica: the verified featurize oracle embeds verbatim;
     // components re-floor to exact 1e-4 BIGINTs, centroids are integer
     // per-dim sums (cosine is scale-invariant), and the one cosine per

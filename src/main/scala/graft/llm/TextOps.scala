@@ -654,6 +654,43 @@ object TextOps {
     if (ordered) out.orderBy("doc_id") else out
   }
 
+  /** Per-source tokenizer-cost accounting — the fertility diagnostic a
+    * tokenizer team runs before committing to a merge table: for each
+    * source, how many BPE symbols per whitespace word the learned
+    * merges produce (`fertility`, the per-word token bill) and what
+    * share of words encode as ONE symbol (`whole_word_rate`, vocabulary
+    * coverage). High-fertility sources blow the training token budget;
+    * near-zero whole-word rates flag vocabulary/domain mismatch.
+    * `merges` is [[bpeLearn]]'s bounded driver-side artifact, as in
+    * [[bpeEncode]]. Output
+    * `(source, n_words, n_pieces, fertility, whole_word_rate)`.
+    *
+    * Scale shape: one corpus scan explodes words; the per-word encode
+    * replay runs ONCE per word (unlike a naive two-aggregate form that
+    * would replay the merge chain twice); the rollup is a hash agg
+    * keyed on source — output bounded by the source inventory, map-side
+    * partials carry three longs per (partition, source). */
+  def bpeFertility(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val toks = filter(tokens(col("text")), w => length(w) > 0)
+    val encodeWord = (w: Column) => merges.foldLeft(charRepr(w)) {
+      case (acc, (a, b)) => applyMerge(acc, a, b)
+    }
+    docs.select(col("source"), explode(toks).as("w"))
+      .select(col("source"),
+        size(split(encodeWord(col("w")), " ")).cast("long").as("pieces"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"),
+        sum("pieces").as("n_pieces"),
+        sum(when(col("pieces") === 1, 1L).otherwise(0L)).as("n_whole"))
+      .select(col("source"), col("n_words"), col("n_pieces"),
+        r4(col("n_pieces").cast("double") / col("n_words"))
+          .as("fertility"),
+        r4(col("n_whole").cast("double") / col("n_words"))
+          .as("whole_word_rate"))
+      .orderBy("source")
+  }
+
   /** Unigram-LM perplexity scoring — the CCNet-style quality filter: an
     * add-1-smoothed unigram language model is trained on the `refLang`
     * slice of the corpus and every document is scored by its per-token

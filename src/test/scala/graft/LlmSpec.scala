@@ -1348,6 +1348,21 @@ class LlmSpec extends AnyFunSuite {
     assert(r.forall(x => nt(x._1) == x._3))
   }
 
+  test("bpe fertility: per-source pieces-per-word and whole-word " +
+      "coverage under a hand-set merge table") {
+    val docs = Seq(
+      (1L, "aa ab", "s1"),
+      (2L, "aa aa aa", "s2")
+    ).toDF("doc_id", "text", "source")
+    // one merge (a,a): "aa" encodes to 1 symbol, "ab" stays "a b" (2)
+    val r = TextOps.bpeFertility(docs, Seq(("a", "a"))).collect()
+      .map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3), x.getDouble(4)))
+      .toMap
+    assert(r("s1") == ((2L, 3L, 1.5, 0.5)), r("s1"))
+    assert(r("s2") == ((3L, 3L, 1.0, 1.0)), r("s2"))
+  }
+
   test("llm oracle SQL matches DSL output via Spark SQL (portable subset)") {
     Tables.registerAll(spark, sf0001)
     for (name <- Seq("llm_text_stats", "llm_dedup_exact")) {
