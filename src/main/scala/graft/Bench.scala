@@ -59,7 +59,8 @@ object Bench {
       "llm_dedup_groups", "llm_curation", "graph_louvain_sync",
       "llm_ann_pq", "llm_ann_ivfpq", "llm_semdedup", "llm_span_dups",
       "llm_ann_text", "llm_hybrid_rrf", "llm_bpe_encode",
-      "llm_span_remove", "llm_decontaminate_bloom")
+      "llm_span_remove", "llm_decontaminate_bloom", "llm_boilerplate",
+      "llm_dedup_keep_best", "llm_token_budget", "llm_within_doc_dedup")
     // Every headline number is the median of 3 runs (1 suite pass + 2
     // re-runs, caches cleared between). Single samples proved
     // unadjudicable twice: r4/r5 graph_louvain swung 24 -> 77 s on one

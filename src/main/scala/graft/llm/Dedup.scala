@@ -540,6 +540,49 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Within-document span dedup — the per-document form of
+    * [[spanRemove]] (C4-style repeated-window cleanup): a `span`-token
+    * window whose text already occurred EARLIER IN THE SAME document
+    * keeps that first occurrence, and every later occurrence's tokens
+    * are removed. Unlike the corpus-level span ops this is a PURE
+    * PER-ROW projection — no explode, no aggregate, no join, no
+    * shuffle: the 100 TB cost is one scan, and it composes into
+    * append-mode streams unchanged (stateless). Output
+    * `(doc_id, clean_text, n_removed)`.
+    *
+    * The per-row work is quadratic in a doc's own window count (the
+    * first-occurrence probe scans the gram list per window) — bounded
+    * by document length, never the corpus. `hashGrams = true` compares
+    * 8-byte xxhash64 values instead of window strings inside that
+    * probe (the long-document path); a collision only ever removes
+    * extra tokens. */
+  def withinDocDedup(docs: DataFrame, span: Int = 20,
+      hashGrams: Boolean = false, ordered: Boolean = true): DataFrame = {
+    require(span > 0, s"need span > 0, got $span")
+    val toks = TextOps.tokens(col("text"))
+    val gramsRaw = TextOps.gramsAll(toks, span)
+    val grams =
+      if (hashGrams) transform(gramsRaw, g => xxhash64(g)) else gramsRaw
+    // 1-based starts of windows whose text first occurred earlier; the
+    // empty-gram guard matters: sequence(1, 0) would DESCEND, not empty
+    val dupStarts = when(size(grams) === 0,
+      array().cast("array<bigint>")).otherwise(
+      filter(sequence(lit(1L), size(grams).cast("long")),
+        i => array_position(grams, element_at(grams, i.cast("int"))) < i))
+    val removedPos = array_distinct(flatten(transform(dupStarts,
+      s => sequence(s, s + (span - 1)))))
+    val out = docs
+      .select(col("doc_id"), col("text"), removedPos.as("removed"))
+      .select(col("doc_id"),
+        when(size(col("removed")) === 0, col("text"))
+          .otherwise(array_join(filter(TextOps.tokens(col("text")),
+            (_, i) => !array_contains(col("removed"),
+              (i + 1).cast("long"))), " "))
+          .as("clean_text"),
+        size(col("removed")).cast("long").as("n_removed"))
+    if (ordered) out.orderBy("doc_id") else out
+  }
+
   /** Boilerplate removal — the CCNet/C4-style CROSS-document filter the
     * span ops don't express: a `span`-token window whose text occurs in
     * at least `minDocs` DISTINCT documents is boilerplate (headers,

@@ -178,6 +178,10 @@ object LlmQueries {
     // span_remove's keep-first)
     "llm_boilerplate" -> ((s, d) =>
       Dedup.boilerplateRemove(docs(s, d), span = 10, minDocs = 3)),
+    // within-doc repeated-window cleanup (C4-style): pure per-row
+    // projection, keep-first inside each document
+    "llm_within_doc_dedup" -> ((s, d) =>
+      Dedup.withinDocDedup(docs(s, d), span = 3)),
     "llm_simhash" -> ((s, d) =>
       // sha2-derived token hash: same sketch machinery, but every engine
       // can reproduce the hash, so the full 64-bit sketch is
@@ -1761,6 +1765,24 @@ object LlmQueries {
         "IF NOT list_contains(rl.removed, j)], ' '), '') END AS clean_text, " +
         "CAST(COALESCE(len(rl.removed), 0) AS BIGINT) AS n_removed " +
         "FROM t LEFT JOIN rl ON rl.doc_id = t.doc_id ORDER BY t.doc_id")) +
+    // within-doc dedup replica: per-row list comprehensions — windows,
+    // earlier-first-occurrence starts via list_position, covered
+    // positions flattened + deduped, position-filtered rebuild
+    ("llm_within_doc_dedup" ->
+      ("WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents), " +
+        "g AS (SELECT doc_id, text, toks, " +
+        "[array_to_string(list_slice(toks, i, i + 2), ' ') " +
+        "FOR i IN range(1, len(toks) - 1)] AS grams FROM t), " +
+        "d AS (SELECT doc_id, text, toks, " +
+        "[i FOR i IN range(1, len(grams) + 1) " +
+        "IF list_position(grams, grams[i]) < i] AS ds FROM g), " +
+        "r AS (SELECT doc_id, text, toks, " +
+        "list_distinct(flatten([range(s, s + 3) FOR s IN ds])) AS rm FROM d) " +
+        "SELECT doc_id, CASE WHEN len(rm) = 0 THEN text " +
+        "ELSE COALESCE(array_to_string([toks[j] FOR j IN range(1, len(toks) + 1) " +
+        "IF NOT list_contains(rm, j)], ' '), '') END AS clean_text, " +
+        "CAST(len(rm) AS BIGINT) AS n_removed " +
+        "FROM r ORDER BY doc_id")) +
     // CCNet tercile replica: the perplexity oracle embeds verbatim;
     // bucket = floor(3*(rank-1)/count) over (avg_nll, doc_id) per lang
     ("llm_ccnet_buckets" ->

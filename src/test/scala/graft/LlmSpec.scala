@@ -1348,6 +1348,24 @@ class LlmSpec extends AnyFunSuite {
     assert(r.forall(x => nt(x._1) == x._3))
   }
 
+  test("within-doc dedup: later repeats cut, first kept, cross-doc " +
+      "repeats untouched, hashed grams identical") {
+    val docs = Seq(
+      (1L, "p q r p q r p q r"), // self-repeating: first window survives
+      (2L, "a b c d e f"),
+      (3L, "a b c d e f") // cross-doc dup — not within-doc, untouched
+    ).toDF("doc_id", "text")
+    val r = Dedup.withinDocDedup(docs, span = 3).collect()
+      .map(x => x.getLong(0) -> (x.getString(1), x.getLong(2))).toMap
+    assert(r(1L) == (("p q r", 6L)), r(1L))
+    assert(r(2L) == (("a b c d e f", 0L)), r(2L))
+    assert(r(3L) == (("a b c d e f", 0L)), r(3L))
+    val hashed = Dedup.withinDocDedup(docs, span = 3, hashGrams = true)
+      .collect()
+      .map(x => x.getLong(0) -> (x.getString(1), x.getLong(2))).toMap
+    assert(hashed == r)
+  }
+
   test("bpe fertility: per-source pieces-per-word and whole-word " +
       "coverage under a hand-set merge table") {
     val docs = Seq(

@@ -276,4 +276,53 @@ class PlanSpec extends AnyFunSuite {
     assert(!pn.contains("CartesianProduct") &&
       !pn.contains("BroadcastNestedLoopJoin"), pn.take(3000))
   }
+
+  test("token-budget selection windows only the cut bucket — the " +
+      "corpus never range-sorts on score") {
+    val docs = Tables(spark, sf0001, "documents")
+    val df = graft.llm.CorpusOps.tokenBudgetSelect(docs, 2000L)
+    df.collect()
+    // AQE's toString prints the initial plan after the final one — slice
+    // to the final section, then count the Window OPERATOR ("Window ["
+    // — the frame spec inside its argument list also contains the word)
+    val p = plan(df).split("== Initial Plan ==")(0)
+    assert(p.linesIterator.count(_.contains("Window [")) == 1, p.take(3000))
+    // a global quality sort would plan a score4 range exchange; the
+    // only range partitioning allowed is the doc_id presentation sort
+    p.linesIterator.filter(_.contains("rangepartitioning")).foreach { l =>
+      assert(l.contains("doc_id"), l)
+    }
+  }
+
+  test("dedup keep-best plans the family argmax as an aggregate — " +
+      "no window anywhere") {
+    val docs = Tables(spark, sf0001, "documents")
+    val df = graft.llm.Dedup.dedupKeepBest(docs)
+    df.collect()
+    assert(!plan(df).contains("Window"), plan(df).take(3000))
+  }
+
+  test("boilerplate removal meets grams on an 8-byte-key equi-join, " +
+      "never a cartesian") {
+    val docs = Tables(spark, sf0001, "documents")
+    val df = graft.llm.Dedup.boilerplateRemove(docs, span = 10,
+      minDocs = 3, hashKeys = true)
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("xxhash64"), p.take(3000))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("ccnet fixed-threshold buckets add no window to the perplexity " +
+      "plan; the rank form pays exactly the per-lang windows") {
+    val docs = Tables(spark, sf0001, "documents")
+    val pf = plan(graft.llm.TextOps.ccnetBucketsFixed(docs, 3.40, 3.41,
+      ordered = false))
+    assert(!pf.contains("Window"), pf.take(3000))
+    val pr = plan(graft.llm.TextOps.ccnetBuckets(docs, ordered = false))
+    assert(pr.linesIterator.exists(_.contains("Window")), pr.take(3000))
+  }
 }

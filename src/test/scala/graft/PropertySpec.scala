@@ -5,7 +5,7 @@ import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.graph.{Community, GraphSource, Iterative}
-import graft.llm.{Dedup, TextOps}
+import graft.llm.{CorpusOps, Dedup, TextOps}
 
 /** Property-based tests (SURVEY §5.4): invariants that must hold for any
   * input, not just the fixtures. Generators are driven directly (seeded)
@@ -334,6 +334,81 @@ class PropertySpec extends AnyFunSuite {
       assert(cells.map(_.getLong(2)).sum == total)
       // undirected: cells are lexicographically ordered
       cells.foreach(c => assert(c.getString(0) <= c.getString(1)))
+    }
+  }
+
+  test("boilerplate removal conserves tokens, removes nothing above " +
+      "the corpus doc count, and is hash-key invariant") {
+    forAll(docGen, n = 3) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val r = Dedup.boilerplateRemove(df, span = 2, minDocs = 2).collect()
+        .map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+      val orig = docs.toMap
+      r.foreach { case (id, clean, nRem) =>
+        val n0 = orig(id).split(" ").length
+        val nc = if (clean.isEmpty) 0 else clean.split(" ").length
+        assert(nc + nRem == n0, s"doc $id: $nc + $nRem != $n0")
+      }
+      val none = Dedup.boilerplateRemove(df, span = 2,
+        minDocs = docs.length + 1).collect()
+      assert(none.forall(_.getLong(2) == 0L))
+      val hashed = Dedup.boilerplateRemove(df, span = 2, minDocs = 2,
+        hashKeys = true).collect()
+        .map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+      assert(hashed.toSet == r.toSet)
+    }
+  }
+
+  test("token-budget kept set is exactly the greedy quality prefix " +
+      "for any corpus and budget") {
+    forAll(docGen.flatMap(d => Gen.choose(1L, 30L).map(b => (d, b))),
+      n = 3) { case (docs, budget) =>
+      val df = docs.toDF("doc_id", "text")
+      val r = CorpusOps.tokenBudgetSelect(df, budget).collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+          x.getBoolean(3)))
+      var before = 0L
+      val expected = r.sortBy(x => (-x._2, x._1)).map { x =>
+        val kept = before < budget
+        before += x._3
+        x._1 -> kept
+      }.toMap
+      assert(r.map(x => x._1 -> x._4).toMap == expected)
+    }
+  }
+
+  test("keep-best picks a max-score member of every family (ties -> " +
+      "min id) and marks exactly it kept") {
+    forAll(docGen, n = 3) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val r = Dedup.dedupKeepBest(df, shingleSize = 1, threshold = 0.5)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+          x.getLong(3), x.getBoolean(4))).toList
+      r.groupBy(_._2).foreach { case (_, members) =>
+        val keeps = members.map(_._3).distinct
+        assert(keeps.length == 1)
+        val keep = keeps.head
+        val keepScore = members.find(_._1 == keep).get._4
+        members.foreach { m =>
+          assert(keepScore > m._4 ||
+            (keepScore == m._4 && keep <= m._1), s"$keep vs $m")
+          assert(m._5 == (m._1 == keep))
+        }
+      }
+    }
+  }
+
+  test("within-doc dedup equals corpus span-remove on single-doc " +
+      "corpora (shared keep-first semantics)") {
+    forAll(docGen, n = 3) { docs =>
+      docs.take(3).foreach { case (id, text) =>
+        val one = Seq((id, text)).toDF("doc_id", "text")
+        val a = Dedup.withinDocDedup(one, span = 2).collect()
+          .map(x => (x.getLong(0), x.getString(1), x.getLong(2))).toSeq
+        val b = Dedup.spanRemove(one, span = 2).collect()
+          .map(x => (x.getLong(0), x.getString(1), x.getLong(2))).toSeq
+        assert(a == b, s"doc $id: $a vs $b")
+      }
     }
   }
 
