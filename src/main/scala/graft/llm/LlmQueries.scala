@@ -387,6 +387,13 @@ object LlmQueries {
     // CCNet-style perplexity filter: add-1 unigram LM trained on the
     // English slice, every doc scored by per-token avg NLL
     "llm_perplexity" -> ((s, d) => TextOps.perplexity(docs(s, d))),
+    // bigram-LM perplexity: token-transition NLL under an add-1
+    // conditional model trained on the en slice (prefix-count fallback
+    // for unseen pairs)
+    "llm_perplexity_bigram" -> ((s, d) => {
+      val all = docs(s, d)
+      TextOps.perplexityBigram(all, all.filter(col("lang") === "en"))
+    }),
     // CCNet head/middle/tail: per-lang perplexity terciles by exact
     // integer rank arithmetic over the micro-unit avg_nll order
     "llm_ccnet_buckets" -> ((s, d) => TextOps.ccnetBuckets(docs(s, d))),
@@ -1765,6 +1772,33 @@ object LlmQueries {
         "IF NOT list_contains(rl.removed, j)], ' '), '') END AS clean_text, " +
         "CAST(COALESCE(len(rl.removed), 0) AS BIGINT) AS n_removed " +
         "FROM t LEFT JOIN rl ON rl.doc_id = t.doc_id ORDER BY t.doc_id")) +
+    // bigram perplexity replica: bigram/unigram type counts from the en
+    // slice, per-TYPE micro-unit costs (pair seen -> prefix-conditional;
+    // pair unseen -> prefix fallback; prefix unseen -> V+1 constant),
+    // exact bigint doc sums, stabilized exp — the llm_perplexity
+    // discipline one order up
+    ("llm_perplexity_bigram" ->
+      ("WITH tr AS (SELECT string_split(text, ' ') AS toks FROM documents WHERE lang = 'en'), " +
+        "uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cu FROM " +
+        "(SELECT unnest(toks) AS tok FROM tr) GROUP BY tok), " +
+        "st AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni), " +
+        "bgc AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS cb FROM " +
+        "(SELECT unnest([toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))]) AS bg FROM tr) GROUP BY bg), " +
+        "bco AS (SELECT bg, CAST(FLOOR(-LN(CAST(cb + 1 AS DOUBLE) / (cu + v + 1)) * 1000000 + 0.5) AS BIGINT) AS nll6 " +
+        "FROM bgc JOIN uni ON uni.tok = string_split(bg, ' ')[1], st), " +
+        "pco AS (SELECT tok, CAST(FLOOR(-LN(CAST(1 AS DOUBLE) / (cu + v + 1)) * 1000000 + 0.5) AS BIGINT) AS punll6 FROM uni, st), " +
+        "un AS (SELECT CAST(FLOOR(-LN(CAST(1 AS DOUBLE) / (v + 1)) * 1000000 + 0.5) AS BIGINT) AS u0 FROM st), " +
+        "e AS (SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))]) AS bg " +
+        "FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)), " +
+        "s AS (SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, " +
+        "CAST(SUM(COALESCE(bco.nll6, pco.punll6, un.u0)) AS BIGINT) AS s6 " +
+        "FROM e LEFT JOIN bco ON bco.bg = e.bg " +
+        "LEFT JOIN pco ON pco.tok = string_split(e.bg, ' ')[1], un GROUP BY e.doc_id) " +
+        "SELECT d.doc_id, COALESCE(s.n_bigrams, 0) AS n_bigrams, " +
+        "CASE WHEN s.n_bigrams > 0 THEN FLOOR(CAST(s.s6 AS DOUBLE) / 1000000 / s.n_bigrams * 10000 + 0.5) / 10000 END AS avg_nll, " +
+        "CASE WHEN s.n_bigrams > 0 THEN FLOOR(EXP(FLOOR(CAST(s.s6 AS DOUBLE) / 1000000 / s.n_bigrams * 1000000 + 0.5) / 1000000) * 10000 + 0.5) / 10000 END AS ppl, " +
+        "COALESCE(CASE WHEN s.n_bigrams > 0 THEN FLOOR(EXP(FLOOR(CAST(s.s6 AS DOUBLE) / 1000000 / s.n_bigrams * 1000000 + 0.5) / 1000000) * 10000 + 0.5) / 10000 > 5000.0 END, FALSE) AS flagged " +
+        "FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id ORDER BY d.doc_id")) +
     // within-doc dedup replica: per-row list comprehensions — windows,
     // earlier-first-occurrence starts via list_position, covered
     // positions flattened + deduped, position-filtered rebuild

@@ -756,6 +756,77 @@ object TextOps {
     if (ordered) out.orderBy("doc_id") else out
   }
 
+  /** Bigram-LM perplexity — one order up from [[perplexityAgainst]]'s
+    * unigram model, the step toward CCNet's n-gram KenLM scoring: each
+    * doc is scored by the average negative log-likelihood of its token
+    * TRANSITIONS under an add-1-smoothed conditional
+    * `p(w | prev) = (c(prev w) + 1) / (c(prev) + V + 1)` trained on
+    * `refDocs` (V = reference unigram vocab size; an unseen prefix
+    * falls back to `c(prev) = 0`). Repetitive gibberish that fools a
+    * unigram model (common words, nonsense order) scores high here.
+    * Docs with fewer than 2 tokens carry zero transitions and NULL
+    * scores. Output `(doc_id, n_bigrams, avg_nll, ppl, flagged)`.
+    *
+    * Cross-engine exactness ([[perplexityAgainst]]'s discipline): the
+    * cost of each bigram TYPE — and each prefix's unseen-pair cost —
+    * floors ONCE to 1e-6 micro-units on the vocab-sized frames; per-doc
+    * scores are exact BIGINT sums, and the one exp per doc sees a
+    * 1e-6-stabilized input.
+    *
+    * Scale shape: two vocab-sized aggregates off the reference corpus
+    * (bigram types, unigram types), one vocab-frame equi-join putting
+    * prefix counts next to bigram counts, then the scoring scan joins
+    * both cost frames size-gated — when the vocabs fit the gate the
+    * exploded corpus never shuffles; the per-doc rollup is a doc-keyed
+    * hash agg. Nothing driver-side beyond the gate counts. */
+  def perplexityBigram(docs: DataFrame, refDocs: DataFrame,
+      flagThreshold: Double = 5000.0, ordered: Boolean = true): DataFrame = {
+    val refToks = tokens(col("text"))
+    val uni = refDocs.select(explode(refToks).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cu"))
+      .localCheckpoint() // feeds the size gate, V, and two cost frames
+    val nVocab = uni.count()
+    val st = broadcast(uni.agg(count(lit(1)).as("v")))
+    def nll6(num: Column, den: Column) =
+      floor(-log(num.cast("double") / den) * 1e6 + 0.5).cast("long")
+    val bg = refDocs.select(explode(gramsAll(refToks, 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("cb"))
+    // bigram costs carry their prefix's count: one vocab-frame join
+    val bgCosts = graft.core.Hints.broadcastIfSmall(
+      bg.select(col("bg"), element_at(split(col("bg"), " "), 1).as("tok"),
+          col("cb"))
+        .join(uni, Seq("tok"))
+        .crossJoin(st)
+        .select(col("bg"), nll6(col("cb") + 1,
+          col("cu") + col("v") + 1).as("nll6")),
+      nVocab * 8) // distinct bigrams ≤ 8×unigram types in natural text
+    // unseen-pair cost per seen prefix; constant fallback for unseen
+    val preCosts = graft.core.Hints.broadcastIfSmall(
+      uni.crossJoin(st).select(col("tok"),
+        nll6(lit(1), col("cu") + col("v") + 1).as("punll6")), nVocab)
+    val unseen = broadcast(st.select(
+      nll6(lit(1), col("v") + 1).as("u0")))
+    val avg = col("s6").cast("double") / 1e6 / col("n_bigrams")
+    val avg6 = floor(avg * 1e6 + 0.5) / 1e6
+    val out = docs
+      .select(col("doc_id"),
+        explode_outer(gramsAll(tokens(col("text")), 2)).as("bg"))
+      .withColumn("pre", element_at(split(col("bg"), " "), 1))
+      .join(bgCosts, Seq("bg"), "left")
+      .join(preCosts.withColumnRenamed("tok", "pre"), Seq("pre"), "left")
+      .crossJoin(unseen)
+      .groupBy("doc_id")
+      .agg(count(col("bg")).as("n_bigrams"),
+        sum(when(col("bg").isNotNull,
+          coalesce(col("nll6"), col("punll6"), col("u0")))).as("s6"))
+      .select(col("doc_id"), col("n_bigrams"),
+        when(col("n_bigrams") > 0, r4(avg)).as("avg_nll"),
+        when(col("n_bigrams") > 0, r4(exp(avg6))).as("ppl"))
+      .withColumn("flagged",
+        coalesce(col("ppl") > flagThreshold, lit(false)))
+    if (ordered) out.orderBy("doc_id") else out
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020): within each
     * language, docs rank by their unigram-LM perplexity against the
     * `refLang` reference slice and split into head / middle / tail

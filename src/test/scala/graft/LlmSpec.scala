@@ -1348,6 +1348,26 @@ class LlmSpec extends AnyFunSuite {
     assert(r.forall(x => nt(x._1) == x._3))
   }
 
+  test("bigram perplexity: hand-computed conditional costs (seen pair, " +
+      "prefix fallback, unseen-prefix uniform), sub-bigram docs NULL") {
+    // ref "a b c a b c": V = 3; c(a)=2, c(a b)=2
+    val ref = Seq((100L, "a b c a b c")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b"), // seen pair: -ln((2+1)/(2+3+1)) = ln 2
+      (2L, "a c"), // seen prefix, unseen pair: -ln(1/(2+3+1)) = ln 6
+      (3L, "z z"), // unseen prefix: -ln(1/(3+1)) = ln 4
+      (4L, "a") // single token: no transitions
+    ).toDF("doc_id", "text")
+    val r = TextOps.perplexityBigram(docs, ref).collect()
+      .map(x => x.getLong(0) ->
+        (x.getLong(1), if (x.isNullAt(2)) None else Some(x.getDouble(2))))
+      .toMap
+    assert(r(1L) == ((1L, Some(0.6931))), r(1L))
+    assert(r(2L) == ((1L, Some(1.7918))), r(2L))
+    assert(r(3L) == ((1L, Some(1.3863))), r(3L))
+    assert(r(4L) == ((0L, None)), r(4L))
+  }
+
   test("within-doc dedup: later repeats cut, first kept, cross-doc " +
       "repeats untouched, hashed grams identical") {
     val docs = Seq(

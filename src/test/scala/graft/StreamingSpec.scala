@@ -277,6 +277,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally qs.foreach(_.stop())
   }
 
+  test("within-doc dedup composes into streams: per-row cleanup equals " +
+      "its batch twin in-flight") {
+    implicit val sql = spark.sqlContext
+    val rows = Seq(
+      (1L, "p q r p q r p q r"), // self-repeating — cleaned in-flight
+      (2L, "a b c d e f"))
+    val mem = MemoryStream[(Long, String)]
+    val streamed = mem.toDF.toDF("doc_id", "text")
+    val q = graft.llm.Dedup.withinDocDedup(streamed, span = 3,
+        ordered = false)
+      .writeStream.format("memory").queryName("tw_wd")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("tw_wd").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val want = graft.llm.Dedup.withinDocDedup(
+        rows.toDF("doc_id", "text"), span = 3).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == want)
+      assert(got.contains((1L, "p q r", 6L)), got)
+    } finally q.stop()
+  }
+
   test("corpus monitor: streaming windowed rollup equals the batch run " +
       "of the same function") {
     implicit val sql = spark.sqlContext
