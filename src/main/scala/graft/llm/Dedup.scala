@@ -540,6 +540,69 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
+    * MOSS local fingerprinting algorithm): hash every k-token gram,
+    * then from every window of `w` consecutive gram hashes keep the
+    * minimum (rightmost on ties). Any shared substring of `w + k − 1`
+    * tokens is GUARANTEED to surface a shared fingerprint while only
+    * ~2/(w+1) of the grams are stored — the document-fragment
+    * dedup/attribution sketch between [[TextOps.fingerprint]]'s
+    * whole-doc hash and the full [[spanDups]] inventory. Output one
+    * `(doc_id, pos, fp)` row per selected fingerprint (`pos` = 1-based
+    * gram start of the chosen minimum); docs shorter than `k` tokens
+    * carry no grams and are absent.
+    *
+    * Gram hashes are sha2-derived ([[sha2TokenHash]]) so any engine
+    * replays the exact sketch. Pure per-row HOF projection + explode —
+    * no shuffle before the presentation sort; each window evaluates
+    * its slice a constant number of times (min / rightmost position /
+    * length) on a doc-bounded array. Docs with fewer than `w` grams
+    * winnow a single whole-array window (at least one fingerprint
+    * whenever any gram exists). */
+  def winnow(docs: DataFrame, k: Int = 3, w: Int = 4,
+      ordered: Boolean = true): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    require(w > 0, s"need w > 0, got $w")
+    val hashes = transform(
+      TextOps.gramsAll(TextOps.tokens(col("text")), k),
+      g => sha2TokenHash(g))
+    val fps = array_distinct(transform(
+      sequence(lit(1L),
+        greatest(size(col("hs")).cast("long") - (w - 1), lit(1L))),
+      j => {
+        val win = slice(col("hs"), j.cast("int"), lit(w))
+        val mn = array_min(win)
+        struct((j + size(win).cast("long") -
+          array_position(reverse(win), mn)).as("pos"), mn.as("fp"))
+      }))
+    val out = docs
+      .select(col("doc_id"), hashes.as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"), explode(fps).as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
+    if (ordered) out.orderBy("doc_id", "pos", "fp") else out
+  }
+
+  /** Cross-document matches over the [[winnow]] sketch: pairs sharing
+    * at least `minShared` distinct fingerprint VALUES, with the shared
+    * count — the MOSS-style overlap report. The join carries ids only,
+    * keyed on the fingerprint hash (the LSH band-join discipline);
+    * AQE's skew handling splits hot fingerprints, and the guarantee
+    * (any `w + k − 1`-token overlap shares a fingerprint) bounds what
+    * the sketch can miss, not what it can emit. */
+  def winnowMatches(docs: DataFrame, k: Int = 3, w: Int = 4,
+      minShared: Int = 5): DataFrame = {
+    val fp = winnow(docs, k, w, ordered = false)
+      .select(col("doc_id"), col("fp")).distinct()
+    fp.select(col("doc_id").as("doc_a"), col("fp"))
+      .join(fp.select(col("doc_id").as("doc_b"), col("fp")), Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Within-document span dedup — the per-document form of
     * [[spanRemove]] (C4-style repeated-window cleanup): a `span`-token
     * window whose text already occurred EARLIER IN THE SAME document

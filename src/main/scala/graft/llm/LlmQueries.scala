@@ -182,6 +182,12 @@ object LlmQueries {
     // projection, keep-first inside each document
     "llm_within_doc_dedup" -> ((s, d) =>
       Dedup.withinDocDedup(docs(s, d), span = 3)),
+    // MOSS winnowing: min-of-window fingerprint sketch (sha2 gram
+    // hashes, rightmost tie-break), one row per selected fingerprint
+    "llm_winnow" -> ((s, d) => Dedup.winnow(docs(s, d))),
+    // cross-doc overlap report over the sketch: >= 5 shared
+    // fingerprint values isolates the planted dup families at sf0.01
+    "llm_winnow_matches" -> ((s, d) => Dedup.winnowMatches(docs(s, d))),
     "llm_simhash" -> ((s, d) =>
       // sha2-derived token hash: same sketch machinery, but every engine
       // can reproduce the hash, so the full 64-bit sketch is
@@ -1398,7 +1404,27 @@ object LlmQueries {
         "WHEN best > 0 AND ses = best THEN 'es' WHEN best > 0 AND sfr = best THEN 'fr' " +
         "ELSE 'und' END AS pred_lang, " +
         "FLOOR(GREATEST(cjk, best) * 10000 + 0.5) / 10000 AS confidence " +
-        "FROM b ORDER BY doc_id"))
+        "FROM b ORDER BY doc_id"),
+    // winnowing replica: sha2 gram hashes, per-window list_min with the
+    // rightmost tie-break via reversed list_position, DISTINCT rows
+    // standing in for Spark's per-row array_distinct (a (pos, fp) pair
+    // can only repeat within one doc). In base so the matches oracle
+    // composes on it verbatim.
+    "llm_winnow" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "h AS (SELECT doc_id, [CAST(CONCAT('0x', SUBSTR(sha256(" +
+        "array_to_string(list_slice(toks, i, i + 2), ' ')), 1, 15)) AS BIGINT) " +
+        "FOR i IN range(1, len(toks) - 1)] AS hs FROM t), " +
+        "f0 AS (SELECT doc_id, [struct_pack(" +
+        "pos := j + len(list_slice(hs, j, j + 3)) - " +
+        "list_position(list_reverse(list_slice(hs, j, j + 3)), list_min(list_slice(hs, j, j + 3))), " +
+        "fp := list_min(list_slice(hs, j, j + 3))) " +
+        "FOR j IN range(1, greatest(len(hs) - 3, 1) + 1)] AS fps " +
+        "FROM h WHERE len(hs) > 0), " +
+        "f AS (SELECT DISTINCT doc_id, s.pos AS pos, s.fp AS fp " +
+        "FROM (SELECT doc_id, unnest(fps) AS s FROM f0)) " +
+        "SELECT doc_id, CAST(pos AS BIGINT) AS pos, fp FROM f " +
+        "ORDER BY doc_id, pos, fp"))
     // curation replica composed from the three verified operator oracles
     // — nested WITH is legal inside a DuckDB CTE body, so each piece
     // embeds verbatim and stays in lock-step with its standalone entry
@@ -1772,6 +1798,17 @@ object LlmQueries {
         "IF NOT list_contains(rl.removed, j)], ' '), '') END AS clean_text, " +
         "CAST(COALESCE(len(rl.removed), 0) AS BIGINT) AS n_removed " +
         "FROM t LEFT JOIN rl ON rl.doc_id = t.doc_id ORDER BY t.doc_id")) +
+    // the overlap report: distinct (doc, fp) pairs meet on the
+    // fingerprint value, >= 5 shared values per pair
+    ("llm_winnow_matches" ->
+      (s"""WITH fr AS (${base("llm_winnow")}), """ +
+        "d AS (SELECT DISTINCT doc_id, fp FROM fr), " +
+        "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_shared " +
+        "FROM d a JOIN d b ON a.fp = b.fp AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2) " +
+        "SELECT doc_a, doc_b, n_shared FROM p WHERE n_shared >= 5 " +
+        "ORDER BY doc_a, doc_b")) +
     // bigram perplexity replica: bigram/unigram type counts from the en
     // slice, per-TYPE micro-unit costs (pair seen -> prefix-conditional;
     // pair unseen -> prefix fallback; prefix unseen -> V+1 constant),

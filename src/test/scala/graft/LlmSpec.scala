@@ -1348,6 +1348,43 @@ class LlmSpec extends AnyFunSuite {
     assert(r.forall(x => nt(x._1) == x._3))
   }
 
+  test("winnowing: fingerprints point at real grams, the w+k-1 " +
+      "guarantee surfaces shared substrings, identical docs sketch " +
+      "identically") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "q w e r t y u i o p"),
+      (2L, "z x c v q w e r t y m n"), // shares exactly w+k-1=6 tokens
+      (3L, "q w e r t y u i o p"), // identical to 1
+      (4L, "completely unrelated words here entirely now")
+    ).toDF("doc_id", "text")
+    val fps = Dedup.winnow(docs, k = 3, w = 4).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    // every fingerprint is the sha2 hash of the gram at its position
+    val gramHash = docs.collect().flatMap { r =>
+      r.getString(1).split(" ").sliding(3).zipWithIndex.map {
+        case (g, i) => (r.getLong(0), (i + 1).toLong, g.mkString(" "))
+      }
+    }.toSeq.toDF("doc_id", "pos", "gram")
+      .select(col("doc_id"), col("pos"),
+        Dedup.sha2TokenHash(col("gram")).as("h"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2))
+      .toMap
+    fps.foreach { case (d, p, f) =>
+      assert(gramHash((d, p)) == f, s"doc $d pos $p")
+    }
+    val by = fps.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    assert((by(1L) & by(2L)).nonEmpty) // the winnowing guarantee
+    assert(by(1L) == by(3L)) // identical docs, identical sketch
+    assert((by(1L) & by(4L)).isEmpty)
+    val m = Dedup.winnowMatches(docs, k = 3, w = 4, minShared = 1)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2))
+      .toMap
+    assert(m((1L, 3L)) == by(1L).size)
+    assert(m.contains((1L, 2L)))
+    assert(!m.keys.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("bigram perplexity: hand-computed conditional costs (seen pair, " +
       "prefix fallback, unseen-prefix uniform), sub-bigram docs NULL") {
     // ref "a b c a b c": V = 3; c(a)=2, c(a b)=2
