@@ -487,13 +487,17 @@ object CorpusOps {
     * Docs above the cut keep unconditionally, docs below drop
     * unconditionally (both pure per-row tests); ONLY the cut bucket's
     * docs pay a window (single-partition, bounded by one score value's
-    * population — the corpus never sorts globally). Two corpus scans
-    * (histogram + output), each pruned to doc_id/text. */
+    * population — the corpus never sorts globally). The corpus is
+    * scanned ONCE: the 24-byte (doc_id, score4, n_tokens) projection is
+    * localCheckpoint'ed and reused by the histogram job and both output
+    * branches (re-deriving it would run the partly-interpreted feature
+    * pack three times). */
   def tokenBudgetSelect(docs: DataFrame, budget: Long): DataFrame = {
     require(budget > 0, s"need budget > 0, got $budget")
     val scored = docs.select(col("doc_id"),
       TextOps.score4(TextOps.qualityLogit6Expr()).as("score4"),
       TextOps.nTokExpr.as("n_tokens"))
+      .localCheckpoint()
     val hist = scored.groupBy("score4")
       .agg(sum("n_tokens").as("btoks"))
       .collect() // bounded: score4 has at most 10001 distinct values

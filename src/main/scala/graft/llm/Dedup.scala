@@ -341,7 +341,7 @@ object Dedup {
     * score" (ties → smallest id): within each duplicate family the BEST
     * copy survives, the decision a production pipeline actually wants
     * when near-dups differ in OCR noise or boilerplate contamination.
-    * Output `(doc_id, family_id, keep_id, kept, score4)` for every doc:
+    * Output `(doc_id, family_id, keep_id, score4, kept)` for every doc:
     * `family_id` is the component's minimum id (= [[dedupGroups]]'s
     * label, so the two decisions join on it), `score4` the
     * 1e-4-integer quality score, singletons keep themselves.
@@ -563,9 +563,10 @@ object Dedup {
       ordered: Boolean = true): DataFrame = {
     require(k > 0, s"need k > 0, got $k")
     require(w > 0, s"need w > 0, got $w")
+    // toks staged as a bound column: an inlined tokens(text) would
+    // re-split the text once per gram inside gramsAll's lambda
     val hashes = transform(
-      TextOps.gramsAll(TextOps.tokens(col("text")), k),
-      g => sha2TokenHash(g))
+      TextOps.gramsAll(col("toks"), k), g => sha2TokenHash(g))
     val fps = array_distinct(transform(
       sequence(lit(1L),
         greatest(size(col("hs")).cast("long") - (w - 1), lit(1L))),
@@ -576,6 +577,7 @@ object Dedup {
           array_position(reverse(win), mn)).as("pos"), mn.as("fp"))
       }))
     val out = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"), hashes.as("hs"))
       .filter(size(col("hs")) > 0)
       .select(col("doc_id"), explode(fps).as("s"))
@@ -622,23 +624,31 @@ object Dedup {
   def withinDocDedup(docs: DataFrame, span: Int = 20,
       hashGrams: Boolean = false, ordered: Boolean = true): DataFrame = {
     require(span > 0, s"need span > 0, got $span")
-    val toks = TextOps.tokens(col("text"))
-    val gramsRaw = TextOps.gramsAll(toks, span)
+    // stage toks and grams as BOUND columns: the probe lambda references
+    // the gram list twice per window, and an inlined grams expression
+    // would re-run the whole transform (itself re-splitting the text per
+    // gram) on every reference — the spanDups bind-once discipline
+    val gramsRaw = TextOps.gramsAll(col("toks"), span)
     val grams =
       if (hashGrams) transform(gramsRaw, g => xxhash64(g)) else gramsRaw
     // 1-based starts of windows whose text first occurred earlier; the
     // empty-gram guard matters: sequence(1, 0) would DESCEND, not empty
-    val dupStarts = when(size(grams) === 0,
+    val dupStarts = when(size(col("grams")) === 0,
       array().cast("array<bigint>")).otherwise(
-      filter(sequence(lit(1L), size(grams).cast("long")),
-        i => array_position(grams, element_at(grams, i.cast("int"))) < i))
+      filter(sequence(lit(1L), size(col("grams")).cast("long")),
+        i => array_position(col("grams"),
+          element_at(col("grams"), i.cast("int"))) < i))
     val removedPos = array_distinct(flatten(transform(dupStarts,
       s => sequence(s, s + (span - 1)))))
     val out = docs
-      .select(col("doc_id"), col("text"), removedPos.as("removed"))
+      .select(col("doc_id"), col("text"),
+        TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("text"), col("toks"), grams.as("grams"))
+      .select(col("doc_id"), col("text"), col("toks"),
+        removedPos.as("removed"))
       .select(col("doc_id"),
         when(size(col("removed")) === 0, col("text"))
-          .otherwise(array_join(filter(TextOps.tokens(col("text")),
+          .otherwise(array_join(filter(col("toks"),
             (_, i) => !array_contains(col("removed"),
               (i + 1).cast("long"))), " "))
           .as("clean_text"),

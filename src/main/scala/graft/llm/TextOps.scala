@@ -781,17 +781,23 @@ object TextOps {
     * hash agg. Nothing driver-side beyond the gate counts. */
   def perplexityBigram(docs: DataFrame, refDocs: DataFrame,
       flagThreshold: Double = 5000.0, ordered: Boolean = true): DataFrame = {
-    val refToks = tokens(col("text"))
-    val uni = refDocs.select(explode(refToks).as("tok"))
+    val uni = refDocs.select(explode(tokens(col("text"))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("cu"))
       .localCheckpoint() // feeds the size gate, V, and two cost frames
     val nVocab = uni.count()
     val st = broadcast(uni.agg(count(lit(1)).as("v")))
     def nll6(num: Column, den: Column) =
       floor(-log(num.cast("double") / den) * 1e6 + 0.5).cast("long")
-    val bg = refDocs.select(explode(gramsAll(refToks, 2)).as("bg"))
+    // toks staged bound (gramsAll's lambda would re-split per gram)
+    val bg = refDocs.select(tokens(col("text")).as("toks"))
+      .select(explode(gramsAll(col("toks"), 2)).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("cb"))
-    // bigram costs carry their prefix's count: one vocab-frame join
+      .localCheckpoint() // feeds the MEASURED size gate and the join
+    val nBigrams = bg.count()
+    // bigram costs carry their prefix's count: one vocab-frame join.
+    // The gate uses the measured bigram-type count — token-shuffled
+    // spam or code can push bigram diversity far past any multiple of
+    // the unigram vocab, and an assumed bound would force-broadcast it.
     val bgCosts = graft.core.Hints.broadcastIfSmall(
       bg.select(col("bg"), element_at(split(col("bg"), " "), 1).as("tok"),
           col("cb"))
@@ -799,7 +805,7 @@ object TextOps {
         .crossJoin(st)
         .select(col("bg"), nll6(col("cb") + 1,
           col("cu") + col("v") + 1).as("nll6")),
-      nVocab * 8) // distinct bigrams ≤ 8×unigram types in natural text
+      nBigrams)
     // unseen-pair cost per seen prefix; constant fallback for unseen
     val preCosts = graft.core.Hints.broadcastIfSmall(
       uni.crossJoin(st).select(col("tok"),
@@ -809,8 +815,9 @@ object TextOps {
     val avg = col("s6").cast("double") / 1e6 / col("n_bigrams")
     val avg6 = floor(avg * 1e6 + 0.5) / 1e6
     val out = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"),
-        explode_outer(gramsAll(tokens(col("text")), 2)).as("bg"))
+        explode_outer(gramsAll(col("toks"), 2)).as("bg"))
       .withColumn("pre", element_at(split(col("bg"), " "), 1))
       .join(bgCosts, Seq("bg"), "left")
       .join(preCosts.withColumnRenamed("tok", "pre"), Seq("pre"), "left")
