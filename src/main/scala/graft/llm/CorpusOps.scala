@@ -470,6 +470,29 @@ object CorpusOps {
     if (ordered) out.orderBy("doc_id") else out
   }
 
+  /** Deterministic curriculum ordering for training export: each doc's
+    * replicable [[shard]] plus its quality rank WITHIN the shard
+    * (score4 desc, ties → doc_id) — the read order a quality-curriculum
+    * sampler consumes shard-by-shard (easy/high-quality data first
+    * within each shard, every shard independently ordered so readers
+    * never coordinate). Output `(doc_id, shard, score4, ord)`.
+    *
+    * Scale shape: the shard and score are pure per-row projections; the
+    * rank is ONE window per shard ([[pack]]'s discipline — a hash
+    * exchange on `shard` + a per-partition sort, never a global
+    * window), and the assignment is stable under repartitioning since
+    * both shard and rank derive from (doc content, id) alone. */
+  def curriculumOrder(docs: DataFrame, nShards: Int = 8,
+      ordered: Boolean = true): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(desc("score4"), asc("doc_id"))
+    val out = docs.select(col("doc_id"),
+        shardExpr(nShards, replicable = true, "#shard").as("shard"),
+        TextOps.score4(TextOps.qualityLogit6Expr()).as("score4"))
+      .withColumn("ord", row_number().over(w).cast("long"))
+    if (ordered) out.orderBy("doc_id") else out
+  }
+
   /** Token-budget selection: keep the highest-quality documents whose
     * combined token count fits a training budget — "give me the best
     * N-token corpus" — the greedy cut over the quality-model ordering

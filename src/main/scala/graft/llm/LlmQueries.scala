@@ -411,6 +411,11 @@ object LlmQueries {
     // one boundary doc may straddle, the pack discipline)
     "llm_token_budget" -> ((s, d) =>
       CorpusOps.tokenBudgetSelect(docs(s, d), budget = 15000L)),
+    // one-scan per-doc data-quality report (curate's fusion, reporting
+    // instead of filtering)
+    "llm_scorecard" -> ((s, d) => TextOps.scorecard(docs(s, d))),
+    // quality-curriculum read order: replicable shard + in-shard rank
+    "llm_curriculum" -> ((s, d) => CorpusOps.curriculumOrder(docs(s, d))),
     // hybrid retrieval: BM25 keyword arm + exact-cosine embedding arm
     // fused by Reciprocal Rank Fusion on integer micro-units
     "llm_hybrid_rrf" -> ((s, d) =>
@@ -1798,6 +1803,33 @@ object LlmQueries {
         "IF NOT list_contains(rl.removed, j)], ' '), '') END AS clean_text, " +
         "CAST(COALESCE(len(rl.removed), 0) AS BIGINT) AS n_removed " +
         "FROM t LEFT JOIN rl ON rl.doc_id = t.doc_id ORDER BY t.doc_id")) +
+    // scorecard replica: the five verified operator oracles embed
+    // verbatim and join on doc_id — the Spark side computes the same
+    // columns from one fused scan
+    ("llm_scorecard" ->
+      (s"""WITH q AS (${base("llm_quality")}), """ +
+        s"""l AS (${base("llm_langid")}), """ +
+        s"""r AS (${base("llm_repetition")}), """ +
+        s"""qm AS (${base("llm_quality_model")}), """ +
+        s"""st AS (${base("llm_text_stats")}) """ +
+        "SELECT q.doc_id, st.n_tokens, q.quality, l.pred_lang, " +
+        "r.dup_3gram_ratio, " +
+        "CAST(FLOOR(1.0 / (1.0 + EXP(-(CAST(qm.logit6 AS DOUBLE) / 1000000))) * 10000 + 0.5) AS BIGINT) AS score4, " +
+        "(q.quality >= 0.5 AND l.pred_lang = 'en') AS keep " +
+        "FROM q JOIN l USING (doc_id) JOIN r USING (doc_id) " +
+        "JOIN qm USING (doc_id) JOIN st USING (doc_id) ORDER BY doc_id")) +
+    // curriculum replica: the shard + quality-model oracles embed
+    // verbatim; rank = row_number per shard over (score4 desc, doc_id)
+    ("llm_curriculum" ->
+      (s"""WITH sh AS (${base("llm_shard")}), """ +
+        s"""qm AS (${base("llm_quality_model")}), """ +
+        "s AS (SELECT sh.doc_id, sh.shard, " +
+        "CAST(FLOOR(1.0 / (1.0 + EXP(-(CAST(qm.logit6 AS DOUBLE) / 1000000))) * 10000 + 0.5) AS BIGINT) AS score4 " +
+        "FROM sh JOIN qm ON qm.doc_id = sh.doc_id) " +
+        "SELECT doc_id, shard, score4, " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY shard " +
+        "ORDER BY score4 DESC, doc_id) AS BIGINT) AS ord " +
+        "FROM s ORDER BY doc_id")) +
     // the overlap report: distinct (doc, fp) pairs meet on the
     // fingerprint value, >= 5 shared values per pair
     ("llm_winnow_matches" ->

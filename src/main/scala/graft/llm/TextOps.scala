@@ -890,6 +890,29 @@ object TextOps {
     if (ordered) out.orderBy("doc_id") else out
   }
 
+  /** One-scan document scorecard — the per-doc data-quality report a
+    * curation dashboard reads: token count, heuristic quality,
+    * predicted language, 3-gram repetition, the classifier score, and
+    * the composed keep verdict, fused into a SINGLE projection
+    * ([[curate]]'s one-scan discipline, reporting instead of
+    * filtering). Every column reuses its operator's own expression
+    * ([[qualityScoreExpr]], [[langIdExprs]], [[dup3RatioExpr]],
+    * [[score4]]∘[[qualityLogit6Expr]], [[nTokExpr]]), so the scorecard
+    * stays in lock-step with the oracle-checked standalone ops.
+    * Per-row, shuffle-free, stream-composable with `ordered = false`. */
+  def scorecard(docs: DataFrame, minQuality: Double = 0.5,
+      lang: String = "en", ordered: Boolean = true): DataFrame = {
+    val out = docs.select(col("doc_id"),
+        nTokExpr.as("n_tokens"),
+        qualityScoreExpr.as("quality"),
+        langIdExprs._1.as("pred_lang"),
+        dup3RatioExpr.as("dup_3gram_ratio"),
+        score4(qualityLogit6Expr()).as("score4"))
+      .withColumn("keep",
+        col("quality") >= minQuality && col("pred_lang") === lang)
+    if (ordered) out.orderBy("doc_id") else out
+  }
+
   /** End-to-end training-data curation: quality gate ∧ language gate ∧
     * near-dup keep decision (strict mode adds ¬boilerplate) — the flow a
     * 100 TB corpus pipeline runs before tokenization. The per-row gates

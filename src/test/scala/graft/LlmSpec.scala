@@ -1348,6 +1348,42 @@ class LlmSpec extends AnyFunSuite {
     assert(r.forall(x => nt(x._1) == x._3))
   }
 
+  test("scorecard fuses the standalone per-row scores one-for-one") {
+    val docs = Tables(spark, sf0001, "documents").limit(50)
+    val sc = TextOps.scorecard(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val q = TextOps.quality(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    val l = TextOps.langId(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rep = TextOps.repetition(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val qm = TextOps.qualityModel(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sc.foreach { case (id, r) =>
+      assert(r.getDouble(2) == q(id), s"quality of $id")
+      assert(r.getString(3) == l(id), s"lang of $id")
+      assert(r.getDouble(4) == rep(id), s"repetition of $id")
+      val s4 = math.floor(
+        1.0 / (1.0 + math.exp(-(qm(id).toDouble / 1e6))) * 1e4 + 0.5).toLong
+      assert(r.getLong(5) == s4, s"score4 of $id")
+      assert(r.getBoolean(6) == (q(id) >= 0.5 && l(id) == "en"))
+    }
+  }
+
+  test("curriculum order ranks by score within each replicable shard") {
+    val docs = Tables(spark, sf0001, "documents")
+    val r = CorpusOps.curriculumOrder(docs).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    r.groupBy(_._2).foreach { case (_, g) =>
+      val sorted = g.sortBy(x => (-x._3, x._1))
+      assert(sorted.map(_._4).toSeq == (1L to g.length).map(identity))
+    }
+    val sh = CorpusOps.shard(docs, replicable = true).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    r.foreach(x => assert(sh(x._1) == x._2))
+  }
+
   test("winnowing: fingerprints point at real grams, the w+k-1 " +
       "guarantee surfaces shared substrings, identical docs sketch " +
       "identically") {

@@ -316,6 +316,13 @@ class PlanSpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
+  test("scorecard reads the corpus once for all fused per-row scores") {
+    val docs = Tables(spark, sf0001, "documents")
+    val p = plan(graft.llm.TextOps.scorecard(docs))
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1,
+      p.take(3000))
+  }
+
   test("ccnet fixed-threshold buckets add no window to the perplexity " +
       "plan; the rank form pays exactly the per-lang windows") {
     val docs = Tables(spark, sf0001, "documents")
