@@ -414,6 +414,9 @@ object LlmQueries {
     // one-scan per-doc data-quality report (curate's fusion, reporting
     // instead of filtering)
     "llm_scorecard" -> ((s, d) => TextOps.scorecard(docs(s, d))),
+    // Shannon token entropy: the lexical-diversity / keyword-spam
+    // feature, exact integer micro-unit sums per doc
+    "llm_entropy" -> ((s, d) => TextOps.entropy(docs(s, d))),
     // quality-curriculum read order: replicable shard + in-shard rank
     "llm_curriculum" -> ((s, d) => CorpusOps.curriculumOrder(docs(s, d))),
     // hybrid retrieval: BM25 keyword arm + exact-cosine embedding arm
@@ -1803,6 +1806,18 @@ object LlmQueries {
         "IF NOT list_contains(rl.removed, j)], ' '), '') END AS clean_text, " +
         "CAST(COALESCE(len(rl.removed), 0) AS BIGINT) AS n_removed " +
         "FROM t LEFT JOIN rl ON rl.doc_id = t.doc_id ORDER BY t.doc_id")) +
+    // entropy replica: per-type counts once (nested-lambda capture),
+    // micro-unit contributions, exact bigint sum per doc
+    ("llm_entropy" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "c AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+        "list_transform(list_distinct(toks), tt -> " +
+        "CAST(len(list_filter(toks, x -> x = tt)) AS BIGINT)) AS cnts FROM t), " +
+        "e AS (SELECT doc_id, n_tokens, list_sum(list_transform(cnts, cc -> " +
+        "CAST(FLOOR(-(CAST(cc AS DOUBLE) / n_tokens) * LN(CAST(cc AS DOUBLE) / n_tokens) * 1000000 + 0.5) AS BIGINT))) AS s6 FROM c) " +
+        "SELECT doc_id, n_tokens, " +
+        "FLOOR(CAST(s6 AS DOUBLE) / 1000000 * 10000 + 0.5) / 10000 AS entropy " +
+        "FROM e ORDER BY doc_id")) +
     // scorecard replica: the five verified operator oracles embed
     // verbatim and join on doc_id — the Spark side computes the same
     // columns from one fused scan

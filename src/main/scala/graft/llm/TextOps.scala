@@ -890,6 +890,34 @@ object TextOps {
     if (ordered) out.orderBy("doc_id") else out
   }
 
+  /** Per-document token entropy (Shannon, nats) — the lexical-diversity
+    * feature the heuristic ratios miss: keyword-stuffed spam has low
+    * entropy at normal `uniq_ratio`-ish lengths, template boilerplate
+    * sits far below natural text of the same length.
+    * `H = −Σ_types (c/n)·ln(c/n)`; each TYPE's contribution floors once
+    * to 1e-6 micro-units so the per-doc sum is an exact integer and the
+    * feature replays cross-engine ([[perplexity]]'s discipline). Pure
+    * per-row HOF projection over the bound token array — no shuffle,
+    * stream-composable; per-row work is O(types × tokens), bounded by
+    * the doc's own length. Output `(doc_id, n_tokens, entropy)`. */
+  def entropy(docs: DataFrame, ordered: Boolean = true): DataFrame = {
+    // counts staged as a bound column so each type's O(tokens) count
+    // filter runs exactly once (the bind-once discipline); the fold
+    // then touches only the small counts array
+    val counts = transform(array_distinct(col("toks")), t =>
+      size(filter(col("toks"), x => x === t)).cast("long"))
+    val out = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"), counts.as("cnts"))
+      .select(col("doc_id"), col("n_tokens"),
+        r4(aggregate(col("cnts"), lit(0L), (a, c) => {
+          val p = c.cast("double") / col("n_tokens").cast("double")
+          a + floor(-p * log(p) * 1e6 + 0.5).cast("long")
+        }).cast("double") / 1e6).as("entropy"))
+    if (ordered) out.orderBy("doc_id") else out
+  }
+
   /** One-scan document scorecard — the per-doc data-quality report a
     * curation dashboard reads: token count, heuristic quality,
     * predicted language, 3-gram repetition, the classifier score, and

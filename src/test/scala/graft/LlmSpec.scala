@@ -1348,6 +1348,24 @@ class LlmSpec extends AnyFunSuite {
     assert(r.forall(x => nt(x._1) == x._3))
   }
 
+  test("entropy: uniform tokens hit ln(n), constant docs hit zero, " +
+      "skew lands between") {
+    val docs = Seq(
+      (1L, "a b c d"), // uniform over 4 types: H = ln 4
+      (2L, "a a a a"), // one type: H = 0
+      (3L, "a a a b") // skewed: 0.75 ln(4/3) + 0.25 ln 4
+    ).toDF("doc_id", "text")
+    val r = TextOps.entropy(docs).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(r(1L) == ((4L, 1.3863)), r(1L)) // ln 4 = 1.386294...
+    assert(r(2L) == ((4L, 0.0)), r(2L))
+    val expected3 = math.floor((math.floor(
+      -0.75 * math.log(0.75) * 1e6 + 0.5) + math.floor(
+      -0.25 * math.log(0.25) * 1e6 + 0.5)) / 1e6 * 1e4 + 0.5) / 1e4
+    assert(r(3L) == ((4L, expected3)), r(3L))
+    assert(r(3L)._2 > 0 && r(3L)._2 < r(1L)._2)
+  }
+
   test("scorecard fuses the standalone per-row scores one-for-one") {
     val docs = Tables(spark, sf0001, "documents").limit(50)
     val sc = TextOps.scorecard(docs).collect()
