@@ -238,6 +238,8 @@ class StreamingSpec extends AnyFunSuite {
     val lang = TextOps.langId(streamed, ordered = false)
     val pii = TextOps.piiRedact(streamed, ordered = false)
     val qmodel = TextOps.qualityModel(streamed, ordered = false)
+    val score = TextOps.scorecard(streamed, ordered = false)
+    val ent = TextOps.entropy(streamed, ordered = false)
     val split = graft.llm.CorpusOps.splitAssign(streamed, ordered = false)
     val streamWithLang = streamed
       .withColumn("lang", expr("CASE WHEN doc_id = 2 THEN 'de' ELSE 'en' END"))
@@ -248,6 +250,8 @@ class StreamingSpec extends AnyFunSuite {
       lang.writeStream.format("memory").queryName("tw_l"),
       pii.writeStream.format("memory").queryName("tw_p"),
       qmodel.writeStream.format("memory").queryName("tw_m"),
+      score.writeStream.format("memory").queryName("tw_sc"),
+      ent.writeStream.format("memory").queryName("tw_e"),
       split.writeStream.format("memory").queryName("tw_s"),
       rate.writeStream.format("memory").queryName("tw_r"))
       .map(_.outputMode(OutputMode.Append()).start())
@@ -261,6 +265,10 @@ class StreamingSpec extends AnyFunSuite {
       assert(canon(spark.table("tw_p")) == canon(TextOps.piiRedact(batchDf)))
       assert(canon(spark.table("tw_m")) ==
         canon(TextOps.qualityModel(batchDf)))
+      assert(canon(spark.table("tw_sc")) ==
+        canon(TextOps.scorecard(batchDf)))
+      assert(canon(spark.table("tw_e")) ==
+        canon(TextOps.entropy(batchDf)))
       assert(canon(spark.table("tw_s")) ==
         canon(graft.llm.CorpusOps.splitAssign(batchDf)))
       val batchWithLang = batchDf
