@@ -130,6 +130,22 @@ object Similarity {
     * then |Q| · nProbe/nlist · |C| independent of corpus growth. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       centroidStride: Int = 31, nProbe: Int = 4): DataFrame = {
+    val (cents, assign) = ivfIndex(corpus, centroidStride)
+    ivfTopKIndexed(queries, cents, assign, k, nProbe)
+  }
+
+  /** IVF index build as a PERSISTABLE artifact — the ANN counterpart of
+    * the minhash index tables ([[Dedup.indexDelta]]): `centroids`
+    * `(cid, cv)` and `assign` `(neighbor_id, ce, cell)`, both plain
+    * parquet-able frames. At 100 TB the index is built ONCE (the
+    * corpus-side argmin scan is the only corpus-sized job) and every
+    * later query batch probes the stored tables via
+    * [[ivfTopKIndexed]] — the corpus is never re-assigned.
+    * [[ivfTopK]] is exactly build + probe fused, so the fused oracle
+    * transfers to the round-tripped path (WritersAndPipelineSpec
+    * asserts parquet round-trip equality). */
+  def ivfIndex(corpus: DataFrame,
+      centroidStride: Int = 31): (DataFrame, DataFrame) = {
     val spark = corpus.sparkSession
     val hasNative = spark.catalog.functionExists("graft_euclid")
     def euclid(a: String, b: String): Column =
@@ -139,9 +155,6 @@ object Similarity {
           (x, y) => (x.cast("double") - y.cast("double")) *
             (x.cast("double") - y.cast("double"))),
         lit(0.0), (acc, v) => acc + v))
-    def dotOf(a: String, b: String): Column =
-      if (spark.catalog.functionExists("graft_dot")) expr(s"graft_dot($a, $b)")
-      else dot(col(a), col(b))
     val cents = broadcast(
       corpus.filter(pmod(col("vec_id"), lit(centroidStride)) === 0)
         .select(col("vec_id").as("cid"), col("embedding").as("cv")))
@@ -155,6 +168,30 @@ object Similarity {
       .agg(min(struct(d6.as("d"), col("cid"))).as("mc"),
         first(col("ce")).as("ce"))
       .select(col("neighbor_id"), col("ce"), col("mc.cid").as("cell"))
+    (cents, assign)
+  }
+
+  /** Probe a stored [[ivfIndex]]: identical plan and output to
+    * [[ivfTopK]] given the same index frames (read them back with
+    * `spark.read.parquet`). Queries assign to their nProbe nearest
+    * centroids and meet the assignment table on the cell key — an
+    * ids+vectors equi-join bounded by the probed cells, never a corpus
+    * scan. */
+  def ivfTopKIndexed(queries: DataFrame, centroids: DataFrame,
+      assign: DataFrame, k: Int, nProbe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val hasNative = spark.catalog.functionExists("graft_euclid")
+    def euclid(a: String, b: String): Column =
+      if (hasNative) expr(s"graft_euclid($a, $b)")
+      else sqrt(aggregate(
+        zip_with(col(a), col(b),
+          (x, y) => (x.cast("double") - y.cast("double")) *
+            (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, v) => acc + v))
+    def dotOf(a: String, b: String): Column =
+      if (spark.catalog.functionExists("graft_dot")) expr(s"graft_dot($a, $b)")
+      else dot(col(a), col(b))
+    val cents = broadcast(centroids.select(col("cid"), col("cv")))
     val qd6 = floor(euclid("qe", "cv") * 1e6 + 0.5) / 1e6
     val qCells = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))

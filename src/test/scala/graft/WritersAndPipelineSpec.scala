@@ -497,4 +497,23 @@ class WritersAndPipelineSpec extends AnyFunSuite {
     assert(viaAppend == viaRebuild && viaAppend.nonEmpty,
       s"append=$viaAppend rebuild=$viaRebuild")
   }
+
+  test("persisted IVF index: parquet round-trip probe equals the fused " +
+      "ivfTopK answer") {
+    import graft.llm.Similarity
+    val emb = Tables(spark, sf0001, "embeddings")
+    val queries = emb.filter(org.apache.spark.sql.functions
+      .col("vec_id") < 5)
+    val dir = tmp("graft-ivf-index")
+    val (cents, assign) = Similarity.ivfIndex(emb)
+    cents.write.parquet(s"$dir/centroids")
+    assign.write.parquet(s"$dir/assign")
+    val viaIndex = Similarity.ivfTopKIndexed(queries,
+        spark.read.parquet(s"$dir/centroids"),
+        spark.read.parquet(s"$dir/assign"), k = 5)
+      .collect().map(_.toSeq).toSeq
+    val fused = Similarity.ivfTopK(queries, emb, k = 5)
+      .collect().map(_.toSeq).toSeq
+    assert(viaIndex == fused && viaIndex.nonEmpty)
+  }
 }
