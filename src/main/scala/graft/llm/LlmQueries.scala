@@ -417,6 +417,10 @@ object LlmQueries {
     // Shannon token entropy: the lexical-diversity / keyword-spam
     // feature, exact integer micro-unit sums per doc
     "llm_entropy" -> ((s, d) => TextOps.entropy(docs(s, d))),
+    // C4-style bad-words gate on exact whitespace tokens
+    "llm_blocklist" -> ((s, d) =>
+      TextOps.blocklist(docs(s, d), Seq("slow", "spam", "junk"),
+        maxHits = 2)),
     // quality-curriculum read order: replicable shard + in-shard rank
     "llm_curriculum" -> ((s, d) => CorpusOps.curriculumOrder(docs(s, d))),
     // hybrid retrieval: BM25 keyword arm + exact-cosine embedding arm
@@ -1806,6 +1810,13 @@ object LlmQueries {
         "IF NOT list_contains(rl.removed, j)], ' '), '') END AS clean_text, " +
         "CAST(COALESCE(len(rl.removed), 0) AS BIGINT) AS n_removed " +
         "FROM t LEFT JOIN rl ON rl.doc_id = t.doc_id ORDER BY t.doc_id")) +
+    // blocklist replica: exact-token membership count + threshold flag
+    ("llm_blocklist" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) " +
+        "SELECT doc_id, CAST(len(list_filter(toks, x -> " +
+        "list_contains(['slow', 'spam', 'junk'], x))) AS BIGINT) AS n_hits, " +
+        "len(list_filter(toks, x -> list_contains(['slow', 'spam', 'junk'], x))) >= 2 AS blocked " +
+        "FROM t ORDER BY doc_id")) +
     // entropy replica: per-type counts once (nested-lambda capture),
     // micro-unit contributions, exact bigint sum per doc
     ("llm_entropy" ->

@@ -890,6 +890,31 @@ object TextOps {
     if (ordered) out.orderBy("doc_id") else out
   }
 
+  /** Blocklist screen — the C4-style "bad words" gate (C4 dropped any
+    * page containing a blocklisted word; Dolma/RefinedWeb run the same
+    * shape with larger lists): counts blocklisted token hits per doc
+    * and flags docs at or above `maxHits`. Matching is exact on
+    * whitespace tokens (no substring surprises — "class" never trips
+    * an "ass" entry). Output `(doc_id, n_hits, blocked)`.
+    *
+    * Pure per-row projection: the list broadcasts as an array literal
+    * (bounded — real blocklists are hundreds of entries), the count is
+    * one codegen'd filter over the bound token array; no shuffle, no
+    * state, stream-composable with `ordered = false`. */
+  def blocklist(docs: DataFrame, words: Seq[String],
+      maxHits: Int = 1, ordered: Boolean = true): DataFrame = {
+    require(words.nonEmpty, "need a non-empty blocklist")
+    require(maxHits >= 1, s"need maxHits >= 1, got $maxHits")
+    val bad = typedLit(words)
+    val out = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(filter(col("toks"), t => array_contains(bad, t)))
+          .cast("long").as("n_hits"))
+      .withColumn("blocked", col("n_hits") >= maxHits)
+    if (ordered) out.orderBy("doc_id") else out
+  }
+
   /** Per-document token entropy (Shannon, nats) — the lexical-diversity
     * feature the heuristic ratios miss: keyword-stuffed spam has low
     * entropy at normal `uniq_ratio`-ish lengths, template boilerplate

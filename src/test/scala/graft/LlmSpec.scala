@@ -1348,6 +1348,23 @@ class LlmSpec extends AnyFunSuite {
     assert(r.forall(x => nt(x._1) == x._3))
   }
 
+  test("blocklist: exact-token hits counted, threshold flags, " +
+      "substrings never match") {
+    val docs = Seq(
+      (1L, "clean text entirely fine"),
+      (2L, "spam spam here"), // 2 hits -> blocked at maxHits = 2
+      (3L, "superspam is one word"), // substring must NOT match
+      (4L, "junk once") // 1 hit -> under threshold
+    ).toDF("doc_id", "text")
+    val r = TextOps.blocklist(docs, Seq("spam", "junk"), maxHits = 2)
+      .collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getBoolean(2))).toMap
+    assert(r(1L) == ((0L, false)), r(1L))
+    assert(r(2L) == ((2L, true)), r(2L))
+    assert(r(3L) == ((0L, false)), r(3L))
+    assert(r(4L) == ((1L, false)), r(4L))
+  }
+
   test("entropy: uniform tokens hit ln(n), constant docs hit zero, " +
       "skew lands between") {
     val docs = Seq(

@@ -110,12 +110,18 @@ class PropertySpec extends AnyFunSuite {
     val rates = Map("en" -> 0.5, "de" -> 0.25, "es" -> 1.0, "zh" -> 0.125)
     val cBase = graft.llm.CorpusOps.contamination(docs).collect().toSeq
     val qBase = graft.llm.CorpusOps.mixQuota(docs, "lang", rates).collect().toSeq
+    val wBase = Dedup.winnow(docs).collect().toSeq
+    val eBase = TextOps.entropy(docs).collect().toSeq
     for (parts <- Seq(2, 11)) {
       val dp = docs.repartition(parts)
       assert(graft.llm.CorpusOps.contamination(dp).collect().toSeq == cBase,
         s"contamination drifted at $parts partitions")
       assert(graft.llm.CorpusOps.mixQuota(dp, "lang", rates).collect().toSeq == qBase,
         s"mixQuota drifted at $parts partitions")
+      assert(Dedup.winnow(dp).collect().toSeq == wBase,
+        s"winnow drifted at $parts partitions")
+      assert(TextOps.entropy(dp).collect().toSeq == eBase,
+        s"entropy drifted at $parts partitions")
     }
   }
 
