@@ -134,33 +134,51 @@ object Similarity {
     ivfTopKIndexed(queries, cents, assign, k, nProbe)
   }
 
+  /** Shared distance kernels for the split build/probe IVF pair: the
+    * BUILD-side cell assignment and the PROBE-side query routing must
+    * stay bit-identical (rounding, native fallback and all) or a
+    * persisted index silently disagrees with its probes — one
+    * definition serves both sides. */
+  private def euclidExpr(spark: org.apache.spark.sql.SparkSession,
+      a: String, b: String): Column =
+    if (spark.catalog.functionExists("graft_euclid"))
+      expr(s"graft_euclid($a, $b)")
+    else sqrt(aggregate(
+      zip_with(col(a), col(b),
+        (x, y) => (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v))
+
+  private def dotExpr(spark: org.apache.spark.sql.SparkSession,
+      a: String, b: String): Column =
+    if (spark.catalog.functionExists("graft_dot"))
+      expr(s"graft_dot($a, $b)")
+    else dot(col(a), col(b))
+
   /** IVF index build as a PERSISTABLE artifact — the ANN counterpart of
     * the minhash index tables ([[Dedup.indexDelta]]): `centroids`
     * `(cid, cv)` and `assign` `(neighbor_id, ce, cell)`, both plain
     * parquet-able frames. At 100 TB the index is built ONCE (the
     * corpus-side argmin scan is the only corpus-sized job) and every
     * later query batch probes the stored tables via
-    * [[ivfTopKIndexed]] — the corpus is never re-assigned.
-    * [[ivfTopK]] is exactly build + probe fused, so the fused oracle
-    * transfers to the round-tripped path (WritersAndPipelineSpec
-    * asserts parquet round-trip equality). */
+    * [[ivfTopKIndexed]] — the corpus is never re-assigned. Write the
+    * assignment PARTITIONED BY CELL
+    * (`assign.write.partitionBy("cell")`) — then a probe's cell
+    * equi-join partition-prunes to the nProbe probed cells' files, and
+    * probe I/O is nProbe/nlist of the index instead of a full
+    * corpus-sized read. [[ivfTopK]] is exactly build + probe fused, so
+    * the fused oracle transfers to the round-tripped path
+    * (WritersAndPipelineSpec asserts partitioned round-trip
+    * equality). */
   def ivfIndex(corpus: DataFrame,
       centroidStride: Int = 31): (DataFrame, DataFrame) = {
     val spark = corpus.sparkSession
-    val hasNative = spark.catalog.functionExists("graft_euclid")
-    def euclid(a: String, b: String): Column =
-      if (hasNative) expr(s"graft_euclid($a, $b)")
-      else sqrt(aggregate(
-        zip_with(col(a), col(b),
-          (x, y) => (x.cast("double") - y.cast("double")) *
-            (x.cast("double") - y.cast("double"))),
-        lit(0.0), (acc, v) => acc + v))
     val cents = broadcast(
       corpus.filter(pmod(col("vec_id"), lit(centroidStride)) === 0)
         .select(col("vec_id").as("cid"), col("embedding").as("cv")))
     // corpus→cell argmin as a map-side partial agg (struct min orders by
     // rounded distance then centroid id — deterministic tiebreak)
-    val d6 = floor(euclid("ce", "cv") * 1e6 + 0.5) / 1e6
+    val d6 = floor(euclidExpr(spark, "ce", "cv") * 1e6 + 0.5) / 1e6
     val assign = corpus
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
       .join(cents)
@@ -180,19 +198,8 @@ object Similarity {
   def ivfTopKIndexed(queries: DataFrame, centroids: DataFrame,
       assign: DataFrame, k: Int, nProbe: Int = 4): DataFrame = {
     val spark = queries.sparkSession
-    val hasNative = spark.catalog.functionExists("graft_euclid")
-    def euclid(a: String, b: String): Column =
-      if (hasNative) expr(s"graft_euclid($a, $b)")
-      else sqrt(aggregate(
-        zip_with(col(a), col(b),
-          (x, y) => (x.cast("double") - y.cast("double")) *
-            (x.cast("double") - y.cast("double"))),
-        lit(0.0), (acc, v) => acc + v))
-    def dotOf(a: String, b: String): Column =
-      if (spark.catalog.functionExists("graft_dot")) expr(s"graft_dot($a, $b)")
-      else dot(col(a), col(b))
     val cents = broadcast(centroids.select(col("cid"), col("cv")))
-    val qd6 = floor(euclid("qe", "cv") * 1e6 + 0.5) / 1e6
+    val qd6 = floor(euclidExpr(spark, "qe", "cv") * 1e6 + 0.5) / 1e6
     val qCells = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
       .join(cents)
@@ -203,7 +210,7 @@ object Similarity {
       .select(col("query_id"), col("qe"), col("cid").as("cell"))
     val scored = qCells.join(assign, Seq("cell"))
       .select(col("query_id"), col("neighbor_id"),
-        dotOf("qe", "ce").as("raw_dot"))
+        dotExpr(spark, "qe", "ce").as("raw_dot"))
       .select(col("query_id"), col("neighbor_id"), col("raw_dot"),
         (floor(col("raw_dot") * 1e6 + 0.5) / 1e6).as("dot6"))
     val w = Window.partitionBy("query_id")

@@ -904,6 +904,14 @@ object TextOps {
   def blocklist(docs: DataFrame, words: Seq[String],
       maxHits: Int = 1, ordered: Boolean = true): DataFrame = {
     require(words.nonEmpty, "need a non-empty blocklist")
+    // multi-word phrases can never equal a space-split token (they'd
+    // silently count 0 forever) and an empty entry would match the
+    // empty tokens consecutive spaces produce — both are caller bugs,
+    // surfaced here instead of as silent mis-filtering
+    require(words.forall(w => w.nonEmpty && !w.contains(' ')),
+      s"blocklist entries must be single non-empty tokens; got " +
+        words.filter(w => w.isEmpty || w.contains(' ')).take(3)
+          .mkString("'", "', '", "'"))
     require(maxHits >= 1, s"need maxHits >= 1, got $maxHits")
     val bad = typedLit(words)
     val out = docs

@@ -1384,7 +1384,10 @@ class LlmSpec extends AnyFunSuite {
   }
 
   test("scorecard fuses the standalone per-row scores one-for-one") {
-    val docs = Tables(spark, sf0001, "documents").limit(50)
+    // deterministic subset: LIMIT without a sort may pick different
+    // rows across the six independent jobs below
+    val docs = Tables(spark, sf0001, "documents")
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 50)
     val sc = TextOps.scorecard(docs).collect()
       .map(r => r.getLong(0) -> r).toMap
     val q = TextOps.quality(docs).collect()

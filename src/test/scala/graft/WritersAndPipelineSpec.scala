@@ -507,7 +507,9 @@ class WritersAndPipelineSpec extends AnyFunSuite {
     val dir = tmp("graft-ivf-index")
     val (cents, assign) = Similarity.ivfIndex(emb)
     cents.write.parquet(s"$dir/centroids")
-    assign.write.parquet(s"$dir/assign")
+    // partitionBy(cell) is the deployment shape: a probe's cell
+    // equi-join partition-prunes to the probed cells' files
+    assign.write.partitionBy("cell").parquet(s"$dir/assign")
     val viaIndex = Similarity.ivfTopKIndexed(queries,
         spark.read.parquet(s"$dir/centroids"),
         spark.read.parquet(s"$dir/assign"), k = 5)
