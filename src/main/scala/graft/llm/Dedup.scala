@@ -605,6 +605,42 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Containment dedup — The-Stack-style detection of documents fully
+    * CONTAINED in a longer document (quotes, partial mirrors, truncated
+    * re-crawls): pairs `(inner_id, outer_id)` where inner's full token
+    * sequence occurs contiguously inside outer and inner is strictly
+    * shorter. Candidates come from the [[winnow]] sketch — any shared
+    * substring of `w + k − 1` tokens shares a fingerprint, and a
+    * contained doc of at least that many tokens IS such a substring, so
+    * recall is GUARANTEED for docs ≥ w + k − 1 tokens; the verify is an
+    * exact space-padded substring test (token boundaries respected:
+    * "x a" never matches inside "xx a"), so precision is exact too.
+    *
+    * Scale shape: sketch per-row; candidates meet on fingerprint values
+    * carrying ids only (the band-join discipline) and dedup to distinct
+    * ordered pairs; the two payload rejoins are id-equi-joins on the
+    * candidate list — orders of magnitude smaller than the corpus — and
+    * each candidate pays exactly one contains(). */
+  def containmentPairs(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    val fp = winnow(docs, k, w, ordered = false)
+      .select(col("doc_id"), col("fp")).distinct()
+    val cand = fp.select(col("doc_id").as("inner_id"), col("fp"))
+      .join(fp.select(col("doc_id").as("outer_id"), col("fp")), Seq("fp"))
+      .filter(col("inner_id") =!= col("outer_id"))
+      .select("inner_id", "outer_id").distinct()
+    val t = docs.select(col("doc_id"), col("text"))
+    cand
+      .join(t.select(col("doc_id").as("inner_id"), col("text").as("ta"),
+        length(col("text")).as("la")), Seq("inner_id"))
+      .join(t.select(col("doc_id").as("outer_id"), col("text").as("tb"),
+        length(col("text")).as("lb")), Seq("outer_id"))
+      .filter(col("la") < col("lb") &&
+        concat(lit(" "), col("tb"), lit(" "))
+          .contains(concat(lit(" "), col("ta"), lit(" "))))
+      .select(col("inner_id"), col("outer_id"))
+      .orderBy("inner_id", "outer_id")
+  }
+
   /** Within-document span dedup — the per-document form of
     * [[spanRemove]] (C4-style repeated-window cleanup): a `span`-token
     * window whose text already occurred EARLIER IN THE SAME document

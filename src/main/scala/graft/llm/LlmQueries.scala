@@ -188,6 +188,10 @@ object LlmQueries {
     // cross-doc overlap report over the sketch: >= 5 shared
     // fingerprint values isolates the planted dup families at sf0.01
     "llm_winnow_matches" -> ((s, d) => Dedup.winnowMatches(docs(s, d))),
+    // fully-contained docs (winnow candidates, exact padded-substring
+    // verify; the oracle replays the exhaustive ground truth, equal
+    // because the w+k-1 guarantee gives full recall on >= 6-token docs)
+    "llm_containment" -> ((s, d) => Dedup.containmentPairs(docs(s, d))),
     "llm_simhash" -> ((s, d) =>
       // sha2-derived token hash: same sketch machinery, but every engine
       // can reproduce the hash, so the full 64-bit sketch is
@@ -1856,6 +1860,16 @@ object LlmQueries {
         "CAST(ROW_NUMBER() OVER (PARTITION BY shard " +
         "ORDER BY score4 DESC, doc_id) AS BIGINT) AS ord " +
         "FROM s ORDER BY doc_id")) +
+    // containment replica: the EXHAUSTIVE ground truth — equality with
+    // the Spark sketch-candidate path holds because every contained doc
+    // here is >= w+k-1 tokens (the winnowing guarantee = full recall)
+    // and the padded-substring verify is exact on both engines
+    ("llm_containment" ->
+      ("SELECT a.doc_id AS inner_id, b.doc_id AS outer_id " +
+        "FROM documents a, documents b " +
+        "WHERE a.doc_id <> b.doc_id AND LENGTH(a.text) < LENGTH(b.text) " +
+        "AND CONTAINS(' ' || b.text || ' ', ' ' || a.text || ' ') " +
+        "ORDER BY inner_id, outer_id")) +
     // the overlap report: distinct (doc, fp) pairs meet on the
     // fingerprint value, >= 5 shared values per pair
     ("llm_winnow_matches" ->

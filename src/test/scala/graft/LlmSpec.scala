@@ -1422,6 +1422,23 @@ class LlmSpec extends AnyFunSuite {
     r.foreach(x => assert(sh(x._1) == x._2))
   }
 
+  test("containment: contained doc found, equal-length and unrelated " +
+      "docs excluded, token boundaries respected") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "c d e f g h"), // contained in 1 (6 tokens = w+k-1)
+      (3L, "x y z w v u"), // unrelated
+      (4L, "a b c d e f g h"), // equal text: strict-length rule excludes
+      (5L, "cc d e f g h") // 'c d e f g h' must NOT match inside 'cc d...'
+    ).toDF("doc_id", "text")
+    val r = Dedup.containmentPairs(docs).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(r.contains((2L, 1L)) && r.contains((2L, 4L)), r)
+    assert(!r.exists(p => p._1 == 3L || p._2 == 3L), r)
+    assert(!r.contains((1L, 4L)) && !r.contains((4L, 1L)), r)
+    assert(!r.contains((2L, 5L)), r)
+  }
+
   test("winnowing: fingerprints point at real grams, the w+k-1 " +
       "guarantee surfaces shared substrings, identical docs sketch " +
       "identically") {
