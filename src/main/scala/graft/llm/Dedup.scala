@@ -560,13 +560,18 @@ object Dedup {
     * winnow a single whole-array window (at least one fingerprint
     * whenever any gram exists). */
   def winnow(docs: DataFrame, k: Int = 3, w: Int = 4,
-      ordered: Boolean = true): DataFrame = {
+      ordered: Boolean = true,
+      gramHash: Column => Column = sha2TokenHash): DataFrame = {
     require(k > 0, s"need k > 0, got $k")
     require(w > 0, s"need w > 0, got $w")
     // toks staged as a bound column: an inlined tokens(text) would
-    // re-split the text once per gram inside gramsAll's lambda
+    // re-split the text once per gram inside gramsAll's lambda.
+    // gramHash defaults to the sha2-derived cross-engine hash (the
+    // oracle-checked sketch); pass xxhash64 for consumers whose own
+    // oracle doesn't replay the sketch (containmentPairs) — ~10x
+    // cheaper per gram with identical selection semantics.
     val hashes = transform(
-      TextOps.gramsAll(col("toks"), k), g => sha2TokenHash(g))
+      TextOps.gramsAll(col("toks"), k), g => gramHash(g))
     val fps = array_distinct(transform(
       sequence(lit(1L),
         greatest(size(col("hs")).cast("long") - (w - 1), lit(1L))),
@@ -622,12 +627,29 @@ object Dedup {
     * candidate list — orders of magnitude smaller than the corpus — and
     * each candidate pays exactly one contains(). */
   def containmentPairs(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
-    val fp = winnow(docs, k, w, ordered = false)
+    // xxhash64 grams: this op's oracle is the exhaustive ground truth,
+    // not a sketch replay, so the cheap hash family applies (a
+    // collision only ever adds a candidate the exact verify rejects)
+    val fp = winnow(docs, k, w, ordered = false, gramHash = xxhash64(_))
       .select(col("doc_id"), col("fp")).distinct()
-    val cand = fp.select(col("doc_id").as("inner_id"), col("fp"))
+      .localCheckpoint() // feeds the df counts AND both join sides
+    // sharper-than-overlap candidate rule: containment implies every
+    // window of inner is a window of outer, so winnow selects the SAME
+    // minima there — fp(inner) ⊆ fp(outer) exactly. The inner side
+    // therefore joins on its single RAREST fingerprint only (ties →
+    // smallest value): that one is in the outer sketch too, recall
+    // stays full, and candidate volume per inner doc is the document
+    // frequency of its rarest fingerprint — ubiquitous-phrase buckets
+    // never pair (the any-shared rule paid ~100x more verify pairs)
+    val dfCnt = fp.groupBy("fp").agg(count(lit(1)).as("df"))
+    val rarest = fp.join(dfCnt, Seq("fp"))
+      .groupBy("doc_id")
+      .agg(min(struct(col("df"), col("fp"))).as("m"))
+      .select(col("doc_id").as("inner_id"), col("m.fp").as("fp"))
+    val cand = rarest
       .join(fp.select(col("doc_id").as("outer_id"), col("fp")), Seq("fp"))
       .filter(col("inner_id") =!= col("outer_id"))
-      .select("inner_id", "outer_id").distinct()
+      .select("inner_id", "outer_id")
     val t = docs.select(col("doc_id"), col("text"))
     cand
       .join(t.select(col("doc_id").as("inner_id"), col("text").as("ta"),
