@@ -733,6 +733,35 @@ object CorpusOps {
     * per-doc n-grams, one gram-keyed hash agg for first occurrence
     * (map-side partial min), one gram-keyed equi-join carrying ids
     * only, one doc-keyed agg. Nothing pair-proportional. */
+  /** N-gram novelty against an EXTERNAL reference corpus — the ingest
+    * diagnostic ("how much genuinely new material does this batch
+    * add?") the within-corpus [[ngramNovelty]] cannot express: each
+    * doc's distinct n-grams probe the reference's DISTINCT gram set,
+    * novelty = the unseen fraction. The deployment shape of every
+    * `Against` sibling ([[TextOps.perplexityAgainst]],
+    * [[tokenKlAgainst]], [[bloomDecontaminateAgainst]]).
+    *
+    * Scale shape: the reference reduces to distinct gram keys with
+    * map-side partials BEFORE anything joins (the contamination
+    * discipline, direction flipped); the probe is a gram equi-join
+    * carrying doc ids only; the rollup is a doc-keyed hash agg. */
+  def ngramNoveltyAgainst(docs: DataFrame, refDocs: DataFrame,
+      n: Int = 3): DataFrame = {
+    val g = Dedup.withShingleSets(docs, n)
+      .select(col("doc_id"), explode(col("shingle_set")).as("g"))
+    val ref = Dedup.withShingleSets(refDocs, n)
+      .select(explode(col("shingle_set")).as("g")).distinct()
+      .withColumn("seen", lit(1))
+    g.join(ref, Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_new"))
+      .select(col("doc_id"), col("n_ngrams"), col("n_new"),
+        TextOps.r4(col("n_new").cast("double") / col("n_ngrams"))
+          .as("novelty"))
+      .orderBy("doc_id")
+  }
+
   def ngramNovelty(docs: DataFrame, n: Int = 3): DataFrame = {
     val g = Dedup.withShingleSets(docs, n)
       .select(col("doc_id"), explode(col("shingle_set")).as("g"))

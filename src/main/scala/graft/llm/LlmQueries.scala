@@ -52,6 +52,13 @@ object LlmQueries {
     "llm_source_overlap" -> ((s, d) => CorpusOps.sourceOverlap(docs(s, d))),
     // first-occurrence n-gram novelty — the diffuse-boilerplate screen
     "llm_ngram_novelty" -> ((s, d) => CorpusOps.ngramNovelty(docs(s, d))),
+    // ingest novelty: the doc_id % 5 == 0 batch probed against the rest
+    // as the reference corpus (the incremental-ingest split convention)
+    "llm_novelty_ref" -> ((s, d) => {
+      val all = docs(s, d)
+      CorpusOps.ngramNoveltyAgainst(all.filter(col("doc_id") % 5 === 0),
+        all.filter(col("doc_id") % 5 =!= 0))
+    }),
     // quality-score decile histogram on the exact 1e-4 integer form
     "llm_quality_calibration" -> ((s, d) =>
       CorpusOps.qualityCalibration(docs(s, d))),
@@ -1860,6 +1867,21 @@ object LlmQueries {
         "CAST(ROW_NUMBER() OVER (PARTITION BY shard " +
         "ORDER BY score4 DESC, doc_id) AS BIGINT) AS ord " +
         "FROM s ORDER BY doc_id")) +
+    // reference-novelty replica: the incremental-ingest shingle CTEs
+    // with the batch probing the rest's DISTINCT gram set
+    ("llm_novelty_ref" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "s AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN list_distinct(toks) " +
+        "ELSE list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] " +
+        "FOR i IN range(1, len(toks) - 1)]) END AS sh FROM t), " +
+        "ref AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 5 <> 0), " +
+        "e AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % 5 = 0), " +
+        "j AS (SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams, " +
+        "CAST(SUM(CASE WHEN ref.g IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new " +
+        "FROM e LEFT JOIN ref ON ref.g = e.g GROUP BY e.doc_id) " +
+        "SELECT doc_id, n_ngrams, n_new, " +
+        "FLOOR(CAST(n_new AS DOUBLE) / n_ngrams * 10000 + 0.5) / 10000 AS novelty " +
+        "FROM j ORDER BY doc_id")) +
     // containment replica: the EXHAUSTIVE ground truth — equality with
     // the Spark sketch-candidate path holds because every contained doc
     // here is >= w+k-1 tokens (the winnowing guarantee = full recall)

@@ -1422,6 +1422,22 @@ class LlmSpec extends AnyFunSuite {
     r.foreach(x => assert(sh(x._1) == x._2))
   }
 
+  test("reference novelty: unseen grams counted, fully-covered and " +
+      "fully-novel batches hit the extremes") {
+    val ref = Seq((100L, "a b c d e")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "a b c d e"), // identical: novelty 0
+      (2L, "x y z w v"), // disjoint: novelty 1
+      (3L, "a b c x y z") // mixed: shingles {abc,bcx,cxy,xyz} -> 3/4 new
+    ).toDF("doc_id", "text")
+    val r = CorpusOps.ngramNoveltyAgainst(batch, ref).collect()
+      .map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(r(1L) == ((3L, 0L, 0.0)), r(1L))
+    assert(r(2L) == ((3L, 3L, 1.0)), r(2L))
+    assert(r(3L) == ((4L, 3L, 0.75)), r(3L))
+  }
+
   test("containment: contained doc found, equal-length and unrelated " +
       "docs excluded, token boundaries respected") {
     val docs = Seq(
