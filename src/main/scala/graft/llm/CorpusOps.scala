@@ -746,11 +746,19 @@ object CorpusOps {
     * discipline, direction flipped); the probe is a gram equi-join
     * carrying doc ids only; the rollup is a doc-keyed hash agg. */
   def ngramNoveltyAgainst(docs: DataFrame, refDocs: DataFrame,
-      n: Int = 3): DataFrame = {
+      n: Int = 3, hashKeys: Boolean = false): DataFrame = {
+    // hashKeys: probe on 8-byte xxhash64 keys instead of gram strings
+    // (the contamination/decontaminate discipline) — at 100 TB the
+    // reference gram set and the join exchange shrink ~an order of
+    // magnitude; a collision only ever marks a novel gram as seen
+    def key(c: org.apache.spark.sql.Column) =
+      if (hashKeys) xxhash64(c) else c
     val g = Dedup.withShingleSets(docs, n)
       .select(col("doc_id"), explode(col("shingle_set")).as("g"))
+      .select(col("doc_id"), key(col("g")).as("g"))
     val ref = Dedup.withShingleSets(refDocs, n)
-      .select(explode(col("shingle_set")).as("g")).distinct()
+      .select(explode(col("shingle_set")).as("g"))
+      .select(key(col("g")).as("g")).distinct()
       .withColumn("seen", lit(1))
     g.join(ref, Seq("g"), "left")
       .groupBy("doc_id")
@@ -762,9 +770,17 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
-  def ngramNovelty(docs: DataFrame, n: Int = 3): DataFrame = {
+  def ngramNovelty(docs: DataFrame, n: Int = 3,
+      hashKeys: Boolean = false): DataFrame = {
+    // hashKeys mirrors [[ngramNoveltyAgainst]]: the first-occurrence
+    // agg and the probe join key on 8-byte xxhash64 values instead of
+    // gram strings (a collision merges two grams' first occurrence —
+    // bounded by |G|²/2⁶⁵ like every hashed-key sibling)
+    def key(c: org.apache.spark.sql.Column) =
+      if (hashKeys) xxhash64(c) else c
     val g = Dedup.withShingleSets(docs, n)
       .select(col("doc_id"), explode(col("shingle_set")).as("g"))
+      .select(col("doc_id"), key(col("g")).as("g"))
     val first = g.groupBy("g").agg(min("doc_id").as("first_id"))
     g.join(first, Seq("g"))
       .groupBy("doc_id")

@@ -554,9 +554,9 @@ object Dedup {
     *
     * Gram hashes are sha2-derived ([[sha2TokenHash]]) so any engine
     * replays the exact sketch. Pure per-row HOF projection + explode —
-    * no shuffle before the presentation sort; each window evaluates
-    * its slice a constant number of times (min / rightmost position /
-    * length) on a doc-bounded array. Docs with fewer than `w` grams
+    * no shuffle before the presentation sort; each window slices its
+    * gram-hash span exactly once (bound as a lambda value before the
+    * min / rightmost-position / length reads). Docs with fewer than `w` grams
     * winnow a single whole-array window (at least one fingerprint
     * whenever any gram exists). */
   def winnow(docs: DataFrame, k: Int = 3, w: Int = 4,
@@ -572,19 +572,41 @@ object Dedup {
     // cheaper per gram with identical selection semantics.
     val hashes = transform(
       TextOps.gramsAll(col("toks"), k), g => gramHash(g))
-    val fps = array_distinct(transform(
+    // windows staged as (start, win) structs so the lambda below binds
+    // each slice ONCE as a lambda VALUE — the former single-expression
+    // form sliced `hs` three times per window (min / position / length)
+    val wins = transform(
       sequence(lit(1L),
         greatest(size(col("hs")).cast("long") - (w - 1), lit(1L))),
-      j => {
-        val win = slice(col("hs"), j.cast("int"), lit(w))
-        val mn = array_min(win)
-        struct((j + size(win).cast("long") -
-          array_position(reverse(win), mn)).as("pos"), mn.as("fp"))
-      }))
-    val out = docs
+      j => struct(j.as("j"),
+        slice(col("hs"), j.cast("int"), lit(w)).as("win")))
+    val fps = array_distinct(transform(col("wins"), s => {
+      val win = s.getField("win")
+      val mn = array_min(win)
+      struct((s.getField("j") + size(win).cast("long") -
+        array_position(reverse(win), mn)).as("pos"), mn.as("fp"))
+    }))
+    // empty-sketch guard as a PURE STRING predicate (single-space token
+    // count >= k ⟺ gramsAll nonempty ⟺ hs nonempty): filtering on
+    // size(hs) pushed the ENTIRE gram+hash expression below the
+    // repartition, recomputing the sketch once per row single-core just
+    // to test emptiness
+    val nTok = length(col("text")) -
+      length(regexp_replace(col("text"), " ", "")) + 1
+    // the sketch is COMPUTE-bound (per-row window-min over every gram
+    // position), not IO-bound: a small parquet arriving as one scan
+    // partition would serialize the whole corpus's sketch onto one
+    // core. Fan under-partitioned inputs out to the session's
+    // parallelism; at scale the scan already carries >= that many
+    // partitions and no shuffle is added.
+    val p = docs.sparkSession.sparkContext.defaultParallelism
+    val spread = if (docs.rdd.getNumPartitions < p) docs.repartition(p)
+      else docs
+    val out = spread
+      .filter(nTok >= k)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"), hashes.as("hs"))
-      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"), wins.as("wins"))
       .select(col("doc_id"), explode(fps).as("s"))
       .select(col("doc_id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
     if (ordered) out.orderBy("doc_id", "pos", "fp") else out
@@ -599,8 +621,13 @@ object Dedup {
     * the sketch can miss, not what it can emit. */
   def winnowMatches(docs: DataFrame, k: Int = 3, w: Int = 4,
       minShared: Int = 5): DataFrame = {
+    // materialized before the self-join: an un-checkpointed alias split
+    // would re-evaluate the full sketch (tokenize + hash + window-min
+    // over the corpus) once per join side — the exact recompute
+    // nearDupPairs' band frames and containmentPairs already avoid
     val fp = winnow(docs, k, w, ordered = false)
       .select(col("doc_id"), col("fp")).distinct()
+      .localCheckpoint()
     fp.select(col("doc_id").as("doc_a"), col("fp"))
       .join(fp.select(col("doc_id").as("doc_b"), col("fp")), Seq("fp"))
       .filter(col("doc_a") < col("doc_b"))
@@ -621,12 +648,32 @@ object Dedup {
     * exact space-padded substring test (token boundaries respected:
     * "x a" never matches inside "xx a"), so precision is exact too.
     *
+    * The INNER side is restricted to docs of ≥ w + k − 1 tokens — the
+    * exact domain of the winnowing guarantee. Shorter docs emit too few
+    * grams for any window-min argument (a < k-token doc has no k-grams
+    * at all; a < w-gram doc winnows one whole-array window whose min
+    * the containing doc need not select), so the sketch rule cannot
+    * promise recall there and the function's CONTRACT excludes them
+    * rather than silently under-reporting. Sub-(w+k−1)-token inners
+    * need an exact substring path (they are also the cheapest docs to
+    * screen by other means — near-empty fragments are usually dropped
+    * by quality gates long before dedup).
+    *
     * Scale shape: sketch per-row; candidates meet on fingerprint values
     * carrying ids only (the band-join discipline) and dedup to distinct
     * ordered pairs; the two payload rejoins are id-equi-joins on the
     * candidate list — orders of magnitude smaller than the corpus — and
-    * each candidate pays exactly one contains(). */
-  def containmentPairs(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    * each candidate pays exactly one contains(). Candidate volume per
+    * inner doc = document frequency of its rarest fingerprint; on a
+    * low-entropy vocabulary that df can degenerate (every doc sharing
+    * one hot phrase), so inners whose rarest df exceeds `dfCap` AND
+    * that carry a second distinct fingerprint demand BOTH of their two
+    * rarest fingerprints in the outer sketch (fp(inner) ⊆ fp(outer)
+    * holds for EVERY inner fingerprint, so the AND-rule keeps full
+    * recall while the joint-df candidate set collapses). */
+  def containmentPairs(docs: DataFrame, k: Int = 3, w: Int = 4,
+      dfCap: Long = 1000L): DataFrame = {
+    val minTokens = w + k - 1
     // xxhash64 grams: this op's oracle is the exhaustive ground truth,
     // not a sketch replay, so the cheap hash family applies (a
     // collision only ever adds a candidate the exact verify rejects)
@@ -636,20 +683,41 @@ object Dedup {
     // sharper-than-overlap candidate rule: containment implies every
     // window of inner is a window of outer, so winnow selects the SAME
     // minima there — fp(inner) ⊆ fp(outer) exactly. The inner side
-    // therefore joins on its single RAREST fingerprint only (ties →
-    // smallest value): that one is in the outer sketch too, recall
-    // stays full, and candidate volume per inner doc is the document
-    // frequency of its rarest fingerprint — ubiquitous-phrase buckets
-    // never pair (the any-shared rule paid ~100x more verify pairs)
+    // therefore joins on its RAREST fingerprint only (ties → smallest
+    // value): that one is in the outer sketch too, recall stays full,
+    // and ubiquitous-phrase buckets never pair (the any-shared rule
+    // paid ~100x more verify pairs). The doc's TWO rarest fingerprints
+    // ride the same window pass for the dfCap AND-path below.
     val dfCnt = fp.groupBy("fp").agg(count(lit(1)).as("df"))
-    val rarest = fp.join(dfCnt, Seq("fp"))
-      .groupBy("doc_id")
-      .agg(min(struct(col("df"), col("fp"))).as("m"))
-      .select(col("doc_id").as("inner_id"), col("m.fp").as("fp"))
-    val cand = rarest
-      .join(fp.select(col("doc_id").as("outer_id"), col("fp")), Seq("fp"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df"), col("fp"))
+    val top2 = fp.join(dfCnt, Seq("fp"))
+      .withColumn("rn", row_number().over(rankW))
+      .filter(col("rn") <= 2)
+    val inner = top2.groupBy(col("doc_id").as("inner_id"))
+      .agg(min(when(col("rn") === 1, struct(col("df"), col("fp")))).as("m1"),
+        min(when(col("rn") === 2, col("fp"))).as("fp2"))
+      .select(col("inner_id"), col("m1.fp").as("fp"),
+        col("m1.df").as("df1"), col("fp2"))
+      // the winnowing-guarantee domain: inners shorter than w+k-1
+      // tokens are excluded by contract (docstring)
+      .join(docs.select(col("doc_id").as("inner_id"))
+        .where(TextOps.nTokExpr >= minTokens), Seq("inner_id"), "leftsemi")
+    val needAnd = col("df1") > dfCap && col("fp2").isNotNull
+    val outerFp = fp.select(col("doc_id").as("outer_id"), col("fp"))
+    val cand1 = inner.filter(!needAnd)
+      .join(outerFp, Seq("fp"))
+    // hot-rarest path: join on the rarest as before (ids-only rows),
+    // then require the second-rarest in the outer's sketch via a
+    // semi-join on (outer_id, fp2) — prunes the degenerate bucket
+    // BEFORE any payload touches the plan
+    val cand2 = inner.filter(needAnd)
+      .join(outerFp, Seq("fp"))
+      .join(fp.select(col("doc_id").as("outer_id"), col("fp").as("fp2")),
+        Seq("outer_id", "fp2"), "leftsemi")
+    val cand = cand1.select("inner_id", "outer_id")
+      .unionByName(cand2.select("inner_id", "outer_id"))
       .filter(col("inner_id") =!= col("outer_id"))
-      .select("inner_id", "outer_id")
     val t = docs.select(col("doc_id"), col("text"))
     cand
       .join(t.select(col("doc_id").as("inner_id"), col("text").as("ta"),

@@ -52,12 +52,24 @@ object LlmQueries {
     "llm_source_overlap" -> ((s, d) => CorpusOps.sourceOverlap(docs(s, d))),
     // first-occurrence n-gram novelty — the diffuse-boilerplate screen
     "llm_ngram_novelty" -> ((s, d) => CorpusOps.ngramNovelty(docs(s, d))),
+    // hashed-key twin: 8-byte xxhash64 join keys (the 100 TB path);
+    // the string-key oracle adjudicates because the hash only changes
+    // the join key, never the per-doc counts (collisions are ~2^-65)
+    "llm_ngram_novelty_hashed" -> ((s, d) =>
+      CorpusOps.ngramNovelty(docs(s, d), hashKeys = true)),
     // ingest novelty: the doc_id % 5 == 0 batch probed against the rest
     // as the reference corpus (the incremental-ingest split convention)
     "llm_novelty_ref" -> ((s, d) => {
       val all = docs(s, d)
       CorpusOps.ngramNoveltyAgainst(all.filter(col("doc_id") % 5 === 0),
         all.filter(col("doc_id") % 5 =!= 0))
+    }),
+    // hashed-key twin of the ingest diagnostic (same oracle — see
+    // llm_ngram_novelty_hashed)
+    "llm_novelty_ref_hashed" -> ((s, d) => {
+      val all = docs(s, d)
+      CorpusOps.ngramNoveltyAgainst(all.filter(col("doc_id") % 5 === 0),
+        all.filter(col("doc_id") % 5 =!= 0), hashKeys = true)
     }),
     // quality-score decile histogram on the exact 1e-4 integer form
     "llm_quality_calibration" -> ((s, d) =>
@@ -195,9 +207,10 @@ object LlmQueries {
     // cross-doc overlap report over the sketch: >= 5 shared
     // fingerprint values isolates the planted dup families at sf0.01
     "llm_winnow_matches" -> ((s, d) => Dedup.winnowMatches(docs(s, d))),
-    // fully-contained docs (winnow candidates, exact padded-substring
-    // verify; the oracle replays the exhaustive ground truth, equal
-    // because the w+k-1 guarantee gives full recall on >= 6-token docs)
+    // fully-contained docs (winnow candidates rarest-fp + dfCap
+    // AND-rule, exact padded-substring verify; the oracle replays the
+    // exhaustive ground truth over the contract domain — inner docs of
+    // >= w+k-1 = 6 tokens, where the winnowing guarantee = full recall)
     "llm_containment" -> ((s, d) => Dedup.containmentPairs(docs(s, d))),
     "llm_simhash" -> ((s, d) =>
       // sha2-derived token hash: same sketch machinery, but every engine
@@ -1451,7 +1464,7 @@ object LlmQueries {
     // curation replica composed from the three verified operator oracles
     // — nested WITH is legal inside a DuckDB CTE body, so each piece
     // embeds verbatim and stays in lock-step with its standalone entry
-    base + ("llm_curation" ->
+    val full = base + ("llm_curation" ->
       (s"""WITH q AS (${base("llm_quality")}), """ +
         s"""l AS (${base("llm_langid")}), """ +
         s"""g AS (${base("llm_dedup_groups")}) """ +
@@ -1882,14 +1895,17 @@ object LlmQueries {
         "SELECT doc_id, n_ngrams, n_new, " +
         "FLOOR(CAST(n_new AS DOUBLE) / n_ngrams * 10000 + 0.5) / 10000 AS novelty " +
         "FROM j ORDER BY doc_id")) +
-    // containment replica: the EXHAUSTIVE ground truth — equality with
-    // the Spark sketch-candidate path holds because every contained doc
-    // here is >= w+k-1 tokens (the winnowing guarantee = full recall)
-    // and the padded-substring verify is exact on both engines
+    // containment replica: the EXHAUSTIVE ground truth restricted to
+    // the operator's contract domain — inner docs of >= w+k-1 = 6
+    // tokens (single-space token formula), exactly where the winnowing
+    // guarantee gives full recall. Equality holds BY CONSTRUCTION, not
+    // by the data happening to lack short contained docs; the
+    // padded-substring verify is exact on both engines.
     ("llm_containment" ->
       ("SELECT a.doc_id AS inner_id, b.doc_id AS outer_id " +
         "FROM documents a, documents b " +
         "WHERE a.doc_id <> b.doc_id AND LENGTH(a.text) < LENGTH(b.text) " +
+        "AND LENGTH(a.text) - LENGTH(REPLACE(a.text, ' ', '')) + 1 >= 6 " +
         "AND CONTAINS(' ' || b.text || ' ', ' ' || a.text || ' ') " +
         "ORDER BY inner_id, outer_id")) +
     // the overlap report: distinct (doc, fp) pairs meet on the
@@ -1983,5 +1999,11 @@ object LlmQueries {
         "FROM q JOIN n ON n.doc_id = q.doc_id) " +
         "SELECT doc_id, score4, n_tokens, bef < 15000 AS kept " +
         "FROM w ORDER BY doc_id"))
+    // the hashed-key novelty twins share their string-key siblings'
+    // oracles VERBATIM: xxhash64 keys only change the join/agg key,
+    // never a per-doc count (collision odds ~ |G|²/2⁶⁵)
+    full +
+      ("llm_ngram_novelty_hashed" -> full("llm_ngram_novelty")) +
+      ("llm_novelty_ref_hashed" -> full("llm_novelty_ref"))
   }
 }

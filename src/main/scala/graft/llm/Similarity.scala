@@ -112,8 +112,11 @@ object Similarity {
     * structure of FAISS-style IVF indexes, re-expressed as two joins:
     *
     *  - assignment: corpus ⋈ broadcast(centroids) + map-side
-    *    `min(struct(dist, cid))` — a per-row argmin, no wide shuffle
-    *    (the exchange carries (vec_id, cell), not embeddings);
+    *    `min(struct(dist, cid))` — a per-row argmin whose exchange
+    *    carries one (vec_id, cell, embedding) row per corpus vector
+    *    (the index must store the vector), never the |corpus|×|cents|
+    *    scored expansion — partial aggregation collapses that
+    *    map-side;
     *  - probe: query cells ⋈ corpus cells on the cell id — candidate
     *    cost is |Q| · nProbe/nlist · |C| instead of |Q|×|C|.
     *
