@@ -514,26 +514,38 @@ object CorpusOps {
     * scanned ONCE: the 24-byte (doc_id, score4, n_tokens) projection is
     * localCheckpoint'ed and reused by the histogram job and both output
     * branches (re-deriving it would run the partly-interpreted feature
-    * pack three times). */
-  def tokenBudgetSelect(docs: DataFrame, budget: Long): DataFrame = {
+    * pack three times).
+    *
+    * Skew bound: score4 is a sigmoid, so tail logits compress into few
+    * score values and a quality-homogeneous corpus can land a LARGE
+    * fraction of its docs in the single cut bucket. When the cut
+    * bucket's population exceeds `maxCutWindow`, a SECOND driver-side
+    * histogram walk splits it by doc_id range (up to 4096 equal-width
+    * ranges — order-preserving, since the within-bucket tiebreak IS
+    * doc_id asc): ranges before the crossing range keep, ranges after
+    * drop, and only the one crossing range pays the single-partition
+    * window — worst case ~1/4096 of the bucket instead of all of it. */
+  def tokenBudgetSelect(docs: DataFrame, budget: Long,
+      maxCutWindow: Long = 1L << 22): DataFrame = {
     require(budget > 0, s"need budget > 0, got $budget")
     val scored = docs.select(col("doc_id"),
       TextOps.score4(TextOps.qualityLogit6Expr()).as("score4"),
       TextOps.nTokExpr.as("n_tokens"))
       .localCheckpoint()
     val hist = scored.groupBy("score4")
-      .agg(sum("n_tokens").as("btoks"))
+      .agg(sum("n_tokens").as("btoks"), count(lit(1)).as("ndocs"))
       .collect() // bounded: score4 has at most 10001 distinct values
-      .map(r => (r.getLong(0), r.getLong(1)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .sortBy(-_._1)
     // walk buckets best-first for the one where cumulative tokens cross
     var cum = 0L
     var cut = -1L
+    var cutDocs = 0L
     var cumBefore = 0L
     val it = hist.iterator
     while (it.hasNext && cut < 0) {
-      val (s4, t) = it.next()
-      if (cum + t >= budget) { cut = s4; cumBefore = cum }
+      val (s4, t, nd) = it.next()
+      if (cum + t >= budget) { cut = s4; cumBefore = cum; cutDocs = nd }
       cum += t
     }
     if (cut < 0) { // whole corpus fits the budget
@@ -543,10 +555,38 @@ object CorpusOps {
         .orderBy("doc_id")
         .rowsBetween(org.apache.spark.sql.expressions.Window
           .unboundedPreceding, -1)
-      val cutBucket = scored.filter(col("score4") === cut)
-        .withColumn("kept",
+      val cutBucket0 = scored.filter(col("score4") === cut)
+      val cutBucket = if (cutDocs <= maxCutWindow) {
+        cutBucket0.withColumn("kept",
           coalesce(sum("n_tokens").over(win), lit(0L)) +
             lit(cumBefore) < budget)
+      } else {
+        // second histogram walk: split the oversized bucket by doc_id
+        // range so only the crossing range windows (docstring)
+        val mm = cutBucket0.agg(min("doc_id"), max("doc_id")).head()
+        val lo = mm.getLong(0)
+        val wd = math.max(1L, (mm.getLong(1) - lo) / 4096L + 1L)
+        val sub = floor((col("doc_id") - lo) / wd).cast("long")
+        val subHist = cutBucket0.groupBy(sub.as("sb"))
+          .agg(sum("n_tokens").as("t"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+        var c = cumBefore
+        var scut = -1L
+        var cumBefore2 = 0L
+        val sit = subHist.iterator
+        while (sit.hasNext && scut < 0) {
+          val (sb, t) = sit.next()
+          if (c + t >= budget) { scut = sb; cumBefore2 = c }
+          c += t
+        }
+        // scut >= 0: the bucket as a whole crosses the budget
+        cutBucket0.filter(sub =!= scut)
+          .withColumn("kept", sub < scut)
+          .unionByName(cutBucket0.filter(sub === scut)
+            .withColumn("kept",
+              coalesce(sum("n_tokens").over(win), lit(0L)) +
+                lit(cumBefore2) < budget))
+      }
       scored.filter(col("score4") =!= cut)
         .withColumn("kept", col("score4") > cut)
         .unionByName(cutBucket)

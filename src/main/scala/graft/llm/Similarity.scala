@@ -192,18 +192,74 @@ object Similarity {
     (cents, assign)
   }
 
+  /** The distance-kernel identity of a session — which implementation
+    * [[euclidExpr]] resolves to. Persisted with every written index
+    * ([[ivfIndexWrite]]) and checked on load ([[ivfIndexRead]]): cell
+    * assignment and probe routing must use the SAME kernel, and a
+    * probe session whose kernel differs from the builder's must fail
+    * loudly instead of silently degrading recall if the two ever
+    * diverge by an ulp at a rounding boundary. */
+  private def kernelId(spark: org.apache.spark.sql.SparkSession): String =
+    if (spark.catalog.functionExists("graft_euclid")) "graft_euclid/1"
+    else "builtin_hof_euclid/1"
+
+  /** Persist an [[ivfIndex]] as its deployment layout: `centroids`,
+    * `assign` PARTITIONED BY CELL (so probes partition-prune to the
+    * nProbe probed cells' files), and a one-row `meta` frame recording
+    * the building session's distance kernel + format version. */
+  def ivfIndexWrite(centroids: DataFrame, assign: DataFrame,
+      dir: String): Unit = {
+    val spark = centroids.sparkSession
+    import spark.implicits._
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    assign.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/assign")
+    Seq(kernelId(spark)).toDF("kernel")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Load a persisted IVF index, FAILING LOUDLY if the probing
+    * session's distance kernel differs from the one that built the
+    * index (see [[kernelId]] — a silent mismatch could route queries
+    * to cells the stored assignment never used). Returns
+    * (centroids, assign) ready for [[ivfTopKIndexed]]. */
+  def ivfIndexRead(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val stored = spark.read.parquet(s"$dir/meta")
+      .select("kernel").head().getString(0)
+    val here = kernelId(spark)
+    require(stored == here,
+      s"IVF index at $dir was built with distance kernel '$stored' but " +
+        s"this session resolves '$here'; probing with a different kernel " +
+        "can silently disagree with the stored cell assignment. Register " +
+        "GraftExtensions (or rebuild the index) so build and probe share " +
+        "one kernel.")
+    (spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/assign"))
+  }
+
   /** Probe a stored [[ivfIndex]]: identical plan and output to
     * [[ivfTopK]] given the same index frames (read them back with
     * `spark.read.parquet`). Queries assign to their nProbe nearest
     * centroids and meet the assignment table on the cell key — an
     * ids+vectors equi-join bounded by the probed cells, never a corpus
-    * scan. */
+    * scan.
+    *
+    * `staticPrune = true` is the persisted-index deployment path: the
+    * probed cell set (bounded by |Q|·nProbe, and by nlist overall) is
+    * collected and applied as a LITERAL partition filter on the
+    * assignment scan, so a `partitionBy("cell")` index provably reads
+    * only the probed cells' files (PlanSpec asserts the scan's
+    * partition count) — no reliance on runtime DPP heuristics. The
+    * collect is bounded driver state (cell ids only), the
+    * Lloyd-centers discipline. */
   def ivfTopKIndexed(queries: DataFrame, centroids: DataFrame,
-      assign: DataFrame, k: Int, nProbe: Int = 4): DataFrame = {
+      assign: DataFrame, k: Int, nProbe: Int = 4,
+      staticPrune: Boolean = false): DataFrame = {
     val spark = queries.sparkSession
     val cents = broadcast(centroids.select(col("cid"), col("cv")))
     val qd6 = floor(euclidExpr(spark, "qe", "cv") * 1e6 + 0.5) / 1e6
-    val qCells = queries
+    val qCells0 = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
       .join(cents)
       .select(col("query_id"), col("qe"), col("cid"), qd6.as("d"))
@@ -211,7 +267,13 @@ object Similarity {
         Window.partitionBy("query_id").orderBy(col("d"), col("cid"))))
       .filter(col("rn") <= nProbe)
       .select(col("query_id"), col("qe"), col("cid").as("cell"))
-    val scored = qCells.join(assign, Seq("cell"))
+    val qCells = if (staticPrune) qCells0.localCheckpoint() else qCells0
+    val probeTarget = if (staticPrune) {
+      val cells = qCells.select("cell").distinct()
+        .collect().map(_.get(0)) // bounded: <= |Q| * nProbe cell ids
+      assign.filter(col("cell").isin(cells.toIndexedSeq: _*))
+    } else assign
+    val scored = qCells.join(probeTarget, Seq("cell"))
       .select(col("query_id"), col("neighbor_id"),
         dotExpr(spark, "qe", "ce").as("raw_dot"))
       .select(col("query_id"), col("neighbor_id"), col("raw_dot"),

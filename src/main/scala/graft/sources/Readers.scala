@@ -176,6 +176,19 @@ object Readers {
       .map(r => (r.getLong(0), r.getAs[org.apache.spark.ml.linalg.Vector](1)))
       .saveAsObjectFile(path)
 
+  /** Text-payload SequenceFile reader — the read half of
+    * [[Writers.sequenceFile]] and of the reference's verified-data
+    * re-read (`PrefixSpanRunner.scala:170`:
+    * `sc.sequenceFile[NullWritable, String]`). Codec (LZ4 or any other
+    * registered Hadoop codec) is discovered from the file headers;
+    * returns a single `value` string column. */
+  def sequenceLines(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext
+      .sequenceFile[org.apache.hadoop.io.NullWritable, String](path)
+      .map(_._2).toDF("value")
+  }
+
   /** Mahout SequenceFile vectors — the reference's KMeans input
     * (`KMeansRunner.scala:119-124` reads
     * `sc.sequenceFile[LongWritable, VectorWritable]`). The Mahout jar is

@@ -36,6 +36,27 @@ object Writers {
     df.select(concat_ws(sep, df.columns.map(col): _*).as("value"))
       .write.mode(SaveMode.Overwrite).text(path)
 
+  /** SequenceFile sink — the reference's PrefixSpan persistence shape
+    * (`PrefixSpanRunner.scala:183-184`: `RDD[String]` as
+    * `(NullWritable, Text)` records, LZ4-compressed). Rows are
+    * flattened to one `sep`-joined line each (the [[text]] convention)
+    * and written via Hadoop's SequenceFile with the requested codec —
+    * LZ4 by default (lz4-java backed in Hadoop 3, no native lib
+    * needed), `None` for uncompressed. Overwrite semantics match the
+    * other sinks. Readable back with [[Readers.sequenceLines]] or any
+    * `sc.sequenceFile[NullWritable, String]` consumer. */
+  def sequenceFile(df: DataFrame, path: String, sep: String = ",",
+      codec: Option[Class[_ <: org.apache.hadoop.io.compress.CompressionCodec]] =
+        Some(classOf[org.apache.hadoop.io.compress.Lz4Codec])): Unit = {
+    val sc = df.sparkSession.sparkContext
+    val hpath = new org.apache.hadoop.fs.Path(path)
+    val fs = hpath.getFileSystem(sc.hadoopConfiguration)
+    if (fs.exists(hpath)) fs.delete(hpath, true)
+    df.select(concat_ws(sep, df.columns.map(col): _*).as("value"))
+      .rdd.map(r => (org.apache.hadoop.io.NullWritable.get(), r.getString(0)))
+      .saveAsSequenceFile(path, codec)
+  }
+
   /** DDL + insert path (A32): create a managed table and append —
     * the `create table` / `insert into ... select` flow of the Hive
     * runners, against the session catalog. */

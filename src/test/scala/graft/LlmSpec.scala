@@ -1346,6 +1346,12 @@ class LlmSpec extends AnyFunSuite {
       "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS LONG)")
       .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
     assert(r.forall(x => nt(x._1) == x._3))
+    // skewed cut bucket: forcing the doc_id-range sub-split
+    // (maxCutWindow = 1 makes EVERY cut bucket oversized) must not
+    // change a single kept decision vs the plain single-window path
+    val split = CorpusOps.tokenBudgetSelect(docs, budget, maxCutWindow = 1L)
+      .collect().map(x => (x.getLong(0), x.getBoolean(3))).sortBy(_._1)
+    assert(split.toSeq == r.map(x => (x._1, x._4)).sortBy(_._1).toSeq)
   }
 
   test("blocklist: exact-token hits counted, threshold flags, " +

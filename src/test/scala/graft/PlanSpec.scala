@@ -323,6 +323,52 @@ class PlanSpec extends AnyFunSuite {
       p.take(3000))
   }
 
+  test("persisted IVF index probe with staticPrune reads only the " +
+      "probed cells' partitions") {
+    import graft.llm.Similarity
+    val emb = Tables(spark, sf0001, "embeddings")
+    val queries = emb.filter(
+      org.apache.spark.sql.functions.col("vec_id") < 3)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivf-prune").toString
+    val (cents, assign) = Similarity.ivfIndex(emb)
+    Similarity.ivfIndexWrite(cents, assign, dir)
+    val (rc, ra) = Similarity.ivfIndexRead(spark, dir)
+    val nCells = rc.count()
+    val pruned = Similarity.ivfTopKIndexed(queries, rc, ra, k = 5,
+      nProbe = 2, staticPrune = true)
+    val rows = pruned.collect()
+    // same answer as the unpruned probe of the same stored index
+    val plainRows = Similarity.ivfTopKIndexed(queries, rc, ra, k = 5,
+      nProbe = 2).collect()
+    assert(rows.toSeq == plainRows.toSeq && rows.nonEmpty)
+    // the assignment scan must carry a literal cell partition filter
+    // and select at most |Q| x nProbe of the nCells partitions — the
+    // machine check behind the "probe I/O is nProbe/nlist of the
+    // index" claim
+    import org.apache.spark.sql.execution.{FileSourceScanExec, ReusedSubqueryExec}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def scans(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case r: ReusedExchangeExec => scans(r.child)
+      case r: ReusedSubqueryExec => scans(r.child)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans) ++
+        other.subqueries.flatMap(scans)
+    }
+    val assignScan = scans(pruned.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.mkString(",").contains("assign"))
+    assert(assignScan.nonEmpty)
+    val selected = assignScan.head.selectedPartitions.partitionCount.toLong
+    assert(selected <= 3 * 2 && selected < nCells,
+      s"selected $selected of $nCells partitions")
+    assert(assignScan.head.partitionFilters.mkString(" ").contains("cell"),
+      assignScan.head.partitionFilters.mkString(" "))
+  }
+
   test("ccnet fixed-threshold buckets add no window to the perplexity " +
       "plan; the rank form pays exactly the per-lang windows") {
     val docs = Tables(spark, sf0001, "documents")

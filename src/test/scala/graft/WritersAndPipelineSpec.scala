@@ -88,6 +88,32 @@ class WritersAndPipelineSpec extends AnyFunSuite {
     assert(lines.length == df.count() && lines.forall(_.contains("|")))
   }
 
+  test("sequenceFile(+LZ4) round trips through sequenceLines and the " +
+      "headers record the codec") {
+    // the reference's PrefixSpan persistence shape: RDD[String] as
+    // (NullWritable, Text) SequenceFile records, Lz4Codec
+    val pats = graft.ml.TextModels.prefixSpan(
+      spark, Tables(spark, sf0001, "events"))
+    val path = tmp("seq")
+    Writers.sequenceFile(pats, path)
+    val back = graft.sources.Readers.sequenceLines(spark, path)
+    val exp = pats.select(concat_ws(",", pats.columns.map(col): _*))
+      .as[String].collect().sorted.toSeq
+    assert(back.as[String].collect().sorted.toSeq == exp)
+    // codec is recorded in the SequenceFile header, not a file suffix
+    val part = Files.list(java.nio.file.Paths.get(path)).toArray
+      .map(_.toString).filter(_.contains("part-")).head
+    val head = new String(
+      Files.readAllBytes(java.nio.file.Paths.get(part)).take(512),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(head.contains("org.apache.hadoop.io.compress.Lz4Codec"), part)
+    // uncompressed variant round trips too
+    val plain = tmp("seqplain")
+    Writers.sequenceFile(pats, plain, codec = None)
+    assert(graft.sources.Readers.sequenceLines(spark, plain)
+      .as[String].collect().sorted.toSeq == exp)
+  }
+
   test("lz4-compressed parquet reads back identically") {
     val df = Tables(spark, sf0001, "region")
     val p = tmp("lz4")
@@ -517,5 +543,24 @@ class WritersAndPipelineSpec extends AnyFunSuite {
     val fused = Similarity.ivfTopK(queries, emb, k = 5)
       .collect().map(_.toSeq).toSeq
     assert(viaIndex == fused && viaIndex.nonEmpty)
+  }
+
+  test("IVF index load fails loudly when the stored kernel marker " +
+      "differs from the probing session's kernel") {
+    import graft.llm.Similarity
+    val emb = Tables(spark, sf0001, "embeddings")
+    val dir = tmp("graft-ivf-kernel")
+    val (cents, assign) = Similarity.ivfIndex(emb)
+    Similarity.ivfIndexWrite(cents, assign, dir)
+    // the marker round-trips on a matched session
+    val (rc, ra) = Similarity.ivfIndexRead(spark, dir)
+    assert(rc.count() > 0 && ra.count() == emb.count())
+    // simulate an index built by a session with a different kernel
+    Seq("some_other_kernel/9").toDF("kernel")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfIndexRead(spark, dir)
+    }
+    assert(e.getMessage.contains("kernel"), e.getMessage)
   }
 }
