@@ -48,6 +48,15 @@ object VerifyUtils {
   def setsEqual(expected: DataFrame, actual: DataFrame): Boolean =
     setDiff(expected, actual) == ((0L, 0L))
 
+  /** Constant-truth oracle for a tolerance-check verdict query (the
+    * Checks/GraphChecks surface): every listed metric must come back
+    * ok=true. Inline-VALUES form parses in BOTH DuckDB (driver gate)
+    * and Spark SQL (the specs' dual-run). */
+  def verdictSql(metrics: String*): String =
+    "SELECT * FROM (VALUES " +
+      metrics.sorted.map(m => s"('$m', true)").mkString(", ") +
+      ") AS t(metric, ok) ORDER BY metric"
+
   /** Top-k overlap accuracy: |expected ∩ actual| / k over single-column
     * key frames (the centrality verification metric). */
   def topKAccuracy(expected: DataFrame, actual: DataFrame): Double = {

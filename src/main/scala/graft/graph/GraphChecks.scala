@@ -1,0 +1,125 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Tolerance-verified companions for the stock GraphX fits whose
+  * trajectories are engine artifacts (async LPA's vertex-activation
+  * order, Louvain's tie-breaking, the replicated-view lag of the
+  * vector-batched PPR, Word2Vec's HogWild updates) — the graph half of
+  * [[graft.ml.Checks]]: run the stock op, compare a STABLE metric of
+  * its output against the oracle-checked deterministic companion, emit
+  * `(metric, ok)` verdict rows against a constant-truth oracle.
+  * Thresholds probed at sf0.01 and sf0.1 with slack (see each check).
+  */
+object GraphChecks {
+
+  private def verdicts(spark: SparkSession,
+      rows: Seq[(String, Boolean)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("metric", "ok").orderBy("metric")
+  }
+
+  /** Async GraphX LPA vs the oracle-checked synchronous twin: the
+    * trajectory differs but the macroscopic outcome — how many
+    * communities survive 5 rounds — must land in the same regime. */
+  def lpa(spark: SparkSession, edges: DataFrame,
+      iters: Int = 5): DataFrame = {
+    val g = GraphSource.toGraph(edges)
+    val async = Builtins.labelPropagation(spark, g, iters)
+    val sync = Iterative.labelPropagationSync(spark, edges, iters)
+    val nodesAsync = async.count()
+    val nodesSync = sync.count()
+    val nAsync = async.select("label").distinct().count().toDouble
+    val nSync = sync.select("label").distinct().count().toDouble
+    // factor-3 band: both trajectories collapse the fixture graph to a
+    // handful of communities (sf0.01 probed async=1 vs sync=2; sf0.1
+    // in the same regime), so a tight ratio on single-digit counts
+    // would flap — 3x separates "same regime" from "diverged"
+    verdicts(spark, Seq(
+      "lpa_labels_every_node" -> (nodesAsync == nodesSync),
+      "lpa_community_count_within_3x_of_sync" ->
+        (nAsync <= nSync * 3.0 && nAsync * 3.0 >= nSync)))
+  }
+
+  /** Stock Louvain vs the oracle-checked deterministic sweep: the
+    * partitions differ, but BOTH are local-move optima of the same
+    * objective — their modularity (computed by the oracle-checked
+    * [[Iterative.modularity]]) must agree within 0.05 absolute. */
+  def louvain(spark: SparkSession, und: DataFrame): DataFrame = {
+    val sym = und.select(col("src"), col("dst"), col("weight"))
+      .union(und.select(col("dst").as("src"), col("src").as("dst"),
+        col("weight")))
+    def modOf(c: DataFrame): Double =
+      Iterative.modularity(spark, sym,
+        c.select(col("node"), col("community"))).head().getDouble(0)
+    val mStock = modOf(Community.louvain(spark, und))
+    val mSync = modOf(Iterative.louvainSync(spark, und, 8)
+      .withColumnRenamed("comm", "community"))
+    verdicts(spark, Seq(
+      "louvain_modularity_positive" -> (mStock > 0.0),
+      "louvain_modularity_within_05_of_sync" ->
+        (math.abs(mStock - mSync) <= 0.05)))
+  }
+
+  /** Word2Vec over the biased walks: every walked vertex gets one
+    * finite nonzero embedding of the declared dimension — the model
+    * surface contract (the SAMPLER itself is oracle-checked via
+    * graph_walks_det; the HogWild trainer is the only RNG left). */
+  def node2vec(spark: SparkSession, edges: DataFrame): DataFrame = {
+    val emb = Node2Vec.embeddings(spark, edges, p = 2.0, q = 0.5)
+    // the query surface emits the first 4 rounded coordinates
+    val dims = emb.columns.filter(_.matches("d\\d+"))
+    val nVerts = edges.select(col("src").as("v"))
+      .union(edges.select(col("dst"))).distinct().count()
+    val normExpr = sqrt(dims.map(c => col(c) * col(c)).reduce(_ + _))
+    val stats = emb.select(
+        count(lit(1)).as("n"),
+        sum(when(normExpr > 0.0 && !isnan(normExpr), 1L)
+          .otherwise(0L)).as("ok"))
+      .head()
+    verdicts(spark, Seq(
+      "node2vec_emits_coordinates" -> (dims.length == 4),
+      "node2vec_covers_walked_vertices" ->
+        (stats.getLong(0) > 0 && stats.getLong(0) <= nVerts),
+      "node2vec_vectors_finite_nonzero" ->
+        (stats.getLong(1) == stats.getLong(0))))
+  }
+
+  /** Vector-batched GraphX PPR vs the oracle-checked synchronous twin:
+    * the replicated-view artifact displaces DISTRIBUTION mass (probed
+    * L1 ≈ 0.20 at sf0.01, ≈ 0.45 at sf0.1 — scale-dependent, so L1 is
+    * the wrong invariant) but preserves the RANKING the op exists to
+    * produce — so the check is the reference's own ranking methodology
+    * (top-k set overlap, `BetweennessRunner.scala:92-99`): per source,
+    * at least 3 of the top-5 nodes agree with the sync twin (probed
+    * 4,5,5,4 at sf0.01 and 5,3,5,3 at sf0.1), plus per-source rank
+    * mass conserved at 1 within 1%. */
+  def pprMulti(spark: SparkSession, edges: DataFrame,
+      sources: Seq[Long], iters: Int = 10): DataFrame = {
+    val g = GraphSource.toGraph(edges)
+    val async = Builtins.parallelPersonalizedPageRank(spark, g,
+      sources, iters).localCheckpoint()
+    val sync = Iterative.parallelPersonalizedPageRankSync(spark, edges,
+      sources, iters)
+    val mass = async.groupBy("source").agg(sum("rank").as("tot"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def top5(df: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(desc("rank"), asc("node"))
+      df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5).select("source", "node")
+    }
+    val overlap = top5(async).join(top5(sync),
+        Seq("source", "node"), "leftsemi")
+      .groupBy("source").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    verdicts(spark, Seq(
+      "ppr_multi_all_sources_ranked" ->
+        (mass.keySet == sources.toSet && overlap.keySet == sources.toSet),
+      "ppr_multi_mass_normalized_1pct" ->
+        sources.forall(s => math.abs(mass.getOrElse(s, 0.0) - 1.0) <= 0.01),
+      "ppr_multi_top5_overlap_ge_3of5" ->
+        sources.forall(s => overlap.getOrElse(s, 0L) >= 3L)))
+  }
+}

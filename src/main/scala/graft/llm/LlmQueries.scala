@@ -235,8 +235,37 @@ object LlmQueries {
       graft.plans.NativeTopK.topK(e.filter(col("vec_id") < 10), e, k = 5)
     }),
     "llm_ann_lsh" -> ((s, d) => {
+      // seeded stock LSH adjudicated by range-query quality against the
+      // exact ground truth (brute distance filter): no false positives
+      // (the join's distance column is exact, so a violation means the
+      // kernel broke) and >= 60% recall of the true in-radius pairs
+      // (probed 0.96 at sf0.01, 0.93 at sf0.1 — wide headroom).
+      // Constant-truth oracle like the Checks family.
+      import s.implicits._
       val e = emb(s, d)
-      Similarity.lshNeighbors(e.filter(col("vec_id") < 10), e, maxDist = 1.2)
+      val q = e.filter(col("vec_id") < 10)
+      val lsh = Similarity.lshNeighbors(q, e, maxDist = 1.2)
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+      val dist = sqrt(aggregate(
+        zip_with(col("qe"), col("ce"),
+          (x, y) => (x.cast("double") - y.cast("double")) *
+            (x.cast("double") - y.cast("double"))),
+        lit(0.0), (a, v) => a + v))
+      val truePairs = q.select(col("vec_id").as("query_id"),
+          col("embedding").as("qe"))
+        .crossJoin(e.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("ce")))
+        .filter(dist <= 1.2).select("query_id", "neighbor_id")
+        .localCheckpoint()
+      val nTrue = truePairs.count()
+      val keys = Seq("query_id", "neighbor_id")
+      val nHit = lsh.join(truePairs, keys, "leftsemi").count()
+      val nFp = lsh.join(truePairs, keys, "left_anti").count()
+      Seq(
+        ("ann_lsh_no_false_positives", nFp == 0L),
+        ("ann_lsh_range_recall_ge_60pct",
+          nTrue > 0L && nHit.toDouble >= 0.6 * nTrue))
+        .toDF("metric", "ok").orderBy("metric")
     }),
     "llm_ann_lsh_det" -> ((s, d) => {
       val e = emb(s, d)
@@ -2004,6 +2033,9 @@ object LlmQueries {
     // never a per-doc count (collision odds ~ |G|²/2⁶⁵)
     full +
       ("llm_ngram_novelty_hashed" -> full("llm_ngram_novelty")) +
-      ("llm_novelty_ref_hashed" -> full("llm_novelty_ref"))
+      ("llm_novelty_ref_hashed" -> full("llm_novelty_ref")) +
+      // constant-truth verdict for the seeded-LSH quality check
+      ("llm_ann_lsh" -> graft.core.VerifyUtils.verdictSql(
+        "ann_lsh_no_false_positives", "ann_lsh_range_recall_ge_60pct"))
   }
 }

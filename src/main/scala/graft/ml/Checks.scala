@@ -1,0 +1,282 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.VerifyUtils.scalarMatch
+
+/** Tolerance-verified companions for the stock seeded estimators — the
+  * reference's own save-then-compare methodology (0.5% scalar relative
+  * tolerance, reference `Utils.scala:164-184`) applied as DRIVER-VISIBLE
+  * checks: each check runs the exact stock fit its query always ran,
+  * derives a companion metric (an oracle-checked deterministic twin's
+  * metric, a closed-form bound, or a self-consistency identity), and
+  * emits `(metric, ok)` verdict rows whose oracle is the constant truth
+  * table. A seeded fit whose trajectory no external engine can replay
+  * still gets a machine-adjudicated pass/fail — not a rows-only shrug.
+  *
+  * Threshold discipline: every inequality below was probed at sf0.01 AND
+  * sf0.1 and carries slack beyond the observed value; a check that fails
+  * is a real regression (fit diverged, metric broke), not noise.
+  */
+object Checks {
+
+  private[graft] def verdicts(spark: SparkSession,
+      rows: Seq[(String, Boolean)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("metric", "ok").orderBy("metric")
+  }
+
+  private def termMap(df: DataFrame): Map[String, Double] =
+    df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+  /** KMeans|| (k=8, 20 iters) must cluster at least as tightly as the
+    * oracle-checked 4-center/5-iter deterministic Lloyd: more centers +
+    * better init + more iterations can only lower WSSSE. */
+  def kmeans(spark: SparkSession, embeddings: DataFrame): DataFrame = {
+    val data = Supervised.embeddingFeatures(embeddings)
+    val m = new org.apache.spark.ml.clustering.KMeans()
+      .setK(8).setMaxIter(20).setSeed(2020L).fit(data)
+    val n = data.count()
+    val sizes = m.summary.clusterSizes
+    val wssse = m.summary.trainingCost
+    val (centers, assigned) =
+      Unsupervised.lloydCenters(spark, embeddings, 4, 5)
+    val distSq = centers.zipWithIndex.map { case (c, i) =>
+      when(col("cluster") === i, aggregate(
+        zip_with(col("x"), typedLit(c.toSeq),
+          (x, cc) => (x - cc) * (x - cc)),
+        lit(0.0), (acc, v) => acc + v))
+      // reduceRight: each otherwise() lands on a fresh when() column
+      // (left-fold would re-apply otherwise to the finished chain)
+    }.reduceRight(_ otherwise _)
+    val wssseLloyd = assigned.select(distSq.as("d2"))
+      .agg(sum("d2")).head().getDouble(0)
+    verdicts(spark, Seq(
+      "kmeans_clusters_in_range" -> (sizes.length >= 2 && sizes.length <= 8),
+      "kmeans_sizes_sum_n" -> (sizes.sum == n),
+      "kmeans_wssse_le_lloyd4" -> (wssse <= wssseLloyd * 1.005)))
+  }
+
+  /** PCA explained-variance self-consistency: each ratio must equal the
+    * Rayleigh quotient of the data PROJECTED onto that component (an
+    * identity of a correct eigensolve, checked at the reference's 0.5%),
+    * ratios descend, and the top component captures at least as much
+    * variance as the best single axis (optimality lower bound). */
+  def pca(spark: SparkSession, embeddings: DataFrame, k: Int = 8): DataFrame = {
+    val data = Supervised.embeddingFeatures(embeddings)
+    val m = new org.apache.spark.ml.feature.PCA()
+      .setK(k).setInputCol("features").setOutputCol("pc").fit(data)
+    val evs = m.explainedVariance.toArray
+    val projVars = m.transform(data)
+      .select(posexplode(
+        org.apache.spark.ml.functions.vector_to_array(col("pc")))
+        .as(Seq("j", "v")))
+      .groupBy("j").agg(var_samp("v").as("s")).orderBy("j")
+      .collect().map(_.getDouble(1))
+    val featVars = data
+      .select(posexplode(
+        org.apache.spark.ml.functions.vector_to_array(col("features")))
+        .as(Seq("j", "v")))
+      .groupBy("j").agg(var_samp("v").as("s"))
+      .collect().map(_.getDouble(1))
+    val tot = featVars.sum
+    verdicts(spark, Seq(
+      "pca_ev_descending" ->
+        evs.sliding(2).forall(p => p(0) >= p(1) - 1e-9),
+      "pca_ev_sum_le_1" -> (evs.sum <= 1.0 + 1e-9),
+      "pca_rayleigh_halfpct" ->
+        evs.zip(projVars).forall { case (e, pv) => scalarMatch(e, pv / tot) },
+      "pca_top_ge_best_axis" -> (evs(0) >= featVars.max / tot - 1e-9)))
+  }
+
+  /** Sparse PCA differential: the COO sparse-row path must reproduce the
+    * dense PCA spectrum of the same matrix element-for-element (1e-6 —
+    * the reference's matrix tolerance, `Utils.scala:231-253`). */
+  def spca(spark: SparkSession, embeddings: DataFrame, k: Int = 8): DataFrame = {
+    val coo = embeddings.select(col("vec_id").as("row"),
+        posexplode(col("embedding")).as(Seq("col", "value")))
+      .filter(col("value") =!= 0.0f)
+    val sparseEv = Spca.fit(spark, coo, numCols = 64, k = k)
+      .collect().map(_.getDouble(1))
+    val data = Supervised.embeddingFeatures(embeddings)
+    val denseEv = new org.apache.spark.ml.feature.PCA()
+      .setK(k).setInputCol("features").setOutputCol("pc").fit(data)
+      .explainedVariance.toArray
+    verdicts(spark, Seq(
+      "spca_ev_descending" ->
+        sparseEv.sliding(2).forall(p => p(0) >= p(1) - 1e-9),
+      "spca_matches_dense_pca_1e6" ->
+        (sparseEv.length == denseEv.length &&
+          sparseEv.zip(denseEv).forall { case (a, b) =>
+            // both sides round to 1e-6 (Spca floors; PCA is raw), so
+            // agreement is bounded by the rounding grid
+            math.abs(a - b) <= 2e-6 })))
+  }
+
+  /** SVD spectrum sanity against the exactly-computable Frobenius
+    * energy: σ descending and nonnegative, Σσ² never exceeds ‖A‖²_F,
+    * and σ₁² is at least the average per-column energy (the best rank-1
+    * approximation cannot be worse than an axis). */
+  def svd(spark: SparkSession, embeddings: DataFrame, k: Int = 8): DataFrame = {
+    val data = Supervised.embeddingFeatures(embeddings)
+    val rows = data.select("features").rdd.map(r =>
+      org.apache.spark.mllib.linalg.Vectors.fromML(
+        r.getAs[org.apache.spark.ml.linalg.Vector](0)))
+    val s = new org.apache.spark.mllib.linalg.distributed.RowMatrix(rows)
+      .computeSVD(k, computeU = false).s.toArray
+    val fro2 = data.select(sum(aggregate(
+        org.apache.spark.ml.functions.vector_to_array(col("features")),
+        lit(0.0), (acc, v) => acc + v * v)))
+      .head().getDouble(0)
+    verdicts(spark, Seq(
+      "svd_s_descending" -> s.sliding(2).forall(p => p(0) >= p(1) - 1e-9),
+      "svd_s_nonneg" -> s.forall(_ >= 0.0),
+      "svd_energy_le_frobenius" ->
+        (s.map(x => x * x).sum <= fro2 * (1 + 1e-9)),
+      "svd_top_ge_avg_column_energy" ->
+        (s(0) * s(0) >= fro2 / 64.0 * (1 - 1e-9))))
+  }
+
+  /** Shared skill check for the binary classifiers on lineitem: training
+    * accuracy must not lose to the majority-class prior (a fit that
+    * does has diverged), coefficients stay finite. */
+  private def binaryClassifierChecks(spark: SparkSession,
+      lineitem: DataFrame, name: String,
+      fitted: DataFrame): DataFrame = {
+    val t = termMap(fitted)
+    val p = Supervised.lineitemFeatures(lineitem)
+      .select(avg("bin_label")).head().getDouble(0)
+    val prior = math.max(p, 1 - p)
+    verdicts(spark, Seq(
+      s"${name}_acc_ge_majority_prior" ->
+        (t("accuracy") >= prior - 0.005),
+      s"${name}_params_finite" ->
+        t.values.forall(v => !v.isNaN && !v.isInfinite)))
+  }
+
+  def logreg(spark: SparkSession, lineitem: DataFrame): DataFrame =
+    binaryClassifierChecks(spark, lineitem, "logreg",
+      Supervised.logisticRegression(spark, lineitem))
+
+  def svc(spark: SparkSession, lineitem: DataFrame): DataFrame =
+    binaryClassifierChecks(spark, lineitem, "svc",
+      Supervised.linearSvc(spark, lineitem))
+
+  def gbt(spark: SparkSession, lineitem: DataFrame): DataFrame = {
+    val t = termMap(Supervised.gbt(spark, lineitem))
+    val p = Supervised.lineitemFeatures(lineitem)
+      .select(avg("bin_label")).head().getDouble(0)
+    verdicts(spark, Seq(
+      "gbt_acc_ge_majority_prior" ->
+        (t("accuracy") >= math.max(p, 1 - p) - 0.005),
+      "gbt_num_trees" -> (t("num_trees") == 5.0)))
+  }
+
+  /** Multi-class tree fits on embeddings: training accuracy from the
+    * confusion matrix must beat the majority-class share (the zero-skill
+    * classifier), and the confusion totals must cover every row. */
+  def dtree(spark: SparkSession, embeddings: DataFrame): DataFrame = {
+    val conf = Supervised.decisionTree(spark, embeddings).collect()
+    val n = embeddings.count()
+    val total = conf.map(_.getLong(2)).sum
+    val correct = conf.filter(r => r.getLong(0) == r.getLong(1))
+      .map(_.getLong(2)).sum
+    val maxShare = embeddings.groupBy("label").count()
+      .agg(max("count")).head().getLong(0).toDouble / n
+    verdicts(spark, Seq(
+      "dtree_confusion_covers_corpus" -> (total == n),
+      "dtree_acc_gt_majority_share" ->
+        (correct.toDouble / total >= maxShare - 0.005)))
+  }
+
+  def rf(spark: SparkSession, embeddings: DataFrame): DataFrame = {
+    val out = Supervised.randomForest(spark, embeddings).collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+    val acc = out.toMap.apply("accuracy")
+    val imps = out.filter(_._1.startsWith("importance_")).map(_._2)
+    val n = embeddings.count()
+    val maxShare = embeddings.groupBy("label").count()
+      .agg(max("count")).head().getLong(0).toDouble / n
+    verdicts(spark, Seq(
+      "rf_acc_gt_majority_share" -> (acc >= maxShare - 0.005),
+      "rf_importances_unit_range" ->
+        (imps.forall(v => v >= 0.0 && v <= 1.0) && imps.sum <= 1.0 + 1e-6)))
+  }
+
+  /** Tree-family regressors: training RMSE can never LOSE to the
+    * predict-the-mean baseline (label stddev) — a training-set
+    * regression tree's leaf means only ever reduce squared error, so
+    * rmse > sd means the fit diverged. The features genuinely explain
+    * little here (extendedprice is dominated by the unobserved unit
+    * price: probed rmse/sd ≈ 0.9994–0.9996 at both SFs), so the
+    * baseline bound is the honest invariant, not a skill claim. */
+  private def regressorCheck(spark: SparkSession, lineitem: DataFrame,
+      name: String, fitted: DataFrame): DataFrame = {
+    val rmse = fitted.head().getDouble(1)
+    val sd = Supervised.lineitemFeatures(lineitem)
+      .select(stddev_samp("label")).head().getDouble(0)
+    verdicts(spark, Seq(
+      s"${name}_rmse_finite" -> (!rmse.isNaN && !rmse.isInfinite),
+      s"${name}_rmse_le_mean_baseline" -> (rmse <= sd * (1 + 1e-4))))
+  }
+
+  def dtreeReg(spark: SparkSession, lineitem: DataFrame): DataFrame =
+    regressorCheck(spark, lineitem, "dtree_reg",
+      Supervised.decisionTreeRegressor(spark, lineitem))
+
+  def rfReg(spark: SparkSession, lineitem: DataFrame): DataFrame =
+    regressorCheck(spark, lineitem, "rf_reg",
+      Supervised.randomForestRegressor(spark, lineitem))
+
+  def gbtReg(spark: SparkSession, lineitem: DataFrame): DataFrame =
+    regressorCheck(spark, lineitem, "gbt_reg",
+      Supervised.gbtRegressor(spark, lineitem))
+
+  /** Stock rank-4 ALS vs the oracle-checked rank-1 deterministic ALS:
+    * four factors and the same regularization cannot fit the SAME
+    * observed ratings materially worse than one. */
+  def als(spark: SparkSession, events: DataFrame): DataFrame = {
+    def rmseOf(df: DataFrame): (Double, Long) = {
+      val rows = df.collect()
+      (rows.filter(_.getLong(0) == -1L).head.getDouble(2),
+        rows.length - 1L)
+    }
+    val (rmseStock, nStock) = rmseOf(TextModels.als(spark, events))
+    val (rmseFixed, nFixed) = rmseOf(TextModels.alsFixed(spark, events))
+    verdicts(spark, Seq(
+      "als_rmse_le_rank1_companion" -> (rmseStock <= rmseFixed * 1.05),
+      "als_predicts_all_observed_pairs" -> (nStock == nFixed)))
+  }
+
+  /** EM LDA: the describeTopics surface must be a valid topic model —
+    * k topics, top-5 term indices in vocabulary, per-topic term WEIGHTS
+    * positive, non-increasing (they are the sorted top of a
+    * distribution) and summing under 1. (EM's raw topicsMatrix holds
+    * unnormalized expected counts, so the normalized describeTopics
+    * weights are the checkable surface.) */
+  def lda(spark: SparkSession, docs: DataFrame, k: Int = 5): DataFrame = {
+    val toks = TextModels.tokenized(docs)
+    val cv = new org.apache.spark.ml.feature.CountVectorizer()
+      .setInputCol("tokens").setOutputCol("features")
+      .setVocabSize(64).fit(toks)
+    val m = new org.apache.spark.ml.clustering.LDA()
+      .setK(k).setMaxIter(10).setSeed(2020L).setOptimizer("em")
+      .fit(cv.transform(toks))
+    val topics = m.describeTopics(5).collect()
+    val vocab = cv.vocabulary.length
+    val idxOk = topics.forall(r =>
+      r.getSeq[Int](1).forall(i => i >= 0 && i < vocab))
+    val weightsOk = topics.forall { r =>
+      val w = r.getSeq[Double](2)
+      w.forall(v => v > 0.0 && v <= 1.0) &&
+        w.sliding(2).forall(p => p.length < 2 || p(0) >= p(1) - 1e-12) &&
+        w.sum <= 1.0 + 1e-9
+    }
+    verdicts(spark, Seq(
+      "lda_top_weights_valid_distribution" -> weightsOk,
+      "lda_shape_k_topics_top5_in_vocab" ->
+        (topics.length == k && idxOk &&
+          topics.forall(_.getSeq[Int](1).length == 5))))
+  }
+}

@@ -5,9 +5,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.sources.Tables
 
 /** queries()/oracleSql() wiring for the ML layer. SQL-expressible stats
-  * (pairwise covariance/correlation, summary) carry DuckDB oracles; model
-  * fits are rows-only (iterative, seeded) and unit-tested in MlSpec. */
+  * (pairwise covariance/correlation, summary) carry DuckDB oracles;
+  * deterministic twins (lloydFixed, alsFixed, nmfFixed, the rule
+  * fixtures, the 2-D closed forms) replay exactly in SQL; and the stock
+  * seeded fits run through [[Checks]] — the same fit the query always
+  * ran, adjudicated by companion-metric tolerance verdicts against a
+  * constant-truth oracle (the reference's 0.5% save-then-compare
+  * methodology made driver-visible). */
 object MlQueries {
+
+  private def verdictSql(metrics: String*): String =
+    graft.core.VerifyUtils.verdictSql(metrics: _*)
 
   private def li(s: SparkSession, d: String) = Tables(s, d, "lineitem")
   private def emb(s: SparkSession, d: String) = Tables(s, d, "embeddings")
@@ -22,14 +30,16 @@ object MlQueries {
     "ml_spearman_matrix" -> ((s, d) => Stats.corrMatrix(s, emb(s, d), "spearman")),
     "ml_cov_matrix" -> ((s, d) => Stats.covMatrix(s, emb(s, d))),
     "ml_linreg" -> ((s, d) => Supervised.linearRegression(s, li(s, d))),
-    "ml_logreg" -> ((s, d) => Supervised.logisticRegression(s, li(s, d))),
-    "ml_svc" -> ((s, d) => Supervised.linearSvc(s, li(s, d))),
-    "ml_dtree" -> ((s, d) => Supervised.decisionTree(s, emb(s, d))),
-    "ml_rf" -> ((s, d) => Supervised.randomForest(s, emb(s, d))),
-    "ml_gbt" -> ((s, d) => Supervised.gbt(s, li(s, d))),
-    "ml_dtree_reg" -> ((s, d) => Supervised.decisionTreeRegressor(s, li(s, d))),
-    "ml_rf_reg" -> ((s, d) => Supervised.randomForestRegressor(s, li(s, d))),
-    "ml_gbt_reg" -> ((s, d) => Supervised.gbtRegressor(s, li(s, d))),
+    // the stock seeded fits run inside Checks.* — same estimator, same
+    // data, plus the companion-metric verdict the driver adjudicates
+    "ml_logreg" -> ((s, d) => Checks.logreg(s, li(s, d))),
+    "ml_svc" -> ((s, d) => Checks.svc(s, li(s, d))),
+    "ml_dtree" -> ((s, d) => Checks.dtree(s, emb(s, d))),
+    "ml_rf" -> ((s, d) => Checks.rf(s, emb(s, d))),
+    "ml_gbt" -> ((s, d) => Checks.gbt(s, li(s, d))),
+    "ml_dtree_reg" -> ((s, d) => Checks.dtreeReg(s, li(s, d))),
+    "ml_rf_reg" -> ((s, d) => Checks.rfReg(s, li(s, d))),
+    "ml_gbt_reg" -> ((s, d) => Checks.gbtReg(s, li(s, d))),
     "ml_logreg_rule" -> ((s, d) => Supervised.logRegRule(s, emb(s, d))),
     "ml_svc_rule" -> ((s, d) => Supervised.svcRule(s, emb(s, d))),
     "ml_dtree_rule" -> ((s, d) => Supervised.decisionTreeRule(s, emb(s, d))),
@@ -40,14 +50,14 @@ object MlQueries {
     "ml_gbt_reg_rule" -> ((s, d) => Supervised.gbtRegRule(s, emb(s, d))),
     "ml_pca2" -> ((s, d) => Unsupervised.pca2(s, emb(s, d))),
     "ml_svd2" -> ((s, d) => Unsupervised.svd2(s, emb(s, d))),
-    "ml_kmeans" -> ((s, d) => Unsupervised.kmeans(s, emb(s, d))),
+    "ml_kmeans" -> ((s, d) => Checks.kmeans(s, emb(s, d))),
     "ml_lloyd_fixed" -> ((s, d) => Unsupervised.lloydFixed(s, emb(s, d))),
-    "ml_pca" -> ((s, d) => Unsupervised.pca(s, emb(s, d))),
-    "ml_svd" -> ((s, d) => Unsupervised.svd(s, emb(s, d))),
+    "ml_pca" -> ((s, d) => Checks.pca(s, emb(s, d))),
+    "ml_svd" -> ((s, d) => Checks.svd(s, emb(s, d))),
     "ml_idf" -> ((s, d) => TextModels.idf(s, docs(s, d))),
-    "ml_als" -> ((s, d) => TextModels.als(s, ev(s, d))),
+    "ml_als" -> ((s, d) => Checks.als(s, ev(s, d))),
     "ml_als_fixed" -> ((s, d) => TextModels.alsFixed(s, ev(s, d))),
-    "ml_lda" -> ((s, d) => TextModels.lda(s, docs(s, d))),
+    "ml_lda" -> ((s, d) => Checks.lda(s, docs(s, d))),
     "ml_nmf_topics" -> ((s, d) => TextModels.nmfFixed(s, docs(s, d))),
     "ml_prefixspan" -> ((s, d) => TextModels.prefixSpan(s, ev(s, d))),
     "ml_knn" -> ((s, d) => {
@@ -115,13 +125,7 @@ object MlQueries {
         .filter(col("value") =!= 0.0f)
       Spca.fit(s, coo, numCols = 2, k = 2)
     }),
-    "ml_spca" -> ((s, d) => {
-      import org.apache.spark.sql.functions._
-      val coo = emb(s, d).select(col("vec_id").as("row"),
-          posexplode(col("embedding")).as(Seq("col", "value")))
-        .filter(col("value") =!= 0.0f)
-      Spca.fit(s, coo, numCols = 64, k = 8)
-    }))
+    "ml_spca" -> ((s, d) => Checks.spca(s, emb(s, d))))
 
   /** (vec_id, i, v) unpivot of the 64-dim embedding column — shared CTE
     * of the matrix oracles. i is 1-based here; emitted 0-based to match
@@ -357,6 +361,35 @@ object MlQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // constant-truth verdicts for the Checks-wrapped stock fits — the
+    // hash matches iff every tolerance check computed Spark-side passed
+    "ml_kmeans" -> verdictSql("kmeans_clusters_in_range",
+      "kmeans_sizes_sum_n", "kmeans_wssse_le_lloyd4"),
+    "ml_pca" -> verdictSql("pca_ev_descending", "pca_ev_sum_le_1",
+      "pca_rayleigh_halfpct", "pca_top_ge_best_axis"),
+    "ml_spca" -> verdictSql("spca_ev_descending",
+      "spca_matches_dense_pca_1e6"),
+    "ml_svd" -> verdictSql("svd_energy_le_frobenius", "svd_s_descending",
+      "svd_s_nonneg", "svd_top_ge_avg_column_energy"),
+    "ml_logreg" -> verdictSql("logreg_acc_ge_majority_prior",
+      "logreg_params_finite"),
+    "ml_svc" -> verdictSql("svc_acc_ge_majority_prior",
+      "svc_params_finite"),
+    "ml_gbt" -> verdictSql("gbt_acc_ge_majority_prior", "gbt_num_trees"),
+    "ml_dtree" -> verdictSql("dtree_acc_gt_majority_share",
+      "dtree_confusion_covers_corpus"),
+    "ml_rf" -> verdictSql("rf_acc_gt_majority_share",
+      "rf_importances_unit_range"),
+    "ml_dtree_reg" -> verdictSql("dtree_reg_rmse_finite",
+      "dtree_reg_rmse_le_mean_baseline"),
+    "ml_rf_reg" -> verdictSql("rf_reg_rmse_finite",
+      "rf_reg_rmse_le_mean_baseline"),
+    "ml_gbt_reg" -> verdictSql("gbt_reg_rmse_finite",
+      "gbt_reg_rmse_le_mean_baseline"),
+    "ml_als" -> verdictSql("als_predicts_all_observed_pairs",
+      "als_rmse_le_rank1_companion"),
+    "ml_lda" -> verdictSql("lda_shape_k_topics_top5_in_vocab",
+      "lda_top_weights_valid_distribution"),
     "ml_simrank" -> simrankSql(iters = 5),
     "ml_nmf_topics" -> nmfSql(k = 3, iters = 3, vocabSize = 64),
     "ml_als_fixed" -> alsFixedSql(iters = 5),

@@ -1551,6 +1551,15 @@ class LlmSpec extends AnyFunSuite {
     assert(r("s2") == ((3L, 3L, 1.0, 1.0)), r("s2"))
   }
 
+  test("llm_ann_lsh quality verdicts hold at sf0.001 (driver gates at " +
+      "sf0.01; this pins the smaller fixture the specs run on)") {
+    val r = LlmQueries.all("llm_ann_lsh")(spark, sf0001).collect()
+      .map(x => x.getString(0) -> x.getBoolean(1)).toMap
+    assert(r.values.forall(identity), r)
+    assert(r.keySet == Set("ann_lsh_no_false_positives",
+      "ann_lsh_range_recall_ge_60pct"))
+  }
+
   test("llm oracle SQL matches DSL output via Spark SQL (portable subset)") {
     Tables.registerAll(spark, sf0001)
     for (name <- Seq("llm_text_stats", "llm_dedup_exact")) {
