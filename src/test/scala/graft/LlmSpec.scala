@@ -1461,6 +1461,30 @@ class LlmSpec extends AnyFunSuite {
     assert(!r.contains((2L, 5L)), r)
   }
 
+  test("containment: dfCap AND-rule path returns exactly the default " +
+      "path's pairs (recall survives the two-fingerprint demand), and " +
+      "sub-(w+k-1)-token inners are outside the contract domain") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "c d e f g h"),
+      (3L, "x y z w v u t s a b c d e f g h"), // contains 1 and 2
+      (4L, "c d e"), // 3 tokens < 6: contained in 1/2/3 but out of domain
+      (5L, "p q r s t u v w")
+    ).toDF("doc_id", "text")
+    val default = Dedup.containmentPairs(docs).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    // dfCap = 0 forces EVERY inner with a second fingerprint through
+    // the AND-join; the pair set must be identical
+    val capped = Dedup.containmentPairs(docs, dfCap = 0L).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(capped == default, s"capped=$capped default=$default")
+    assert(default.contains((1L, 3L)) && default.contains((2L, 3L)) &&
+      default.contains((2L, 1L)), default)
+    // the 3-token doc is genuinely contained but below the guarantee
+    // domain — excluded by contract on the INNER side only
+    assert(!default.exists(_._1 == 4L), default)
+  }
+
   test("winnowing: fingerprints point at real grams, the w+k-1 " +
       "guarantee surfaces shared substrings, identical docs sketch " +
       "identically") {
