@@ -20,15 +20,23 @@ object Bench {
     // footer caching for everything after it (round-7 artifact: the
     // suite's first heavy query, graph_pagerank, recorded 6.06 s while
     // its isolated median was 2.91 s — the warm-up absorbs that cost
-    // outside the measurement window)
+    // outside the measurement window). NON-headline queries only
+    // (round-8 advice: warming up with q20_join5_agg gave that one
+    // headline query an identical-plan state advantage no other headline
+    // got) — q09_rollup exercises scan+agg codegen on the largest table,
+    // q04_join_inner the join machinery, and the bare counts warm the
+    // parquet footers of the non-TPC-H tables every later family reads.
     try {
       val t0 = System.nanoTime()
-      SparkEntry.queries("q20_join5_agg")(spark, sfDir).count()
+      SparkEntry.queries("q09_rollup")(spark, sfDir).count()
+      SparkEntry.queries("q04_join_inner")(spark, sfDir).count()
+      Seq("documents", "embeddings", "events")
+        .foreach(t => graft.sources.Tables(spark, sfDir, t).count())
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       System.err.println(
-        f"[bench] warm-up (q20_join5_agg) ${(System.nanoTime() - t0) / 1e9}%8.3f s (untimed)")
+        f"[bench] warm-up (q09+q04+footers) ${(System.nanoTime() - t0) / 1e9}%8.3f s (untimed)")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warm-up failed: ${e.getMessage}")
     }

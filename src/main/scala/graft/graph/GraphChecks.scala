@@ -28,6 +28,11 @@ object GraphChecks {
     val g = GraphSource.toGraph(edges)
     val async = Builtins.labelPropagation(spark, g, iters)
     val sync = Iterative.labelPropagationSync(spark, edges, iters)
+    // both surfaces are compared against the graph's own vertex count —
+    // async.count == sync.count alone would pass if BOTH dropped the
+    // same vertices (round-8 advice)
+    val nVerts = edges.select(col("src").as("v"))
+      .union(edges.select(col("dst"))).distinct().count()
     val nodesAsync = async.count()
     val nodesSync = sync.count()
     val nAsync = async.select("label").distinct().count().toDouble
@@ -37,7 +42,8 @@ object GraphChecks {
     // in the same regime), so a tight ratio on single-digit counts
     // would flap — 3x separates "same regime" from "diverged"
     verdicts(spark, Seq(
-      "lpa_labels_every_node" -> (nodesAsync == nodesSync),
+      "lpa_labels_every_node" ->
+        (nodesAsync == nVerts && nodesSync == nVerts),
       "lpa_community_count_within_3x_of_sync" ->
         (nAsync <= nSync * 3.0 && nAsync * 3.0 >= nSync)))
   }
