@@ -40,6 +40,27 @@ object Supervised {
         "cap avoids OWLQN NaN-thrash on flat hinge gradients — raise " +
         "maxIter only with data where the gradient stays informative.")
 
+  /** OWLQN thrash detector: breeze's `Failure! Resetting history:
+    * NaNHistory` shows up in `objectiveHistory` as a non-finite entry or
+    * an objective INCREASE (the reset re-baselines the line search —
+    * probed at sf0.1: [.., 0.7037, 0.99998, ..] and [.., 0.667, 2.705,
+    * ..] around each logged reset). A healthy OWLQN trajectory is finite
+    * and non-increasing. */
+  private[ml] def owlqnHealthy(history: Array[Double]): Boolean =
+    history.forall(v => !v.isNaN && !v.isInfinite) &&
+      history.sliding(2).forall(p => p.length < 2 || p(1) <= p(0) + 1e-9)
+
+  /** Converged-in-practice: the objective's tail improvement is below
+    * `tol` relative — covers breeze runs that report totalIterations ≥
+    * maxIter yet sit numerically flat (probed: cap-40 run reports 42
+    * "iterations" with the last 10 entries identical to 1e-10). */
+  private[ml] def tailFlat(history: Array[Double], tol: Double): Boolean =
+    history.length >= 3 && {
+      val last = history.takeRight(3)
+      val base = math.max(math.abs(last.head), 1e-12)
+      math.abs(last.head - last.last) / base <= tol * 10
+    }
+
   /** lineitem → (features = [quantity, discount, tax], label = extendedprice). */
   def lineitemFeatures(lineitem: DataFrame): DataFrame =
     new VectorAssembler()
@@ -124,16 +145,37 @@ object Supervised {
     import spark.implicits._
     val data = lineitemFeatures(lineitem).withColumnRenamed("bin_label", "y")
     val (scaled, mu, sd) = standardized(data)
-    // 5 iterations: returnflag is near-independent of these features, so
-    // the hinge optimum is ~0 coefficients and OWLQN's line search NaNs
-    // (and thrashes in history resets) once the gradient flattens —
-    // observed from iteration ~6 at sf0.1 on any regParam/tol. Five
-    // clean iterations land the same near-zero solution 2.5× faster.
-    // explicit tol: converging before the cap stops early; exhausting the
-    // cap unconverged is logged rather than silent
-    val m = new LinearSVC().setMaxIter(5).setTol(1e-6).setRegParam(0.1)
-      .setLabelCol("y").fit(scaled)
-    warnIfCapped("LinearSVC(linearSvc)", m.summary.totalIterations, 5)
+    // Data-driven iteration policy (round-8 verdict: a constant cap
+    // tuned to this corpus is fragile if fixtures change). Fit cheap
+    // (5 iters), then inspect the objective history: on a HEALTHY but
+    // unconverged trajectory escalate once to a generous cap (the
+    // gradient is informative — more iterations buy a better optimum);
+    // on detected OWLQN NaN-thrash (history reset ⇒ objective increase,
+    // the signature this lineitem fixture shows from iteration ~4 at
+    // every SF) keep the capped fit — the probed cap-40 run spends 3×
+    // the time recovering through two more resets only to land the same
+    // near-zero-coefficient majority solution (acc 0.666625 = prior).
+    def fitWith(cap: Int) = new LinearSVC().setMaxIter(cap).setTol(1e-6)
+      .setRegParam(0.1).setLabelCol("y").fit(scaled)
+    val tol = 1e-6
+    val first = fitWith(5)
+    val h0 = first.summary.objectiveHistory
+    val m =
+      if (!owlqnHealthy(h0)) {
+        log.info("LinearSVC(linearSvc): OWLQN NaN-thrash detected in the " +
+          "objective history (reset ⇒ increase); keeping the 5-iteration " +
+          "fit rather than escalating through further resets.")
+        first
+      } else if (tailFlat(h0, tol) || first.summary.totalIterations < 5) {
+        first // converged (by tol or numerically flat tail) — done
+      } else {
+        val second = fitWith(40)
+        if (owlqnHealthy(second.summary.objectiveHistory) &&
+            !tailFlat(second.summary.objectiveHistory, tol))
+          warnIfCapped("LinearSVC(linearSvc)",
+            second.summary.totalIterations, 40)
+        second
+      }
     // same accuracy definition as the former transform+count, computed
     // by the fit's own training summary — saves two corpus passes
     val acc = m.summary.accuracy
@@ -255,7 +297,8 @@ object Supervised {
     // ~25 OWLQN enters benign-but-noisy NaNHistory line-search resets
     val m = new LinearSVC().setMaxIter(20).setTol(1e-6).setRegParam(0.01)
       .setLabelCol("y").fit(d)
-    warnIfCapped("LinearSVC(svcRule)", m.summary.totalIterations, 20)
+    if (!tailFlat(m.summary.objectiveHistory, 1e-6))
+      warnIfCapped("LinearSVC(svcRule)", m.summary.totalIterations, 20)
     rulePred(m.transform(d))
   }
 
