@@ -57,6 +57,24 @@ object VerifyUtils {
       metrics.sorted.map(m => s"('$m', true)").mkString(", ") +
       ") AS t(metric, ok) ORDER BY metric"
 
+  /** Value-verdict oracle (round-9 upgrade of [[verdictSql]]): boolean
+    * checks still appear as constant rows (value 1.0 = passed — the
+    * honest maximum for a seeded fit's own trajectory), but every
+    * companion metric that is a deterministic function of the parquet
+    * tables appears as a one-row SELECT the EXTERNAL engine computes
+    * itself — so DuckDB now verifies the verdict's ingredients
+    * (majority prior, label stddev, Frobenius energy, sync-twin
+    * modularity, Lloyd WSSSE, …), not just the row shape. Each element
+    * of `valueSelects` must be a complete one-row
+    * `SELECT '<metric>' AS metric, <expr> AS value FROM …`. */
+  def valueVerdictSql(boolMetrics: Seq[String],
+      valueSelects: Seq[String], ctePrefix: String = ""): String =
+    ctePrefix + " SELECT metric, value FROM (" +
+      (boolMetrics.sorted.map(m =>
+        s"SELECT '$m' AS metric, CAST(1.0 AS DOUBLE) AS value") ++
+        valueSelects).mkString(" UNION ALL ") +
+      ") vv ORDER BY metric"
+
   /** Top-k overlap accuracy: |expected ∩ actual| / k over single-column
     * key frames (the centrality verification metric). */
   def topKAccuracy(expected: DataFrame, actual: DataFrame): Double = {

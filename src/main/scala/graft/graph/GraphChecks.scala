@@ -20,14 +20,19 @@ object GraphChecks {
     rows.toDF("metric", "ok").orderBy("metric")
   }
 
+  private def b2d(b: Boolean): Double = graft.ml.Checks.b2d(b)
+
   /** Async GraphX LPA vs the oracle-checked synchronous twin: the
     * trajectory differs but the macroscopic outcome — how many
-    * communities survive 5 rounds — must land in the same regime. */
+    * communities survive 5 rounds — must land in the same regime.
+    * `syncDf` lets the query layer pass the memoized sweep that
+    * graph_lpa_sync also emits (one sweep per suite pass, not two). */
   def lpa(spark: SparkSession, edges: DataFrame,
-      iters: Int = 5): DataFrame = {
+      iters: Int = 5, syncDf: Option[DataFrame] = None): DataFrame = {
     val g = GraphSource.toGraph(edges)
     val async = Builtins.labelPropagation(spark, g, iters)
-    val sync = Iterative.labelPropagationSync(spark, edges, iters)
+    val sync = syncDf.getOrElse(
+      Iterative.labelPropagationSync(spark, edges, iters))
     // both surfaces are compared against the graph's own vertex count —
     // async.count == sync.count alone would pass if BOTH dropped the
     // same vertices (round-8 advice)
@@ -41,18 +46,26 @@ object GraphChecks {
     // handful of communities (sf0.01 probed async=1 vs sync=2; sf0.1
     // in the same regime), so a tight ratio on single-digit counts
     // would flap — 3x separates "same regime" from "diverged"
-    verdicts(spark, Seq(
+    graft.ml.Checks.verdictsV(spark, Seq(
       "lpa_labels_every_node" ->
-        (nodesAsync == nVerts && nodesSync == nVerts),
+        b2d(nodesAsync == nVerts && nodesSync == nVerts),
       "lpa_community_count_within_3x_of_sync" ->
-        (nAsync <= nSync * 3.0 && nAsync * 3.0 >= nSync)))
+        b2d(nAsync <= nSync * 3.0 && nAsync * 3.0 >= nSync),
+      // DuckDB-recomputed ingredients: the vertex count (plain SQL) and
+      // the sync twin's community count (the unrolled lpa_sync chain)
+      "lpa_vertex_count" -> nVerts.toDouble,
+      "lpa_sync_community_count" -> nSync))
   }
 
   /** Stock Louvain vs the oracle-checked deterministic sweep: the
     * partitions differ, but BOTH are local-move optima of the same
     * objective — their modularity (computed by the oracle-checked
-    * [[Iterative.modularity]]) must agree within 0.05 absolute. */
-  def louvain(spark: SparkSession, und: DataFrame): DataFrame = {
+    * [[Iterative.modularity]]) must agree within 0.05 absolute.
+    * `syncDf` lets the query layer pass the memoized sweep that
+    * graph_louvain_sync also emits (round-8 verdict #3: the sweep ran
+    * twice per suite pass, ~6 s of recompute). */
+  def louvain(spark: SparkSession, und: DataFrame,
+      syncDf: Option[DataFrame] = None): DataFrame = {
     val sym = und.select(col("src"), col("dst"), col("weight"))
       .union(und.select(col("dst").as("src"), col("src").as("dst"),
         col("weight")))
@@ -60,12 +73,15 @@ object GraphChecks {
       Iterative.modularity(spark, sym,
         c.select(col("node"), col("community"))).head().getDouble(0)
     val mStock = modOf(Community.louvain(spark, und))
-    val mSync = modOf(Iterative.louvainSync(spark, und, 8)
+    val mSync = modOf(syncDf.getOrElse(Iterative.louvainSync(spark, und, 8))
       .withColumnRenamed("comm", "community"))
-    verdicts(spark, Seq(
-      "louvain_modularity_positive" -> (mStock > 0.0),
+    graft.ml.Checks.verdictsV(spark, Seq(
+      "louvain_modularity_positive" -> b2d(mStock > 0.0),
       "louvain_modularity_within_05_of_sync" ->
-        (math.abs(mStock - mSync) <= 0.05)))
+        b2d(math.abs(mStock - mSync) <= 0.05),
+      // the sync twin's modularity — DuckDB recomputes it by replaying
+      // the unrolled sweep and scoring the final partition in SQL
+      "louvain_sync_modularity" -> mSync))
   }
 
   /** Word2Vec over the biased walks: every walked vertex gets one
@@ -102,30 +118,50 @@ object GraphChecks {
     * 4,5,5,4 at sf0.01 and 5,3,5,3 at sf0.1), plus per-source rank
     * mass conserved at 1 within 1%. */
   def pprMulti(spark: SparkSession, edges: DataFrame,
-      sources: Seq[Long], iters: Int = 10): DataFrame = {
+      sources: Seq[Long], iters: Int = 10,
+      syncDf: Option[DataFrame] = None): DataFrame = {
     val g = GraphSource.toGraph(edges)
     val async = Builtins.parallelPersonalizedPageRank(spark, g,
       sources, iters).localCheckpoint()
-    val sync = Iterative.parallelPersonalizedPageRankSync(spark, edges,
-      sources, iters)
+    val sync = syncDf.getOrElse(
+      Iterative.parallelPersonalizedPageRankSync(spark, edges,
+        sources, iters))
     val mass = async.groupBy("source").agg(sum("rank").as("tot"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    def top5(df: DataFrame): DataFrame = {
+    def ranked(df: DataFrame): DataFrame = {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("source").orderBy(desc("rank"), asc("node"))
       df.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 5).select("source", "node")
+        .select("source", "node", "rn")
     }
-    val overlap = top5(async).join(top5(sync),
+    val ra = ranked(async)
+    val rs = ranked(sync).withColumnRenamed("rn", "rn2")
+    val overlap = ra.filter(col("rn") <= 5).select("source", "node")
+      .join(rs.filter(col("rn2") <= 5).select("source", "node"),
         Seq("source", "node"), "leftsemi")
       .groupBy("source").count()
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Spearman ρ of the FULL rankings per source (Pearson over the
+    // row_number ranks; total tiebreak ⇒ no tie correction needed):
+    // strictly tighter than the 3-of-5 top-5 overlap, which a fairly
+    // wrong ranking can pass (round-8 verdict #6). Probed per-source ρ:
+    // 0.9877–0.9903 at sf0.01, 0.9094–0.9347 at sf0.1 (the replicated-
+    // view artifact grows with graph size, consistent with the L1 drift
+    // 0.20→0.45 noted above) — pinned at 0.85, under the worst observed
+    // value with slack for partitioning-dependent artifact variation.
+    val rho = ra.join(rs, Seq("source", "node"))
+      .groupBy("source")
+      .agg(corr(col("rn").cast("double"), col("rn2").cast("double"))
+        .as("rho"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     verdicts(spark, Seq(
       "ppr_multi_all_sources_ranked" ->
         (mass.keySet == sources.toSet && overlap.keySet == sources.toSet),
       "ppr_multi_mass_normalized_1pct" ->
         sources.forall(s => math.abs(mass.getOrElse(s, 0.0) - 1.0) <= 0.01),
       "ppr_multi_top5_overlap_ge_3of5" ->
-        sources.forall(s => overlap.getOrElse(s, 0L) >= 3L)))
+        sources.forall(s => overlap.getOrElse(s, 0L) >= 3L),
+      "ppr_multi_spearman_ge_085" ->
+        sources.forall(s => rho.getOrElse(s, 0.0) >= 0.85)))
   }
 }

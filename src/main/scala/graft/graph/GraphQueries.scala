@@ -25,6 +25,24 @@ object GraphQueries {
   private def minNode(e: DataFrame): Long =
     e.agg(min(col("src"))).head().getLong(0)
 
+  // deterministic sync twins memoized per sfDir: each is BOTH its own
+  // replay-oracle-checked query AND the companion of a stock-fit verdict
+  // query, so without the memo every suite pass ran each sweep twice
+  // (round-8 verdict #3 measured ~6 s of recompute for louvain alone)
+  private def lpaSyncShared(s: SparkSession, d: String): DataFrame =
+    graft.core.QueryCache.df(s, s"lpa_sync:$d")(
+      Iterative.labelPropagationSync(s, edges(s, d), 5))
+
+  private def louvainSyncShared(s: SparkSession, d: String): DataFrame =
+    graft.core.QueryCache.df(s, s"louvain_sync:$d")(
+      Iterative.louvainSync(s,
+        GraphSource.canonicalUndirected(edges(s, d)), 8))
+
+  private def pprMultiSyncShared(s: SparkSession, d: String): DataFrame =
+    graft.core.QueryCache.df(s, s"ppr_multi_sync:$d")(
+      Iterative.parallelPersonalizedPageRankSync(s, edges(s, d),
+        smallestNodes(edges(s, d), 4), 10))
+
   private def smallestNodes(e: DataFrame, n: Int): Seq[Long] =
     e.select(col("src").as("v")).union(e.select(col("dst")))
       .distinct().orderBy("v").limit(n).collect().map(_.getLong(0)).toSeq
@@ -164,7 +182,7 @@ object GraphQueries {
     * neighborhood — integer counts and a total tiebreak, so the unroll is
     * bit-exact. One CTE per round, MATERIALIZED (DuckDB inlines plain
     * CTEs per reference). */
-  private def lpaSyncSql(iters: Int): String = {
+  private def lpaSyncCte(iters: Int): String = {
     val sb = new StringBuilder(
       edgeCte
         .replace("e0 AS (", "e0 AS MATERIALIZED (")
@@ -177,9 +195,11 @@ object GraphQueries {
         "(SELECT e.dst AS node, l.label, ROW_NUMBER() OVER (PARTITION BY e.dst " +
         s"ORDER BY COUNT(*) DESC, l.label) AS rn FROM ee e JOIN l${i - 1} l " +
         "ON l.node = e.src GROUP BY e.dst, l.label) q WHERE rn = 1)"
-    sb ++= s" SELECT node, label FROM l$iters ORDER BY node"
     sb.toString
   }
+
+  private def lpaSyncSql(iters: Int): String =
+    lpaSyncCte(iters) + s" SELECT node, label FROM l$iters ORDER BY node"
 
   /** Unrolled GraphX Pregel dynamic PageRank (runUntilConvergence):
     * superstep 0 gives every vertex rank = reset, delta = reset; each
@@ -387,7 +407,7 @@ object GraphQueries {
     * k_{v,c} − deg_v·Σtot_c/2m (ties → smallest community). All sums are
     * integer-valued edge weights — exact in doubles — so the replica is
     * bit-identical. */
-  private def louvainSyncSql(iters: Int): String = {
+  private def louvainSyncCte(iters: Int): String = {
     val sb = new StringBuilder(
       edgeCte
         .replace("e0 AS (", "e0 AS MATERIALIZED (")
@@ -421,9 +441,11 @@ object GraphQueries {
         s"THEN b.best ELSE p.comm END AS comm " +
         s"FROM l${i - 1} p JOIN b$i b ON b.node = p.node)"
     }
-    sb ++= s" SELECT node, comm FROM l$iters ORDER BY node"
     sb.toString
   }
+
+  private def louvainSyncSql(iters: Int): String =
+    louvainSyncCte(iters) + s" SELECT node, comm FROM l$iters ORDER BY node"
 
   /** 1/outdegree transition weights (the unweighted PageRank family). */
   private val neUnweighted =
@@ -452,12 +474,10 @@ object GraphQueries {
       // the reference's ranking methodology — top-5 overlap + mass
       // conservation — against a constant-truth oracle.
       val e = edges(s, d)
-      GraphChecks.pprMulti(s, e, smallestNodes(e, 4), 10)
+      GraphChecks.pprMulti(s, e, smallestNodes(e, 4), 10,
+        Some(pprMultiSyncShared(s, d)))
     }),
-    "graph_ppr_multi_sync" -> ((s, d) => {
-      val e = edges(s, d)
-      Iterative.parallelPersonalizedPageRankSync(s, e, smallestNodes(e, 4), 10)
-    }),
+    "graph_ppr_multi_sync" -> ((s, d) => pprMultiSyncShared(s, d)),
     "graph_ppr_conv" -> ((s, d) => {
       val e = edges(s, d)
       Builtins.personalizedPageRankUntilConvergence(s, GraphSource.toGraph(e),
@@ -487,11 +507,10 @@ object GraphQueries {
       Builtins.stronglyConnectedComponents(s, graph(s, d), 10)),
     // async GraphX LPA adjudicated against the _sync twin's community
     // count (GraphChecks verdict rows, constant-truth oracle)
-    "graph_lpa" -> ((s, d) => GraphChecks.lpa(s, edges(s, d), 5)),
-    "graph_lpa_sync" -> ((s, d) =>
-      Iterative.labelPropagationSync(s, edges(s, d), 5)),
-    "graph_louvain_sync" -> ((s, d) =>
-      Iterative.louvainSync(s, GraphSource.canonicalUndirected(edges(s, d)), 8)),
+    "graph_lpa" -> ((s, d) =>
+      GraphChecks.lpa(s, edges(s, d), 5, Some(lpaSyncShared(s, d)))),
+    "graph_lpa_sync" -> ((s, d) => lpaSyncShared(s, d)),
+    "graph_louvain_sync" -> ((s, d) => louvainSyncShared(s, d)),
     "graph_kcore" -> ((s, d) => Iterative.kCore(s, ugraph(s, d), maxIter = 20)),
     "graph_modularity" -> ((s, d) => {
       // deterministic hash-partition assignment (node mod 16) so the
@@ -507,7 +526,7 @@ object GraphQueries {
       // oracle-checked _sync sweep (both are local-move optima of the
       // same objective; the oracle-checked modularity op scores both)
       val e = GraphSource.canonicalUndirected(edges(s, d))
-      GraphChecks.louvain(s, e)
+      GraphChecks.louvain(s, e, Some(louvainSyncShared(s, d)))
     }),
     "graph_wce" -> ((s, d) =>
       // members serialized at the query boundary: the driver's compare
@@ -583,18 +602,48 @@ object GraphQueries {
     }))
 
   val oracle: Map[String, String] = Map(
-    // constant-truth verdicts for the GraphChecks-wrapped stock GraphX
-    // fits (tolerance methodology — see GraphChecks)
-    "graph_lpa" -> graft.core.VerifyUtils.verdictSql(
-      "lpa_labels_every_node", "lpa_community_count_within_3x_of_sync"),
-    "graph_louvain" -> graft.core.VerifyUtils.verdictSql(
-      "louvain_modularity_positive", "louvain_modularity_within_05_of_sync"),
+    // verdicts for the GraphChecks-wrapped stock GraphX fits (tolerance
+    // methodology — see GraphChecks). lpa/louvain are VALUE verdicts:
+    // DuckDB replays the deterministic sync twin itself and recomputes
+    // the companion metric the check compares against.
+    "graph_lpa" -> graft.core.VerifyUtils.valueVerdictSql(
+      Seq("lpa_labels_every_node", "lpa_community_count_within_3x_of_sync"),
+      Seq("SELECT 'lpa_vertex_count' AS metric, " +
+        "CAST(COUNT(*) AS DOUBLE) AS value FROM " +
+        "(SELECT src AS v FROM g UNION SELECT dst FROM g) nv",
+        "SELECT 'lpa_sync_community_count' AS metric, " +
+        "CAST(COUNT(DISTINCT label) AS DOUBLE) AS value FROM l5"),
+      ctePrefix = lpaSyncCte(5)),
+    "graph_louvain" -> graft.core.VerifyUtils.valueVerdictSql(
+      Seq("louvain_modularity_positive",
+        "louvain_modularity_within_05_of_sync"),
+      Seq("SELECT 'louvain_sync_modularity' AS metric, " +
+        "FLOOR(SUM(COALESCE(e_c, 0) / mm.m - " +
+        "COALESCE(out_c, 0) * COALESCE(in_c, 0) / (mm.m * mm.m)) " +
+        "* 1000000 + 0.5) / 1000000 AS value FROM " +
+        "(SELECT c_src AS community, SUM(weight) AS out_c FROM me " +
+        "GROUP BY c_src) od " +
+        "FULL JOIN (SELECT c_dst AS community, SUM(weight) AS in_c " +
+        "FROM me GROUP BY c_dst) id USING (community) " +
+        "LEFT JOIN (SELECT c_src AS community, SUM(weight) AS e_c " +
+        "FROM me WHERE c_src = c_dst GROUP BY c_src) intra " +
+        "USING (community), mm"),
+      // the sync sweep's final partition l8, its labeled edge frame and
+      // total weight — the same directed-modularity shape as the
+      // graph_modularity oracle, scored over the sym edge set
+      ctePrefix = louvainSyncCte(8) +
+        ", mcomm AS (SELECT node, comm AS community FROM l8)" +
+        ", me AS MATERIALIZED (SELECT s.src, s.dst, s.weight, " +
+        "cs.community AS c_src, cd.community AS c_dst FROM sym s " +
+        "JOIN mcomm cs ON cs.node = s.src " +
+        "JOIN mcomm cd ON cd.node = s.dst)" +
+        ", mm AS (SELECT SUM(weight) AS m FROM me)"),
     "graph_node2vec" -> graft.core.VerifyUtils.verdictSql(
       "node2vec_emits_coordinates", "node2vec_covers_walked_vertices",
       "node2vec_vectors_finite_nonzero"),
     "graph_ppr_multi" -> graft.core.VerifyUtils.verdictSql(
       "ppr_multi_all_sources_ranked", "ppr_multi_mass_normalized_1pct",
-      "ppr_multi_top5_overlap_ge_3of5"),
+      "ppr_multi_top5_overlap_ge_3of5", "ppr_multi_spearman_ge_085"),
     "graph_edges" ->
       (edgeCte + "SELECT src, dst, weight FROM g ORDER BY src, dst"),
     "graph_degree" ->

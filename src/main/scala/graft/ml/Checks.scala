@@ -27,6 +27,20 @@ object Checks {
     rows.toDF("metric", "ok").orderBy("metric")
   }
 
+  /** Value-verdict frame (metric, value): boolean checks as 1.0/0.0,
+    * DuckDB-recomputable companion metrics as their rounded values —
+    * paired with [[graft.core.VerifyUtils.valueVerdictSql]] so the
+    * external engine hash-matches the metric VALUES, not constants. */
+  private[graft] def verdictsV(spark: SparkSession,
+      rows: Seq[(String, Double)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("metric", "value").orderBy("metric")
+  }
+
+  private[graft] def b2d(b: Boolean): Double = if (b) 1.0 else 0.0
+  private def r4v(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+  private def r6v(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
   private def termMap(df: DataFrame): Map[String, Double] =
     df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
 
@@ -37,7 +51,8 @@ object Checks {
     * centers + better init + more iterations dominated it with wide
     * margin at every probed SF (wssse ratio ≈ 0.81 at sf0.01/sf0.1), so
     * the 1.005 slack on top is a regression trip-wire, not a proof. */
-  def kmeans(spark: SparkSession, embeddings: DataFrame): DataFrame = {
+  def kmeans(spark: SparkSession, embeddings: DataFrame,
+      lloydMemoKey: Option[String] = None): DataFrame = {
     val data = Supervised.embeddingFeatures(embeddings)
     val m = new org.apache.spark.ml.clustering.KMeans()
       .setK(8).setMaxIter(20).setSeed(2020L).fit(data)
@@ -45,7 +60,7 @@ object Checks {
     val sizes = m.summary.clusterSizes
     val wssse = m.summary.trainingCost
     val (centers, assigned) =
-      Unsupervised.lloydCenters(spark, embeddings, 4, 5)
+      Unsupervised.lloydCenters(spark, embeddings, 4, 5, lloydMemoKey)
     val distSq = centers.zipWithIndex.map { case (c, i) =>
       when(col("cluster") === i, aggregate(
         zip_with(col("x"), typedLit(c.toSeq),
@@ -56,10 +71,14 @@ object Checks {
     }.reduceRight(_ otherwise _)
     val wssseLloyd = assigned.select(distSq.as("d2"))
       .agg(sum("d2")).head().getDouble(0)
-    verdicts(spark, Seq(
-      "kmeans_clusters_in_range" -> (sizes.length >= 2 && sizes.length <= 8),
-      "kmeans_sizes_sum_n" -> (sizes.sum == n),
-      "kmeans_wssse_le_lloyd4" -> (wssse <= wssseLloyd * 1.005)))
+    verdictsV(spark, Seq(
+      "kmeans_clusters_in_range" ->
+        b2d(sizes.length >= 2 && sizes.length <= 8),
+      "kmeans_sizes_sum_n" -> b2d(sizes.sum == n),
+      "kmeans_wssse_le_lloyd4" -> b2d(wssse <= wssseLloyd * 1.005),
+      // the companion bound itself — DuckDB recomputes it by replaying
+      // the deterministic Lloyd chain and summing squared distances
+      "kmeans_wssse_lloyd4" -> r4v(wssseLloyd)))
   }
 
   /** PCA explained-variance self-consistency: each ratio must equal the
@@ -85,13 +104,18 @@ object Checks {
       .groupBy("j").agg(var_samp("v").as("s"))
       .collect().map(_.getDouble(1))
     val tot = featVars.sum
-    verdicts(spark, Seq(
+    verdictsV(spark, Seq(
       "pca_ev_descending" ->
-        evs.sliding(2).forall(p => p(0) >= p(1) - 1e-9),
-      "pca_ev_sum_le_1" -> (evs.sum <= 1.0 + 1e-9),
+        b2d(evs.sliding(2).forall(p => p(0) >= p(1) - 1e-9)),
+      "pca_ev_sum_le_1" -> b2d(evs.sum <= 1.0 + 1e-9),
       "pca_rayleigh_halfpct" ->
-        evs.zip(projVars).forall { case (e, pv) => scalarMatch(e, pv / tot) },
-      "pca_top_ge_best_axis" -> (evs(0) >= featVars.max / tot - 1e-9)))
+        b2d(evs.zip(projVars).forall { case (e, pv) =>
+          scalarMatch(e, pv / tot) }),
+      "pca_top_ge_best_axis" -> b2d(evs(0) >= featVars.max / tot - 1e-9),
+      // DuckDB-recomputed ingredients of the bounds above: the total
+      // feature variance and the best single axis's share of it
+      "pca_total_variance" -> r6v(tot),
+      "pca_best_axis_share" -> r6v(featVars.max / tot)))
   }
 
   /** Sparse PCA differential: the COO sparse-row path must reproduce the
@@ -133,13 +157,17 @@ object Checks {
         org.apache.spark.ml.functions.vector_to_array(col("features")),
         lit(0.0), (acc, v) => acc + v * v)))
       .head().getDouble(0)
-    verdicts(spark, Seq(
-      "svd_s_descending" -> s.sliding(2).forall(p => p(0) >= p(1) - 1e-9),
-      "svd_s_nonneg" -> s.forall(_ >= 0.0),
+    verdictsV(spark, Seq(
+      "svd_s_descending" ->
+        b2d(s.sliding(2).forall(p => p(0) >= p(1) - 1e-9)),
+      "svd_s_nonneg" -> b2d(s.forall(_ >= 0.0)),
       "svd_energy_le_frobenius" ->
-        (s.map(x => x * x).sum <= fro2 * (1 + 1e-9)),
+        b2d(s.map(x => x * x).sum <= fro2 * (1 + 1e-9)),
       "svd_top_ge_avg_column_energy" ->
-        (s(0) * s(0) >= fro2 / 64.0 * (1 - 1e-9))))
+        b2d(s(0) * s(0) >= fro2 / 64.0 * (1 - 1e-9)),
+      // ‖A‖²_F — the exact bound constant, recomputed by DuckDB as a
+      // plain sum of squares over the embedding lists
+      "svd_frobenius_energy" -> r4v(fro2)))
   }
 
   /** Shared skill check for the binary classifiers on lineitem: training
@@ -152,11 +180,13 @@ object Checks {
     val p = Supervised.lineitemFeatures(lineitem)
       .select(avg("bin_label")).head().getDouble(0)
     val prior = math.max(p, 1 - p)
-    verdicts(spark, Seq(
+    verdictsV(spark, Seq(
       s"${name}_acc_ge_majority_prior" ->
-        (t("accuracy") >= prior - 0.005),
+        b2d(t("accuracy") >= prior - 0.005),
       s"${name}_params_finite" ->
-        t.values.forall(v => !v.isNaN && !v.isInfinite)))
+        b2d(t.values.forall(v => !v.isNaN && !v.isInfinite)),
+      // the prior itself — plain SQL over lineitem for the oracle
+      s"${name}_majority_prior" -> r6v(prior)))
   }
 
   def logreg(spark: SparkSession, lineitem: DataFrame): DataFrame =
@@ -171,10 +201,11 @@ object Checks {
     val t = termMap(Supervised.gbt(spark, lineitem))
     val p = Supervised.lineitemFeatures(lineitem)
       .select(avg("bin_label")).head().getDouble(0)
-    verdicts(spark, Seq(
+    verdictsV(spark, Seq(
       "gbt_acc_ge_majority_prior" ->
-        (t("accuracy") >= math.max(p, 1 - p) - 0.005),
-      "gbt_num_trees" -> (t("num_trees") == 5.0)))
+        b2d(t("accuracy") >= math.max(p, 1 - p) - 0.005),
+      "gbt_num_trees" -> t("num_trees"), // oracle pins the literal 5.0
+      "gbt_majority_prior" -> r6v(math.max(p, 1 - p))))
   }
 
   /** Multi-class tree fits on embeddings: training accuracy from the
@@ -188,10 +219,12 @@ object Checks {
       .map(_.getLong(2)).sum
     val maxShare = embeddings.groupBy("label").count()
       .agg(max("count")).head().getLong(0).toDouble / n
-    verdicts(spark, Seq(
-      "dtree_confusion_covers_corpus" -> (total == n),
+    verdictsV(spark, Seq(
+      "dtree_confusion_covers_corpus" -> b2d(total == n),
       "dtree_acc_gt_majority_share" ->
-        (correct.toDouble / total >= maxShare - 0.005)))
+        b2d(correct.toDouble / total >= maxShare - 0.005),
+      "dtree_majority_share" -> r6v(maxShare),
+      "dtree_corpus_rows" -> n.toDouble))
   }
 
   def rf(spark: SparkSession, embeddings: DataFrame): DataFrame = {
@@ -202,10 +235,12 @@ object Checks {
     val n = embeddings.count()
     val maxShare = embeddings.groupBy("label").count()
       .agg(max("count")).head().getLong(0).toDouble / n
-    verdicts(spark, Seq(
-      "rf_acc_gt_majority_share" -> (acc >= maxShare - 0.005),
+    verdictsV(spark, Seq(
+      "rf_acc_gt_majority_share" -> b2d(acc >= maxShare - 0.005),
       "rf_importances_unit_range" ->
-        (imps.forall(v => v >= 0.0 && v <= 1.0) && imps.sum <= 1.0 + 1e-6)))
+        b2d(imps.forall(v => v >= 0.0 && v <= 1.0) &&
+          imps.sum <= 1.0 + 1e-6),
+      "rf_majority_share" -> r6v(maxShare)))
   }
 
   /** Tree-family regressors: training RMSE can never LOSE to the
@@ -220,9 +255,11 @@ object Checks {
     val rmse = fitted.head().getDouble(1)
     val sd = Supervised.lineitemFeatures(lineitem)
       .select(stddev_samp("label")).head().getDouble(0)
-    verdicts(spark, Seq(
-      s"${name}_rmse_finite" -> (!rmse.isNaN && !rmse.isInfinite),
-      s"${name}_rmse_le_mean_baseline" -> (rmse <= sd * (1 + 1e-4))))
+    verdictsV(spark, Seq(
+      s"${name}_rmse_finite" -> b2d(!rmse.isNaN && !rmse.isInfinite),
+      s"${name}_rmse_le_mean_baseline" -> b2d(rmse <= sd * (1 + 1e-4)),
+      // the baseline bound itself — STDDEV_SAMP(l_extendedprice) in SQL
+      s"${name}_label_sd" -> r4v(sd)))
   }
 
   def dtreeReg(spark: SparkSession, lineitem: DataFrame): DataFrame =
@@ -240,17 +277,22 @@ object Checks {
   /** Stock rank-4 ALS vs the oracle-checked rank-1 deterministic ALS:
     * four factors and the same regularization cannot fit the SAME
     * observed ratings materially worse than one. */
-  def als(spark: SparkSession, events: DataFrame): DataFrame = {
+  def als(spark: SparkSession, events: DataFrame,
+      fixed: Option[DataFrame] = None): DataFrame = {
     def rmseOf(df: DataFrame): (Double, Long) = {
       val rows = df.collect()
       (rows.filter(_.getLong(0) == -1L).head.getDouble(2),
         rows.length - 1L)
     }
     val (rmseStock, nStock) = rmseOf(TextModels.als(spark, events))
-    val (rmseFixed, nFixed) = rmseOf(TextModels.alsFixed(spark, events))
-    verdicts(spark, Seq(
-      "als_rmse_le_rank1_companion" -> (rmseStock <= rmseFixed * 1.05),
-      "als_predicts_all_observed_pairs" -> (nStock == nFixed)))
+    val (rmseFixed, nFixed) =
+      rmseOf(fixed.getOrElse(TextModels.alsFixed(spark, events)))
+    verdictsV(spark, Seq(
+      "als_rmse_le_rank1_companion" -> b2d(rmseStock <= rmseFixed * 1.05),
+      "als_predicts_all_observed_pairs" -> b2d(nStock == nFixed),
+      // the rank-1 companion rmse — DuckDB recomputes it by replaying
+      // the deterministic ALS chain (the ml_als_fixed oracle's rm CTE)
+      "als_rmse_rank1" -> rmseFixed))
   }
 
   /** EM LDA: the describeTopics surface must be a valid topic model —

@@ -17,10 +17,44 @@ object MlQueries {
   private def verdictSql(metrics: String*): String =
     graft.core.VerifyUtils.verdictSql(metrics: _*)
 
+  private def valueVerdictSql(bools: Seq[String], values: Seq[String],
+      ctePrefix: String = ""): String =
+    graft.core.VerifyUtils.valueVerdictSql(bools, values, ctePrefix)
+
   private def li(s: SparkSession, d: String) = Tables(s, d, "lineitem")
   private def emb(s: SparkSession, d: String) = Tables(s, d, "embeddings")
   private def docs(s: SparkSession, d: String) = Tables(s, d, "documents")
   private def ev(s: SparkSession, d: String) = Tables(s, d, "events")
+
+  /** Memoized deterministic rank-1 ALS — shared by ml_als_fixed (its own
+    * output) and the ml_als verdict (its rank-1 companion), so the
+    * 5-iteration chain runs once per suite pass. */
+  private def alsFixedShared(s: SparkSession, d: String) =
+    graft.core.QueryCache.df(s, s"als_fixed:$d")(
+      TextModels.alsFixed(s, ev(s, d)))
+
+  // --- DuckDB-recomputable companion-metric SELECTs (value verdicts) ---
+
+  /** max(p, 1−p) of bin_label = (l_returnflag = 'R') — plain SQL. */
+  private def priorSel(metric: String): String =
+    s"SELECT '$metric' AS metric, " +
+      "FLOOR(GREATEST(p, 1 - p) * 1000000 + 0.5) / 1000000 AS value " +
+      "FROM (SELECT AVG(CASE WHEN l_returnflag = 'R' " +
+      "THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) AS p " +
+      "FROM lineitem) pp"
+
+  /** Majority class share over embeddings.label — plain SQL. */
+  private def shareSel(metric: String): String =
+    s"SELECT '$metric' AS metric, " +
+      "FLOOR(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) " +
+      "* 1000000 + 0.5) / 1000000 AS value " +
+      "FROM (SELECT COUNT(*) AS c FROM embeddings GROUP BY label) gshare"
+
+  /** STDDEV_SAMP(l_extendedprice) — the regressors' mean baseline. */
+  private def labelSdSel(metric: String): String =
+    s"SELECT '$metric' AS metric, " +
+      "FLOOR(STDDEV_SAMP(l_extendedprice) * 10000 + 0.5) / 10000 AS value " +
+      "FROM lineitem"
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ml_cov_pairs" -> ((s, d) => Stats.covPairs(li(s, d))),
@@ -50,13 +84,17 @@ object MlQueries {
     "ml_gbt_reg_rule" -> ((s, d) => Supervised.gbtRegRule(s, emb(s, d))),
     "ml_pca2" -> ((s, d) => Unsupervised.pca2(s, emb(s, d))),
     "ml_svd2" -> ((s, d) => Unsupervised.svd2(s, emb(s, d))),
-    "ml_kmeans" -> ((s, d) => Checks.kmeans(s, emb(s, d))),
-    "ml_lloyd_fixed" -> ((s, d) => Unsupervised.lloydFixed(s, emb(s, d))),
+    // the Lloyd twin is memoized per sfDir: ml_kmeans's companion and
+    // ml_lloyd_fixed's own output share one 5-iteration run
+    "ml_kmeans" -> ((s, d) => Checks.kmeans(s, emb(s, d), Some(d))),
+    "ml_lloyd_fixed" -> ((s, d) =>
+      Unsupervised.lloydFixed(s, emb(s, d), memoKey = Some(d))),
     "ml_pca" -> ((s, d) => Checks.pca(s, emb(s, d))),
     "ml_svd" -> ((s, d) => Checks.svd(s, emb(s, d))),
     "ml_idf" -> ((s, d) => TextModels.idf(s, docs(s, d))),
-    "ml_als" -> ((s, d) => Checks.als(s, ev(s, d))),
-    "ml_als_fixed" -> ((s, d) => TextModels.alsFixed(s, ev(s, d))),
+    "ml_als" -> ((s, d) =>
+      Checks.als(s, ev(s, d), Some(alsFixedShared(s, d)))),
+    "ml_als_fixed" -> ((s, d) => alsFixedShared(s, d)),
     "ml_lda" -> ((s, d) => Checks.lda(s, docs(s, d))),
     "ml_nmf_topics" -> ((s, d) => TextModels.nmfFixed(s, docs(s, d))),
     "ml_prefixspan" -> ((s, d) => TextModels.prefixSpan(s, ev(s, d))),
@@ -286,7 +324,10 @@ object MlQueries {
   /** Unrolled deterministic rank-1 ALS oracle: one (x, y) CTE pair per
     * iteration, factors floor-rounded 1e-6 per half-step like the Spark
     * side; ratings pass through the same float32 narrowing. */
-  private def alsFixedSql(iters: Int, lambda: Double = 0.1): String = {
+  /** The deterministic rank-1 ALS chain through the `p`/`rm` CTEs — the
+    * shared prefix of the ml_als_fixed replay oracle and the ml_als
+    * value-verdict oracle (which recomputes the rank-1 companion rmse). */
+  private def alsFixedCte(iters: Int, lambda: Double = 0.1): String = {
     val sb = new StringBuilder
     sb ++= "WITH itm AS MATERIALIZED (SELECT event_type, " +
       "ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, event_type) - 1 AS item " +
@@ -306,13 +347,16 @@ object MlQueries {
     }
     sb ++= s", p AS (SELECT r.u, r.it, r.rating, x.x * y.y AS p " +
       s"FROM r JOIN x$iters x USING (u) JOIN y$iters y USING (it))"
-    sb ++= ", rm AS (SELECT SQRT(AVG((rating - p) * (rating - p))) AS rmse FROM p) " +
-      "SELECT CAST(u AS BIGINT) AS \"user\", CAST(it AS BIGINT) AS item, " +
+    sb ++= ", rm AS (SELECT SQRT(AVG((rating - p) * (rating - p))) AS rmse FROM p)"
+    sb.toString
+  }
+
+  private def alsFixedSql(iters: Int, lambda: Double = 0.1): String =
+    alsFixedCte(iters, lambda) +
+      " SELECT CAST(u AS BIGINT) AS \"user\", CAST(it AS BIGINT) AS item, " +
       "FLOOR(p * 10000 + 0.5) / 10000 AS pred FROM p " +
       "UNION ALL SELECT -1, -1, FLOOR(rmse * 10000 + 0.5) / 10000 FROM rm " +
       "ORDER BY \"user\", item"
-    sb.toString
-  }
 
   /** Unrolled Lee–Seung NMF oracle: one CTE block per iteration — WᵀV,
     * WᵀW, WᵀWH then the H update, VHᵀ, HHᵀ, WHHᵀ then the W update —
@@ -361,33 +405,71 @@ object MlQueries {
   }
 
   val oracle: Map[String, String] = Map(
-    // constant-truth verdicts for the Checks-wrapped stock fits — the
-    // hash matches iff every tolerance check computed Spark-side passed
-    "ml_kmeans" -> verdictSql("kmeans_clusters_in_range",
-      "kmeans_sizes_sum_n", "kmeans_wssse_le_lloyd4"),
-    "ml_pca" -> verdictSql("pca_ev_descending", "pca_ev_sum_le_1",
-      "pca_rayleigh_halfpct", "pca_top_ge_best_axis"),
+    // value verdicts for the Checks-wrapped stock fits: boolean checks
+    // as constant 1.0 rows (the fit's own seeded trajectory stays
+    // Spark-side), companion METRICS as values DuckDB recomputes from
+    // the parquet tables itself (round-9 upgrade — the external engine
+    // verifies the verdict's ingredients, not just the row shape)
+    "ml_kmeans" -> valueVerdictSql(
+      Seq("kmeans_clusters_in_range", "kmeans_sizes_sum_n",
+        "kmeans_wssse_le_lloyd4"),
+      Seq("SELECT 'kmeans_wssse_lloyd4' AS metric, " +
+        "FLOOR(SUM(POWER(LIST_DISTANCE(x.xv, c.cv), 2)) * 10000 + 0.5) " +
+        "/ 10000 AS value FROM a5 a JOIN x ON x.vec_id = a.vec_id " +
+        "JOIN c5 c ON c.cluster = a.cluster"),
+      ctePrefix = lloydCentroidCte(k = 4, iters = 5, dim = 64)),
+    "ml_pca" -> valueVerdictSql(
+      Seq("pca_ev_descending", "pca_ev_sum_le_1", "pca_rayleigh_halfpct",
+        "pca_top_ge_best_axis"),
+      Seq("SELECT 'pca_total_variance' AS metric, " +
+        "FLOOR(SUM(s) * 1000000 + 0.5) / 1000000 AS value FROM " +
+        "(SELECT VAR_SAMP(CAST(embedding[i] AS DOUBLE)) AS s " +
+        "FROM embeddings, generate_series(1, 64) t(i) GROUP BY i) av",
+        "SELECT 'pca_best_axis_share' AS metric, " +
+        "FLOOR(MAX(s) / SUM(s) * 1000000 + 0.5) / 1000000 AS value FROM " +
+        "(SELECT VAR_SAMP(CAST(embedding[i] AS DOUBLE)) AS s " +
+        "FROM embeddings, generate_series(1, 64) t(i) GROUP BY i) av2")),
     "ml_spca" -> verdictSql("spca_ev_descending",
       "spca_matches_dense_pca_1e6"),
-    "ml_svd" -> verdictSql("svd_energy_le_frobenius", "svd_s_descending",
-      "svd_s_nonneg", "svd_top_ge_avg_column_energy"),
-    "ml_logreg" -> verdictSql("logreg_acc_ge_majority_prior",
-      "logreg_params_finite"),
-    "ml_svc" -> verdictSql("svc_acc_ge_majority_prior",
-      "svc_params_finite"),
-    "ml_gbt" -> verdictSql("gbt_acc_ge_majority_prior", "gbt_num_trees"),
-    "ml_dtree" -> verdictSql("dtree_acc_gt_majority_share",
-      "dtree_confusion_covers_corpus"),
-    "ml_rf" -> verdictSql("rf_acc_gt_majority_share",
-      "rf_importances_unit_range"),
-    "ml_dtree_reg" -> verdictSql("dtree_reg_rmse_finite",
-      "dtree_reg_rmse_le_mean_baseline"),
-    "ml_rf_reg" -> verdictSql("rf_reg_rmse_finite",
-      "rf_reg_rmse_le_mean_baseline"),
-    "ml_gbt_reg" -> verdictSql("gbt_reg_rmse_finite",
-      "gbt_reg_rmse_le_mean_baseline"),
-    "ml_als" -> verdictSql("als_predicts_all_observed_pairs",
-      "als_rmse_le_rank1_companion"),
+    "ml_svd" -> valueVerdictSql(
+      Seq("svd_energy_le_frobenius", "svd_s_descending", "svd_s_nonneg",
+        "svd_top_ge_avg_column_energy"),
+      Seq("SELECT 'svd_frobenius_energy' AS metric, " +
+        "FLOOR(SUM(v * v) * 10000 + 0.5) / 10000 AS value FROM " +
+        "(SELECT UNNEST(LIST_TRANSFORM(embedding, " +
+        "x -> CAST(x AS DOUBLE))) AS v FROM embeddings) fr")),
+    "ml_logreg" -> valueVerdictSql(
+      Seq("logreg_acc_ge_majority_prior", "logreg_params_finite"),
+      Seq(priorSel("logreg_majority_prior"))),
+    "ml_svc" -> valueVerdictSql(
+      Seq("svc_acc_ge_majority_prior", "svc_params_finite"),
+      Seq(priorSel("svc_majority_prior"))),
+    "ml_gbt" -> valueVerdictSql(
+      Seq("gbt_acc_ge_majority_prior"),
+      Seq(priorSel("gbt_majority_prior"),
+        "SELECT 'gbt_num_trees' AS metric, CAST(5.0 AS DOUBLE) AS value")),
+    "ml_dtree" -> valueVerdictSql(
+      Seq("dtree_acc_gt_majority_share", "dtree_confusion_covers_corpus"),
+      Seq(shareSel("dtree_majority_share"),
+        "SELECT 'dtree_corpus_rows' AS metric, " +
+          "CAST(COUNT(*) AS DOUBLE) AS value FROM embeddings")),
+    "ml_rf" -> valueVerdictSql(
+      Seq("rf_acc_gt_majority_share", "rf_importances_unit_range"),
+      Seq(shareSel("rf_majority_share"))),
+    "ml_dtree_reg" -> valueVerdictSql(
+      Seq("dtree_reg_rmse_finite", "dtree_reg_rmse_le_mean_baseline"),
+      Seq(labelSdSel("dtree_reg_label_sd"))),
+    "ml_rf_reg" -> valueVerdictSql(
+      Seq("rf_reg_rmse_finite", "rf_reg_rmse_le_mean_baseline"),
+      Seq(labelSdSel("rf_reg_label_sd"))),
+    "ml_gbt_reg" -> valueVerdictSql(
+      Seq("gbt_reg_rmse_finite", "gbt_reg_rmse_le_mean_baseline"),
+      Seq(labelSdSel("gbt_reg_label_sd"))),
+    "ml_als" -> valueVerdictSql(
+      Seq("als_predicts_all_observed_pairs", "als_rmse_le_rank1_companion"),
+      Seq("SELECT 'als_rmse_rank1' AS metric, " +
+        "FLOOR(rmse * 10000 + 0.5) / 10000 AS value FROM rm"),
+      ctePrefix = alsFixedCte(iters = 5)),
     "ml_lda" -> verdictSql("lda_shape_k_topics_top5_in_vocab",
       "lda_top_weights_valid_distribution"),
     "ml_simrank" -> simrankSql(iters = 5),

@@ -51,41 +51,61 @@ object Unsupervised {
     * driver only ever holds k×dim doubles. Returns (centers, final
     * assignment frame). */
   private[graft] def lloydCenters(spark: SparkSession, embeddings: DataFrame,
-      k: Int = 4, iters: Int = 5)
+      k: Int = 4, iters: Int = 5, memoKey: Option[String] = None)
       : (Array[Array[Double]], DataFrame) = {
     def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
-    var centers: Array[Array[Double]] = embeddings.orderBy("vec_id").limit(k)
-      .select("embedding").collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-      .map(_.map(r6))
     val xd = transform(col("embedding"), v => v.cast("double"))
     def distTo(c: Array[Double]): org.apache.spark.sql.Column =
       sqrt(aggregate(
         zip_with(xd, typedLit(c.toSeq), (x, cc) => (x - cc) * (x - cc)),
         lit(0.0), (acc, v) => acc + v))
-    var assigned: DataFrame = null
-    for (_ <- 1 to iters) {
-      val best = centers.zipWithIndex
+    def assignTo(cs: Array[Array[Double]]): DataFrame = {
+      val best = cs.zipWithIndex
         .map { case (c, i) => struct(distTo(c).as("d"), lit(i).as("c")) }
         .reduce((a, b) => when(a <= b, a).otherwise(b))
-      assigned = embeddings
+      embeddings
         .select(col("vec_id"), xd.as("x"), best.getField("c").as("cluster"))
-      val sums = assigned
-        .select(col("cluster"), posexplode(col("x")).as(Seq("dim", "v")))
-        .groupBy("cluster", "dim").agg(avg("v").as("m"))
-        .collect()
-      val next = centers.map(_.clone())
-      sums.foreach(r =>
-        next(r.getInt(0))(r.getInt(1)) = r6(r.getDouble(2)))
-      centers = next // clusters that lost every point keep their center
     }
-    (centers, assigned)
+    // the loop's product is (c_{iters-1}, c_iters): the returned frame is
+    // the LAST-iteration assignment (to the pre-update centers) and the
+    // returned centers are the post-update means of that assignment —
+    // exactly the a$iters/c$iters pair the DuckDB oracle unrolls. Both
+    // center arrays (k×dim doubles) are memoizable driver state; the
+    // assignment frame is rebuilt lazily from c_{iters-1}, so a memo hit
+    // (ml_kmeans ↔ ml_lloyd_fixed share the same twin) skips all
+    // iters×2 corpus passes.
+    def run(): (Array[Array[Double]], Array[Array[Double]]) = {
+      var centers: Array[Array[Double]] = embeddings.orderBy("vec_id")
+        .limit(k).select("embedding").collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+        .map(_.map(r6))
+      var prev = centers
+      for (_ <- 1 to iters) {
+        prev = centers
+        val sums = assignTo(centers)
+          .select(col("cluster"), posexplode(col("x")).as(Seq("dim", "v")))
+          .groupBy("cluster", "dim").agg(avg("v").as("m"))
+          .collect()
+        val next = centers.map(_.clone())
+        sums.foreach(r =>
+          next(r.getInt(0))(r.getInt(1)) = r6(r.getDouble(2)))
+        centers = next // clusters that lost every point keep their center
+      }
+      (prev, centers)
+    }
+    val (cPrev, cFinal) = memoKey match {
+      case Some(key) =>
+        graft.core.QueryCache.value(s"lloyd:$key:$k:$iters")(run())
+      case None => run()
+    }
+    (cFinal, assignTo(cPrev))
   }
 
   def lloydFixed(spark: SparkSession, embeddings: DataFrame, k: Int = 4,
-      iters: Int = 5, dim: Int = 64): DataFrame = {
+      iters: Int = 5, dim: Int = 64,
+      memoKey: Option[String] = None): DataFrame = {
     import spark.implicits._
-    val (centers, assigned) = lloydCenters(spark, embeddings, k, iters)
+    val (centers, assigned) = lloydCenters(spark, embeddings, k, iters, memoKey)
     val sizes = assigned.groupBy("cluster")
       .agg(count(lit(1)).cast("double").as("value"))
       .select(col("cluster").cast("long"), lit(-1).as("dim"), col("value"))

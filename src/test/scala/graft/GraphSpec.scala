@@ -156,7 +156,9 @@ class GraphSpec extends AnyFunSuite {
       "graph_lpa_sync", "graph_pagerank_conv", "graph_ppr_conv",
       "graph_ppr_multi_sync", "graph_closeness_w",
       "graph_mce", "graph_wce", "graph_walks_det",
-      "graph_louvain_sync") // MATERIALIZED / recursive / list dialect
+      "graph_louvain_sync", // MATERIALIZED / recursive / list dialect
+      // value-verdict oracles replaying the MATERIALIZED sync chains
+      "graph_lpa", "graph_louvain")
     for ((name, sql) <- GraphQueries.oracle if !duckdbOnly(name)) {
       val dsl = GraphQueries.all(name)(spark, sf0001).collect()
         .map(_.toSeq.map(String.valueOf)).toSeq

@@ -171,6 +171,9 @@ class MlSpec extends AnyFunSuite {
       "ml_spearman_matrix", "ml_idf", "ml_knn_class", "ml_knn_prob",
       "ml_dbscan",
       "ml_prefixspan", "ml_lloyd_fixed",
+      // value-verdict oracles whose companion-metric SELECT is DuckDB
+      // dialect (list fns / generate_series / unrolled CTE chains)
+      "ml_kmeans", "ml_pca", "ml_svd", "ml_als",
       // list-indexing (1-based in DuckDB) rule/eigen fixtures
       "ml_logreg_rule", "ml_svc_rule", "ml_dtree_rule", "ml_rf_rule",
       "ml_gbt_rule", "ml_dtree_reg_rule", "ml_rf_reg_rule",
