@@ -654,10 +654,14 @@ object Dedup {
     * at all; a < w-gram doc winnows one whole-array window whose min
     * the containing doc need not select), so the sketch rule cannot
     * promise recall there and the function's CONTRACT excludes them
-    * rather than silently under-reporting. Sub-(w+k−1)-token inners
-    * need an exact substring path (they are also the cheapest docs to
-    * screen by other means — near-empty fragments are usually dropped
-    * by quality gates long before dedup).
+    * rather than silently under-reporting. `includeShort = true` makes
+    * that narrowing opt-IN instead of implicit (round-8 advice): the
+    * sub-(w+k−1)-token inners are routed through an EXACT broadcast
+    * substring pass — every short inner is tested against every longer
+    * document. That pass is |short| × corpus work, sane only while the
+    * short-fragment set is small (it is broadcast, so the corpus never
+    * shuffles); callers feeding unfiltered fragment-heavy corpora
+    * should quality-gate first or accept the scan cost.
     *
     * Scale shape: sketch per-row; candidates meet on fingerprint values
     * carrying ids only (the band-join discipline) and dedup to distinct
@@ -672,7 +676,7 @@ object Dedup {
     * holds for EVERY inner fingerprint, so the AND-rule keeps full
     * recall while the joint-df candidate set collapses). */
   def containmentPairs(docs: DataFrame, k: Int = 3, w: Int = 4,
-      dfCap: Long = 1000L): DataFrame = {
+      dfCap: Long = 1000L, includeShort: Boolean = false): DataFrame = {
     val minTokens = w + k - 1
     // xxhash64 grams: this op's oracle is the exhaustive ground truth,
     // not a sketch replay, so the cheap hash family applies (a
@@ -719,16 +723,33 @@ object Dedup {
       .unionByName(cand2.select("inner_id", "outer_id"))
       .filter(col("inner_id") =!= col("outer_id"))
     val t = docs.select(col("doc_id"), col("text"))
-    cand
+    val isContained = col("la") < col("lb") &&
+      concat(lit(" "), col("tb"), lit(" "))
+        .contains(concat(lit(" "), col("ta"), lit(" ")))
+    val sketchPairs = cand
       .join(t.select(col("doc_id").as("inner_id"), col("text").as("ta"),
         length(col("text")).as("la")), Seq("inner_id"))
       .join(t.select(col("doc_id").as("outer_id"), col("text").as("tb"),
         length(col("text")).as("lb")), Seq("outer_id"))
-      .filter(col("la") < col("lb") &&
-        concat(lit(" "), col("tb"), lit(" "))
-          .contains(concat(lit(" "), col("ta"), lit(" "))))
+      .filter(isContained)
       .select(col("inner_id"), col("outer_id"))
-      .orderBy("inner_id", "outer_id")
+    val pairs = if (!includeShort) sketchPairs else {
+      // exact pass for the sub-contract-domain inners: broadcast the
+      // (small) short-fragment set and substring-test it against every
+      // longer doc — one corpus scan, zero shuffle of the outer side
+      val shortInners = broadcast(docs
+        .where(TextOps.nTokExpr < minTokens)
+        .select(col("doc_id").as("inner_id"), col("text").as("ta"),
+          length(col("text")).as("la")))
+      val shortPairs = t
+        .select(col("doc_id").as("outer_id"), col("text").as("tb"),
+          length(col("text")).as("lb"))
+        .join(shortInners,
+          col("inner_id") =!= col("outer_id") && isContained)
+        .select(col("inner_id"), col("outer_id"))
+      sketchPairs.unionByName(shortPairs)
+    }
+    pairs.orderBy("inner_id", "outer_id")
   }
 
   /** Within-document span dedup — the per-document form of

@@ -23,9 +23,13 @@ object Readers {
       .option("numFeatures", numFeatures.toString).load(path)
 
   /** One comma-joined double vector per line (`CovRunner.scala:97-99`).
-    * Returns (row_id, features: array<double>). */
+    * Returns (row_id, features: array<double>). Blank lines are skipped
+    * (structural quirk); a non-numeric VALUE inside a non-blank line
+    * rejects loudly under ANSI — silently nulling one coordinate of a
+    * dense vector would be wrong data, not tolerance. */
   def csvVectors(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path)
+      .filter(trim(col("value")) =!= "")
       .select(monotonically_increasing_id().as("row_id"),
         transform(split(col("value"), ","), s => s.cast("double"))
           .as("features"))
@@ -62,9 +66,12 @@ object Readers {
       }.toDF("row", "features")
   }
 
-  /** Edge list text: `src dst [weight]`, `#`/`%` comment lines and short
-    * lines skipped, optional self-loop removal — the reference's loader
-    * family (`graph/Util.scala:15-161`). split regex = whitespace runs. */
+  /** Edge list text: `src dst [weight]`, `#`/`%` comment lines, short
+    * lines and non-numeric ids skipped, optional self-loop removal — the
+    * reference's loader family (`graph/Util.scala:15-161`). A MISSING
+    * third column defaults to `defaultWeight`; a PRESENT-but-unparseable
+    * one skips the line (defaulting it would be silent wrong data).
+    * split regex = whitespace runs. */
   def edgeList(spark: SparkSession, path: String, sep: String = "\\s+",
       defaultWeight: Double = 1.0, dropSelfLoops: Boolean = true): DataFrame = {
     val parsed = spark.read.text(path)
@@ -74,20 +81,28 @@ object Readers {
       .select(
         expr("try_cast(f[0] AS BIGINT)").as("src"),
         expr("try_cast(f[1] AS BIGINT)").as("dst"),
-        coalesce(
-          when(size(col("f")) >= 3, expr("try_cast(f[2] AS DOUBLE)")),
-          lit(defaultWeight)).as("weight"))
-      .filter(col("src").isNotNull && col("dst").isNotNull)
+        size(col("f")).as("n"),
+        // get(): NULL past the end instead of the ANSI index error
+        expr("try_cast(get(f, 2) AS DOUBLE)").as("w3"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        (col("n") < 3 || col("w3").isNotNull))
+      .select(col("src"), col("dst"),
+        coalesce(col("w3"), lit(defaultWeight)).as("weight"))
     if (dropSelfLoops) parsed.filter(col("src") =!= col("dst")) else parsed
   }
 
-  /** `(vid,comm)` community pairs, parens stripped (`graph/Util.scala:58-80`). */
+  /** `(vid,comm)` community pairs, parens stripped (`graph/Util.scala:58-80`).
+    * Loader-family skip contract: comment lines (`#`/`%`), short lines
+    * and non-numeric ids are dropped, like the reference's tolerant
+    * graph loaders (`CycleDetectionWithConstrainsRunner.scala:64-89`). */
   def communityPairs(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path)
+      .filter(!col("value").startsWith("#") && !col("value").startsWith("%"))
       .select(split(regexp_replace(col("value"), "[()\\s]", ""), ",").as("f"))
       .filter(size(col("f")) >= 2)
-      .select(element_at(col("f"), 1).cast("long").as("node"),
-        element_at(col("f"), 2).cast("long").as("community"))
+      .select(expr("try_cast(f[0] AS BIGINT)").as("node"),
+        expr("try_cast(f[1] AS BIGINT)").as("community"))
+      .filter(col("node").isNotNull && col("community").isNotNull)
 
   /** PrefixSpan IBM sequence format: space-separated ints, `-1` ends an
     * itemset, `-2` ends the sequence (`PrefixSpanRunner.scala:125-146`).
@@ -104,13 +119,18 @@ object Readers {
           a => size(a) > 0).as("sequence"))
       .filter(size(col("sequence")) > 0)
 
-  /** `label,f1 f2 f3 …` SVM CSV (`SVMRunner.scala:106-109`). */
+  /** `label,f1 f2 f3 …` SVM CSV (`SVMRunner.scala:106-109`). Lines
+    * without the label/features comma or with a non-numeric label are
+    * skipped (structural quirks); a corrupt FEATURE value inside a
+    * structurally valid line rejects loudly under ANSI. */
   def svmCsv(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path)
       .select(split(col("value"), ",").as("f"))
-      .select(element_at(col("f"), 1).cast("double").as("label"),
+      .filter(size(col("f")) >= 2)
+      .select(expr("try_cast(f[0] AS DOUBLE)").as("label"),
         transform(split(trim(element_at(col("f"), 2)), "\\s+"),
           s => s.cast("double")).as("features"))
+      .filter(col("label").isNotNull)
 
   /** Any serialized vector the reference's object files hold → ml. The
     * reference writes MLLIB types (`LDARunner.scala:144` reads
@@ -214,13 +234,16 @@ object Readers {
   }
 
   /** `id\tv1,v2,…` KNN rows; id < testNum marks a query row
-    * (`KNNRunner.scala:146-156`). */
+    * (`KNNRunner.scala:146-156`). Lines without the tab or with a
+    * non-numeric id are skipped; corrupt coordinate values reject. */
   def knnTsv(spark: SparkSession, path: String, testNum: Long): DataFrame =
     spark.read.text(path)
       .select(split(col("value"), "\t").as("f"))
-      .select(element_at(col("f"), 1).cast("long").as("id"),
+      .filter(size(col("f")) >= 2)
+      .select(expr("try_cast(f[0] AS BIGINT)").as("id"),
         transform(split(element_at(col("f"), 2), ","), s => s.cast("float"))
           .as("embedding"))
+      .filter(col("id").isNotNull)
       .withColumn("is_query", col("id") < testNum)
 }
 

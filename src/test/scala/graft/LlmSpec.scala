@@ -1483,6 +1483,13 @@ class LlmSpec extends AnyFunSuite {
     // the 3-token doc is genuinely contained but below the guarantee
     // domain — excluded by contract on the INNER side only
     assert(!default.exists(_._1 == 4L), default)
+    // includeShort = true routes the sub-domain inner through the exact
+    // broadcast substring pass: doc 4 ("c d e") is now reported inside
+    // 1, 2 and 3, and the sketch-path pairs are unchanged
+    val withShort = Dedup.containmentPairs(docs, includeShort = true)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(withShort ==
+      default ++ Set((4L, 1L), (4L, 2L), (4L, 3L)), withShort)
   }
 
   test("winnowing: fingerprints point at real grams, the w+k-1 " +

@@ -138,6 +138,128 @@ class SourcesSpec extends AnyFunSuite {
     assert(ratings == Set((1, 10, 0.5), (2, 20, 1.5)))
   }
 
+  // ---- negative-path fixtures (round-9 verdict #7): the loader-family
+  // contract is STRUCTURAL quirks skip (comments, blank/short lines,
+  // non-numeric ids, unparseable weight columns), VALUE corruption
+  // inside a structurally valid row rejects loudly, and truncated
+  // binary containers reject — never silent wrong data.
+
+  private def writeLines(name: String, lines: String*): String = {
+    val p = java.nio.file.Files.createTempDirectory("graft-neg")
+      .resolve(name)
+    java.nio.file.Files.writeString(p, lines.mkString("\n"))
+    p.toString
+  }
+
+  test("negative: edge list skips comments, junk ids, short lines and " +
+      "garbage weights; defaults only MISSING weights") {
+    val path = writeLines("edges-bad.txt",
+      "# header comment",
+      "% matrix-market style comment",
+      "1 2",          // valid, weight defaults to 1.0
+      "2 3 2.5",      // valid, explicit weight
+      "x 3",          // junk src -> skipped
+      "4 y",          // junk dst -> skipped
+      "7",            // short line -> skipped
+      "5 6 heavy",    // PRESENT but unparseable weight -> skipped
+      "8 8 1.0",      // self-loop -> dropped
+      "")             // blank line -> skipped (short after split)
+    val r = Readers.edgeList(spark, path).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+    assert(r == Set((1L, 2L, 1.0), (2L, 3L, 2.5)), r)
+  }
+
+  test("negative: coo skips comments, short lines and non-numeric cells") {
+    val path = writeLines("coo-bad.txt",
+      "% header",
+      "0 0 1.5",
+      "1 one 3.0",    // non-numeric col -> skipped
+      "2 2",          // short -> skipped
+      "bad 1 2.0",    // non-numeric row -> skipped
+      "3 1 nope")     // non-numeric value -> skipped
+    val r = Readers.coo(spark, path).collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getDouble(2))).toSet
+    assert(r == Set((0L, 0, 1.5)), r)
+  }
+
+  test("negative: community pairs skip comments and non-numeric ids") {
+    val path = writeLines("community-bad.txt",
+      "# comment",
+      "(1,10)",
+      "(2,beta)",     // non-numeric community -> skipped
+      "(gamma,20)",   // non-numeric node -> skipped
+      "(3)",          // short -> skipped
+      "(4,40)")
+    val r = Readers.communityPairs(spark, path).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(r == Set((1L, 10L), (4L, 40L)), r)
+  }
+
+  test("negative: svm csv skips comma-less and junk-label lines; " +
+      "corrupt feature values reject loudly") {
+    val path = writeLines("svm-bad.csv",
+      "1.0,0.5 1.5",
+      "no-comma-line",     // skipped
+      "abc,2.5 3.5",       // junk label -> skipped
+      "-1.0,2.5 3.5")
+    val ok = Readers.svmCsv(spark, path).collect()
+      .map(x => (x.getDouble(0), x.getSeq[Double](1).toSeq)).toSet
+    assert(ok == Set((1.0, Seq(0.5, 1.5)), (-1.0, Seq(2.5, 3.5))), ok)
+    val corrupt = writeLines("svm-corrupt.csv", "1.0,0.5 BAD 1.5")
+    val e = intercept[Exception] {
+      Readers.svmCsv(spark, corrupt).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("negative: csv vectors skip blank lines, reject corrupt values") {
+    val path = writeLines("vec-bad.csv", "1.0,2.0", "", "3.0,4.0")
+    assert(Readers.csvVectors(spark, path).collect().length == 2)
+    val corrupt = writeLines("vec-corrupt.csv", "1.0,oops")
+    intercept[Exception] {
+      Readers.csvVectors(spark, corrupt).collect()
+    }
+  }
+
+  test("negative: knn tsv skips tab-less and junk-id lines") {
+    val path = writeLines("knn-bad.tsv",
+      "0\t0.5,1.5",
+      "no-tab-line",       // skipped
+      "id\t1.0,2.0",       // junk id -> skipped
+      "5\t2.5,3.5")
+    val r = Readers.knnTsv(spark, path, testNum = 2).collect()
+      .map(x => (x.getLong(0), x.getBoolean(2))).toMap
+    assert(r == Map(0L -> true, 5L -> false), r)
+  }
+
+  test("negative: malformed libsvm rejects loudly (stock reader)") {
+    val path = writeLines("bad.libsvm", "1.0 1:0.5 3:oops")
+    intercept[Exception] {
+      Readers.libsvm(spark, path, numFeatures = 4).collect()
+    }
+  }
+
+  test("negative: truncated SequenceFile rejects with an IO error, " +
+      "never returns partial silent data") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-seqtrunc")
+    val full = dir.resolve("full").toString
+    graft.sources.Writers.sequenceFile(
+      (1 to 200).map(i => s"line-$i-padding-padding-padding")
+        .toDF("value"), full)
+    // truncate the (single) part file to 60% of its bytes
+    val part = new java.io.File(full).listFiles()
+      .filter(f => f.getName.startsWith("part-")).head
+    val bytes = java.nio.file.Files.readAllBytes(part.toPath)
+    val cut = dir.resolve("cut").toString
+    new java.io.File(cut).mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(cut, part.getName),
+      java.util.Arrays.copyOf(bytes, (bytes.length * 6) / 10))
+    intercept[org.apache.spark.SparkException] {
+      Readers.sequenceLines(spark, cut).collect()
+    }
+  }
+
   test("libsvm reader yields label/features") {
     val r = Readers.libsvm(spark, res("train.libsvm"), numFeatures = 4).collect()
     assert(r.length == 2)
