@@ -86,7 +86,7 @@ object Bench {
       "llm_ann_text", "llm_hybrid_rrf", "llm_bpe_encode",
       "llm_span_remove", "llm_decontaminate_bloom", "llm_boilerplate",
       "llm_dedup_keep_best", "llm_token_budget", "llm_within_doc_dedup",
-      "llm_containment")
+      "llm_containment", "llm_pii_consume", "llm_normalize_consume")
     // Every headline number is drop-max-then-mean of 3 runs (1 suite
     // pass + 2 re-runs, caches cleared between). Single samples proved
     // unadjudicable twice: r4/r5 graph_louvain swung 24 -> 77 s on one

@@ -15,6 +15,29 @@ object LlmQueries {
   private def docs(s: SparkSession, d: String) = Tables(s, d, "documents")
   private def emb(s: SparkSession, d: String) = Tables(s, d, "embeddings")
 
+  /** The deterministic PII planting shared by llm_pii_redact and
+    * llm_pii_consume (the corpus itself has no PII). */
+  private def piiPlanted(d: DataFrame): DataFrame =
+    d.withColumn("text",
+      concat(col("text"), lit(" u"), col("doc_id").cast("string"),
+        lit("@ex.com ip 10.0.0."), (col("doc_id") % 250).cast("string"),
+        lit(" ssn 123-45-6789 tel +1 555-0199")))
+
+  /** SQL twin of [[piiPlanted]] — the oracle-side planting CTE. */
+  private val piiPlantCte =
+    "WITH t AS (SELECT doc_id, text || ' u' || CAST(doc_id AS VARCHAR) || " +
+      "'@ex.com ip 10.0.0.' || CAST(doc_id % 250 AS VARCHAR) || " +
+      "' ssn 123-45-6789 tel +1 555-0199' AS text FROM documents) "
+
+  /** The full redaction chain as nested DuckDB regexp_replace calls
+    * (the 'g' flag supplies Spark's replace-all semantics), built from
+    * the SAME pattern list the engine applies. */
+  private val piiRedactedSqlExpr: String =
+    TextOps.piiPatterns.foldLeft("text") {
+      case (acc, (_, pat, tok)) =>
+        s"regexp_replace($acc, '$pat', '$tok', 'g')"
+    }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_text_stats" -> ((s, d) => TextOps.stats(docs(s, d))),
     "llm_quality" -> ((s, d) => TextOps.quality(docs(s, d))),
@@ -28,10 +51,25 @@ object LlmQueries {
       // the synthetic corpus has no PII, so plant one of each type
       // deterministically from doc_id — the redaction rules are then
       // actually exercised and the oracle replays the same planting
-      TextOps.piiRedact(docs(s, d).withColumn("text",
-        concat(col("text"), lit(" u"), col("doc_id").cast("string"),
-          lit("@ex.com ip 10.0.0."), (col("doc_id") % 250).cast("string"),
-          lit(" ssn 123-45-6789 tel +1 555-0199"))))),
+      TextOps.piiRedact(piiPlanted(docs(s, d)))),
+    "llm_pii_consume" -> ((s, d) =>
+      // consuming composition (round-8 verdict #8): bench's .count()
+      // prunes a pure projection, so llm_pii_redact times its scan, not
+      // the regexes — this entry aggregates OVER the redacted output
+      // (total redacted length + per-type totals), forcing the whole
+      // per-row family to execute inside the timed plan
+      TextOps.piiRedact(piiPlanted(docs(s, d)), ordered = false)
+        .agg(sum("n_email").as("n_email"), sum("n_ip").as("n_ip"),
+          sum("n_ssn").as("n_ssn"), sum("n_phone").as("n_phone"),
+          sum(length(col("redacted"))).as("redacted_chars"))),
+    "llm_normalize_consume" -> ((s, d) =>
+      // same pattern for the normalize family: total normalized length,
+      // changed-doc count, and the distinct-normalized-text cardinality
+      // (the exact-dedup consumer normalize exists to feed)
+      TextOps.normalize(docs(s, d))
+        .agg(sum(length(col("norm_text"))).as("norm_chars"),
+          sum(when(col("changed"), 1L).otherwise(0L)).as("n_changed"),
+          count_distinct(col("norm_text")).as("n_distinct"))),
     "llm_contamination" -> ((s, d) => CorpusOps.contamination(docs(s, d))),
     // the 100 TB path: xxhash64 join keys instead of n-gram strings.
     // Hashing only changes the join KEY — absent a 64-bit collision the
@@ -818,6 +856,25 @@ object LlmQueries {
         "'[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g'), " +
         "'\\+[0-9]{1,2} [0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted " +
         "FROM t ORDER BY doc_id"),
+    // consuming composition: same planting + same patterns, aggregated
+    // (all-integer cells, so the compare is exact)
+    "llm_pii_consume" ->
+      (piiPlantCte + "SELECT " +
+        TextOps.piiPatterns.map { case (name, pat, _) =>
+          s"CAST(SUM(len(regexp_extract_all(text, '$pat'))) AS BIGINT) " +
+            s"AS n_$name"
+        }.mkString(", ") +
+        s", CAST(SUM(LEN($piiRedactedSqlExpr)) AS BIGINT) " +
+        "AS redacted_chars FROM t"),
+    "llm_normalize_consume" ->
+      ("WITH n AS (SELECT doc_id, text, " +
+        "TRIM(regexp_replace(regexp_replace(LOWER(text), " +
+        "'[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g')) AS norm_text " +
+        "FROM documents) " +
+        "SELECT CAST(SUM(LEN(norm_text)) AS BIGINT) AS norm_chars, " +
+        "CAST(SUM(CASE WHEN norm_text <> text THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_changed, " +
+        "CAST(COUNT(DISTINCT norm_text) AS BIGINT) AS n_distinct FROM n"),
     // eval split = doc_id % 10 = 7; distinct train 3-grams probed by
     // each eval doc's distinct 3-grams (the Dedup.shingles short-doc
     // fallback to distinct tokens applies on both sides)
