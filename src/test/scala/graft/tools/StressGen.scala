@@ -1,0 +1,156 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Stress-corpus generator for the round-9 scaling-curve evidence
+  * (SCALE_r9.md): writes ×3 / ×10 replicas of the sf0.1 tables plus a
+  * deliberately skewed ×3 variant, so the scale-killer-prone families
+  * (dedup, ANN, graph) can be measured at multiple sizes with the
+  * EXISTING Bench main (SPARK_GRAFT_SF_DIR=<stress dir>).
+  *
+  * Replication discipline — replicas must scale the WORK, not plant
+  * artificial quadratic output:
+  *  - documents: replica k's token order is scrambled by a k-salted
+  *    hash sort, so cross-replica shingle overlap is ~random — the
+  *    organic near-dup rate per replica is preserved (output grows
+  *    linearly), no fake k² duplicate pairs.
+  *  - embeddings: replica k is the base vector cyclically shifted by k
+  *    dims — norm-preserving (corpus is unit-normalized), genuinely
+  *    distinct vectors, identical distance-compute cost.
+  *  - lineitem: orderkey AND partkey offsets per replica → k disjoint
+  *    graph copies (|V| and |E| both scale ×k).
+  *  - events: id/user offsets per replica.
+  *
+  * The skew variant (×3 base) layers three degeneracies:
+  *  - hot LSH band: every 50th doc becomes one 40-token template (+ a
+  *    unique trailing token) → one ~2% near-identical cluster whose
+  *    band bucket is quadratic if the engine doesn't bound it.
+  *  - high-df fingerprint vocabulary: 30% of docs carry the same
+  *    10-token boilerplate tail → winnow/containment rarest-df
+  *    degeneracy (exercises the dfCap AND-rule).
+  *  - dominant embedding cell: 30% of vectors collapse to a blend
+  *    around one anchor vector → one IVF/Lloyd cell holds 30% of the
+  *    corpus (probe and semdedup blocking skew); dominant event user
+  *    (50% of events on one user_id).
+  *
+  * Run: sbt "Test/runMain graft.tools.StressGen /tmp/stress"
+  */
+object StressGen {
+
+  private val base = "/root/testdata/sf0.1"
+  private val passthrough =
+    Seq("region", "nation", "customer", "supplier", "part", "orders")
+
+  private def scrambledText(k: Int) =
+    if (k == 0) col("text")
+    else array_join(
+      transform(
+        array_sort(transform(split(col("text"), " "),
+          t => struct(xxhash64(concat(t, lit(s"salt$k"))).as("h"),
+            t.as("t")))),
+        s => s.getField("t")), " ")
+
+  private def shiftedEmbedding(k: Int) =
+    if (k == 0) col("embedding")
+    else concat(slice(col("embedding"), k + 1, 64 - k),
+      slice(col("embedding"), 1, k))
+
+  private def replicate(spark: SparkSession, table: String, copies: Int)
+      (one: (DataFrame, Int) => DataFrame): DataFrame = {
+    val b = spark.read.parquet(s"$base/$table.parquet")
+    (0 until copies).map(k => one(b, k)).reduce(_ unionByName _)
+  }
+
+  private val boiler = (1 to 10).map(i => s"boilerplate$i").mkString(" ")
+  private val template = (1 to 40).map(i => s"hotband$i").mkString(" ")
+
+  def writeVariant(spark: SparkSession, out: String, copies: Int,
+      skew: Boolean): Unit = {
+    val docs0 = replicate(spark, "documents", copies) { (b, k) =>
+      b.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+        scrambledText(k).as("text"), col("lang"), col("source"))
+    }
+    val docs1 =
+      if (!skew) docs0
+      else docs0
+        .withColumn("text",
+          when(col("doc_id") % 50 === 0,
+            concat(lit(template), lit(" v"), col("doc_id").cast("string")))
+            .when(col("doc_id") % 10 < 3,
+              concat(col("text"), lit(" "), lit(boiler)))
+            .otherwise(col("text")))
+        .withColumn("source",
+          when((col("doc_id") % 10).between(4, 7), lit("src0"))
+            .otherwise(col("source")))
+    docs1.withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(8).write.mode("overwrite")
+      .parquet(s"$out/documents.parquet")
+
+    val emb0 = replicate(spark, "embeddings", copies) { (b, k) =>
+      b.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+        shiftedEmbedding(k).as("embedding"), col("label"))
+    }
+    val emb1 =
+      if (!skew) emb0
+      else {
+        val anchor = spark.read.parquet(s"$base/embeddings.parquet")
+          .orderBy("vec_id").limit(1)
+          .select("embedding").head().getSeq[Float](0)
+        // 30% of vectors collapse into one cell: 0.95·anchor + 0.05·self
+        // (norm stays ≈1; vectors remain distinct via the 5% self term)
+        emb0.withColumn("embedding",
+          when(col("vec_id") % 10 < 3,
+            zip_with(typedLit(anchor), col("embedding"),
+              (a, e) => a * 0.95f + e * 0.05f))
+            .otherwise(col("embedding")))
+      }
+    emb1.repartition(8).write.mode("overwrite")
+      .parquet(s"$out/embeddings.parquet")
+
+    val ev0 = replicate(spark, "events", copies) { (b, k) =>
+      b.select((col("event_id") + lit(k * 100000000L)).as("event_id"),
+        col("ts"), (col("user_id") + lit(k * 1000000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }
+    val ev1 =
+      if (!skew) ev0
+      else ev0.withColumn("user_id",
+        when(col("event_id") % 2 === 0, lit(777L))
+          .otherwise(col("user_id")))
+    ev1.repartition(8).write.mode("overwrite")
+      .parquet(s"$out/events.parquet")
+
+    replicate(spark, "lineitem", copies) { (b, k) =>
+      b.select((col("l_orderkey") + lit(k * 100000000L)).as("l_orderkey"),
+        (col("l_partkey") + lit(k * 10000000L)).as("l_partkey"),
+        col("l_suppkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"),
+        col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+    }.repartition(16).write.mode("overwrite")
+      .parquet(s"$out/lineitem.parquet")
+
+    passthrough.foreach { t =>
+      spark.read.parquet(s"$base/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val root = args.headOption.getOrElse("/tmp/stress")
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    writeVariant(spark, s"$root/x3", copies = 3, skew = false)
+    writeVariant(spark, s"$root/x10", copies = 10, skew = false)
+    writeVariant(spark, s"$root/skew3", copies = 3, skew = true)
+    println(s"wrote x3, x10, skew3 under $root")
+    spark.stop()
+  }
+}
