@@ -349,7 +349,7 @@ object LlmQueries {
     // style pipelines pair with dedup. Pure composition of two verified
     // operators; clustering + rates + keep test replay in one oracle.
     "llm_cluster_balance" -> ((s, d) => {
-      val asg = Similarity.lloydAssign(emb(s, d))
+      val asg = Similarity.lloydAssign(emb(s, d), nlist = 4)
         .withColumnRenamed("vec_id", "doc_id")
       CorpusOps.mixTemperature(docs(s, d).join(asg, Seq("doc_id")),
         "cell", alpha = 0.0, targetFrac = 0.5)
@@ -1382,17 +1382,31 @@ object LlmQueries {
         "SELECT asg.vec_id, asg.cell, COALESCE(kp.keep, asg.vec_id) AS keep_id " +
         "FROM asg LEFT JOIN kp ON kp.node = asg.vec_id ORDER BY asg.vec_id")
         .replaceFirst("^WITH ", "WITH RECURSIVE ")),
-    // embedding near-dup replica: parity signs → floor buckets → pair
-    // candidates → exact cosine (same multiply/divide order as the
-    // Spark-side cosine: dot / (norm_a * norm_b))
+    // embedding near-dup replica: parity signs → adaptive composite
+    // floor buckets (the projections-per-table CASE ladder over
+    // COUNT(*) mirrors Similarity.adaptiveProjections — integer
+    // thresholds, so cross-engine exact; base-64 fold of the clamped
+    // floors mirrors signBucketsExpr) → pair candidates → exact cosine
+    // (same multiply/divide order as the Spark-side cosine:
+    // dot / (norm_a * norm_b))
     "llm_embed_dedup" ->
       ("WITH x AS (SELECT vec_id, LIST_TRANSFORM(embedding, v -> CAST(v AS DOUBLE)) AS xv " +
         "FROM embeddings), " +
-        "sgn AS (SELECT t, LIST(CASE WHEN ((2 * t + 3) * j + 104729 * t + 12345) % 2 = 0 " +
+        "hh AS (SELECT CASE WHEN n < 1200 THEN 1 WHEN n < 2400 THEN 2 WHEN n < 4800 THEN 3 " +
+        "WHEN n < 9600 THEN 4 WHEN n < 19200 THEN 5 WHEN n < 38400 THEN 6 " +
+        "WHEN n < 76800 THEN 7 WHEN n < 153600 THEN 8 WHEN n < 307200 THEN 9 " +
+        "ELSE 10 END AS h FROM (SELECT COUNT(*) AS n FROM embeddings) c), " +
+        "sgn AS (SELECT u, LIST(CASE WHEN ((((48271 * (u * 1024 + j) + 11) % 2147483647) * " +
+        "((69621 * (u * 1024 + j) + 101) % 2147483647)) % 2147483647) % 2 = 0 " +
         "THEN -1.0 ELSE 1.0 END ORDER BY j) AS sv " +
-        "FROM generate_series(0, 2) g1(t), generate_series(0, 63) g2(j) GROUP BY t), " +
-        "bk AS (SELECT x.vec_id, s.t, FLOOR(LIST_INNER_PRODUCT(x.xv, s.sv) / 2.0) AS b " +
-        "FROM x CROSS JOIN sgn s), " +
+        "FROM generate_series(0, 29) g1(u), generate_series(0, 63) g2(j) GROUP BY u), " +
+        "fl AS (SELECT x.vec_id, gt.t, gi.i, " +
+        "GREATEST(LEAST(CAST(FLOOR(LIST_INNER_PRODUCT(x.xv, s.sv) / 2.0) AS BIGINT) + 32, 63), 0) AS f " +
+        "FROM x CROSS JOIN hh CROSS JOIN generate_series(0, 2) gt(t) " +
+        "CROSS JOIN generate_series(0, 9) gi(i) JOIN sgn s ON s.u = gt.t + 3 * gi.i " +
+        "WHERE gi.i < hh.h), " +
+        "bk AS (SELECT vec_id, t, LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT), " +
+        "LIST(f ORDER BY i)), (acc, v) -> acc * 64 + v) AS b FROM fl GROUP BY vec_id, t), " +
         "cand AS (SELECT DISTINCT a.vec_id AS doc_a, b2.vec_id AS doc_b " +
         "FROM bk a JOIN bk b2 ON a.t = b2.t AND a.b = b2.b AND a.vec_id < b2.vec_id), " +
         "v AS (SELECT doc_a, doc_b, LIST_INNER_PRODUCT(xa.xv, xb.xv) / " +
@@ -1405,11 +1419,23 @@ object LlmQueries {
     "llm_incr_embed_dedup" ->
       ("WITH x AS (SELECT vec_id, LIST_TRANSFORM(embedding, v -> CAST(v AS DOUBLE)) AS xv " +
         "FROM embeddings), " +
-        "sgn AS (SELECT t, LIST(CASE WHEN ((2 * t + 3) * j + 104729 * t + 12345) % 2 = 0 " +
+        // the projection ladder keys off the CORPUS side (vec_id%5<>0),
+        // matching incrementalCosineNearDups' corpus-driven auto mode
+        "hh AS (SELECT CASE WHEN n < 1200 THEN 1 WHEN n < 2400 THEN 2 WHEN n < 4800 THEN 3 " +
+        "WHEN n < 9600 THEN 4 WHEN n < 19200 THEN 5 WHEN n < 38400 THEN 6 " +
+        "WHEN n < 76800 THEN 7 WHEN n < 153600 THEN 8 WHEN n < 307200 THEN 9 " +
+        "ELSE 10 END AS h FROM (SELECT COUNT(*) AS n FROM embeddings WHERE vec_id % 5 <> 0) c), " +
+        "sgn AS (SELECT u, LIST(CASE WHEN ((((48271 * (u * 1024 + j) + 11) % 2147483647) * " +
+        "((69621 * (u * 1024 + j) + 101) % 2147483647)) % 2147483647) % 2 = 0 " +
         "THEN -1.0 ELSE 1.0 END ORDER BY j) AS sv " +
-        "FROM generate_series(0, 2) g1(t), generate_series(0, 63) g2(j) GROUP BY t), " +
-        "bk AS (SELECT x.vec_id, s.t, FLOOR(LIST_INNER_PRODUCT(x.xv, s.sv) / 2.0) AS b " +
-        "FROM x CROSS JOIN sgn s), " +
+        "FROM generate_series(0, 29) g1(u), generate_series(0, 63) g2(j) GROUP BY u), " +
+        "fl AS (SELECT x.vec_id, gt.t, gi.i, " +
+        "GREATEST(LEAST(CAST(FLOOR(LIST_INNER_PRODUCT(x.xv, s.sv) / 2.0) AS BIGINT) + 32, 63), 0) AS f " +
+        "FROM x CROSS JOIN hh CROSS JOIN generate_series(0, 2) gt(t) " +
+        "CROSS JOIN generate_series(0, 9) gi(i) JOIN sgn s ON s.u = gt.t + 3 * gi.i " +
+        "WHERE gi.i < hh.h), " +
+        "bk AS (SELECT vec_id, t, LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT), " +
+        "LIST(f ORDER BY i)), (acc, v) -> acc * 64 + v) AS b FROM fl GROUP BY vec_id, t), " +
         "cand AS (SELECT DISTINCT a.vec_id AS new_id, b2.vec_id AS corpus_id " +
         "FROM bk a JOIN bk b2 ON a.t = b2.t AND a.b = b2.b " +
         "AND a.vec_id % 5 = 0 AND b2.vec_id % 5 <> 0), " +

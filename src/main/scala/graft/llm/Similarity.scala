@@ -550,13 +550,30 @@ object Similarity {
     * THIS). Blocking reuses the deterministic parity-sign LSH tables
     * (candidates share a (table, bucket) key, so cost is bucket
     * co-occupancy, never |C|²); survivors are verified with the exact
-    * cosine and kept at `tau`. Output (doc_a < doc_b, cos4). */
+    * cosine and kept at `tau`. Output (doc_a < doc_b, cos4).
+    *
+    * `nproj` is the number of sign projections CONCATENATED into each
+    * table's bucket key. 0 (the default) picks it from the corpus size
+    * via [[adaptiveProjections]] — one projection on a unit-norm corpus
+    * is ~N(0,1), so a single `floor(p/2)` key yields only ~4 occupied
+    * buckets and the candidate join degenerates to ~|C|²/4 per table
+    * (measured: 268M candidates for 53k verified pairs at 20k vectors).
+    * Concatenating floors multiplies the effective bucket count ~2.2×
+    * per projection, so growing nproj by one per corpus doubling keeps
+    * E[bucket co-occupancy] — and with it candidate volume — ~linear in
+    * |C|. The price is the standard LSH recall trade: each projection
+    * multiplies per-table collision odds (~0.87 per axis for cos 0.95
+    * pairs, ~0.56 at cos 0.4), recovered by more tables; corpora past
+    * the ladder cap (~600k vectors) should raise `numTables` or
+    * `bucketLength` alongside, or prefer the cell-blocked [[semDedup]]
+    * family. */
   def cosineNearDupPairs(emb: DataFrame, tau: Double,
       bucketLength: Double = 2.0, numTables: Int = 3,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64, nproj: Int = 0): DataFrame = {
+    val np = if (nproj > 0) nproj else adaptiveProjections(emb.count())
     // candidate join carries ids only; embeddings rejoin once per
     // surviving pair, so each cosine is evaluated exactly once
-    val ids = signBuckets(emb, bucketLength, numTables, dim)
+    val ids = signBuckets(emb, bucketLength, numTables, dim, np)
     val cand = ids.select(col("t"), col("b"), col("vec_id").as("doc_a"))
       .join(ids.select(col("t"), col("b"), col("vec_id").as("doc_b")),
         Seq("t", "b"))
@@ -587,6 +604,27 @@ object Similarity {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Projections-per-table ladder for the sign-LSH blocking: starts at
+    * 1 (the richest-recall key — at sf0.01's 600 vectors every genuine
+    * neighbor collides) and adds one projection per 2× corpus growth
+    * past 1,200 rows, capping at 10 (the base-64 key fold's int64
+    * capacity). On a unit-norm corpus each projection is ~N(0,1), so a
+    * bucketLength-2 floor axis has effective bucket count 1/Σp² ≈ 2.2
+    * (it is nearly a sign bit); one extra projection per corpus
+    * doubling therefore keeps E[bucket co-occupancy] — the candidate
+    * volume driver — ~flat (measured: 57M → 5.9M candidates at 20k
+    * vectors moving h 3 → 6). Pure integer thresholds, so the DuckDB
+    * oracle ladder (a CASE over COUNT(*)) is exactly replayable
+    * cross-engine. Past the cap (~600k vectors) candidate volume
+    * grows ~N²/2.2¹⁰ per table — raise numTables/bucketLength there,
+    * or prefer the cell-blocked [[semDedup]] family. */
+  def adaptiveProjections(n: Long): Int = {
+    var h = 1
+    var threshold = 1200L
+    while (n >= threshold && h < 10) { h += 1; threshold *= 2 }
+    h
+  }
+
   /** Parity-sign LSH bucket keys `(vec_id, t, b)` for a vector frame —
     * the blocking shared by [[cosineNearDupPairs]] and the incremental/
     * streaming probes. Pure per-row expressions (projection + dot with
@@ -594,24 +632,54 @@ object Similarity {
     * append-mode streams unchanged. */
   /** The per-row `(t, b)` struct array behind [[signBuckets]] — exposed
     * within graft so the streaming probe can explode it while keeping
-    * its event-time column. */
+    * its event-time column. Each table's key `b` folds `nproj`
+    * projection floors base-64 (floor + 32, clamped to [0,63] so
+    * non-unit-norm inputs can never overflow the int64 fold; unit-norm
+    * projections live in [-8,8] and never clamp): nproj=1 partitions
+    * identically to the historic single-floor key, so the pinned
+    * sf0.01 oracle output is unchanged there. Sign pattern u = t +
+    * numTables·i extends the historic per-table pattern family (i=0
+    * reduces to it) without re-keying existing tables. */
   private[graft] def signBucketsExpr(bucketLength: Double,
-      numTables: Int, dim: Int): Column = {
-    def signs(t: Int): Seq[Double] =
-      (0 until dim).map(j =>
-        if (((2 * t + 3) * j + 104729 * t + 12345) % 2 == 0) -1.0 else 1.0)
+      numTables: Int, dim: Int, nproj: Int = 1): Column = {
+    // Quadratic-parity sign patterns. The historic affine parity
+    // ((2u+3)·j + 104729·u + 12345) % 2 is DEGENERATE: every
+    // coefficient is odd, so it collapses to (j + u + 1) % 2 — all
+    // patterns in the family are ± one vector, every table/projection
+    // is ± one projection, and the bucket count can never grow
+    // (measured: 12 occupied buckets at every corpus size and every
+    // nproj). Any single affine map stays degenerate (offsets of one
+    // quasi-periodic bit sequence — measured pairwise pattern
+    // correlation 0.48 avg); the PRODUCT of two independent LCGs mod a
+    // Mersenne prime is nonlinear in the seed and measures
+    // random-equivalent (0.094 avg pairwise correlation vs 0.099 for
+    // true random). Exact int64 arithmetic (max intermediate
+    // ~(2^31)² < 2^63), so the DuckDB oracle replays it verbatim.
+    def signs(u: Int): Seq[Double] =
+      (0 until dim).map { j =>
+        val s = u.toLong * 1024 + j
+        val h1 = (48271L * s + 11L) % 2147483647L
+        val h2 = (69621L * s + 101L) % 2147483647L
+        if ((h1 * h2 % 2147483647L) % 2 == 0) -1.0 else 1.0
+      }
     val xd = transform(col("embedding"), v => v.cast("double"))
     array((0 until numTables).map { t =>
-      val d = aggregate(zip_with(xd, typedLit(signs(t)), (x, s) => x * s),
-        lit(0.0), (a, v) => a + v)
-      struct(lit(t).as("t"), floor(d / bucketLength).as("b"))
+      val b = (0 until nproj).foldLeft(lit(0L): Column) { (acc, i) =>
+        val d = aggregate(
+          zip_with(xd, typedLit(signs(t + numTables * i)), (x, s) => x * s),
+          lit(0.0), (a, v) => a + v)
+        val f = floor(d / bucketLength).cast("long") + 32
+        acc * 64 + greatest(least(f, lit(63L)), lit(0L))
+      }
+      struct(lit(t).as("t"), b.as("b"))
     }: _*)
   }
 
   private def signBuckets(emb: DataFrame, bucketLength: Double,
-      numTables: Int, dim: Int): DataFrame =
+      numTables: Int, dim: Int, nproj: Int): DataFrame =
     emb.select(col("vec_id"),
-        explode(signBucketsExpr(bucketLength, numTables, dim)).as("tb"))
+        explode(signBucketsExpr(bucketLength, numTables, dim, nproj))
+          .as("tb"))
       .select(col("vec_id"), col("tb.t").as("t"), col("tb.b").as("b"))
 
   /** Ingest-time SEMANTIC near-dup probe — the embedding-space twin of
@@ -628,10 +696,14 @@ object Similarity {
     * `graft_dot` verify. */
   def incrementalCosineNearDups(newEmb: DataFrame, corpusEmb: DataFrame,
       tau: Double, bucketLength: Double = 2.0, numTables: Int = 3,
-      dim: Int = 64): DataFrame = {
-    val bNew = signBuckets(newEmb, bucketLength, numTables, dim)
+      dim: Int = 64, nproj: Int = 0): DataFrame = {
+    // both sides must key with the SAME projection count for bucket
+    // keys to meet; the corpus side (the size that drives candidate
+    // volume) picks it in auto mode
+    val np = if (nproj > 0) nproj else adaptiveProjections(corpusEmb.count())
+    val bNew = signBuckets(newEmb, bucketLength, numTables, dim, np)
       .select(col("t"), col("b"), col("vec_id").as("new_id"))
-    val bCor = signBuckets(corpusEmb, bucketLength, numTables, dim)
+    val bCor = signBuckets(corpusEmb, bucketLength, numTables, dim, np)
       .select(col("t"), col("b"), col("vec_id").as("corpus_id"))
     val cand = bNew.join(bCor, Seq("t", "b"))
       .select("new_id", "corpus_id").dropDuplicates("new_id", "corpus_id")
@@ -654,18 +726,42 @@ object Similarity {
       .orderBy("new_id", "corpus_id")
   }
 
+  /** Cell-count ladder for the cluster-blocked family: targets ~1,000
+    * vectors per Lloyd cell (the SemDeDup-paper operating point), so
+    * within-cell candidate volume stays ~1,000·|C| instead of
+    * |C|²/nlist. Floor 4 keeps tiny corpora meaningful; cap 4,096
+    * bounds the broadcast centroid table at 4,096×dim doubles (~2 MB
+    * at dim 64) — past ~4M vectors cells grow linearly again and a
+    * second blocking level (IVF-style residual split) is the
+    * documented next rung. */
+  def adaptiveNlist(n: Long): Int =
+    math.max(4, math.min(4096, ((n + 999) / 1000).toInt))
+
   /** Deterministic Lloyd cell assignment: (vec_id, cell) for every
     * corpus vector — the trained coarse quantizer of [[ivfTopKTrained]]
     * exposed as its own frame. Centroids are nlist-bounded and
     * broadcast; the argmin is a map-side partial agg over rounded
     * distances (cid tiebreak), so the exchange carries (id, cell) only.
-    * Shared by [[semDedup]] and cluster-balanced sampling. */
-  def lloydAssign(emb: DataFrame, nlist: Int = 4,
+    * Shared by [[semDedup]] and cluster-balanced sampling.
+    *
+    * `nlist = 0` (the default) sizes the cell count from the corpus via
+    * [[adaptiveNlist]]. An explicit nlist ≤ 64 trains through the
+    * oracle-replayable exact trainer (`Unsupervised.lloydCenters` — a
+    * per-center expression chain, the path every pinned query uses);
+    * larger or auto-chosen cell counts train through the join-based
+    * trainer, which also caps the TRAINING frame at ~256 vectors per
+    * centroid (deterministic hash-systematic subsample — standard IVF
+    * practice; assignment still covers the full corpus). */
+  def lloydAssign(emb: DataFrame, nlist: Int = 0,
       iters: Int = 5): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val (centers, _) =
-      graft.ml.Unsupervised.lloydCenters(spark, emb, nlist, iters)
+    val k = if (nlist > 0) nlist else adaptiveNlist(emb.count())
+    // auto mode that lands in exact-trainer range uses the same trainer
+    // as an explicit nlist, so the two agree wherever they overlap
+    val centers =
+      if (k <= 64) graft.ml.Unsupervised.lloydCenters(spark, emb, k, iters)._1
+      else lloydCentersJoin(emb, k, iters)
     val cents = broadcast(centers.zipWithIndex.toSeq
       .map { case (c, i) => (i.toLong, c.toSeq) }.toDF("cid", "cv"))
     // same rounded-distance argmin as the trained-IVF assignment — the
@@ -683,6 +779,56 @@ object Similarity {
       .agg(min(struct(d6.as("d"), col("cid"))).as("mc"))
       .select(col("vec_id"), col("mc.cid").as("cell"))
       .localCheckpoint()
+  }
+
+  /** Join-based Lloyd trainer for cell counts past the exact trainer's
+    * expression-chain range (`lloydCenters` builds an O(k) `when`
+    * chain — fine at the pinned k≤8, codegen-hostile at k=4096).
+    * Everything is joins + aggregations: assignment is a broadcast
+    * centroid join with a rounded-distance argmin agg, the update a
+    * (cluster, dim)-keyed mean. Deterministic end to end: id-ordered
+    * init, 1e-6-rounded means (the exact trainer's discipline), and a
+    * hash-systematic training subsample (`xxhash64(vec_id) % m = 0`,
+    * never `DataFrame.sample`, whose output depends on partition
+    * layout) capped at ~256 vectors per centroid. Driver state is the
+    * k×dim center table (~2 MB at the 4,096 cap) — never corpus-sized. */
+  private def lloydCentersJoin(emb: DataFrame, k: Int,
+      iters: Int): Array[Array[Double]] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val n = emb.count()
+    val m = math.max(1L, n / (256L * k))
+    val train =
+      (if (m > 1) emb.filter(xxhash64(col("vec_id")) % m === 0) else emb)
+        .select(col("vec_id"),
+          transform(col("embedding"), v => v.cast("double")).as("x"))
+        .localCheckpoint()
+    var centers: Array[Array[Double]] = emb.orderBy("vec_id").limit(k)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(f => r6(f.toDouble)).toArray)
+    for (_ <- 1 to iters) {
+      val cents = broadcast(centers.zipWithIndex.toSeq
+        .map { case (c, i) => (i.toLong, c.toSeq) }.toDF("cid", "cv"))
+      val d6 = floor(sqrt(aggregate(
+        zip_with(col("x"), col("cv"), (x, c) => (x - c) * (x - c)),
+        lit(0.0), (acc, v) => acc + v)) * 1e6 + 0.5) / 1e6
+      val assigned = train.join(cents)
+        .groupBy("vec_id")
+        .agg(min(struct(d6.as("d"), col("cid"))).as("mc"),
+          first(col("x")).as("x"))
+        .select(col("mc.cid").as("cid"), col("x"))
+      val means = assigned
+        .select(col("cid"), posexplode(col("x")).as(Seq("p", "v")))
+        .groupBy("cid", "p").agg(avg("v").as("v"))
+        .collect()
+      val next = centers.map(_.clone())
+      means.foreach { r =>
+        next(r.getLong(0).toInt)(r.getInt(1)) = r6(r.getDouble(2))
+      }
+      centers = next // clusters with no training member keep their center
+    }
+    centers
   }
 
   /** Verified within-cell cosine pairs (doc_a < doc_b, cosine ≥ tau) —
@@ -735,9 +881,11 @@ object Similarity {
     * pair join is equi-keyed on `cell` — never all-pairs — and carries
     * ids only, embeddings rejoining once per candidate pair with norms
     * precomputed per vector. Within-cell candidates are the quadratic
-    * term SemDeDup accepts by design; nlist ∝ √N keeps cells bounded as
-    * the corpus grows. */
-  def semDedup(emb: DataFrame, tau: Double, nlist: Int = 4,
+    * term SemDeDup accepts by design; `nlist = 0` (the default) sizes
+    * the cell count from the corpus via [[adaptiveNlist]] (~1,000
+    * vectors per cell), so candidate volume stays ~1,000·|C| as the
+    * corpus grows instead of |C|²/nlist at a pinned nlist. */
+  def semDedup(emb: DataFrame, tau: Double, nlist: Int = 0,
       iters: Int = 5): DataFrame = {
     val assign = lloydAssign(emb, nlist, iters)
     val dups = semDupPairs(assign, emb, tau)
@@ -760,7 +908,7 @@ object Similarity {
     * The closure runs on `Dedup.minLabelComponents` — min-label
     * propagation to quiescence over the pair graph, which is orders of
     * magnitude smaller than the corpus. */
-  def semDedupGroups(emb: DataFrame, tau: Double, nlist: Int = 4,
+  def semDedupGroups(emb: DataFrame, tau: Double, nlist: Int = 0,
       iters: Int = 5): DataFrame = {
     val assign = lloydAssign(emb, nlist, iters)
     val comp = Dedup.minLabelComponents(semDupPairs(assign, emb, tau))

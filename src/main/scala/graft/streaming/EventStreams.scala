@@ -325,15 +325,22 @@ object EventStreams {
     * never recompute them. */
   def streamingEmbedDedup(embStream: DataFrame, corpusEmb: DataFrame,
       tau: Double, bucketLength: Double = 2.0, numTables: Int = 3,
-      dim: Int = 64, watermark: String = "20 minutes"): DataFrame = {
+      dim: Int = 64, watermark: String = "20 minutes",
+      nproj: Int = 0): DataFrame = {
     import graft.llm.Similarity
     val native = corpusEmb.sparkSession.catalog.functionExists("graft_dot")
     def dotOf(a: String, b: String) =
       if (native) expr(s"graft_dot($a, $b)")
       else Similarity.dot(col(a), col(b))
+    // the STATIC corpus is countable at stream setup, so auto mode
+    // matches the batch twin's corpus-driven projection ladder; both
+    // sides then key identically (the probe reuses the same np)
+    val np =
+      if (nproj > 0) nproj
+      else Similarity.adaptiveProjections(corpusEmb.count())
     val bCor = corpusEmb.select(col("vec_id").as("corpus_id"),
-        explode(Similarity.signBucketsExpr(bucketLength, numTables, dim))
-          .as("tb"))
+        explode(Similarity.signBucketsExpr(bucketLength, numTables, dim,
+          np)).as("tb"))
       .select(col("corpus_id"), col("tb.t").as("t"), col("tb.b").as("b"))
       .persist()
     val corNorm = corpusEmb
@@ -343,8 +350,8 @@ object EventStreams {
     val probe = embStream.withWatermark("ts", watermark)
       .select(col("ts"), col("vec_id").as("new_id"),
         col("embedding").as("ea"),
-        explode(Similarity.signBucketsExpr(bucketLength, numTables, dim))
-          .as("tb"))
+        explode(Similarity.signBucketsExpr(bucketLength, numTables, dim,
+          np)).as("tb"))
       .select(col("ts"), col("new_id"), col("ea"),
         col("tb.t").as("t"), col("tb.b").as("b"))
     probe.join(bCor, Seq("t", "b"))

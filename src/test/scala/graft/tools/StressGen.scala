@@ -11,10 +11,15 @@ import org.apache.spark.sql.functions._
   *
   * Replication discipline — replicas must scale the WORK, not plant
   * artificial quadratic output:
-  *  - documents: replica k's token order is scrambled by a k-salted
-  *    hash sort, so cross-replica shingle overlap is ~random — the
-  *    organic near-dup rate per replica is preserved (output grows
-  *    linearly), no fake k² duplicate pairs.
+  *  - documents: replica k tags every token with a "~k" suffix, so the
+  *    replica's internal shingle structure is EXACTLY the base corpus's
+  *    (verified pairs scale exactly ×k) while cross-replica vocabularies
+  *    are disjoint (zero cross-replica shingle overlap). An earlier
+  *    k-salted hash-sort scramble failed this: sorting every doc's
+  *    tokens by a shared content-hash order canonicalizes vocab-sharing
+  *    docs into subsequences of one global order, inflating ×3 pair
+  *    output 1,465× (256 → 374,904 measured) — runtime growth was the
+  *    output exploding, not the engine.
   *  - embeddings: replica k is the base vector cyclically shifted by k
   *    dims — norm-preserving (corpus is unit-normalized), genuinely
   *    distinct vectors, identical distance-compute cost.
@@ -42,14 +47,10 @@ object StressGen {
   private val passthrough =
     Seq("region", "nation", "customer", "supplier", "part", "orders")
 
-  private def scrambledText(k: Int) =
+  private def taggedText(k: Int) =
     if (k == 0) col("text")
     else array_join(
-      transform(
-        array_sort(transform(split(col("text"), " "),
-          t => struct(xxhash64(concat(t, lit(s"salt$k"))).as("h"),
-            t.as("t")))),
-        s => s.getField("t")), " ")
+      transform(split(col("text"), " "), t => concat(t, lit(s"~$k"))), " ")
 
   private def shiftedEmbedding(k: Int) =
     if (k == 0) col("embedding")
@@ -69,7 +70,7 @@ object StressGen {
       skew: Boolean): Unit = {
     val docs0 = replicate(spark, "documents", copies) { (b, k) =>
       b.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
-        scrambledText(k).as("text"), col("lang"), col("source"))
+        taggedText(k).as("text"), col("lang"), col("source"))
     }
     val docs1 =
       if (!skew) docs0
@@ -98,12 +99,18 @@ object StressGen {
         val anchor = spark.read.parquet(s"$base/embeddings.parquet")
           .orderBy("vec_id").limit(1)
           .select("embedding").head().getSeq[Float](0)
-        // 30% of vectors collapse into one cell: 0.95·anchor + 0.05·self
-        // (norm stays ≈1; vectors remain distinct via the 5% self term)
+        // 30% of vectors pull toward one anchor: 0.4·anchor + 0.6·self.
+        // The blend makes them co-assign to one Lloyd cell (occupancy
+        // skew — the stress target) while typical blend-blend cosine is
+        // α²/(α²+(1-α)²) ≈ 0.31 < tau = 0.4, so the skew does NOT plant
+        // a quadratic mutual-near-dup cluster whose OUTPUT would
+        // dominate runtime (an earlier 0.95 blend did: 1.6M output
+        // pairs at ×3 — data reality, but it measures output size, not
+        // blocking quality)
         emb0.withColumn("embedding",
           when(col("vec_id") % 10 < 3,
             zip_with(typedLit(anchor), col("embedding"),
-              (a, e) => a * 0.95f + e * 0.05f))
+              (a, e) => a * 0.4f + e * 0.6f))
             .otherwise(col("embedding")))
       }
     emb1.repartition(8).write.mode("overwrite")
