@@ -315,7 +315,7 @@ object LlmQueries {
       // nProbe nearest cells per query — |Q|·nProbe/nlist·|C| candidates
       val e = emb(s, d)
       Similarity.ivfTopK(e.filter(col("vec_id") < 10), e, k = 5,
-        centroidStride = 31, nProbe = 4)
+        nProbe = 4)
     }),
     "llm_ann_ivf_trained" -> ((s, d) => {
       // trained coarse quantizer: deterministic Lloyd centers feed the
@@ -341,7 +341,7 @@ object LlmQueries {
       // the single oracle statement
       val e = emb(s, d)
       Similarity.ivfPqTopK(e.filter(col("vec_id") < 10), e, k = 5,
-        centroidStride = 31, nProbe = 4, rerank = 20)
+        nProbe = 4, rerank = 20)
     }),
     // cluster-balanced (diversity) sampling: Lloyd cells as strata,
     // alpha=0 temperature = uniform target over cells — upweights
@@ -390,11 +390,11 @@ object LlmQueries {
       def row(m: String, ap: org.apache.spark.sql.DataFrame) =
         Similarity.recallAtK(ap, bf, k = 5).withColumn("method", lit(m))
       row("ivf",
-          Similarity.ivfTopK(q, e, k = 5, centroidStride = 31, nProbe = 4))
+          Similarity.ivfTopK(q, e, k = 5, nProbe = 4))
         .union(row("ivf_trained", Similarity.ivfTopKTrained(q, e, k = 5,
           nlist = 4, iters = 5, nProbe = 2)))
         .union(row("ivfpq", Similarity.ivfPqTopK(q, e, k = 5,
-          centroidStride = 31, nProbe = 4, rerank = 20)))
+          nProbe = 4, rerank = 20)))
         .union(row("pq", Similarity.pqTopK(q, e, k = 5)))
         .orderBy("method")
     }),
@@ -405,7 +405,7 @@ object LlmQueries {
       val e = emb(s, d)
       val q = e.filter(col("vec_id") < 10)
       Similarity.recallAtK(
-        Similarity.ivfTopK(q, e, k = 5, centroidStride = 31, nProbe = 4),
+        Similarity.ivfTopK(q, e, k = 5, nProbe = 4),
         Similarity.bruteForceTopK(q, e, k = 5), k = 5)
     }),
     "llm_curation" -> ((s, d) =>
@@ -1183,7 +1183,11 @@ object LlmQueries {
     "llm_ann_ivf" ->
       ("WITH x AS (SELECT vec_id, LIST_TRANSFORM(embedding, v -> CAST(v AS DOUBLE)) AS xv " +
         "FROM embeddings), " +
-        "cents AS (SELECT vec_id AS cid, xv AS cv FROM x WHERE vec_id % 31 = 0), " +
+        "st AS (SELECT CASE WHEN n < 5000 THEN 31 WHEN n < 20000 THEN 62 WHEN n < 80000 THEN 124 " +
+        "WHEN n < 320000 THEN 248 WHEN n < 1280000 THEN 496 WHEN n < 5120000 THEN 992 " +
+        "WHEN n < 20480000 THEN 1984 WHEN n < 81920000 THEN 3968 ELSE 7936 END AS s " +
+        "FROM (SELECT COUNT(*) AS n FROM embeddings) c), " +
+        "cents AS (SELECT vec_id AS cid, xv AS cv FROM x CROSS JOIN st WHERE vec_id % st.s = 0), " +
         "asg AS (SELECT vec_id AS neighbor_id, cid AS cell FROM " +
         "(SELECT x.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY x.vec_id " +
         "ORDER BY FLOOR(LIST_DISTANCE(x.xv, c.cv) * 1000000 + 0.5) / 1000000, c.cid) AS rn " +
@@ -1244,7 +1248,11 @@ object LlmQueries {
     "llm_ann_ivfpq" ->
       ("WITH x AS (SELECT vec_id, LIST_TRANSFORM(embedding, v -> CAST(v AS DOUBLE)) AS xv " +
         "FROM embeddings), " +
-        "coarse AS (SELECT vec_id AS cid, xv AS cv FROM x WHERE vec_id % 31 = 0), " +
+        "st AS (SELECT CASE WHEN n < 5000 THEN 31 WHEN n < 20000 THEN 62 WHEN n < 80000 THEN 124 " +
+        "WHEN n < 320000 THEN 248 WHEN n < 1280000 THEN 496 WHEN n < 5120000 THEN 992 " +
+        "WHEN n < 20480000 THEN 1984 WHEN n < 81920000 THEN 3968 ELSE 7936 END AS s " +
+        "FROM (SELECT COUNT(*) AS n FROM embeddings) c), " +
+        "coarse AS (SELECT vec_id AS cid, xv AS cv FROM x CROSS JOIN st WHERE vec_id % st.s = 0), " +
         "asg AS (SELECT vec_id AS neighbor_id, cid AS cell FROM " +
         "(SELECT x.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY x.vec_id " +
         "ORDER BY FLOOR(LIST_DISTANCE(x.xv, c.cv) * 1000000 + 0.5) / 1000000, c.cid) AS rn " +

@@ -126,15 +126,31 @@ object Similarity {
     * Distances/scores are rounded (1e-6) with id tiebreaks, so ranking
     * is stable across engines and partitionings.
     *
-    * Scale note: the centroid set must stay broadcastable — pick
-    * `centroidStride` ≈ |corpus| / nlist for a FIXED nlist (thousands:
-    * 4096 centroids × 64 floats ≈ 1 MB), not a fixed stride. nlist
-    * bounds both the broadcast and the per-row argmin; probe cost is
-    * then |Q| · nProbe/nlist · |C| independent of corpus growth. */
+    * Scale note: a FIXED stride makes nlist = |C|/stride, so the
+    * build-side assignment join (|C|·nlist distances) is quadratic in
+    * the corpus — measured 15.4× runtime at 10× data with stride 31.
+    * `centroidStride = 0` (the default) picks the stride from the
+    * corpus via [[adaptiveStride]] — stride doubles per 4× corpus
+    * growth, i.e. stride ∝ √|C| and nlist ∝ √|C| (the FAISS sizing
+    * rule), balancing build (|C|^1.5) against probe
+    * (|Q| · nProbe · √|C|) and keeping the centroid broadcast bounded
+    * (~72k × dim at 1e9 vectors). */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      centroidStride: Int = 31, nProbe: Int = 4): DataFrame = {
+      centroidStride: Int = 0, nProbe: Int = 4): DataFrame = {
     val (cents, assign) = ivfIndex(corpus, centroidStride)
     ivfTopKIndexed(queries, cents, assign, k, nProbe)
+  }
+
+  /** Coarse-centroid stride ladder: 31 up to 5,000 vectors (the pinned
+    * sf0.01/sf0.1 sizes keep their historic stride), then doubling per
+    * 4× corpus growth — stride ∝ √|C|, so cell count AND cell size
+    * both grow as √|C|. Pure integer thresholds, replayed by the
+    * oracle as a CASE over COUNT(*). */
+  def adaptiveStride(n: Long): Int = {
+    var s = 31
+    var threshold = 5000L
+    while (n >= threshold && s < 7936) { s *= 2; threshold *= 4 }
+    s
   }
 
   /** Shared distance kernels for the split build/probe IVF pair: the
@@ -174,10 +190,13 @@ object Similarity {
     * (WritersAndPipelineSpec asserts partitioned round-trip
     * equality). */
   def ivfIndex(corpus: DataFrame,
-      centroidStride: Int = 31): (DataFrame, DataFrame) = {
+      centroidStride: Int = 0): (DataFrame, DataFrame) = {
     val spark = corpus.sparkSession
+    val stride =
+      if (centroidStride > 0) centroidStride
+      else adaptiveStride(corpus.count())
     val cents = broadcast(
-      corpus.filter(pmod(col("vec_id"), lit(centroidStride)) === 0)
+      corpus.filter(pmod(col("vec_id"), lit(stride)) === 0)
         .select(col("vec_id").as("cid"), col("embedding").as("cv")))
     // corpus→cell argmin as a map-side partial agg (struct min orders by
     // rounded distance then centroid id — deterministic tiebreak)
@@ -502,10 +521,16 @@ object Similarity {
     * ids+codes (no embeddings move for the ADC scan); only the refine
     * stage rejoins |Q|·R payload rows by id. */
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      centroidStride: Int = 31, nProbe: Int = 4,
+      centroidStride: Int = 0, nProbe: Int = 4,
       m: Int = 4, ksub: Int = 16, stride: Int = 31,
       rerank: Int = 0): DataFrame = {
     val spark = corpus.sparkSession
+    // coarse stride scales with the corpus ([[adaptiveStride]]); the PQ
+    // codebook `stride` stays fixed — it only seeds ksub rows (LIMIT-16
+    // semantics), so it has no scale exposure
+    val cStride =
+      if (centroidStride > 0) centroidStride
+      else adaptiveStride(corpus.count())
     val hasNative = spark.catalog.functionExists("graft_euclid")
     def euclid(a: String, b: String): Column =
       if (hasNative) expr(s"graft_euclid($a, $b)")
@@ -515,7 +540,7 @@ object Similarity {
             (x.cast("double") - y.cast("double"))),
         lit(0.0), (acc, v) => acc + v))
     val coarse = broadcast(
-      corpus.filter(pmod(col("vec_id"), lit(centroidStride)) === 0)
+      corpus.filter(pmod(col("vec_id"), lit(cStride)) === 0)
         .select(col("vec_id").as("cid"), col("embedding").as("cv")))
     // coarse assignment: map-side argmin, exchange carries (id, cell)
     val d6 = floor(euclid("ce", "cv") * 1e6 + 0.5) / 1e6
@@ -792,7 +817,7 @@ object Similarity {
     * never `DataFrame.sample`, whose output depends on partition
     * layout) capped at ~256 vectors per centroid. Driver state is the
     * k×dim center table (~2 MB at the 4,096 cap) — never corpus-sized. */
-  private def lloydCentersJoin(emb: DataFrame, k: Int,
+  private[graft] def lloydCentersJoin(emb: DataFrame, k: Int,
       iters: Int): Array[Array[Double]] = {
     val spark = emb.sparkSession
     import spark.implicits._
