@@ -5,9 +5,11 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.fuzz.{FuzzGen, FuzzSeed}
 
 /** Randomized differential fuzzing against DuckDB (round-8 verdict #4):
-  * the seed-pinned corpus of 120 grammar-generated queries (filters,
-  * joins, group/HAVING aggregation, windows, set ops, scalar fns,
-  * DISTINCT, IN-subqueries) runs in Spark at sf0.001 and every result
+  * the seed-pinned corpus of 168 grammar-generated queries (filters,
+  * inner/left/full joins, group/HAVING/ROLLUP aggregation, windows
+  * (ROW_NUMBER/RANK/LAG/running sums), set ops, UNION ALL, CTEs,
+  * scalar fns, DISTINCT, IN/EXISTS/scalar subqueries) runs in Spark
+  * at sf0.001 and every result
   * must hash-match the committed DuckDB expectations
   * (src/test/resources/fuzz_expected.json, produced by
   * tools/fuzz_expected.py from the same corpus).

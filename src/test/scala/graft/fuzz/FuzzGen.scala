@@ -163,9 +163,53 @@ object FuzzGen {
         s"WHERE ${ordPred(r)} " +
         "GROUP BY EXTRACT(YEAR FROM o_orderdate), " +
         "CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) % 3"
+    case 16 => // correlated EXISTS
+      "SELECT c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS cnt " +
+        "FROM customer c WHERE EXISTS (SELECT 1 FROM orders " +
+        s"WHERE o_custkey = c.c_custkey AND ${ordPred(r)}) " +
+        "GROUP BY c_mktsegment"
+    case 17 => // uncorrelated scalar subquery in the projection
+      s"SELECT l_returnflag AS g, CAST(COUNT(*) AS BIGINT) AS cnt, " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM orders " +
+        s"WHERE ${ordPred(r)}) AS o_cnt " +
+        s"FROM lineitem WHERE ${liPred(r)} GROUP BY l_returnflag"
+    case 18 => // UNION ALL branches + outer aggregation
+      val m = 2 + r.nextInt(7)
+      s"SELECT k % $m AS b, CAST(COUNT(*) AS BIGINT) AS cnt FROM " +
+        s"(SELECT l_orderkey AS k FROM lineitem WHERE ${liPred(r)} " +
+        s"UNION ALL SELECT o_orderkey FROM orders WHERE ${ordPred(r)}) u " +
+        s"GROUP BY k % $m"
+    case 19 => // CTE chain with a post-aggregation filter
+      s"WITH f AS (SELECT * FROM lineitem WHERE ${liPred(r)}), " +
+        s"a AS (SELECT l_returnflag AS g, CAST(SUM(${cents("l_quantity")}) " +
+        "AS BIGINT) AS q_cents FROM f GROUP BY l_returnflag) " +
+        s"SELECT g, q_cents FROM a WHERE q_cents > ${10000 + r.nextInt(100000)}"
+    case 20 => // FULL OUTER JOIN with a pushable join-side predicate
+      s"SELECT COALESCE(n_name, 'NONE') AS nm, " +
+        "CAST(COUNT(c_custkey) AS BIGINT) AS n_cust " +
+        "FROM nation FULL JOIN customer ON c_nationkey = n_nationkey " +
+        s"AND c_acctbal > ${r.nextInt(5000)} " +
+        "GROUP BY COALESCE(n_name, 'NONE')"
+    case 21 => // RANK over an exact integer key: the qualifying SET is
+      // deterministic even with ties, so no unique tiebreak is needed
+      val k = 1 + r.nextInt(3)
+      "SELECT l_returnflag, l_orderkey, l_linenumber, rk FROM " +
+        "(SELECT l_returnflag, l_orderkey, l_linenumber, " +
+        s"RANK() OVER (PARTITION BY l_returnflag ORDER BY " +
+        s"${cents("l_extendedprice")} DESC) AS rk " +
+        s"FROM lineitem WHERE ${liPred(r)}) w WHERE rk <= $k"
+    case 22 => // LAG delta along a total per-partition order
+      s"SELECT l_orderkey, l_linenumber, CAST(${cents("l_extendedprice")} " +
+        s"- LAG(${cents("l_extendedprice")}, 1, 0) OVER " +
+        "(PARTITION BY l_orderkey ORDER BY l_linenumber) AS BIGINT) " +
+        s"AS d_cents FROM lineitem WHERE ${liPred(r)}"
+    case 23 => // ROLLUP grouping sets (NULL group rows in both engines)
+      s"SELECT l_returnflag AS g1, l_linestatus AS g2, " +
+        "CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem " +
+        s"WHERE ${liPred(r)} GROUP BY ROLLUP(l_returnflag, l_linestatus)"
   }
 
-  val numTemplates = 16
+  val numTemplates = 24
 
   /** The pinned fuzz corpus: `n` queries cycling the templates, every
     * instantiation drawn from one deterministic stream. */
