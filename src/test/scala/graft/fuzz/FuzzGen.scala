@@ -207,9 +207,60 @@ object FuzzGen {
       s"SELECT l_returnflag AS g1, l_linestatus AS g2, " +
         "CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem " +
         s"WHERE ${liPred(r)} GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+    case 24 => // NOT EXISTS anti-join
+      "SELECT c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS cnt " +
+        "FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders " +
+        s"WHERE o_custkey = c.c_custkey AND ${ordPred(r)}) " +
+        "GROUP BY c_mktsegment"
+    case 25 => // CUBE: all four grouping sets, NULL-padded group rows
+      s"SELECT o_orderstatus AS g1, o_orderpriority AS g2, " +
+        "CAST(COUNT(*) AS BIGINT) AS cnt FROM orders " +
+        s"WHERE ${ordPred(r)} GROUP BY CUBE(o_orderstatus, o_orderpriority)"
+    case 26 => // self-join pairs within an order (a<b), exact cent deltas
+      s"SELECT a.l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS n_pairs, " +
+        s"CAST(SUM(ABS(${cents("a.l_extendedprice")} - " +
+        s"${cents("b.l_extendedprice")})) AS BIGINT) AS d_cents " +
+        "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey " +
+        "AND a.l_linenumber < b.l_linenumber " +
+        s"WHERE a.l_quantity <= ${15 + r.nextInt(30)} GROUP BY a.l_orderkey"
+    case 27 => // aggregate FILTER clauses
+      s"SELECT l_returnflag AS g, " +
+        s"CAST(COUNT(*) FILTER (WHERE l_quantity <= ${10 + r.nextInt(30)}) " +
+        "AS BIGINT) AS n_small, " +
+        s"CAST(COUNT(*) FILTER (WHERE l_discount >= 0.0${1 + r.nextInt(8)}) " +
+        "AS BIGINT) AS n_disc, " +
+        "CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem " +
+        s"WHERE ${liPred(r)} GROUP BY l_returnflag"
+    case 28 => // region ⋈ nation ⋈ supplier (the otherwise-uncovered dims)
+      s"SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_supp, " +
+        s"CAST(SUM(${cents("s_acctbal")}) AS BIGINT) AS bal_cents " +
+        "FROM region JOIN nation ON n_regionkey = r_regionkey " +
+        "JOIN supplier ON s_nationkey = n_nationkey " +
+        s"WHERE s_acctbal > ${-1000 + r.nextInt(4000)} GROUP BY r_name"
+    case 29 => // NTILE buckets over a TOTAL order (value + unique key)
+      val tiles = 2 + r.nextInt(5)
+      "SELECT tile, CAST(COUNT(*) AS BIGINT) AS cnt, " +
+        s"CAST(SUM(${cents("o_totalprice")}) AS BIGINT) AS tot_cents " +
+        s"FROM (SELECT o_totalprice, NTILE($tiles) OVER " +
+        "(ORDER BY o_totalprice DESC, o_orderkey) AS tile " +
+        s"FROM orders WHERE ${ordPred(r)}) w GROUP BY tile"
+    case 30 => // timestamp + INTERVAL arithmetic, cast to a date string
+      val days = 7 * (1 + r.nextInt(8))
+      s"SELECT CAST(CAST(l_shipdate + INTERVAL $days DAY AS DATE) " +
+        "AS STRING) AS due_day, CAST(COUNT(*) AS BIGINT) AS cnt " +
+        s"FROM lineitem WHERE l_orderkey % ${5 + r.nextInt(5)} = 0 " +
+        s"GROUP BY CAST(CAST(l_shipdate + INTERVAL $days DAY AS DATE) " +
+        "AS STRING)"
+    case 31 => // || concat + GREATEST/LEAST on the part dimension
+      val len = 2 + r.nextInt(3)
+      s"SELECT UPPER(SUBSTR(p_name, 1, $len)) || '-' || p_brand AS tag, " +
+        "CAST(COUNT(*) AS BIGINT) AS cnt, " +
+        s"GREATEST(MAX(p_size), ${10 + r.nextInt(20)}) AS mx, " +
+        s"LEAST(MIN(p_size), ${5 + r.nextInt(10)}) AS mn " +
+        s"FROM part GROUP BY UPPER(SUBSTR(p_name, 1, $len)) || '-' || p_brand"
   }
 
-  val numTemplates = 24
+  val numTemplates = 32
 
   /** The pinned fuzz corpus: `n` queries cycling the templates, every
     * instantiation drawn from one deterministic stream. */

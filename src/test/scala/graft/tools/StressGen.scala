@@ -154,10 +154,18 @@ object StressGen {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    writeVariant(spark, s"$root/x3", copies = 3, skew = false)
-    writeVariant(spark, s"$root/x10", copies = 10, skew = false)
-    writeVariant(spark, s"$root/skew3", copies = 3, skew = true)
-    println(s"wrote x3, x10, skew3 under $root")
+    // optional variant list after the root: "x3 x10 skew3 x30" — a bare
+    // xN writes an N-copy un-skewed replica, skewN layers the skew
+    val variants =
+      if (args.length > 1) args.drop(1).toSeq else Seq("x3", "x10", "skew3")
+    val spec = "^(x|skew)(\\d+)$".r
+    variants.foreach {
+      case v @ spec(kind, n) =>
+        writeVariant(spark, s"$root/$v", copies = n.toInt,
+          skew = kind == "skew")
+      case v => sys.error(s"bad variant '$v' (want xN or skewN)")
+    }
+    println(s"wrote ${variants.mkString(", ")} under $root")
     spark.stop()
   }
 }
