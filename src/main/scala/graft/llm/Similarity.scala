@@ -199,9 +199,18 @@ object Similarity {
       corpus.filter(pmod(col("vec_id"), lit(stride)) === 0)
         .select(col("vec_id").as("cid"), col("embedding").as("cv")))
     // corpus→cell argmin as a map-side partial agg (struct min orders by
-    // rounded distance then centroid id — deterministic tiebreak)
+    // rounded distance then centroid id — deterministic tiebreak).
+    // The argmin is COMPUTE-bound (|C| · nlist distance evals): a small
+    // parquet corpus arriving as one scan partition would run the whole
+    // build on one core (measured: the ×30 stress corpus spent 30 s+
+    // single-threaded here while 31 cores idled). Fan under-partitioned
+    // inputs out to the session's parallelism; at scale the scan
+    // already carries >= that many partitions and no shuffle is added.
+    val p = spark.sparkContext.defaultParallelism
+    val spread = if (corpus.rdd.getNumPartitions < p) corpus.repartition(p)
+      else corpus
     val d6 = floor(euclidExpr(spark, "ce", "cv") * 1e6 + 0.5) / 1e6
-    val assign = corpus
+    val assign = spread
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
       .join(cents)
       .groupBy("neighbor_id")
