@@ -59,8 +59,26 @@ object Dedup {
     else shingles(TextOps.tokens(col("text")), shingleSize)
 
   def withShingleSets(docs: DataFrame, shingleSize: Int): DataFrame =
-    docs.select(col("doc_id"),
+    // tokenize + gram-hash is COMPUTE-bound while a small parquet corpus
+    // arrives in a handful of scan partitions — the ×30 stress sweep
+    // measured ngram novelty on ~5 of 32 cores. Fan under-partitioned
+    // batch inputs out to session parallelism (the winnow/IVF idiom);
+    // no-op at scale where the scan is already wide, and left alone for
+    // streaming frames (no .rdd; micro-batch sizing owns parallelism).
+    fanOut(docs).select(col("doc_id"),
       shingleSetExpr(docs.sparkSession, shingleSize).as("shingle_set"))
+
+  /** Round-robin an under-partitioned batch frame out to the session's
+    * parallelism ahead of a compute-bound per-row stage. A no-op for
+    * wide inputs (`partitions >= defaultParallelism`) — at cluster
+    * scale the scan already fans out and no shuffle is added. */
+  private[graft] def fanOut(df: DataFrame): DataFrame = {
+    if (df.isStreaming) df
+    else {
+      val p = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    }
+  }
 
   /** MinHash signatures + LSH band-bucket keys via explode + hash-agg:
     * each shingle row is hashed once per seed inside a codegen'd partial
@@ -596,13 +614,8 @@ object Dedup {
     // the sketch is COMPUTE-bound (per-row window-min over every gram
     // position), not IO-bound: a small parquet arriving as one scan
     // partition would serialize the whole corpus's sketch onto one
-    // core. Fan under-partitioned inputs out to the session's
-    // parallelism; at scale the scan already carries >= that many
-    // partitions and no shuffle is added.
-    val p = docs.sparkSession.sparkContext.defaultParallelism
-    val spread = if (docs.rdd.getNumPartitions < p) docs.repartition(p)
-      else docs
-    val out = spread
+    // core — [[fanOut]].
+    val out = fanOut(docs)
       .filter(nTok >= k)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"), hashes.as("hs"))
@@ -858,7 +871,10 @@ object Dedup {
     * sketch. */
   def simHash(docs: DataFrame,
       tokenHash: Column => Column = xxhash64(_)): DataFrame = {
-    val hashes = docs
+    // tokenize+explode multiplies row volume BEFORE the partial agg, so
+    // the map side inherits the scan's partitioning — [[fanOut]] ahead
+    // of it puts the token hashing on the whole machine
+    val hashes = fanOut(docs)
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
       .select(col("doc_id"), tokenHash(col("t")).as("h"))
     // native one-buffer aggregate (TypedImperativeAggregate, map-side

@@ -202,15 +202,10 @@ object Similarity {
     // rounded distance then centroid id — deterministic tiebreak).
     // The argmin is COMPUTE-bound (|C| · nlist distance evals): a small
     // parquet corpus arriving as one scan partition would run the whole
-    // build on one core (measured: the ×30 stress corpus spent 30 s+
-    // single-threaded here while 31 cores idled). Fan under-partitioned
-    // inputs out to the session's parallelism; at scale the scan
-    // already carries >= that many partitions and no shuffle is added.
-    val p = spark.sparkContext.defaultParallelism
-    val spread = if (corpus.rdd.getNumPartitions < p) corpus.repartition(p)
-      else corpus
+    // build on one core (measured: full build+probe at the ×30 stress
+    // corpus 8.5–21 s → 3.5 s once spread) — [[Dedup.fanOut]].
     val d6 = floor(euclidExpr(spark, "ce", "cv") * 1e6 + 0.5) / 1e6
-    val assign = spread
+    val assign = Dedup.fanOut(corpus)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
       .join(cents)
       .groupBy("neighbor_id")
