@@ -5,7 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.fuzz.{FuzzGen, FuzzSeed}
 
 /** Randomized differential fuzzing against DuckDB (round-8 verdict #4):
-  * the seed-pinned corpus of 168 grammar-generated queries (filters,
+  * the seed-pinned corpus of 280 grammar-generated queries (filters,
   * inner/left/full joins, group/HAVING/ROLLUP aggregation, windows
   * (ROW_NUMBER/RANK/LAG/running sums), set ops, UNION ALL, CTEs,
   * scalar fns, DISTINCT, IN/EXISTS/scalar subqueries) runs in Spark

@@ -27,6 +27,6 @@ object FuzzDump {
   * src/test/resources/fuzz_expected.json via tools/fuzz_expected.py. */
 object FuzzSeed {
   val seed = 20260814L
-  val n = 224
+  val n = 280
   lazy val corpus: Seq[(String, String)] = FuzzGen.queries(seed, n)
 }

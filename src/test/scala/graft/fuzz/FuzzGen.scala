@@ -258,9 +258,73 @@ object FuzzGen {
         s"GREATEST(MAX(p_size), ${10 + r.nextInt(20)}) AS mx, " +
         s"LEAST(MIN(p_size), ${5 + r.nextInt(10)}) AS mn " +
         s"FROM part GROUP BY UPPER(SUBSTR(p_name, 1, $len)) || '-' || p_brand"
+    case 32 => // NOT IN: null-free anti-join form, plus the three-valued
+      // -logic probe (one NULL in the subquery makes NOT IN UNKNOWN for
+      // every row — both engines must agree on the empty set)
+      if (r.nextInt(3) > 0)
+        s"SELECT o_orderpriority AS g, CAST(COUNT(*) AS BIGINT) AS cnt " +
+          "FROM orders WHERE o_orderkey NOT IN " +
+          s"(SELECT l_orderkey FROM lineitem WHERE ${liPred(r)}) " +
+          "GROUP BY o_orderpriority"
+      else
+        s"SELECT o_orderkey FROM orders WHERE ${ordPred(r)} " +
+          "AND o_orderkey NOT IN (SELECT CASE WHEN o2.o_orderkey % " +
+          s"${89 + r.nextInt(10)} = 0 THEN NULL ELSE o2.o_orderkey END " +
+          "FROM orders o2)"
+    case 33 => // DISTINCT aggregates (dedup-inside-agg path, exact ints)
+      s"SELECT l_returnflag AS g, " +
+        "CAST(COUNT(DISTINCT l_linenumber) AS BIGINT) AS n_ln, " +
+        s"CAST(SUM(DISTINCT ${cents(r.pick(liNum))}) AS BIGINT) AS s_d, " +
+        "CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_ord " +
+        s"FROM lineitem WHERE ${liPred(r)} GROUP BY l_returnflag"
+    case 34 => // RANGE frame over a NON-unique integer key: peers all
+      // receive the same cumulative sum — the order-free tie semantics
+      // ROWS frames don't exercise
+      s"SELECT l_orderkey, l_linenumber, CAST(SUM(${cents("l_extendedprice")}) " +
+        s"OVER (PARTITION BY l_returnflag ORDER BY ${cents("l_quantity")} " +
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) " +
+        s"AS cum_cents FROM lineitem WHERE ${liPred(r)}"
+    case 35 => // FIRST_VALUE/LAST_VALUE with the explicit full frame
+      // (LAST_VALUE under the DEFAULT frame is the classic wrong-answer
+      // trap; the UNBOUNDED FOLLOWING frame is deterministic)
+      val fw = "(PARTITION BY l_orderkey ORDER BY l_linenumber " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+      s"SELECT l_orderkey, l_linenumber, " +
+        s"FIRST_VALUE(l_linenumber) OVER $fw AS first_ln, " +
+        s"LAST_VALUE(l_linenumber) OVER $fw AS last_ln " +
+        s"FROM lineitem WHERE ${liPred(r)}"
+    case 36 => // DATE_TRUNC buckets, cast to a date string
+      val part = r.pick(Seq("month", "quarter", "year"))
+      s"SELECT CAST(CAST(DATE_TRUNC('$part', o_orderdate) AS DATE) " +
+        "AS STRING) AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt, " +
+        s"CAST(SUM(${cents("o_totalprice")}) AS BIGINT) AS tot_cents " +
+        s"FROM orders WHERE ${ordPred(r)} GROUP BY " +
+        s"CAST(CAST(DATE_TRUNC('$part', o_orderdate) AS DATE) AS STRING)"
+    case 37 => // modulo of a NEGATIVE dividend: both engines use
+      // truncated division (sign of the dividend) — an engine with
+      // floored mod diverges immediately
+      val m = 3 + r.nextInt(7)
+      val off = 1000 * (1 + r.nextInt(5))
+      s"SELECT (l_orderkey - $off) % $m AS md, " +
+        "CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem " +
+        s"WHERE ${liPred(r)} GROUP BY (l_orderkey - $off) % $m"
+    case 38 => // NULLIF/COALESCE null-propagation through arithmetic
+      val z = r.nextInt(3)
+      s"SELECT l_returnflag AS g, CAST(SUM(COALESCE(CAST(FLOOR(" +
+        s"l_extendedprice / NULLIF(l_quantity, $z) * 100 + 0.5) " +
+        "AS BIGINT), -1)) AS BIGINT) AS unit_cents, " +
+        "CAST(COUNT(*) AS BIGINT) AS cnt " +
+        s"FROM lineitem WHERE ${liPred(r)} GROUP BY l_returnflag"
+    case 39 => // LPAD/REPLACE/LENGTH string pipeline on the part dim
+      val len = 3 + r.nextInt(4)
+      s"SELECT LPAD(REPLACE(p_brand, 'Brand#', 'B'), $len, '_') AS tag, " +
+        "CAST(SUM(CAST(LENGTH(p_name) AS BIGINT)) AS BIGINT) AS name_len, " +
+        s"CAST(COUNT(*) AS BIGINT) AS cnt FROM part " +
+        s"WHERE p_size >= ${1 + r.nextInt(20)} " +
+        s"GROUP BY LPAD(REPLACE(p_brand, 'Brand#', 'B'), $len, '_')"
   }
 
-  val numTemplates = 32
+  val numTemplates = 40
 
   /** The pinned fuzz corpus: `n` queries cycling the templates, every
     * instantiation drawn from one deterministic stream. */
