@@ -793,10 +793,14 @@ object CorpusOps {
     // magnitude; a collision only ever marks a novel gram as seen
     def key(c: org.apache.spark.sql.Column) =
       if (hashKeys) xxhash64(c) else c
-    val g = Dedup.withShingleSets(docs, n)
+    // gram explode EXPANDS corpus-scale (one row per gram): fan the doc
+    // side out so the explode + shuffle write use the whole machine
+    // (measured at ×30: 10.8 → 3.8 s; ≥2 MB floor so the exchange's
+    // fixed cost never shows at tiny corpora)
+    val g = Dedup.withShingleSets(Dedup.fanOut(docs, 2L << 20), n)
       .select(col("doc_id"), explode(col("shingle_set")).as("g"))
       .select(col("doc_id"), key(col("g")).as("g"))
-    val ref = Dedup.withShingleSets(refDocs, n)
+    val ref = Dedup.withShingleSets(Dedup.fanOut(refDocs, 2L << 20), n)
       .select(explode(col("shingle_set")).as("g"))
       .select(key(col("g")).as("g")).distinct()
       .withColumn("seen", lit(1))
@@ -818,7 +822,8 @@ object CorpusOps {
     // bounded by |G|²/2⁶⁵ like every hashed-key sibling)
     def key(c: org.apache.spark.sql.Column) =
       if (hashKeys) xxhash64(c) else c
-    val g = Dedup.withShingleSets(docs, n)
+    // same corpus-scale gram expansion as [[ngramNoveltyAgainst]]
+    val g = Dedup.withShingleSets(Dedup.fanOut(docs, 2L << 20), n)
       .select(col("doc_id"), explode(col("shingle_set")).as("g"))
       .select(col("doc_id"), key(col("g")).as("g"))
     val first = g.groupBy("g").agg(min("doc_id").as("first_id"))

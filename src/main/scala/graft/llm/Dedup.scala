@@ -59,24 +59,32 @@ object Dedup {
     else shingles(TextOps.tokens(col("text")), shingleSize)
 
   def withShingleSets(docs: DataFrame, shingleSize: Int): DataFrame =
-    // tokenize + gram-hash is COMPUTE-bound while a small parquet corpus
-    // arrives in a handful of scan partitions — the ×30 stress sweep
-    // measured ngram novelty on ~5 of 32 cores. Fan under-partitioned
-    // batch inputs out to session parallelism (the winnow/IVF idiom);
-    // no-op at scale where the scan is already wide, and left alone for
-    // streaming frames (no .rdd; micro-batch sizing owns parallelism).
-    fanOut(docs).select(col("doc_id"),
+    // deliberately NOT fanned out: consumers that partial-agg the
+    // shingles down to O(1) per doc (MinHash signatures, contamination
+    // probes) measured NO benefit from a pre-projection repartition even
+    // at the ×30 stress corpus (their map output is 32 longs per doc)
+    // while the exchange's fixed cost showed up at sf0.1 (minhash
+    // 0.43 → 0.70 s). Consumers whose downstream EXPANDS the shingles
+    // corpus-scale (the novelty gram explode) fan out at their own call
+    // sites instead.
+    docs.select(col("doc_id"),
       shingleSetExpr(docs.sparkSession, shingleSize).as("shingle_set"))
 
   /** Round-robin an under-partitioned batch frame out to the session's
     * parallelism ahead of a compute-bound per-row stage. A no-op for
-    * wide inputs (`partitions >= defaultParallelism`) — at cluster
-    * scale the scan already fans out and no shuffle is added. */
-  private[graft] def fanOut(df: DataFrame): DataFrame = {
+    * wide inputs (`partitions >= defaultParallelism`), for streaming
+    * frames, and — when `minBytes` is set — for frames too small to
+    * repay the exchange's fixed cost (~0.25 s of task scheduling at
+    * local[32]; a corpus under a couple of MB cannot buy that back even
+    * at full parallelism). At cluster scale the scan is already wide
+    * and this never fires. */
+  private[graft] def fanOut(df: DataFrame, minBytes: Long = 0L): DataFrame = {
     if (df.isStreaming) df
     else {
       val p = df.sparkSession.sparkContext.defaultParallelism
-      if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+      val big = minBytes == 0L ||
+        df.queryExecution.optimizedPlan.stats.sizeInBytes >= minBytes
+      if (big && df.rdd.getNumPartitions < p) df.repartition(p) else df
     }
   }
 
@@ -873,8 +881,9 @@ object Dedup {
       tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     // tokenize+explode multiplies row volume BEFORE the partial agg, so
     // the map side inherits the scan's partitioning — [[fanOut]] ahead
-    // of it puts the token hashing on the whole machine
-    val hashes = fanOut(docs)
+    // of it puts the token hashing on the whole machine (≥2 MB floor:
+    // below that the exchange's fixed cost exceeds the win)
+    val hashes = fanOut(docs, 2L << 20)
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
       .select(col("doc_id"), tokenHash(col("t")).as("h"))
     // native one-buffer aggregate (TypedImperativeAggregate, map-side

@@ -192,20 +192,25 @@ object Similarity {
   def ivfIndex(corpus: DataFrame,
       centroidStride: Int = 0): (DataFrame, DataFrame) = {
     val spark = corpus.sparkSession
+    val n = corpus.count()
     val stride =
-      if (centroidStride > 0) centroidStride
-      else adaptiveStride(corpus.count())
+      if (centroidStride > 0) centroidStride else adaptiveStride(n)
     val cents = broadcast(
       corpus.filter(pmod(col("vec_id"), lit(stride)) === 0)
         .select(col("vec_id").as("cid"), col("embedding").as("cv")))
     // corpus→cell argmin as a map-side partial agg (struct min orders by
     // rounded distance then centroid id — deterministic tiebreak).
-    // The argmin is COMPUTE-bound (|C| · nlist distance evals): a small
-    // parquet corpus arriving as one scan partition would run the whole
-    // build on one core (measured: full build+probe at the ×30 stress
-    // corpus 8.5–21 s → 3.5 s once spread) — [[Dedup.fanOut]].
+    // The argmin is COMPUTE-bound (n · nlist = n²/stride distance
+    // evals): a small parquet corpus arriving as one scan partition
+    // would run the whole build on one core (measured: full build+probe
+    // at the ×30 stress corpus, 29M evals, 8.5–21 s → 3.5 s once
+    // spread). Fan out only when the eval count can repay the
+    // exchange's fixed cost — n²/stride > 4M evals (the sf0.1 build is
+    // 129k evals and measured FASTER unspread: 0.78 vs 1.0 s).
     val d6 = floor(euclidExpr(spark, "ce", "cv") * 1e6 + 0.5) / 1e6
-    val assign = Dedup.fanOut(corpus)
+    val spread =
+      if (n * (n / stride) > 4_000_000L) Dedup.fanOut(corpus) else corpus
+    val assign = spread
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
       .join(cents)
       .groupBy("neighbor_id")
