@@ -378,4 +378,27 @@ class PlanSpec extends AnyFunSuite {
     val pr = plan(graft.llm.TextOps.ccnetBuckets(docs, ordered = false))
     assert(pr.linesIterator.exists(_.contains("Window")), pr.take(3000))
   }
+
+  test("fanOut contract: spreads under-partitioned batch frames, " +
+      "respects the size floor, never touches wide or streaming frames") {
+    import graft.llm.Dedup.fanOut
+    val p = spark.sparkContext.defaultParallelism
+    val docs = Tables(spark, sf0001, "documents") // small scan, few parts
+    assume(docs.rdd.getNumPartitions < p)
+    // no floor: spreads to session parallelism
+    assert(fanOut(docs).rdd.getNumPartitions == p)
+    // floor above the frame's optimizer size estimate: identity
+    val floored = fanOut(docs, minBytes = Long.MaxValue)
+    assert(floored.rdd.getNumPartitions == docs.rdd.getNumPartitions)
+    assert(!floored.queryExecution.executedPlan.toString
+      .contains("RoundRobinPartitioning"))
+    // already-wide frame: identity (no second exchange on top)
+    val wide = docs.repartition(p)
+    assert(fanOut(wide).queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("RoundRobinPartitioning")) == 1)
+    // streaming frame: untouched (fanOut must not call .rdd on it)
+    val stream = spark.readStream.format("rate")
+      .option("rowsPerSecond", "1").load()
+    assert(fanOut(stream) eq stream)
+  }
 }
