@@ -153,7 +153,11 @@ object GraphChecks {
       .groupBy("source")
       .agg(corr(col("rn").cast("double"), col("rn2").cast("double"))
         .as("rho"))
-      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      // corr() is null for a source with < 2 joined rank rows (degenerate
+      // graph): map null to 0.0 so such a source FAILS the ρ ≥ 0.85
+      // verdict instead of crashing the query with an NPE
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) 0.0 else r.getDouble(1))).toMap
     verdicts(spark, Seq(
       "ppr_multi_all_sources_ranked" ->
         (mass.keySet == sources.toSet && overlap.keySet == sources.toSet),

@@ -69,7 +69,13 @@ object Checks {
       // reduceRight: each otherwise() lands on a fresh when() column
       // (left-fold would re-apply otherwise to the finished chain)
     }.reduceRight(_ otherwise _)
-    val wssseLloyd = assigned.select(distSq.as("d2"))
+    // per-row rounding discipline (round-9 advice): round each squared
+    // distance to 1e-6 BEFORE summing so the summed operands are
+    // bit-identical on both engines (DuckDB's POWER(LIST_DISTANCE,2)
+    // differs from the direct sum by ulps; unrounded operands let
+    // summation order move the final 1e-4 rounding boundary)
+    val wssseLloyd = assigned
+      .select((floor(distSq * 1e6 + 0.5) / 1e6).as("d2"))
       .agg(sum("d2")).head().getDouble(0)
     verdictsV(spark, Seq(
       "kmeans_clusters_in_range" ->
@@ -97,12 +103,16 @@ object Checks {
         .as(Seq("j", "v")))
       .groupBy("j").agg(var_samp("v").as("s")).orderBy("j")
       .collect().map(_.getDouble(1))
+    // per-axis rounding discipline (round-9 advice): round each axis
+    // variance to 1e-8 before summing/maxing so both engines aggregate
+    // identical operands and the final 1e-6 boundary cannot flap on
+    // cross-engine VAR_SAMP ulp drift
     val featVars = data
       .select(posexplode(
         org.apache.spark.ml.functions.vector_to_array(col("features")))
         .as(Seq("j", "v")))
       .groupBy("j").agg(var_samp("v").as("s"))
-      .collect().map(_.getDouble(1))
+      .collect().map(r => math.floor(r.getDouble(1) * 1e8 + 0.5) / 1e8)
     val tot = featVars.sum
     verdictsV(spark, Seq(
       "pca_ev_descending" ->

@@ -413,21 +413,28 @@ object MlQueries {
     "ml_kmeans" -> valueVerdictSql(
       Seq("kmeans_clusters_in_range", "kmeans_sizes_sum_n",
         "kmeans_wssse_le_lloyd4"),
+      // per-row 1e-6 rounding of the squared distance BEFORE the sum
+      // (round-9 advice): identical summed operands on both engines
       Seq("SELECT 'kmeans_wssse_lloyd4' AS metric, " +
-        "FLOOR(SUM(POWER(LIST_DISTANCE(x.xv, c.cv), 2)) * 10000 + 0.5) " +
+        "FLOOR(SUM(FLOOR(POWER(LIST_DISTANCE(x.xv, c.cv), 2) " +
+        "* 1000000 + 0.5) / 1000000) * 10000 + 0.5) " +
         "/ 10000 AS value FROM a5 a JOIN x ON x.vec_id = a.vec_id " +
         "JOIN c5 c ON c.cluster = a.cluster"),
       ctePrefix = lloydCentroidCte(k = 4, iters = 5, dim = 64)),
     "ml_pca" -> valueVerdictSql(
       Seq("pca_ev_descending", "pca_ev_sum_le_1", "pca_rayleigh_halfpct",
         "pca_top_ge_best_axis"),
+      // per-axis 1e-8 rounding BEFORE the sum/max (round-9 advice):
+      // identical aggregated operands on both engines
       Seq("SELECT 'pca_total_variance' AS metric, " +
         "FLOOR(SUM(s) * 1000000 + 0.5) / 1000000 AS value FROM " +
-        "(SELECT VAR_SAMP(CAST(embedding[i] AS DOUBLE)) AS s " +
+        "(SELECT FLOOR(VAR_SAMP(CAST(embedding[i] AS DOUBLE)) " +
+        "* 100000000 + 0.5) / 100000000 AS s " +
         "FROM embeddings, generate_series(1, 64) t(i) GROUP BY i) av",
         "SELECT 'pca_best_axis_share' AS metric, " +
         "FLOOR(MAX(s) / SUM(s) * 1000000 + 0.5) / 1000000 AS value FROM " +
-        "(SELECT VAR_SAMP(CAST(embedding[i] AS DOUBLE)) AS s " +
+        "(SELECT FLOOR(VAR_SAMP(CAST(embedding[i] AS DOUBLE)) " +
+        "* 100000000 + 0.5) / 100000000 AS s " +
         "FROM embeddings, generate_series(1, 64) t(i) GROUP BY i) av2")),
     "ml_spca" -> verdictSql("spca_ev_descending",
       "spca_matches_dense_pca_1e6"),

@@ -170,11 +170,22 @@ object Supervised {
         first // converged (by tol or numerically flat tail) — done
       } else {
         val second = fitWith(40)
-        if (owlqnHealthy(second.summary.objectiveHistory) &&
-            !tailFlat(second.summary.objectiveHistory, tol))
-          warnIfCapped("LinearSVC(linearSvc)",
-            second.summary.totalIterations, 40)
-        second
+        val h1 = second.summary.objectiveHistory
+        if (!owlqnHealthy(h1)) {
+          // the escalated run itself hit OWLQN NaN-thrash: its extra 35
+          // iterations recovered through resets, not improvement — keep
+          // the healthy 5-iteration fit (the same policy the initial
+          // history gets; previously the health check only gated the log)
+          log.info("LinearSVC(linearSvc): escalated 40-iteration fit " +
+            "thrashed (reset ⇒ objective increase); keeping the healthy " +
+            "5-iteration fit.")
+          first
+        } else {
+          if (!tailFlat(h1, tol))
+            warnIfCapped("LinearSVC(linearSvc)",
+              second.summary.totalIterations, 40)
+          second
+        }
       }
     // same accuracy definition as the former transform+count, computed
     // by the fit's own training summary — saves two corpus passes
