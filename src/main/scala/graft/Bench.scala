@@ -1,6 +1,61 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+
+  /** Queries whose plan consults [[graft.core.QueryCache]] (the suite-
+    * dedup memo for deterministic sync twins / Lloyd / rank-1 ALS).
+    * The memo is cleared BEFORE every timed sample of these (round-9
+    * advice): otherwise the timed plan executes a driver-cache hit, the
+    * reported number is not a standalone query cost, and the 2× gate
+    * can no longer detect regressions in the memoized computation
+    * (BENCH_r09 reported graph_louvain_sync at 0.167 s vs ~6 s
+    * isolated). BASELINE §5 documents both semantics. */
+  private val memoBacked = Set(
+    "ml_kmeans", "ml_lloyd_fixed", "ml_als", "ml_als_fixed",
+    "graph_lpa", "graph_lpa_sync", "graph_louvain", "graph_louvain_sync",
+    "graph_ppr_multi", "graph_ppr_multi_sync")
+
+  /** BASELINE.md §3 per-query gate numbers (sf0.1, r8 code — measured
+    * BEFORE QueryCache existed, so they are isolated-cost semantics,
+    * matching what the memo-clearing above reproduces). Used by the
+    * self-adjudication pass: any headline > 1.5× its baseline is
+    * automatically re-probed with 3 isolated warm reps in this JVM
+    * (round-10 directive #2 — BASELINE §4's manual protocol, automated). */
+  private val baselineS3 = Map(
+    "q01_scan" -> 0.10, "q07_agg" -> 0.24, "q11_window_topk" -> 0.40,
+    "q20_join5_agg" -> 0.88, "ml_kmeans" -> 3.86, "ml_knn" -> 0.81,
+    "ml_svc" -> 8.88, "ml_dbscan" -> 2.13, "graph_pagerank" -> 1.90,
+    "graph_louvain" -> 21.67, "graph_louvain_sync" -> 6.15,
+    "graph_node2vec" -> 9.43, "graph_betweenness" -> 7.97,
+    "graph_kcore" -> 3.99, "graph_subgraph_tri" -> 3.27,
+    "llm_dedup_minhash" -> 0.29, "llm_near_dup_pairs" -> 0.77,
+    "llm_dedup_groups" -> 1.05, "llm_dedup_keep_best" -> 1.26,
+    "llm_ann_cosine" -> 0.37, "llm_ann_native" -> 0.24,
+    "llm_ann_ivf" -> 0.54, "llm_ann_pq" -> 1.42, "llm_ann_ivfpq" -> 1.71,
+    "llm_embed_dedup" -> 1.24, "llm_semdedup" -> 2.45,
+    "llm_containment" -> 1.50, "llm_span_dups" -> 0.75,
+    "llm_curation" -> 2.97, "llm_token_budget" -> 0.47)
+
+  /** Fixed single-thread CPU microbench (300M xorshift64 steps): a
+    * host-speed canary independent of Spark, parquet, and the JIT state
+    * of any query — a uniform inflation of this number alongside the
+    * query times is the host (BASELINE §4), not the engine. */
+  private def cpuSpin(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9E3779B97F4A7C15L
+    var acc = 0L
+    var i = 0L
+    while (i < 300000000L) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      acc += x
+      i += 1
+    }
+    // acc escapes so the loop cannot be dead-code-eliminated
+    if (acc == 42L) System.err.println("[bench] cpu_spin sentinel")
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -15,6 +70,25 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    def clearSparkState(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+    /** One timed sample with standalone-cost semantics: memo-backed
+      * queries get a cold QueryCache, and Spark-side cache/persisted
+      * state is dropped afterwards so samples never subsidize each
+      * other. */
+    def sample(name: String): Double = {
+      if (memoBacked(name)) graft.core.QueryCache.clear()
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      clearSparkState()
+      dt
+    }
+
     // one UNTIMED warm-up before any timed sample: the first job of a
     // fresh JVM pays JIT + whole-stage-codegen compilation + parquet
     // footer caching for everything after it (round-7 artifact: the
@@ -32,17 +106,24 @@ object Bench {
       SparkEntry.queries("q04_join_inner")(spark, sfDir).count()
       Seq("documents", "embeddings", "events")
         .foreach(t => graft.sources.Tables(spark, sfDir, t).count())
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      clearSparkState()
       System.err.println(
         f"[bench] warm-up (q09+q04+footers) ${(System.nanoTime() - t0) / 1e9}%8.3f s (untimed)")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warm-up failed: ${e.getMessage}")
     }
+
+    // host-speed canary, measured before the suite: q01_scan warm
+    // minimum (Spark scan path) + the pure-CPU spin. Re-spun after the
+    // suite so a mid-run host slowdown is visible as start/end drift.
+    val spinStart = cpuSpin()
+    val q01Canary = (1 to 3).map(_ => sample("q01_scan")).min
+    System.err.println(
+      f"[bench] canary cpu_spin=$spinStart%.3f s q01_scan_warm=$q01Canary%.3f s")
+
     var errors = List.empty[String]
     // optional comma-separated allowlist for local iteration: time one
-    // query (plus its reruns) without paying for the whole 131-query suite
+    // query (plus its reruns) without paying for the whole suite
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only match {
@@ -50,6 +131,7 @@ object Bench {
       case None        => SparkEntry.queries
     }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      if (memoBacked(name)) graft.core.QueryCache.clear()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).count()
       catch { case e: Throwable =>
@@ -60,12 +142,10 @@ object Bench {
       }
       val dt = (System.nanoTime() - t0) / 1e9
       // each query is an independent job: drop whatever it cached or
-      // localCheckpoint'ed so 112 queries in one JVM don't accumulate
+      // localCheckpoint'ed so 195 queries in one JVM don't accumulate
       // storage pressure (round-2 bench ran node2vec 3x slower inside
       // the suite than isolated purely from leaked blocks)
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      clearSparkState()
       // full per-query trace on stderr (stdout stays one JSON line)
       System.err.println(f"[bench] $name%-24s $dt%8.3f s")
       name -> dt
@@ -102,28 +182,55 @@ object Bench {
       if (!headline(name) || errors.contains(name)) name -> t1
       else {
         val reruns = (1 to 2).map { _ =>
-          val t0 = System.nanoTime()
-          SparkEntry.queries(name)(spark, sfDir).count()
-          val dt = (System.nanoTime() - t0) / 1e9
-          spark.catalog.clearCache()
-          spark.sparkContext.getPersistentRDDs.values
-            .foreach(_.unpersist(blocking = false))
+          val dt = sample(name)
           System.err.println(f"[bench] $name%-24s $dt%8.3f s (rerun)")
           dt
         }
         name -> (t1 +: reruns).sorted.take(2).sum / 2.0
       }
     }
+    // self-adjudication (round-10 directive #2): any headline whose
+    // refined number exceeds 1.5× its BASELINE §3 gate is re-probed with
+    // 3 isolated warm reps in THIS JVM — if the warm minimum is back
+    // within 1.5× the suite number was a contention window ("contention"),
+    // otherwise the code is genuinely slower ("regression"). The probe
+    // numbers ship in the JSON so no external adjudication is needed.
+    val probes = refined.flatMap { case (name, t) =>
+      baselineS3.get(name)
+        .filter(b => !errors.contains(name) && t > 1.5 * b)
+        .map { b =>
+          val warm = (1 to 3).map(_ => sample(name))
+          val verdict = if (warm.min <= 1.5 * b) "contention" else "regression"
+          System.err.println(
+            f"[bench] probe $name%-18s suite=$t%.3f base=$b%.2f warm=" +
+              warm.map(w => f"$w%.3f").mkString("/") + s" -> $verdict")
+          name -> ((t, b, warm, verdict))
+        }
+    }
+    val spinEnd = cpuSpin()
     val qs = refined.filter(r => headline(r._1))
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val probeJson = probes.map { case (k, (t, b, warm, verdict)) =>
+      "\"" + k + "\":{\"suite\":" + r3(t) + ",\"baseline\":" + b +
+        ",\"warm\":" + warm.map(r3).mkString("[", ",", "]") +
+        ",\"verdict\":\"" + verdict + "\"}"
+    }.mkString("{", ",", "}")
+    val canaryJson = "{\"cpu_spin_start\":" + r3(spinStart) +
+      ",\"cpu_spin_end\":" + r3(spinEnd) +
+      ",\"q01_scan_warm\":" + r3(q01Canary) + "}"
     val total = r3(results.map(_._2).sum)
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""errors":$errJson,"n_queries":${results.size},"sf":"$sfDir",""" +
+        s""""errors":$errJson,"canary":$canaryJson,"probes":$probeJson,""" +
+        s""""n_queries":${results.size},"sf":"$sfDir",""" +
         s""""method":"total=single pass after untimed warm-up; """ +
-        s"""headline queries=mean of best 2 of 3 (max dropped)"}"""
+        s"""headline queries=mean of best 2 of 3 (max dropped); """ +
+        s"""QueryCache cleared before every timed sample of memo-backed """ +
+        s"""queries (standalone-cost semantics, BASELINE \\u00a75); """ +
+        s"""probes=3 isolated warm reps for any headline >1.5x its """ +
+        s"""BASELINE \\u00a73 gate"}"""
     // stop FIRST so no executor/log line interleaves with the one
     // machine-read output line
     spark.stop()
