@@ -638,12 +638,21 @@ object GraphQueries {
         "JOIN mcomm cs ON cs.node = s.src " +
         "JOIN mcomm cd ON cd.node = s.dst)" +
         ", mm AS (SELECT SUM(weight) AS m FROM me)"),
-    "graph_node2vec" -> graft.core.VerifyUtils.verdictSql(
-      "node2vec_emits_coordinates", "node2vec_covers_walked_vertices",
-      "node2vec_vectors_finite_nonzero"),
-    "graph_ppr_multi" -> graft.core.VerifyUtils.verdictSql(
-      "ppr_multi_all_sources_ranked", "ppr_multi_mass_normalized_1pct",
-      "ppr_multi_top5_overlap_ge_3of5", "ppr_multi_spearman_ge_085"),
+    "graph_node2vec" -> graft.core.VerifyUtils.valueVerdictSql(
+      Seq("node2vec_emits_coordinates", "node2vec_covers_walked_vertices",
+        "node2vec_vectors_finite_nonzero"),
+      Seq("SELECT 'node2vec_graph_vertices' AS metric, " +
+        "CAST(COUNT(*) AS DOUBLE) AS value FROM " +
+        "(SELECT src AS v FROM g UNION SELECT dst FROM g) nv"),
+      ctePrefix = edgeCte),
+    "graph_ppr_multi" -> graft.core.VerifyUtils.valueVerdictSql(
+      Seq("ppr_multi_all_sources_ranked", "ppr_multi_mass_normalized_1pct",
+        "ppr_multi_top5_overlap_ge_3of5", "ppr_multi_spearman_ge_085",
+        "ppr_multi_ranks_all_vertices"),
+      Seq("SELECT 'ppr_multi_vertex_count' AS metric, " +
+        "CAST(COUNT(*) AS DOUBLE) AS value FROM " +
+        "(SELECT src AS v FROM g UNION SELECT dst FROM g) nv"),
+      ctePrefix = edgeCte),
     "graph_edges" ->
       (edgeCte + "SELECT src, dst, weight FROM g ORDER BY src, dst"),
     "graph_degree" ->

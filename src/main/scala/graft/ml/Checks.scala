@@ -135,21 +135,36 @@ object Checks {
     val coo = embeddings.select(col("vec_id").as("row"),
         posexplode(col("embedding")).as(Seq("col", "value")))
       .filter(col("value") =!= 0.0f)
+    val nnz = coo.count()
     val sparseEv = Spca.fit(spark, coo, numCols = 64, k = k)
       .collect().map(_.getDouble(1))
     val data = Supervised.embeddingFeatures(embeddings)
     val denseEv = new org.apache.spark.ml.feature.PCA()
       .setK(k).setInputCol("features").setOutputCol("pc").fit(data)
       .explainedVariance.toArray
-    verdicts(spark, Seq(
+    // the spectrum's denominator (total variance, per-axis rounded at
+    // 1e-8 like the pca check) — the one ingredient of the explained-
+    // variance ratios an external engine can recompute exactly
+    val tot = data
+      .select(posexplode(
+        org.apache.spark.ml.functions.vector_to_array(col("features")))
+        .as(Seq("j", "v")))
+      .groupBy("j").agg(var_samp("v").as("s"))
+      .collect().map(r => math.floor(r.getDouble(1) * 1e8 + 0.5) / 1e8)
+      .sum
+    verdictsV(spark, Seq(
       "spca_ev_descending" ->
-        sparseEv.sliding(2).forall(p => p(0) >= p(1) - 1e-9),
+        b2d(sparseEv.sliding(2).forall(p => p(0) >= p(1) - 1e-9)),
       "spca_matches_dense_pca_1e6" ->
-        (sparseEv.length == denseEv.length &&
+        b2d(sparseEv.length == denseEv.length &&
           sparseEv.zip(denseEv).forall { case (a, b) =>
             // both sides round to 1e-6 (Spca floors; PCA is raw), so
             // agreement is bounded by the rounding grid
-            math.abs(a - b) <= 2e-6 })))
+            math.abs(a - b) <= 2e-6 }),
+      // DuckDB-recomputed ingredients (round-10 directive #3): the COO
+      // nonzero count the sparse path factorizes and the total variance
+      "spca_coo_nnz" -> nnz.toDouble,
+      "spca_total_variance" -> r6v(tot)))
   }
 
   /** SVD spectrum sanity against the exactly-computable Frobenius
@@ -329,10 +344,14 @@ object Checks {
         w.sliding(2).forall(p => p.length < 2 || p(0) >= p(1) - 1e-12) &&
         w.sum <= 1.0 + 1e-9
     }
-    verdicts(spark, Seq(
-      "lda_top_weights_valid_distribution" -> weightsOk,
+    verdictsV(spark, Seq(
+      "lda_top_weights_valid_distribution" -> b2d(weightsOk),
       "lda_shape_k_topics_top5_in_vocab" ->
-        (topics.length == k && idxOk &&
-          topics.forall(_.getSeq[Int](1).length == 5))))
+        b2d(topics.length == k && idxOk &&
+          topics.forall(_.getSeq[Int](1).length == 5)),
+      // the vocabulary size the index bound is checked against — DuckDB
+      // recomputes it as LEAST(cap, COUNT(DISTINCT token)) over the same
+      // whitespace tokenization (round-10 directive #3)
+      "lda_vocab_size" -> vocab.toDouble))
   }
 }

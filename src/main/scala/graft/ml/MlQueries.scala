@@ -436,8 +436,16 @@ object MlQueries {
         "(SELECT FLOOR(VAR_SAMP(CAST(embedding[i] AS DOUBLE)) " +
         "* 100000000 + 0.5) / 100000000 AS s " +
         "FROM embeddings, generate_series(1, 64) t(i) GROUP BY i) av2")),
-    "ml_spca" -> verdictSql("spca_ev_descending",
-      "spca_matches_dense_pca_1e6"),
+    "ml_spca" -> valueVerdictSql(
+      Seq("spca_ev_descending", "spca_matches_dense_pca_1e6"),
+      Seq("SELECT 'spca_coo_nnz' AS metric, " +
+        "CAST(COUNT(*) AS DOUBLE) AS value FROM " +
+        "(SELECT UNNEST(embedding) AS v FROM embeddings) u WHERE v <> 0",
+        "SELECT 'spca_total_variance' AS metric, " +
+        "FLOOR(SUM(s) * 1000000 + 0.5) / 1000000 AS value FROM " +
+        "(SELECT FLOOR(VAR_SAMP(CAST(embedding[i] AS DOUBLE)) " +
+        "* 100000000 + 0.5) / 100000000 AS s " +
+        "FROM embeddings, generate_series(1, 64) t(i) GROUP BY i) sv")),
     "ml_svd" -> valueVerdictSql(
       Seq("svd_energy_le_frobenius", "svd_s_descending", "svd_s_nonneg",
         "svd_top_ge_avg_column_energy"),
@@ -477,8 +485,13 @@ object MlQueries {
       Seq("SELECT 'als_rmse_rank1' AS metric, " +
         "FLOOR(rmse * 10000 + 0.5) / 10000 AS value FROM rm"),
       ctePrefix = alsFixedCte(iters = 5)),
-    "ml_lda" -> verdictSql("lda_shape_k_topics_top5_in_vocab",
-      "lda_top_weights_valid_distribution"),
+    "ml_lda" -> valueVerdictSql(
+      Seq("lda_shape_k_topics_top5_in_vocab",
+        "lda_top_weights_valid_distribution"),
+      Seq("SELECT 'lda_vocab_size' AS metric, " +
+        "CAST(LEAST(64, COUNT(DISTINCT term)) AS DOUBLE) AS value FROM " +
+        "(SELECT UNNEST(string_split(text, ' ')) AS term " +
+        "FROM documents) tok")),
     "ml_simrank" -> simrankSql(iters = 5),
     "ml_nmf_topics" -> nmfSql(k = 3, iters = 3, vocabSize = 64),
     "ml_als_fixed" -> alsFixedSql(iters = 5),

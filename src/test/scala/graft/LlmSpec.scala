@@ -1585,10 +1585,13 @@ class LlmSpec extends AnyFunSuite {
   test("llm_ann_lsh quality verdicts hold at sf0.001 (driver gates at " +
       "sf0.01; this pins the smaller fixture the specs run on)") {
     val r = LlmQueries.all("llm_ann_lsh")(spark, sf0001).collect()
-      .map(x => x.getString(0) -> x.getBoolean(1)).toMap
-    assert(r.values.forall(identity), r)
+      .map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r("ann_lsh_no_false_positives") == 1.0, r)
+    assert(r("ann_lsh_range_recall_ge_60pct") == 1.0, r)
+    // the value row: at least the 10 query self-pairs are in radius
+    assert(r("ann_lsh_true_pairs") >= 10.0, r)
     assert(r.keySet == Set("ann_lsh_no_false_positives",
-      "ann_lsh_range_recall_ge_60pct"))
+      "ann_lsh_range_recall_ge_60pct", "ann_lsh_true_pairs"))
   }
 
   test("llm oracle SQL matches DSL output via Spark SQL (portable subset)") {
