@@ -153,6 +153,57 @@ object Similarity {
     s
   }
 
+  /** Deployment-mode sizing switch (round-10 directive #1). The integer
+    * CASE ladders above/below stay the DEFAULT — every pinned oracle
+    * query replays them engine-exactly in DuckDB — but their step
+    * geometry is locally quadratic between rungs (SCALE_r9 §×30:
+    * ann_ivf 4.64×, ivfpq 4.33×, embed_dedup 4.18× runtime for 3× data
+    * when the growth lands between rungs). A session that sets
+    * `spark.conf.set("graft.sizing.mode", "smooth")` gets continuous
+    * sizing on the auto-sized paths instead ([[ivfIndex]] /
+    * [[ivfPqTopK]] coarse stride, [[cosineNearDupPairs]] /
+    * [[incrementalCosineNearDups]] sign-LSH blocking) — the production
+    * switch for index builds whose outputs no pinned oracle replays. */
+  private[llm] def smoothSizing(
+      spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.conf.getOption("graft.sizing.mode")
+      .exists(_.trim.equalsIgnoreCase("smooth"))
+
+  /** Continuous √N companion of [[adaptiveStride]], anchored at the
+    * ladder's mid-rung points (31·√(n/2500)): stride — and with it both
+    * cell count and cell size — grows as exactly √|C| instead of in 2×
+    * steps per 4× rung, so build cost follows the FAISS N^1.5 envelope
+    * at EVERY size, not only at rung boundaries. */
+  def smoothStride(n: Long): Int =
+    math.max(31, math.ceil(math.sqrt(0.3844 * n)).toInt)
+
+  /** Continuous companion of [[adaptiveProjections]]: the real-valued
+    * ladder position λ = 1 + log₂(n/1200) is realized FRACTIONALLY as
+    * per-TABLE projection counts summing to round(numTables·λ) — e.g.
+    * λ = 6.64 over 3 tables becomes (7, 7, 6). Candidate volume per
+    * table is N²/2.2^h_t, so the total steps numTables times per corpus
+    * doubling instead of once: the between-rung growth the integer
+    * ladder pays (up to 2.2× locally — SCALE_r9 measured 4.18× runtime
+    * for 3× data) shrinks to ≤ 2.2^(1/numTables) ≈ 1.3× ripple around
+    * the N^(2−log₂2.2) ≈ N^0.86 envelope, in EXACT integer arithmetic —
+    * no bucket-width modeling (a width-rescaling variant was measured
+    * this round and under-delivered: Gaussian bucket co-occupancy is
+    * not linear in width). Each count is clamped to the [1, 10] fold
+    * range; below the first rung every table gets the ladder's 1, so
+    * pinned corpora are unchanged. */
+  def smoothProjections(n: Long, numTables: Int = 3): Seq[Int] = {
+    // the ladder is h = 2 + floor(log2(n/1200)) past the first rung;
+    // its continuous position is lambda = 2 + log2(n/1200)
+    val lam =
+      if (n < 1200) 1.0
+      else 2.0 + math.log(n.toDouble / 1200.0) / math.log(2.0)
+    val total = math.min(10 * numTables,
+      math.max(numTables, math.round(numTables * lam).toInt))
+    val base = total / numTables
+    val rem = total % numTables
+    (0 until numTables).map(t => if (t < rem) base + 1 else base)
+  }
+
   /** Shared distance kernels for the split build/probe IVF pair: the
     * BUILD-side cell assignment and the PROBE-side query routing must
     * stay bit-identical (rounding, native fallback and all) or a
@@ -194,7 +245,9 @@ object Similarity {
     val spark = corpus.sparkSession
     val n = corpus.count()
     val stride =
-      if (centroidStride > 0) centroidStride else adaptiveStride(n)
+      if (centroidStride > 0) centroidStride
+      else if (smoothSizing(spark)) smoothStride(n)
+      else adaptiveStride(n)
     val cents = broadcast(
       corpus.filter(pmod(col("vec_id"), lit(stride)) === 0)
         .select(col("vec_id").as("cid"), col("embedding").as("cv")))
@@ -539,6 +592,7 @@ object Similarity {
     // semantics), so it has no scale exposure
     val cStride =
       if (centroidStride > 0) centroidStride
+      else if (smoothSizing(spark)) smoothStride(corpus.count())
       else adaptiveStride(corpus.count())
     val hasNative = spark.catalog.functionExists("graft_euclid")
     def euclid(a: String, b: String): Column =
@@ -604,10 +658,14 @@ object Similarity {
   def cosineNearDupPairs(emb: DataFrame, tau: Double,
       bucketLength: Double = 2.0, numTables: Int = 3,
       dim: Int = 64, nproj: Int = 0): DataFrame = {
-    val np = if (nproj > 0) nproj else adaptiveProjections(emb.count())
+    val perTable =
+      if (nproj > 0) Seq.fill(numTables)(nproj)
+      else if (smoothSizing(emb.sparkSession))
+        smoothProjections(emb.count(), numTables)
+      else Seq.fill(numTables)(adaptiveProjections(emb.count()))
     // candidate join carries ids only; embeddings rejoin once per
     // surviving pair, so each cosine is evaluated exactly once
-    val ids = signBuckets(emb, bucketLength, numTables, dim, np)
+    val ids = signBuckets(emb, bucketLength, numTables, dim, perTable)
     val cand = ids.select(col("t"), col("b"), col("vec_id").as("doc_a"))
       .join(ids.select(col("t"), col("b"), col("vec_id").as("doc_b")),
         Seq("t", "b"))
@@ -675,7 +733,17 @@ object Similarity {
     * numTables·i extends the historic per-table pattern family (i=0
     * reduces to it) without re-keying existing tables. */
   private[graft] def signBucketsExpr(bucketLength: Double,
-      numTables: Int, dim: Int, nproj: Int = 1): Column = {
+      numTables: Int, dim: Int, nproj: Int = 1): Column =
+    signBucketsExprPerTable(bucketLength, numTables, dim,
+      Seq.fill(numTables)(nproj))
+
+  /** [[signBucketsExpr]] with a PER-TABLE projection count — the
+    * fractional-ladder form [[smoothProjections]] produces. Table t
+    * folds perTable(t) projection floors; the sign-pattern indexing
+    * u = t + numTables·i is unchanged, so uniform counts reduce exactly
+    * to the historic keys. */
+  private[graft] def signBucketsExprPerTable(bucketLength: Double,
+      numTables: Int, dim: Int, perTable: Seq[Int]): Column = {
     // Quadratic-parity sign patterns. The historic affine parity
     // ((2u+3)·j + 104729·u + 12345) % 2 is DEGENERATE: every
     // coefficient is odd, so it collapses to (j + u + 1) % 2 — all
@@ -698,7 +766,7 @@ object Similarity {
       }
     val xd = transform(col("embedding"), v => v.cast("double"))
     array((0 until numTables).map { t =>
-      val b = (0 until nproj).foldLeft(lit(0L): Column) { (acc, i) =>
+      val b = (0 until perTable(t)).foldLeft(lit(0L): Column) { (acc, i) =>
         val d = aggregate(
           zip_with(xd, typedLit(signs(t + numTables * i)), (x, s) => x * s),
           lit(0.0), (a, v) => a + v)
@@ -710,9 +778,10 @@ object Similarity {
   }
 
   private def signBuckets(emb: DataFrame, bucketLength: Double,
-      numTables: Int, dim: Int, nproj: Int): DataFrame =
+      numTables: Int, dim: Int, perTable: Seq[Int]): DataFrame =
     emb.select(col("vec_id"),
-        explode(signBucketsExpr(bucketLength, numTables, dim, nproj))
+        explode(signBucketsExprPerTable(bucketLength, numTables, dim,
+          perTable))
           .as("tb"))
       .select(col("vec_id"), col("tb.t").as("t"), col("tb.b").as("b"))
 
@@ -731,13 +800,18 @@ object Similarity {
   def incrementalCosineNearDups(newEmb: DataFrame, corpusEmb: DataFrame,
       tau: Double, bucketLength: Double = 2.0, numTables: Int = 3,
       dim: Int = 64, nproj: Int = 0): DataFrame = {
-    // both sides must key with the SAME projection count for bucket
-    // keys to meet; the corpus side (the size that drives candidate
-    // volume) picks it in auto mode
-    val np = if (nproj > 0) nproj else adaptiveProjections(corpusEmb.count())
-    val bNew = signBuckets(newEmb, bucketLength, numTables, dim, np)
+    // both sides must key with the SAME per-table projection counts for
+    // bucket keys to meet; the corpus side (the size that drives
+    // candidate volume) picks them in auto mode
+    val perTable =
+      if (nproj > 0) Seq.fill(numTables)(nproj)
+      else if (smoothSizing(corpusEmb.sparkSession))
+        smoothProjections(corpusEmb.count(), numTables)
+      else Seq.fill(numTables)(
+        adaptiveProjections(corpusEmb.count()))
+    val bNew = signBuckets(newEmb, bucketLength, numTables, dim, perTable)
       .select(col("t"), col("b"), col("vec_id").as("new_id"))
-    val bCor = signBuckets(corpusEmb, bucketLength, numTables, dim, np)
+    val bCor = signBuckets(corpusEmb, bucketLength, numTables, dim, perTable)
       .select(col("t"), col("b"), col("vec_id").as("corpus_id"))
     val cand = bNew.join(bCor, Seq("t", "b"))
       .select("new_id", "corpus_id").dropDuplicates("new_id", "corpus_id")
@@ -838,9 +912,11 @@ object Similarity {
         .select(col("vec_id"),
           transform(col("embedding"), v => v.cast("double")).as("x"))
         .localCheckpoint()
+    // Number, not Float: the residual second level ([[ivfResidualIndex]])
+    // trains on array<double> residual frames through this same trainer
     var centers: Array[Array[Double]] = emb.orderBy("vec_id").limit(k)
       .select("embedding").collect()
-      .map(_.getSeq[Float](0).map(f => r6(f.toDouble)).toArray)
+      .map(_.getSeq[Number](0).map(f => r6(f.doubleValue)).toArray)
     for (_ <- 1 to iters) {
       val cents = broadcast(centers.zipWithIndex.toSeq
         .map { case (c, i) => (i.toLong, c.toSeq) }.toDF("cid", "cv"))
@@ -863,6 +939,153 @@ object Similarity {
       centers = next // clusters with no training member keep their center
     }
     centers
+  }
+
+  /** Residual-split ladder past the [[adaptiveNlist]] 4,096-cell cap
+    * (round-10 directive #4 — the rung SCALE_r9 §Remaining bounds named
+    * but did not build): the number of SHARED residual subcells so that
+    * nlist × nsplit keeps ~1,000 vectors per EFFECTIVE cell once the
+    * coarse level saturates. 1 (no split) below ~4.1M vectors; capped at
+    * 256, which bounds the second broadcast at 256×dim doubles and
+    * carries the ~1,000/cell operating point to ~1B vectors. */
+  def adaptiveNsplit(n: Long): Int = {
+    val targetCells = (n + 999) / 1000
+    math.max(1, math.min(256, ((targetCells + 4095) / 4096).toInt))
+  }
+
+  /** Two-level IVF residual index — the FAISS residual-quantizer second
+    * blocking level: level 1 is the trained coarse quantizer (the
+    * [[lloydAssign]] kernels), level 2 is ONE SHARED residual codebook —
+    * nsplit centroids trained on (x − c1[cell]) residuals — so the
+    * effective cell key `(cell, sub)` partitions the corpus into up to
+    * nlist×nsplit cells while broadcast/driver state stays two bounded
+    * center tables (nlist×dim + nsplit×dim doubles), never
+    * nlist×nsplit×dim. Sharing the residual codebook across cells is
+    * what makes the second level trainable as one distributed Lloyd run
+    * instead of nlist driver-side fits.
+    *
+    * Returns (coarse `(cid, cv)`, residual `(sid, sv)`, assign
+    * `(neighbor_id, ce, cell, sub)`) — the same persistable-frames
+    * contract as [[ivfIndex]]; write `assign` partitioned by
+    * `(cell, sub)` and probes partition-prune exactly as there.
+    *
+    * Scale shape: both argmins are map-side partial aggs against
+    * broadcast centers (the exchange carries ids+cells only); the
+    * corpus-sized coarse argmin fans out when compute-bound, the same
+    * guard as [[ivfIndex]]. Everything is rounded-distance/id-tiebreak
+    * deterministic, so the whole two-level build is engine-replicable. */
+  def ivfResidualIndex(corpus: DataFrame, nlist: Int = 0, nsplit: Int = 0,
+      iters: Int = 5): (DataFrame, DataFrame, DataFrame) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val n = corpus.count()
+    val k1 = if (nlist > 0) nlist else adaptiveNlist(n)
+    val k2 = if (nsplit > 0) nsplit else adaptiveNsplit(n)
+    val c1 =
+      if (k1 <= 64)
+        graft.ml.Unsupervised.lloydCenters(spark, corpus, k1, iters)._1
+      else lloydCentersJoin(corpus, k1, iters)
+    val cents1 = broadcast(c1.zipWithIndex.toSeq
+      .map { case (c, i) => (i.toLong, c.toSeq) }.toDF("cid", "cv"))
+    val d6 = floor(sqrt(aggregate(
+      zip_with(transform(col("ce"), v => v.cast("double")), col("cv"),
+        (x, c) => (x - c) * (x - c)),
+      lit(0.0), (acc, v) => acc + v)) * 1e6 + 0.5) / 1e6
+    // compute-guarded fan-out, same threshold as ivfIndex: the coarse
+    // argmin is the corpus-sized job and a narrow parquet scan would
+    // otherwise run it on a few cores
+    val spread =
+      if (n * k1.toLong > 4000000L) Dedup.fanOut(corpus) else corpus
+    val coarse = spread
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+      .join(cents1)
+      .groupBy("neighbor_id")
+      .agg(min(struct(d6.as("d"), col("cid"))).as("mc"),
+        first(col("ce")).as("ce"))
+      .select(col("neighbor_id"), col("ce"), col("mc.cid").as("cell"))
+      .localCheckpoint()
+    // residuals against the assigned coarse center (doubles end to end)
+    val resid = coarse.join(cents1, col("cell") === col("cid"))
+      .select(col("neighbor_id").as("vec_id"),
+        zip_with(transform(col("ce"), v => v.cast("double")), col("cv"),
+          (x, c) => x - c).as("embedding"))
+      .localCheckpoint()
+    val c2 = lloydCentersJoin(resid, k2, iters)
+    val cents2 = broadcast(c2.zipWithIndex.toSeq
+      .map { case (c, i) => (i.toLong, c.toSeq) }.toDF("sid", "sv"))
+    val rd6 = floor(sqrt(aggregate(
+      zip_with(col("embedding"), col("sv"), (x, c) => (x - c) * (x - c)),
+      lit(0.0), (acc, v) => acc + v)) * 1e6 + 0.5) / 1e6
+    val sub = resid.join(cents2)
+      .groupBy("vec_id")
+      .agg(min(struct(rd6.as("d"), col("sid"))).as("ms"))
+      .select(col("vec_id").as("neighbor_id"), col("ms.sid").as("sub"))
+    val assign = coarse.join(sub, Seq("neighbor_id"))
+      .select(col("neighbor_id"), col("ce"), col("cell"), col("sub"))
+    (cents1, cents2, assign)
+  }
+
+  /** Probe a two-level [[ivfResidualIndex]]: queries route to their
+    * nProbe nearest coarse cells, then — per probed cell, against the
+    * residual q − c1[cell] — to the nProbeSub nearest residual subcells,
+    * and candidates meet on the composite `(cell, sub)` key: expected
+    * candidate volume |Q|·nProbe·nProbeSub·|C|/(nlist·nsplit). The rank
+    * stage is identical to [[ivfTopKIndexed]] (rounded-dot window,
+    * neighbor-id tiebreak). */
+  def ivfResidualTopKIndexed(queries: DataFrame, cents1: DataFrame,
+      cents2: DataFrame, assign: DataFrame, k: Int,
+      nProbe: Int = 4, nProbeSub: Int = 2): DataFrame = {
+    val spark = queries.sparkSession
+    val c1 = broadcast(cents1.select(col("cid"), col("cv")))
+    val c2 = broadcast(cents2.select(col("sid"), col("sv")))
+    val qd6 = floor(sqrt(aggregate(
+      zip_with(transform(col("qe"), v => v.cast("double")), col("cv"),
+        (x, c) => (x - c) * (x - c)),
+      lit(0.0), (acc, v) => acc + v)) * 1e6 + 0.5) / 1e6
+    val qCells = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .join(c1)
+      .select(col("query_id"), col("qe"), col("cid"), col("cv"),
+        qd6.as("d"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("d"), col("cid"))))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("qe"), col("cid").as("cell"),
+        zip_with(transform(col("qe"), v => v.cast("double")), col("cv"),
+          (x, c) => x - c).as("qr"))
+    val sd6 = floor(sqrt(aggregate(
+      zip_with(col("qr"), col("sv"), (x, c) => (x - c) * (x - c)),
+      lit(0.0), (acc, v) => acc + v)) * 1e6 + 0.5) / 1e6
+    val qSubs = qCells.join(c2)
+      .select(col("query_id"), col("qe"), col("cell"), col("sid"),
+        sd6.as("d"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id", "cell")
+          .orderBy(col("d"), col("sid"))))
+      .filter(col("rn") <= nProbeSub)
+      .select(col("query_id"), col("qe"), col("cell"),
+        col("sid").as("sub"))
+    val scored = qSubs.join(assign, Seq("cell", "sub"))
+      .select(col("query_id"), col("neighbor_id"),
+        dotExpr(spark, "qe", "ce").as("raw_dot"))
+      .select(col("query_id"), col("neighbor_id"), col("raw_dot"),
+        (floor(col("raw_dot") * 1e6 + 0.5) / 1e6).as("dot6"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dot6").desc, col("neighbor_id"))
+    scored
+      .select(col("query_id"), col("neighbor_id"),
+        row_number().over(w).as("rank"),
+        (floor(col("raw_dot") * 10000 + 0.5) / 10000).as("sim"))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Build + probe fused, the [[ivfTopK]] shape at two levels. */
+  def ivfResidualTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nlist: Int = 0, nsplit: Int = 0, nProbe: Int = 4,
+      nProbeSub: Int = 2, iters: Int = 5): DataFrame = {
+    val (c1, c2, assign) = ivfResidualIndex(corpus, nlist, nsplit, iters)
+    ivfResidualTopKIndexed(queries, c1, c2, assign, k, nProbe, nProbeSub)
   }
 
   /** Verified within-cell cosine pairs (doc_a < doc_b, cosine ≥ tau) —

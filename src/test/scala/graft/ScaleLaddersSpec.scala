@@ -81,6 +81,127 @@ class ScaleLaddersSpec extends AnyFunSuite {
     a.zip(b).foreach { case (x, y) => assert(x.sameElements(y)) }
   }
 
+  test("smoothStride: continuous sqrt-N, mid-rung anchored, floor 31") {
+    assert(Similarity.smoothStride(0) == 31)
+    assert(Similarity.smoothStride(2500) == 31) // anchor: ladder floor
+    // mid-rung agreement with the ladder (ladder 62 over [5k, 20k))
+    assert(Similarity.smoothStride(10000) == 62)
+    assert(Similarity.smoothStride(40000) == 124)
+    // sqrt envelope: 4x data → exactly 2x stride (ceil-rounded)
+    val s1 = Similarity.smoothStride(100000)
+    val s4 = Similarity.smoothStride(400000)
+    assert(math.abs(s4 - 2 * s1) <= 2, s"$s1 vs $s4")
+    // monotone: no between-rung inversions anywhere on the curve
+    val probe = Seq(1000L, 5000L, 20000L, 60000L, 80000L, 320000L)
+    probe.sliding(2).foreach { case Seq(a, b) =>
+      assert(Similarity.smoothStride(a) <= Similarity.smoothStride(b))
+    }
+  }
+
+  test("smoothProjections: fractional ladder via per-table counts") {
+    // below the first rung: identical to the ladder (pinned sizes safe)
+    assert(Similarity.smoothProjections(600) == Seq(1, 1, 1))
+    for (n <- Seq(1200L, 2000L, 20000L, 60000L, 500000L)) {
+      val per = Similarity.smoothProjections(n)
+      val lam = 2.0 + math.log(n / 1200.0) / math.log(2.0)
+      // total realizes round(numTables * lambda); counts differ by <= 1
+      assert(per.sum == math.min(30,
+        math.max(3, math.round(3 * lam).toInt)), s"n=$n: $per")
+      assert(per.max - per.min <= 1, s"n=$n: $per")
+      assert(per.forall(h => h >= 1 && h <= 10), s"n=$n: $per")
+      // the fractional ladder tracks the integer one: every table
+      // within one projection of the ladder's count
+      assert(per.min >= Similarity.adaptiveProjections(n) - 1 &&
+        per.max <= Similarity.adaptiveProjections(n) + 1, s"n=$n: $per")
+    }
+    // AT a rung the fractional form equals the integer ladder exactly
+    assert(Similarity.smoothProjections(19200) == Seq(6, 6, 6))
+    // fold cap: saturates at 10 per table
+    assert(Similarity.smoothProjections(100L * 1000 * 1000)
+      == Seq(10, 10, 10))
+    // a non-default table count distributes the same lambda
+    assert(Similarity.smoothProjections(600, numTables = 4)
+      == Seq(1, 1, 1, 1))
+  }
+
+  test("smooth mode finds every planted exact dup and stays conf-gated") {
+    // planted exact dups: identical vectors share every bucket at ANY
+    // width, so smooth blocking can never lose them
+    val base = blobs(300, dim = 64)
+    val dups = base.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 1000).as("vec_id"), col("embedding"))
+    val e = base.union(dups)
+    spark.conf.set("graft.sizing.mode", "smooth")
+    try {
+      val found = Similarity.cosineNearDupPairs(e, tau = 0.999)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (0L until 5L).foreach { i =>
+        assert(found((i, i + 1000)), s"planted dup $i missing in smooth mode")
+      }
+    } finally spark.conf.set("graft.sizing.mode", "ladder")
+    // default mode: ladder (the pinned-oracle path) — same planted dups
+    val foundLadder = Similarity.cosineNearDupPairs(e, tau = 0.999)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 5L).foreach(i => assert(foundLadder((i, i + 1000))))
+  }
+
+  test("adaptiveNsplit: 1 below the 4096-cell cap, then ~1000/effective-cell") {
+    assert(Similarity.adaptiveNsplit(600) == 1)
+    assert(Similarity.adaptiveNsplit(4L * 1000 * 1000) == 1) // at the cap
+    assert(Similarity.adaptiveNsplit(4097L * 1000) == 2) // just past it
+    assert(Similarity.adaptiveNsplit(16L * 1000 * 1000) == 4)
+    assert(Similarity.adaptiveNsplit(2L * 1000 * 1000 * 1000) == 256) // cap
+  }
+
+  test("ivfResidualTopK with full probes equals brute-force top-k") {
+    // exhaustive probing (nProbe=nlist, nProbeSub=nsplit) removes the
+    // approximation: the two-level index must then reproduce the exact
+    // ranking — the contract that build, residual split, and probe
+    // compose losslessly
+    val e = blobs(240, dim = 8)
+    val q = e.filter(col("vec_id") < 6)
+    val exact = Similarity.bruteForceTopK(q, e, k = 3)
+      .select("query_id", "neighbor_id", "rank").collect().toSet
+    val twoLevel = Similarity.ivfResidualTopK(q, e, k = 3,
+      nlist = 4, nsplit = 3, nProbe = 4, nProbeSub = 3)
+      .select("query_id", "neighbor_id", "rank").collect().toSet
+    assert(twoLevel == exact)
+  }
+
+  test("ivfResidualIndex: composite cells partition the corpus and shrink cells") {
+    // blobs + a strong SHARED residual component (same axis for every
+    // blob): the shared residual codebook can only refine structure
+    // that repeats across cells — exactly the IVF-residual assumption
+    val e = blobs(400, dim = 8)
+      .select(col("vec_id"),
+        transform(col("embedding"), (v, i) =>
+          when(i === 7, (pmod(col("vec_id"), lit(3)).cast("float") -
+            lit(1.0f)) * lit(0.3f)).otherwise(v)).as("embedding"))
+    val (c1, c2, assign) = Similarity.ivfResidualIndex(e,
+      nlist = 4, nsplit = 3)
+    assert(c1.count() == 4 && c2.count() == 3)
+    val rows = assign.select("neighbor_id", "cell", "sub").collect()
+    assert(rows.length == 400) // every vector assigned exactly once
+    assert(rows.map(_.getLong(0)).distinct.length == 400)
+    val cellSizes = rows.groupBy(r => (r.getLong(1), r.getLong(2)))
+      .map(_._2.length)
+    val coarseSizes = rows.groupBy(_.getLong(1)).map(_._2.length)
+    // the split strictly refines the coarse partition: the largest
+    // composite cell is smaller than the largest coarse cell
+    assert(cellSizes.max < coarseSizes.max,
+      s"split did not refine: ${cellSizes.max} vs ${coarseSizes.max}")
+    // probing the built index matches the fused build+probe path
+    val viaIndex = Similarity.ivfResidualTopKIndexed(
+      e.filter(col("vec_id") < 5), c1, c2, assign, k = 3)
+      .collect().map(_.toString).toSeq
+    val fused = Similarity.ivfResidualTopK(
+      e.filter(col("vec_id") < 5), e, k = 3, nlist = 4, nsplit = 3)
+      .collect().map(_.toString).toSeq
+    assert(viaIndex == fused)
+  }
+
   test("sign patterns are pairwise-independent (the degeneracy probe)") {
     // the historic affine parity made every pattern ± one vector: any
     // two tables' bucket partitions coincided. Probe: at nproj=1 the
