@@ -598,6 +598,186 @@ object LlmQueries {
       s"trim(replace(replace(' ' || $x || ' ', $f, $t), $f, $t))"
     }
 
+  // ------------------------------------------------------------------
+  // Parameterized oracle builders (round-10 directive #5): each builder
+  // generalizes the pinned oracle string it replaced — the pinned map
+  // entries below call these at the pinned parameters, and the LLM fuzz
+  // corpus (graft.fuzz.LlmFuzzSeed) calls the same builders across a
+  // parameter grid, so the pinned oracle and the fuzz replay can never
+  // drift apart.
+  // ------------------------------------------------------------------
+
+  /** `toks[i] || ' ' || toks[i+1] || …` — an s-token shingle. s ≥ 2. */
+  private def shingleTerm(s: Int): String =
+    (0 until s).map(j => if (j == 0) "toks[i]" else s"toks[i+$j]")
+      .mkString(" || ' ' || ")
+
+  /** Tokenize + distinct s-shingle CTEs (t, s) over documents. */
+  private def shingleCte(s: Int): String =
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+      s"s AS (SELECT doc_id, CASE WHEN len(toks) < $s THEN list_distinct(toks) " +
+      s"ELSE list_distinct([${shingleTerm(s)} " +
+      s"FOR i IN range(1, len(toks) - ${s - 2})]) END AS sh FROM t), "
+
+  /** Exhaustive-Jaccard near-dup replica at shingle size `s`, threshold
+    * `theta` (valid wherever the LSH banding achieves full recall —
+    * near-identical planted duplicates; the fuzz grid pins thresholds
+    * where that holds and the differential itself verifies it). */
+  private[graft] def nearDupPairsSql(s: Int, theta: Double): String =
+    shingleCte(s) +
+      "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+      "FLOOR(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
+      "len(list_distinct(list_concat(a.sh, b.sh))) * 10000 + 0.5) / 10000 AS jaccard " +
+      "FROM s a JOIN s b ON a.doc_id < b.doc_id) " +
+      s"SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= $theta " +
+      "ORDER BY doc_a, doc_b"
+
+  /** MOSS winnowing replica: k-gram sha-derived hashes, window-w min
+    * with rightmost-min position rule. */
+  private[graft] def winnowSql(k: Int, w: Int): String =
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+      "h AS (SELECT doc_id, [CAST(CONCAT('0x', SUBSTR(sha256(" +
+      s"array_to_string(list_slice(toks, i, i + ${k - 1}), ' ')), 1, 15)) AS BIGINT) " +
+      s"FOR i IN range(1, len(toks) - ${k - 2})] AS hs FROM t), " +
+      "f0 AS (SELECT doc_id, [struct_pack(" +
+      s"pos := j + len(list_slice(hs, j, j + ${w - 1})) - " +
+      s"list_position(list_reverse(list_slice(hs, j, j + ${w - 1})), " +
+      s"list_min(list_slice(hs, j, j + ${w - 1}))), " +
+      s"fp := list_min(list_slice(hs, j, j + ${w - 1}))) " +
+      s"FOR j IN range(1, greatest(len(hs) - ${w - 1}, 1) + 1)] AS fps " +
+      "FROM h WHERE len(hs) > 0), " +
+      "f AS (SELECT DISTINCT doc_id, s.pos AS pos, s.fp AS fp " +
+      "FROM (SELECT doc_id, unnest(fps) AS s FROM f0)) " +
+      "SELECT doc_id, CAST(pos AS BIGINT) AS pos, fp FROM f " +
+      "ORDER BY doc_id, pos, fp"
+
+  /** Winnow overlap report: distinct (doc, fp) meet on fp, ≥ minShared. */
+  private[graft] def winnowMatchesSql(k: Int, w: Int, minShared: Int): String =
+    s"""WITH fr AS (${winnowSql(k, w)}), """ +
+      "d AS (SELECT DISTINCT doc_id, fp FROM fr), " +
+      "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+      "CAST(COUNT(*) AS BIGINT) AS n_shared " +
+      "FROM d a JOIN d b ON a.fp = b.fp AND a.doc_id < b.doc_id " +
+      "GROUP BY 1, 2) " +
+      s"SELECT doc_a, doc_b, n_shared FROM p WHERE n_shared >= $minShared " +
+      "ORDER BY doc_a, doc_b"
+
+  /** Containment ground truth: exhaustive space-padded substring test,
+    * inner side ≥ w + k − 1 tokens (the winnowing recall domain). */
+  private[graft] def containmentSql(k: Int, w: Int): String =
+    "SELECT a.doc_id AS inner_id, b.doc_id AS outer_id " +
+      "FROM documents a, documents b " +
+      "WHERE a.doc_id <> b.doc_id AND LENGTH(a.text) < LENGTH(b.text) " +
+      s"AND LENGTH(a.text) - LENGTH(REPLACE(a.text, ' ', '')) + 1 >= ${w + k - 1} " +
+      "AND CONTAINS(' ' || b.text || ' ', ' ' || a.text || ' ') " +
+      "ORDER BY inner_id, outer_id"
+
+  /** Brute-force cosine top-k replica over the first nq query vectors. */
+  private[graft] def annCosineSql(k: Int, nq: Int): String =
+    "WITH q AS (SELECT vec_id AS query_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS qe " +
+      s"FROM embeddings WHERE vec_id < $nq), " +
+      "c AS (SELECT vec_id AS neighbor_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS ce " +
+      "FROM embeddings), " +
+      "s AS (SELECT query_id, neighbor_id, LIST_INNER_PRODUCT(qe, ce) AS raw_dot FROM q CROSS JOIN c), " +
+      "rk AS (SELECT query_id, neighbor_id, " +
+      "CAST(ROW_NUMBER() OVER (PARTITION BY query_id " +
+      "ORDER BY FLOOR(raw_dot * 1000000 + 0.5) / 1000000 DESC, neighbor_id) AS INTEGER) AS rank, " +
+      "FLOOR(raw_dot * 10000 + 0.5) / 10000 AS sim FROM s) " +
+      s"SELECT query_id, neighbor_id, rank, sim FROM rk WHERE rank <= $k " +
+      "ORDER BY query_id, rank"
+
+  /** Strided-IVF replica. `stride = 0` replays the adaptive ladder (the
+    * pinned form); an explicit stride pins the centroid subset. */
+  private[graft] def annIvfSql(stride: Int, nProbe: Int, k: Int): String = {
+    val centsCte =
+      if (stride > 0)
+        s"cents AS (SELECT vec_id AS cid, xv AS cv FROM x WHERE vec_id % $stride = 0), "
+      else
+        "st AS (SELECT CASE WHEN n < 5000 THEN 31 WHEN n < 20000 THEN 62 WHEN n < 80000 THEN 124 " +
+          "WHEN n < 320000 THEN 248 WHEN n < 1280000 THEN 496 WHEN n < 5120000 THEN 992 " +
+          "WHEN n < 20480000 THEN 1984 WHEN n < 81920000 THEN 3968 ELSE 7936 END AS s " +
+          "FROM (SELECT COUNT(*) AS n FROM embeddings) c), " +
+          "cents AS (SELECT vec_id AS cid, xv AS cv FROM x CROSS JOIN st WHERE vec_id % st.s = 0), "
+    "WITH x AS (SELECT vec_id, LIST_TRANSFORM(embedding, v -> CAST(v AS DOUBLE)) AS xv " +
+      "FROM embeddings), " +
+      centsCte +
+      "asg AS (SELECT vec_id AS neighbor_id, cid AS cell FROM " +
+      "(SELECT x.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY x.vec_id " +
+      "ORDER BY FLOOR(LIST_DISTANCE(x.xv, c.cv) * 1000000 + 0.5) / 1000000, c.cid) AS rn " +
+      "FROM x CROSS JOIN cents c) q WHERE rn = 1), " +
+      "qc AS (SELECT query_id, cell FROM " +
+      "(SELECT x.vec_id AS query_id, c.cid AS cell, ROW_NUMBER() OVER (PARTITION BY x.vec_id " +
+      "ORDER BY FLOOR(LIST_DISTANCE(x.xv, c.cv) * 1000000 + 0.5) / 1000000, c.cid) AS rn " +
+      s"FROM x CROSS JOIN cents c WHERE x.vec_id < 10) q WHERE rn <= $nProbe), " +
+      "s AS (SELECT qc.query_id, asg.neighbor_id, " +
+      "LIST_INNER_PRODUCT(qx.xv, nx.xv) AS raw_dot " +
+      "FROM qc JOIN asg ON asg.cell = qc.cell " +
+      "JOIN x qx ON qx.vec_id = qc.query_id JOIN x nx ON nx.vec_id = asg.neighbor_id), " +
+      "rk AS (SELECT query_id, neighbor_id, " +
+      "CAST(ROW_NUMBER() OVER (PARTITION BY query_id " +
+      "ORDER BY FLOOR(raw_dot * 1000000 + 0.5) / 1000000 DESC, neighbor_id) AS INTEGER) AS rank, " +
+      "FLOOR(raw_dot * 10000 + 0.5) / 10000 AS sim FROM s) " +
+      s"SELECT query_id, neighbor_id, rank, sim FROM rk WHERE rank <= $k " +
+      "ORDER BY query_id, rank"
+  }
+
+  /** Sign-LSH embedding near-dup replica. `nproj = 0` replays the
+    * adaptive projection ladder with the pinned 3 tables (the pinned
+    * form); explicit nproj pins projections/width/tables. */
+  private[graft] def embedDedupSql(nproj: Int, w: Double, tau: Double,
+      numTables: Int): String = {
+    val sgnCte = (uMax: Int) =>
+      "sgn AS (SELECT u, LIST(CASE WHEN ((((48271 * (u * 1024 + j) + 11) % 2147483647) * " +
+        "((69621 * (u * 1024 + j) + 101) % 2147483647)) % 2147483647) % 2 = 0 " +
+        "THEN -1.0 ELSE 1.0 END ORDER BY j) AS sv " +
+        s"FROM generate_series(0, $uMax) g1(u), generate_series(0, 63) g2(j) GROUP BY u), "
+    val blocking =
+      if (nproj > 0)
+        sgnCte(numTables * nproj - 1) +
+          "fl AS (SELECT x.vec_id, gt.t, gi.i, " +
+          s"GREATEST(LEAST(CAST(FLOOR(LIST_INNER_PRODUCT(x.xv, s.sv) / $w) AS BIGINT) + 32, 63), 0) AS f " +
+          s"FROM x CROSS JOIN generate_series(0, ${numTables - 1}) gt(t) " +
+          s"CROSS JOIN generate_series(0, ${nproj - 1}) gi(i) JOIN sgn s ON s.u = gt.t + $numTables * gi.i), "
+      else
+        "hh AS (SELECT CASE WHEN n < 1200 THEN 1 WHEN n < 2400 THEN 2 WHEN n < 4800 THEN 3 " +
+          "WHEN n < 9600 THEN 4 WHEN n < 19200 THEN 5 WHEN n < 38400 THEN 6 " +
+          "WHEN n < 76800 THEN 7 WHEN n < 153600 THEN 8 WHEN n < 307200 THEN 9 " +
+          "ELSE 10 END AS h FROM (SELECT COUNT(*) AS n FROM embeddings) c), " +
+          sgnCte(29) +
+          "fl AS (SELECT x.vec_id, gt.t, gi.i, " +
+          s"GREATEST(LEAST(CAST(FLOOR(LIST_INNER_PRODUCT(x.xv, s.sv) / $w) AS BIGINT) + 32, 63), 0) AS f " +
+          s"FROM x CROSS JOIN hh CROSS JOIN generate_series(0, ${numTables - 1}) gt(t) " +
+          s"CROSS JOIN generate_series(0, 9) gi(i) JOIN sgn s ON s.u = gt.t + $numTables * gi.i " +
+          "WHERE gi.i < hh.h), "
+    "WITH x AS (SELECT vec_id, LIST_TRANSFORM(embedding, v -> CAST(v AS DOUBLE)) AS xv " +
+      "FROM embeddings), " +
+      blocking +
+      "bk AS (SELECT vec_id, t, LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT), " +
+      "LIST(f ORDER BY i)), (acc, v) -> acc * 64 + v) AS b FROM fl GROUP BY vec_id, t), " +
+      "cand AS (SELECT DISTINCT a.vec_id AS doc_a, b2.vec_id AS doc_b " +
+      "FROM bk a JOIN bk b2 ON a.t = b2.t AND a.b = b2.b AND a.vec_id < b2.vec_id), " +
+      "v AS (SELECT doc_a, doc_b, LIST_INNER_PRODUCT(xa.xv, xb.xv) / " +
+      "(SQRT(LIST_INNER_PRODUCT(xa.xv, xa.xv)) * SQRT(LIST_INNER_PRODUCT(xb.xv, xb.xv))) AS c " +
+      "FROM cand JOIN x xa ON xa.vec_id = doc_a JOIN x xb ON xb.vec_id = doc_b) " +
+      s"SELECT doc_a, doc_b, FLOOR(c * 10000 + 0.5) / 10000 AS cos_sim " +
+      s"FROM v WHERE c >= $tau ORDER BY doc_a, doc_b"
+  }
+
+  /** SimHash Hamming-band pair replica at the given radius (≤ 3: the
+    * 4×15-bit pigeonhole blocking is exact there). `skSql` is the
+    * simhash sketch oracle to embed (base("llm_simhash")). */
+  private[graft] def simhashPairsSql(skSql: String, maxHamming: Int): String =
+    s"""WITH sk AS ($skSql), """ +
+      "b AS (SELECT doc_id, simhash, i AS band, " +
+      "(simhash >> (15 * i)) & 32767 AS bkey " +
+      "FROM sk, generate_series(0, 3) g(i)), " +
+      "p AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b, " +
+      "CAST(bit_count(xor(a.simhash, c.simhash)) AS BIGINT) AS hamming " +
+      "FROM b a JOIN b c ON a.band = c.band AND a.bkey = c.bkey " +
+      "AND a.doc_id < c.doc_id) " +
+      s"SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= $maxHamming " +
+      "ORDER BY doc_a, doc_b"
+
   val oracle: Map[String, String] = {
     val base = Map(
     "llm_text_stats" ->
@@ -609,18 +789,7 @@ object LlmQueries {
     "llm_dedup_exact" ->
       ("SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt " +
         "FROM documents GROUP BY text ORDER BY keep_id"),
-    "llm_ann_cosine" ->
-      ("WITH q AS (SELECT vec_id AS query_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS qe " +
-        "FROM embeddings WHERE vec_id < 10), " +
-        "c AS (SELECT vec_id AS neighbor_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS ce " +
-        "FROM embeddings), " +
-        "s AS (SELECT query_id, neighbor_id, LIST_INNER_PRODUCT(qe, ce) AS raw_dot FROM q CROSS JOIN c), " +
-        "rk AS (SELECT query_id, neighbor_id, " +
-        "CAST(ROW_NUMBER() OVER (PARTITION BY query_id " +
-        "ORDER BY FLOOR(raw_dot * 1000000 + 0.5) / 1000000 DESC, neighbor_id) AS INTEGER) AS rank, " +
-        "FLOOR(raw_dot * 10000 + 0.5) / 10000 AS sim FROM s) " +
-        "SELECT query_id, neighbor_id, rank, sim FROM rk WHERE rank <= 5 " +
-        "ORDER BY query_id, rank"),
+    "llm_ann_cosine" -> annCosineSql(k = 5, nq = 10),
     // the TopKJoin plan node is exact — same defining SQL as the
     // declarative brute-force path
     "llm_ann_native" ->
@@ -766,17 +935,7 @@ object LlmQueries {
     // the LSH banding achieves full recall at threshold 0.5 on this
     // corpus (duplicates are near-identical), so the verified output
     // equals the exhaustive Jaccard≥0.5 pair set
-    "llm_near_dup_pairs" ->
-      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
-        "s AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN list_distinct(toks) " +
-        "ELSE list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] " +
-        "FOR i IN range(1, len(toks) - 1)]) END AS sh FROM t), " +
-        "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
-        "FLOOR(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
-        "len(list_distinct(list_concat(a.sh, b.sh))) * 10000 + 0.5) / 10000 AS jaccard " +
-        "FROM s a JOIN s b ON a.doc_id < b.doc_id) " +
-        "SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.5 " +
-        "ORDER BY doc_a, doc_b"),
+    "llm_near_dup_pairs" -> nearDupPairsSql(s = 3, theta = 0.5),
     // incremental ingestion replicas: exhaustive cross-Jaccard between
     // the % 5 == 0 incoming batch and the rest (full-recall LSH, same
     // justification as llm_near_dup_pairs)
@@ -1183,32 +1342,7 @@ object LlmQueries {
     // IVF replica: same strided centroids, ROW_NUMBER argmin assignment
     // on 1e-6-rounded LIST_DISTANCE (the tiebreak order Spark's
     // min(struct) uses), probe join, dot-product rank
-    "llm_ann_ivf" ->
-      ("WITH x AS (SELECT vec_id, LIST_TRANSFORM(embedding, v -> CAST(v AS DOUBLE)) AS xv " +
-        "FROM embeddings), " +
-        "st AS (SELECT CASE WHEN n < 5000 THEN 31 WHEN n < 20000 THEN 62 WHEN n < 80000 THEN 124 " +
-        "WHEN n < 320000 THEN 248 WHEN n < 1280000 THEN 496 WHEN n < 5120000 THEN 992 " +
-        "WHEN n < 20480000 THEN 1984 WHEN n < 81920000 THEN 3968 ELSE 7936 END AS s " +
-        "FROM (SELECT COUNT(*) AS n FROM embeddings) c), " +
-        "cents AS (SELECT vec_id AS cid, xv AS cv FROM x CROSS JOIN st WHERE vec_id % st.s = 0), " +
-        "asg AS (SELECT vec_id AS neighbor_id, cid AS cell FROM " +
-        "(SELECT x.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY x.vec_id " +
-        "ORDER BY FLOOR(LIST_DISTANCE(x.xv, c.cv) * 1000000 + 0.5) / 1000000, c.cid) AS rn " +
-        "FROM x CROSS JOIN cents c) q WHERE rn = 1), " +
-        "qc AS (SELECT query_id, cell FROM " +
-        "(SELECT x.vec_id AS query_id, c.cid AS cell, ROW_NUMBER() OVER (PARTITION BY x.vec_id " +
-        "ORDER BY FLOOR(LIST_DISTANCE(x.xv, c.cv) * 1000000 + 0.5) / 1000000, c.cid) AS rn " +
-        "FROM x CROSS JOIN cents c WHERE x.vec_id < 10) q WHERE rn <= 4), " +
-        "s AS (SELECT qc.query_id, asg.neighbor_id, " +
-        "LIST_INNER_PRODUCT(qx.xv, nx.xv) AS raw_dot " +
-        "FROM qc JOIN asg ON asg.cell = qc.cell " +
-        "JOIN x qx ON qx.vec_id = qc.query_id JOIN x nx ON nx.vec_id = asg.neighbor_id), " +
-        "rk AS (SELECT query_id, neighbor_id, " +
-        "CAST(ROW_NUMBER() OVER (PARTITION BY query_id " +
-        "ORDER BY FLOOR(raw_dot * 1000000 + 0.5) / 1000000 DESC, neighbor_id) AS INTEGER) AS rank, " +
-        "FLOOR(raw_dot * 10000 + 0.5) / 10000 AS sim FROM s) " +
-        "SELECT query_id, neighbor_id, rank, sim FROM rk WHERE rank <= 5 " +
-        "ORDER BY query_id, rank"),
+    "llm_ann_ivf" -> annIvfSql(stride = 0, nProbe = 4, k = 5),
     // PQ-ADC replica: strided 16-codeword codebook per 16-dim subspace,
     // ROW_NUMBER argmin encoding on 1e-6-rounded subspace LIST_DISTANCE
     // (Spark's array_position-of-min tiebreak order), then the ADC score
@@ -1400,31 +1534,8 @@ object LlmQueries {
     // floors mirrors signBucketsExpr) → pair candidates → exact cosine
     // (same multiply/divide order as the Spark-side cosine:
     // dot / (norm_a * norm_b))
-    "llm_embed_dedup" ->
-      ("WITH x AS (SELECT vec_id, LIST_TRANSFORM(embedding, v -> CAST(v AS DOUBLE)) AS xv " +
-        "FROM embeddings), " +
-        "hh AS (SELECT CASE WHEN n < 1200 THEN 1 WHEN n < 2400 THEN 2 WHEN n < 4800 THEN 3 " +
-        "WHEN n < 9600 THEN 4 WHEN n < 19200 THEN 5 WHEN n < 38400 THEN 6 " +
-        "WHEN n < 76800 THEN 7 WHEN n < 153600 THEN 8 WHEN n < 307200 THEN 9 " +
-        "ELSE 10 END AS h FROM (SELECT COUNT(*) AS n FROM embeddings) c), " +
-        "sgn AS (SELECT u, LIST(CASE WHEN ((((48271 * (u * 1024 + j) + 11) % 2147483647) * " +
-        "((69621 * (u * 1024 + j) + 101) % 2147483647)) % 2147483647) % 2 = 0 " +
-        "THEN -1.0 ELSE 1.0 END ORDER BY j) AS sv " +
-        "FROM generate_series(0, 29) g1(u), generate_series(0, 63) g2(j) GROUP BY u), " +
-        "fl AS (SELECT x.vec_id, gt.t, gi.i, " +
-        "GREATEST(LEAST(CAST(FLOOR(LIST_INNER_PRODUCT(x.xv, s.sv) / 2.0) AS BIGINT) + 32, 63), 0) AS f " +
-        "FROM x CROSS JOIN hh CROSS JOIN generate_series(0, 2) gt(t) " +
-        "CROSS JOIN generate_series(0, 9) gi(i) JOIN sgn s ON s.u = gt.t + 3 * gi.i " +
-        "WHERE gi.i < hh.h), " +
-        "bk AS (SELECT vec_id, t, LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT), " +
-        "LIST(f ORDER BY i)), (acc, v) -> acc * 64 + v) AS b FROM fl GROUP BY vec_id, t), " +
-        "cand AS (SELECT DISTINCT a.vec_id AS doc_a, b2.vec_id AS doc_b " +
-        "FROM bk a JOIN bk b2 ON a.t = b2.t AND a.b = b2.b AND a.vec_id < b2.vec_id), " +
-        "v AS (SELECT doc_a, doc_b, LIST_INNER_PRODUCT(xa.xv, xb.xv) / " +
-        "(SQRT(LIST_INNER_PRODUCT(xa.xv, xa.xv)) * SQRT(LIST_INNER_PRODUCT(xb.xv, xb.xv))) AS c " +
-        "FROM cand JOIN x xa ON xa.vec_id = doc_a JOIN x xb ON xb.vec_id = doc_b) " +
-        "SELECT doc_a, doc_b, FLOOR(c * 10000 + 0.5) / 10000 AS cos_sim " +
-        "FROM v WHERE c >= 0.4 ORDER BY doc_a, doc_b"),
+    "llm_embed_dedup" -> embedDedupSql(nproj = 0, w = 2.0, tau = 0.4,
+      numTables = 3),
     // asymmetric twin of llm_embed_dedup: identical blocking + verify,
     // candidates restricted to (batch slice) x (corpus remainder)
     "llm_incr_embed_dedup" ->
@@ -1569,21 +1680,7 @@ object LlmQueries {
     // standing in for Spark's per-row array_distinct (a (pos, fp) pair
     // can only repeat within one doc). In base so the matches oracle
     // composes on it verbatim.
-    "llm_winnow" ->
-      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
-        "h AS (SELECT doc_id, [CAST(CONCAT('0x', SUBSTR(sha256(" +
-        "array_to_string(list_slice(toks, i, i + 2), ' ')), 1, 15)) AS BIGINT) " +
-        "FOR i IN range(1, len(toks) - 1)] AS hs FROM t), " +
-        "f0 AS (SELECT doc_id, [struct_pack(" +
-        "pos := j + len(list_slice(hs, j, j + 3)) - " +
-        "list_position(list_reverse(list_slice(hs, j, j + 3)), list_min(list_slice(hs, j, j + 3))), " +
-        "fp := list_min(list_slice(hs, j, j + 3))) " +
-        "FOR j IN range(1, greatest(len(hs) - 3, 1) + 1)] AS fps " +
-        "FROM h WHERE len(hs) > 0), " +
-        "f AS (SELECT DISTINCT doc_id, s.pos AS pos, s.fp AS fp " +
-        "FROM (SELECT doc_id, unnest(fps) AS s FROM f0)) " +
-        "SELECT doc_id, CAST(pos AS BIGINT) AS pos, fp FROM f " +
-        "ORDER BY doc_id, pos, fp"))
+    "llm_winnow" -> winnowSql(k = 3, w = 4))
     // curation replica composed from the three verified operator oracles
     // — nested WITH is legal inside a DuckDB CTE body, so each piece
     // embeds verbatim and stays in lock-step with its standalone entry
@@ -1677,17 +1774,7 @@ object LlmQueries {
         "ORDER BY stage_id")) +
     // band-blocked simhash pairs: the sketch CTE embeds the verified
     // llm_simhash oracle verbatim; 4 bands x 15 bits, bit_count verify
-    ("llm_simhash_pairs" ->
-      (s"""WITH sk AS (${base("llm_simhash")}), """ +
-        "b AS (SELECT doc_id, simhash, i AS band, " +
-        "(simhash >> (15 * i)) & 32767 AS bkey " +
-        "FROM sk, generate_series(0, 3) g(i)), " +
-        "p AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b, " +
-        "CAST(bit_count(xor(a.simhash, c.simhash)) AS BIGINT) AS hamming " +
-        "FROM b a JOIN b c ON a.band = c.band AND a.bkey = c.bkey " +
-        "AND a.doc_id < c.doc_id) " +
-        "SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 3 " +
-        "ORDER BY doc_a, doc_b")) +
+    ("llm_simhash_pairs" -> simhashPairsSql(base("llm_simhash"), maxHamming = 3)) +
     // recall replica: both ANN oracles embed verbatim, the metric is the
     // per-query hit fraction averaged over the exact side's queries
     ("llm_ann_recall" ->
@@ -2024,24 +2111,10 @@ object LlmQueries {
     // guarantee gives full recall. Equality holds BY CONSTRUCTION, not
     // by the data happening to lack short contained docs; the
     // padded-substring verify is exact on both engines.
-    ("llm_containment" ->
-      ("SELECT a.doc_id AS inner_id, b.doc_id AS outer_id " +
-        "FROM documents a, documents b " +
-        "WHERE a.doc_id <> b.doc_id AND LENGTH(a.text) < LENGTH(b.text) " +
-        "AND LENGTH(a.text) - LENGTH(REPLACE(a.text, ' ', '')) + 1 >= 6 " +
-        "AND CONTAINS(' ' || b.text || ' ', ' ' || a.text || ' ') " +
-        "ORDER BY inner_id, outer_id")) +
+    ("llm_containment" -> containmentSql(k = 3, w = 4)) +
     // the overlap report: distinct (doc, fp) pairs meet on the
     // fingerprint value, >= 5 shared values per pair
-    ("llm_winnow_matches" ->
-      (s"""WITH fr AS (${base("llm_winnow")}), """ +
-        "d AS (SELECT DISTINCT doc_id, fp FROM fr), " +
-        "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
-        "CAST(COUNT(*) AS BIGINT) AS n_shared " +
-        "FROM d a JOIN d b ON a.fp = b.fp AND a.doc_id < b.doc_id " +
-        "GROUP BY 1, 2) " +
-        "SELECT doc_a, doc_b, n_shared FROM p WHERE n_shared >= 5 " +
-        "ORDER BY doc_a, doc_b")) +
+    ("llm_winnow_matches" -> winnowMatchesSql(k = 3, w = 4, minShared = 5)) +
     // bigram perplexity replica: bigram/unigram type counts from the en
     // slice, per-TYPE micro-unit costs (pair seen -> prefix-conditional;
     // pair unseen -> prefix fallback; prefix unseen -> V+1 constant),

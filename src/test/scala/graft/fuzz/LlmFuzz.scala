@@ -1,0 +1,135 @@
+package graft.fuzz
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Dedup, LlmQueries, Similarity}
+import graft.sources.Tables
+
+/** Parameter-grid differential fuzz over the LLM operator surface
+  * (round-10 directive #5): every case pairs a DSL invocation with the
+  * SAME parameterized oracle builder the pinned query uses
+  * (LlmQueries.winnowSql / containmentSql / annCosineSql / annIvfSql /
+  * embedDedupSql / simhashPairsSql / nearDupPairsSql), so the pinned
+  * oracle and the fuzz replay share one SQL-generation path. The grid is
+  * PINNED (no RNG — the parameters ARE the corpus); expectations are
+  * committed DuckDB hashes in src/test/resources/llm_fuzz_expected.json.
+  *
+  * Regenerating:
+  *   sbt "Test/runMain graft.fuzz.LlmFuzzDump /tmp/llm_fuzz.json"
+  *   python3 tools/fuzz_expected.py /tmp/llm_fuzz.json \
+  *     /root/testdata/sf0.001 src/test/resources/llm_fuzz_expected.json
+  *
+  * Grid-validity notes:
+  *  - winnow/matches/containment/ann/simhash/embed cases are EXACT
+  *    replicas at any parameters (the oracle replays blocking + verify).
+  *  - near-dup Jaccard cases rely on LSH full recall at the pinned
+  *    (shingle, threshold) points; thresholds stay ≥ 0.5 where the
+  *    32-hash/4-row banding's S-curve makes misses vanishingly unlikely
+  *    on the planted near-identical duplicates — and the differential
+  *    itself fails loudly if recall ever drops.
+  */
+object LlmFuzzSeed {
+
+  final case class LlmCase(id: String, sql: String,
+      run: (SparkSession, String) => DataFrame)
+
+  private def docs(s: SparkSession, d: String) = Tables(s, d, "documents")
+  private def emb(s: SparkSession, d: String) = Tables(s, d, "embeddings")
+
+  lazy val cases: Seq[LlmCase] = {
+    val winnow = for {
+      k <- Seq(2, 3, 5); w <- Seq(2, 4, 6, 8)
+    } yield LlmCase(s"lfz_winnow_k${k}_w$w",
+      LlmQueries.winnowSql(k, w),
+      (s, d) => Dedup.winnow(docs(s, d), k, w))
+
+    val matches = Seq((2, 4, 3), (3, 4, 2), (3, 6, 2), (5, 3, 2),
+      (4, 4, 4), (3, 8, 2)).map { case (k, w, m) =>
+      LlmCase(s"lfz_winmatch_k${k}_w${w}_m$m",
+        LlmQueries.winnowMatchesSql(k, w, m),
+        (s, d) => Dedup.winnowMatches(docs(s, d), k, w, m))
+    }
+
+    val containment = Seq((2, 3), (3, 3), (4, 5), (2, 5), (3, 6))
+      .map { case (k, w) =>
+        LlmCase(s"lfz_contain_k${k}_w$w",
+          LlmQueries.containmentSql(k, w),
+          (s, d) => Dedup.containmentPairs(docs(s, d), k, w))
+      }
+
+    val brute = Seq((1, 10), (3, 5), (7, 12), (10, 3), (5, 20))
+      .map { case (k, nq) =>
+        LlmCase(s"lfz_brute_k${k}_q$nq",
+          LlmQueries.annCosineSql(k, nq),
+          (s, d) => {
+            val e = emb(s, d)
+            Similarity.bruteForceTopK(
+              e.filter(col("vec_id") < nq), e, k)
+          })
+      }
+
+    val ivf = (for {
+      stride <- Seq(17, 31, 63, 101); nProbe <- Seq(2, 4)
+    } yield (stride, nProbe, 5)) ++ Seq((31, 3, 3), (63, 5, 3))
+    val annIvf = ivf.map { case (stride, nProbe, k) =>
+      LlmCase(s"lfz_ivf_s${stride}_p${nProbe}_k$k",
+        LlmQueries.annIvfSql(stride, nProbe, k),
+        (s, d) => {
+          val e = emb(s, d)
+          Similarity.ivfTopK(e.filter(col("vec_id") < 10), e, k,
+            centroidStride = stride, nProbe = nProbe)
+        })
+    }
+
+    val embed = Seq(
+      (1, 2.0, 0.4, 3), (2, 2.0, 0.4, 3), (3, 2.0, 0.3, 3),
+      (2, 1.0, 0.5, 3), (2, 4.0, 0.4, 3), (4, 2.0, 0.4, 2),
+      (1, 2.0, 0.2, 4), (3, 3.0, 0.35, 3)).map { case (np, w, tau, nt) =>
+      LlmCase(s"lfz_embed_h${np}_w${w}_t${tau}_n$nt",
+        LlmQueries.embedDedupSql(np, w, tau, nt),
+        (s, d) => Similarity.cosineNearDupPairs(emb(s, d), tau,
+          bucketLength = w, numTables = nt, dim = 64, nproj = np))
+    }
+
+    val simhash = Seq(0, 1, 2, 3).map { mh =>
+      LlmCase(s"lfz_simhash_h$mh",
+        LlmQueries.simhashPairsSql(LlmQueries.oracle("llm_simhash"), mh),
+        (s, d) => Dedup.simHashNearDupPairs(docs(s, d),
+          Dedup.sha2TokenHash, maxHamming = mh))
+    }
+
+    val nearDup = Seq((2, 0.5), (3, 0.5), (4, 0.5), (2, 0.7),
+      (3, 0.7), (4, 0.7), (3, 0.6)).map { case (sh, theta) =>
+      LlmCase(s"lfz_neardup_s${sh}_t$theta",
+        LlmQueries.nearDupPairsSql(sh, theta),
+        (s, d) => Dedup.nearDupPairs(docs(s, d), shingleSize = sh,
+          threshold = theta))
+    }
+
+    winnow ++ matches ++ containment ++ brute ++ annIvf ++ embed ++
+      simhash ++ nearDup
+  }
+}
+
+/** Dumps the LLM fuzz corpus SQL for tools/fuzz_expected.py.
+  * Run: sbt "Test/runMain graft.fuzz.LlmFuzzDump <out.json>". */
+object LlmFuzzDump {
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("/tmp/llm_fuzz.json")
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = LlmFuzzSeed.cases
+      .map(c => s"${q(c.id)}: ${q(c.sql)}")
+      .mkString("{\n", ",\n", "\n}")
+    Files.writeString(Paths.get(out), json)
+    println(s"wrote ${LlmFuzzSeed.cases.size} cases to $out")
+  }
+}
