@@ -60,9 +60,15 @@ object Unsupervised {
         zip_with(xd, typedLit(c.toSeq), (x, cc) => (x - cc) * (x - cc)),
         lit(0.0), (acc, v) => acc + v))
     def assignTo(cs: Array[Array[Double]]): DataFrame = {
-      val best = cs.zipWithIndex
-        .map { case (c, i) => struct(distTo(c).as("d"), lit(i).as("c")) }
-        .reduce((a, b) => when(a <= b, a).otherwise(b))
+      // array_min over (d, c) structs: the same lexicographic argmin the
+      // historic when(a <= b, a).otherwise(b) fold computed (compare d,
+      // tie-break on the center index), but with a LINEAR-size
+      // expression tree — the fold copied the accumulated tree into
+      // both branches, i.e. 2^k nodes, which exhausted a 24 GiB driver
+      // at k = 20 (round-10 probe). Bit-identical assignment: same raw
+      // distances, same comparison order.
+      val best = array_min(array(cs.zipWithIndex
+        .map { case (c, i) => struct(distTo(c).as("d"), lit(i).as("c")) }: _*))
       embeddings
         .select(col("vec_id"), xd.as("x"), best.getField("c").as("cluster"))
     }
