@@ -141,7 +141,6 @@ object Iterative {
   def kCore(spark: SparkSession, undirected: Graph[Double, Double],
       maxIter: Int = 50): DataFrame = {
     import spark.implicits._
-    import scala.collection.mutable.LongMap
     // graph attr = (est, prevEst): prev ≠ est ⇒ "changed last round" ⇒
     // incident edges carry a delta this round. prev = −1 seeds the full
     // first exchange. The O(degree) histogram is deliberately NOT in the
@@ -155,73 +154,105 @@ object Iterative {
     // est drops, mass above the new cap collapses into the cap bucket,
     // so a later delta from an unchanged neighbor u is addressable at
     // min(u's old value, current est).
-    var state: VertexRDD[(Int, LongMap[Int])] =
-      g.vertices.mapValues(a => (a._1, LongMap.empty[Int])).cache()
+    var state: VertexRDD[(Int, Array[Long])] =
+      g.vertices.mapValues(a => (a._1, Array.empty[Long])).cache()
+    // Delta messages travel as FLAT sorted (key, count) pair arrays —
+    // [k0, c0, k1, c1, …] — not LongMap: the message type crosses the
+    // aggregateMessages shuffle, and a generic Scala map rides the slow
+    // generic-object serializer while a primitive Array[Long] takes the
+    // fast primitive path. Round-10 profiling: the data-proportional
+    // part of kcore's per-round cost was message serialization, not
+    // peel work (×10 data, identical 17-round trajectory) — this is
+    // the term that scales with the corpus, so it is the one that must
+    // be cheap at 100 TB.
+    def mergePairs(a: Array[Long], b: Array[Long]): Array[Long] = {
+      val out = new Array[Long](a.length + b.length)
+      var ia = 0; var ib = 0; var io = 0
+      while (ia < a.length || ib < b.length) {
+        val ka = if (ia < a.length) a(ia) else Long.MaxValue
+        val kb = if (ib < b.length) b(ib) else Long.MaxValue
+        if (ka == kb) {
+          val c = a(ia + 1) + b(ib + 1)
+          if (c != 0L) { out(io) = ka; out(io + 1) = c; io += 2 }
+          ia += 2; ib += 2
+        } else if (ka < kb) {
+          out(io) = ka; out(io + 1) = a(ia + 1); io += 2; ia += 2
+        } else {
+          out(io) = kb; out(io + 1) = b(ib + 1); io += 2; ib += 2
+        }
+      }
+      if (io == out.length) out else java.util.Arrays.copyOf(out, io)
+    }
+    /** Collapse every key ≥ cap into the cap bucket (sorted input stays
+      * sorted; a zero collapsed sum drops the bucket). */
+    def capPairs(pairs: Array[Long], cap: Long): Array[Long] = {
+      var i = 0
+      while (i < pairs.length && pairs(i) < cap) i += 2
+      if (i >= pairs.length) pairs // nothing at or above the cap
+      else {
+        var capSum = 0L
+        var j = i
+        while (j < pairs.length) { capSum += pairs(j + 1); j += 2 }
+        if (capSum == 0L) java.util.Arrays.copyOf(pairs, i)
+        else {
+          val out = new Array[Long](i + 2)
+          System.arraycopy(pairs, 0, out, 0, i)
+          out(i) = cap
+          out(i + 1) = capSum
+          out
+        }
+      }
+    }
+    def delta(est: Int, prev: Int): Array[Long] =
+      if (prev < 0) Array(est.toLong, 1L)
+      else if (est.toLong < prev.toLong) // sorted by key; est < prev always
+        Array(est.toLong, 1L, prev.toLong, -1L)
+      else Array(prev.toLong, -1L, est.toLong, 1L)
     var changed = true
     var i = 0
     while (changed && i < maxIter) {
       // net count deltas keyed by the SENDER's uncapped estimate; the
-      // receiver caps at its own est on apply. Mutable merge: fold the
-      // smaller map into the larger in place.
-      val msgs = g.aggregateMessages[LongMap[Int]](
+      // receiver caps at its own est on apply.
+      val msgs = g.aggregateMessages[Array[Long]](
         ctx => {
           val (se, sp) = ctx.srcAttr
           val (de, dp) = ctx.dstAttr
-          if (se != sp) {
-            val d = LongMap(se.toLong -> 1)
-            if (sp >= 0) d(sp.toLong) = d.getOrElse(sp.toLong, 0) - 1
-            ctx.sendToDst(d)
-          }
-          if (de != dp) {
-            val d = LongMap(de.toLong -> 1)
-            if (dp >= 0) d(dp.toLong) = d.getOrElse(dp.toLong, 0) - 1
-            ctx.sendToSrc(d)
-          }
+          if (se != sp) ctx.sendToDst(delta(se, sp))
+          if (de != dp) ctx.sendToSrc(delta(de, dp))
         },
-        (a, b) => {
-          val (into, from) = if (a.size >= b.size) (a, b) else (b, a)
-          from.foreachEntry((k, v) => into(k) = into.getOrElse(k, 0) + v)
-          into
-        })
+        mergePairs)
       // convergence signal rides an accumulator inside the vertex
       // program, counted while the new state materializes anyway. Task
       // retries can only inflate the value; only the ==0 test matters.
       val moved = spark.sparkContext.longAccumulator(s"kcore-moved-$i")
-      val newState: VertexRDD[(Int, LongMap[Int])] =
+      val newState: VertexRDD[(Int, Array[Long])] =
         state.leftZipJoin(msgs) { case (_, (est, hist0), dOpt) =>
           dOpt match {
             case None => (est, hist0) // no delta ⇒ h-operator input unchanged
-            case Some(delta) =>
-              // clone-on-write: hist0 belongs to the cached previous
-              // round; mutating it would double-apply deltas on a task
-              // retry or lineage recompute
-              val hist = hist0.clone()
-              delta.foreachEntry { (k, c) =>
-                val ck = math.min(k, est.toLong)
-                val n = hist.getOrElse(ck, 0) + c
-                if (n == 0) hist.subtractOne(ck) else hist(ck) = n
-              }
+            case Some(pairs) =>
+              // no clone-on-write needed: capPairs/mergePairs allocate a
+              // fresh array, so the cached previous round's histogram is
+              // never mutated (retry/lineage-recompute safe). The
+              // histogram lives as the SAME flat sorted pair array shape
+              // as the messages — primitive cache footprint, array-copy
+              // instead of map-rehash per delta (the V-proportional GC
+              // churn the round-10 profile flagged).
+              val hist = mergePairs(hist0, capPairs(pairs, est.toLong))
               // h-operator: largest k with ≥ k neighbors of (capped) core ≥ k
               var k = est
               def countGe(k0: Long): Int = {
-                var s = 0
-                hist.foreachEntry((m, c) => if (m >= k0) s += c)
-                s
+                var s = 0L
+                var j = hist.length - 2
+                while (j >= 0 && hist(j) >= k0) { s += hist(j + 1); j -= 2 }
+                s.toInt
               }
               while (k > 0 && countGe(k.toLong) < k) k -= 1
               if (k != est) {
                 moved.add(1L)
-                // collapse mass above the new cap
-                var excess = 0
-                hist.foreachEntry((m, c) => if (m > k.toLong) excess += c)
-                if (excess != 0) {
-                  val over = hist.keysIterator.filter(_ > k.toLong).toArray
-                  over.foreach(hist.subtractOne)
-                  val n = hist.getOrElse(k.toLong, 0) + excess
-                  if (n == 0) hist.subtractOne(k.toLong) else hist(k.toLong) = n
-                }
-              }
-              (k, hist)
+                // collapse mass above the new cap (keys ≥ k fold into k —
+                // the k bucket itself is unchanged by the fold)
+                (k, capPairs(hist, k.toLong))
+              } else (k, hist)
           }
         }.cache()
       val next = g.outerJoinVertices(newState)((_, old, s) =>
@@ -231,6 +262,10 @@ object Iterative {
       // replicated view the next round's aggregateMessages reads.
       next.triplets.foreachPartition(_ => ())
       changed = moved.value > 0
+      // round-cost trace for the scale harness (SCALE_r10 directive #8
+      // profiling); env-gated so production runs stay silent
+      if (sys.env.contains("GRAFT_KCORE_TRACE"))
+        System.err.println(s"[kcore] round=$i moved=${moved.value}")
       state.unpersist(blocking = false)
       g.vertices.unpersist(blocking = false)
       g.edges.unpersist(blocking = false)
