@@ -355,12 +355,21 @@ object EventStreams {
       .select(col("ts"), col("new_id"), col("ea"),
         col("tb.t").as("t"), col("tb.b").as("b"))
     probe.join(bCor, Seq("t", "b"))
-      // dedup candidates BEFORE the verify join, as in the lexical probe
-      .dropDuplicatesWithinWatermark("new_id", "corpus_id")
       .join(corNorm, Seq("corpus_id"))
-      .select(col("new_id"), col("corpus_id"),
+      .select(col("ts"), col("new_id"), col("corpus_id"),
         (dotOf("ea", "eb") / (sqrt(dotOf("ea", "ea")) * col("nb"))).as("c"))
       .filter(col("c") >= tau)
+      // dedup AFTER the verify, unlike the lexical probe: sign-LSH
+      // candidate volume is ~hundreds of collisions per vector (the
+      // blocking is coarse by design), so a pre-verify
+      // dropDuplicatesWithinWatermark kept CANDIDATE pairs in the state
+      // store — measured ~554 state rows per input vector, 2.4 GB of
+      // state at 5,000 vectors/trigger (round-10 StreamScale). Deduping
+      // the VERIFIED pairs instead bounds state by the output (the
+      // actual near-dups inside the watermark) at the price of at most
+      // numTables redundant dot products per duplicate candidate —
+      // stateless compute, the right side of the trade at scale.
+      .dropDuplicatesWithinWatermark("new_id", "corpus_id")
       .select(col("new_id"), col("corpus_id"),
         (floor(col("c") * 10000 + 0.5) / 10000).as("cos_sim"))
   }
