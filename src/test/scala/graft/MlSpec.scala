@@ -172,8 +172,9 @@ class MlSpec extends AnyFunSuite {
       "ml_dbscan",
       "ml_prefixspan", "ml_lloyd_fixed",
       // value-verdict oracles whose companion-metric SELECT is DuckDB
-      // dialect (list fns / generate_series / unrolled CTE chains)
-      "ml_kmeans", "ml_pca", "ml_svd", "ml_als",
+      // dialect (list fns / generate_series / unrolled CTE chains;
+      // ml_spca/ml_lda gained UNNEST/string_split value rows in r10)
+      "ml_kmeans", "ml_pca", "ml_svd", "ml_als", "ml_spca", "ml_lda",
       // list-indexing (1-based in DuckDB) rule/eigen fixtures
       "ml_logreg_rule", "ml_svc_rule", "ml_dtree_rule", "ml_rf_rule",
       "ml_gbt_rule", "ml_dtree_reg_rule", "ml_rf_reg_rule",
