@@ -260,18 +260,42 @@ object Similarity {
     // spread). Fan out only when the eval count can repay the
     // exchange's fixed cost — n²/stride > 4M evals (the sf0.1 build is
     // 129k evals and measured FASTER unspread: 0.78 vs 1.0 s).
-    val d6 = floor(euclidExpr(spark, "ce", "cv") * 1e6 + 0.5) / 1e6
+    val d6i = floor(euclidExpr(spark, "ce", "cv") * 1e6 + 0.5).cast("long")
     val spread =
       if (n * (n / stride) > 4_000_000L) Dedup.fanOut(corpus) else corpus
     val assign = spread
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
       .join(cents)
       .groupBy("neighbor_id")
-      .agg(min(struct(d6.as("d"), col("cid"))).as("mc"),
-        first(col("ce")).as("ce"))
-      .select(col("neighbor_id"), col("ce"), col("mc.cid").as("cell"))
+      .agg(min(packedArgmin(d6i, col("cid"))).as("mp"))
+      // the embedding payload REJOINS by id after the argmin: carrying
+      // it through the aggregate (the historic first(ce)) forced a
+      // non-fixed-width buffer — see [[packedArgmin]]
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ce")), Seq("neighbor_id"))
+      .select(col("neighbor_id"), col("ce"), unpackId(col("mp")).as("cell"))
     (cents, assign)
   }
+
+  /** Packed argmin key: the build-side cell assignment aggregates
+    * n×nlist joined rows, and `min` over a STRUCT buffer cannot
+    * hash-aggregate (ObjectHashAggregate falls back to sort-based past
+    * its key threshold) — at 4.3M vectors × 4,096 centroids the
+    * resulting sort tried to spill the whole cross-product and filled
+    * the disk (round-10 wide-corpus probe; invisible at the pinned
+    * sizes, where the spill fit). Packing the (rounded-distance,
+    * id) order into ONE BIGINT makes the argmin a plain fixed-width
+    * `min`: HashAggregate with map-side partial collapse — nothing
+    * corpus×nlist-sized is ever sorted or spilled. Ordering is
+    * identical to the struct form (lexicographic (d6i, id), both
+    * non-negative). Bounds: id < 2^33 (8.6B — strided-cid vec_ids
+    * beyond that should use the trained path, whose ids are dense) and
+    * d6i clamped at 2^30−1 ≈ distance 1073.0 (far beyond any embedding
+    * distance this engine targets; ties at the clamp break by id). */
+  private def packedArgmin(d6i: Column, id: Column): Column =
+    least(d6i, lit((1L << 30) - 1)) * lit(1L << 33) + id
+
+  private def unpackId(packed: Column): Column = pmod(packed, lit(1L << 33))
 
   /** The distance-kernel identity of a session — which implementation
     * [[euclidExpr]] resolves to. Persisted with every written index
@@ -396,14 +420,16 @@ object Similarity {
     def dotOf(a: String, b: String): Column =
       if (spark.catalog.functionExists("graft_dot")) expr(s"graft_dot($a, $b)")
       else dot(col(a), col(b))
-    val d6 = floor(euclidToCent("ce") * 1e6 + 0.5) / 1e6
+    val d6i = floor(euclidToCent("ce") * 1e6 + 0.5).cast("long")
     val assign = corpus
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
       .join(cents)
       .groupBy("neighbor_id")
-      .agg(min(struct(d6.as("d"), col("cid"))).as("mc"),
-        first(col("ce")).as("ce"))
-      .select(col("neighbor_id"), col("ce"), col("mc.cid").as("cell"))
+      .agg(min(packedArgmin(d6i, col("cid"))).as("mp"))
+      // payload rejoins by id after the fixed-width argmin (packedArgmin)
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ce")), Seq("neighbor_id"))
+      .select(col("neighbor_id"), col("ce"), unpackId(col("mp")).as("cell"))
     val qd6 = floor(euclidToCent("qe") * 1e6 + 0.5) / 1e6
     val qCells = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
@@ -606,13 +632,13 @@ object Similarity {
       corpus.filter(pmod(col("vec_id"), lit(cStride)) === 0)
         .select(col("vec_id").as("cid"), col("embedding").as("cv")))
     // coarse assignment: map-side argmin, exchange carries (id, cell)
-    val d6 = floor(euclid("ce", "cv") * 1e6 + 0.5) / 1e6
+    val d6i = floor(euclid("ce", "cv") * 1e6 + 0.5).cast("long")
     val cells = corpus
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
       .join(coarse)
       .groupBy("neighbor_id")
-      .agg(min(struct(d6.as("d"), col("cid"))).as("mc"))
-      .select(col("neighbor_id"), col("mc.cid").as("cell"))
+      .agg(min(packedArgmin(d6i, col("cid"))).as("mp"))
+      .select(col("neighbor_id"), unpackId(col("mp")).as("cell"))
     val (cents, sub) = pqCodebook(corpus, m, ksub, stride)
     val codes = pqCodes(corpus, cents, m, sub, ksub).join(cells, Seq("neighbor_id"))
     val qd6 = floor(euclid("qe", "cv") * 1e6 + 0.5) / 1e6
@@ -879,13 +905,13 @@ object Similarity {
       zip_with(transform(col("ce"), v => v.cast("double")), col("cv"),
         (x, c) => (x - c) * (x - c)),
       lit(0.0), (acc, v) => acc + v))
-    val d6 = floor(euclidToCent * 1e6 + 0.5) / 1e6
+    val d6i = floor(euclidToCent * 1e6 + 0.5).cast("long")
     emb
       .select(col("vec_id"), col("embedding").as("ce"))
       .join(cents)
       .groupBy("vec_id")
-      .agg(min(struct(d6.as("d"), col("cid"))).as("mc"))
-      .select(col("vec_id"), col("mc.cid").as("cell"))
+      .agg(min(packedArgmin(d6i, col("cid"))).as("mp"))
+      .select(col("vec_id"), unpackId(col("mp")).as("cell"))
       .localCheckpoint()
   }
 
@@ -920,14 +946,15 @@ object Similarity {
     for (_ <- 1 to iters) {
       val cents = broadcast(centers.zipWithIndex.toSeq
         .map { case (c, i) => (i.toLong, c.toSeq) }.toDF("cid", "cv"))
-      val d6 = floor(sqrt(aggregate(
+      val d6i = floor(sqrt(aggregate(
         zip_with(col("x"), col("cv"), (x, c) => (x - c) * (x - c)),
-        lit(0.0), (acc, v) => acc + v)) * 1e6 + 0.5) / 1e6
+        lit(0.0), (acc, v) => acc + v)) * 1e6 + 0.5).cast("long")
       val assigned = train.join(cents)
         .groupBy("vec_id")
-        .agg(min(struct(d6.as("d"), col("cid"))).as("mc"),
-          first(col("x")).as("x"))
-        .select(col("mc.cid").as("cid"), col("x"))
+        .agg(min(packedArgmin(d6i, col("cid"))).as("mp"))
+        // payload rejoins by id after the fixed-width argmin
+        .join(train, Seq("vec_id"))
+        .select(unpackId(col("mp")).as("cid"), col("x"))
       val means = assigned
         .select(col("cid"), posexplode(col("x")).as(Seq("p", "v")))
         .groupBy("cid", "p").agg(avg("v").as("v"))
@@ -987,10 +1014,10 @@ object Similarity {
       else lloydCentersJoin(corpus, k1, iters)
     val cents1 = broadcast(c1.zipWithIndex.toSeq
       .map { case (c, i) => (i.toLong, c.toSeq) }.toDF("cid", "cv"))
-    val d6 = floor(sqrt(aggregate(
+    val d6i = floor(sqrt(aggregate(
       zip_with(transform(col("ce"), v => v.cast("double")), col("cv"),
         (x, c) => (x - c) * (x - c)),
-      lit(0.0), (acc, v) => acc + v)) * 1e6 + 0.5) / 1e6
+      lit(0.0), (acc, v) => acc + v)) * 1e6 + 0.5).cast("long")
     // compute-guarded fan-out, same threshold as ivfIndex: the coarse
     // argmin is the corpus-sized job and a narrow parquet scan would
     // otherwise run it on a few cores
@@ -1000,9 +1027,11 @@ object Similarity {
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
       .join(cents1)
       .groupBy("neighbor_id")
-      .agg(min(struct(d6.as("d"), col("cid"))).as("mc"),
-        first(col("ce")).as("ce"))
-      .select(col("neighbor_id"), col("ce"), col("mc.cid").as("cell"))
+      .agg(min(packedArgmin(d6i, col("cid"))).as("mp"))
+      // payload rejoins by id after the fixed-width argmin (packedArgmin)
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ce")), Seq("neighbor_id"))
+      .select(col("neighbor_id"), col("ce"), unpackId(col("mp")).as("cell"))
       .localCheckpoint()
     // residuals against the assigned coarse center (doubles end to end)
     val resid = coarse.join(cents1, col("cell") === col("cid"))
@@ -1013,13 +1042,13 @@ object Similarity {
     val c2 = lloydCentersJoin(resid, k2, iters)
     val cents2 = broadcast(c2.zipWithIndex.toSeq
       .map { case (c, i) => (i.toLong, c.toSeq) }.toDF("sid", "sv"))
-    val rd6 = floor(sqrt(aggregate(
+    val rd6i = floor(sqrt(aggregate(
       zip_with(col("embedding"), col("sv"), (x, c) => (x - c) * (x - c)),
-      lit(0.0), (acc, v) => acc + v)) * 1e6 + 0.5) / 1e6
+      lit(0.0), (acc, v) => acc + v)) * 1e6 + 0.5).cast("long")
     val sub = resid.join(cents2)
       .groupBy("vec_id")
-      .agg(min(struct(rd6.as("d"), col("sid"))).as("ms"))
-      .select(col("vec_id").as("neighbor_id"), col("ms.sid").as("sub"))
+      .agg(min(packedArgmin(rd6i, col("sid"))).as("ms"))
+      .select(col("vec_id").as("neighbor_id"), unpackId(col("ms")).as("sub"))
     val assign = coarse.join(sub, Seq("neighbor_id"))
       .select(col("neighbor_id"), col("ce"), col("cell"), col("sub"))
     (cents1, cents2, assign)

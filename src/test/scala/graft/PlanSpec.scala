@@ -70,6 +70,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("residual ivf probes composite (cell, sub) keys through joins, " +
+      "never a cartesian corpus scan") {
+    val e = Tables(spark, sf0001, "embeddings")
+    val df = graft.llm.Similarity.ivfResidualTopK(e.filter(
+      org.apache.spark.sql.functions.col("vec_id") < 10), e, k = 5,
+      nlist = 4, nsplit = 2)
+    df.collect()
+    val p = plan(df)
+    // both center tables broadcast (bounded by construction); the
+    // candidate join meets the assignment on the composite key — a
+    // CartesianProduct would mean a blocking level fell back to |Q|x|C|
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("semdedup pair generation joins on the cell id, never all-pairs") {
     val e = Tables(spark, sf0001, "embeddings")
     val df = graft.llm.Similarity.semDedup(e, tau = 0.4)
