@@ -616,10 +616,11 @@ object Similarity {
     // coarse stride scales with the corpus ([[adaptiveStride]]); the PQ
     // codebook `stride` stays fixed — it only seeds ksub rows (LIMIT-16
     // semantics), so it has no scale exposure
+    val nCorpus = corpus.count()
     val cStride =
       if (centroidStride > 0) centroidStride
-      else if (smoothSizing(spark)) smoothStride(corpus.count())
-      else adaptiveStride(corpus.count())
+      else if (smoothSizing(spark)) smoothStride(nCorpus)
+      else adaptiveStride(nCorpus)
     val hasNative = spark.catalog.functionExists("graft_euclid")
     def euclid(a: String, b: String): Column =
       if (hasNative) expr(s"graft_euclid($a, $b)")
@@ -633,7 +634,12 @@ object Similarity {
         .select(col("vec_id").as("cid"), col("embedding").as("cv")))
     // coarse assignment: map-side argmin, exchange carries (id, cell)
     val d6i = floor(euclid("ce", "cv") * 1e6 + 0.5).cast("long")
-    val cells = corpus
+    // same compute-guarded fan-out as ivfIndex: the coarse argmin is the
+    // corpus-sized job, and a narrow parquet scan would single-core it
+    val spreadPq =
+      if (nCorpus * (nCorpus / cStride) > 4000000L) Dedup.fanOut(corpus)
+      else corpus
+    val cells = spreadPq
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
       .join(coarse)
       .groupBy("neighbor_id")
