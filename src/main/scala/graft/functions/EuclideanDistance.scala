@@ -6,7 +6,10 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Codegen'd euclidean distance between two float-array columns
+/** Codegen'd euclidean distance between two numeric-array columns
+  * (array<float> or array<double> per side, independently —
+  * array<double> sides are the TRAINED-quantizer centroids, whose
+  * iteration means are doubles)
   * (SURVEY §4: the optional native `Expression` upgrade over the Scala
   * UDF — no row-to-Scala conversion, no boxing; the generated code loops
   * directly over the unsafe array data).
@@ -36,13 +39,26 @@ case class EuclideanDistance(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType) = dt match {
-      case ArrayType(FloatType, _) => true
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
       case _ => false
     }
     if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires two array<float> arguments, got " +
+      s"$prettyName requires two array<float|double> arguments, got " +
         s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  // element accessors resolved once per side: a double side reads
+  // getDouble directly (the HOF's cast("double") is a no-op there), a
+  // float side reads getFloat then widens - the identical IEEE sequence
+  // to the portable zip_with/aggregate chain either way
+  private lazy val leftIsDouble: Boolean = left.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  private lazy val rightIsDouble: Boolean = right.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
   }
 
   override def dataType: DataType = DoubleType
@@ -58,7 +74,9 @@ case class EuclideanDistance(left: Expression, right: Expression)
     var i = 0
     while (i < n) {
       if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
-      val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
+      val xv = if (leftIsDouble) x.getDouble(i) else x.getFloat(i).toDouble
+      val yv = if (rightIsDouble) y.getDouble(i) else y.getFloat(i).toDouble
+      val d = xv - yv
       s += d * d
       i += 1
     }
@@ -84,7 +102,8 @@ case class EuclideanDistance(left: Expression, right: Expression)
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $nullCheck
-         |  double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+         |  double $d = ${if (leftIsDouble) s"$a.getDouble($i)" else s"(double) $a.getFloat($i)"}
+         |      - ${if (rightIsDouble) s"$b.getDouble($i)" else s"(double) $b.getFloat($i)"};
          |  $s += $d * $d;
          |}
          |${ev.value} = java.lang.Math.sqrt($s);

@@ -410,13 +410,10 @@ object Similarity {
     val cents = broadcast(centers.zipWithIndex.toSeq
       .map { case (c, i) => (i.toLong, c.toSeq) }.toDF("cid", "cv"))
     val spark = corpus.sparkSession
-    // centroid vectors are doubles (iteration means), so the distance is
-    // the double HOF — same left-to-right IEEE sequence as LIST_DISTANCE
-    def euclidToCent(e: String): Column =
-      sqrt(aggregate(
-        zip_with(transform(col(e), v => v.cast("double")), col("cv"),
-          (x, c) => (x - c) * (x - c)),
-        lit(0.0), (acc, v) => acc + v))
+    // centroid vectors are doubles (iteration means); the kernel (and
+    // its HOF fallback) computes the same left-to-right IEEE sequence
+    // as LIST_DISTANCE — graft_euclid accepts float|double sides (r10)
+    def euclidToCent(e: String): Column = euclidExpr(spark, e, "cv")
     def dotOf(a: String, b: String): Column =
       if (spark.catalog.functionExists("graft_dot")) expr(s"graft_dot($a, $b)")
       else dot(col(a), col(b))
@@ -906,12 +903,8 @@ object Similarity {
       .map { case (c, i) => (i.toLong, c.toSeq) }.toDF("cid", "cv"))
     // same rounded-distance argmin as the trained-IVF assignment — the
     // equivalence to the oracle's LIST_DISTANCE is already proven by
-    // llm_ann_ivf_trained
-    val euclidToCent = sqrt(aggregate(
-      zip_with(transform(col("ce"), v => v.cast("double")), col("cv"),
-        (x, c) => (x - c) * (x - c)),
-      lit(0.0), (acc, v) => acc + v))
-    val d6i = floor(euclidToCent * 1e6 + 0.5).cast("long")
+    // llm_ann_ivf_trained; codegen'd kernel when registered (r10)
+    val d6i = floor(euclidExpr(spark, "ce", "cv") * 1e6 + 0.5).cast("long")
     emb
       .select(col("vec_id"), col("embedding").as("ce"))
       .join(cents)
@@ -952,9 +945,8 @@ object Similarity {
     for (_ <- 1 to iters) {
       val cents = broadcast(centers.zipWithIndex.toSeq
         .map { case (c, i) => (i.toLong, c.toSeq) }.toDF("cid", "cv"))
-      val d6i = floor(sqrt(aggregate(
-        zip_with(col("x"), col("cv"), (x, c) => (x - c) * (x - c)),
-        lit(0.0), (acc, v) => acc + v)) * 1e6 + 0.5).cast("long")
+      val d6i =
+        floor(euclidExpr(spark, "x", "cv") * 1e6 + 0.5).cast("long")
       val assigned = train.join(cents)
         .groupBy("vec_id")
         .agg(min(packedArgmin(d6i, col("cid"))).as("mp"))
@@ -1020,10 +1012,7 @@ object Similarity {
       else lloydCentersJoin(corpus, k1, iters)
     val cents1 = broadcast(c1.zipWithIndex.toSeq
       .map { case (c, i) => (i.toLong, c.toSeq) }.toDF("cid", "cv"))
-    val d6i = floor(sqrt(aggregate(
-      zip_with(transform(col("ce"), v => v.cast("double")), col("cv"),
-        (x, c) => (x - c) * (x - c)),
-      lit(0.0), (acc, v) => acc + v)) * 1e6 + 0.5).cast("long")
+    val d6i = floor(euclidExpr(spark, "ce", "cv") * 1e6 + 0.5).cast("long")
     // compute-guarded fan-out, same threshold as ivfIndex: the coarse
     // argmin is the corpus-sized job and a narrow parquet scan would
     // otherwise run it on a few cores
@@ -1048,9 +1037,8 @@ object Similarity {
     val c2 = lloydCentersJoin(resid, k2, iters)
     val cents2 = broadcast(c2.zipWithIndex.toSeq
       .map { case (c, i) => (i.toLong, c.toSeq) }.toDF("sid", "sv"))
-    val rd6i = floor(sqrt(aggregate(
-      zip_with(col("embedding"), col("sv"), (x, c) => (x - c) * (x - c)),
-      lit(0.0), (acc, v) => acc + v)) * 1e6 + 0.5).cast("long")
+    val rd6i =
+      floor(euclidExpr(spark, "embedding", "sv") * 1e6 + 0.5).cast("long")
     val sub = resid.join(cents2)
       .groupBy("vec_id")
       .agg(min(packedArgmin(rd6i, col("sid"))).as("ms"))
@@ -1073,10 +1061,7 @@ object Similarity {
     val spark = queries.sparkSession
     val c1 = broadcast(cents1.select(col("cid"), col("cv")))
     val c2 = broadcast(cents2.select(col("sid"), col("sv")))
-    val qd6 = floor(sqrt(aggregate(
-      zip_with(transform(col("qe"), v => v.cast("double")), col("cv"),
-        (x, c) => (x - c) * (x - c)),
-      lit(0.0), (acc, v) => acc + v)) * 1e6 + 0.5) / 1e6
+    val qd6 = floor(euclidExpr(spark, "qe", "cv") * 1e6 + 0.5) / 1e6
     val qCells = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
       .join(c1)
@@ -1088,9 +1073,7 @@ object Similarity {
       .select(col("query_id"), col("qe"), col("cid").as("cell"),
         zip_with(transform(col("qe"), v => v.cast("double")), col("cv"),
           (x, c) => x - c).as("qr"))
-    val sd6 = floor(sqrt(aggregate(
-      zip_with(col("qr"), col("sv"), (x, c) => (x - c) * (x - c)),
-      lit(0.0), (acc, v) => acc + v)) * 1e6 + 0.5) / 1e6
+    val sd6 = floor(euclidExpr(spark, "qr", "sv") * 1e6 + 0.5) / 1e6
     val qSubs = qCells.join(c2)
       .select(col("query_id"), col("qe"), col("cell"), col("sid"),
         sd6.as("d"))
