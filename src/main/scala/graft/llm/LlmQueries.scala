@@ -778,6 +778,54 @@ object LlmQueries {
       s"SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= $maxHamming " +
       "ORDER BY doc_a, doc_b"
 
+  /** Trained-IVF replica: the composed Lloyd chain
+    * (MlQueries.lloydCentroidCte) + argmin assignment + probe + rank —
+    * fully parameterized (nlist, iters, nProbe, k); the pinned
+    * llm_ann_ivf_trained entry calls it at (4, 5, 2, 5). */
+  private[graft] def annIvfTrainedSql(nlist: Int, iters: Int,
+      nProbe: Int, k: Int): String =
+    graft.ml.MlQueries.lloydCentroidCte(k = nlist, iters = iters, dim = 64) +
+      s", cents AS (SELECT cluster AS cid, cv FROM c$iters)" +
+      ", asg AS (SELECT vec_id AS neighbor_id, cid AS cell FROM " +
+      "(SELECT x.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY x.vec_id " +
+      "ORDER BY FLOOR(LIST_DISTANCE(x.xv, c.cv) * 1000000 + 0.5) / 1000000, c.cid) AS rn " +
+      "FROM x CROSS JOIN cents c) q WHERE rn = 1)" +
+      ", qc AS (SELECT query_id, cell FROM " +
+      "(SELECT x.vec_id AS query_id, c.cid AS cell, ROW_NUMBER() OVER (PARTITION BY x.vec_id " +
+      "ORDER BY FLOOR(LIST_DISTANCE(x.xv, c.cv) * 1000000 + 0.5) / 1000000, c.cid) AS rn " +
+      s"FROM x CROSS JOIN cents c WHERE x.vec_id < 10) q WHERE rn <= $nProbe)" +
+      ", sc AS (SELECT qc.query_id, asg.neighbor_id, " +
+      "LIST_INNER_PRODUCT(qx.xv, nx.xv) AS raw_dot " +
+      "FROM qc JOIN asg ON asg.cell = qc.cell " +
+      "JOIN x qx ON qx.vec_id = qc.query_id JOIN x nx ON nx.vec_id = asg.neighbor_id)" +
+      ", rk AS (SELECT query_id, neighbor_id, " +
+      "CAST(ROW_NUMBER() OVER (PARTITION BY query_id " +
+      "ORDER BY FLOOR(raw_dot * 1000000 + 0.5) / 1000000 DESC, neighbor_id) AS INTEGER) AS rank, " +
+      "FLOOR(raw_dot * 10000 + 0.5) / 10000 AS sim FROM sc) " +
+      s"SELECT query_id, neighbor_id, rank, sim FROM rk WHERE rank <= $k " +
+      "ORDER BY query_id, rank"
+
+  /** SemDeDup replica: the same Lloyd chain + within-cell verified
+    * pairs + low-id-wins keep rule, parameterized (tau, nlist, iters);
+    * the pinned llm_semdedup entry calls it at (0.4, 4, 5). */
+  private[graft] def semDedupSql(tau: Double, nlist: Int,
+      iters: Int): String =
+    graft.ml.MlQueries.lloydCentroidCte(k = nlist, iters = iters, dim = 64) +
+      s", cents AS (SELECT cluster AS cid, cv FROM c$iters)" +
+      ", asg AS (SELECT vec_id, cid AS cell FROM " +
+      "(SELECT x.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY x.vec_id " +
+      "ORDER BY FLOOR(LIST_DISTANCE(x.xv, c.cv) * 1000000 + 0.5) / 1000000, c.cid) AS rn " +
+      "FROM x CROSS JOIN cents c) q WHERE rn = 1)" +
+      ", cand AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b " +
+      "FROM asg a JOIN asg b ON b.cell = a.cell AND a.vec_id < b.vec_id)" +
+      ", dup AS (SELECT DISTINCT doc_b AS vec_id FROM cand " +
+      "JOIN x xa ON xa.vec_id = doc_a JOIN x xb ON xb.vec_id = doc_b " +
+      "WHERE LIST_INNER_PRODUCT(xa.xv, xb.xv) / " +
+      "(SQRT(LIST_INNER_PRODUCT(xa.xv, xa.xv)) * " +
+      s"SQRT(LIST_INNER_PRODUCT(xb.xv, xb.xv))) >= $tau) " +
+      "SELECT asg.vec_id, asg.cell, dup.vec_id IS NULL AS keep " +
+      "FROM asg LEFT JOIN dup ON dup.vec_id = asg.vec_id ORDER BY asg.vec_id"
+
   val oracle: Map[String, String] = {
     val base = Map(
     "llm_text_stats" ->
@@ -1439,26 +1487,7 @@ object LlmQueries {
     // llm_ann_ivf run against them — one SQL statement replays index
     // training AND search
     "llm_ann_ivf_trained" ->
-      (graft.ml.MlQueries.lloydCentroidCte(k = 4, iters = 5, dim = 64) +
-        ", cents AS (SELECT cluster AS cid, cv FROM c5)" +
-        ", asg AS (SELECT vec_id AS neighbor_id, cid AS cell FROM " +
-        "(SELECT x.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY x.vec_id " +
-        "ORDER BY FLOOR(LIST_DISTANCE(x.xv, c.cv) * 1000000 + 0.5) / 1000000, c.cid) AS rn " +
-        "FROM x CROSS JOIN cents c) q WHERE rn = 1)" +
-        ", qc AS (SELECT query_id, cell FROM " +
-        "(SELECT x.vec_id AS query_id, c.cid AS cell, ROW_NUMBER() OVER (PARTITION BY x.vec_id " +
-        "ORDER BY FLOOR(LIST_DISTANCE(x.xv, c.cv) * 1000000 + 0.5) / 1000000, c.cid) AS rn " +
-        "FROM x CROSS JOIN cents c WHERE x.vec_id < 10) q WHERE rn <= 2)" +
-        ", sc AS (SELECT qc.query_id, asg.neighbor_id, " +
-        "LIST_INNER_PRODUCT(qx.xv, nx.xv) AS raw_dot " +
-        "FROM qc JOIN asg ON asg.cell = qc.cell " +
-        "JOIN x qx ON qx.vec_id = qc.query_id JOIN x nx ON nx.vec_id = asg.neighbor_id)" +
-        ", rk AS (SELECT query_id, neighbor_id, " +
-        "CAST(ROW_NUMBER() OVER (PARTITION BY query_id " +
-        "ORDER BY FLOOR(raw_dot * 1000000 + 0.5) / 1000000 DESC, neighbor_id) AS INTEGER) AS rank, " +
-        "FLOOR(raw_dot * 10000 + 0.5) / 10000 AS sim FROM sc) " +
-        "SELECT query_id, neighbor_id, rank, sim FROM rk WHERE rank <= 5 " +
-        "ORDER BY query_id, rank"),
+      annIvfTrainedSql(nlist = 4, iters = 5, nProbe = 2, k = 5),
     // cluster-balance replica: Lloyd assignment verbatim, then the
     // temperature-rate pipeline with alpha=0 over cell strata (pow(p,0)
     // = 1 exactly, so the only float is the final rate arithmetic on
@@ -1488,21 +1517,7 @@ object LlmQueries {
     // SemDeDup replica: the trained-IVF Lloyd CTE + assignment verbatim,
     // then within-cell pairs and the low-id-wins keep rule (a vector is
     // dropped iff a lower-id cluster-mate's exact cosine reaches tau)
-    "llm_semdedup" ->
-      (graft.ml.MlQueries.lloydCentroidCte(k = 4, iters = 5, dim = 64) +
-        ", cents AS (SELECT cluster AS cid, cv FROM c5)" +
-        ", asg AS (SELECT vec_id, cid AS cell FROM " +
-        "(SELECT x.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY x.vec_id " +
-        "ORDER BY FLOOR(LIST_DISTANCE(x.xv, c.cv) * 1000000 + 0.5) / 1000000, c.cid) AS rn " +
-        "FROM x CROSS JOIN cents c) q WHERE rn = 1)" +
-        ", cand AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b " +
-        "FROM asg a JOIN asg b ON b.cell = a.cell AND a.vec_id < b.vec_id)" +
-        ", dup AS (SELECT DISTINCT doc_b AS vec_id FROM cand " +
-        "JOIN x xa ON xa.vec_id = doc_a JOIN x xb ON xb.vec_id = doc_b " +
-        "WHERE LIST_INNER_PRODUCT(xa.xv, xb.xv) / " +
-        "(SQRT(LIST_INNER_PRODUCT(xa.xv, xa.xv)) * SQRT(LIST_INNER_PRODUCT(xb.xv, xb.xv))) >= 0.4) " +
-        "SELECT asg.vec_id, asg.cell, dup.vec_id IS NULL AS keep " +
-        "FROM asg LEFT JOIN dup ON dup.vec_id = asg.vec_id ORDER BY asg.vec_id"),
+    "llm_semdedup" -> semDedupSql(tau = 0.4, nlist = 4, iters = 5),
     // group-keep variant: the same Lloyd + within-cell verified pairs,
     // then the recursive min-label closure (the llm_dedup_groups shape)
     // and a left join so pairless vectors keep themselves

@@ -109,8 +109,28 @@ object LlmFuzzSeed {
           threshold = theta))
     }
 
+    // trained-quantizer paths (the r10 packed-argmin + kernel sites):
+    // whole Lloyd fit + assignment + probe replayed per parameter point
+    val trained = Seq((2, 3, 1, 3), (4, 3, 2, 5), (8, 5, 3, 5),
+      (4, 2, 2, 7), (6, 4, 2, 4), (8, 2, 4, 3)).map {
+      case (nlist, iters, nProbe, k) =>
+        LlmCase(s"lfz_ivftr_n${nlist}_i${iters}_p${nProbe}_k$k",
+          LlmQueries.annIvfTrainedSql(nlist, iters, nProbe, k),
+          (s, d) => {
+            val e = emb(s, d)
+            Similarity.ivfTopKTrained(e.filter(col("vec_id") < 10), e,
+              k = k, nlist = nlist, iters = iters, nProbe = nProbe)
+          })
+    }
+    val semdedup = Seq((0.3, 4, 5), (0.5, 4, 3), (0.4, 8, 5),
+      (0.35, 2, 4), (0.45, 6, 3)).map { case (tau, nlist, iters) =>
+      LlmCase(s"lfz_semdd_t${tau}_n${nlist}_i$iters",
+        LlmQueries.semDedupSql(tau, nlist, iters),
+        (s, d) => Similarity.semDedup(emb(s, d), tau, nlist, iters))
+    }
+
     winnow ++ matches ++ containment ++ brute ++ annIvf ++ embed ++
-      simhash ++ nearDup
+      simhash ++ nearDup ++ trained ++ semdedup
   }
 }
 
