@@ -1057,7 +1057,8 @@ object Similarity {
     * neighbor-id tiebreak). */
   def ivfResidualTopKIndexed(queries: DataFrame, cents1: DataFrame,
       cents2: DataFrame, assign: DataFrame, k: Int,
-      nProbe: Int = 4, nProbeSub: Int = 2): DataFrame = {
+      nProbe: Int = 4, nProbeSub: Int = 2,
+      staticPrune: Boolean = false): DataFrame = {
     val spark = queries.sparkSession
     val c1 = broadcast(cents1.select(col("cid"), col("cv")))
     val c2 = broadcast(cents2.select(col("sid"), col("sv")))
@@ -1083,7 +1084,21 @@ object Similarity {
       .filter(col("rn") <= nProbeSub)
       .select(col("query_id"), col("qe"), col("cell"),
         col("sid").as("sub"))
-    val scored = qSubs.join(assign, Seq("cell", "sub"))
+    // stored-index deployment path, identical contract to
+    // [[ivfTopKIndexed]]'s staticPrune: the probed composite keys
+    // (bounded by |Q|·nProbe·nProbeSub, and by nlist·nsplit overall)
+    // collect and apply as LITERAL partition filters, so a
+    // partitionBy("cell", "sub") index provably reads only the probed
+    // subcells' files
+    val qSubsP = if (staticPrune) qSubs.localCheckpoint() else qSubs
+    val probeTarget = if (staticPrune) {
+      val keys = qSubsP.select("cell", "sub").distinct()
+        .collect().map(r => (r.get(0), r.get(1)))
+      assign.filter(
+        keys.map(kk => col("cell") === kk._1 && col("sub") === kk._2)
+          .reduce(_ || _))
+    } else assign
+    val scored = qSubsP.join(probeTarget, Seq("cell", "sub"))
       .select(col("query_id"), col("neighbor_id"),
         dotExpr(spark, "qe", "ce").as("raw_dot"))
       .select(col("query_id"), col("neighbor_id"), col("raw_dot"),
@@ -1096,6 +1111,40 @@ object Similarity {
         (floor(col("raw_dot") * 10000 + 0.5) / 10000).as("sim"))
       .filter(col("rank") <= k)
       .orderBy("query_id", "rank")
+  }
+
+  /** Persist an [[ivfResidualIndex]] as its deployment layout: both
+    * center tables, `assign` PARTITIONED BY (cell, sub) — so a
+    * staticPrune probe reads only the probed subcells' files — and the
+    * same one-row kernel `meta` contract as [[ivfIndexWrite]]. */
+  def ivfResidualIndexWrite(cents1: DataFrame, cents2: DataFrame,
+      assign: DataFrame, dir: String): Unit = {
+    val spark = cents1.sparkSession
+    import spark.implicits._
+    cents1.write.mode("overwrite").parquet(s"$dir/centroids")
+    cents2.write.mode("overwrite").parquet(s"$dir/subcentroids")
+    assign.write.mode("overwrite").partitionBy("cell", "sub")
+      .parquet(s"$dir/assign")
+    Seq(kernelId(spark)).toDF("kernel")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Load a persisted two-level index, FAILING LOUDLY on a kernel
+    * mismatch — same contract and reason as [[ivfIndexRead]]. */
+  def ivfResidualIndexRead(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val stored = spark.read.parquet(s"$dir/meta")
+      .select("kernel").head().getString(0)
+    val here = kernelId(spark)
+    require(stored == here,
+      s"residual IVF index at $dir was built with distance kernel " +
+        s"'$stored' but this session resolves '$here'; probing with a " +
+        "different kernel can silently disagree with the stored cell " +
+        "assignment. Register GraftExtensions (or rebuild the index) so " +
+        "build and probe share one kernel.")
+    (spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/subcentroids"),
+      spark.read.parquet(s"$dir/assign"))
   }
 
   /** Build + probe fused, the [[ivfTopK]] shape at two levels. */

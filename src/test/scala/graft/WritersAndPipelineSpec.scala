@@ -545,6 +545,36 @@ class WritersAndPipelineSpec extends AnyFunSuite {
     assert(viaIndex == fused && viaIndex.nonEmpty)
   }
 
+  test("residual IVF index round-trips partitioned by (cell, sub) and " +
+      "the static-pruned probe equals the fused path") {
+    import graft.llm.Similarity
+    import org.apache.spark.sql.functions.col
+    val emb = Tables(spark, sf0001, "embeddings")
+    val queries = emb.filter(col("vec_id") < 8)
+    val dir = tmp("graft-ivf-residual")
+    val (c1, c2, assign) = Similarity.ivfResidualIndex(emb,
+      nlist = 4, nsplit = 2)
+    Similarity.ivfResidualIndexWrite(c1, c2, assign, dir)
+    val (rc1, rc2, ra) = Similarity.ivfResidualIndexRead(spark, dir)
+    assert(rc1.count() == 4 && rc2.count() == 2 &&
+      ra.count() == emb.count())
+    val viaStored = Similarity.ivfResidualTopKIndexed(queries,
+        rc1, rc2, ra, k = 5, staticPrune = true)
+      .collect().map(_.toSeq).toSeq
+    val fused = Similarity.ivfResidualTopK(queries, emb, k = 5,
+      nlist = 4, nsplit = 2)
+      .collect().map(_.toSeq).toSeq
+    assert(viaStored == fused && viaStored.nonEmpty)
+    // kernel marker guard, same contract as the single-level index
+    import spark.implicits._
+    Seq("some_other_kernel/9").toDF("kernel")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfResidualIndexRead(spark, dir)
+    }
+    assert(e.getMessage.contains("kernel"), e.getMessage)
+  }
+
   test("IVF index load fails loudly when the stored kernel marker " +
       "differs from the probing session's kernel") {
     import graft.llm.Similarity
