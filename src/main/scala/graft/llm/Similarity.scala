@@ -868,9 +868,9 @@ object Similarity {
     * within-cell candidate volume stays ~1,000·|C| instead of
     * |C|²/nlist. Floor 4 keeps tiny corpora meaningful; cap 4,096
     * bounds the broadcast centroid table at 4,096×dim doubles (~2 MB
-    * at dim 64) — past ~4M vectors cells grow linearly again and a
-    * second blocking level (IVF-style residual split) is the
-    * documented next rung. */
+    * at dim 64) — past ~4M vectors, [[ivfResidualIndex]] (r10) adds the
+    * second blocking level ([[adaptiveNsplit]] subcells) that carries
+    * the operating point to ~1B vectors. */
   def adaptiveNlist(n: Long): Int =
     math.max(4, math.min(4096, ((n + 999) / 1000).toInt))
 
