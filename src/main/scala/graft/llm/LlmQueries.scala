@@ -289,11 +289,16 @@ object LlmQueries {
           (x, y) => (x.cast("double") - y.cast("double")) *
             (x.cast("double") - y.cast("double"))),
         lit(0.0), (a, v) => a + v))
+      // 1e-6 pre-rounding before the radius test, the repo's usual
+      // discipline: a vector an ulp from the 1.2 boundary must not let
+      // the two engines disagree on the true-pair count (the DuckDB
+      // verdict recompute rounds identically)
       val truePairs = q.select(col("vec_id").as("query_id"),
           col("embedding").as("qe"))
         .crossJoin(e.select(col("vec_id").as("neighbor_id"),
           col("embedding").as("ce")))
-        .filter(dist <= 1.2).select("query_id", "neighbor_id")
+        .filter(floor(dist * 1e6 + 0.5) / 1e6 <= 1.2)
+        .select("query_id", "neighbor_id")
         .localCheckpoint()
       val nTrue = truePairs.count()
       val keys = Seq("query_id", "neighbor_id")
@@ -2227,6 +2232,8 @@ object LlmQueries {
           "LIST_TRANSFORM(q.embedding, v -> CAST(v AS DOUBLE)), " +
           "LIST_TRANSFORM(c.embedding, v -> CAST(v AS DOUBLE))) AS d " +
           "FROM embeddings q CROSS JOIN embeddings c " +
-          "WHERE q.vec_id < 10) t WHERE d <= 1.2")))
+          "WHERE q.vec_id < 10) t " +
+          // same 1e-6 pre-rounding as the Spark-side truth filter
+          "WHERE FLOOR(d * 1000000 + 0.5) / 1000000 <= 1.2")))
   }
 }

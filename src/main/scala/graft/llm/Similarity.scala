@@ -178,7 +178,7 @@ object Similarity {
     math.max(31, math.ceil(math.sqrt(0.3844 * n)).toInt)
 
   /** Continuous companion of [[adaptiveProjections]]: the real-valued
-    * ladder position λ = 1 + log₂(n/1200) is realized FRACTIONALLY as
+    * ladder position λ = 2 + log₂(n/1200) is realized FRACTIONALLY as
     * per-TABLE projection counts summing to round(numTables·λ) — e.g.
     * λ = 6.64 over 3 tables becomes (7, 7, 6). Candidate volume per
     * table is N²/2.2^h_t, so the total steps numTables times per corpus
@@ -291,9 +291,20 @@ object Similarity {
     * non-negative). Bounds: id < 2^33 (8.6B — strided-cid vec_ids
     * beyond that should use the trained path, whose ids are dense) and
     * d6i clamped at 2^30−1 ≈ distance 1073.0 (far beyond any embedding
-    * distance this engine targets; ties at the clamp break by id). */
-  private def packedArgmin(d6i: Column, id: Column): Column =
-    least(d6i, lit((1L << 30) - 1)) * lit(1L << 33) + id
+    * distance this engine targets; ties at the clamp break by id).
+    * Both bounds are ENFORCED per row: an out-of-range id (only
+    * reachable through the strided paths, which pack raw vec_ids as
+    * cids) raises instead of silently corrupting the packed order, and
+    * a NULL distance (null embedding element / dimension mismatch)
+    * stays NULL — `min` then skips the row, so a degenerate centroid
+    * never wins an argmin by masquerading as the clamp value. */
+  private def packedArgmin(d6i: Column, id: Column): Column = {
+    val guardedId = when(id < 0 || id >= lit(1L << 33),
+      raise_error(concat(lit("packedArgmin id out of [0, 2^33): "),
+        id.cast("string")))).otherwise(id)
+    when(d6i.isNull, lit(null).cast("long"))
+      .otherwise(least(d6i, lit((1L << 30) - 1)) * lit(1L << 33) + guardedId)
+  }
 
   private def unpackId(packed: Column): Column = pmod(packed, lit(1L << 33))
 
@@ -1092,11 +1103,23 @@ object Similarity {
     // subcells' files
     val qSubsP = if (staticPrune) qSubs.localCheckpoint() else qSubs
     val probeTarget = if (staticPrune) {
+      // ONE set-membership filter on a packed composite key, not an OR
+      // chain: keys.map(===).reduce(_ || _) built a left-deep tree with
+      // one conjunction per probed (cell, sub) key — bounded by
+      // |Q|·nProbe·nProbeSub (and nlist·nsplit ≈ 1M overall), deep
+      // enough to stall or stack-overflow Catalyst on exactly the
+      // large-index path this flag exists for — and threw on an empty
+      // query batch. Cells and subs are dense center indexes
+      // (< nlist ≤ 4096, < nsplit ≤ 256), so cell·2^33 + sub packs
+      // collision-free in a Long; the expression references only the
+      // two partition columns, so file-source partition pruning still
+      // applies, and the (cell, sub) equi-join below stays the exact
+      // filter either way.
       val keys = qSubsP.select("cell", "sub").distinct()
-        .collect().map(r => (r.get(0), r.get(1)))
-      assign.filter(
-        keys.map(kk => col("cell") === kk._1 && col("sub") === kk._2)
-          .reduce(_ || _))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      if (keys.isEmpty) assign.limit(0)
+      else assign.filter((col("cell") * lit(1L << 33) + col("sub"))
+        .isInCollection(keys.map { case (c, s) => c * (1L << 33) + s }))
     } else assign
     val scored = qSubsP.join(probeTarget, Seq("cell", "sub"))
       .select(col("query_id"), col("neighbor_id"),
