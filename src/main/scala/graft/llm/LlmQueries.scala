@@ -333,6 +333,16 @@ object LlmQueries {
       Similarity.ivfTopKTrained(e.filter(col("vec_id") < 10), e, k = 5,
         nlist = 4, iters = 5, nProbe = 2)
     }),
+    "llm_ann_ivf_residual" -> ((s, d) => {
+      // two-level residual index at PARTIAL probes — nProbe=2 of
+      // nlist=4 coarse cells, nProbeSub=1 of nsplit=2 residual
+      // subcells — so the oracle replays the full deployment
+      // approximation (train both levels, assign, route, rank), not
+      // just the exhaustive-probe exactness the contract tests cover
+      val e = emb(s, d)
+      Similarity.ivfResidualTopK(e.filter(col("vec_id") < 10), e, k = 5,
+        nlist = 4, nsplit = 2, nProbe = 2, nProbeSub = 1, iters = 5)
+    }),
     "llm_ann_pq" -> ((s, d) => {
       // product-quantization ADC: corpus compressed to m=4 codes, a
       // query scores a candidate with 4 table lookups — the code-table
@@ -399,6 +409,9 @@ object LlmQueries {
         Similarity.recallAtK(ap, bf, k = 5).withColumn("method", lit(m))
       row("ivf",
           Similarity.ivfTopK(q, e, k = 5, nProbe = 4))
+        .union(row("ivf_residual", Similarity.ivfResidualTopK(q, e,
+          k = 5, nlist = 4, nsplit = 2, nProbe = 2, nProbeSub = 1,
+          iters = 5)))
         .union(row("ivf_trained", Similarity.ivfTopKTrained(q, e, k = 5,
           nlist = 4, iters = 5, nProbe = 2)))
         .union(row("ivfpq", Similarity.ivfPqTopK(q, e, k = 5,
@@ -809,6 +822,91 @@ object LlmQueries {
       "FLOOR(raw_dot * 10000 + 0.5) / 10000 AS sim FROM sc) " +
       s"SELECT query_id, neighbor_id, rank, sim FROM rk WHERE rank <= $k " +
       "ORDER BY query_id, rank"
+
+  /** Residual-Lloyd CTE: the DuckDB unroll of
+    * [[Similarity.lloydCentersJoin]] run on the `resid` CTE — id-ordered
+    * r6 init, ROUNDED-distance argmin (the join trainer's packedArgmin
+    * ordering; the exact trainer's CTE uses raw distance), r6 means,
+    * empty clusters keep their center. Valid only while the trainer's
+    * hash-systematic subsample is the identity (m = max(1, n/(256k)) =
+    * 1, i.e. n < 512k at k=2 — true at the sf0.01 gate's 500 vectors;
+    * DuckDB has no xxhash64 to replay a real subsample). */
+  private def residualLloydCte(k: Int, iters: Int, dim: Int): String = {
+    val sb = new StringBuilder
+    sb ++= ", r0 AS MATERIALIZED (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster, " +
+      "LIST_TRANSFORM(rv, v -> FLOOR(v * 1000000 + 0.5) / 1000000) AS cv " +
+      s"FROM (SELECT vec_id, rv FROM resid ORDER BY vec_id LIMIT $k) t0)"
+    sb ++= ", rd AS MATERIALIZED (SELECT vec_id, i, rv[i] AS v " +
+      s"FROM resid, generate_series(1, $dim) t(i))"
+    for (i <- 1 to iters) {
+      sb ++= s", ra$i AS MATERIALIZED (SELECT vec_id, cluster FROM " +
+        "(SELECT r.vec_id, c.cluster, ROW_NUMBER() OVER (PARTITION BY r.vec_id " +
+        "ORDER BY FLOOR(LIST_DISTANCE(r.rv, c.cv) * 1000000 + 0.5), c.cluster) AS rn " +
+        s"FROM resid r CROSS JOIN r${i - 1} c) q WHERE rn = 1)"
+      sb ++= s", rm$i AS MATERIALIZED (SELECT a.cluster, d.i, " +
+        "FLOOR(AVG(d.v) * 1000000 + 0.5) / 1000000 AS m " +
+        s"FROM ra$i a JOIN rd d ON d.vec_id = a.vec_id GROUP BY a.cluster, d.i)"
+      sb ++= s", r$i AS MATERIALIZED (SELECT p.cluster, " +
+        "CASE WHEN COUNT(m.m) = 0 THEN p.cv ELSE LIST(m.m ORDER BY m.i) END AS cv " +
+        s"FROM r${i - 1} p LEFT JOIN rm$i m ON m.cluster = p.cluster " +
+        "GROUP BY p.cluster, p.cv)"
+    }
+    sb.toString
+  }
+
+  /** Two-level residual-IVF replica ([[Similarity.ivfResidualTopK]]):
+    * level 1 is the exact-trainer Lloyd chain + rounded-argmin corpus
+    * assignment (the llm_ann_ivf_trained stages), then residuals
+    * against the assigned coarse center, a [[residualLloydCte]] second
+    * Lloyd run, sub assignment, two-stage query routing (nProbe coarse
+    * cells, nProbeSub residual subcells per probed cell), candidates on
+    * the composite (cell, sub) key, and the family's rounded-dot rank.
+    * One SQL statement replays BOTH trainings and the whole probe. */
+  private[graft] def annIvfResidualSql(nlist: Int, nsplit: Int,
+      iters: Int, nProbe: Int, nProbeSub: Int, k: Int): String = {
+    val dim = 64
+    graft.ml.MlQueries.lloydCentroidCte(k = nlist, iters = iters, dim = dim) +
+      s", cents AS (SELECT cluster AS cid, cv FROM c$iters)" +
+      ", asg AS (SELECT vec_id, cid AS cell FROM " +
+      "(SELECT x.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY x.vec_id " +
+      "ORDER BY FLOOR(LIST_DISTANCE(x.xv, c.cv) * 1000000 + 0.5), c.cid) AS rn " +
+      "FROM x CROSS JOIN cents c) q WHERE rn = 1)" +
+      ", resid AS MATERIALIZED (SELECT x.vec_id, " +
+      s"[x.xv[i] - c.cv[i] FOR i IN range(1, ${dim + 1})] AS rv " +
+      "FROM x JOIN asg ON asg.vec_id = x.vec_id " +
+      "JOIN cents c ON c.cid = asg.cell)" +
+      residualLloydCte(nsplit, iters, dim) +
+      s", scents AS (SELECT cluster AS sid, cv FROM r$iters)" +
+      ", sasg AS (SELECT vec_id, sid AS sub FROM " +
+      "(SELECT r.vec_id, c.sid, ROW_NUMBER() OVER (PARTITION BY r.vec_id " +
+      "ORDER BY FLOOR(LIST_DISTANCE(r.rv, c.cv) * 1000000 + 0.5), c.sid) AS rn " +
+      "FROM resid r CROSS JOIN scents c) q WHERE rn = 1)" +
+      ", idx AS (SELECT asg.vec_id AS neighbor_id, asg.cell, sasg.sub " +
+      "FROM asg JOIN sasg ON sasg.vec_id = asg.vec_id)" +
+      ", qc AS (SELECT query_id, cell, qr FROM " +
+      "(SELECT x.vec_id AS query_id, c.cid AS cell, " +
+      s"[x.xv[i] - c.cv[i] FOR i IN range(1, ${dim + 1})] AS qr, " +
+      "ROW_NUMBER() OVER (PARTITION BY x.vec_id " +
+      "ORDER BY FLOOR(LIST_DISTANCE(x.xv, c.cv) * 1000000 + 0.5) / 1000000, c.cid) AS rn " +
+      "FROM x CROSS JOIN cents c WHERE x.vec_id < 10) q " +
+      s"WHERE rn <= $nProbe)" +
+      ", qs AS (SELECT query_id, cell, sub FROM " +
+      "(SELECT qc.query_id, qc.cell, s.sid AS sub, " +
+      "ROW_NUMBER() OVER (PARTITION BY qc.query_id, qc.cell " +
+      "ORDER BY FLOOR(LIST_DISTANCE(qc.qr, s.cv) * 1000000 + 0.5) / 1000000, s.sid) AS rn " +
+      "FROM qc CROSS JOIN scents s) q " +
+      s"WHERE rn <= $nProbeSub)" +
+      ", sc AS (SELECT qs.query_id, idx.neighbor_id, " +
+      "LIST_INNER_PRODUCT(qx.xv, nx.xv) AS raw_dot " +
+      "FROM qs JOIN idx ON idx.cell = qs.cell AND idx.sub = qs.sub " +
+      "JOIN x qx ON qx.vec_id = qs.query_id JOIN x nx ON nx.vec_id = idx.neighbor_id)" +
+      ", rk AS (SELECT query_id, neighbor_id, " +
+      "CAST(ROW_NUMBER() OVER (PARTITION BY query_id " +
+      "ORDER BY FLOOR(raw_dot * 1000000 + 0.5) / 1000000 DESC, neighbor_id) AS INTEGER) AS rank, " +
+      "FLOOR(raw_dot * 10000 + 0.5) / 10000 AS sim FROM sc) " +
+      s"SELECT query_id, neighbor_id, rank, sim FROM rk WHERE rank <= $k " +
+      "ORDER BY query_id, rank"
+  }
 
   /** SemDeDup replica: the same Lloyd chain + within-cell verified
     * pairs + low-id-wins keep rule, parameterized (tau, nlist, iters);
@@ -1493,6 +1591,14 @@ object LlmQueries {
     // training AND search
     "llm_ann_ivf_trained" ->
       annIvfTrainedSql(nlist = 4, iters = 5, nProbe = 2, k = 5),
+    // residual-IVF replica at PARTIAL probes: both Lloyd trainings, the
+    // composite (cell, sub) blocking and the two-stage routing replay
+    // in one statement — the deployment approximation itself is
+    // oracle-checked, complementing ScaleLaddersSpec's
+    // exhaustive-probe ≡ brute-force contract
+    "llm_ann_ivf_residual" ->
+      annIvfResidualSql(nlist = 4, nsplit = 2, iters = 5,
+        nProbe = 2, nProbeSub = 1, k = 5),
     // cluster-balance replica: Lloyd assignment verbatim, then the
     // temperature-rate pipeline with alpha=0 over cell strata (pow(p,0)
     // = 1 exactly, so the only float is the final rate arithmetic on
@@ -1924,11 +2030,13 @@ object LlmQueries {
           "GROUP BY a.query_id) h USING (query_id)"
       s"""WITH bf AS (${base("llm_ann_cosine")}), """ +
         s"""iv AS (${base("llm_ann_ivf")}), """ +
+        s"""ir AS (SELECT query_id, neighbor_id FROM (${base("llm_ann_ivf_residual")})), """ +
         s"""it AS (${base("llm_ann_ivf_trained")}), """ +
         s"""pq AS (${base("llm_ann_pq")}), """ +
         s"""ip AS (${base("llm_ann_ivfpq")}) """ +
         "SELECT method, recall_at_k, n_queries FROM (" +
         recallRow("ivf", "iv") + " UNION ALL " +
+        recallRow("ivf_residual", "ir") + " UNION ALL " +
         recallRow("ivf_trained", "it") + " UNION ALL " +
         recallRow("ivfpq", "ip") + " UNION ALL " +
         recallRow("pq", "pq") + ") ORDER BY method"
