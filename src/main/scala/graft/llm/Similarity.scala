@@ -1065,11 +1065,26 @@ object Similarity {
     * and candidates meet on the composite `(cell, sub)` key: expected
     * candidate volume |Q|·nProbe·nProbeSub·|C|/(nlist·nsplit). The rank
     * stage is identical to [[ivfTopKIndexed]] (rounded-dot window,
-    * neighbor-id tiebreak). */
-  def ivfResidualTopKIndexed(queries: DataFrame, cents1: DataFrame,
-      cents2: DataFrame, assign: DataFrame, k: Int,
-      nProbe: Int = 4, nProbeSub: Int = 2,
-      staticPrune: Boolean = false): DataFrame = {
+    * neighbor-id tiebreak).
+    *
+    * Default operating point (8, 3): measured recall@5 on the ×30
+    * past-cap geometry model (n = 60k, nlist = 20, nsplit = 3 —
+    * graft.tools.ResidualRecall, round 11) is 0.87 at (8, 3) vs 0.62
+    * at the former (4, 2) default, which sat under the 0.8 deployment
+    * bar. The sweep shows coarse routing dominates the loss —
+    * exhaustive subs at nProbe = 4 still only reach 0.72 — so widening
+    * spends its candidate budget on nProbe first; at matched budget,
+    * narrow-coarse/exhaustive-sub (4,3) edges out wide-coarse/partial
+    * (6,2), 0.722 vs 0.692. */
+  /** The two-stage probe routing alone — the `(query_id, qe, cell,
+    * sub)` keys [[ivfResidualTopKIndexed]] scores against: nProbe
+    * nearest coarse cells per query, then per probed cell the
+    * nProbeSub nearest residual subcells of q − c1[cell]. Exposed so
+    * measurement tooling can count the deterministic candidate volume
+    * (probed-subcell populations) without re-deriving the routing. */
+  private[graft] def residualProbeKeys(queries: DataFrame,
+      cents1: DataFrame, cents2: DataFrame,
+      nProbe: Int, nProbeSub: Int): DataFrame = {
     val spark = queries.sparkSession
     val c1 = broadcast(cents1.select(col("cid"), col("cv")))
     val c2 = broadcast(cents2.select(col("sid"), col("sv")))
@@ -1086,7 +1101,7 @@ object Similarity {
         zip_with(transform(col("qe"), v => v.cast("double")), col("cv"),
           (x, c) => x - c).as("qr"))
     val sd6 = floor(euclidExpr(spark, "qr", "sv") * 1e6 + 0.5) / 1e6
-    val qSubs = qCells.join(c2)
+    qCells.join(c2)
       .select(col("query_id"), col("qe"), col("cell"), col("sid"),
         sd6.as("d"))
       .withColumn("rn", row_number().over(
@@ -1095,6 +1110,15 @@ object Similarity {
       .filter(col("rn") <= nProbeSub)
       .select(col("query_id"), col("qe"), col("cell"),
         col("sid").as("sub"))
+  }
+
+  def ivfResidualTopKIndexed(queries: DataFrame, cents1: DataFrame,
+      cents2: DataFrame, assign: DataFrame, k: Int,
+      nProbe: Int = 8, nProbeSub: Int = 3,
+      staticPrune: Boolean = false): DataFrame = {
+    val spark = queries.sparkSession
+    val qSubs = residualProbeKeys(queries, cents1, cents2,
+      nProbe, nProbeSub)
     // stored-index deployment path, identical contract to
     // [[ivfTopKIndexed]]'s staticPrune: the probed composite keys
     // (bounded by |Q|·nProbe·nProbeSub, and by nlist·nsplit overall)
@@ -1172,8 +1196,8 @@ object Similarity {
 
   /** Build + probe fused, the [[ivfTopK]] shape at two levels. */
   def ivfResidualTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      nlist: Int = 0, nsplit: Int = 0, nProbe: Int = 4,
-      nProbeSub: Int = 2, iters: Int = 5): DataFrame = {
+      nlist: Int = 0, nsplit: Int = 0, nProbe: Int = 8,
+      nProbeSub: Int = 3, iters: Int = 5): DataFrame = {
     val (c1, c2, assign) = ivfResidualIndex(corpus, nlist, nsplit, iters)
     ivfResidualTopKIndexed(queries, c1, c2, assign, k, nProbe, nProbeSub)
   }
