@@ -48,7 +48,7 @@ object GraphQueries {
       .distinct().orderBy("v").limit(n).collect().map(_.getLong(0)).toSeq
 
   /** SQL CTE shared by the oracle queries below. */
-  private val edgeCte =
+  private[graft] val edgeCte =
     "WITH e0 AS (SELECT l_partkey AS dst, LAG(l_partkey) OVER " +
       "(PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS src FROM lineitem), " +
       "g AS (SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS weight FROM e0 " +
@@ -56,14 +56,14 @@ object GraphQueries {
 
   /** Same CTE opened with WITH RECURSIVE, plus the node set — prefix for
     * the fixpoint oracles (BFS / SSSP / closeness / components). */
-  private val edgeCteRec =
+  private[graft] val edgeCteRec =
     edgeCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
       // explicit DISTINCT: inside a WITH RECURSIVE block DuckDB gives the
       // bare UNION append (fixpoint) semantics, not set-dedup
       ", n AS (SELECT DISTINCT v FROM (SELECT src AS v FROM g " +
       "UNION ALL SELECT dst FROM g) nn) "
 
-  private val nodeCte =
+  private[graft] val nodeCte =
     ", n AS (SELECT src AS v FROM g UNION SELECT dst FROM g) "
 
   /** Machine-generated chained-CTE oracle for the damped-rank family:
@@ -74,7 +74,7 @@ object GraphQueries {
     * the incremental-PageRank query feeds ROUNDED prior ranks back in.
     * Fixed iteration counts make the whole loop unrollable into plain
     * SQL, one CTE per step. */
-  private def rankIterSql(neSql: String, iters: Int, init: String,
+  private[graft] def rankIterSql(neSql: String, iters: Int, init: String,
       reset: String, outName: String, damp: Double = 0.85,
       roundAt: Int = -1, extraCte: String = ""): String = {
     val sb = new StringBuilder(edgeCte + nodeCte)
@@ -101,7 +101,7 @@ object GraphQueries {
     * accumulate δ(v) = Σ_{w ∈ succ} σ_v/σ_w·(1+δ_w) level by level.
     * `levels` must cover the max source eccentricity (4 at sf0.01;
     * extra levels are empty frames and cost nothing). */
-  private def betweennessSql(sources: Int, levels: Int): String = {
+  private[graft] def betweennessSql(sources: Int, levels: Int): String = {
     // every CTE is MATERIALIZED (DuckDB-only syntax): the frames are
     // referenced 3-4× each and DuckDB inlines plain CTEs per reference —
     // the unrolled chain re-evaluates exponentially and never finishes
@@ -144,7 +144,7 @@ object GraphQueries {
     * re-restricted to survivors once per k level so the per-round joins
     * shrink as k grows. MATERIALIZED throughout; CTE count stays under
     * DuckDB's expression-depth limit of 1000. */
-  private def kcoreSql(maxK: Int, rounds: Int): String = {
+  private[graft] def kcoreSql(maxK: Int, rounds: Int): String = {
     val parts = scala.collection.mutable.Buffer[String]()
     parts += edgeCte
       .replace("e0 AS (", "e0 AS MATERIALIZED (")
@@ -198,7 +198,7 @@ object GraphQueries {
     sb.toString
   }
 
-  private def lpaSyncSql(iters: Int): String =
+  private[graft] def lpaSyncSql(iters: Int): String =
     lpaSyncCte(iters) + s" SELECT node, label FROM l$iters ORDER BY node"
 
   /** Unrolled GraphX Pregel dynamic PageRank (runUntilConvergence):
@@ -209,7 +209,7 @@ object GraphQueries {
     * delta but go inactive. Once no messages flow, the remaining CTEs
     * are identity — so a fixed unroll past the convergence point
     * reproduces the data-dependent iteration count exactly. */
-  private def prConvSql(tol: Double, iters: Int,
+  private[graft] def prConvSql(tol: Double, iters: Int,
       personalized: Boolean = false): String = {
     val sb = new StringBuilder(
       (edgeCte + nodeCte)
@@ -251,7 +251,7 @@ object GraphQueries {
     * followed by the method's final fold-and-divide, which normalizes
     * each source column by its TOTAL rank sum (this final division is
     * what round 1 mis-read as a ≈0.2 effective restart). */
-  private def pprMultiSql(iters: Int, nsources: Int): String = {
+  private[graft] def pprMultiSql(iters: Int, nsources: Int): String = {
     val sb = new StringBuilder(
       (edgeCte + nodeCte)
         .replace("e0 AS (", "e0 AS MATERIALIZED (")
@@ -282,7 +282,7 @@ object GraphQueries {
     * (A recursive CTE diverges here — cycles keep extending float paths —
     * but a round-bounded unroll with per-round MIN terminates by
     * construction.) */
-  private def closenessWSql(nLandmarks: Int, rounds: Int): String = {
+  private[graft] def closenessWSql(nLandmarks: Int, rounds: Int): String = {
     val sb = new StringBuilder(
       (edgeCte + nodeCte)
         .replace("e0 AS (", "e0 AS MATERIALIZED (")
@@ -359,7 +359,7 @@ object GraphQueries {
     * first candidate whose cumsum crosses u·total, u drawn from the
     * SHA-256 of (walk_id|step). First hop (no prev) picks uniformly by
     * hash mod degree. Walkers on sink nodes stay put. */
-  private def walksSql(numWalks: Int, walkLength: Int, p: Double,
+  private[graft] def walksSql(numWalks: Int, walkLength: Int, p: Double,
       q: Double): String = {
     val sb = new StringBuilder(
       edgeCte
@@ -444,11 +444,72 @@ object GraphQueries {
     sb.toString
   }
 
-  private def louvainSyncSql(iters: Int): String =
+  private[graft] def louvainSyncSql(iters: Int): String =
     louvainSyncCte(iters) + s" SELECT node, comm FROM l$iters ORDER BY node"
 
+  /** Hop-BFS oracle from the min src node, depth-limited (the pinned
+    * graph_bfs shape, parameterized for the fuzz grid). */
+  private[graft] def bfsSql(maxDepth: Int): String =
+    edgeCteRec +
+      ", d AS (SELECT (SELECT MIN(src) FROM g) AS node, 0 AS dist " +
+      s"UNION SELECT g.dst, d.dist + 1 FROM d JOIN g ON g.src = d.node WHERE d.dist < $maxDepth) " +
+      "SELECT node, CAST(MIN(dist) AS INTEGER) AS dist FROM d GROUP BY node ORDER BY node"
+
+  /** Landmark shortest-path oracle (GraphX ShortestPaths semantics),
+    * landmarks = the `nLandmarks` smallest nodes. */
+  private[graft] def ssspSql(nLandmarks: Int): String =
+    edgeCteRec +
+      s", lm AS (SELECT v FROM n ORDER BY v LIMIT $nLandmarks), " +
+      "d AS (SELECT v AS node, v AS landmark, 0 AS dist FROM lm " +
+      "UNION SELECT g.src, d.landmark, d.dist + 1 FROM d JOIN g ON g.dst = d.node " +
+      "WHERE d.dist < 40) " +
+      "SELECT node, landmark, CAST(MIN(dist) AS INTEGER) AS dist FROM d " +
+      "GROUP BY node, landmark ORDER BY node, landmark"
+
+  /** Hop-closeness oracle over the `nLandmarks` smallest landmarks. */
+  private[graft] def closenessSql(nLandmarks: Int): String =
+    edgeCteRec +
+      s", lm AS (SELECT v FROM n ORDER BY v LIMIT $nLandmarks), " +
+      "d AS (SELECT v AS node, v AS landmark, 0 AS dist FROM lm " +
+      "UNION SELECT g.src, d.landmark, d.dist + 1 FROM d JOIN g ON g.dst = d.node " +
+      "WHERE d.dist < 40), " +
+      "md AS (SELECT node, landmark, MIN(dist) AS dist FROM d " +
+      "WHERE node <> landmark GROUP BY node, landmark) " +
+      s"SELECT node, FLOOR(SUM(1.0 / dist) / $nLandmarks * 1000000 + 0.5) / 1000000 " +
+      "AS closeness FROM md WHERE dist > 0 GROUP BY node ORDER BY node"
+
+  /** Modularity oracle over the deterministic node-mod-`m` community
+    * assignment (the pinned graph_modularity shape). */
+  private[graft] def modularitySql(m: Int): String =
+    edgeCte +
+      ", m AS (SELECT SUM(weight) AS m FROM g), " +
+      s"p AS (SELECT src % $m AS cs, dst % $m AS cd, weight FROM g), " +
+      "intra AS (SELECT cs AS community, SUM(weight) AS e_c FROM p WHERE cs = cd GROUP BY cs), " +
+      "od AS (SELECT cs AS community, SUM(weight) AS out_c FROM p GROUP BY cs), " +
+      "id AS (SELECT cd AS community, SUM(weight) AS in_c FROM p GROUP BY cd) " +
+      "SELECT FLOOR(SUM(COALESCE(e_c, 0) / m.m - " +
+      "COALESCE(out_c, 0) * COALESCE(in_c, 0) / (m.m * m.m)) * 1000000 + 0.5) / 1000000 " +
+      "AS modularity FROM od FULL JOIN id USING (community) " +
+      "LEFT JOIN intra USING (community), m"
+
+  /** Rotation-canonical directed-3-cycle oracle, optionally constrained
+    * to the consecutive-weight rate band [minRate·w_prev, maxRate·w_prev]
+    * (the pinned graph_cycles / graph_cycles_rate shapes). */
+  private[graft] def cyclesSql(minRate: Double, maxRate: Double): String = {
+    val band =
+      if (minRate <= 0.0 && maxRate.isPosInfinity) ""
+      else s"AND y.weight >= x.weight * $minRate AND y.weight <= x.weight * $maxRate " +
+        s"AND z.weight >= y.weight * $minRate AND z.weight <= y.weight * $maxRate "
+    edgeCte +
+      "SELECT CONCAT(x.src, ',', x.dst, ',', y.dst) AS cycle, " +
+      "CAST(3 AS INTEGER) AS length FROM g x " +
+      "JOIN g y ON y.src = x.dst JOIN g z ON z.src = y.dst AND z.dst = x.src " +
+      "WHERE x.dst > x.src AND y.dst > x.src AND y.dst <> x.dst " +
+      band + "ORDER BY cycle"
+  }
+
   /** 1/outdegree transition weights (the unweighted PageRank family). */
-  private val neUnweighted =
+  private[graft] val neUnweighted =
     "SELECT g.src, g.dst, 1.0 / d.od AS w FROM g JOIN " +
       "(SELECT src, COUNT(*) AS od FROM g GROUP BY src) d ON d.src = g.src"
 
@@ -680,22 +741,8 @@ object GraphQueries {
         "(SELECT src AS name FROM e UNION ALL SELECT dst FROM e) t " +
         "GROUP BY name ORDER BY name"),
     // directed 3-cycles, rotation-canonical (path starts at its min vertex)
-    "graph_cycles" ->
-      (edgeCte +
-        "SELECT CONCAT(x.src, ',', x.dst, ',', y.dst) AS cycle, " +
-        "CAST(3 AS INTEGER) AS length FROM g x " +
-        "JOIN g y ON y.src = x.dst JOIN g z ON z.src = y.dst AND z.dst = x.src " +
-        "WHERE x.dst > x.src AND y.dst > x.src AND y.dst <> x.dst " +
-        "ORDER BY cycle"),
-    "graph_cycles_rate" ->
-      (edgeCte +
-        "SELECT CONCAT(x.src, ',', x.dst, ',', y.dst) AS cycle, " +
-        "CAST(3 AS INTEGER) AS length FROM g x " +
-        "JOIN g y ON y.src = x.dst JOIN g z ON z.src = y.dst AND z.dst = x.src " +
-        "WHERE x.dst > x.src AND y.dst > x.src AND y.dst <> x.dst " +
-        "AND y.weight >= x.weight * 0.5 AND y.weight <= x.weight * 2.0 " +
-        "AND z.weight >= y.weight * 0.5 AND z.weight <= y.weight * 2.0 " +
-        "ORDER BY cycle"),
+    "graph_cycles" -> cyclesSql(0.0, Double.PositiveInfinity),
+    "graph_cycles_rate" -> cyclesSql(0.5, 2.0),
     "graph_triangles" ->
       (edgeCte +
         ", u AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM g), " +
@@ -705,43 +752,13 @@ object GraphQueries {
         "tv AS (SELECT a AS v FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri) " +
         "SELECT n.v AS node, CAST(COUNT(tv.v) AS INTEGER) AS triangles " +
         "FROM n LEFT JOIN tv ON tv.v = n.v GROUP BY n.v ORDER BY node"),
-    "graph_modularity" ->
-      (edgeCte +
-        ", m AS (SELECT SUM(weight) AS m FROM g), " +
-        "p AS (SELECT src % 16 AS cs, dst % 16 AS cd, weight FROM g), " +
-        "intra AS (SELECT cs AS community, SUM(weight) AS e_c FROM p WHERE cs = cd GROUP BY cs), " +
-        "od AS (SELECT cs AS community, SUM(weight) AS out_c FROM p GROUP BY cs), " +
-        "id AS (SELECT cd AS community, SUM(weight) AS in_c FROM p GROUP BY cd) " +
-        "SELECT FLOOR(SUM(COALESCE(e_c, 0) / m.m - " +
-        "COALESCE(out_c, 0) * COALESCE(in_c, 0) / (m.m * m.m)) * 1000000 + 0.5) / 1000000 " +
-        "AS modularity FROM od FULL JOIN id USING (community) " +
-        "LEFT JOIN intra USING (community), m"),
+    "graph_modularity" -> modularitySql(16),
     // hop BFS from the min src node, depth-limited to 10 like the query
-    "graph_bfs" ->
-      (edgeCteRec +
-        ", d AS (SELECT (SELECT MIN(src) FROM g) AS node, 0 AS dist " +
-        "UNION SELECT g.dst, d.dist + 1 FROM d JOIN g ON g.src = d.node WHERE d.dist < 10) " +
-        "SELECT node, CAST(MIN(dist) AS INTEGER) AS dist FROM d GROUP BY node ORDER BY node"),
+    "graph_bfs" -> bfsSql(maxDepth = 10),
     // node→landmark hop distances along edge direction (GraphX
     // ShortestPaths semantics), landmarks = 3 smallest nodes
-    "graph_sssp" ->
-      (edgeCteRec +
-        ", lm AS (SELECT v FROM n ORDER BY v LIMIT 3), " +
-        "d AS (SELECT v AS node, v AS landmark, 0 AS dist FROM lm " +
-        "UNION SELECT g.src, d.landmark, d.dist + 1 FROM d JOIN g ON g.dst = d.node " +
-        "WHERE d.dist < 40) " +
-        "SELECT node, landmark, CAST(MIN(dist) AS INTEGER) AS dist FROM d " +
-        "GROUP BY node, landmark ORDER BY node, landmark"),
-    "graph_closeness" ->
-      (edgeCteRec +
-        ", lm AS (SELECT v FROM n ORDER BY v LIMIT 8), " +
-        "d AS (SELECT v AS node, v AS landmark, 0 AS dist FROM lm " +
-        "UNION SELECT g.src, d.landmark, d.dist + 1 FROM d JOIN g ON g.dst = d.node " +
-        "WHERE d.dist < 40), " +
-        "md AS (SELECT node, landmark, MIN(dist) AS dist FROM d " +
-        "WHERE node <> landmark GROUP BY node, landmark) " +
-        "SELECT node, FLOOR(SUM(1.0 / dist) / 8 * 1000000 + 0.5) / 1000000 " +
-        "AS closeness FROM md WHERE dist > 0 GROUP BY node ORDER BY node"),
+    "graph_sssp" -> ssspSql(nLandmarks = 3),
+    "graph_closeness" -> closenessSql(nLandmarks = 8),
     "graph_betweenness" -> betweennessSql(sources = 8, levels = 6),
     "graph_kcore" -> kcoreSql(maxK = 36, rounds = 16),
     "graph_clustering_coef" ->

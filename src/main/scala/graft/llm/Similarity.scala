@@ -188,16 +188,18 @@ object Similarity {
     * the N^(2−log₂2.2) ≈ N^0.86 envelope, in EXACT integer arithmetic —
     * no bucket-width modeling (a width-rescaling variant was measured
     * this round and under-delivered: Gaussian bucket co-occupancy is
-    * not linear in width). Each count is clamped to the [1, 10] fold
-    * range; below the first rung every table gets the ladder's 1, so
-    * pinned corpora are unchanged. */
+    * not linear in width). Counts are clamped to [1, 32] (the
+    * hash-group sanity bound of the uncapped ladder — past 10 the fold
+    * hashes, see [[signBucketsExprPerTable]]); below the first rung
+    * every table gets the ladder's 1, so pinned corpora are
+    * unchanged. */
   def smoothProjections(n: Long, numTables: Int = 3): Seq[Int] = {
     // the ladder is h = 2 + floor(log2(n/1200)) past the first rung;
     // its continuous position is lambda = 2 + log2(n/1200)
     val lam =
       if (n < 1200) 1.0
       else 2.0 + math.log(n.toDouble / 1200.0) / math.log(2.0)
-    val total = math.min(10 * numTables,
+    val total = math.min(32 * numTables,
       math.max(numTables, math.round(numTables * lam).toInt))
     val base = total / numTables
     val rem = total % numTables
@@ -691,21 +693,28 @@ object Similarity {
     * E[bucket co-occupancy] — and with it candidate volume — ~linear in
     * |C|. The price is the standard LSH recall trade: each projection
     * multiplies per-table collision odds (~0.87 per axis for cos 0.95
-    * pairs, ~0.56 at cos 0.4), recovered by more tables; corpora past
-    * the ladder cap (~600k vectors) should raise `numTables` or
-    * `bucketLength` alongside, or prefer the cell-blocked [[semDedup]]
-    * family. */
+    * pairs, ~0.56 at cos 0.4), recovered by more tables — which the
+    * default `numTables = 0` does automatically: [[adaptiveTables]]
+    * holds 3 tables through the exact-fold range and adds one per two
+    * projection steps past 10 (where the key fold switches to hashed
+    * groups — see [[signBucketsExprPerTable]]), so the ladder climbs
+    * to ~2.5B vectors with no manual escape hatch; past the 12-table
+    * cap prefer the cell-blocked [[semDedup]] family. */
   def cosineNearDupPairs(emb: DataFrame, tau: Double,
-      bucketLength: Double = 2.0, numTables: Int = 3,
+      bucketLength: Double = 2.0, numTables: Int = 0,
       dim: Int = 64, nproj: Int = 0): DataFrame = {
+    // numTables = 0 (the default) scales tables with the projection
+    // ladder past its exact-fold range — 3 (the historic constant, and
+    // every pinned oracle's value) anywhere below 614k vectors
+    lazy val n = emb.count()
+    val nT = if (numTables > 0) numTables else adaptiveTables(n)
     val perTable =
-      if (nproj > 0) Seq.fill(numTables)(nproj)
-      else if (smoothSizing(emb.sparkSession))
-        smoothProjections(emb.count(), numTables)
-      else Seq.fill(numTables)(adaptiveProjections(emb.count()))
+      if (nproj > 0) Seq.fill(nT)(nproj)
+      else if (smoothSizing(emb.sparkSession)) smoothProjections(n, nT)
+      else Seq.fill(nT)(adaptiveProjections(n))
     // candidate join carries ids only; embeddings rejoin once per
     // surviving pair, so each cosine is evaluated exactly once
-    val ids = signBuckets(emb, bucketLength, numTables, dim, perTable)
+    val ids = signBuckets(emb, bucketLength, nT, dim, perTable)
     val cand = ids.select(col("t"), col("b"), col("vec_id").as("doc_a"))
       .join(ids.select(col("t"), col("b"), col("vec_id").as("doc_b")),
         Seq("t", "b"))
@@ -747,15 +756,38 @@ object Similarity {
     * volume driver — ~flat (measured: 57M → 5.9M candidates at 20k
     * vectors moving h 3 → 6). Pure integer thresholds, so the DuckDB
     * oracle ladder (a CASE over COUNT(*)) is exactly replayable
-    * cross-engine. Past the cap (~600k vectors) candidate volume
-    * grows ~N²/2.2¹⁰ per table — raise numTables/bucketLength there,
-    * or prefer the cell-blocked [[semDedup]] family. */
+    * cross-engine BELOW 614,400 rows — every oracle-checked corpus by
+    * orders of magnitude. PAST that the ladder keeps climbing (round-11
+    * rung — the last manual escape hatch): the base-64 key fold only
+    * holds 10 floors in an int64, so [[signBucketsExprPerTable]]
+    * switches to a hashed fold of ≤10-floor groups above 10
+    * projections, and [[adaptiveTables]] adds tables to pay the
+    * per-projection recall price. Capped at 32 projections (≈ 1.3B·2³²
+    * vectors — unreachable; the cap only bounds the hash-group
+    * count). */
   def adaptiveProjections(n: Long): Int = {
     var h = 1
     var threshold = 1200L
-    while (n >= threshold && h < 10) { h += 1; threshold *= 2 }
+    while (n >= threshold && h < 32) { h += 1; threshold *= 2 }
     h
   }
+
+  /** Table-count ladder companion of the uncapped projection ladder:
+    * 3 tables (the historic fixed value) through the exact-fold range,
+    * then one extra table per TWO projection steps past 10. Each
+    * projection multiplies a true pair's per-table collision odds by
+    * ~0.87 (cos 0.95 on a unit-norm corpus), so two steps cost ×0.76
+    * per table while one extra table at q ≈ 0.2–0.25 restores roughly
+    * that factor of overall recall (1−(1−q)^T arithmetic) — candidate
+    * volume then grows by the TABLE factor only (logarithmic in n),
+    * not the N²/2.2¹⁰ cliff of the capped ladder. Cap 12 tables
+    * (≈ 2.5B vectors): past that, route to the cell-blocked
+    * [[semDedup]] family, whose candidate volume is corpus-linear by
+    * construction. Integer thresholds (the projection ladder's own),
+    * so the below-cap value is the constant 3 every pinned oracle
+    * assumes. */
+  def adaptiveTables(n: Long): Int =
+    math.min(12, 3 + math.max(0, (adaptiveProjections(n) - 10 + 1) / 2))
 
   /** Parity-sign LSH bucket keys `(vec_id, t, b)` for a vector frame —
     * the blocking shared by [[cosineNearDupPairs]] and the incremental/
@@ -805,14 +837,28 @@ object Similarity {
         if ((h1 * h2 % 2147483647L) % 2 == 0) -1.0 else 1.0
       }
     val xd = transform(col("embedding"), v => v.cast("double"))
+    def floorOf(t: Int, i: Int): Column = {
+      val d = aggregate(
+        zip_with(xd, typedLit(signs(t + numTables * i)), (x, s) => x * s),
+        lit(0.0), (a, v) => a + v)
+      val f = floor(d / bucketLength).cast("long") + 32
+      greatest(least(f, lit(63L)), lit(0L))
+    }
+    def fold(fs: Seq[Column]): Column =
+      fs.foldLeft(lit(0L): Column)((acc, f) => acc * 64 + f)
     array((0 until numTables).map { t =>
-      val b = (0 until perTable(t)).foldLeft(lit(0L): Column) { (acc, i) =>
-        val d = aggregate(
-          zip_with(xd, typedLit(signs(t + numTables * i)), (x, s) => x * s),
-          lit(0.0), (a, v) => a + v)
-        val f = floor(d / bucketLength).cast("long") + 32
-        acc * 64 + greatest(least(f, lit(63L)), lit(0L))
-      }
+      val floors = (0 until perTable(t)).map(i => floorOf(t, i))
+      // ≤10 floors: the historic exact base-64 int64 fold — every
+      // pinned oracle key is in this range and replays verbatim in
+      // DuckDB. Past 10 the fold overflows, so the key becomes
+      // xxhash64 over ≤10-floor group folds (round-11 rung): equal
+      // floors still meet (the partitioning semantics LSH needs), a
+      // hash collision can only ADD a candidate the exact-cosine
+      // verify discards, and the ladder keeps one-projection-per-
+      // doubling growing past 614k vectors instead of going quadratic.
+      val b =
+        if (floors.size <= 10) fold(floors)
+        else xxhash64(floors.grouped(10).map(fold).toSeq: _*)
       struct(lit(t).as("t"), b.as("b"))
     }: _*)
   }
@@ -838,20 +884,22 @@ object Similarity {
     * the verify join, norms computed once per side, codegen'd
     * `graft_dot` verify. */
   def incrementalCosineNearDups(newEmb: DataFrame, corpusEmb: DataFrame,
-      tau: Double, bucketLength: Double = 2.0, numTables: Int = 3,
+      tau: Double, bucketLength: Double = 2.0, numTables: Int = 0,
       dim: Int = 64, nproj: Int = 0): DataFrame = {
-    // both sides must key with the SAME per-table projection counts for
-    // bucket keys to meet; the corpus side (the size that drives
-    // candidate volume) picks them in auto mode
+    // both sides must key with the SAME table and per-table projection
+    // counts for bucket keys to meet; the corpus side (the size that
+    // drives candidate volume) picks them in auto mode — numTables = 0
+    // scales tables past the exact-fold range like [[cosineNearDupPairs]]
+    lazy val n = corpusEmb.count()
+    val nT = if (numTables > 0) numTables else adaptiveTables(n)
     val perTable =
-      if (nproj > 0) Seq.fill(numTables)(nproj)
+      if (nproj > 0) Seq.fill(nT)(nproj)
       else if (smoothSizing(corpusEmb.sparkSession))
-        smoothProjections(corpusEmb.count(), numTables)
-      else Seq.fill(numTables)(
-        adaptiveProjections(corpusEmb.count()))
-    val bNew = signBuckets(newEmb, bucketLength, numTables, dim, perTable)
+        smoothProjections(n, nT)
+      else Seq.fill(nT)(adaptiveProjections(n))
+    val bNew = signBuckets(newEmb, bucketLength, nT, dim, perTable)
       .select(col("t"), col("b"), col("vec_id").as("new_id"))
-    val bCor = signBuckets(corpusEmb, bucketLength, numTables, dim, perTable)
+    val bCor = signBuckets(corpusEmb, bucketLength, nT, dim, perTable)
       .select(col("t"), col("b"), col("vec_id").as("corpus_id"))
     val cand = bNew.join(bCor, Seq("t", "b"))
       .select("new_id", "corpus_id").dropDuplicates("new_id", "corpus_id")

@@ -20,7 +20,12 @@ class ScaleLaddersSpec extends AnyFunSuite {
     assert(Similarity.adaptiveProjections(2000) == 2) // sf0.1
     assert(Similarity.adaptiveProjections(2400) == 3)
     assert(Similarity.adaptiveProjections(20000) == 6) // the x10 corpus
-    assert(Similarity.adaptiveProjections(Long.MaxValue) == 10) // fold cap
+    // the ladder no longer caps at the int64 fold's 10 floors: the key
+    // hashes ≤10-floor groups past that (round-11 rung)
+    assert(Similarity.adaptiveProjections(307200) == 10)
+    assert(Similarity.adaptiveProjections(614400) == 11)
+    assert(Similarity.adaptiveProjections(1228800) == 12)
+    assert(Similarity.adaptiveProjections(Long.MaxValue) == 32) // sanity cap
   }
 
   test("adaptiveNlist: ~1000 vectors per cell, floor 4, cap 4096") {
@@ -105,10 +110,10 @@ class ScaleLaddersSpec extends AnyFunSuite {
       val per = Similarity.smoothProjections(n)
       val lam = 2.0 + math.log(n / 1200.0) / math.log(2.0)
       // total realizes round(numTables * lambda); counts differ by <= 1
-      assert(per.sum == math.min(30,
+      assert(per.sum == math.min(96,
         math.max(3, math.round(3 * lam).toInt)), s"n=$n: $per")
       assert(per.max - per.min <= 1, s"n=$n: $per")
-      assert(per.forall(h => h >= 1 && h <= 10), s"n=$n: $per")
+      assert(per.forall(h => h >= 1 && h <= 32), s"n=$n: $per")
       // the fractional ladder tracks the integer one: every table
       // within one projection of the ladder's count
       assert(per.min >= Similarity.adaptiveProjections(n) - 1 &&
@@ -116,12 +121,63 @@ class ScaleLaddersSpec extends AnyFunSuite {
     }
     // AT a rung the fractional form equals the integer ladder exactly
     assert(Similarity.smoothProjections(19200) == Seq(6, 6, 6))
-    // fold cap: saturates at 10 per table
+    // no fold cap anymore: past 10/table the key hashes floor groups,
+    // so the smooth ladder keeps climbing (lambda = 18.35 at 100M)
     assert(Similarity.smoothProjections(100L * 1000 * 1000)
-      == Seq(10, 10, 10))
+      == Seq(19, 18, 18))
     // a non-default table count distributes the same lambda
     assert(Similarity.smoothProjections(600, numTables = 4)
       == Seq(1, 1, 1, 1))
+  }
+
+  test("adaptiveTables: 3 through the exact-fold range, +1 per 2 rungs past") {
+    assert(Similarity.adaptiveTables(600) == 3) // sf0.01: pinned
+    assert(Similarity.adaptiveTables(2000) == 3) // sf0.1
+    assert(Similarity.adaptiveTables(307200) == 3) // last exact rung
+    assert(Similarity.adaptiveTables(614400) == 4) // h=11
+    assert(Similarity.adaptiveTables(1228800) == 4) // h=12
+    assert(Similarity.adaptiveTables(2457600) == 5) // h=13
+    assert(Similarity.adaptiveTables(Long.MaxValue) == 12) // route to semDedup
+  }
+
+  test("hashed fold past 10 projections keeps finding planted near-dups") {
+    // explicit nproj = 12 forces every table onto the hashed-group key
+    // (the past-614k code path) on a corpus small enough to verify
+    // against exhaustive truth: planted exact dups MUST collide in all
+    // tables (identical floors => identical hash), and the pair set
+    // must stay a subset of the exact-cosine truth (hash collisions
+    // only ever ADD candidates, which the verify stage discards)
+    val e = blobs(400, dim = 64)
+    val planted = e.union(
+      e.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 1000).as("vec_id"), col("embedding")))
+    val found = Similarity.cosineNearDupPairs(planted, tau = 0.999,
+      nproj = 12)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 5L).foreach(i =>
+      assert(found((i, i + 1000)), s"planted dup $i missing at nproj=12"))
+    // subset-of-truth: every found pair is in the exhaustive
+    // all-pairs cosine >= tau set (the verify stage must have
+    // discarded any hash-collision candidate)
+    val a = planted.select(col("vec_id").as("doc_a"),
+      col("embedding").as("ea"))
+    val b = planted.select(col("vec_id").as("doc_b"),
+      col("embedding").as("eb"))
+    val cosAB = {
+      import org.apache.spark.sql.functions.{aggregate, zip_with, sqrt => ssqrt}
+      def d(x: String, y: String) = aggregate(
+        zip_with(col(x), col(y),
+          (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+      d("ea", "eb") / (ssqrt(d("ea", "ea")) * ssqrt(d("eb", "eb")))
+    }
+    val truth = a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .filter(cosAB >= 0.999)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.subsetOf(truth),
+      s"${(found -- truth).take(3)} found but not true near-dups")
   }
 
   test("smooth mode finds every planted exact dup and stays conf-gated") {
