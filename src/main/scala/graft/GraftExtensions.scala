@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{DotProduct, EuclideanDistance, ShingleSet, SimHashAgg}
+import graft.functions.{DotProduct, EuclideanDistance, MinHashSig, ShingleSet, SimHashAgg}
 import graft.plans.TopKJoinStrategy
 
 /** Engine extensions registered through the public
@@ -49,6 +49,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.length == 2, "graft_shingles takes exactly 2 arguments")
         ShingleSet(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 3, "graft_minhash takes exactly 3 arguments")
+        MinHashSig(children.head, children(1), children(2))
       }))
     ext.injectPlannerStrategy(_ => TopKJoinStrategy)
     // optimizer rule: the portable HOF dot-product pattern on float

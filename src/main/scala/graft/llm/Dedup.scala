@@ -158,21 +158,34 @@ object Dedup {
     * null signatures and are dropped, matching the batch path (an empty
     * doc produces no rows to aggregate there).
     *
-    * Cost is O(numHashes·|set|) interpreted lambda evaluations per row —
-    * right for an ingest micro-batch; corpus-scale jobs keep the
-    * codegen'd explode+partial-agg path of [[minHashOfSets]]. */
+    * In a session carrying GraftExtensions the signature evaluates
+    * through the native `graft_minhash` kernel
+    * ([[graft.functions.MinHashSig]], value-identical by construction —
+    * StreamingSpec's per-row ≡ batch differential covers both
+    * families): the HOF form is O(numHashes·|set|) interpreted lambda
+    * dispatches per row and paced streamingNearDups at ~148 rows/s
+    * (SCALE_r10 §4); the kernel is one compiled method per row with
+    * the per-element hashLong hoisted out of the slot loop. The HOF
+    * fallback keeps unextended sessions correct. */
   def minHashPerRow(shingleSets: DataFrame, numHashes: Int = 32,
       rowsPerBand: Int = 4, replicable: Boolean = false): DataFrame = {
     require(numHashes % rowsPerBand == 0, "bands must tile the signature")
-    val hl = transform(col("shingle_set"),
-      sh => if (replicable) sha2TokenHash(sh) else xxhash64(sh))
-    val sig = transform(sequence(lit(0), lit(numHashes - 1)), s =>
-      array_min(transform(col("__hl"),
-        h => if (replicable) mixModCol(h, s) else xxhash64(h, s))))
-    shingleSets
-      .withColumn("__hl", hl)
-      .withColumn("signature", sig)
-      .drop("__hl")
+    val native =
+      shingleSets.sparkSession.catalog.functionExists("graft_minhash")
+    val sigFrame =
+      if (native)
+        shingleSets.withColumn("signature",
+          expr(s"graft_minhash(shingle_set, $numHashes, $replicable)"))
+      else {
+        val hl = transform(col("shingle_set"),
+          sh => if (replicable) sha2TokenHash(sh) else xxhash64(sh))
+        val sig = transform(sequence(lit(0), lit(numHashes - 1)), s =>
+          array_min(transform(col("__hl"),
+            h => if (replicable) mixModCol(h, s) else xxhash64(h, s))))
+        shingleSets.withColumn("__hl", hl)
+          .withColumn("signature", sig).drop("__hl")
+      }
+    sigFrame
       .filter(size(col("shingle_set")) > 0)
       .withColumn("bands",
         bandsExpr(numHashes / rowsPerBand, rowsPerBand, replicable))
