@@ -16,26 +16,27 @@ object Bench {
     "graph_lpa", "graph_lpa_sync", "graph_louvain", "graph_louvain_sync",
     "graph_ppr_multi", "graph_ppr_multi_sync")
 
-  /** BASELINE.md §3 per-query gate numbers (sf0.1, r8 code — measured
-    * BEFORE QueryCache existed, so they are isolated-cost semantics,
-    * matching what the memo-clearing above reproduces). Used by the
+  /** BASELINE.md §6 per-query gate numbers (sf0.1, re-measured at r11
+    * code with §5 standalone-cost semantics — round-11 directive #4:
+    * the r8 §3 numbers had drifted vacuous for the fast movers, e.g.
+    * llm_semdedup ran 0.49× of its old gate). Used by the
     * self-adjudication pass: any headline > 1.5× its baseline is
     * automatically re-probed with 3 isolated warm reps in this JVM
     * (round-10 directive #2 — BASELINE §4's manual protocol, automated). */
-  private val baselineS3 = Map(
-    "q01_scan" -> 0.10, "q07_agg" -> 0.24, "q11_window_topk" -> 0.40,
-    "q20_join5_agg" -> 0.88, "ml_kmeans" -> 3.86, "ml_knn" -> 0.81,
-    "ml_svc" -> 8.88, "ml_dbscan" -> 2.13, "graph_pagerank" -> 1.90,
-    "graph_louvain" -> 21.67, "graph_louvain_sync" -> 6.15,
-    "graph_node2vec" -> 9.43, "graph_betweenness" -> 7.97,
-    "graph_kcore" -> 3.99, "graph_subgraph_tri" -> 3.27,
-    "llm_dedup_minhash" -> 0.29, "llm_near_dup_pairs" -> 0.77,
-    "llm_dedup_groups" -> 1.05, "llm_dedup_keep_best" -> 1.26,
-    "llm_ann_cosine" -> 0.37, "llm_ann_native" -> 0.24,
-    "llm_ann_ivf" -> 0.54, "llm_ann_pq" -> 1.42, "llm_ann_ivfpq" -> 1.71,
-    "llm_embed_dedup" -> 1.24, "llm_semdedup" -> 2.45,
-    "llm_containment" -> 1.50, "llm_span_dups" -> 0.75,
-    "llm_curation" -> 2.97, "llm_token_budget" -> 0.47)
+  private val baselineGate = Map(
+    "q01_scan" -> 0.11, "q07_agg" -> 0.22, "q11_window_topk" -> 0.39,
+    "q20_join5_agg" -> 0.93, "ml_kmeans" -> 2.55, "ml_knn" -> 0.80,
+    "ml_svc" -> 8.66, "ml_dbscan" -> 2.13, "graph_pagerank" -> 1.84,
+    "graph_louvain" -> 19.03, "graph_louvain_sync" -> 5.93,
+    "graph_node2vec" -> 9.36, "graph_betweenness" -> 7.31,
+    "graph_kcore" -> 2.82, "graph_subgraph_tri" -> 3.20,
+    "llm_dedup_minhash" -> 0.29, "llm_near_dup_pairs" -> 0.82,
+    "llm_dedup_groups" -> 1.22, "llm_dedup_keep_best" -> 1.23,
+    "llm_ann_cosine" -> 0.33, "llm_ann_native" -> 0.22,
+    "llm_ann_ivf" -> 0.53, "llm_ann_pq" -> 1.47, "llm_ann_ivfpq" -> 1.74,
+    "llm_embed_dedup" -> 1.38, "llm_semdedup" -> 1.31,
+    "llm_containment" -> 1.43, "llm_span_dups" -> 0.70,
+    "llm_curation" -> 2.84, "llm_token_budget" -> 0.48)
 
   /** Fixed single-thread CPU microbench (300M xorshift64 steps): a
     * host-speed canary independent of Spark, parquet, and the JIT state
@@ -190,13 +191,13 @@ object Bench {
       }
     }
     // self-adjudication (round-10 directive #2): any headline whose
-    // refined number exceeds 1.5× its BASELINE §3 gate is re-probed with
+    // refined number exceeds 1.5× its BASELINE §6 gate is re-probed with
     // 3 isolated warm reps in THIS JVM — if the warm minimum is back
     // within 1.5× the suite number was a contention window ("contention"),
     // otherwise the code is genuinely slower ("regression"). The probe
     // numbers ship in the JSON so no external adjudication is needed.
     val probes = refined.flatMap { case (name, t) =>
-      baselineS3.get(name)
+      baselineGate.get(name)
         .filter(b => !errors.contains(name) && t > 1.5 * b)
         .map { b =>
           val warm = (1 to 3).map(_ => sample(name))
@@ -230,7 +231,7 @@ object Bench {
         s"""QueryCache cleared before every timed sample of memo-backed """ +
         s"""queries (standalone-cost semantics, BASELINE \\u00a75); """ +
         s"""probes=3 isolated warm reps for any headline >1.5x its """ +
-        s"""BASELINE \\u00a73 gate"}"""
+        s"""BASELINE \\u00a76 gate"}"""
     // stop FIRST so no executor/log line interleaves with the one
     // machine-read output line
     spark.stop()

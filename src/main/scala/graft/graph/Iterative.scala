@@ -213,6 +213,21 @@ object Iterative {
     while (changed && i < maxIter) {
       // net count deltas keyed by the SENDER's uncapped estimate; the
       // receiver caps at its own est on apply.
+      //
+      // MEASURED REJECTION (round 11, SCALE_r11 §4): the active-set
+      // aggregateMessages fork SCALE_r10 §3 named as the next rung was
+      // built (package shim over the private[graphx] API, active =
+      // est≠prev, direction Either — message set provably identical)
+      // and made things WORSE: interleaved KcoreProbe ×10 14.5→17.3 s,
+      // ratio 4.3→5.15. Mechanism: for EdgeDirection.Either GraphX
+      // never index-skips — it still scans every edge, only adding a
+      // per-edge activeness bitset check, and ships the active set to
+      // edge partitions every round; with the send gate already a two
+      // int compare, that is pure added cost. (Index skipping exists
+      // only for Src/Both directions, which would drop one-endpoint
+      // messages here.) The plain full-scan form below stays; vertex
+      // shipping is already incremental via outerJoinVertices'
+      // same-ClassTag diff path.
       val msgs = g.aggregateMessages[Array[Long]](
         ctx => {
           val (se, sp) = ctx.srcAttr
