@@ -168,10 +168,17 @@ object Dedup {
     * the per-element hashLong hoisted out of the slot loop. The HOF
     * fallback keeps unextended sessions correct. */
   def minHashPerRow(shingleSets: DataFrame, numHashes: Int = 32,
-      rowsPerBand: Int = 4, replicable: Boolean = false): DataFrame = {
+      rowsPerBand: Int = 4, replicable: Boolean = false): DataFrame =
+    minHashPerRowImpl(shingleSets, numHashes, rowsPerBand, replicable,
+      shingleSets.sparkSession.catalog.functionExists("graft_minhash"))
+
+  /** [[minHashPerRow]] with the kernel choice forced — lets the spec
+    * differential exercise the HOF fallback in an extended session
+    * (native ≡ HOF ≡ batch aggregate, all three pairwise). */
+  private[graft] def minHashPerRowImpl(shingleSets: DataFrame,
+      numHashes: Int, rowsPerBand: Int, replicable: Boolean,
+      native: Boolean): DataFrame = {
     require(numHashes % rowsPerBand == 0, "bands must tile the signature")
-    val native =
-      shingleSets.sparkSession.catalog.functionExists("graft_minhash")
     val sigFrame =
       if (native)
         shingleSets.withColumn("signature",

@@ -388,7 +388,11 @@ class StreamingSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     val ss = Dedup.withShingleSets(corpus, 1).localCheckpoint()
     // signature + band identity between the stateless per-row form and
-    // the batch aggregate, for BOTH hash families
+    // the batch aggregate, for BOTH hash families — and for BOTH
+    // per-row kernels: the session carries GraftExtensions, so the
+    // default per-row path is the native graft_minhash expression
+    // (round 11); forcing native=false exercises the HOF fallback an
+    // unextended session would run. All three must agree exactly.
     for (rep <- Seq(false, true)) {
       val batch = Dedup.minHashOfSets(ss, 32, 4, rep).collect()
         .map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getSeq[Long](2)))
@@ -398,6 +402,13 @@ class StreamingSpec extends AnyFunSuite {
         .map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getSeq[Long](2)))
         .toMap
       assert(perRow == batch, s"per-row/batch diverge at replicable=$rep")
+      val perRowHof = Dedup.minHashPerRowImpl(ss, 32, 4, rep,
+          native = false)
+        .select("doc_id", "signature", "bands").collect()
+        .map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getSeq[Long](2)))
+        .toMap
+      assert(perRowHof == batch,
+        s"HOF-fallback/batch diverge at replicable=$rep")
     }
     // a replicable-built index probed with replicable=true finds the
     // dup — before the flag existed the stream hashed with the stock

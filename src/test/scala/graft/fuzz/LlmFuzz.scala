@@ -129,8 +129,29 @@ object LlmFuzzSeed {
         (s, d) => Similarity.semDedup(emb(s, d), tau, nlist, iters))
     }
 
+    // two-level residual index (round 11): BOTH Lloyd trainings, the
+    // composite (cell, sub) assignment and the two-stage routing replay
+    // per parameter point. Valid at sf0.001's 500 vectors for any
+    // nsplit (the level-2 trainer's subsample stays the identity —
+    // see residualLloydCte's scaladoc).
+    val residual = Seq((2, 2, 3, 1, 1, 3), (4, 2, 5, 2, 1, 5),
+      (4, 3, 3, 2, 2, 5), (6, 2, 4, 3, 1, 4), (4, 2, 5, 4, 2, 7),
+      (8, 2, 3, 2, 2, 3)).map {
+      case (nlist, nsplit, iters, nProbe, nProbeSub, k) =>
+        LlmCase(
+          s"lfz_ivfres_n${nlist}_s${nsplit}_i${iters}_p${nProbe}x${nProbeSub}_k$k",
+          LlmQueries.annIvfResidualSql(nlist, nsplit, iters, nProbe,
+            nProbeSub, k),
+          (s, d) => {
+            val e = emb(s, d)
+            Similarity.ivfResidualTopK(e.filter(col("vec_id") < 10), e,
+              k = k, nlist = nlist, nsplit = nsplit, nProbe = nProbe,
+              nProbeSub = nProbeSub, iters = iters)
+          })
+    }
+
     winnow ++ matches ++ containment ++ brute ++ annIvf ++ embed ++
-      simhash ++ nearDup ++ trained ++ semdedup
+      simhash ++ nearDup ++ trained ++ semdedup ++ residual
   }
 }
 
