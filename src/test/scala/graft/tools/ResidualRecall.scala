@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.llm.Similarity
@@ -17,7 +17,15 @@ import graft.llm.Similarity
   * corpus for the same query batch; the sweep reports recall plus the
   * DETERMINISTIC candidate volume per probe width, so the
   * quality/candidate trade is read off one table.
-  * Run: sbt "Test/runMain graft.tools.ResidualRecall <dir> [nQueries]" */
+  * The stress corpora are near-uniform on the sphere (shifted
+  * replicas) — the IVF-hostile worst case. Passing `clustered` as the
+  * dir generates a deterministic 60k-vector 64-blob corpus instead
+  * (hash-seeded Box–Muller centers, point = center + 0.5·noise,
+  * normalized; expected cosine-to-center ≈ 0.89) — the geometry real
+  * embedding corpora actually have, so the sweep brackets the
+  * deployment recall between the two regimes.
+  *
+  * Run: sbt "Test/runMain graft.tools.ResidualRecall <dir|clustered> [nQueries]" */
 object ResidualRecall {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/stress/x30")
@@ -31,7 +39,26 @@ object ResidualRecall {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val e = graft.sources.Tables(spark, dir, "embeddings")
+    def gauss(seedBase: Column, j: Column, s1: Int, s2: Int): Column = {
+      val s = seedBase * 64L + j
+      val u1 = (pmod(xxhash64(s, lit(s1)), lit(1000003L))
+        .cast("double") + 0.5) / 1000003.0
+      val u2 = (pmod(xxhash64(s, lit(s2)), lit(1000003L))
+        .cast("double") + 0.5) / 1000003.0
+      sqrt(lit(-2.0) * log(u1)) * cos(lit(2.0 * math.Pi) * u2)
+    }
+    val e =
+      if (dir == "clustered") {
+        val raw = spark.range(60000L).repartition(32)
+          .select(col("id").as("vec_id"),
+            transform(sequence(lit(0L), lit(63L)), j =>
+              gauss(pmod(col("id"), lit(64L)), j, 3, 4) +
+                lit(0.5) * gauss(col("id"), j, 1, 2)).as("raw"))
+        raw.select(col("vec_id"),
+          transform(col("raw"), v => (v / sqrt(aggregate(col("raw"),
+            lit(0.0), (a, x) => a + x * x))).cast("float"))
+            .as("embedding"))
+      } else graft.sources.Tables(spark, dir, "embeddings")
     val n = e.count()
     val nlist = math.max(4, (n / 3000L).toInt)
     val nsplit = 3
