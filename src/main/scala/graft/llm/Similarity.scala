@@ -1037,6 +1037,19 @@ object Similarity {
     math.max(1, math.min(256, ((targetCells + 4095) / 4096).toInt))
   }
 
+  /** Third-level companion of [[adaptiveNsplit]] (round 11 — the last
+    * named engine ceiling, SCALE_r10 §Remaining bounds): once the
+    * two-level key saturates at nlist×nsplit = 4096×256 ≈ 1M effective
+    * cells (~1B vectors at the ~1,000/cell operating point), a THIRD
+    * shared residual codebook keeps refining. 1 (no third level) below
+    * ~1B vectors; capped at 256, carrying the operating point to
+    * ~268B vectors — past any corpus this engine targets. */
+  def adaptiveNsplit3(n: Long): Int = {
+    val targetCells = (n + 999) / 1000
+    math.max(1, math.min(256,
+      ((targetCells + 4096L * 256 - 1) / (4096L * 256)).toInt))
+  }
+
   /** Two-level IVF residual index — the FAISS residual-quantizer second
     * blocking level: level 1 is the trained coarse quantizer (the
     * [[lloydAssign]] kernels), level 2 is ONE SHARED residual codebook —
@@ -1248,6 +1261,151 @@ object Similarity {
       nProbeSub: Int = 3, iters: Int = 5): DataFrame = {
     val (c1, c2, assign) = ivfResidualIndex(corpus, nlist, nsplit, iters)
     ivfResidualTopKIndexed(queries, c1, c2, assign, k, nProbe, nProbeSub)
+  }
+
+  /** THREE-level residual index (round 11 — the rung past the two-level
+    * key's ~1M-effective-cell saturation at ~1B vectors, the last named
+    * engine ceiling): the [[ivfResidualIndex]] construction applied
+    * once more — a third SHARED codebook (nsplit3 centroids, trained on
+    * the level-2 residuals (x − c1[cell]) − c2[sub]) refines the
+    * composite key to `(cell, sub, sub2)`, up to nlist×nsplit×nsplit3
+    * effective cells with THREE bounded center tables; `adaptiveNsplit3`
+    * engages past ~1B vectors and carries the ~1,000/cell operating
+    * point to ~268B. Build scale shape is unchanged: each level is one
+    * broadcast-centroid argmin over a corpus-sized frame (the packed
+    * fixed-width aggregate), plus one bounded Lloyd training on a
+    * hash-systematic subsample. Deterministic end to end — the same
+    * rounded-distance/id-tiebreak discipline at every level. */
+  def ivfResidual3Index(corpus: DataFrame, nlist: Int = 0,
+      nsplit: Int = 0, nsplit3: Int = 0, iters: Int = 5)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (c1, c2, a2) = ivfResidualIndex(corpus, nlist, nsplit, iters)
+    val k3 = if (nsplit3 > 0) nsplit3 else adaptiveNsplit3(corpus.count())
+    // level-2 residuals against BOTH assigned centers (doubles end to
+    // end), rebuilt from the level-2 assignment — never materialized
+    // per (cell, sub) pair
+    val r2 = a2
+      .join(broadcast(c1.select(col("cid"), col("cv"))),
+        col("cell") === col("cid"))
+      .join(broadcast(c2.select(col("sid"), col("sv"))),
+        col("sub") === col("sid"))
+      .select(col("neighbor_id").as("vec_id"),
+        zip_with(
+          zip_with(transform(col("ce"), v => v.cast("double")),
+            col("cv"), (x, c) => x - c),
+          col("sv"), (r, s) => r - s).as("embedding"))
+      .localCheckpoint()
+    val cents3 = broadcast(lloydCentersJoin(r2, k3, iters)
+      .zipWithIndex.toSeq
+      .map { case (c, i) => (i.toLong, c.toSeq) }.toDF("tid", "tv"))
+    val td6i =
+      floor(euclidExpr(spark, "embedding", "tv") * 1e6 + 0.5).cast("long")
+    val sub2 = r2.join(cents3)
+      .groupBy("vec_id")
+      .agg(min(packedArgmin(td6i, col("tid"))).as("mt"))
+      .select(col("vec_id").as("neighbor_id"), unpackId(col("mt")).as("sub2"))
+    val assign = a2.join(sub2, Seq("neighbor_id"))
+      .select(col("neighbor_id"), col("ce"), col("cell"), col("sub"),
+        col("sub2"))
+    (c1, c2, cents3, assign)
+  }
+
+  /** Probe a three-level [[ivfResidual3Index]]: the two-level routing
+    * ([[residualProbeKeys]]) extends one stage — per probed
+    * (cell, sub), the query's level-2 residual routes to its nProbeSub3
+    * nearest third-level subcells — and candidates meet on the
+    * composite `(cell, sub, sub2)` key. Expected candidate volume
+    * |Q|·nProbe·nProbeSub·nProbeSub3·|C|/(nlist·nsplit·nsplit3); rank
+    * stage identical to the whole family. */
+  def ivfResidual3TopKIndexed(queries: DataFrame, cents1: DataFrame,
+      cents2: DataFrame, cents3: DataFrame, assign: DataFrame, k: Int,
+      nProbe: Int = 8, nProbeSub: Int = 3,
+      nProbeSub3: Int = 2): DataFrame = {
+    val spark = queries.sparkSession
+    val qSubs = residualProbeKeys(queries, cents1, cents2,
+      nProbe, nProbeSub)
+    val qr2 = qSubs
+      .join(broadcast(cents1.select(col("cid"), col("cv"))),
+        col("cell") === col("cid"))
+      .join(broadcast(cents2.select(col("sid"), col("sv"))),
+        col("sub") === col("sid"))
+      .select(col("query_id"), col("qe"), col("cell"), col("sub"),
+        zip_with(
+          zip_with(transform(col("qe"), v => v.cast("double")),
+            col("cv"), (x, c) => x - c),
+          col("sv"), (r, s) => r - s).as("qr2"))
+    val c3 = broadcast(cents3.select(col("tid"), col("tv")))
+    val td6 = floor(euclidExpr(spark, "qr2", "tv") * 1e6 + 0.5) / 1e6
+    val qSub2 = qr2.join(c3)
+      .select(col("query_id"), col("qe"), col("cell"), col("sub"),
+        col("tid"), td6.as("d"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id", "cell", "sub")
+          .orderBy(col("d"), col("tid"))))
+      .filter(col("rn") <= nProbeSub3)
+      .select(col("query_id"), col("qe"), col("cell"), col("sub"),
+        col("tid").as("sub2"))
+    val scored = qSub2.join(assign, Seq("cell", "sub", "sub2"))
+      .select(col("query_id"), col("neighbor_id"),
+        dotExpr(spark, "qe", "ce").as("raw_dot"))
+      .select(col("query_id"), col("neighbor_id"), col("raw_dot"),
+        (floor(col("raw_dot") * 1e6 + 0.5) / 1e6).as("dot6"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dot6").desc, col("neighbor_id"))
+    scored
+      .select(col("query_id"), col("neighbor_id"),
+        row_number().over(w).as("rank"),
+        (floor(col("raw_dot") * 10000 + 0.5) / 10000).as("sim"))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Build + probe fused at three levels. */
+  def ivfResidual3TopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nlist: Int = 0, nsplit: Int = 0, nsplit3: Int = 0,
+      nProbe: Int = 8, nProbeSub: Int = 3, nProbeSub3: Int = 2,
+      iters: Int = 5): DataFrame = {
+    val (c1, c2, c3, assign) =
+      ivfResidual3Index(corpus, nlist, nsplit, nsplit3, iters)
+    ivfResidual3TopKIndexed(queries, c1, c2, c3, assign, k,
+      nProbe, nProbeSub, nProbeSub3)
+  }
+
+  /** Persist an [[ivfResidual3Index]]: three center tables, `assign`
+    * PARTITIONED BY (cell, sub, sub2), the same one-row kernel `meta`
+    * contract as the rest of the family. */
+  def ivfResidual3IndexWrite(cents1: DataFrame, cents2: DataFrame,
+      cents3: DataFrame, assign: DataFrame, dir: String): Unit = {
+    val spark = cents1.sparkSession
+    import spark.implicits._
+    cents1.write.mode("overwrite").parquet(s"$dir/centroids")
+    cents2.write.mode("overwrite").parquet(s"$dir/subcentroids")
+    cents3.write.mode("overwrite").parquet(s"$dir/subcentroids3")
+    assign.write.mode("overwrite").partitionBy("cell", "sub", "sub2")
+      .parquet(s"$dir/assign")
+    Seq(kernelId(spark)).toDF("kernel")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Load a persisted three-level index, failing loudly on a kernel
+    * mismatch — the family's contract ([[ivfIndexRead]]). */
+  def ivfResidual3IndexRead(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val stored = spark.read.parquet(s"$dir/meta")
+      .select("kernel").head().getString(0)
+    val here = kernelId(spark)
+    require(stored == here,
+      s"residual-3 IVF index at $dir was built with distance kernel " +
+        s"'$stored' but this session resolves '$here'; probing with a " +
+        "different kernel can silently disagree with the stored cell " +
+        "assignment. Register GraftExtensions (or rebuild the index) so " +
+        "build and probe share one kernel.")
+    (spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/subcentroids"),
+      spark.read.parquet(s"$dir/subcentroids3"),
+      spark.read.parquet(s"$dir/assign"))
   }
 
   /** Verified within-cell cosine pairs (doc_a < doc_b, cosine ≥ tau) —

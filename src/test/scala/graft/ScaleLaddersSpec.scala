@@ -258,6 +258,59 @@ class ScaleLaddersSpec extends AnyFunSuite {
     assert(viaIndex == fused)
   }
 
+  test("adaptiveNsplit3: 1 below ~1B vectors, then ~1000/effective-cell") {
+    assert(Similarity.adaptiveNsplit3(600) == 1)
+    assert(Similarity.adaptiveNsplit3(1000L * 1000 * 1000) == 1) // at the 2-level cap
+    assert(Similarity.adaptiveNsplit3(1100L * 1000 * 1000) == 2) // just past it
+    assert(Similarity.adaptiveNsplit3(4L * 1000 * 1000 * 1000) == 4)
+    assert(Similarity.adaptiveNsplit3(300L * 1000 * 1000 * 1000) == 256) // cap
+  }
+
+  test("ivfResidual3TopK with full probes equals brute-force top-k") {
+    // the level-2 exactness contract composes: exhaustive probing at
+    // all three levels removes the approximation entirely
+    val e = blobs(240, dim = 8)
+    val q = e.filter(col("vec_id") < 6)
+    val exact = Similarity.bruteForceTopK(q, e, k = 3)
+      .select("query_id", "neighbor_id", "rank").collect().toSet
+    val threeLevel = Similarity.ivfResidual3TopK(q, e, k = 3,
+      nlist = 4, nsplit = 2, nsplit3 = 2,
+      nProbe = 4, nProbeSub = 2, nProbeSub3 = 2)
+      .select("query_id", "neighbor_id", "rank").collect().toSet
+    assert(threeLevel == exact)
+  }
+
+  test("ivfResidual3Index: (cell, sub, sub2) strictly refines (cell, sub)") {
+    val e = blobs(400, dim = 8)
+      .select(col("vec_id"),
+        transform(col("embedding"), (v, i) =>
+          when(i === 7, (pmod(col("vec_id"), lit(3)).cast("float") -
+            lit(1.0f)) * lit(0.3f)).otherwise(v)).as("embedding"))
+    val (c1, c2, c3, assign) = Similarity.ivfResidual3Index(e,
+      nlist = 4, nsplit = 2, nsplit3 = 2)
+    assert(c1.count() == 4 && c2.count() == 2 && c3.count() == 2)
+    val rows = assign.select("neighbor_id", "cell", "sub", "sub2").collect()
+    assert(rows.length == 400)
+    assert(rows.map(_.getLong(0)).distinct.length == 400)
+    val three = rows.groupBy(r =>
+      (r.getLong(1), r.getLong(2), r.getLong(3))).map(_._2.length)
+    val two = rows.groupBy(r => (r.getLong(1), r.getLong(2)))
+      .map(_._2.length)
+    assert(three.max < two.max,
+      s"third level did not refine: ${three.max} vs ${two.max}")
+    // stored ≡ fused through the deployment write/read contract
+    val dir = java.nio.file.Files
+      .createTempDirectory("r3idx").toString
+    Similarity.ivfResidual3IndexWrite(c1, c2, c3, assign, dir)
+    val (r1, r2, r3c, ra) = Similarity.ivfResidual3IndexRead(spark, dir)
+    val q = e.filter(col("vec_id") < 5)
+    val viaStored = Similarity.ivfResidual3TopKIndexed(
+      q, r1, r2, r3c, ra, k = 3).collect().map(_.toString).toSeq
+    val viaBuilt = Similarity.ivfResidual3TopKIndexed(
+      q, c1, c2, c3, assign, k = 3).collect().map(_.toString).toSeq
+    assert(viaStored == viaBuilt)
+  }
+
   test("packedArgmin id bound fails loudly, not by silent mis-ranking") {
     // the strided IVF paths pack raw vec_ids as centroid ids; the
     // packed-BIGINT argmin is only ordered for id < 2^33, so a sparse
