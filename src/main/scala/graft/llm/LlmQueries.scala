@@ -343,6 +343,16 @@ object LlmQueries {
       Similarity.ivfResidualTopK(e.filter(col("vec_id") < 10), e, k = 5,
         nlist = 4, nsplit = 2, nProbe = 2, nProbeSub = 1, iters = 5)
     }),
+    "llm_ann_ivf_residual3" -> ((s, d) => {
+      // three-level residual index at PARTIAL probes (round 11 — the
+      // rung past the two-level key's ~1B-vector saturation): all
+      // three Lloyd trainings, the (cell, sub, sub2) assignment and
+      // the three-stage routing replay in one oracle statement
+      val e = emb(s, d)
+      Similarity.ivfResidual3TopK(e.filter(col("vec_id") < 10), e,
+        k = 5, nlist = 4, nsplit = 2, nsplit3 = 2,
+        nProbe = 2, nProbeSub = 1, nProbeSub3 = 1, iters = 5)
+    }),
     "llm_ann_pq" -> ((s, d) => {
       // product-quantization ADC: corpus compressed to m=4 codes, a
       // query scores a candidate with 4 table lookups — the code-table
@@ -831,24 +841,25 @@ object LlmQueries {
     * hash-systematic subsample is the identity (m = max(1, n/(256k)) =
     * 1, i.e. n < 512k at k=2 — true at the sf0.01 gate's 500 vectors;
     * DuckDB has no xxhash64 to replay a real subsample). */
-  private def residualLloydCte(k: Int, iters: Int, dim: Int): String = {
+  private def residualLloydCte(k: Int, iters: Int, dim: Int,
+      pfx: String = "r", src: String = "resid"): String = {
     val sb = new StringBuilder
-    sb ++= ", r0 AS MATERIALIZED (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster, " +
+    sb ++= s", ${pfx}0 AS MATERIALIZED (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster, " +
       "LIST_TRANSFORM(rv, v -> FLOOR(v * 1000000 + 0.5) / 1000000) AS cv " +
-      s"FROM (SELECT vec_id, rv FROM resid ORDER BY vec_id LIMIT $k) t0)"
-    sb ++= ", rd AS MATERIALIZED (SELECT vec_id, i, rv[i] AS v " +
-      s"FROM resid, generate_series(1, $dim) t(i))"
+      s"FROM (SELECT vec_id, rv FROM $src ORDER BY vec_id LIMIT $k) t0)"
+    sb ++= s", ${pfx}d AS MATERIALIZED (SELECT vec_id, i, rv[i] AS v " +
+      s"FROM $src, generate_series(1, $dim) t(i))"
     for (i <- 1 to iters) {
-      sb ++= s", ra$i AS MATERIALIZED (SELECT vec_id, cluster FROM " +
+      sb ++= s", ${pfx}a$i AS MATERIALIZED (SELECT vec_id, cluster FROM " +
         "(SELECT r.vec_id, c.cluster, ROW_NUMBER() OVER (PARTITION BY r.vec_id " +
         "ORDER BY FLOOR(LIST_DISTANCE(r.rv, c.cv) * 1000000 + 0.5), c.cluster) AS rn " +
-        s"FROM resid r CROSS JOIN r${i - 1} c) q WHERE rn = 1)"
-      sb ++= s", rm$i AS MATERIALIZED (SELECT a.cluster, d.i, " +
+        s"FROM $src r CROSS JOIN $pfx${i - 1} c) q WHERE rn = 1)"
+      sb ++= s", ${pfx}m$i AS MATERIALIZED (SELECT a.cluster, d.i, " +
         "FLOOR(AVG(d.v) * 1000000 + 0.5) / 1000000 AS m " +
-        s"FROM ra$i a JOIN rd d ON d.vec_id = a.vec_id GROUP BY a.cluster, d.i)"
-      sb ++= s", r$i AS MATERIALIZED (SELECT p.cluster, " +
+        s"FROM ${pfx}a$i a JOIN ${pfx}d d ON d.vec_id = a.vec_id GROUP BY a.cluster, d.i)"
+      sb ++= s", $pfx$i AS MATERIALIZED (SELECT p.cluster, " +
         "CASE WHEN COUNT(m.m) = 0 THEN p.cv ELSE LIST(m.m ORDER BY m.i) END AS cv " +
-        s"FROM r${i - 1} p LEFT JOIN rm$i m ON m.cluster = p.cluster " +
+        s"FROM $pfx${i - 1} p LEFT JOIN ${pfx}m$i m ON m.cluster = p.cluster " +
         "GROUP BY p.cluster, p.cv)"
     }
     sb.toString
@@ -900,6 +911,78 @@ object LlmQueries {
       "LIST_INNER_PRODUCT(qx.xv, nx.xv) AS raw_dot " +
       "FROM qs JOIN idx ON idx.cell = qs.cell AND idx.sub = qs.sub " +
       "JOIN x qx ON qx.vec_id = qs.query_id JOIN x nx ON nx.vec_id = idx.neighbor_id)" +
+      ", rk AS (SELECT query_id, neighbor_id, " +
+      "CAST(ROW_NUMBER() OVER (PARTITION BY query_id " +
+      "ORDER BY FLOOR(raw_dot * 1000000 + 0.5) / 1000000 DESC, neighbor_id) AS INTEGER) AS rank, " +
+      "FLOOR(raw_dot * 10000 + 0.5) / 10000 AS sim FROM sc) " +
+      s"SELECT query_id, neighbor_id, rank, sim FROM rk WHERE rank <= $k " +
+      "ORDER BY query_id, rank"
+  }
+
+  /** Three-level residual-IVF replica ([[Similarity.ivfResidual3TopK]]):
+    * the [[annIvfResidualSql]] chain extended once — level-2 residuals
+    * against the assigned second-level center, a third
+    * [[residualLloydCte]] run (prefix `t`), sub2 assignment, and the
+    * third routing stage on the query's level-2 residual; candidates
+    * meet on (cell, sub, sub2). One statement replays all THREE
+    * trainings and the whole probe. */
+  private[graft] def annIvfResidual3Sql(nlist: Int, nsplit: Int,
+      nsplit3: Int, iters: Int, nProbe: Int, nProbeSub: Int,
+      nProbeSub3: Int, k: Int): String = {
+    val dim = 64
+    graft.ml.MlQueries.lloydCentroidCte(k = nlist, iters = iters, dim = dim) +
+      s", cents AS (SELECT cluster AS cid, cv FROM c$iters)" +
+      ", asg AS (SELECT vec_id, cid AS cell FROM " +
+      "(SELECT x.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY x.vec_id " +
+      "ORDER BY FLOOR(LIST_DISTANCE(x.xv, c.cv) * 1000000 + 0.5), c.cid) AS rn " +
+      "FROM x CROSS JOIN cents c) q WHERE rn = 1)" +
+      ", resid AS MATERIALIZED (SELECT x.vec_id, " +
+      s"[x.xv[i] - c.cv[i] FOR i IN range(1, ${dim + 1})] AS rv " +
+      "FROM x JOIN asg ON asg.vec_id = x.vec_id " +
+      "JOIN cents c ON c.cid = asg.cell)" +
+      residualLloydCte(nsplit, iters, dim) +
+      s", scents AS (SELECT cluster AS sid, cv FROM r$iters)" +
+      ", sasg AS (SELECT vec_id, sid AS sub FROM " +
+      "(SELECT r.vec_id, c.sid, ROW_NUMBER() OVER (PARTITION BY r.vec_id " +
+      "ORDER BY FLOOR(LIST_DISTANCE(r.rv, c.cv) * 1000000 + 0.5), c.sid) AS rn " +
+      "FROM resid r CROSS JOIN scents c) q WHERE rn = 1)" +
+      ", resid2 AS MATERIALIZED (SELECT r.vec_id, " +
+      s"[r.rv[i] - s.cv[i] FOR i IN range(1, ${dim + 1})] AS rv " +
+      "FROM resid r JOIN sasg ON sasg.vec_id = r.vec_id " +
+      "JOIN scents s ON s.sid = sasg.sub)" +
+      residualLloydCte(nsplit3, iters, dim, pfx = "t", src = "resid2") +
+      s", tcents AS (SELECT cluster AS tid, cv FROM t$iters)" +
+      ", tasg AS (SELECT vec_id, tid AS sub2 FROM " +
+      "(SELECT r.vec_id, c.tid, ROW_NUMBER() OVER (PARTITION BY r.vec_id " +
+      "ORDER BY FLOOR(LIST_DISTANCE(r.rv, c.cv) * 1000000 + 0.5), c.tid) AS rn " +
+      "FROM resid2 r CROSS JOIN tcents c) q WHERE rn = 1)" +
+      ", idx AS (SELECT asg.vec_id AS neighbor_id, asg.cell, sasg.sub, tasg.sub2 " +
+      "FROM asg JOIN sasg ON sasg.vec_id = asg.vec_id " +
+      "JOIN tasg ON tasg.vec_id = asg.vec_id)" +
+      ", qc AS (SELECT query_id, cell, qr FROM " +
+      "(SELECT x.vec_id AS query_id, c.cid AS cell, " +
+      s"[x.xv[i] - c.cv[i] FOR i IN range(1, ${dim + 1})] AS qr, " +
+      "ROW_NUMBER() OVER (PARTITION BY x.vec_id " +
+      "ORDER BY FLOOR(LIST_DISTANCE(x.xv, c.cv) * 1000000 + 0.5) / 1000000, c.cid) AS rn " +
+      "FROM x CROSS JOIN cents c WHERE x.vec_id < 10) q " +
+      s"WHERE rn <= $nProbe)" +
+      ", qs AS (SELECT query_id, cell, sub, qr2 FROM " +
+      "(SELECT qc.query_id, qc.cell, s.sid AS sub, " +
+      s"[qc.qr[i] - s.cv[i] FOR i IN range(1, ${dim + 1})] AS qr2, " +
+      "ROW_NUMBER() OVER (PARTITION BY qc.query_id, qc.cell " +
+      "ORDER BY FLOOR(LIST_DISTANCE(qc.qr, s.cv) * 1000000 + 0.5) / 1000000, s.sid) AS rn " +
+      "FROM qc CROSS JOIN scents s) q " +
+      s"WHERE rn <= $nProbeSub)" +
+      ", qt AS (SELECT query_id, cell, sub, sub2 FROM " +
+      "(SELECT qs.query_id, qs.cell, qs.sub, t.tid AS sub2, " +
+      "ROW_NUMBER() OVER (PARTITION BY qs.query_id, qs.cell, qs.sub " +
+      "ORDER BY FLOOR(LIST_DISTANCE(qs.qr2, t.cv) * 1000000 + 0.5) / 1000000, t.tid) AS rn " +
+      "FROM qs CROSS JOIN tcents t) q " +
+      s"WHERE rn <= $nProbeSub3)" +
+      ", sc AS (SELECT qt.query_id, idx.neighbor_id, " +
+      "LIST_INNER_PRODUCT(qx.xv, nx.xv) AS raw_dot " +
+      "FROM qt JOIN idx ON idx.cell = qt.cell AND idx.sub = qt.sub AND idx.sub2 = qt.sub2 " +
+      "JOIN x qx ON qx.vec_id = qt.query_id JOIN x nx ON nx.vec_id = idx.neighbor_id)" +
       ", rk AS (SELECT query_id, neighbor_id, " +
       "CAST(ROW_NUMBER() OVER (PARTITION BY query_id " +
       "ORDER BY FLOOR(raw_dot * 1000000 + 0.5) / 1000000 DESC, neighbor_id) AS INTEGER) AS rank, " +
@@ -1599,6 +1682,11 @@ object LlmQueries {
     "llm_ann_ivf_residual" ->
       annIvfResidualSql(nlist = 4, nsplit = 2, iters = 5,
         nProbe = 2, nProbeSub = 1, k = 5),
+    // three-level twin: all three trainings + (cell, sub, sub2)
+    // routing in one statement
+    "llm_ann_ivf_residual3" ->
+      annIvfResidual3Sql(nlist = 4, nsplit = 2, nsplit3 = 2, iters = 5,
+        nProbe = 2, nProbeSub = 1, nProbeSub3 = 1, k = 5),
     // cluster-balance replica: Lloyd assignment verbatim, then the
     // temperature-rate pipeline with alpha=0 over cell strata (pow(p,0)
     // = 1 exactly, so the only float is the final rate arithmetic on
