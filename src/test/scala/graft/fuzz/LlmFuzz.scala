@@ -150,8 +150,25 @@ object LlmFuzzSeed {
           })
     }
 
+    // three-level residual index (round 11): all THREE trainings + the
+    // (cell, sub, sub2) routing per parameter point
+    val residual3 = Seq((4, 2, 2, 3, 2, 1, 1, 5), (2, 2, 2, 3, 1, 1, 1, 3),
+      (4, 2, 2, 5, 2, 2, 2, 4)).map {
+      case (nlist, nsplit, nsplit3, iters, p1, p2, p3, k) =>
+        LlmCase(
+          s"lfz_ivfr3_n${nlist}s${nsplit}t${nsplit3}_i${iters}_p$p1$p2${p3}_k$k",
+          LlmQueries.annIvfResidual3Sql(nlist, nsplit, nsplit3, iters,
+            p1, p2, p3, k),
+          (s, d) => {
+            val e = emb(s, d)
+            Similarity.ivfResidual3TopK(e.filter(col("vec_id") < 10), e,
+              k = k, nlist = nlist, nsplit = nsplit, nsplit3 = nsplit3,
+              nProbe = p1, nProbeSub = p2, nProbeSub3 = p3, iters = iters)
+          })
+    }
+
     winnow ++ matches ++ containment ++ brute ++ annIvf ++ embed ++
-      simhash ++ nearDup ++ trained ++ semdedup ++ residual
+      simhash ++ nearDup ++ trained ++ semdedup ++ residual ++ residual3
   }
 }
 

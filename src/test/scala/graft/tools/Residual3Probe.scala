@@ -58,6 +58,21 @@ object Residual3Probe {
       println(f"RESIDUAL3 rep$rep one:   build=$t1%7.2f s pairVol=$v1%-12d maxCell=$m1%-6d")
       println(f"RESIDUAL3 rep$rep two:   build=$t2%7.2f s pairVol=$v2%-12d maxCell=$m2%-6d div=${v1.toDouble / v2}%5.2f")
       println(f"RESIDUAL3 rep$rep three: build=$t3%7.2f s pairVol=$v3%-12d maxCell=$m3%-6d div=${v1.toDouble / v3}%5.2f")
+      if (rep == 1) {
+        // recall@5 of the three-level probe at the deployment widths
+        // against brute-force truth, on this geometry
+        val (c1b, c2b, c3b, a3b) =
+          Similarity.ivfResidual3Index(e, nlist, 3, 3)
+        val q = e.filter(col("vec_id") < 100).localCheckpoint()
+        val truth = Similarity.bruteForceTopK(q, e, 5).localCheckpoint()
+        for ((p1, p2, p3) <- Seq((4, 2, 2), (8, 3, 2), (8, 3, 3))) {
+          val rec = Similarity.recallAtK(
+            Similarity.ivfResidual3TopKIndexed(q, c1b, c2b, c3b, a3b,
+              k = 5, nProbe = p1, nProbeSub = p2, nProbeSub3 = p3),
+            truth, 5).head().getDouble(0)
+          println(f"RESIDUAL3 recall probe=($p1,$p2,$p3) recall@5=$rec%6.4f")
+        }
+      }
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
