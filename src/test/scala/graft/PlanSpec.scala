@@ -86,6 +86,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("three-level residual ivf keeps the (cell, sub, sub2) blocking " +
+      "join-shaped — no cartesian fallback at any level") {
+    val e = Tables(spark, sf0001, "embeddings")
+    val df = graft.llm.Similarity.ivfResidual3TopK(e.filter(
+      org.apache.spark.sql.functions.col("vec_id") < 10), e, k = 5,
+      nlist = 4, nsplit = 2, nsplit3 = 2)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("semdedup pair generation joins on the cell id, never all-pairs") {
     val e = Tables(spark, sf0001, "embeddings")
     val df = graft.llm.Similarity.semDedup(e, tau = 0.4)
