@@ -88,6 +88,33 @@ object LshCeilingProbe {
               slice(col("embedding"), 1, 1)),
             (v, s) => (v * a + s * (1.0f - a))).as("embedding"))
 
+    // end-to-end mode: run the FULL cosineNearDupPairs operator (auto
+    // sizing — hashed folds + adaptiveTables past the cap) on a 614k
+    // corpus with planted exact dups: candidates, dedup, verify join
+    // and output all exercised at past-cap scale, not just the bucket
+    // volumes the default mode counts
+    if (args.headOption.contains("e2e")) {
+      val n = 614400L
+      val e0 = corpus(n)
+      val planted = e0.union(
+        e0.filter(col("vec_id") < 5)
+          .select((col("vec_id") + 10000000L).as("vec_id"),
+            col("embedding"))).localCheckpoint()
+      val t0 = System.nanoTime()
+      val pairs = Similarity.cosineNearDupPairs(planted, tau = 0.999)
+        .localCheckpoint()
+      val nPairs = pairs.count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val found = pairs.select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ok = (0L until 5L).forall(i => found((i, i + 10000000L)))
+      println(f"LSHCEIL e2e n=$n pairs=$nPairs wall=$wall%7.1f s " +
+        s"plantedFound=$ok tables=${Similarity.adaptiveTables(n)} " +
+        s"proj=${Similarity.adaptiveProjections(n)}")
+      spark.stop()
+      return
+    }
+
     val recallOnly = args.headOption.contains("recall")
     for (n <- if (recallOnly) Seq(614400L) else Seq(614400L, 1843200L)) {
       val e = corpus(n).localCheckpoint()
