@@ -162,6 +162,9 @@ object Bench {
       "graph_louvain", "graph_betweenness", "graph_subgraph_tri",
       "graph_node2vec", "graph_kcore", "ml_svc", "ml_dbscan",
       "llm_ann_ivf", "llm_ann_native", "llm_embed_dedup",
+      // r11 joiners: reported (best-2-of-3) from day one; they enter
+      // the gate map at the next BASELINE re-baseline
+      "llm_ann_ivf_residual", "llm_ann_ivf_residual3",
       "llm_dedup_groups", "llm_curation", "graph_louvain_sync",
       "llm_ann_pq", "llm_ann_ivfpq", "llm_semdedup", "llm_span_dups",
       "llm_ann_text", "llm_hybrid_rrf", "llm_bpe_encode",
