@@ -698,7 +698,7 @@ object Similarity {
     * holds 3 tables through the exact-fold range and adds one per two
     * projection steps past 10 (where the key fold switches to hashed
     * groups — see [[signBucketsExprPerTable]]), so the ladder climbs
-    * to ~2.5B vectors with no manual escape hatch; past the 12-table
+    * to ~40B vectors with no manual escape hatch; past the 12-table
     * cap prefer the cell-blocked [[semDedup]] family. */
   def cosineNearDupPairs(emb: DataFrame, tau: Double,
       bucketLength: Double = 2.0, numTables: Int = 0,
@@ -781,7 +781,7 @@ object Similarity {
     * that factor of overall recall (1−(1−q)^T arithmetic) — candidate
     * volume then grows by the TABLE factor only (logarithmic in n),
     * not the N²/2.2¹⁰ cliff of the capped ladder. Cap 12 tables
-    * (≈ 2.5B vectors): past that, route to the cell-blocked
+    * (reached at h = 27, i.e. n ≈ 1200·2²⁵ ≈ 40B vectors): past that, route to the cell-blocked
     * [[semDedup]] family, whose candidate volume is corpus-linear by
     * construction. Integer thresholds (the projection ladder's own),
     * so the below-cap value is the constant 3 every pinned oracle
