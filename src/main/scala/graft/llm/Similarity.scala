@@ -1322,7 +1322,7 @@ object Similarity {
   def ivfResidual3TopKIndexed(queries: DataFrame, cents1: DataFrame,
       cents2: DataFrame, cents3: DataFrame, assign: DataFrame, k: Int,
       nProbe: Int = 8, nProbeSub: Int = 3,
-      nProbeSub3: Int = 2): DataFrame = {
+      nProbeSub3: Int = 2, staticPrune: Boolean = false): DataFrame = {
     val spark = queries.sparkSession
     val qSubs = residualProbeKeys(queries, cents1, cents2,
       nProbe, nProbeSub)
@@ -1347,7 +1347,26 @@ object Similarity {
       .filter(col("rn") <= nProbeSub3)
       .select(col("query_id"), col("qe"), col("cell"), col("sub"),
         col("tid").as("sub2"))
-    val scored = qSub2.join(assign, Seq("cell", "sub", "sub2"))
+    // stored-index deployment path, the family's staticPrune contract
+    // (same empty-batch short-circuit + single packed-key set filter as
+    // [[ivfResidualTopKIndexed]] — the OR-chain form it replaced stalls
+    // Catalyst at exactly the large-index sizes the flag exists for).
+    // All three key components are dense center indexes (cell < nlist
+    // ≤ 4096, sub/sub2 < 256 ≤ 2^13), so the 26/13-bit pack is
+    // collision-free; the expression references only the three
+    // partition columns, so file-source partition pruning applies, and
+    // the composite equi-join below stays the exact filter either way.
+    val qSub2P = if (staticPrune) qSub2.localCheckpoint() else qSub2
+    val probeTarget = if (staticPrune) {
+      val keys = qSub2P.select("cell", "sub", "sub2").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      if (keys.isEmpty) assign.limit(0)
+      else assign.filter(
+        (col("cell") * lit(1L << 26) + col("sub") * lit(1L << 13) +
+          col("sub2")).isInCollection(keys.map { case (c, s, t) =>
+          c * (1L << 26) + s * (1L << 13) + t }))
+    } else assign
+    val scored = qSub2P.join(probeTarget, Seq("cell", "sub", "sub2"))
       .select(col("query_id"), col("neighbor_id"),
         dotExpr(spark, "qe", "ce").as("raw_dot"))
       .select(col("query_id"), col("neighbor_id"), col("raw_dot"),

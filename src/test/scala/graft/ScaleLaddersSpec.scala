@@ -309,6 +309,16 @@ class ScaleLaddersSpec extends AnyFunSuite {
     val viaBuilt = Similarity.ivfResidual3TopKIndexed(
       q, c1, c2, c3, assign, k = 3).collect().map(_.toString).toSeq
     assert(viaStored == viaBuilt)
+    // the staticPrune deployment path: identical result through the
+    // packed (cell, sub, sub2) partition filter, and an empty query
+    // batch short-circuits to empty instead of throwing
+    val viaPruned = Similarity.ivfResidual3TopKIndexed(
+      q, r1, r2, r3c, ra, k = 3, staticPrune = true)
+      .collect().map(_.toString).toSeq
+    assert(viaPruned == viaStored)
+    assert(Similarity.ivfResidual3TopKIndexed(
+      e.filter(col("vec_id") < 0), r1, r2, r3c, ra, k = 3,
+      staticPrune = true).count() == 0)
   }
 
   test("packedArgmin id bound fails loudly, not by silent mis-ranking") {
