@@ -58,6 +58,12 @@ case class MinHashSig(set: Expression, numHashes: Expression,
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  /** Always nullable: an EMPTY (or all-null-element, replicable-mode)
+    * shingle set yields null even when every child is non-nullable —
+    * the TernaryExpression default (children's nullability) mislabeled
+    * that case and collect() crashed decoding the null. */
+  override def nullable: Boolean = true
+
   override def prettyName: String = "graft_minhash"
 
   private val MixM = 4503599627370496L // 2^52
@@ -81,6 +87,17 @@ case class MinHashSig(set: Expression, numHashes: Expression,
     (v << 4) | ((bytes(7) & 0xffL) >>> 4)
   }
 
+  /** Null ELEMENTS match the declarative fallback (r11 advice — the
+    * kernel used to NPE where the HOF form returned a value):
+    *  - non-replicable: `xxhash64(null)` skips the null child and
+    *    returns its seed 42, so the element hash is the literal 42L
+    *    and the slot mix proceeds from hashLong(42, 42).
+    *  - replicable: `sha2(null)` is null, the mix stays null, and
+    *    `array_min` skips null elements — so null elements contribute
+    *    nothing. An ALL-null array would give the HOF form an array of
+    *    k nulls, which this kernel's containsNull=false output cannot
+    *    represent — it returns null (the empty-set result) for that
+    *    degenerate case instead. */
   override protected def nullSafeEval(sv: Any, nv: Any, rv: Any): Any = {
     val arr = sv.asInstanceOf[ArrayData]
     val n = arr.numElements()
@@ -89,20 +106,26 @@ case class MinHashSig(set: Expression, numHashes: Expression,
     val rep = rv.asInstanceOf[Boolean]
     val sig = new Array[Long](k)
     java.util.Arrays.fill(sig, Long.MaxValue)
+    var contributed = false
     var i = 0
     while (i < n) {
-      val s = arr.getUTF8String(i)
       if (rep) {
-        val hm = sha2Token(s) % MixM
-        var j = 0
-        while (j < k) {
-          val m = ((2L * j + 3L) * hm + (104729L * j + 12345L)) % MixP
-          if (m < sig(j)) sig(j) = m
-          j += 1
+        if (!arr.isNullAt(i)) {
+          contributed = true
+          val hm = sha2Token(arr.getUTF8String(i)) % MixM
+          var j = 0
+          while (j < k) {
+            val m = ((2L * j + 3L) * hm + (104729L * j + 12345L)) % MixP
+            if (m < sig(j)) sig(j) = m
+            j += 1
+          }
         }
       } else {
+        contributed = true
         // xxhash64(h, j) = hashInt(j, hashLong(h, 42)); hashLong hoisted
-        val base = XXH64.hashLong(XXH64.hashUTF8String(s, 42L), 42L)
+        val h = if (arr.isNullAt(i)) 42L
+          else XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+        val base = XXH64.hashLong(h, 42L)
         var j = 0
         while (j < k) {
           val m = XXH64.hashInt(j, base)
@@ -112,6 +135,7 @@ case class MinHashSig(set: Expression, numHashes: Expression,
       }
       i += 1
     }
+    if (!contributed) return null
     new GenericArrayData(sig)
   }
 

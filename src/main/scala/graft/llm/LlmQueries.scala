@@ -422,6 +422,9 @@ object LlmQueries {
         .union(row("ivf_residual", Similarity.ivfResidualTopK(q, e,
           k = 5, nlist = 4, nsplit = 2, nProbe = 2, nProbeSub = 1,
           iters = 5)))
+        .union(row("ivf_residual3", Similarity.ivfResidual3TopK(q, e,
+          k = 5, nlist = 4, nsplit = 2, nsplit3 = 2, nProbe = 2,
+          nProbeSub = 1, nProbeSub3 = 1, iters = 5)))
         .union(row("ivf_trained", Similarity.ivfTopKTrained(q, e, k = 5,
           nlist = 4, iters = 5, nProbe = 2)))
         .union(row("ivfpq", Similarity.ivfPqTopK(q, e, k = 5,
@@ -2119,12 +2122,14 @@ object LlmQueries {
       s"""WITH bf AS (${base("llm_ann_cosine")}), """ +
         s"""iv AS (${base("llm_ann_ivf")}), """ +
         s"""ir AS (SELECT query_id, neighbor_id FROM (${base("llm_ann_ivf_residual")})), """ +
+        s"""ir3 AS (SELECT query_id, neighbor_id FROM (${base("llm_ann_ivf_residual3")})), """ +
         s"""it AS (${base("llm_ann_ivf_trained")}), """ +
         s"""pq AS (${base("llm_ann_pq")}), """ +
         s"""ip AS (${base("llm_ann_ivfpq")}) """ +
         "SELECT method, recall_at_k, n_queries FROM (" +
         recallRow("ivf", "iv") + " UNION ALL " +
         recallRow("ivf_residual", "ir") + " UNION ALL " +
+        recallRow("ivf_residual3", "ir3") + " UNION ALL " +
         recallRow("ivf_trained", "it") + " UNION ALL " +
         recallRow("ivfpq", "ip") + " UNION ALL " +
         recallRow("pq", "pq") + ") ORDER BY method"

@@ -705,9 +705,15 @@ object Similarity {
       dim: Int = 64, nproj: Int = 0): DataFrame = {
     // numTables = 0 (the default) scales tables with the projection
     // ladder past its exact-fold range — 3 (the historic constant, and
-    // every pinned oracle's value) anywhere below 614k vectors
+    // every pinned oracle's value) anywhere below 614k vectors. With an
+    // EXPLICIT nproj the ladder is overridden anyway, so auto table
+    // count falls back to the constant 3 rather than forcing a corpus
+    // count action the caller was avoiding (r11 advice).
     lazy val n = emb.count()
-    val nT = if (numTables > 0) numTables else adaptiveTables(n)
+    val nT =
+      if (numTables > 0) numTables
+      else if (nproj > 0) 3
+      else adaptiveTables(n)
     val perTable =
       if (nproj > 0) Seq.fill(nT)(nproj)
       else if (smoothSizing(emb.sparkSession)) smoothProjections(n, nT)
@@ -762,9 +768,9 @@ object Similarity {
     * holds 10 floors in an int64, so [[signBucketsExprPerTable]]
     * switches to a hashed fold of ≤10-floor groups above 10
     * projections, and [[adaptiveTables]] adds tables to pay the
-    * per-projection recall price. Capped at 32 projections (≈ 1.3B·2³²
-    * vectors — unreachable; the cap only bounds the hash-group
-    * count). */
+    * per-projection recall price. Capped at 32 projections (h = 32 is
+    * reached at n ≈ 1200·2³⁰ ≈ 1.3T vectors — unreachable; the cap
+    * only bounds the hash-group count). */
   def adaptiveProjections(n: Long): Int = {
     var h = 1
     var threshold = 1200L
@@ -890,8 +896,13 @@ object Similarity {
     // counts for bucket keys to meet; the corpus side (the size that
     // drives candidate volume) picks them in auto mode — numTables = 0
     // scales tables past the exact-fold range like [[cosineNearDupPairs]]
+    // (and, like there, an explicit nproj keeps the constant 3 tables
+    // instead of forcing a corpus count — r11 advice)
     lazy val n = corpusEmb.count()
-    val nT = if (numTables > 0) numTables else adaptiveTables(n)
+    val nT =
+      if (numTables > 0) numTables
+      else if (nproj > 0) 3
+      else adaptiveTables(n)
     val perTable =
       if (nproj > 0) Seq.fill(nT)(nproj)
       else if (smoothSizing(corpusEmb.sparkSession))
@@ -1202,6 +1213,19 @@ object Similarity {
       // filter either way.
       val keys = qSubsP.select("cell", "sub").distinct()
         .collect().map(r => (r.getLong(0), r.getLong(1)))
+      // pack-budget guard (r11 advice): the packed filter is only
+      // collision-free for cell < 2^30 (the shift would overflow past
+      // that) and sub < 2^33. The exact equi-join below would still
+      // return correct rows on a collision, but the partition pruning
+      // this flag exists for would silently read extra files — fail
+      // loudly instead, like packedArgmin's id guard. The keys are
+      // already on the driver, so the check is free.
+      keys.foreach { case (c, s) =>
+        require(c >= 0 && c < (1L << 30) && s >= 0 && s < (1L << 33),
+          s"staticPrune packed key out of budget: cell=$c (< 2^30), " +
+            s"sub=$s (< 2^33) — rebuild the index with nlist/nsplit " +
+            "inside the pack's bit budget")
+      }
       if (keys.isEmpty) assign.limit(0)
       else assign.filter((col("cell") * lit(1L << 33) + col("sub"))
         .isInCollection(keys.map { case (c, s) => c * (1L << 33) + s }))
@@ -1360,6 +1384,20 @@ object Similarity {
     val probeTarget = if (staticPrune) {
       val keys = qSub2P.select("cell", "sub", "sub2").distinct()
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // pack-budget guard (r11 advice): the 26/13-bit pack is only
+      // collision-free for sub/sub2 < 2^13 = 8192 and cell < 2^37; an
+      // explicit nsplit/nsplit3 above the adaptive 256 cap could
+      // otherwise collide — harmless for results (the composite
+      // equi-join below is the exact filter) but it silently defeats
+      // the partition pruning this flag exists for. Keys are already
+      // on the driver, so the check is free.
+      keys.foreach { case (c, s, t) =>
+        require(c >= 0 && c < (1L << 37) &&
+            s >= 0 && s < (1L << 13) && t >= 0 && t < (1L << 13),
+          s"staticPrune packed key out of budget: cell=$c (< 2^37), " +
+            s"sub=$s, sub2=$t (each < 2^13) — rebuild the index with " +
+            "nsplit/nsplit3 inside the pack's bit budget")
+      }
       if (keys.isEmpty) assign.limit(0)
       else assign.filter(
         (col("cell") * lit(1L << 26) + col("sub") * lit(1L << 13) +

@@ -429,6 +429,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("per-row minhash kernels agree on null shingle elements") {
+    // r11 advice: the native kernel used to NPE on a null shingle
+    // element while the HOF fallback returned a value — extended and
+    // unextended sessions diverged on the same input. Both hash
+    // families must now agree element-for-element.
+    import org.apache.spark.sql.functions.{array, lit}
+    import graft.llm.Dedup
+    val withNull = spark.range(1).select(lit(7L).as("doc_id"),
+      array(lit("alpha"), lit(null).cast("string"), lit("beta"))
+        .as("shingle_set"))
+    for (rep <- Seq(false, true)) {
+      def sigBands(native: Boolean) =
+        Dedup.minHashPerRowImpl(withNull, 32, 4, rep, native)
+          .select("signature", "bands").collect()
+          .map(r => (r.getSeq[Long](0), r.getSeq[Long](1))).toSeq
+      assert(sigBands(native = true) == sigBands(native = false),
+        s"native/HOF diverge on a null shingle at replicable=$rep")
+    }
+    // replicable mode: null elements contribute nothing (sha2(null) is
+    // null and array_min skips it), so the signature equals the one
+    // computed on the non-null subset
+    val noNull = spark.range(1).select(lit(7L).as("doc_id"),
+      array(lit("alpha"), lit("beta")).as("shingle_set"))
+    assert(
+      Dedup.minHashPerRowImpl(withNull, 32, 4, replicable = true,
+          native = true)
+        .select("signature").collect()(0).getSeq[Long](0) ==
+      Dedup.minHashPerRowImpl(noNull, 32, 4, replicable = true,
+          native = true)
+        .select("signature").collect()(0).getSeq[Long](0))
+    // degenerate all-null array in replicable mode: the kernel returns
+    // null (its containsNull=false output cannot carry the HOF form's
+    // array-of-nulls; documented divergence in MinHashSig)
+    val allNull = spark.range(1)
+      .select(array(lit(null).cast("string")).as("s"))
+    assert(allNull.select(expr("graft_minhash(s, 32, true)"))
+      .collect()(0).isNullAt(0))
+  }
+
   test("streaming embed dedup: in-flight semantic flags equal the batch " +
       "incremental probe") {
     implicit val sql = spark.sqlContext
