@@ -68,4 +68,31 @@ class CoreSpec extends AnyFunSuite {
     val top2 = Seq(2L, 3L, 4L).toDF("node")
     assert(math.abs(VerifyUtils.topKAccuracy(top1, top2) - 2.0 / 3) < 1e-9)
   }
+
+  test("bench probe verdict is canary-aware: a loaded host never ships " +
+      "regression") {
+    // r11 directive #1: BENCH_r11 shipped 3 false "regression" verdicts
+    // at provably unchanged code because the fixed 1.5x threshold
+    // ignored the run's own canary. Synthetic slow-canary sample (the
+    // judge-measured shape: ml_dbscan gate 2.13 s, warm min 3.807 s in
+    // a window whose spin read 0.758-1.0 s vs the 0.647 s baseline):
+    // the verdict must NOT be "regression".
+    val gate = 2.13
+    // mildly loaded host (canary 1.17x): threshold scales to
+    // 1.5*2.13*1.17 = 3.74 < 3.807, and since the host is >1.15x loaded
+    // the verdict is host-loaded, not regression
+    assert(Bench.probeVerdict(3.807, gate, 0.758) == "host-loaded")
+    // heavily loaded host (canary 2x): scaled threshold 6.39 absorbs
+    // the same warm minimum as contention
+    assert(Bench.probeVerdict(3.807, gate, 1.294) == "contention")
+    // quiet host (canary at baseline), warm min back within 1.5x gate:
+    // contention, same as the pre-r12 protocol
+    assert(Bench.probeVerdict(2.9, gate, 0.647) == "contention")
+    // quiet host, warm min genuinely above threshold: only THIS case
+    // may ship regression
+    assert(Bench.probeVerdict(5.0, gate, 0.647) == "regression")
+    // a FAST host (canary below baseline) never loosens the gate: the
+    // factor floors at 1
+    assert(Bench.probeVerdict(3.3, gate, 0.4) == "regression")
+  }
 }
