@@ -23,7 +23,7 @@ object Bench {
     * self-adjudication pass: any headline > 1.5× its baseline is
     * automatically re-probed with 3 isolated warm reps in this JVM
     * (round-10 directive #2 — BASELINE §4's manual protocol, automated). */
-  private val baselineGate = Map(
+  private[graft] val baselineGate = Map(
     "q01_scan" -> 0.11, "q07_agg" -> 0.22, "q11_window_topk" -> 0.39,
     "q20_join5_agg" -> 0.93, "ml_kmeans" -> 2.55, "ml_knn" -> 0.80,
     "ml_svc" -> 8.66, "ml_dbscan" -> 2.13, "graph_pagerank" -> 1.84,
@@ -36,7 +36,19 @@ object Bench {
     "llm_ann_ivf" -> 0.53, "llm_ann_pq" -> 1.47, "llm_ann_ivfpq" -> 1.74,
     "llm_embed_dedup" -> 1.38, "llm_semdedup" -> 1.31,
     "llm_containment" -> 1.43, "llm_span_dups" -> 0.70,
-    "llm_curation" -> 2.84, "llm_token_budget" -> 0.48)
+    "llm_curation" -> 2.84, "llm_token_budget" -> 0.48,
+    // r12 joiners (round-11 directive #2 — every reported headline row
+    // gates): measured 2026-08-15 under §5 semantics on a quiet window
+    // (canary cpu_spin 0.651/0.631 s vs the §6 0.647 s baseline),
+    // BASELINE §6 addendum. The two residual rows are dominated by the
+    // fixed per-iteration job overhead of their in-statement Lloyd
+    // trainings, not data volume.
+    "llm_ann_ivf_residual" -> 4.01, "llm_ann_ivf_residual3" -> 4.39,
+    "llm_ann_text" -> 0.77, "llm_hybrid_rrf" -> 0.80,
+    "llm_bpe_encode" -> 0.76, "llm_span_remove" -> 0.15,
+    "llm_decontaminate_bloom" -> 0.67, "llm_boilerplate" -> 0.18,
+    "llm_within_doc_dedup" -> 0.12, "llm_pii_consume" -> 0.11,
+    "llm_normalize_consume" -> 0.12)
 
   /** BASELINE §6's cpu_spin reading on the machine/session the gate
     * table was measured (0.647 s) — the denominator that converts a
@@ -61,6 +73,28 @@ object Bench {
     else if (host > 1.15) "host-loaded"
     else "regression"
   }
+
+  /** Per-query detail ships only for this headline set + the known
+    * heavy queries: the driver keeps a bounded tail of stdout, and the
+    * round-1 all-89-query line (~2.9 kB) came back decapitated and
+    * unparseable. The total still covers every query. Every headline
+    * row carries a [[baselineGate]] entry (r11 directive #2 — ungated
+    * reported rows could regress silently between re-baselines); a
+    * CoreSpec test enforces the invariant. */
+  private[graft] val headline = Set("q01_scan", "q07_agg",
+    "q11_window_topk",
+    "q20_join5_agg", "ml_kmeans", "ml_knn", "graph_pagerank",
+    "llm_dedup_minhash", "llm_near_dup_pairs", "llm_ann_cosine",
+    "graph_louvain", "graph_betweenness", "graph_subgraph_tri",
+    "graph_node2vec", "graph_kcore", "ml_svc", "ml_dbscan",
+    "llm_ann_ivf", "llm_ann_native", "llm_embed_dedup",
+    "llm_ann_ivf_residual", "llm_ann_ivf_residual3",
+    "llm_dedup_groups", "llm_curation", "graph_louvain_sync",
+    "llm_ann_pq", "llm_ann_ivfpq", "llm_semdedup", "llm_span_dups",
+    "llm_ann_text", "llm_hybrid_rrf", "llm_bpe_encode",
+    "llm_span_remove", "llm_decontaminate_bloom", "llm_boilerplate",
+    "llm_dedup_keep_best", "llm_token_budget", "llm_within_doc_dedup",
+    "llm_containment", "llm_pii_consume", "llm_normalize_consume")
 
   /** Fixed single-thread CPU microbench (300M xorshift64 steps): a
     * host-speed canary independent of Spark, parquet, and the JIT state
@@ -176,25 +210,7 @@ object Bench {
       name -> dt
     }
     def r3(v: Double) = math.floor(v * 1000 + 0.5) / 1000
-    // per-query detail only for the BASELINE.md headline set + the known
-    // heavy queries: the driver keeps a bounded tail of stdout, and the
-    // round-1 all-89-query line (~2.9 kB) came back decapitated and
-    // unparseable. The total still covers every query.
-    val headline = Set("q01_scan", "q07_agg", "q11_window_topk",
-      "q20_join5_agg", "ml_kmeans", "ml_knn", "graph_pagerank",
-      "llm_dedup_minhash", "llm_near_dup_pairs", "llm_ann_cosine",
-      "graph_louvain", "graph_betweenness", "graph_subgraph_tri",
-      "graph_node2vec", "graph_kcore", "ml_svc", "ml_dbscan",
-      "llm_ann_ivf", "llm_ann_native", "llm_embed_dedup",
-      // r11 joiners: reported (best-2-of-3) from day one; they enter
-      // the gate map at the next BASELINE re-baseline
-      "llm_ann_ivf_residual", "llm_ann_ivf_residual3",
-      "llm_dedup_groups", "llm_curation", "graph_louvain_sync",
-      "llm_ann_pq", "llm_ann_ivfpq", "llm_semdedup", "llm_span_dups",
-      "llm_ann_text", "llm_hybrid_rrf", "llm_bpe_encode",
-      "llm_span_remove", "llm_decontaminate_bloom", "llm_boilerplate",
-      "llm_dedup_keep_best", "llm_token_budget", "llm_within_doc_dedup",
-      "llm_containment", "llm_pii_consume", "llm_normalize_consume")
+    val headline = Bench.headline
     // Every headline number is drop-max-then-mean of 3 runs (1 suite
     // pass + 2 re-runs, caches cleared between). Single samples proved
     // unadjudicable twice: r4/r5 graph_louvain swung 24 -> 77 s on one

@@ -95,4 +95,16 @@ class CoreSpec extends AnyFunSuite {
     // factor floors at 1
     assert(Bench.probeVerdict(3.3, gate, 0.4) == "regression")
   }
+
+  test("every reported headline row carries a baseline gate entry") {
+    // r11 directive #2: rows reported in the BENCH JSON but absent
+    // from the gate map could regress silently between re-baselines.
+    // The invariant is exact equality: a gate entry for a non-headline
+    // row would likewise never be evaluated.
+    assert(Bench.headline == Bench.baselineGate.keySet,
+      s"headline-only: ${Bench.headline -- Bench.baselineGate.keySet}; " +
+        s"gate-only: ${Bench.baselineGate.keySet -- Bench.headline}")
+    // every headline row must also BE a query the bench can run
+    assert((Bench.headline -- SparkEntry.queries.keySet).isEmpty)
+  }
 }
