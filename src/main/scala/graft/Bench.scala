@@ -96,6 +96,117 @@ object Bench {
     "llm_dedup_keep_best", "llm_token_budget", "llm_within_doc_dedup",
     "llm_containment", "llm_pii_consume", "llm_normalize_consume")
 
+  /** Streaming throughput gates (round-11 directive #4 — the 17.4×
+    * graft_minhash win was invisible to the gate because StreamScale's
+    * rows/s lived only in tool output): steady-state rows/s at the
+    * 15k-row trigger, measured once on a quiet window under
+    * [[streamBench]]'s fixed protocol (BASELINE §7). A regression in
+    * e.g. the native minhash kernel path now fires a bench verdict
+    * instead of hiding in a tool. */
+  private[graft] val streamGate = Map(
+    "near_dups_rps" -> 3160.0, "embed_dedup_rps" -> 2100.0,
+    "sessionize_rps" -> 21960.0)
+
+  /** Canary-aware verdict for a streaming THROUGHPUT row (higher is
+    * better, so the host factor credits rather than discounts): ok
+    * within 2× of the gate after host adjustment; a loaded host ships
+    * host-loaded, never slow — mirror of [[probeVerdict]]. */
+  private[graft] def streamVerdict(rps: Double, gate: Double,
+      canaryAtRun: Double): String = {
+    val host = math.max(1.0, canaryAtRun / canaryGate)
+    if (rps * host >= gate / 2.0) "ok"
+    else if (host > 1.15) "host-loaded"
+    else "slow"
+  }
+
+  /** Bounded fixed-rate streaming throughput measurement (round-11
+    * directive #4): drives the three stateful streaming probes —
+    * streamingNearDups (the graft_minhash hot path), streamingEmbedDedup
+    * (sign-LSH probe), sessionize (flatMapGroupsWithState) — through
+    * MemoryStream at the 15k-row trigger StreamScale measured, 3
+    * triggers each with event time advancing past the watermark.
+    * Steady-state rows/s = the best trigger after the first (cold)
+    * one, the same drop-the-cold-sample discipline as the query
+    * headline numbers. Payload collects are bounded at exactly 15k
+    * rows each. */
+  private def streamBench(spark: SparkSession,
+      sfDir: String): Seq[(String, Double)] = {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+    import graft.streaming.EventStreams
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Long): Timestamp =
+      new Timestamp(1700000000000L + min * 60000L)
+    val rate = 15000
+    val nTriggers = 3
+    def steadyRps(q: StreamingQuery): Double = {
+      val warm = q.recentProgress.filter(_.numInputRows > 0).drop(1)
+      if (warm.isEmpty) 0.0
+      else warm.map { p =>
+        val ms = p.durationMs.getOrDefault("triggerExecution", 0L)
+        if (ms > 0) p.numInputRows * 1000.0 / ms else 0.0
+      }.max
+    }
+    // bounded collects: exactly `rate` payload rows each (cycled by
+    // modulo when the table is smaller)
+    val texts = graft.sources.Tables(spark, sfDir, "documents")
+      .select("text").limit(rate).collect().map(_.getString(0))
+    val vecs = graft.sources.Tables(spark, sfDir, "embeddings")
+      .select("embedding").limit(rate).collect().map(_.getSeq[Float](0))
+    val nearDups = {
+      val corpus = graft.sources.Tables(spark, sfDir, "documents")
+        .select("doc_id", "text")
+      val mem = MemoryStream[(Long, Timestamp, String)]
+      val q = EventStreams.streamingNearDups(
+          mem.toDF.toDF("doc_id", "ts", "text"), corpus)
+        .writeStream.format("memory").queryName("bench_nd")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        for (b <- 0 until nTriggers) {
+          mem.addData((0 until rate).map(i => (1000000L + b * rate + i,
+            ts(b * 30 + i % 10), texts(i % texts.length))): _*)
+          q.processAllAvailable()
+        }
+        steadyRps(q)
+      } finally q.stop()
+    }
+    val embedDedup = {
+      val corpus = graft.sources.Tables(spark, sfDir, "embeddings")
+      val mem = MemoryStream[(Long, Timestamp, Seq[Float])]
+      val q = EventStreams.streamingEmbedDedup(
+          mem.toDF.toDF("vec_id", "ts", "embedding"), corpus, tau = 0.4)
+        .writeStream.format("memory").queryName("bench_ed")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        for (b <- 0 until nTriggers) {
+          mem.addData((0 until rate).map(i => (1000000L + b * rate + i,
+            ts(b * 30 + i % 10), vecs(i % vecs.length))): _*)
+          q.processAllAvailable()
+        }
+        steadyRps(q)
+      } finally q.stop()
+    }
+    val sessionize = {
+      val mem = MemoryStream[EventStreams.SessionEvent]
+      val q = EventStreams.sessionize(mem.toDS(), gapMinutes = 30)
+        .writeStream.format("memory").queryName("bench_ss")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        for (b <- 0 until nTriggers) {
+          mem.addData((0 until rate).map(i => EventStreams.SessionEvent(
+            (i % (rate / 10 + 1)).toLong, ts(b * 120 + i % 20),
+            1.0)): _*)
+          q.processAllAvailable()
+        }
+        steadyRps(q)
+      } finally q.stop()
+    }
+    Seq("near_dups_rps" -> nearDups, "embed_dedup_rps" -> embedDedup,
+      "sessionize_rps" -> sessionize)
+  }
+
   /** Fixed single-thread CPU microbench (300M xorshift64 steps): a
     * host-speed canary independent of Spark, parquet, and the JIT state
     * of any query — a uniform inflation of this number alongside the
@@ -255,6 +366,29 @@ object Bench {
           name -> ((t, b, canaryAtProbe, warm, verdict))
         }
     }
+    // streaming throughput section (round-11 directive #4): skipped in
+    // SPARK_GRAFT_ONLY mode unless "streaming" is named, so query
+    // iteration loops don't pay the ~45 s. A failure is recorded like a
+    // failing query, never a dead JSON line.
+    val streamRows: Seq[(String, Double)] =
+      if (only.isDefined && !only.get.contains("streaming")) Seq.empty
+      else try {
+        val canaryAtStream = cpuSpin()
+        val rows = streamBench(spark, sfDir)
+        clearSparkState()
+        rows.foreach { case (k, v) =>
+          val verdict = streamGate.get(k)
+            .map(g => streamVerdict(v, g, canaryAtStream))
+            .getOrElse("ungated")
+          System.err.println(
+            f"[bench] stream $k%-18s ${v}%9.1f rows/s -> $verdict")
+        }
+        rows :+ ("canary_at_stream" -> canaryAtStream)
+      } catch { case e: Throwable =>
+        errors ::= "streaming"
+        System.err.println(s"[bench] streaming failed: ${e.getMessage}")
+        Seq.empty
+      }
     val spinEnd = cpuSpin()
     val qs = refined.filter(r => headline(r._1))
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
@@ -269,10 +403,20 @@ object Bench {
     val canaryJson = "{\"cpu_spin_start\":" + r3(spinStart) +
       ",\"cpu_spin_end\":" + r3(spinEnd) +
       ",\"q01_scan_warm\":" + r3(q01Canary) + "}"
+    val streamJson = streamRows.map { case (k, v) =>
+      val vd = streamGate.get(k)
+        .map(g => ",\"gate\":" + g + ",\"verdict\":\"" +
+          streamVerdict(v, g,
+            streamRows.toMap.getOrElse("canary_at_stream", spinStart)) +
+          "\"").getOrElse("")
+      "\"" + k + "\":" + (if (k == "canary_at_stream") r3(v).toString
+        else "{\"rps\":" + r3(v) + vd + "}")
+    }.mkString("{", ",", "}")
     val total = r3(results.map(_._2).sum)
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""errors":$errJson,"canary":$canaryJson,"probes":$probeJson,""" +
+        s""""streaming":$streamJson,""" +
         s""""n_queries":${results.size},"sf":"$sfDir",""" +
         s""""method":"total=single pass after untimed warm-up; """ +
         s"""headline queries=mean of best 2 of 3 (max dropped); """ +
@@ -281,7 +425,9 @@ object Bench {
         s"""probes=3 isolated warm reps for any headline >1.5x its """ +
         s"""BASELINE \\u00a76 gate, verdict threshold scaled by """ +
         s"""canary_at_probe/0.647 (host-loaded shipped when the scaled """ +
-        s"""threshold still trips on a >1.15x-loaded host)"}"""
+        s"""threshold still trips on a >1.15x-loaded host); """ +
+        s"""streaming=steady-state rows/s at the 15k trigger, best """ +
+        s"""post-cold trigger of 3, gated vs BASELINE \\u00a77 at 2x"}"""
     // stop FIRST so no executor/log line interleaves with the one
     // machine-read output line
     spark.stop()

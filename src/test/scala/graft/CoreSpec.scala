@@ -96,6 +96,23 @@ class CoreSpec extends AnyFunSuite {
     assert(Bench.probeVerdict(3.3, gate, 0.4) == "regression")
   }
 
+  test("streaming throughput verdict is canary-aware: a loaded host " +
+      "never ships slow") {
+    val gate = 3160.0 // near_dups_rps
+    // quiet host, throughput within 2x of gate: ok
+    assert(Bench.streamVerdict(1800.0, gate, 0.647) == "ok")
+    // quiet host, genuinely below half the gate: slow
+    assert(Bench.streamVerdict(1200.0, gate, 0.647) == "slow")
+    // loaded host (2x canary): the same 1200 rows/s host-adjusts to
+    // 2400 >= gate/2 -> ok
+    assert(Bench.streamVerdict(1200.0, gate, 1.294) == "ok")
+    // loaded host where even the adjusted rate trips: host-loaded,
+    // never slow
+    assert(Bench.streamVerdict(500.0, gate, 0.9) == "host-loaded")
+    // fast host never inflates the measured rate
+    assert(Bench.streamVerdict(1200.0, gate, 0.3) == "slow")
+  }
+
   test("every reported headline row carries a baseline gate entry") {
     // r11 directive #2: rows reported in the BENCH JSON but absent
     // from the gate map could regress silently between re-baselines.
