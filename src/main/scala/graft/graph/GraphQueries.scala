@@ -308,8 +308,20 @@ object GraphQueries {
     * no graph-wide extension vertex. Tractable here because the max
     * clique size is 4 (~60k cliques, <1 s); any extender must neighbor
     * mem[1], so the maximality probe scans one adjacency list. */
-  private val mceSql: String =
-    edgeCteRec +
+  /** Deterministic edge-subgraph variant of [[edgeCte]]/[[edgeCteRec]]
+    * for the fuzz grid (round-11 directive #6 — the parameterless
+    * families fuzz over the INPUT instead): the predicate
+    * `(src + dst) % m <> r` lands in the pre-group WHERE (equivalent to
+    * filtering the grouped output, since it only reads group keys) and
+    * the final relation stays named `g`, so every family body composes
+    * unchanged. The Spark side applies the same filter to the built
+    * edge frame. */
+  private[graft] def filteredCte(base: String, m: Int, r: Int): String =
+    base.replace("WHERE src IS NOT NULL AND src <> dst ",
+      s"WHERE src IS NOT NULL AND src <> dst AND (src + dst) % $m <> $r ")
+
+  private[graft] def mceSql(cte: String = edgeCteRec): String =
+    cte +
       ", u AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM g)" +
       ", sym AS (SELECT a AS src, b AS dst FROM u UNION SELECT b, a FROM u)" +
       ", cliq AS (SELECT b AS last, [a, b] AS mem FROM u " +
@@ -336,15 +348,16 @@ object GraphQueries {
     * endpoint neighbor lists (degree-capped at 64) share ≥ minCommon
     * nodes; a weak clique is a node plus its strong neighborhood,
     * deduplicated. Pure list algebra — mirrors Community.weakCliques. */
-  private val wceSql: String =
-    edgeCte +
+  private[graft] def wceSql(cte: String = edgeCte,
+      minCommon: Int = 2): String =
+    cte +
       ", u AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM g)" +
       ", sym AS (SELECT a AS src, b AS dst FROM u UNION SELECT b, a FROM u)" +
       ", nbrs AS (SELECT src AS n, LIST(DISTINCT dst ORDER BY dst) AS nb " +
       "FROM sym GROUP BY src HAVING COUNT(DISTINCT dst) <= 64)" +
       ", strong AS (SELECT s.src, s.dst FROM sym s " +
       "JOIN nbrs x ON x.n = s.src JOIN nbrs y ON y.n = s.dst " +
-      "WHERE len(list_intersect(x.nb, y.nb)) >= 2)" +
+      s"WHERE len(list_intersect(x.nb, y.nb)) >= $minCommon)" +
       ", mems AS (SELECT DISTINCT list_sort(list_append(" +
       "LIST(DISTINCT dst ORDER BY dst), src)) AS members " +
       "FROM strong GROUP BY src) " +
@@ -716,24 +729,9 @@ object GraphQueries {
       ctePrefix = edgeCte),
     "graph_edges" ->
       (edgeCte + "SELECT src, dst, weight FROM g ORDER BY src, dst"),
-    "graph_degree" ->
-      (edgeCte +
-        "SELECT COALESCE(i.node, o.node) AS node, " +
-        "COALESCE(i.in_deg, 0) AS in_deg, COALESCE(o.out_deg, 0) AS out_deg, " +
-        "COALESCE(i.in_deg, 0) + COALESCE(o.out_deg, 0) AS degree FROM " +
-        "(SELECT dst AS node, CAST(COUNT(*) AS INTEGER) AS in_deg FROM g GROUP BY dst) i " +
-        "FULL JOIN (SELECT src AS node, CAST(COUNT(*) AS INTEGER) AS out_deg " +
-        "FROM g GROUP BY src) o ON i.node = o.node ORDER BY node"),
-    "graph_triangle_total" ->
-      (edgeCte +
-        ", u AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM g) " +
-        "SELECT CAST(COUNT(*) AS BIGINT) AS triangles FROM u x " +
-        "JOIN u y ON y.a = x.b JOIN u z ON z.a = x.a AND z.b = y.b"),
-    "graph_subgraph_tri" ->
-      (edgeCte +
-        ", u AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM g) " +
-        "SELECT CAST(COUNT(*) * 6 AS BIGINT) AS matches FROM u x " +
-        "JOIN u y ON y.a = x.b JOIN u z ON z.a = x.a AND z.b = y.b"),
+    "graph_degree" -> degreeSql(),
+    "graph_triangle_total" -> triangleTotalSql(),
+    "graph_subgraph_tri" -> subgraphTriSql(),
     "graph_adapter" ->
       ("WITH e AS (SELECT n_name AS src, r_name AS dst FROM nation " +
         "JOIN region ON n_regionkey = r_regionkey) " +
@@ -743,15 +741,7 @@ object GraphQueries {
     // directed 3-cycles, rotation-canonical (path starts at its min vertex)
     "graph_cycles" -> cyclesSql(0.0, Double.PositiveInfinity),
     "graph_cycles_rate" -> cyclesSql(0.5, 2.0),
-    "graph_triangles" ->
-      (edgeCte +
-        ", u AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM g), " +
-        "n AS (SELECT src AS v FROM g UNION SELECT dst FROM g), " +
-        "tri AS (SELECT x.a, x.b, y.b AS c FROM u x " +
-        "JOIN u y ON y.a = x.b JOIN u z ON z.a = x.a AND z.b = y.b), " +
-        "tv AS (SELECT a AS v FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri) " +
-        "SELECT n.v AS node, CAST(COUNT(tv.v) AS INTEGER) AS triangles " +
-        "FROM n LEFT JOIN tv ON tv.v = n.v GROUP BY n.v ORDER BY node"),
+    "graph_triangles" -> trianglesSql(),
     "graph_modularity" -> modularitySql(16),
     // hop BFS from the min src node, depth-limited to 10 like the query
     "graph_bfs" -> bfsSql(maxDepth = 10),
@@ -761,30 +751,14 @@ object GraphQueries {
     "graph_closeness" -> closenessSql(nLandmarks = 8),
     "graph_betweenness" -> betweennessSql(sources = 8, levels = 6),
     "graph_kcore" -> kcoreSql(maxK = 36, rounds = 16),
-    "graph_clustering_coef" ->
-      (edgeCte +
-        ", u AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM g), " +
-        "n AS (SELECT src AS v FROM g UNION SELECT dst FROM g), " +
-        "deg AS (SELECT v, COUNT(*) AS d FROM " +
-        "(SELECT a AS v FROM u UNION ALL SELECT b FROM u) dv GROUP BY v), " +
-        "tri AS (SELECT x.a, x.b, y.b AS c FROM u x " +
-        "JOIN u y ON y.a = x.b JOIN u z ON z.a = x.a AND z.b = y.b), " +
-        "tv AS (SELECT v, COUNT(*) AS t FROM " +
-        "(SELECT a AS v FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri) tt " +
-        "GROUP BY v) " +
-        // CAST keeps Spark SQL on DOUBLE (its CASE would otherwise widen
-        // to DECIMAL and the cross-check string-compare sees 0.229420)
-        "SELECT n.v AS node, CAST(CASE WHEN COALESCE(deg.d, 0) >= 2 THEN " +
-        "FLOOR(COALESCE(tv.t, 0) * 2.0 / (deg.d * (deg.d - 1)) * 1000000 + 0.5) / 1000000 " +
-        "ELSE 0.0 END AS DOUBLE) AS local_cc FROM n LEFT JOIN deg ON deg.v = n.v " +
-        "LEFT JOIN tv ON tv.v = n.v ORDER BY node"),
+    "graph_clustering_coef" -> clusteringCoefSql(),
     "graph_lpa_sync" -> lpaSyncSql(5),
     "graph_ppr_multi_sync" -> pprMultiSql(iters = 10, nsources = 4),
     "graph_closeness_w" -> closenessWSql(nLandmarks = 8, rounds = 20),
     "graph_walks_det" -> walksSql(numWalks = 2, walkLength = 6, p = 2.0, q = 0.5),
     "graph_louvain_sync" -> louvainSyncSql(8),
-    "graph_mce" -> mceSql,
-    "graph_wce" -> wceSql,
+    "graph_mce" -> mceSql(),
+    "graph_wce" -> wceSql(),
     "graph_pagerank_conv" -> prConvSql(tol = 1e-4, iters = 100),
     "graph_ppr_conv" -> prConvSql(tol = 1e-4, iters = 100, personalized = true),
     "graph_pagerank" ->
@@ -812,19 +786,75 @@ object GraphQueries {
     // SCC label = min id over the mutually-reachable set (GraphX's
     // labeling), via the directed reachability closure joined with its
     // own transpose
-    "graph_scc" ->
-      (edgeCteRec +
-        ", r AS (SELECT v AS node, v AS reach FROM n " +
-        "UNION SELECT r.node, g.dst FROM r JOIN g ON g.src = r.reach) " +
-        "SELECT a.node, MIN(a.reach) AS component FROM r a " +
-        "JOIN r b ON a.reach = b.node AND b.reach = a.node " +
-        "GROUP BY a.node ORDER BY a.node"),
+    "graph_scc" -> sccSql(),
     // undirected reachability closure; component label = min reachable id
-    "graph_cc" ->
-      (edgeCteRec +
-        ", und AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM g " +
-        "UNION ALL SELECT dst AS src, src AS dst FROM g) uu), " +
-        "r AS (SELECT v AS node, v AS reach FROM n " +
-        "UNION SELECT r.node, u.dst FROM r JOIN und u ON u.src = r.reach) " +
-        "SELECT node, MIN(reach) AS component FROM r GROUP BY node ORDER BY node"))
+    "graph_cc" -> ccSql())
+
+  private[graft] def degreeSql(cte: String = edgeCte): String =
+    cte +
+      "SELECT COALESCE(i.node, o.node) AS node, " +
+      "COALESCE(i.in_deg, 0) AS in_deg, COALESCE(o.out_deg, 0) AS out_deg, " +
+      "COALESCE(i.in_deg, 0) + COALESCE(o.out_deg, 0) AS degree FROM " +
+      "(SELECT dst AS node, CAST(COUNT(*) AS INTEGER) AS in_deg FROM g GROUP BY dst) i " +
+      "FULL JOIN (SELECT src AS node, CAST(COUNT(*) AS INTEGER) AS out_deg " +
+      "FROM g GROUP BY src) o ON i.node = o.node ORDER BY node"
+
+  private[graft] def triangleTotalSql(cte: String = edgeCte): String =
+    cte +
+      ", u AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM g) " +
+      "SELECT CAST(COUNT(*) AS BIGINT) AS triangles FROM u x " +
+      "JOIN u y ON y.a = x.b JOIN u z ON z.a = x.a AND z.b = y.b"
+
+  private[graft] def subgraphTriSql(cte: String = edgeCte): String =
+    cte +
+      ", u AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM g) " +
+      "SELECT CAST(COUNT(*) * 6 AS BIGINT) AS matches FROM u x " +
+      "JOIN u y ON y.a = x.b JOIN u z ON z.a = x.a AND z.b = y.b"
+
+  private[graft] def trianglesSql(cte: String = edgeCte): String =
+    cte +
+      ", u AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM g), " +
+      "n AS (SELECT src AS v FROM g UNION SELECT dst FROM g), " +
+      "tri AS (SELECT x.a, x.b, y.b AS c FROM u x " +
+      "JOIN u y ON y.a = x.b JOIN u z ON z.a = x.a AND z.b = y.b), " +
+      "tv AS (SELECT a AS v FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri) " +
+      "SELECT n.v AS node, CAST(COUNT(tv.v) AS INTEGER) AS triangles " +
+      "FROM n LEFT JOIN tv ON tv.v = n.v GROUP BY n.v ORDER BY node"
+
+  private[graft] def clusteringCoefSql(cte: String = edgeCte): String =
+    cte +
+      ", u AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM g), " +
+      "n AS (SELECT src AS v FROM g UNION SELECT dst FROM g), " +
+      "deg AS (SELECT v, COUNT(*) AS d FROM " +
+      "(SELECT a AS v FROM u UNION ALL SELECT b FROM u) dv GROUP BY v), " +
+      "tri AS (SELECT x.a, x.b, y.b AS c FROM u x " +
+      "JOIN u y ON y.a = x.b JOIN u z ON z.a = x.a AND z.b = y.b), " +
+      "tv AS (SELECT v, COUNT(*) AS t FROM " +
+      "(SELECT a AS v FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri) tt " +
+      "GROUP BY v) " +
+      // CAST keeps Spark SQL on DOUBLE (its CASE would otherwise widen
+      // to DECIMAL and the cross-check string-compare sees 0.229420)
+      "SELECT n.v AS node, CAST(CASE WHEN COALESCE(deg.d, 0) >= 2 THEN " +
+      "FLOOR(COALESCE(tv.t, 0) * 2.0 / (deg.d * (deg.d - 1)) * 1000000 + 0.5) / 1000000 " +
+      "ELSE 0.0 END AS DOUBLE) AS local_cc FROM n LEFT JOIN deg ON deg.v = n.v " +
+      "LEFT JOIN tv ON tv.v = n.v ORDER BY node"
+
+  /** SCC label = min id over the mutually-reachable set (GraphX's
+    * labeling), via the directed reachability closure joined with its
+    * own transpose. */
+  private[graft] def sccSql(cte: String = edgeCteRec): String =
+    cte +
+      ", r AS (SELECT v AS node, v AS reach FROM n " +
+      "UNION SELECT r.node, g.dst FROM r JOIN g ON g.src = r.reach) " +
+      "SELECT a.node, MIN(a.reach) AS component FROM r a " +
+      "JOIN r b ON a.reach = b.node AND b.reach = a.node " +
+      "GROUP BY a.node ORDER BY a.node"
+
+  private[graft] def ccSql(cte: String = edgeCteRec): String =
+    cte +
+      ", und AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM g " +
+      "UNION ALL SELECT dst AS src, src AS dst FROM g) uu), " +
+      "r AS (SELECT v AS node, v AS reach FROM n " +
+      "UNION SELECT r.node, u.dst FROM r JOIN und u ON u.src = r.reach) " +
+      "SELECT node, MIN(reach) AS component FROM r GROUP BY node ORDER BY node"
 }

@@ -5,8 +5,8 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.graph.{Builtins, Centrality, GraphQueries, GraphSource,
-  Iterative, Motifs, Node2Vec}
+import graft.graph.{Builtins, Centrality, Community, GraphQueries,
+  GraphSource, Iterative, Motifs, Node2Vec}
 import graft.sources.Tables
 
 /** Parameter-grid differential fuzz over the GRAPH operator surface
@@ -244,9 +244,99 @@ object GraphFuzzSeed {
           numWalks = nw, walkLength = wl, p = p, q = q))
     }
 
+    // round-11 directive #6: the parameterless families (triangles,
+    // components, degrees, clustering coefficient, cliques, subgraph
+    // matching) fuzz over the INPUT instead — deterministic
+    // (src + dst) % m <> r edge subgraphs, the same predicate applied
+    // to the SQL CTE (filteredCte keeps the relation named `g`, so the
+    // pinned family bodies compose unchanged) and to the Spark edge
+    // frame before graph construction.
+    def fEdges(s: SparkSession, d: String, m: Int, r: Int): DataFrame =
+      edges(s, d).filter((col("src") + col("dst")) % m =!= r)
+    def fGraph(s: SparkSession, d: String, m: Int, r: Int) =
+      GraphSource.toGraph(fEdges(s, d, m, r))
+    def fUgraph(s: SparkSession, d: String, m: Int, r: Int) =
+      GraphSource.toGraph(
+        GraphSource.canonicalUndirected(fEdges(s, d, m, r)))
+    def fc(m: Int, r: Int) =
+      GraphQueries.filteredCte(GraphQueries.edgeCte, m, r)
+    def fcRec(m: Int, r: Int) =
+      GraphQueries.filteredCte(GraphQueries.edgeCteRec, m, r)
+
+    val triTotal = Seq((2, 0), (3, 1), (4, 3)).map { case (m, r) =>
+      GraphCase(s"gfz_tri_total_m${m}_r$r",
+        GraphQueries.triangleTotalSql(fc(m, r)),
+        (s, d) => Builtins.triangleTotal(s, fUgraph(s, d, m, r)))
+    }
+
+    val triPer = Seq((2, 1), (3, 0)).map { case (m, r) =>
+      GraphCase(s"gfz_triangles_m${m}_r$r",
+        GraphQueries.trianglesSql(fc(m, r)),
+        (s, d) => Builtins.triangleCounts(s, fUgraph(s, d, m, r)))
+    }
+
+    val ccoef = Seq((2, 0), (3, 2)).map { case (m, r) =>
+      GraphCase(s"gfz_clustcoef_m${m}_r$r",
+        GraphQueries.clusteringCoefSql(fc(m, r)),
+        (s, d) => Builtins.clusteringCoefficient(s, fUgraph(s, d, m, r)))
+    }
+
+    val degs = Seq((2, 1), (3, 0), (5, 2)).map { case (m, r) =>
+      GraphCase(s"gfz_degree_m${m}_r$r",
+        GraphQueries.degreeSql(fc(m, r)),
+        (s, d) => Builtins.degrees(s, fGraph(s, d, m, r)))
+    }
+
+    val ccs = Seq((2, 0), (3, 1)).map { case (m, r) =>
+      GraphCase(s"gfz_cc_m${m}_r$r",
+        GraphQueries.ccSql(fcRec(m, r)),
+        (s, d) => Builtins.connectedComponents(s, fGraph(s, d, m, r)))
+    }
+
+    val sccs = Seq((2, 1), (3, 0)).map { case (m, r) =>
+      GraphCase(s"gfz_scc_m${m}_r$r",
+        GraphQueries.sccSql(fcRec(m, r)),
+        (s, d) =>
+          Builtins.stronglyConnectedComponents(s, fGraph(s, d, m, r), 10))
+    }
+
+    val mce = Seq((2, 0), (3, 1)).map { case (m, r) =>
+      GraphCase(s"gfz_mce_m${m}_r$r",
+        GraphQueries.mceSql(fcRec(m, r)),
+        (s, d) => Motifs.maximalCliques(s,
+            GraphSource.canonicalUndirected(fEdges(s, d, m, r)))
+          .select(concat_ws(",", col("members")).as("members"), col("k"))
+          .orderBy("members"))
+    }
+
+    val wce = Seq((2, 0, 2), (3, 1, 3)).map { case (m, r, mc) =>
+      GraphCase(s"gfz_wce_m${m}_r${r}_c$mc",
+        GraphQueries.wceSql(fc(m, r), minCommon = mc),
+        (s, d) => Community.weakCliques(s,
+            GraphSource.canonicalUndirected(fEdges(s, d, m, r)),
+            minCommon = mc)
+          .select(col("clique_id"),
+            concat_ws(",", col("members")).as("members"),
+            col("clique_size")))
+    }
+
+    val subTri = Seq((2, 1), (3, 2)).map { case (m, r) =>
+      GraphCase(s"gfz_subtri_m${m}_r$r",
+        GraphQueries.subgraphTriSql(fc(m, r)),
+        (s, d) => {
+          val und = GraphSource.canonicalUndirected(fEdges(s, d, m, r))
+          val sym = und.select(col("src"), col("dst"))
+            .union(und.select(col("dst"), col("src")))
+            .withColumn("weight", lit(1.0))
+          Motifs.subgraphCount(s, sym, Seq((0, 1), (1, 2), (2, 0)),
+            lessThan = Seq((0, 1), (1, 2)), automorphisms = 6)
+        })
+    }
+
     pagerank ++ wpr ++ ppr ++ trust ++ incpr ++ conv ++ bfs ++ sssp ++
       clo ++ cloW ++ btw ++ kcore ++ mod ++ cycles ++ lpa ++ louv ++
-      pprMulti ++ walks
+      pprMulti ++ walks ++ triTotal ++ triPer ++ ccoef ++ degs ++ ccs ++
+      sccs ++ mce ++ wce ++ subTri
   }
 }
 

@@ -27,7 +27,14 @@ object Residual3Probe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val e = graft.sources.Tables(spark, dir, "embeddings")
+    // `clustered` runs the same deterministic 64-blob geometry as
+    // ResidualRecall's clustered mode (round-11 directive #5: bracket
+    // the three-level recall between the IVF-hostile uniform stress
+    // corpus and realistic clustered geometry, like level 2's
+    // [0.87, 1.00] bracket)
+    val e =
+      if (dir == "clustered") Corpora.clustered(spark).localCheckpoint()
+      else graft.sources.Tables(spark, dir, "embeddings")
     val n = e.count()
     val nlist = math.max(4, (n / 9000L).toInt) // 9x-past-cap model
     println(s"RESIDUAL3 n=$n nlist=$nlist (9000/cell model) nsplit=3 nsplit3=3")

@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.llm.Similarity
@@ -39,26 +39,9 @@ object ResidualRecall {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def gauss(seedBase: Column, j: Column, s1: Int, s2: Int): Column = {
-      val s = seedBase * 64L + j
-      val u1 = (pmod(xxhash64(s, lit(s1)), lit(1000003L))
-        .cast("double") + 0.5) / 1000003.0
-      val u2 = (pmod(xxhash64(s, lit(s2)), lit(1000003L))
-        .cast("double") + 0.5) / 1000003.0
-      sqrt(lit(-2.0) * log(u1)) * cos(lit(2.0 * math.Pi) * u2)
-    }
     val e =
-      if (dir == "clustered") {
-        val raw = spark.range(60000L).repartition(32)
-          .select(col("id").as("vec_id"),
-            transform(sequence(lit(0L), lit(63L)), j =>
-              gauss(pmod(col("id"), lit(64L)), j, 3, 4) +
-                lit(0.5) * gauss(col("id"), j, 1, 2)).as("raw"))
-        raw.select(col("vec_id"),
-          transform(col("raw"), v => (v / sqrt(aggregate(col("raw"),
-            lit(0.0), (a, x) => a + x * x))).cast("float"))
-            .as("embedding"))
-      } else graft.sources.Tables(spark, dir, "embeddings")
+      if (dir == "clustered") Corpora.clustered(spark)
+      else graft.sources.Tables(spark, dir, "embeddings")
     val n = e.count()
     val nlist = math.max(4, (n / 3000L).toInt)
     val nsplit = 3
