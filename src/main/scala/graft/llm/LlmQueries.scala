@@ -752,6 +752,120 @@ object LlmQueries {
       "ORDER BY query_id, rank"
   }
 
+  /** PQ codebook + encoding + query-distance-table CTE block shared by
+    * [[annPqSql]] and [[annIvfPqSql]] (round-12 — the last ANN variants
+    * without parameterized oracle builders): `ksub` codewords from the
+    * first strided corpus vectors, `m` subvectors of 64/m dims, ADC
+    * tables for the first `nq` queries. `centsName` keeps the pinned
+    * ivfpq text's `pcents` (its `cents` is taken by the coarse level). */
+  private def pqCtes(centsName: String, m: Int, ksub: Int, stride: Int,
+      nq: Int): String = {
+    val sd = 64 / m
+    s"$centsName AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, xv AS cv FROM " +
+      s"(SELECT vec_id, xv FROM x WHERE vec_id % $stride = 0 ORDER BY vec_id LIMIT $ksub) t), " +
+      s"sub AS (SELECT s FROM generate_series(0, ${m - 1}) g(s)), " +
+      s"xs AS (SELECT vec_id, s, xv[s*$sd+1 : s*$sd+$sd] AS sv FROM x CROSS JOIN sub), " +
+      s"cs AS (SELECT cid, s, cv[s*$sd+1 : s*$sd+$sd] AS csv FROM $centsName CROSS JOIN sub), " +
+      "enc AS (SELECT vec_id, s, cid AS code FROM " +
+      "(SELECT xs.vec_id, xs.s, cs.cid, ROW_NUMBER() OVER (PARTITION BY xs.vec_id, xs.s " +
+      "ORDER BY FLOOR(LIST_DISTANCE(xs.sv, cs.csv) * 1000000 + 0.5) / 1000000, cs.cid) AS rn " +
+      "FROM xs JOIN cs ON cs.s = xs.s) q WHERE rn = 1), " +
+      "qd AS (SELECT xs.vec_id AS query_id, xs.s, cs.cid, " +
+      "LIST_INNER_PRODUCT(xs.sv, cs.csv) AS d " +
+      s"FROM xs JOIN cs ON cs.s = xs.s WHERE xs.vec_id < $nq)"
+  }
+
+  /** Final ranking shared by the PQ family: rerank = 0 ranks the ADC
+    * scores directly; rerank > 0 shortlists by ADC then re-scores the
+    * shortlist with the exact inner product (the pinned ivfpq shape). */
+  private def pqRankSql(k: Int, rerank: Int): String =
+    if (rerank == 0)
+      "rk AS (SELECT query_id, neighbor_id, " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY query_id " +
+        "ORDER BY FLOOR(raw_dot * 1000000 + 0.5) / 1000000 DESC, neighbor_id) AS INTEGER) AS rank, " +
+        "FLOOR(raw_dot * 10000 + 0.5) / 10000 AS sim FROM sc) " +
+        s"SELECT query_id, neighbor_id, rank, sim FROM rk WHERE rank <= $k " +
+        "ORDER BY query_id, rank"
+    else
+      "short AS (SELECT query_id, neighbor_id FROM " +
+        "(SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id " +
+        "ORDER BY FLOOR(raw_dot * 1000000 + 0.5) / 1000000 DESC, neighbor_id) AS rn FROM sc) t " +
+        s"WHERE rn <= $rerank), " +
+        "ex AS (SELECT sh.query_id, sh.neighbor_id, " +
+        "LIST_INNER_PRODUCT(qx.xv, nx.xv) AS raw_dot FROM short sh " +
+        "JOIN x qx ON qx.vec_id = sh.query_id JOIN x nx ON nx.vec_id = sh.neighbor_id), " +
+        "rk AS (SELECT query_id, neighbor_id, " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY query_id " +
+        "ORDER BY FLOOR(raw_dot * 1000000 + 0.5) / 1000000 DESC, neighbor_id) AS INTEGER) AS rank, " +
+        "FLOOR(raw_dot * 10000 + 0.5) / 10000 AS sim FROM ex) " +
+        s"SELECT query_id, neighbor_id, rank, sim FROM rk WHERE rank <= $k " +
+        "ORDER BY query_id, rank"
+
+  /** Product-quantization ADC replica, fully parameterized (m must
+    * divide 64). The pinned llm_ann_pq form is
+    * annPqSql(4, 16, 31, 10, 5). */
+  private[graft] def annPqSql(m: Int, ksub: Int, stride: Int, nq: Int,
+      k: Int, rerank: Int = 0): String = {
+    val dotSum = (0 until m).map(i => s"q$i.d").mkString(" + ")
+    val encJoins = (1 until m).map(i =>
+      s"JOIN (SELECT * FROM enc WHERE s = $i) e$i ON e$i.vec_id = e0.vec_id ").mkString
+    val qdJoins =
+      "JOIN (SELECT * FROM qd WHERE s = 0) q0 ON q0.cid = e0.code " +
+        (1 until m).map(i =>
+          s"JOIN (SELECT * FROM qd WHERE s = $i) q$i ON q$i.cid = e$i.code " +
+            s"AND q$i.query_id = q0.query_id ").mkString
+    "WITH x AS (SELECT vec_id, LIST_TRANSFORM(embedding, v -> CAST(v AS DOUBLE)) AS xv " +
+      "FROM embeddings), " +
+      pqCtes("cents", m, ksub, stride, nq) + ", " +
+      "sc AS (SELECT q0.query_id, e0.vec_id AS neighbor_id, " +
+      s"$dotSum AS raw_dot " +
+      "FROM (SELECT * FROM enc WHERE s = 0) e0 " +
+      encJoins + qdJoins.stripSuffix(" ") + "), " +
+      pqRankSql(k, rerank)
+  }
+
+  /** IVF+PQ replica, fully parameterized: the strided coarse
+    * assignment/probe CTEs (coarseStride = 0 replays the adaptive
+    * ladder, the pinned form) + the PQ codebook/encoding CTEs, ADC
+    * scores restricted to probed cells, a rerank-candidate shortlist
+    * re-scored exactly. The pinned llm_ann_ivfpq form is
+    * annIvfPqSql(0, 4, 4, 16, 31, 10, 5, 20). */
+  private[graft] def annIvfPqSql(coarseStride: Int, nProbe: Int, m: Int,
+      ksub: Int, pqStride: Int, nq: Int, k: Int, rerank: Int): String = {
+    val coarseCte =
+      if (coarseStride > 0)
+        s"coarse AS (SELECT vec_id AS cid, xv AS cv FROM x WHERE vec_id % $coarseStride = 0), "
+      else
+        "st AS (SELECT CASE WHEN n < 5000 THEN 31 WHEN n < 20000 THEN 62 WHEN n < 80000 THEN 124 " +
+          "WHEN n < 320000 THEN 248 WHEN n < 1280000 THEN 496 WHEN n < 5120000 THEN 992 " +
+          "WHEN n < 20480000 THEN 1984 WHEN n < 81920000 THEN 3968 ELSE 7936 END AS s " +
+          "FROM (SELECT COUNT(*) AS n FROM embeddings) c), " +
+          "coarse AS (SELECT vec_id AS cid, xv AS cv FROM x CROSS JOIN st WHERE vec_id % st.s = 0), "
+    val dotSum = (0 until m).map(i => s"q$i.d").mkString(" + ")
+    val encJoins = (0 until m).map(i =>
+      s"JOIN (SELECT * FROM enc WHERE s = $i) e$i ON e$i.vec_id = asg.neighbor_id ").mkString
+    val qdJoins = (0 until m).map(i =>
+      s"JOIN (SELECT * FROM qd WHERE s = $i) q$i ON q$i.cid = e$i.code " +
+        s"AND q$i.query_id = qc.query_id ").mkString
+    "WITH x AS (SELECT vec_id, LIST_TRANSFORM(embedding, v -> CAST(v AS DOUBLE)) AS xv " +
+      "FROM embeddings), " +
+      coarseCte +
+      "asg AS (SELECT vec_id AS neighbor_id, cid AS cell FROM " +
+      "(SELECT x.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY x.vec_id " +
+      "ORDER BY FLOOR(LIST_DISTANCE(x.xv, c.cv) * 1000000 + 0.5) / 1000000, c.cid) AS rn " +
+      "FROM x CROSS JOIN coarse c) q WHERE rn = 1), " +
+      "qc AS (SELECT query_id, cell FROM " +
+      "(SELECT x.vec_id AS query_id, c.cid AS cell, ROW_NUMBER() OVER (PARTITION BY x.vec_id " +
+      "ORDER BY FLOOR(LIST_DISTANCE(x.xv, c.cv) * 1000000 + 0.5) / 1000000, c.cid) AS rn " +
+      s"FROM x CROSS JOIN coarse c WHERE x.vec_id < $nq) q WHERE rn <= $nProbe), " +
+      pqCtes("pcents", m, ksub, pqStride, nq) + ", " +
+      "sc AS (SELECT qc.query_id, asg.neighbor_id, " +
+      s"$dotSum AS raw_dot " +
+      "FROM qc JOIN asg ON asg.cell = qc.cell " +
+      encJoins + qdJoins.stripSuffix(" ") + "), " +
+      pqRankSql(k, rerank)
+  }
+
   /** Sign-LSH embedding near-dup replica. `nproj = 0` replays the
     * adaptive projection ladder with the pinned 3 tables (the pinned
     * form); explicit nproj pins projections/width/tables. */
@@ -1584,93 +1698,14 @@ object LlmQueries {
     // ROW_NUMBER argmin encoding on 1e-6-rounded subspace LIST_DISTANCE
     // (Spark's array_position-of-min tiebreak order), then the ADC score
     // as an explicit left-associated 4-term sum of code-table lookups
-    "llm_ann_pq" ->
-      ("WITH x AS (SELECT vec_id, LIST_TRANSFORM(embedding, v -> CAST(v AS DOUBLE)) AS xv " +
-        "FROM embeddings), " +
-        "cents AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, xv AS cv FROM " +
-        "(SELECT vec_id, xv FROM x WHERE vec_id % 31 = 0 ORDER BY vec_id LIMIT 16) t), " +
-        "sub AS (SELECT s FROM generate_series(0, 3) g(s)), " +
-        "xs AS (SELECT vec_id, s, xv[s*16+1 : s*16+16] AS sv FROM x CROSS JOIN sub), " +
-        "cs AS (SELECT cid, s, cv[s*16+1 : s*16+16] AS csv FROM cents CROSS JOIN sub), " +
-        "enc AS (SELECT vec_id, s, cid AS code FROM " +
-        "(SELECT xs.vec_id, xs.s, cs.cid, ROW_NUMBER() OVER (PARTITION BY xs.vec_id, xs.s " +
-        "ORDER BY FLOOR(LIST_DISTANCE(xs.sv, cs.csv) * 1000000 + 0.5) / 1000000, cs.cid) AS rn " +
-        "FROM xs JOIN cs ON cs.s = xs.s) q WHERE rn = 1), " +
-        "qd AS (SELECT xs.vec_id AS query_id, xs.s, cs.cid, " +
-        "LIST_INNER_PRODUCT(xs.sv, cs.csv) AS d " +
-        "FROM xs JOIN cs ON cs.s = xs.s WHERE xs.vec_id < 10), " +
-        "sc AS (SELECT q0.query_id, e0.vec_id AS neighbor_id, " +
-        "q0.d + q1.d + q2.d + q3.d AS raw_dot " +
-        "FROM (SELECT * FROM enc WHERE s = 0) e0 " +
-        "JOIN (SELECT * FROM enc WHERE s = 1) e1 ON e1.vec_id = e0.vec_id " +
-        "JOIN (SELECT * FROM enc WHERE s = 2) e2 ON e2.vec_id = e0.vec_id " +
-        "JOIN (SELECT * FROM enc WHERE s = 3) e3 ON e3.vec_id = e0.vec_id " +
-        "JOIN (SELECT * FROM qd WHERE s = 0) q0 ON q0.cid = e0.code " +
-        "JOIN (SELECT * FROM qd WHERE s = 1) q1 ON q1.cid = e1.code AND q1.query_id = q0.query_id " +
-        "JOIN (SELECT * FROM qd WHERE s = 2) q2 ON q2.cid = e2.code AND q2.query_id = q0.query_id " +
-        "JOIN (SELECT * FROM qd WHERE s = 3) q3 ON q3.cid = e3.code AND q3.query_id = q0.query_id), " +
-        "rk AS (SELECT query_id, neighbor_id, " +
-        "CAST(ROW_NUMBER() OVER (PARTITION BY query_id " +
-        "ORDER BY FLOOR(raw_dot * 1000000 + 0.5) / 1000000 DESC, neighbor_id) AS INTEGER) AS rank, " +
-        "FLOOR(raw_dot * 10000 + 0.5) / 10000 AS sim FROM sc) " +
-        "SELECT query_id, neighbor_id, rank, sim FROM rk WHERE rank <= 5 " +
-        "ORDER BY query_id, rank"),
+    "llm_ann_pq" -> annPqSql(m = 4, ksub = 16, stride = 31, nq = 10,
+      k = 5),
     // IVF+PQ replica: llm_ann_ivf's coarse assignment/probe CTEs +
     // llm_ann_pq's codebook/encoding CTEs, ADC scores restricted to
     // probed cells, 20-candidate shortlist re-scored with the exact
     // inner product, then ranked
-    "llm_ann_ivfpq" ->
-      ("WITH x AS (SELECT vec_id, LIST_TRANSFORM(embedding, v -> CAST(v AS DOUBLE)) AS xv " +
-        "FROM embeddings), " +
-        "st AS (SELECT CASE WHEN n < 5000 THEN 31 WHEN n < 20000 THEN 62 WHEN n < 80000 THEN 124 " +
-        "WHEN n < 320000 THEN 248 WHEN n < 1280000 THEN 496 WHEN n < 5120000 THEN 992 " +
-        "WHEN n < 20480000 THEN 1984 WHEN n < 81920000 THEN 3968 ELSE 7936 END AS s " +
-        "FROM (SELECT COUNT(*) AS n FROM embeddings) c), " +
-        "coarse AS (SELECT vec_id AS cid, xv AS cv FROM x CROSS JOIN st WHERE vec_id % st.s = 0), " +
-        "asg AS (SELECT vec_id AS neighbor_id, cid AS cell FROM " +
-        "(SELECT x.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY x.vec_id " +
-        "ORDER BY FLOOR(LIST_DISTANCE(x.xv, c.cv) * 1000000 + 0.5) / 1000000, c.cid) AS rn " +
-        "FROM x CROSS JOIN coarse c) q WHERE rn = 1), " +
-        "qc AS (SELECT query_id, cell FROM " +
-        "(SELECT x.vec_id AS query_id, c.cid AS cell, ROW_NUMBER() OVER (PARTITION BY x.vec_id " +
-        "ORDER BY FLOOR(LIST_DISTANCE(x.xv, c.cv) * 1000000 + 0.5) / 1000000, c.cid) AS rn " +
-        "FROM x CROSS JOIN coarse c WHERE x.vec_id < 10) q WHERE rn <= 4), " +
-        "pcents AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, xv AS cv FROM " +
-        "(SELECT vec_id, xv FROM x WHERE vec_id % 31 = 0 ORDER BY vec_id LIMIT 16) t), " +
-        "sub AS (SELECT s FROM generate_series(0, 3) g(s)), " +
-        "xs AS (SELECT vec_id, s, xv[s*16+1 : s*16+16] AS sv FROM x CROSS JOIN sub), " +
-        "cs AS (SELECT cid, s, cv[s*16+1 : s*16+16] AS csv FROM pcents CROSS JOIN sub), " +
-        "enc AS (SELECT vec_id, s, cid AS code FROM " +
-        "(SELECT xs.vec_id, xs.s, cs.cid, ROW_NUMBER() OVER (PARTITION BY xs.vec_id, xs.s " +
-        "ORDER BY FLOOR(LIST_DISTANCE(xs.sv, cs.csv) * 1000000 + 0.5) / 1000000, cs.cid) AS rn " +
-        "FROM xs JOIN cs ON cs.s = xs.s) q WHERE rn = 1), " +
-        "qd AS (SELECT xs.vec_id AS query_id, xs.s, cs.cid, " +
-        "LIST_INNER_PRODUCT(xs.sv, cs.csv) AS d " +
-        "FROM xs JOIN cs ON cs.s = xs.s WHERE xs.vec_id < 10), " +
-        "sc AS (SELECT qc.query_id, asg.neighbor_id, " +
-        "q0.d + q1.d + q2.d + q3.d AS raw_dot " +
-        "FROM qc JOIN asg ON asg.cell = qc.cell " +
-        "JOIN (SELECT * FROM enc WHERE s = 0) e0 ON e0.vec_id = asg.neighbor_id " +
-        "JOIN (SELECT * FROM enc WHERE s = 1) e1 ON e1.vec_id = asg.neighbor_id " +
-        "JOIN (SELECT * FROM enc WHERE s = 2) e2 ON e2.vec_id = asg.neighbor_id " +
-        "JOIN (SELECT * FROM enc WHERE s = 3) e3 ON e3.vec_id = asg.neighbor_id " +
-        "JOIN (SELECT * FROM qd WHERE s = 0) q0 ON q0.cid = e0.code AND q0.query_id = qc.query_id " +
-        "JOIN (SELECT * FROM qd WHERE s = 1) q1 ON q1.cid = e1.code AND q1.query_id = qc.query_id " +
-        "JOIN (SELECT * FROM qd WHERE s = 2) q2 ON q2.cid = e2.code AND q2.query_id = qc.query_id " +
-        "JOIN (SELECT * FROM qd WHERE s = 3) q3 ON q3.cid = e3.code AND q3.query_id = qc.query_id), " +
-        "short AS (SELECT query_id, neighbor_id FROM " +
-        "(SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id " +
-        "ORDER BY FLOOR(raw_dot * 1000000 + 0.5) / 1000000 DESC, neighbor_id) AS rn FROM sc) t " +
-        "WHERE rn <= 20), " +
-        "ex AS (SELECT sh.query_id, sh.neighbor_id, " +
-        "LIST_INNER_PRODUCT(qx.xv, nx.xv) AS raw_dot FROM short sh " +
-        "JOIN x qx ON qx.vec_id = sh.query_id JOIN x nx ON nx.vec_id = sh.neighbor_id), " +
-        "rk AS (SELECT query_id, neighbor_id, " +
-        "CAST(ROW_NUMBER() OVER (PARTITION BY query_id " +
-        "ORDER BY FLOOR(raw_dot * 1000000 + 0.5) / 1000000 DESC, neighbor_id) AS INTEGER) AS rank, " +
-        "FLOOR(raw_dot * 10000 + 0.5) / 10000 AS sim FROM ex) " +
-        "SELECT query_id, neighbor_id, rank, sim FROM rk WHERE rank <= 5 " +
-        "ORDER BY query_id, rank"),
+    "llm_ann_ivfpq" -> annIvfPqSql(coarseStride = 0, nProbe = 4,
+      m = 4, ksub = 16, pqStride = 31, nq = 10, k = 5, rerank = 20),
     // trained-IVF replica: the ml_lloyd_fixed CTE chain trains the
     // centroids, then the same assignment/probe/rank stages as
     // llm_ann_ivf run against them — one SQL statement replays index

@@ -167,8 +167,47 @@ object LlmFuzzSeed {
           })
     }
 
+    // PQ ADC (round 12 — the last ANN variants without fuzz):
+    // codebook/encoding/ADC-table replay per (m, ksub, stride) point,
+    // with and without the exact rerank stage. m must divide 64 and
+    // stays <= 4: the oracle's explicit left-associated m-way ADC join
+    // (order-fixed float sum, the exactness requirement) makes DuckDB's
+    // join enumeration blow up at m = 8 (16 relations) — measured: the
+    // m=8 statement never returned while every m<=4 point runs <= 2 s.
+    // (stride, ksub) must leave ksub strided vectors in the corpus
+    // (ceil(500/stride) at sf0.001): Spark's pqCodebook REQUIRES the
+    // full codebook while the SQL LIMIT silently shrinks it
+    val pq = Seq((2, 16, 31, 5, 0), (4, 8, 17, 3, 0), (4, 8, 63, 5, 5),
+      (4, 16, 17, 5, 10), (2, 5, 101, 4, 0), (4, 16, 31, 7, 20)).map {
+      case (m, ksub, stride, k, rerank) =>
+        LlmCase(s"lfz_pq_m${m}_c${ksub}_s${stride}_k${k}_r$rerank",
+          LlmQueries.annPqSql(m, ksub, stride, nq = 10, k, rerank),
+          (s, d) => {
+            val e = emb(s, d)
+            Similarity.pqTopK(e.filter(col("vec_id") < 10), e, k,
+              m = m, ksub = ksub, stride = stride, rerank = rerank)
+          })
+    }
+
+    // IVF+PQ composition: explicit coarse stride (pins the cell set),
+    // probe width, code geometry and rerank per point
+    val ivfpq = Seq((31, 2, 4, 16, 10), (63, 4, 2, 16, 20),
+      (31, 3, 4, 8, 0), (101, 4, 2, 8, 20)).map {
+      case (cs, nProbe, m, ksub, rerank) =>
+        LlmCase(s"lfz_ivfpq_cs${cs}_p${nProbe}_m${m}_c${ksub}_r$rerank",
+          LlmQueries.annIvfPqSql(cs, nProbe, m, ksub, pqStride = 31,
+            nq = 10, k = 5, rerank = rerank),
+          (s, d) => {
+            val e = emb(s, d)
+            Similarity.ivfPqTopK(e.filter(col("vec_id") < 10), e, k = 5,
+              centroidStride = cs, nProbe = nProbe, m = m, ksub = ksub,
+              stride = 31, rerank = rerank)
+          })
+    }
+
     winnow ++ matches ++ containment ++ brute ++ annIvf ++ embed ++
-      simhash ++ nearDup ++ trained ++ semdedup ++ residual ++ residual3
+      simhash ++ nearDup ++ trained ++ semdedup ++ residual ++
+      residual3 ++ pq ++ ivfpq
   }
 }
 
