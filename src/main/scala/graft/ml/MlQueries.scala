@@ -213,7 +213,7 @@ object MlQueries {
     sb.toString
   }
 
-  private def lloydSql(k: Int, iters: Int, dim: Int): String = {
+  private[graft] def lloydSql(k: Int, iters: Int, dim: Int): String = {
     val sb = new StringBuilder(lloydCentroidCte(k, iters, dim))
     sb ++= " SELECT cluster, dim, value FROM (" +
       s"SELECT c.cluster, CAST(t.i - 1 AS INTEGER) AS dim, c.cv[t.i] AS value " +
@@ -275,7 +275,7 @@ object MlQueries {
     * multiplies over (i,j,v) triples, one CTE pair per multiply. The
     * StringIndexer item encoding is frequency-desc with alphabetical
     * tiebreak = ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, event_type). */
-  private def simrankSql(iters: Int, damp: Double = 0.6,
+  private[graft] def simrankSql(iters: Int, damp: Double = 0.6,
       threshold: Double = 1e-4): String = {
     val sb = new StringBuilder
     sb ++= "WITH ev AS MATERIALIZED (SELECT user_id % 100 AS uu, event_type FROM events)"
@@ -351,7 +351,7 @@ object MlQueries {
     sb.toString
   }
 
-  private def alsFixedSql(iters: Int, lambda: Double = 0.1): String =
+  private[graft] def alsFixedSql(iters: Int, lambda: Double = 0.1): String =
     alsFixedCte(iters, lambda) +
       " SELECT CAST(u AS BIGINT) AS \"user\", CAST(it AS BIGINT) AS item, " +
       "FLOOR(p * 10000 + 0.5) / 10000 AS pred FROM p " +
@@ -361,7 +361,7 @@ object MlQueries {
   /** Unrolled Lee–Seung NMF oracle: one CTE block per iteration — WᵀV,
     * WᵀW, WᵀWH then the H update, VHᵀ, HHᵀ, WHHᵀ then the W update —
     * factors floor-rounded 1e-6 per half-update like the Spark side. */
-  private def nmfSql(k: Int, iters: Int, vocabSize: Int): String = {
+  private[graft] def nmfSql(k: Int, iters: Int, vocabSize: Int): String = {
     val sb = new StringBuilder
     sb ++= "WITH tok AS MATERIALIZED (SELECT doc_id, " +
       "UNNEST(string_split(text, ' ')) AS term FROM documents)"
@@ -595,24 +595,9 @@ object MlQueries {
         "FLOOR(AVG(l_quantity) * 10000 + 0.5) / 10000 AS mean, " +
         "FLOOR(STDDEV_SAMP(l_quantity) * 10000 + 0.5) / 10000 AS std, " +
         "MIN(l_quantity) AS mn, MAX(l_quantity) AS mx FROM lineitem"),
-    // exact 5-NN (self excluded) majority vote, min-label tiebreak,
+    // exact k-NN (self excluded) majority vote, min-label tiebreak,
     // grouped into the confusion matrix
-    "ml_knn_class" ->
-      ("WITH q AS (SELECT vec_id AS query_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS qe, " +
-        "label FROM embeddings WHERE vec_id < 500), " +
-        "c AS (SELECT vec_id AS nid, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS ce, " +
-        "label AS nl FROM embeddings), " +
-        "s AS (SELECT query_id, nid, nl, LIST_DISTANCE(qe, ce) AS dist FROM q CROSS JOIN c " +
-        "WHERE nid <> query_id), " +
-        "rk AS (SELECT query_id, nl, ROW_NUMBER() OVER (PARTITION BY query_id " +
-        "ORDER BY FLOOR(dist * 1000000 + 0.5) / 1000000, nid) AS rn FROM s), " +
-        "votes AS (SELECT query_id, nl, COUNT(*) AS v FROM rk WHERE rn <= 5 GROUP BY query_id, nl), " +
-        "pred AS (SELECT query_id, nl AS prediction FROM " +
-        "(SELECT query_id, nl, v, ROW_NUMBER() OVER (PARTITION BY query_id " +
-        "ORDER BY v DESC, nl) AS rn FROM votes) t WHERE rn = 1) " +
-        "SELECT CAST(q.label AS BIGINT) AS label, CAST(p.prediction AS BIGINT) AS prediction, " +
-        "COUNT(*) AS cnt FROM pred p JOIN q ON q.query_id = p.query_id " +
-        "GROUP BY q.label, p.prediction ORDER BY label, prediction"),
+    "ml_knn_class" -> knnClassSql(kVote = 5),
     // same 5-NN vote, but the per-query probability surface: winner +
     // per-class vote fraction (votes/5, floor-rounded to 4 dp)
     "ml_knn_prob" ->
@@ -634,55 +619,95 @@ object MlQueries {
             s"* 10000 + 0.5) / 10000 AS p_$cl").mkString(", ") +
         " FROM pred p JOIN votes v USING (query_id) " +
         "GROUP BY p.query_id, p.prediction ORDER BY query_id"),
-    // grid DBSCAN ≡ brute-force DBSCAN at this scale: core = ≥5 in-eps
-    // neighbors (self incl.), cluster = min core id over the core-core
-    // reachability closure, border inherits the min neighbor-core label
-    "ml_dbscan" ->
-      ("WITH RECURSIVE p AS (SELECT vec_id AS id, CAST(embedding[1] AS DOUBLE) AS x, " +
-        "CAST(embedding[2] AS DOUBLE) AS y FROM embeddings), " +
-        "pr AS (SELECT a.id AS a, b.id AS b FROM p a JOIN p b ON " +
-        "(a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 0.05 * 0.05), " +
-        "core AS (SELECT a AS id FROM (SELECT a, COUNT(*) AS n FROM pr GROUP BY a) t WHERE n >= 5), " +
-        "ce AS (SELECT pr.a, pr.b FROM pr JOIN core ca ON ca.id = pr.a " +
-        "JOIN core cb ON cb.id = pr.b WHERE pr.a <> pr.b), " +
-        "r AS (SELECT id AS node, id AS reach FROM core " +
-        "UNION SELECT r.node, ce.b FROM r JOIN ce ON ce.a = r.reach), " +
-        "comp AS (SELECT node AS id, MIN(reach) AS label FROM r GROUP BY node), " +
-        "border AS (SELECT pr.a AS id, MIN(comp.label) AS blabel FROM pr " +
-        "JOIN core ON core.id = pr.b JOIN comp ON comp.id = pr.b " +
-        "WHERE pr.a NOT IN (SELECT id FROM core) GROUP BY pr.a) " +
-        "SELECT p.id, CAST(CASE WHEN comp.id IS NOT NULL THEN 0 " +
-        "WHEN border.id IS NOT NULL THEN 1 ELSE -1 END AS INTEGER) AS point_type, " +
-        "CAST(COALESCE(comp.label, border.blabel, -1) AS BIGINT) AS label " +
-        "FROM p LEFT JOIN comp ON comp.id = p.id LEFT JOIN border ON border.id = p.id " +
-        "ORDER BY p.id"),
+    // grid DBSCAN ≡ brute-force DBSCAN at this scale: core = ≥minPts
+    // in-eps neighbors (self incl.), cluster = min core id over the
+    // core-core reachability closure, border inherits the min
+    // neighbor-core label
+    "ml_dbscan" -> dbscanSql(eps = 0.05, minPts = 5),
     // PrefixSpan (single-item itemsets, maxPatternLength 3) = a-priori
     // subsequence counting: support of a pattern = #users with ordered
-    // positions matching it; threshold = ceil(0.2 · #users)
-    "ml_prefixspan" ->
-      ("WITH ev AS (SELECT user_id AS u, event_type AS t, " +
-        "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id, event_type) AS pos " +
-        "FROM events), " +
-        "m AS (SELECT CAST(CEIL(0.2 * COUNT(DISTINCT u)) AS BIGINT) AS mc FROM ev), " +
-        "l1 AS (SELECT t AS pattern, COUNT(DISTINCT u) AS freq FROM ev GROUP BY t), " +
-        "l2 AS (SELECT a.t || ';' || b.t AS pattern, COUNT(DISTINCT a.u) AS freq " +
-        "FROM ev a JOIN ev b ON a.u = b.u AND a.pos < b.pos GROUP BY a.t, b.t), " +
-        "l3 AS (SELECT a.t || ';' || b.t || ';' || c.t AS pattern, COUNT(DISTINCT a.u) AS freq " +
-        "FROM ev a JOIN ev b ON a.u = b.u AND a.pos < b.pos " +
-        "JOIN ev c ON b.u = c.u AND b.pos < c.pos GROUP BY a.t, b.t, c.t) " +
-        "SELECT pattern, freq FROM " +
-        "(SELECT * FROM l1 UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3) all_p, m " +
-        "WHERE freq >= m.mc ORDER BY pattern"),
-    "ml_knn" ->
-      ("WITH q AS (SELECT vec_id AS query_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS qe " +
-        "FROM embeddings WHERE vec_id < 10), " +
-        "c AS (SELECT vec_id AS neighbor_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS ce " +
-        "FROM embeddings), " +
-        "s AS (SELECT query_id, neighbor_id, LIST_DISTANCE(qe, ce) AS dist FROM q CROSS JOIN c), " +
-        "rk AS (SELECT query_id, neighbor_id, " +
-        "CAST(ROW_NUMBER() OVER (PARTITION BY query_id " +
-        "ORDER BY FLOOR(dist * 1000000 + 0.5) / 1000000, neighbor_id) AS INTEGER) AS rank, " +
-        "FLOOR(dist * 10000 + 0.5) / 10000 AS dist FROM s) " +
-        "SELECT query_id, rank, neighbor_id, dist FROM rk WHERE rank <= 5 " +
-        "ORDER BY query_id, rank"))
+    // positions matching it; threshold = ceil(minSup · #users)
+    "ml_prefixspan" -> prefixSpanSql(minSup = 0.2),
+    "ml_knn" -> knnSql(k = 5, nq = 10))
+
+  /** Exact top-k neighbor oracle over the first `nq` query vectors —
+    * the pinned ml_knn shape, parameterized for the fuzz grid. */
+  private[graft] def knnSql(k: Int, nq: Int): String =
+    "WITH q AS (SELECT vec_id AS query_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS qe " +
+      s"FROM embeddings WHERE vec_id < $nq), " +
+      "c AS (SELECT vec_id AS neighbor_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS ce " +
+      "FROM embeddings), " +
+      "s AS (SELECT query_id, neighbor_id, LIST_DISTANCE(qe, ce) AS dist FROM q CROSS JOIN c), " +
+      "rk AS (SELECT query_id, neighbor_id, " +
+      "CAST(ROW_NUMBER() OVER (PARTITION BY query_id " +
+      "ORDER BY FLOOR(dist * 1000000 + 0.5) / 1000000, neighbor_id) AS INTEGER) AS rank, " +
+      "FLOOR(dist * 10000 + 0.5) / 10000 AS dist FROM s) " +
+      s"SELECT query_id, rank, neighbor_id, dist FROM rk WHERE rank <= $k " +
+      "ORDER BY query_id, rank"
+
+  /** Exact kVote-NN (self excluded) majority vote, min-label tiebreak,
+    * grouped into the confusion matrix — the pinned ml_knn_class shape,
+    * parameterized for the fuzz grid. */
+  private[graft] def knnClassSql(kVote: Int): String =
+    "WITH q AS (SELECT vec_id AS query_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS qe, " +
+      "label FROM embeddings WHERE vec_id < 500), " +
+      "c AS (SELECT vec_id AS nid, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS ce, " +
+      "label AS nl FROM embeddings), " +
+      "s AS (SELECT query_id, nid, nl, LIST_DISTANCE(qe, ce) AS dist FROM q CROSS JOIN c " +
+      "WHERE nid <> query_id), " +
+      "rk AS (SELECT query_id, nl, ROW_NUMBER() OVER (PARTITION BY query_id " +
+      "ORDER BY FLOOR(dist * 1000000 + 0.5) / 1000000, nid) AS rn FROM s), " +
+      s"votes AS (SELECT query_id, nl, COUNT(*) AS v FROM rk WHERE rn <= $kVote GROUP BY query_id, nl), " +
+      "pred AS (SELECT query_id, nl AS prediction FROM " +
+      "(SELECT query_id, nl, v, ROW_NUMBER() OVER (PARTITION BY query_id " +
+      "ORDER BY v DESC, nl) AS rn FROM votes) t WHERE rn = 1) " +
+      "SELECT CAST(q.label AS BIGINT) AS label, CAST(p.prediction AS BIGINT) AS prediction, " +
+      "COUNT(*) AS cnt FROM pred p JOIN q ON q.query_id = p.query_id " +
+      "GROUP BY q.label, p.prediction ORDER BY label, prediction"
+
+  /** Brute-force DBSCAN oracle (core = ≥minPts in-eps neighbors, self
+    * included; min-core-id components; borders inherit the min
+    * neighbor-core label) — the pinned ml_dbscan shape, parameterized
+    * for the fuzz grid. */
+  private[graft] def dbscanSql(eps: Double, minPts: Int): String =
+    "WITH RECURSIVE p AS (SELECT vec_id AS id, CAST(embedding[1] AS DOUBLE) AS x, " +
+      "CAST(embedding[2] AS DOUBLE) AS y FROM embeddings), " +
+      "pr AS (SELECT a.id AS a, b.id AS b FROM p a JOIN p b ON " +
+      s"(a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= $eps * $eps), " +
+      s"core AS (SELECT a AS id FROM (SELECT a, COUNT(*) AS n FROM pr GROUP BY a) t WHERE n >= $minPts), " +
+      "ce AS (SELECT pr.a, pr.b FROM pr JOIN core ca ON ca.id = pr.a " +
+      "JOIN core cb ON cb.id = pr.b WHERE pr.a <> pr.b), " +
+      "r AS (SELECT id AS node, id AS reach FROM core " +
+      "UNION SELECT r.node, ce.b FROM r JOIN ce ON ce.a = r.reach), " +
+      "comp AS (SELECT node AS id, MIN(reach) AS label FROM r GROUP BY node), " +
+      "border AS (SELECT pr.a AS id, MIN(comp.label) AS blabel FROM pr " +
+      "JOIN core ON core.id = pr.b JOIN comp ON comp.id = pr.b " +
+      "WHERE pr.a NOT IN (SELECT id FROM core) GROUP BY pr.a) " +
+      "SELECT p.id, CAST(CASE WHEN comp.id IS NOT NULL THEN 0 " +
+      "WHEN border.id IS NOT NULL THEN 1 ELSE -1 END AS INTEGER) AS point_type, " +
+      "CAST(COALESCE(comp.label, border.blabel, -1) AS BIGINT) AS label " +
+      "FROM p LEFT JOIN comp ON comp.id = p.id LEFT JOIN border ON border.id = p.id " +
+      "ORDER BY p.id"
+
+  /** A-priori subsequence-counting PrefixSpan oracle (single-item
+    * itemsets, maxPatternLength 3) — the pinned ml_prefixspan shape,
+    * parameterized for the fuzz grid. `where` optionally restricts the
+    * event rows (the fuzz grid's deterministic input subsets — on the
+    * full synthetic corpus every pattern clears every threshold, so
+    * minSup alone does not discriminate). */
+  private[graft] def prefixSpanSql(minSup: Double,
+      where: String = ""): String =
+    "WITH ev AS (SELECT user_id AS u, event_type AS t, " +
+      "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id, event_type) AS pos " +
+      s"FROM events${if (where.isEmpty) "" else " " + where}), " +
+      s"m AS (SELECT CAST(CEIL($minSup * COUNT(DISTINCT u)) AS BIGINT) AS mc FROM ev), " +
+      "l1 AS (SELECT t AS pattern, COUNT(DISTINCT u) AS freq FROM ev GROUP BY t), " +
+      "l2 AS (SELECT a.t || ';' || b.t AS pattern, COUNT(DISTINCT a.u) AS freq " +
+      "FROM ev a JOIN ev b ON a.u = b.u AND a.pos < b.pos GROUP BY a.t, b.t), " +
+      "l3 AS (SELECT a.t || ';' || b.t || ';' || c.t AS pattern, COUNT(DISTINCT a.u) AS freq " +
+      "FROM ev a JOIN ev b ON a.u = b.u AND a.pos < b.pos " +
+      "JOIN ev c ON b.u = c.u AND b.pos < c.pos GROUP BY a.t, b.t, c.t) " +
+      "SELECT pattern, freq FROM " +
+      "(SELECT * FROM l1 UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3) all_p, m " +
+      "WHERE freq >= m.mc ORDER BY pattern"
 }
