@@ -168,15 +168,33 @@ object MlQueries {
   /** (vec_id, i, v) unpivot of the 64-dim embedding column — shared CTE
     * of the matrix oracles. i is 1-based here; emitted 0-based to match
     * the Spark flattenUpper output. */
-  private val unpivotCte =
+  /** Per-dimension unpivot of the embedding vectors, `dims` leading
+    * dimensions (64 = the pinned full width; the fuzz grid slices). */
+  private def unpivotCte(dims: Int = 64): String =
     "WITH x AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v " +
-      "FROM embeddings, generate_series(1, 64) t(i)) "
+      s"FROM embeddings, generate_series(1, $dims) t(i)) "
 
   private def upperMatrix(valueExpr: String, src: String): String =
     s"SELECT CAST(a.i - 1 AS INTEGER) AS i, CAST(b.i - 1 AS INTEGER) AS j, " +
       s"FLOOR($valueExpr * 1000000 + 0.5) / 1000000 AS v " +
       s"FROM $src a JOIN $src b ON a.vec_id = b.vec_id AND a.i <= b.i " +
       "GROUP BY a.i, b.i ORDER BY i, j"
+
+  /** Upper-triangle Pearson / covariance / Spearman matrix oracles over
+    * the `dims` leading embedding dimensions — the pinned
+    * ml_corr_matrix / ml_cov_matrix / ml_spearman_matrix shapes,
+    * parameterized for the fuzz grid. */
+  private[graft] def corrMatrixSql(dims: Int = 64): String =
+    unpivotCte(dims) + upperMatrix("CORR(a.v, b.v)", "x")
+
+  private[graft] def covMatrixSql(dims: Int = 64): String =
+    unpivotCte(dims) + upperMatrix("COVAR_SAMP(a.v, b.v)", "x")
+
+  private[graft] def spearmanMatrixSql(dims: Int = 64): String =
+    unpivotCte(dims) +
+      ", rk AS (SELECT vec_id, i, AVG(rn) OVER (PARTITION BY i, v) AS v FROM " +
+      "(SELECT vec_id, i, v, ROW_NUMBER() OVER (PARTITION BY i ORDER BY v) AS rn FROM x) q) " +
+      upperMatrix("CORR(a.v, b.v)", "rk")
 
   /** Unrolled deterministic-Lloyd oracle: one (assign, update, centers)
     * CTE triple per iteration. LIST_DISTANCE is sequential like the
@@ -561,17 +579,11 @@ object MlQueries {
         "UNION ALL SELECT 'coef_2', b3 FROM kk " +
         "UNION ALL SELECT 'intercept', b0 FROM kk " +
         "UNION ALL SELECT 'rmse', rmse FROM rm) u ORDER BY term"),
-    "ml_corr_matrix" ->
-      (unpivotCte + upperMatrix("CORR(a.v, b.v)", "x")),
-    "ml_cov_matrix" ->
-      (unpivotCte + upperMatrix("COVAR_SAMP(a.v, b.v)", "x")),
+    "ml_corr_matrix" -> corrMatrixSql(),
+    "ml_cov_matrix" -> covMatrixSql(),
     // Spearman = Pearson over average ranks (ties averaged, as in the
     // mllib SpearmanCorrelation rank assignment)
-    "ml_spearman_matrix" ->
-      (unpivotCte +
-        ", rk AS (SELECT vec_id, i, AVG(rn) OVER (PARTITION BY i, v) AS v FROM " +
-        "(SELECT vec_id, i, v, ROW_NUMBER() OVER (PARTITION BY i ORDER BY v) AS rn FROM x) q) " +
-        upperMatrix("CORR(a.v, b.v)", "rk")),
+    "ml_spearman_matrix" -> spearmanMatrixSql(),
     // vocabulary = all distinct whitespace tokens (fixture vocab < 64 =
     // the CountVectorizer cap), idf = ln((m+1)/(df+1))
     "ml_idf" ->

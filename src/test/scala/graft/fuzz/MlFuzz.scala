@@ -132,7 +132,32 @@ object MlFuzzSeed {
           (s, d) => TextModels.nmfFixed(s, docs(s, d), k, it, vocab))
     }
 
-    lloyd ++ knnEx ++ knnCls ++ dbscan ++ prefix ++ simrank ++ als ++ nmf
+    // matrix-stats family over dim slices: the pinned oracles run the
+    // full 64-dim width; the grid slices the leading D dims on both
+    // sides (Spark: slice() before the mllib Correlation / covariance;
+    // SQL: the unpivot's generate_series bound)
+    def sliced(s: SparkSession, d: String, dims: Int) =
+      emb(s, d).select(col("vec_id"),
+        slice(col("embedding"), 1, dims).as("embedding"))
+    val stats = Seq(("corr", 4), ("spearman", 8), ("cov", 16)).map {
+      case (kind, dims) =>
+        MlCase(s"mfz_${kind}mat_d$dims",
+          kind match {
+            case "corr" => MlQueries.corrMatrixSql(dims)
+            case "cov" => MlQueries.covMatrixSql(dims)
+            case _ => MlQueries.spearmanMatrixSql(dims)
+          },
+          (s, d) => kind match {
+            case "corr" =>
+              graft.ml.Stats.corrMatrix(s, sliced(s, d, dims), "pearson")
+            case "cov" => graft.ml.Stats.covMatrix(s, sliced(s, d, dims))
+            case _ =>
+              graft.ml.Stats.corrMatrix(s, sliced(s, d, dims), "spearman")
+          })
+    }
+
+    lloyd ++ knnEx ++ knnCls ++ dbscan ++ prefix ++ simrank ++ als ++
+      nmf ++ stats
   }
 }
 
