@@ -352,6 +352,44 @@ class ScaleLaddersSpec extends AnyFunSuite {
     assert(out.count() == 0)
   }
 
+  test("staticPrune packed-key budget guards fail loudly, not by " +
+      "silently unpruned scans") {
+    // r11 advice: a key component past the pack's bit budget could
+    // never corrupt results (the composite equi-join is the exact
+    // filter) but silently defeated the partition pruning the flag
+    // exists for — both probe paths must now RAISE on the collected
+    // keys instead. Doctored center ids simulate an index built with
+    // out-of-budget nlist/nsplit3.
+    val e = blobs(60, dim = 8)
+    val q = e.filter(col("vec_id") < 3)
+    // two-level pack: cell >= 2^30 would overflow the cell·2^33 shift
+    val (c1, c2, assign) = Similarity.ivfResidualIndex(e,
+      nlist = 2, nsplit = 2)
+    val badC1 = c1.select((col("cid") + lit(1L << 30)).as("cid"),
+      col("cv")).localCheckpoint()
+    val badAssign = assign
+      .withColumn("cell", col("cell") + lit(1L << 30)).localCheckpoint()
+    val ex2 = intercept[IllegalArgumentException](
+      Similarity.ivfResidualTopKIndexed(q, badC1, c2, badAssign, k = 3,
+        staticPrune = true))
+    assert(ex2.getMessage.contains("bit budget"), ex2.getMessage)
+    // three-level pack: sub2 >= 2^13 collides in the 26/13-bit key
+    val (r1, r2, r3, ra) = Similarity.ivfResidual3Index(e,
+      nlist = 2, nsplit = 2, nsplit3 = 2)
+    val badC3 = r3.select((col("tid") + lit(8192L)).as("tid"),
+      col("tv")).localCheckpoint()
+    val badRa = ra
+      .withColumn("sub2", col("sub2") + lit(8192L)).localCheckpoint()
+    val ex3 = intercept[IllegalArgumentException](
+      Similarity.ivfResidual3TopKIndexed(q, r1, r2, badC3, badRa, k = 3,
+        staticPrune = true))
+    assert(ex3.getMessage.contains("bit budget"), ex3.getMessage)
+    // the undoctored indexes pass the same guards (the pruned contract
+    // tests above already assert result identity)
+    assert(Similarity.ivfResidualTopKIndexed(q, c1, c2, assign, k = 3,
+      staticPrune = true).count() > 0)
+  }
+
   test("sign patterns are pairwise-independent (the degeneracy probe)") {
     // the historic affine parity made every pattern ± one vector: any
     // two tables' bucket partitions coincided. Probe: at nproj=1 the
