@@ -752,6 +752,31 @@ object LlmQueries {
       "ORDER BY query_id, rank"
   }
 
+  /** Same-user event-pair interval-join replica (the batch twin of the
+    * stream-stream interval join) — the pinned llm_event_pairs shape,
+    * parameterized for the fuzz grid. */
+  private[graft] def eventPairsSql(maxDelayMinutes: Int): String =
+    "WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events) " +
+      "SELECT l.user_id, COUNT(*) AS n_pairs FROM e l JOIN e r " +
+      "ON r.user_id = l.user_id " +
+      s"AND r.ts_ms > l.ts_ms AND r.ts_ms <= l.ts_ms + ${maxDelayMinutes * 60000L} " +
+      "GROUP BY l.user_id ORDER BY l.user_id"
+
+  /** Gaps-and-islands sessionization replica (the batch twin of the
+    * streaming sessionizer) — the pinned llm_sessions_batch shape,
+    * parameterized for the fuzz grid. */
+  private[graft] def sessionsBatchSql(gapMinutes: Int): String =
+    "WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value FROM events), " +
+      "f AS (SELECT *, LAG(ts_ms) OVER (PARTITION BY user_id " +
+      "ORDER BY ts_ms, event_id) AS prev FROM e), " +
+      s"g AS (SELECT *, CASE WHEN prev IS NULL OR ts_ms - prev > ${gapMinutes * 60000L} " +
+      "THEN 1 ELSE 0 END AS new_s FROM f), " +
+      "s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id " +
+      "ORDER BY ts_ms, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM g) " +
+      "SELECT user_id, MIN(ts_ms) AS start_ms, MAX(ts_ms) AS end_ms, " +
+      "COUNT(*) AS n_events, FLOOR(SUM(value) * 10000 + 0.5) / 10000 AS value_sum " +
+      "FROM s GROUP BY user_id, sid ORDER BY user_id, start_ms"
+
   /** PQ codebook + encoding + query-distance-table CTE block shared by
     * [[annPqSql]] and [[annIvfPqSql]] (round-12 — the last ANN variants
     * without parameterized oracle builders): `ksub` codewords from the
@@ -1264,25 +1289,10 @@ object LlmQueries {
         "FROM g ORDER BY rrf6 DESC, doc_id LIMIT 10"),
     // interval-join replica: same epoch-ms truncation, pairs strictly
     // after the left event within the 10-minute band, counted per user
-    "llm_event_pairs" ->
-      ("WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events) " +
-        "SELECT l.user_id, COUNT(*) AS n_pairs FROM e l JOIN e r " +
-        "ON r.user_id = l.user_id " +
-        "AND r.ts_ms > l.ts_ms AND r.ts_ms <= l.ts_ms + 600000 " +
-        "GROUP BY l.user_id ORDER BY l.user_id"),
+    "llm_event_pairs" -> eventPairsSql(maxDelayMinutes = 10),
     // gaps-and-islands replica: epoch_ms truncation chain (ns→µs→ms)
     // floors identically on both engines for positive timestamps
-    "llm_sessions_batch" ->
-      ("WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value FROM events), " +
-        "f AS (SELECT *, LAG(ts_ms) OVER (PARTITION BY user_id " +
-        "ORDER BY ts_ms, event_id) AS prev FROM e), " +
-        "g AS (SELECT *, CASE WHEN prev IS NULL OR ts_ms - prev > 1800000 " +
-        "THEN 1 ELSE 0 END AS new_s FROM f), " +
-        "s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id " +
-        "ORDER BY ts_ms, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM g) " +
-        "SELECT user_id, MIN(ts_ms) AS start_ms, MAX(ts_ms) AS end_ms, " +
-        "COUNT(*) AS n_events, FLOOR(SUM(value) * 10000 + 0.5) / 10000 AS value_sum " +
-        "FROM s GROUP BY user_id, sid ORDER BY user_id, start_ms"),
+    "llm_sessions_batch" -> sessionsBatchSql(gapMinutes = 30),
     // the LSH banding achieves full recall at threshold 0.5 on this
     // corpus (duplicates are near-identical), so the verified output
     // equals the exhaustive Jaccard≥0.5 pair set

@@ -205,9 +205,25 @@ object LlmFuzzSeed {
           })
     }
 
+    // streaming batch-twins (round 12): the gaps-and-islands
+    // sessionizer and the same-user interval join, fuzzed over the gap
+    // / delay band — the knobs the streaming deployment actually tunes
+    val sessions = Seq(10, 60, 120).map { gap =>
+      LlmCase(s"lfz_sessions_g$gap",
+        LlmQueries.sessionsBatchSql(gap),
+        (s, d) => graft.streaming.EventStreams.sessionizeBatch(
+          Tables(s, d, "events"), gapMinutes = gap))
+    }
+    val pairs = Seq(2, 30).map { band =>
+      LlmCase(s"lfz_eventpairs_b$band",
+        LlmQueries.eventPairsSql(band),
+        (s, d) => graft.streaming.EventStreams.intervalJoinBatch(
+          Tables(s, d, "events"), maxDelayMinutes = band))
+    }
+
     winnow ++ matches ++ containment ++ brute ++ annIvf ++ embed ++
       simhash ++ nearDup ++ trained ++ semdedup ++ residual ++
-      residual3 ++ pq ++ ivfpq
+      residual3 ++ pq ++ ivfpq ++ sessions ++ pairs
   }
 }
 
