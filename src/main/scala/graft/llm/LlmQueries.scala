@@ -629,6 +629,54 @@ object LlmQueries {
       s"trim(replace(replace(' ' || $x || ' ', $f, $t), $f, $t))"
     }
 
+  /** Whole-BPE-training replica over `steps` merges — the pinned
+    * llm_bpe_merges shape, parameterized for the fuzz grid. */
+  private[graft] def bpeMergesSql(steps: Int): String =
+    "WITH " + bpeCtes(steps) + " " +
+      (1 to steps).map(bpeMergeRow).mkString(" UNION ALL ") +
+      " ORDER BY step"
+
+  /** Encode replica over `steps` learned merges — the pinned
+    * llm_bpe_encode shape, parameterized for the fuzz grid. */
+  private[graft] def bpeEncodeSql(steps: Int): String =
+    "WITH " + bpeCtes(steps) + ", " +
+      "m AS (SELECT " +
+      (1 to steps).map(i => s"(SELECT pair FROM b$i) AS q$i")
+        .mkString(", ") + "), " +
+      "enc AS (SELECT doc_id, list_filter(string_split(text, ' '), " +
+      "w -> length(w) > 0) AS toks, " +
+      (1 to steps).map(i => s"q$i").mkString(", ") +
+      " FROM documents, m) " +
+      "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+      "CAST(COALESCE(list_sum(list_transform(toks, w -> len(string_split(" +
+      bpeEncodeExpr(steps) + ", ' ')))), 0) AS BIGINT) AS n_bpe " +
+      "FROM enc ORDER BY doc_id"
+
+  /** BM25 replica — the pinned llm_bm25 shape, parameterized for the
+    * fuzz grid. `1.0 - b` is computed in SCALA and interpolated (the
+    * Spark side uses `lit(1.0 - b)`), while `k1 + 1` stays an in-engine
+    * IEEE add on both sides — the same double sequence either way. */
+  private[graft] def bm25Sql(terms: Seq[String], k: Int, k1: Double,
+      b: Double): String = {
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+      "st AS (SELECT CAST(SUM(len(toks)) AS BIGINT) AS sdl, CAST(COUNT(*) AS BIGINT) AS n FROM t), " +
+      "e AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS tok FROM t), " +
+      "tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf, MAX(dl) AS dl " +
+      s"FROM e WHERE tok IN ($termList) GROUP BY doc_id, tok), " +
+      "df AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY tok), " +
+      "co AS (SELECT tf.doc_id, CAST(FLOOR(" +
+      "((LN(CAST(1 AS DOUBLE) + (st.n - df.df + CAST(0.5 AS DOUBLE)) / (df.df + CAST(0.5 AS DOUBLE))) * tf.tf) " +
+      s"* (CAST($k1 AS DOUBLE) + CAST(1 AS DOUBLE))) " +
+      s"/ (tf.tf + CAST($k1 AS DOUBLE) * (CAST(${1.0 - b} AS DOUBLE) " +
+      s"+ (CAST($b AS DOUBLE) * tf.dl) / (CAST(st.sdl AS DOUBLE) / st.n))) " +
+      "* 1000000 + 0.5) AS BIGINT) AS c6 " +
+      "FROM tf JOIN df ON df.tok = tf.tok, st), " +
+      "s AS (SELECT doc_id, SUM(c6) AS s6 FROM co GROUP BY doc_id) " +
+      "SELECT doc_id, FLOOR(CAST(s6 AS DOUBLE) / 1000000 * 10000 + 0.5) / 10000 AS score " +
+      s"FROM s ORDER BY s6 DESC, doc_id LIMIT $k"
+  }
+
   // ------------------------------------------------------------------
   // Parameterized oracle builders (round-10 directive #5): each builder
   // generalizes the pinned oracle string it replaced — the pinned map
@@ -1606,23 +1654,8 @@ object LlmQueries {
     // BM25 replica: identical parenthesization to the Spark expression
     // (per-term contributions floor to 1e-6 integer micro-units; the
     // per-doc SUM is then exact, so ranking is engine-independent)
-    "llm_bm25" ->
-      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
-        "st AS (SELECT CAST(SUM(len(toks)) AS BIGINT) AS sdl, CAST(COUNT(*) AS BIGINT) AS n FROM t), " +
-        "e AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS tok FROM t), " +
-        "tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf, MAX(dl) AS dl " +
-        "FROM e WHERE tok IN ('spark', 'window', 'table') GROUP BY doc_id, tok), " +
-        "df AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY tok), " +
-        "co AS (SELECT tf.doc_id, CAST(FLOOR(" +
-        "((LN(CAST(1 AS DOUBLE) + (st.n - df.df + CAST(0.5 AS DOUBLE)) / (df.df + CAST(0.5 AS DOUBLE))) * tf.tf) " +
-        "* (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE))) " +
-        "/ (tf.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) " +
-        "+ (CAST(0.75 AS DOUBLE) * tf.dl) / (CAST(st.sdl AS DOUBLE) / st.n))) " +
-        "* 1000000 + 0.5) AS BIGINT) AS c6 " +
-        "FROM tf JOIN df ON df.tok = tf.tok, st), " +
-        "s AS (SELECT doc_id, SUM(c6) AS s6 FROM co GROUP BY doc_id) " +
-        "SELECT doc_id, FLOOR(CAST(s6 AS DOUBLE) / 1000000 * 10000 + 0.5) / 10000 AS score " +
-        "FROM s ORDER BY s6 DESC, doc_id LIMIT 20"),
+    "llm_bm25" -> bm25Sql(Seq("spark", "window", "table"), k = 20,
+      k1 = 1.2, b = 0.75),
     // shard value = first two hex chars of the md5 sampling key (strpos
     // in the digit alphabet = hex value), folded mod 8 — byte-identical
     // to the Spark replicable path
@@ -2050,21 +2083,10 @@ object LlmQueries {
         "FROM (SELECT DISTINCT query_id FROM bf) q LEFT JOIN h USING (query_id)")) +
     // BPE training replica: the whole 3-merge loop unrolled — per-step
     // pair counts, argmax, and the pad/double-replace/trim rewrite
-    ("llm_bpe_merges" ->
-      ("WITH " + bpeCtes(3) + " " +
-        (1 to 3).map(bpeMergeRow).mkString(" UNION ALL ") + " ORDER BY step")) +
+    ("llm_bpe_merges" -> bpeMergesSql(3)) +
     // encode replica: re-learn the same merges, then re-encode each doc
     // word-by-word with the identical pad/replace/trim chain
-    ("llm_bpe_encode" ->
-      ("WITH " + bpeCtes(3) + ", " +
-        "m AS (SELECT (SELECT pair FROM b1) AS q1, (SELECT pair FROM b2) AS q2, " +
-        "(SELECT pair FROM b3) AS q3), " +
-        "enc AS (SELECT doc_id, list_filter(string_split(text, ' '), " +
-        "w -> length(w) > 0) AS toks, q1, q2, q3 FROM documents, m) " +
-        "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
-        "CAST(COALESCE(list_sum(list_transform(toks, w -> len(string_split(" +
-        bpeEncodeExpr(3) + ", ' ')))), 0) AS BIGINT) AS n_bpe " +
-        "FROM enc ORDER BY doc_id")) +
+    ("llm_bpe_encode" -> bpeEncodeSql(3)) +
     // fertility replica: the encode CTEs with a per-word unnest and a
     // source-keyed rollup (pieces per word evaluated once per word)
     ("llm_bpe_fertility" ->

@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Dedup, LlmQueries, Similarity}
+import graft.llm.{Dedup, LlmQueries, Similarity, TextOps}
 import graft.sources.Tables
 
 /** Parameter-grid differential fuzz over the LLM operator surface
@@ -221,9 +221,42 @@ object LlmFuzzSeed {
           Tables(s, d, "events"), maxDelayMinutes = band))
     }
 
+    // BPE training/encode over the merge count (round 12): the whole
+    // learn loop — per-step pair counts, argmax, pad/double-replace/
+    // trim rewrite — unrolls per step on both sides
+    val bpeM = Seq(1, 2, 4).map { n =>
+      LlmCase(s"lfz_bpemerges_n$n",
+        LlmQueries.bpeMergesSql(n),
+        (s, d) => TextOps.bpeLearn(docs(s, d), nMerges = n))
+    }
+    val bpeE = Seq(2, 4).map { n =>
+      LlmCase(s"lfz_bpeencode_n$n",
+        LlmQueries.bpeEncodeSql(n),
+        (s, d) => {
+          val m = TextOps.bpeLearn(docs(s, d), nMerges = n).collect()
+            .map(r => (r.getString(1), r.getString(2))).toSeq
+          TextOps.bpeEncode(docs(s, d), m)
+        })
+    }
+
+    // BM25 over (terms, k, k1, b): 1.0 - b interpolates the SAME Scala
+    // double the Spark side uses (lit(1.0 - b)); k1 + 1 stays an
+    // in-engine IEEE add on both sides
+    val bm25 = Seq(
+      (Seq("scan", "merge"), 10, 1.5, 0.5),
+      (Seq("window"), 15, 0.9, 0.25),
+      (Seq("scan", "column", "join", "query"), 30, 2.0, 0.75)).map {
+      case (terms, k, k1, b) =>
+        LlmCase(s"lfz_bm25_t${terms.size}_k${k}_k1${(k1 * 10).toInt}" +
+            s"_b${(b * 100).toInt}",
+          LlmQueries.bm25Sql(terms, k, k1, b),
+          (s, d) => TextOps.bm25(docs(s, d), terms, k, k1, b))
+    }
+
     winnow ++ matches ++ containment ++ brute ++ annIvf ++ embed ++
       simhash ++ nearDup ++ trained ++ semdedup ++ residual ++
-      residual3 ++ pq ++ ivfpq ++ sessions ++ pairs
+      residual3 ++ pq ++ ivfpq ++ sessions ++ pairs ++ bpeM ++ bpeE ++
+      bm25
   }
 }
 
