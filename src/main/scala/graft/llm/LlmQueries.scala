@@ -629,6 +629,313 @@ object LlmQueries {
       s"trim(replace(replace(' ' || $x || ' ', $f, $t), $f, $t))"
     }
 
+  /** Span-duplication stats replica — the pinned llm_span_dups shape,
+    * parameterized for the fuzz grid (rolling `span`-token windows,
+    * global occurrence counts, per-doc dup fraction vs
+    * `flagThreshold`). */
+  private[graft] def spanDupsSql(span: Int, flagThreshold: Double): String =
+    ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+      s"g AS (SELECT doc_id, UNNEST([array_to_string(list_slice(toks, i, i + ${span - 1}), ' ') " +
+      s"FOR i IN range(1, len(toks) - ${span - 2})]) AS gk FROM t WHERE len(toks) >= $span), " +
+      "c AS (SELECT gk, COUNT(*) AS n_occ FROM g GROUP BY gk), " +
+      "d AS (SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans, " +
+      "CAST(SUM(CASE WHEN c.n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans " +
+      "FROM g JOIN c ON c.gk = g.gk GROUP BY g.doc_id) " +
+      "SELECT t.doc_id, COALESCE(d.n_spans, 0) AS n_spans, " +
+      "COALESCE(d.n_dup_spans, 0) AS n_dup_spans, " +
+      "COALESCE(FLOOR(CAST(d.n_dup_spans AS DOUBLE) / d.n_spans * 10000 + 0.5) / 10000, " +
+      "CAST(0 AS DOUBLE)) AS dup_fraction, " +
+      "COALESCE(FLOOR(CAST(d.n_dup_spans AS DOUBLE) / d.n_spans * 10000 + 0.5) / 10000, " +
+      s"CAST(0 AS DOUBLE)) >= $flagThreshold AS flagged " +
+      "FROM t LEFT JOIN d ON d.doc_id = t.doc_id ORDER BY t.doc_id")
+
+  /** Keep-first span-removal replica — the pinned llm_span_remove
+    * shape, parameterized for the fuzz grid. */
+  private[graft] def spanRemoveSql(span: Int): String =
+    ("WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents), " +
+      "g0 AS (SELECT doc_id, UNNEST([struct_pack(pos := i, " +
+      s"gk := array_to_string(list_slice(toks, i, i + ${span - 1}), ' ')) " +
+      s"FOR i IN range(1, len(toks) - ${span - 2})]) AS w FROM t WHERE len(toks) >= $span), " +
+      "g AS (SELECT doc_id, CAST(w.pos AS INTEGER) AS pos, w.gk AS gk FROM g0), " +
+      "rk AS (SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY gk) AS n_occ, " +
+      "ROW_NUMBER() OVER (PARTITION BY gk ORDER BY doc_id, pos) AS rn FROM g), " +
+      "rem AS (SELECT DISTINCT doc_id, pos + CAST(r2.range AS INTEGER) AS tp " +
+      s"FROM rk, range(0, $span) r2 WHERE n_occ > 1 AND rn > 1), " +
+      "rl AS (SELECT doc_id, list_sort(list(tp)) AS removed FROM rem GROUP BY doc_id) " +
+      "SELECT t.doc_id, CASE WHEN rl.removed IS NULL THEN t.text " +
+      "ELSE COALESCE(array_to_string([t.toks[j] FOR j IN range(1, len(t.toks) + 1) " +
+      "IF NOT list_contains(rl.removed, j)], ' '), '') END AS clean_text, " +
+      "CAST(COALESCE(len(rl.removed), 0) AS BIGINT) AS n_removed " +
+      "FROM t LEFT JOIN rl ON rl.doc_id = t.doc_id ORDER BY t.doc_id")
+
+  /** Cross-document boilerplate-removal replica — the pinned
+    * llm_boilerplate shape, parameterized for the fuzz grid (windows in
+    * >= `minDocs` DISTINCT docs removed everywhere, no canonical
+    * owner). */
+  private[graft] def boilerplateSql(span: Int, minDocs: Int): String =
+    ("WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents), " +
+      "g0 AS (SELECT doc_id, UNNEST([struct_pack(pos := i, " +
+      s"gk := array_to_string(list_slice(toks, i, i + ${span - 1}), ' ')) " +
+      s"FOR i IN range(1, len(toks) - ${span - 2})]) AS w FROM t WHERE len(toks) >= $span), " +
+      "g AS (SELECT doc_id, CAST(w.pos AS INTEGER) AS pos, w.gk AS gk FROM g0), " +
+      "c AS (SELECT gk FROM (SELECT gk, COUNT(DISTINCT doc_id) AS nd " +
+      s"FROM g GROUP BY gk) WHERE nd >= $minDocs), " +
+      "rem AS (SELECT DISTINCT g.doc_id, g.pos + CAST(r2.range AS INTEGER) AS tp " +
+      s"FROM g, c, range(0, $span) r2 WHERE g.gk = c.gk), " +
+      "rl AS (SELECT doc_id, list_sort(list(tp)) AS removed FROM rem GROUP BY doc_id) " +
+      "SELECT t.doc_id, CASE WHEN rl.removed IS NULL THEN t.text " +
+      "ELSE COALESCE(array_to_string([t.toks[j] FOR j IN range(1, len(t.toks) + 1) " +
+      "IF NOT list_contains(rl.removed, j)], ' '), '') END AS clean_text, " +
+      "CAST(COALESCE(len(rl.removed), 0) AS BIGINT) AS n_removed " +
+      "FROM t LEFT JOIN rl ON rl.doc_id = t.doc_id ORDER BY t.doc_id")
+
+  /** Within-doc repeated-window cleanup replica — the pinned
+    * llm_within_doc_dedup shape, parameterized for the fuzz grid
+    * (keep-first inside each document, pure per-row). */
+  private[graft] def withinDocDedupSql(span: Int): String =
+    ("WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents), " +
+      "g AS (SELECT doc_id, text, toks, " +
+      s"[array_to_string(list_slice(toks, i, i + ${span - 1}), ' ') " +
+      s"FOR i IN range(1, len(toks) - ${span - 2})] AS grams FROM t), " +
+      "d AS (SELECT doc_id, text, toks, " +
+      "[i FOR i IN range(1, len(grams) + 1) " +
+      "IF list_position(grams, grams[i]) < i] AS ds FROM g), " +
+      "r AS (SELECT doc_id, text, toks, " +
+      s"list_distinct(flatten([range(s, s + $span) FOR s IN ds])) AS rm FROM d) " +
+      "SELECT doc_id, CASE WHEN len(rm) = 0 THEN text " +
+      "ELSE COALESCE(array_to_string([toks[j] FOR j IN range(1, len(toks) + 1) " +
+      "IF NOT list_contains(rm, j)], ' '), '') END AS clean_text, " +
+      "CAST(len(rm) AS BIGINT) AS n_removed " +
+      "FROM r ORDER BY doc_id")
+
+  /** The per-stratum rate CASE shared by the mixing replicas: keys
+    * render in the given sequence order (semantically order-free —
+    * strata keys are distinct). */
+  private def rateCase(rates: Seq[(String, Double)], default: String,
+      render: Double => String): String =
+    "CASE lang " + rates.map { case (k, v) =>
+      s"WHEN '$k' THEN ${render(v)}"
+    }.mkString(" ") + s" ELSE $default END"
+
+  /** Exact-quota stratified mixing replica — the pinned llm_mix_quota
+    * shape, parameterized for the fuzz grid. */
+  private[graft] def mixQuotaSql(rates: Seq[(String, Double)],
+      defaultRate: Double): String =
+    ("WITH k AS (SELECT doc_id, lang, " +
+      "md5(CAST(doc_id AS VARCHAR) || '#mix') AS sk FROM documents), " +
+      "r AS (SELECT doc_id, lang, " +
+      "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY sk, doc_id) AS sample_rank, " +
+      "COUNT(*) OVER (PARTITION BY lang) AS n, " +
+      rateCase(rates, defaultRate.toString, _.toString) + " AS rate FROM k) " +
+      "SELECT doc_id, lang, sample_rank FROM r " +
+      "WHERE sample_rank <= CEIL(n * rate) ORDER BY doc_id")
+
+  /** Shuffle-free rate-sampling replica — the pinned llm_mix_rate
+    * shape, parameterized for the fuzz grid. The hex thresholds are
+    * computed by the SAME rule as `CorpusOps.mixRate.thresholdHex`
+    * ('g' sorts above all hex => keep-all at rate >= 1). */
+  private[graft] def mixRateSql(rates: Seq[(String, Double)],
+      defaultRate: Double): String = {
+    def hex(r: Double): String =
+      if (r >= 1.0) "g"
+      else f"${math.max(0L, (r * 0x100000000L).toLong)}%08x"
+    ("SELECT doc_id, lang FROM documents " +
+      "WHERE substr(md5(CAST(doc_id AS VARCHAR) || '#mix'), 1, 8) < " +
+      rateCase(rates, s"'${hex(defaultRate)}'", v => s"'${hex(v)}'") + " " +
+      "ORDER BY doc_id")
+  }
+
+  /** Temperature-mixing replica — the pinned llm_mix_temperature shape,
+    * parameterized for the fuzz grid (p^alpha integer-micro-unit
+    * weights, exact-integer rate arithmetic, numeric md5 threshold). */
+  private[graft] def mixTemperatureSql(alpha: Double,
+      targetFrac: Double): String =
+    ("WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_s FROM documents GROUP BY lang), " +
+      "t AS (SELECT SUM(n_s) AS n FROM c), " +
+      "w AS (SELECT lang, n_s, n, " +
+      s"CAST(FLOOR(POW(CAST(n_s AS DOUBLE) / n, $alpha) * 1000000 + 0.5) AS BIGINT) AS w6 FROM c, t), " +
+      "ws AS (SELECT SUM(w6) AS ws6 FROM w), " +
+      "r AS (SELECT lang, LEAST(CAST(1 AS DOUBLE), " +
+      s"CAST($targetFrac AS DOUBLE) * CAST(n * w6 AS DOUBLE) / CAST(ws6 * n_s AS DOUBLE)) AS rate FROM w, ws) " +
+      "SELECT d.doc_id, d.lang, FLOOR(r.rate * 1000000 + 0.5) / 1000000 AS rate " +
+      "FROM documents d JOIN r ON r.lang = d.lang " +
+      "WHERE CAST(CONCAT('0x', SUBSTR(md5(CAST(d.doc_id AS VARCHAR) || '#mix'), 1, 8)) AS BIGINT) " +
+      "< CAST(FLOOR(r.rate * 4294967296.0) AS BIGINT) ORDER BY d.doc_id")
+
+  /** UniMax water-filling replica — the pinned llm_mix_unimax shape,
+    * parameterized for the fuzz grid (exact BIGINT caps/cumsums, one
+    * fair-share division, numeric md5 keep test). */
+  private[graft] def mixUnimaxSql(budgetFrac: Double,
+      maxEpochs: Int): String =
+    ("WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_s FROM documents GROUP BY lang), " +
+      "t AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k FROM c), " +
+      s"a AS (SELECT lang, n_s, n, k, n_s * $maxEpochs AS cap, " +
+      s"CAST(ROW_NUMBER() OVER (ORDER BY n_s * $maxEpochs, lang) AS BIGINT) AS idx, " +
+      s"CAST(COALESCE(SUM(n_s * $maxEpochs) OVER (ORDER BY n_s * $maxEpochs, lang " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum, " +
+      s"CAST(FLOOR(n * $budgetFrac) AS BIGINT) AS bud FROM c, t), " +
+      "b AS (SELECT *, cap * (k - idx + 1) <= bud - cum AS capped FROM a), " +
+      "p AS (SELECT CAST(COALESCE(SUM(CASE WHEN capped THEN cap END), 0) AS BIGINT) AS csum, " +
+      "CAST(COALESCE(SUM(CASE WHEN capped THEN 1 END), 0) AS BIGINT) AS np FROM b), " +
+      "r AS (SELECT lang, LEAST(CAST(1 AS DOUBLE), " +
+      "(CASE WHEN capped THEN CAST(cap AS DOUBLE) " +
+      "ELSE FLOOR(CAST(bud - csum AS DOUBLE) / GREATEST(k - np, 1)) END) " +
+      "/ CAST(n_s AS DOUBLE)) AS rate FROM b, p) " +
+      "SELECT d.doc_id, d.lang, FLOOR(r.rate * 1000000 + 0.5) / 1000000 AS rate " +
+      "FROM documents d JOIN r ON r.lang = d.lang " +
+      "WHERE CAST(CONCAT('0x', SUBSTR(md5(CAST(d.doc_id AS VARCHAR) || '#mix'), 1, 8)) AS BIGINT) " +
+      "< CAST(FLOOR(r.rate * 4294967296.0) AS BIGINT) ORDER BY d.doc_id")
+
+  /** The two-hex-digit md5 fold of the replicable shard path —
+    * `CorpusOps.shardExpr(replicable = true)`'s exact SQL twin. */
+  private def shardFoldSql: String =
+    "((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || '#shard'), 1, 1)) - 1) * 16 " +
+      "+ (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || '#shard'), 2, 1)) - 1))"
+
+  /** Replicable-shard replica — the pinned llm_shard shape,
+    * parameterized for the fuzz grid (nShards <= 256: the fold yields
+    * 0..255). */
+  private[graft] def shardSql(nShards: Int): String =
+    "SELECT doc_id, " +
+      s"CAST($shardFoldSql AS BIGINT) % $nShards " +
+      "AS shard FROM documents ORDER BY doc_id"
+
+  /** In-shard sequence-packing replica — the pinned llm_pack shape,
+    * parameterized for the fuzz grid (floor-cumsum window per shard,
+    * single-space token formula). */
+  private[graft] def packSql(budget: Int, nShards: Int): String =
+    ("WITH s AS (SELECT doc_id, " +
+      s"CAST($shardFoldSql AS BIGINT) % $nShards AS shard, " +
+      "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens FROM documents) " +
+      "SELECT doc_id, shard, n_tokens, " +
+      "CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id " +
+      s"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / ${budget}.0) AS BIGINT) AS seq_id " +
+      "FROM s ORDER BY doc_id")
+
+  /** Vocabulary-cut replica — the pinned llm_vocab shape, parameterized
+    * for the fuzz grid ((tf desc, token asc) is a total order, so any
+    * maxSize cut is deterministic). */
+  private[graft] def vocabSql(maxSize: Int): String =
+    ("SELECT token, CAST(COUNT(*) AS BIGINT) AS tf, " +
+      "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df " +
+      "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token " +
+      s"FROM documents) GROUP BY token ORDER BY tf DESC, token LIMIT $maxSize")
+
+  /** Context-window chunking replica — the pinned llm_chunk shape,
+    * parameterized for the fuzz grid (stride = window - overlap). */
+  private[graft] def chunkSql(window: Int, overlap: Int): String = {
+    val stride = window - overlap
+    ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+      s"p AS (SELECT doc_id, toks, GREATEST(1, CAST(CEIL((len(toks) - $window) / ${stride}.0) AS BIGINT) + 1) AS nc FROM t), " +
+      "c AS (SELECT doc_id, unnest([{'chunk_id': i, 'chunk_text': " +
+      s"array_to_string(list_slice(toks, i*$stride + 1, i*$stride + $window), ' ')} " +
+      "FOR i IN range(0, nc)], recursive := true) FROM p) " +
+      "SELECT doc_id, chunk_id, chunk_text, " +
+      "CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS n_chunk_tokens " +
+      "FROM c ORDER BY doc_id, chunk_id")
+  }
+
+  /** Token-budget selection replica — the pinned llm_token_budget
+    * shape, parameterized for the fuzz grid; `qmSql` is the
+    * quality-model oracle whose logit feeds score4. */
+  private[graft] def tokenBudgetSql(qmSql: String, budget: Long): String =
+    (s"""WITH qm AS ($qmSql), """ +
+      "q AS (SELECT doc_id, " +
+      "CAST(FLOOR(1.0 / (1.0 + EXP(-(CAST(logit6 AS DOUBLE) / 1000000))) * 10000 + 0.5) AS BIGINT) AS score4 FROM qm), " +
+      "n AS (SELECT doc_id, CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS n_tokens FROM documents), " +
+      "w AS (SELECT q.doc_id, q.score4, n.n_tokens, " +
+      "COALESCE(SUM(n.n_tokens) OVER (ORDER BY q.score4 DESC, q.doc_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef " +
+      "FROM q JOIN n ON n.doc_id = q.doc_id) " +
+      s"SELECT doc_id, score4, n_tokens, bef < $budget AS kept " +
+      "FROM w ORDER BY doc_id")
+
+  /** Curriculum-order replica — the pinned llm_curriculum shape,
+    * parameterized for the fuzz grid via its shard CTE (`shSql`,
+    * usually [[shardSql]]) and the quality-model oracle. */
+  private[graft] def curriculumSql(shSql: String, qmSql: String): String =
+    (s"""WITH sh AS ($shSql), """ +
+      s"""qm AS ($qmSql), """ +
+      "s AS (SELECT sh.doc_id, sh.shard, " +
+      "CAST(FLOOR(1.0 / (1.0 + EXP(-(CAST(qm.logit6 AS DOUBLE) / 1000000))) * 10000 + 0.5) AS BIGINT) AS score4 " +
+      "FROM sh JOIN qm ON qm.doc_id = sh.doc_id) " +
+      "SELECT doc_id, shard, score4, " +
+      "CAST(ROW_NUMBER() OVER (PARTITION BY shard " +
+      "ORDER BY score4 DESC, doc_id) AS BIGINT) AS ord " +
+      "FROM s ORDER BY doc_id")
+
+  /** The DSIR weight pipeline shared by llm_dsir and llm_dsir_select —
+    * parameterized by the target-slice language. */
+  private def dsirBody(targetLang: String): String =
+    ("WITH e AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+      "raw AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cq FROM e GROUP BY tok), " +
+      s"tgt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS ct FROM e WHERE lang = '$targetLang' GROUP BY tok), " +
+      "j AS (SELECT raw.tok, raw.cq, COALESCE(tgt.ct, 0) AS ct FROM raw LEFT JOIN tgt ON tgt.tok = raw.tok), " +
+      "st AS (SELECT CAST(SUM(cq) AS BIGINT) AS nq, CAST(SUM(ct) AS BIGINT) AS nt, " +
+      "CAST(COUNT(*) AS BIGINT) AS v FROM j), " +
+      "r AS (SELECT tok, CAST(FLOOR((LN(CAST(ct + 1 AS DOUBLE) / (nt + v + 1)) " +
+      "- LN(CAST(cq + 1 AS DOUBLE) / (nq + v + 1))) * 1000000 + 0.5) AS BIGINT) AS ratio6 FROM j, st), " +
+      "dc AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY doc_id, tok), " +
+      "s AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, CAST(SUM(c * ratio6) AS BIGINT) AS s6 " +
+      "FROM dc JOIN r ON r.tok = dc.tok GROUP BY doc_id) " +
+      "SELECT doc_id, n_tokens, FLOOR(CAST(s6 AS DOUBLE) / 1000000 * 10000 + 0.5) / 10000 AS log_weight " +
+      "FROM s")
+
+  /** DSIR importance-weight replica — the pinned llm_dsir shape,
+    * parameterized for the fuzz grid. */
+  private[graft] def dsirSql(targetLang: String): String =
+    dsirBody(targetLang) + " ORDER BY doc_id"
+
+  /** DSIR top-k selection replica — the pinned llm_dsir_select shape,
+    * parameterized for the fuzz grid (rounded-weight total order). */
+  private[graft] def dsirSelectSql(targetLang: String, limit: Int): String =
+    dsirBody(targetLang) + s" ORDER BY log_weight DESC, doc_id LIMIT $limit"
+
+  /** Unigram-perplexity replica — the pinned llm_perplexity shape,
+    * parameterized for the fuzz grid (add-1 LM on the `refLang` slice,
+    * micro-unit NLL sums, ppl flag threshold). */
+  private[graft] def perplexitySql(refLang: String,
+      flagPpl: Double): String =
+    (s"WITH tr AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents WHERE lang = '$refLang'), " +
+      "cnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM tr GROUP BY tok), " +
+      "st AS (SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v FROM cnt), " +
+      "nl AS (SELECT tok, CAST(FLOOR(-LN(CAST(c + 1 AS DOUBLE) / (n + v + 1)) * 1000000 + 0.5) AS BIGINT) AS nll6 FROM cnt, st), " +
+      "un AS (SELECT CAST(FLOOR(-LN(CAST(1 AS DOUBLE) / (n + v + 1)) * 1000000 + 0.5) AS BIGINT) AS unll6 FROM st), " +
+      "e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+      "s AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, " +
+      "CAST(SUM(COALESCE(nl.nll6, un.unll6)) AS BIGINT) AS s6 " +
+      "FROM e LEFT JOIN nl ON nl.tok = e.tok, un GROUP BY doc_id) " +
+      "SELECT doc_id, n_tokens, " +
+      "FLOOR(CAST(s6 AS DOUBLE) / 1000000 / n_tokens * 10000 + 0.5) / 10000 AS avg_nll, " +
+      "FLOOR(EXP(FLOOR(CAST(s6 AS DOUBLE) / 1000000 / n_tokens * 1000000 + 0.5) / 1000000) * 10000 + 0.5) / 10000 AS ppl, " +
+      s"FLOOR(EXP(FLOOR(CAST(s6 AS DOUBLE) / 1000000 / n_tokens * 1000000 + 0.5) / 1000000) * 10000 + 0.5) / 10000 > $flagPpl AS flagged " +
+      "FROM s ORDER BY doc_id")
+
+  /** Fixed-cut CCNet-bucket replica — the pinned llm_ccnet_fixed shape,
+    * parameterized for the fuzz grid; cut points render at two decimals
+    * (the pinned 3.40 would otherwise print 3.4). */
+  private[graft] def ccnetFixedSql(pplSql: String, headMax: Double,
+      middleMax: Double): String =
+    (s"""WITH p AS ($pplSql), """ +
+      "j AS (SELECT p.doc_id, d.lang, p.avg_nll FROM p " +
+      "JOIN documents d ON d.doc_id = p.doc_id) " +
+      "SELECT doc_id, lang, avg_nll, " +
+      f"CASE WHEN avg_nll <= $headMax%.2f THEN 'head' WHEN avg_nll <= $middleMax%.2f THEN 'middle' " +
+      "ELSE 'tail' END AS bucket FROM j ORDER BY doc_id")
+
+  /** Blocklist-screen replica — the pinned llm_blocklist shape,
+    * parameterized for the fuzz grid (exact-token membership count +
+    * threshold flag). */
+  private[graft] def blocklistSql(words: Seq[String],
+      maxHits: Int): String = {
+    val list = words.map(w => s"'$w'").mkString(", ")
+    ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) " +
+      "SELECT doc_id, CAST(len(list_filter(toks, x -> " +
+      s"list_contains([$list], x))) AS BIGINT) AS n_hits, " +
+      s"len(list_filter(toks, x -> list_contains([$list], x))) >= $maxHits AS blocked " +
+      "FROM t ORDER BY doc_id")
+  }
+
   /** Whole-BPE-training replica over `steps` merges — the pinned
     * llm_bpe_merges shape, parameterized for the fuzz grid. */
   private[graft] def bpeMergesSql(steps: Int): String =
@@ -1232,74 +1539,16 @@ object LlmQueries {
       "SELECT COUNT(DISTINCT l_partkey) AS exact_d, TRUE AS approx_ok FROM lineitem",
     // UniMax water-filling replica: ascending-cap visit order, exact
     // bigint caps/cumsums, one fair-share division, numeric md5 keep test
-    "llm_mix_unimax" ->
-      ("WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_s FROM documents GROUP BY lang), " +
-        "t AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k FROM c), " +
-        "a AS (SELECT lang, n_s, n, k, n_s * 1 AS cap, " +
-        "CAST(ROW_NUMBER() OVER (ORDER BY n_s * 1, lang) AS BIGINT) AS idx, " +
-        "CAST(COALESCE(SUM(n_s * 1) OVER (ORDER BY n_s * 1, lang " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum, " +
-        "CAST(FLOOR(n * 0.5) AS BIGINT) AS bud FROM c, t), " +
-        "b AS (SELECT *, cap * (k - idx + 1) <= bud - cum AS capped FROM a), " +
-        "p AS (SELECT CAST(COALESCE(SUM(CASE WHEN capped THEN cap END), 0) AS BIGINT) AS csum, " +
-        "CAST(COALESCE(SUM(CASE WHEN capped THEN 1 END), 0) AS BIGINT) AS np FROM b), " +
-        "r AS (SELECT lang, LEAST(CAST(1 AS DOUBLE), " +
-        "(CASE WHEN capped THEN CAST(cap AS DOUBLE) " +
-        "ELSE FLOOR(CAST(bud - csum AS DOUBLE) / GREATEST(k - np, 1)) END) " +
-        "/ CAST(n_s AS DOUBLE)) AS rate FROM b, p) " +
-        "SELECT d.doc_id, d.lang, FLOOR(r.rate * 1000000 + 0.5) / 1000000 AS rate " +
-        "FROM documents d JOIN r ON r.lang = d.lang " +
-        "WHERE CAST(CONCAT('0x', SUBSTR(md5(CAST(d.doc_id AS VARCHAR) || '#mix'), 1, 8)) AS BIGINT) " +
-        "< CAST(FLOOR(r.rate * 4294967296.0) AS BIGINT) ORDER BY d.doc_id"),
+    "llm_mix_unimax" -> mixUnimaxSql(budgetFrac = 0.5, maxEpochs = 1),
     // DSIR replica: joint vocab from raw counts, per-TYPE log ratio
     // floored to 1e-6 micro-units, per-doc exact bigint dot products
-    "llm_dsir" ->
-      ("WITH e AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents), " +
-        "raw AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cq FROM e GROUP BY tok), " +
-        "tgt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS ct FROM e WHERE lang = 'en' GROUP BY tok), " +
-        "j AS (SELECT raw.tok, raw.cq, COALESCE(tgt.ct, 0) AS ct FROM raw LEFT JOIN tgt ON tgt.tok = raw.tok), " +
-        "st AS (SELECT CAST(SUM(cq) AS BIGINT) AS nq, CAST(SUM(ct) AS BIGINT) AS nt, " +
-        "CAST(COUNT(*) AS BIGINT) AS v FROM j), " +
-        "r AS (SELECT tok, CAST(FLOOR((LN(CAST(ct + 1 AS DOUBLE) / (nt + v + 1)) " +
-        "- LN(CAST(cq + 1 AS DOUBLE) / (nq + v + 1))) * 1000000 + 0.5) AS BIGINT) AS ratio6 FROM j, st), " +
-        "dc AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY doc_id, tok), " +
-        "s AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, CAST(SUM(c * ratio6) AS BIGINT) AS s6 " +
-        "FROM dc JOIN r ON r.tok = dc.tok GROUP BY doc_id) " +
-        "SELECT doc_id, n_tokens, FLOOR(CAST(s6 AS DOUBLE) / 1000000 * 10000 + 0.5) / 10000 AS log_weight " +
-        "FROM s ORDER BY doc_id"),
+    "llm_dsir" -> dsirSql(targetLang = "en"),
     // the selection cut over the same weights (rounded-weight total order)
-    "llm_dsir_select" ->
-      ("WITH e AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents), " +
-        "raw AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cq FROM e GROUP BY tok), " +
-        "tgt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS ct FROM e WHERE lang = 'en' GROUP BY tok), " +
-        "j AS (SELECT raw.tok, raw.cq, COALESCE(tgt.ct, 0) AS ct FROM raw LEFT JOIN tgt ON tgt.tok = raw.tok), " +
-        "st AS (SELECT CAST(SUM(cq) AS BIGINT) AS nq, CAST(SUM(ct) AS BIGINT) AS nt, " +
-        "CAST(COUNT(*) AS BIGINT) AS v FROM j), " +
-        "r AS (SELECT tok, CAST(FLOOR((LN(CAST(ct + 1 AS DOUBLE) / (nt + v + 1)) " +
-        "- LN(CAST(cq + 1 AS DOUBLE) / (nq + v + 1))) * 1000000 + 0.5) AS BIGINT) AS ratio6 FROM j, st), " +
-        "dc AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY doc_id, tok), " +
-        "s AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, CAST(SUM(c * ratio6) AS BIGINT) AS s6 " +
-        "FROM dc JOIN r ON r.tok = dc.tok GROUP BY doc_id) " +
-        "SELECT doc_id, n_tokens, FLOOR(CAST(s6 AS DOUBLE) / 1000000 * 10000 + 0.5) / 10000 AS log_weight " +
-        "FROM s ORDER BY log_weight DESC, doc_id LIMIT 100"),
+    "llm_dsir_select" -> dsirSelectSql(targetLang = "en", limit = 100),
     // perplexity replica: per-TYPE -ln p floored to micro-units (add-1
     // smoothing, shared unseen mass), exact bigint per-doc sums, one exp
     // on a 1e-6-stabilized input
-    "llm_perplexity" ->
-      ("WITH tr AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents WHERE lang = 'en'), " +
-        "cnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM tr GROUP BY tok), " +
-        "st AS (SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v FROM cnt), " +
-        "nl AS (SELECT tok, CAST(FLOOR(-LN(CAST(c + 1 AS DOUBLE) / (n + v + 1)) * 1000000 + 0.5) AS BIGINT) AS nll6 FROM cnt, st), " +
-        "un AS (SELECT CAST(FLOOR(-LN(CAST(1 AS DOUBLE) / (n + v + 1)) * 1000000 + 0.5) AS BIGINT) AS unll6 FROM st), " +
-        "e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
-        "s AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, " +
-        "CAST(SUM(COALESCE(nl.nll6, un.unll6)) AS BIGINT) AS s6 " +
-        "FROM e LEFT JOIN nl ON nl.tok = e.tok, un GROUP BY doc_id) " +
-        "SELECT doc_id, n_tokens, " +
-        "FLOOR(CAST(s6 AS DOUBLE) / 1000000 / n_tokens * 10000 + 0.5) / 10000 AS avg_nll, " +
-        "FLOOR(EXP(FLOOR(CAST(s6 AS DOUBLE) / 1000000 / n_tokens * 1000000 + 0.5) / 1000000) * 10000 + 0.5) / 10000 AS ppl, " +
-        "FLOOR(EXP(FLOOR(CAST(s6 AS DOUBLE) / 1000000 / n_tokens * 1000000 + 0.5) / 1000000) * 10000 + 0.5) / 10000 > 5000.0 AS flagged " +
-        "FROM s ORDER BY doc_id"),
+    "llm_perplexity" -> perplexitySql(refLang = "en", flagPpl = 5000.0),
     // RRF fusion replica: the bm25 CTE (s6 order bounds the arm, rounded
     // score re-ranks it) + the exact-cosine CTE (1e-6-rounded dot order),
     // fused as integer micro-unit reciprocal ranks
@@ -1579,78 +1828,28 @@ object LlmQueries {
     // span-dup replica: rolling 20-token windows (generate_series start
     // positions, space-joined slices = gramsAll), global occurrence
     // counts, per-doc rollup; spanless docs re-enter via left join
-    "llm_span_dups" ->
-      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
-        "g AS (SELECT doc_id, UNNEST([array_to_string(list_slice(toks, i, i + 19), ' ') " +
-        "FOR i IN range(1, len(toks) - 18)]) AS gk FROM t WHERE len(toks) >= 20), " +
-        "c AS (SELECT gk, COUNT(*) AS n_occ FROM g GROUP BY gk), " +
-        "d AS (SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans, " +
-        "CAST(SUM(CASE WHEN c.n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans " +
-        "FROM g JOIN c ON c.gk = g.gk GROUP BY g.doc_id) " +
-        "SELECT t.doc_id, COALESCE(d.n_spans, 0) AS n_spans, " +
-        "COALESCE(d.n_dup_spans, 0) AS n_dup_spans, " +
-        "COALESCE(FLOOR(CAST(d.n_dup_spans AS DOUBLE) / d.n_spans * 10000 + 0.5) / 10000, " +
-        "CAST(0 AS DOUBLE)) AS dup_fraction, " +
-        "COALESCE(FLOOR(CAST(d.n_dup_spans AS DOUBLE) / d.n_spans * 10000 + 0.5) / 10000, " +
-        "CAST(0 AS DOUBLE)) >= 0.5 AS flagged " +
-        "FROM t LEFT JOIN d ON d.doc_id = t.doc_id ORDER BY t.doc_id"),
+    "llm_span_dups" -> spanDupsSql(span = 20, flagThreshold = 0.5),
     // span-removal replica: windows with their 1-based start position
     // (correlated range lateral), keep-first via rank over (doc_id, pos)
     // within each window key, covered token indices exploded + deduped,
     // text rebuilt by a position-filtered list comprehension
-    "llm_span_remove" ->
-      ("WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents), " +
-        "g0 AS (SELECT doc_id, UNNEST([struct_pack(pos := i, " +
-        "gk := array_to_string(list_slice(toks, i, i + 19), ' ')) " +
-        "FOR i IN range(1, len(toks) - 18)]) AS w FROM t WHERE len(toks) >= 20), " +
-        "g AS (SELECT doc_id, CAST(w.pos AS INTEGER) AS pos, w.gk AS gk FROM g0), " +
-        "rk AS (SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY gk) AS n_occ, " +
-        "ROW_NUMBER() OVER (PARTITION BY gk ORDER BY doc_id, pos) AS rn FROM g), " +
-        "rem AS (SELECT DISTINCT doc_id, pos + CAST(r2.range AS INTEGER) AS tp " +
-        "FROM rk, range(0, 20) r2 WHERE n_occ > 1 AND rn > 1), " +
-        "rl AS (SELECT doc_id, list_sort(list(tp)) AS removed FROM rem GROUP BY doc_id) " +
-        // COALESCE: DuckDB's array_to_string is NULL on an empty list
-        // where Spark's array_join is '' (a fully-removed doc)
-        "SELECT t.doc_id, CASE WHEN rl.removed IS NULL THEN t.text " +
-        "ELSE COALESCE(array_to_string([t.toks[j] FOR j IN range(1, len(t.toks) + 1) " +
-        "IF NOT list_contains(rl.removed, j)], ' '), '') END AS clean_text, " +
-        "CAST(COALESCE(len(rl.removed), 0) AS BIGINT) AS n_removed " +
-        "FROM t LEFT JOIN rl ON rl.doc_id = t.doc_id ORDER BY t.doc_id"),
+    // (the builder's COALESCE around array_to_string: DuckDB's
+    // array_to_string is NULL on an empty list where Spark's array_join
+    // is '' — a fully-removed doc)
+    "llm_span_remove" -> spanRemoveSql(span = 20),
     // md5-ordered exact-quota stratified sample — the hex key replays in
     // any engine and lexicographic order on lowercase hex = numeric order
-    "llm_mix_quota" ->
-      ("WITH k AS (SELECT doc_id, lang, " +
-        "md5(CAST(doc_id AS VARCHAR) || '#mix') AS sk FROM documents), " +
-        "r AS (SELECT doc_id, lang, " +
-        "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY sk, doc_id) AS sample_rank, " +
-        "COUNT(*) OVER (PARTITION BY lang) AS n, " +
-        "CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 WHEN 'es' THEN 1.0 " +
-        "WHEN 'zh' THEN 0.125 ELSE 0.5 END AS rate FROM k) " +
-        "SELECT doc_id, lang, sample_rank FROM r " +
-        "WHERE sample_rank <= CEIL(n * rate) ORDER BY doc_id"),
+    "llm_mix_quota" -> mixQuotaSql(Seq("en" -> 0.5, "de" -> 0.25,
+      "es" -> 1.0, "zh" -> 0.125), defaultRate = 0.5),
     // shuffle-free variant: first 8 hex chars of the same key under the
     // per-stratum threshold ('g' sorts above all hex => keep-all)
-    "llm_mix_rate" ->
-      ("SELECT doc_id, lang FROM documents " +
-        "WHERE substr(md5(CAST(doc_id AS VARCHAR) || '#mix'), 1, 8) < " +
-        "CASE lang WHEN 'en' THEN '80000000' WHEN 'de' THEN '40000000' " +
-        "WHEN 'es' THEN 'g' WHEN 'zh' THEN '20000000' ELSE '80000000' END " +
-        "ORDER BY doc_id"),
+    "llm_mix_rate" -> mixRateSql(Seq("en" -> 0.5, "de" -> 0.25,
+      "es" -> 1.0, "zh" -> 0.125), defaultRate = 0.5),
     // temperature mixing replica: per-stratum counts → integer-micro-unit
     // normalized p^0.3 weights → exact-integer rate arithmetic → numeric
     // md5 threshold (hex prefix parsed as a number, same as Spark's conv)
-    "llm_mix_temperature" ->
-      ("WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_s FROM documents GROUP BY lang), " +
-        "t AS (SELECT SUM(n_s) AS n FROM c), " +
-        "w AS (SELECT lang, n_s, n, " +
-        "CAST(FLOOR(POW(CAST(n_s AS DOUBLE) / n, 0.3) * 1000000 + 0.5) AS BIGINT) AS w6 FROM c, t), " +
-        "ws AS (SELECT SUM(w6) AS ws6 FROM w), " +
-        "r AS (SELECT lang, LEAST(CAST(1 AS DOUBLE), " +
-        "CAST(0.5 AS DOUBLE) * CAST(n * w6 AS DOUBLE) / CAST(ws6 * n_s AS DOUBLE)) AS rate FROM w, ws) " +
-        "SELECT d.doc_id, d.lang, FLOOR(r.rate * 1000000 + 0.5) / 1000000 AS rate " +
-        "FROM documents d JOIN r ON r.lang = d.lang " +
-        "WHERE CAST(CONCAT('0x', SUBSTR(md5(CAST(d.doc_id AS VARCHAR) || '#mix'), 1, 8)) AS BIGINT) " +
-        "< CAST(FLOOR(r.rate * 4294967296.0) AS BIGINT) ORDER BY d.doc_id"),
+    "llm_mix_temperature" -> mixTemperatureSql(alpha = 0.3,
+      targetFrac = 0.5),
     // BM25 replica: identical parenthesization to the Spark expression
     // (per-term contributions floor to 1e-6 integer micro-units; the
     // per-doc SUM is then exact, so ranking is engine-independent)
@@ -1659,40 +1858,16 @@ object LlmQueries {
     // shard value = first two hex chars of the md5 sampling key (strpos
     // in the digit alphabet = hex value), folded mod 8 — byte-identical
     // to the Spark replicable path
-    "llm_shard" ->
-      ("SELECT doc_id, " +
-        "CAST(((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || '#shard'), 1, 1)) - 1) * 16 " +
-        "+ (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || '#shard'), 2, 1)) - 1)) AS BIGINT) % 8 " +
-        "AS shard FROM documents ORDER BY doc_id"),
+    "llm_shard" -> shardSql(nShards = 8),
     // seq_id = floor(tokens-before-this-doc / budget) within the shard,
     // doc_id order; token count is the single-space formula of llm_stats
-    "llm_pack" ->
-      ("WITH s AS (SELECT doc_id, " +
-        "CAST(((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || '#shard'), 1, 1)) - 1) * 16 " +
-        "+ (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || '#shard'), 2, 1)) - 1)) AS BIGINT) % 8 AS shard, " +
-        "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens FROM documents) " +
-        "SELECT doc_id, shard, n_tokens, " +
-        "CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0) AS BIGINT) AS seq_id " +
-        "FROM s ORDER BY doc_id"),
+    "llm_pack" -> packSql(budget = 2048, nShards = 8),
     // (tf desc, token asc) is a total order, so the top-500 cut is
     // deterministic in both engines
-    "llm_vocab" ->
-      ("SELECT token, CAST(COUNT(*) AS BIGINT) AS tf, " +
-        "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df " +
-        "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token " +
-        "FROM documents) GROUP BY token ORDER BY tf DESC, token LIMIT 500"),
+    "llm_vocab" -> vocabSql(maxSize = 500),
     // window=32 overlap=8 => stride 24; chunk list built per doc and
     // unnested, exactly the Spark transform+posexplode
-    "llm_chunk" ->
-      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
-        "p AS (SELECT doc_id, toks, GREATEST(1, CAST(CEIL((len(toks) - 32) / 24.0) AS BIGINT) + 1) AS nc FROM t), " +
-        "c AS (SELECT doc_id, unnest([{'chunk_id': i, 'chunk_text': " +
-        "array_to_string(list_slice(toks, i*24 + 1, i*24 + 32), ' ')} " +
-        "FOR i IN range(0, nc)], recursive := true) FROM p) " +
-        "SELECT doc_id, chunk_id, chunk_text, " +
-        "CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS n_chunk_tokens " +
-        "FROM c ORDER BY doc_id, chunk_id"),
+    "llm_chunk" -> chunkSql(window = 32, overlap = 8),
     "llm_token_count" ->
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens, " +
         "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) " +
@@ -2316,29 +2491,10 @@ object LlmQueries {
     // boilerplate replica: the span_remove window CTE at span 10, gated
     // on >= 3 DISTINCT docs per window key, removal covers EVERY
     // occurrence (no keep-first rank)
-    ("llm_boilerplate" ->
-      ("WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents), " +
-        "g0 AS (SELECT doc_id, UNNEST([struct_pack(pos := i, " +
-        "gk := array_to_string(list_slice(toks, i, i + 9), ' ')) " +
-        "FOR i IN range(1, len(toks) - 8)]) AS w FROM t WHERE len(toks) >= 10), " +
-        "g AS (SELECT doc_id, CAST(w.pos AS INTEGER) AS pos, w.gk AS gk FROM g0), " +
-        "c AS (SELECT gk FROM (SELECT gk, COUNT(DISTINCT doc_id) AS nd " +
-        "FROM g GROUP BY gk) WHERE nd >= 3), " +
-        "rem AS (SELECT DISTINCT g.doc_id, g.pos + CAST(r2.range AS INTEGER) AS tp " +
-        "FROM g, c, range(0, 10) r2 WHERE g.gk = c.gk), " +
-        "rl AS (SELECT doc_id, list_sort(list(tp)) AS removed FROM rem GROUP BY doc_id) " +
-        "SELECT t.doc_id, CASE WHEN rl.removed IS NULL THEN t.text " +
-        "ELSE COALESCE(array_to_string([t.toks[j] FOR j IN range(1, len(t.toks) + 1) " +
-        "IF NOT list_contains(rl.removed, j)], ' '), '') END AS clean_text, " +
-        "CAST(COALESCE(len(rl.removed), 0) AS BIGINT) AS n_removed " +
-        "FROM t LEFT JOIN rl ON rl.doc_id = t.doc_id ORDER BY t.doc_id")) +
+    ("llm_boilerplate" -> boilerplateSql(span = 10, minDocs = 3)) +
     // blocklist replica: exact-token membership count + threshold flag
-    ("llm_blocklist" ->
-      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) " +
-        "SELECT doc_id, CAST(len(list_filter(toks, x -> " +
-        "list_contains(['slow', 'spam', 'junk'], x))) AS BIGINT) AS n_hits, " +
-        "len(list_filter(toks, x -> list_contains(['slow', 'spam', 'junk'], x))) >= 2 AS blocked " +
-        "FROM t ORDER BY doc_id")) +
+    ("llm_blocklist" -> blocklistSql(Seq("slow", "spam", "junk"),
+      maxHits = 2)) +
     // entropy replica: per-type counts once (nested-lambda capture),
     // micro-unit contributions, exact bigint sum per doc
     ("llm_entropy" ->
@@ -2369,15 +2525,7 @@ object LlmQueries {
     // curriculum replica: the shard + quality-model oracles embed
     // verbatim; rank = row_number per shard over (score4 desc, doc_id)
     ("llm_curriculum" ->
-      (s"""WITH sh AS (${base("llm_shard")}), """ +
-        s"""qm AS (${base("llm_quality_model")}), """ +
-        "s AS (SELECT sh.doc_id, sh.shard, " +
-        "CAST(FLOOR(1.0 / (1.0 + EXP(-(CAST(qm.logit6 AS DOUBLE) / 1000000))) * 10000 + 0.5) AS BIGINT) AS score4 " +
-        "FROM sh JOIN qm ON qm.doc_id = sh.doc_id) " +
-        "SELECT doc_id, shard, score4, " +
-        "CAST(ROW_NUMBER() OVER (PARTITION BY shard " +
-        "ORDER BY score4 DESC, doc_id) AS BIGINT) AS ord " +
-        "FROM s ORDER BY doc_id")) +
+      curriculumSql(base("llm_shard"), base("llm_quality_model"))) +
     // reference-novelty replica: the incremental-ingest shingle CTEs
     // with the batch probing the rest's DISTINCT gram set
     ("llm_novelty_ref" ->
@@ -2433,21 +2581,7 @@ object LlmQueries {
     // within-doc dedup replica: per-row list comprehensions — windows,
     // earlier-first-occurrence starts via list_position, covered
     // positions flattened + deduped, position-filtered rebuild
-    ("llm_within_doc_dedup" ->
-      ("WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents), " +
-        "g AS (SELECT doc_id, text, toks, " +
-        "[array_to_string(list_slice(toks, i, i + 2), ' ') " +
-        "FOR i IN range(1, len(toks) - 1)] AS grams FROM t), " +
-        "d AS (SELECT doc_id, text, toks, " +
-        "[i FOR i IN range(1, len(grams) + 1) " +
-        "IF list_position(grams, grams[i]) < i] AS ds FROM g), " +
-        "r AS (SELECT doc_id, text, toks, " +
-        "list_distinct(flatten([range(s, s + 3) FOR s IN ds])) AS rm FROM d) " +
-        "SELECT doc_id, CASE WHEN len(rm) = 0 THEN text " +
-        "ELSE COALESCE(array_to_string([toks[j] FOR j IN range(1, len(toks) + 1) " +
-        "IF NOT list_contains(rm, j)], ' '), '') END AS clean_text, " +
-        "CAST(len(rm) AS BIGINT) AS n_removed " +
-        "FROM r ORDER BY doc_id")) +
+    ("llm_within_doc_dedup" -> withinDocDedupSql(span = 3)) +
     // CCNet tercile replica: the perplexity oracle embeds verbatim;
     // bucket = floor(3*(rank-1)/count) over (avg_nll, doc_id) per lang
     ("llm_ccnet_buckets" ->
@@ -2463,26 +2597,13 @@ object LlmQueries {
     // fixed-threshold form: same scoring CTE, per-row cut-point gate on
     // the 1e-4-floored avg_nll (identical doubles on both engines)
     ("llm_ccnet_fixed" ->
-      (s"""WITH p AS (${base("llm_perplexity")}), """ +
-        "j AS (SELECT p.doc_id, d.lang, p.avg_nll FROM p " +
-        "JOIN documents d ON d.doc_id = p.doc_id) " +
-        "SELECT doc_id, lang, avg_nll, " +
-        "CASE WHEN avg_nll <= 3.40 THEN 'head' WHEN avg_nll <= 3.41 THEN 'middle' " +
-        "ELSE 'tail' END AS bucket FROM j ORDER BY doc_id")) +
+      ccnetFixedSql(base("llm_perplexity"), headMax = 3.40,
+        middleMax = 3.41)) +
     // token-budget replica: the quality-model oracle embeds verbatim;
     // kept = tokens of strictly-better docs (score4 desc, doc_id) under
     // the budget, token count by the single-space formula of llm_pack
     ("llm_token_budget" ->
-      (s"""WITH qm AS (${base("llm_quality_model")}), """ +
-        "q AS (SELECT doc_id, " +
-        "CAST(FLOOR(1.0 / (1.0 + EXP(-(CAST(logit6 AS DOUBLE) / 1000000))) * 10000 + 0.5) AS BIGINT) AS score4 FROM qm), " +
-        "n AS (SELECT doc_id, CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS n_tokens FROM documents), " +
-        "w AS (SELECT q.doc_id, q.score4, n.n_tokens, " +
-        "COALESCE(SUM(n.n_tokens) OVER (ORDER BY q.score4 DESC, q.doc_id " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef " +
-        "FROM q JOIN n ON n.doc_id = q.doc_id) " +
-        "SELECT doc_id, score4, n_tokens, bef < 15000 AS kept " +
-        "FROM w ORDER BY doc_id"))
+      tokenBudgetSql(base("llm_quality_model"), budget = 15000L))
     // the hashed-key novelty twins share their string-key siblings'
     // oracles VERBATIM: xxhash64 keys only change the join/agg key,
     // never a per-doc count (collision odds ~ |G|²/2⁶⁵)
