@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Dedup, LlmQueries, Similarity, TextOps}
+import graft.llm.{CorpusOps, Dedup, LlmQueries, Similarity, TextOps}
 import graft.sources.Tables
 
 /** Parameter-grid differential fuzz over the LLM operator surface
@@ -253,10 +253,157 @@ object LlmFuzzSeed {
           (s, d) => TextOps.bm25(docs(s, d), terms, k, k1, b))
     }
 
+    // ---- curation/selection/span families (round-12: the last LLM
+    // surfaces without a parameter grid). Every case replays the SAME
+    // parameterized builder its pinned oracle now calls; all of these
+    // are exact replicas at any parameters (integer micro-units /
+    // md5-threshold keep tests / total-order cuts — no recall
+    // assumptions anywhere in this block).
+
+    // rolling-window span family over the window length (and the
+    // span_dups flag threshold): span < 10 puts every doc in scope,
+    // span 30 exercises the short-doc guard (docs are 10..99 tokens)
+    val spanD = Seq((5, 0.5), (10, 0.5), (30, 0.5), (10, 0.2)).map {
+      case (span, thr) =>
+        LlmCase(s"lfz_spandups_s${span}_t${(thr * 10).toInt}",
+          LlmQueries.spanDupsSql(span, thr),
+          (s, d) => Dedup.spanDups(docs(s, d), span, thr))
+    }
+    val spanR = Seq(5, 10, 30).map { span =>
+      LlmCase(s"lfz_spanrem_s$span",
+        LlmQueries.spanRemoveSql(span),
+        (s, d) => Dedup.spanRemove(docs(s, d), span))
+    }
+    val withinDoc = Seq(2, 5, 10).map { span =>
+      LlmCase(s"lfz_withindoc_s$span",
+        LlmQueries.withinDocDedupSql(span),
+        (s, d) => Dedup.withinDocDedup(docs(s, d), span))
+    }
+    val boiler = Seq((5, 2), (5, 3), (10, 5), (20, 2)).map {
+      case (span, minDocs) =>
+        LlmCase(s"lfz_boiler_s${span}_m$minDocs",
+          LlmQueries.boilerplateSql(span, minDocs),
+          (s, d) => Dedup.boilerplateRemove(docs(s, d), span, minDocs))
+    }
+
+    // mixing samplers over their deployment knobs. The two rate maps
+    // exercise non-pinned strata ('fr' was always the ELSE arm) and a
+    // keep-all rate below/above the default
+    val rateMaps = Seq(
+      ("a", Seq("en" -> 0.25, "fr" -> 0.75), 0.4),
+      ("b", Seq("zh" -> 1.0, "de" -> 0.1), 0.1))
+    val mixQ = rateMaps.map { case (tag, rates, dflt) =>
+      LlmCase(s"lfz_mixquota_$tag",
+        LlmQueries.mixQuotaSql(rates, dflt),
+        (s, d) => CorpusOps.mixQuota(docs(s, d), "lang",
+          scala.collection.immutable.ListMap(rates: _*), dflt))
+    }
+    val mixR = rateMaps.map { case (tag, rates, dflt) =>
+      LlmCase(s"lfz_mixrate_$tag",
+        LlmQueries.mixRateSql(rates, dflt),
+        (s, d) => CorpusOps.mixRate(docs(s, d), "lang",
+          scala.collection.immutable.ListMap(rates: _*), dflt))
+    }
+    // alpha = 0.0 flattens to uniform (POW(x, 0) = 1 in both engines),
+    // alpha = 1.0 keeps natural proportions at exactly targetFrac
+    val mixT = Seq((0.0, 0.5), (0.7, 0.5), (1.0, 0.3), (0.3, 0.8)).map {
+      case (alpha, tf) =>
+        LlmCase(s"lfz_mixtemp_a${(alpha * 10).toInt}_f${(tf * 10).toInt}",
+          LlmQueries.mixTemperatureSql(alpha, tf),
+          (s, d) => CorpusOps.mixTemperature(docs(s, d), "lang", alpha, tf))
+    }
+    val mixU = Seq((0.3, 1), (0.8, 2), (0.25, 1), (1.0, 2)).map {
+      case (bf, me) =>
+        LlmCase(s"lfz_mixuni_b${(bf * 100).toInt}_e$me",
+          LlmQueries.mixUnimaxSql(bf, me),
+          (s, d) => CorpusOps.mixUnimax(docs(s, d), "lang", bf, me))
+    }
+
+    // training-export family: shard count (incl. a non-power-of-2 mod
+    // of the two-hex-digit fold), pack budget, vocab cut, chunk stride
+    // (overlap 0 = disjoint windows)
+    val shardC = Seq(4, 5, 16).map { n =>
+      LlmCase(s"lfz_shard_n$n",
+        LlmQueries.shardSql(n),
+        (s, d) => CorpusOps.shard(docs(s, d), n, replicable = true))
+    }
+    val packC = Seq((512, 4), (8192, 8), (1024, 16)).map {
+      case (budget, n) =>
+        LlmCase(s"lfz_pack_b${budget}_n$n",
+          LlmQueries.packSql(budget, n),
+          (s, d) => CorpusOps.pack(docs(s, d), budget, n,
+            replicable = true))
+    }
+    val vocabC = Seq(50, 200, 1000).map { m =>
+      LlmCase(s"lfz_vocab_m$m",
+        LlmQueries.vocabSql(m),
+        (s, d) => TextOps.vocab(docs(s, d), m))
+    }
+    val chunkC = Seq((16, 4), (64, 16), (32, 0), (24, 8)).map {
+      case (w, o) =>
+        LlmCase(s"lfz_chunk_w${w}_o$o",
+          LlmQueries.chunkSql(w, o),
+          (s, d) => TextOps.chunk(docs(s, d), w, o))
+    }
+
+    // selection: budget 5000 cuts inside the corpus (~28k tokens at
+    // sf0.001), 30000 exercises the whole-corpus-fits branch, 1 the
+    // first-bucket-crosses edge; curriculum over the shard count
+    val tokBudget = Seq(5000L, 30000L, 1L).map { b =>
+      LlmCase(s"lfz_tokbudget_b$b",
+        LlmQueries.tokenBudgetSql(
+          LlmQueries.oracle("llm_quality_model"), b),
+        (s, d) => CorpusOps.tokenBudgetSelect(docs(s, d), b))
+    }
+    val curr = Seq(4, 16).map { n =>
+      LlmCase(s"lfz_curriculum_n$n",
+        LlmQueries.curriculumSql(LlmQueries.shardSql(n),
+          LlmQueries.oracle("llm_quality_model")),
+        (s, d) => CorpusOps.curriculumOrder(docs(s, d), n))
+    }
+
+    // scoring family: DSIR/perplexity over the reference slice (every
+    // lang slice is nonempty at sf0.001), ccnet cut points, blocklist
+    val dsirC = Seq("de", "zh").map { lang =>
+      LlmCase(s"lfz_dsir_$lang",
+        LlmQueries.dsirSql(lang),
+        (s, d) => CorpusOps.dsirWeights(docs(s, d), targetVal = lang))
+    }
+    val dsirSel = Seq(("es", 50)).map { case (lang, lim) =>
+      LlmCase(s"lfz_dsirsel_${lang}_k$lim",
+        LlmQueries.dsirSelectSql(lang, lim),
+        (s, d) => CorpusOps.dsirWeights(docs(s, d), targetVal = lang,
+          ordered = false)
+          .orderBy(org.apache.spark.sql.functions.desc("log_weight"),
+            org.apache.spark.sql.functions.asc("doc_id")).limit(lim))
+    }
+    val pplC = Seq(("de", 5000.0), ("fr", 1000.0)).map {
+      case (lang, flag) =>
+        LlmCase(s"lfz_ppl_${lang}_f${flag.toInt}",
+          LlmQueries.perplexitySql(lang, flag),
+          (s, d) => TextOps.perplexity(docs(s, d), lang, flag))
+    }
+    val ccnetC = Seq((3.35, 3.45), (3.30, 3.50)).map { case (h, m) =>
+      LlmCase(s"lfz_ccnet_h${(h * 100).toInt}_m${(m * 100).toInt}",
+        LlmQueries.ccnetFixedSql(
+          LlmQueries.perplexitySql("en", 5000.0), h, m),
+        (s, d) => TextOps.ccnetBucketsFixed(docs(s, d), h, m))
+    }
+    val blockC = Seq(
+      (Seq("slow", "spam", "junk"), 1),
+      (Seq("slow"), 1),
+      (Seq("spam", "junk"), 3)).map { case (words, mh) =>
+      LlmCase(s"lfz_block_w${words.size}_h$mh",
+        LlmQueries.blocklistSql(words, mh),
+        (s, d) => TextOps.blocklist(docs(s, d), words, mh))
+    }
+
     winnow ++ matches ++ containment ++ brute ++ annIvf ++ embed ++
       simhash ++ nearDup ++ trained ++ semdedup ++ residual ++
       residual3 ++ pq ++ ivfpq ++ sessions ++ pairs ++ bpeM ++ bpeE ++
-      bm25
+      bm25 ++ spanD ++ spanR ++ withinDoc ++ boiler ++ mixQ ++ mixR ++
+      mixT ++ mixU ++ shardC ++ packC ++ vocabC ++ chunkC ++
+      tokBudget ++ curr ++ dsirC ++ dsirSel ++ pplC ++ ccnetC ++ blockC
   }
 }
 
