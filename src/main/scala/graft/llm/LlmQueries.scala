@@ -629,6 +629,129 @@ object LlmQueries {
       s"trim(replace(replace(' ' || $x || ' ', $f, $t), $f, $t))"
     }
 
+  /** The distinct-shingle CTE shared by the contamination/novelty
+    * replicas (`Dedup.withShingleSets`'s SQL twin): docs shorter than
+    * `n` tokens fall back to their distinct tokens. Emits the WITH
+    * prefix through the `s` CTE's trailing ", ". */
+  private def shingleCteSql(n: Int): String =
+    ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+      s"s AS (SELECT doc_id, CASE WHEN len(toks) < $n THEN list_distinct(toks) " +
+      "ELSE list_distinct([" +
+      (0 until n).map(j => if (j == 0) "toks[i]" else s"toks[i+$j]")
+        .mkString(" || ' ' || ") + " " +
+      s"FOR i IN range(1, len(toks) - ${n - 2})]) END AS sh FROM t), ")
+
+  /** Contamination-score replica — the pinned llm_contamination shape,
+    * parameterized for the fuzz grid (eval slice = doc_id % evalMod =
+    * evalRem, probed against the train slice's distinct n-grams). */
+  private[graft] def contaminationSql(n: Int, evalMod: Int, evalRem: Int,
+      flagThreshold: Double): String =
+    (shingleCteSql(n) +
+      s"tr AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % $evalMod <> $evalRem), " +
+      s"ev AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % $evalMod = $evalRem), " +
+      "j AS (SELECT ev.doc_id, COUNT(*) AS n_ngrams, COUNT(tr.g) AS n_hit " +
+      "FROM ev LEFT JOIN tr ON ev.g = tr.g GROUP BY ev.doc_id) " +
+      "SELECT doc_id, n_ngrams, n_hit, " +
+      "FLOOR(CAST(n_hit AS DOUBLE) / n_ngrams * 10000 + 0.5) / 10000 AS contamination, " +
+      s"FLOOR(CAST(n_hit AS DOUBLE) / n_ngrams * 10000 + 0.5) / 10000 >= $flagThreshold " +
+      "AS contaminated FROM j ORDER BY doc_id")
+
+  /** Decontamination replica — the pinned llm_decontaminate shape,
+    * parameterized for the fuzz grid (probe direction flipped: train
+    * docs scored against the eval slice's distinct n-grams). */
+  private[graft] def decontaminateSql(n: Int, evalMod: Int, evalRem: Int,
+      maxOverlap: Double): String =
+    (shingleCteSql(n) +
+      s"ev AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % $evalMod = $evalRem), " +
+      s"tr AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % $evalMod <> $evalRem), " +
+      "j AS (SELECT tr.doc_id, COUNT(*) AS n_ngrams, COUNT(ev.g) AS n_hit " +
+      "FROM tr LEFT JOIN ev ON tr.g = ev.g GROUP BY tr.doc_id) " +
+      "SELECT doc_id, n_ngrams, n_hit, " +
+      "FLOOR(CAST(n_hit AS DOUBLE) / n_ngrams * 10000 + 0.5) / 10000 AS overlap, " +
+      s"FLOOR(CAST(n_hit AS DOUBLE) / n_ngrams * 10000 + 0.5) / 10000 >= $maxOverlap " +
+      "AS dropped FROM j ORDER BY doc_id")
+
+  /** First-occurrence n-gram novelty replica — the pinned
+    * llm_ngram_novelty shape, parameterized for the fuzz grid. */
+  private[graft] def ngramNoveltySql(n: Int): String =
+    (shingleCteSql(n) +
+      "gr AS (SELECT doc_id, unnest(sh) AS g FROM s), " +
+      "f AS (SELECT g, MIN(doc_id) AS first_id FROM gr GROUP BY g), " +
+      "j AS (SELECT gr.doc_id, CASE WHEN f.first_id = gr.doc_id THEN 1 ELSE 0 END AS nw " +
+      "FROM gr JOIN f USING (g)) " +
+      "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams, " +
+      "CAST(SUM(nw) AS BIGINT) AS n_new, " +
+      "FLOOR(CAST(SUM(nw) AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000 AS novelty " +
+      "FROM j GROUP BY doc_id ORDER BY doc_id")
+
+  /** Reference-anchored ingest-novelty replica — the pinned
+    * llm_novelty_ref shape, parameterized for the fuzz grid (batch =
+    * doc_id % mod = rem, reference = the rest). */
+  private[graft] def noveltyRefSql(n: Int, mod: Int, rem: Int): String =
+    (shingleCteSql(n) +
+      s"ref AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % $mod <> $rem), " +
+      s"e AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % $mod = $rem), " +
+      "j AS (SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams, " +
+      "CAST(SUM(CASE WHEN ref.g IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new " +
+      "FROM e LEFT JOIN ref ON ref.g = e.g GROUP BY e.doc_id) " +
+      "SELECT doc_id, n_ngrams, n_new, " +
+      "FLOOR(CAST(n_new AS DOUBLE) / n_ngrams * 10000 + 0.5) / 10000 AS novelty " +
+      "FROM j ORDER BY doc_id")
+
+  /** CCNet per-lang tercile replica — the pinned llm_ccnet_buckets
+    * shape, parameterized for the fuzz grid via its embedded
+    * perplexity CTE (usually [[perplexitySql]]). */
+  private[graft] def ccnetBucketsSql(pplSql: String): String =
+    (s"""WITH p AS ($pplSql), """ +
+      "j AS (SELECT p.doc_id, d.lang, p.avg_nll FROM p " +
+      "JOIN documents d ON d.doc_id = p.doc_id), " +
+      "r AS (SELECT doc_id, lang, avg_nll, " +
+      "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY avg_nll, doc_id) AS rn, " +
+      "COUNT(*) OVER (PARTITION BY lang) AS cnt FROM j) " +
+      "SELECT doc_id, lang, avg_nll, " +
+      "['head','middle','tail'][CAST(3 * (rn - 1) // cnt AS INTEGER) + 1] AS bucket " +
+      "FROM r ORDER BY doc_id")
+
+  /** Hybrid-retrieval RRF replica — the pinned llm_hybrid_rrf shape,
+    * parameterized for the fuzz grid (BM25 keyword arm at the stock
+    * k1=1.2/b=0.75 `Retrieval.hybridRrf` uses internally, exact-cosine
+    * embedding arm, both kEach-bounded, fused at RRF constant `c`). */
+  private[graft] def hybridRrfSql(terms: Seq[String], queryVecId: Long,
+      k: Int, kEach: Int, c: Int): String = {
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+      "st AS (SELECT CAST(SUM(len(toks)) AS BIGINT) AS sdl, CAST(COUNT(*) AS BIGINT) AS n FROM t), " +
+      "e AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS tok FROM t), " +
+      "tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf, MAX(dl) AS dl " +
+      s"FROM e WHERE tok IN ($termList) GROUP BY doc_id, tok), " +
+      "df AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY tok), " +
+      "co AS (SELECT tf.doc_id, CAST(FLOOR(" +
+      "((LN(CAST(1 AS DOUBLE) + (st.n - df.df + CAST(0.5 AS DOUBLE)) / (df.df + CAST(0.5 AS DOUBLE))) * tf.tf) " +
+      "* (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE))) " +
+      "/ (tf.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) " +
+      "+ (CAST(0.75 AS DOUBLE) * tf.dl) / (CAST(st.sdl AS DOUBLE) / st.n))) " +
+      "* 1000000 + 0.5) AS BIGINT) AS c6 " +
+      "FROM tf JOIN df ON df.tok = tf.tok, st), " +
+      "bs AS (SELECT doc_id, SUM(c6) AS s6 FROM co GROUP BY doc_id), " +
+      "bm AS (SELECT doc_id, FLOOR(CAST(s6 AS DOUBLE) / 1000000 * 10000 + 0.5) / 10000 AS score " +
+      s"FROM bs ORDER BY s6 DESC, doc_id LIMIT $kEach), " +
+      "kw AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS kw_rank FROM bm), " +
+      s"q AS (SELECT LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS qe FROM embeddings WHERE vec_id = $queryVecId), " +
+      "cc AS (SELECT vec_id AS neighbor_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS ce FROM embeddings), " +
+      "sc AS (SELECT neighbor_id, LIST_INNER_PRODUCT(qe, ce) AS raw_dot FROM q CROSS JOIN cc), " +
+      "an AS (SELECT neighbor_id AS doc_id, CAST(ROW_NUMBER() OVER (" +
+      "ORDER BY FLOOR(raw_dot * 1000000 + 0.5) / 1000000 DESC, neighbor_id) AS BIGINT) AS ann_rank FROM sc), " +
+      s"af AS (SELECT doc_id, ann_rank FROM an WHERE ann_rank <= $kEach), " +
+      "f AS (SELECT COALESCE(kw.doc_id, af.doc_id) AS doc_id, kw.kw_rank, af.ann_rank " +
+      "FROM kw FULL JOIN af ON af.doc_id = kw.doc_id), " +
+      "g AS (SELECT doc_id, kw_rank, ann_rank, " +
+      s"(COALESCE(CAST(FLOOR(1000000.0 / ($c + kw_rank) + 0.5) AS BIGINT), 0) " +
+      s"+ COALESCE(CAST(FLOOR(1000000.0 / ($c + ann_rank) + 0.5) AS BIGINT), 0)) AS rrf6 FROM f) " +
+      "SELECT doc_id, COALESCE(kw_rank, -1) AS kw_rank, COALESCE(ann_rank, -1) AS ann_rank, rrf6, " +
+      "FLOOR(CAST(rrf6 AS DOUBLE) / 1000000 * 10000 + 0.5) / 10000 AS rrf_score " +
+      s"FROM g ORDER BY rrf6 DESC, doc_id LIMIT $k")
+  }
+
   /** Span-duplication stats replica — the pinned llm_span_dups shape,
     * parameterized for the fuzz grid (rolling `span`-token windows,
     * global occurrence counts, per-doc dup fraction vs
@@ -1552,38 +1675,8 @@ object LlmQueries {
     // RRF fusion replica: the bm25 CTE (s6 order bounds the arm, rounded
     // score re-ranks it) + the exact-cosine CTE (1e-6-rounded dot order),
     // fused as integer micro-unit reciprocal ranks
-    "llm_hybrid_rrf" ->
-      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
-        "st AS (SELECT CAST(SUM(len(toks)) AS BIGINT) AS sdl, CAST(COUNT(*) AS BIGINT) AS n FROM t), " +
-        "e AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS tok FROM t), " +
-        "tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf, MAX(dl) AS dl " +
-        "FROM e WHERE tok IN ('spark', 'window', 'table') GROUP BY doc_id, tok), " +
-        "df AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY tok), " +
-        "co AS (SELECT tf.doc_id, CAST(FLOOR(" +
-        "((LN(CAST(1 AS DOUBLE) + (st.n - df.df + CAST(0.5 AS DOUBLE)) / (df.df + CAST(0.5 AS DOUBLE))) * tf.tf) " +
-        "* (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE))) " +
-        "/ (tf.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) " +
-        "+ (CAST(0.75 AS DOUBLE) * tf.dl) / (CAST(st.sdl AS DOUBLE) / st.n))) " +
-        "* 1000000 + 0.5) AS BIGINT) AS c6 " +
-        "FROM tf JOIN df ON df.tok = tf.tok, st), " +
-        "bs AS (SELECT doc_id, SUM(c6) AS s6 FROM co GROUP BY doc_id), " +
-        "bm AS (SELECT doc_id, FLOOR(CAST(s6 AS DOUBLE) / 1000000 * 10000 + 0.5) / 10000 AS score " +
-        "FROM bs ORDER BY s6 DESC, doc_id LIMIT 20), " +
-        "kw AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS kw_rank FROM bm), " +
-        "q AS (SELECT LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS qe FROM embeddings WHERE vec_id = 0), " +
-        "cc AS (SELECT vec_id AS neighbor_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS ce FROM embeddings), " +
-        "sc AS (SELECT neighbor_id, LIST_INNER_PRODUCT(qe, ce) AS raw_dot FROM q CROSS JOIN cc), " +
-        "an AS (SELECT neighbor_id AS doc_id, CAST(ROW_NUMBER() OVER (" +
-        "ORDER BY FLOOR(raw_dot * 1000000 + 0.5) / 1000000 DESC, neighbor_id) AS BIGINT) AS ann_rank FROM sc), " +
-        "af AS (SELECT doc_id, ann_rank FROM an WHERE ann_rank <= 20), " +
-        "f AS (SELECT COALESCE(kw.doc_id, af.doc_id) AS doc_id, kw.kw_rank, af.ann_rank " +
-        "FROM kw FULL JOIN af ON af.doc_id = kw.doc_id), " +
-        "g AS (SELECT doc_id, kw_rank, ann_rank, " +
-        "(COALESCE(CAST(FLOOR(1000000.0 / (60 + kw_rank) + 0.5) AS BIGINT), 0) " +
-        "+ COALESCE(CAST(FLOOR(1000000.0 / (60 + ann_rank) + 0.5) AS BIGINT), 0)) AS rrf6 FROM f) " +
-        "SELECT doc_id, COALESCE(kw_rank, -1) AS kw_rank, COALESCE(ann_rank, -1) AS ann_rank, rrf6, " +
-        "FLOOR(CAST(rrf6 AS DOUBLE) / 1000000 * 10000 + 0.5) / 10000 AS rrf_score " +
-        "FROM g ORDER BY rrf6 DESC, doc_id LIMIT 10"),
+    "llm_hybrid_rrf" -> hybridRrfSql(Seq("spark", "window", "table"),
+      queryVecId = 0L, k = 10, kEach = 20, c = 60),
     // interval-join replica: same epoch-ms truncation, pairs strictly
     // after the left event within the 10-minute band, counted per user
     "llm_event_pairs" -> eventPairsSql(maxDelayMinutes = 10),
@@ -1698,34 +1791,12 @@ object LlmQueries {
     // eval split = doc_id % 10 = 7; distinct train 3-grams probed by
     // each eval doc's distinct 3-grams (the Dedup.shingles short-doc
     // fallback to distinct tokens applies on both sides)
-    "llm_contamination" ->
-      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
-        "s AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN list_distinct(toks) " +
-        "ELSE list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] " +
-        "FOR i IN range(1, len(toks) - 1)]) END AS sh FROM t), " +
-        "tr AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 10 <> 7), " +
-        "ev AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % 10 = 7), " +
-        "j AS (SELECT ev.doc_id, COUNT(*) AS n_ngrams, COUNT(tr.g) AS n_hit " +
-        "FROM ev LEFT JOIN tr ON ev.g = tr.g GROUP BY ev.doc_id) " +
-        "SELECT doc_id, n_ngrams, n_hit, " +
-        "FLOOR(CAST(n_hit AS DOUBLE) / n_ngrams * 10000 + 0.5) / 10000 AS contamination, " +
-        "FLOOR(CAST(n_hit AS DOUBLE) / n_ngrams * 10000 + 0.5) / 10000 >= 0.5 " +
-        "AS contaminated FROM j ORDER BY doc_id"),
+    "llm_contamination" -> contaminationSql(n = 3, evalMod = 10,
+      evalRem = 7, flagThreshold = 0.5),
     // decontamination replica: the same shingle CTEs with the probe
     // direction flipped (train docs scored against distinct eval grams)
-    "llm_decontaminate" ->
-      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
-        "s AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN list_distinct(toks) " +
-        "ELSE list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] " +
-        "FOR i IN range(1, len(toks) - 1)]) END AS sh FROM t), " +
-        "ev AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 10 = 7), " +
-        "tr AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % 10 <> 7), " +
-        "j AS (SELECT tr.doc_id, COUNT(*) AS n_ngrams, COUNT(ev.g) AS n_hit " +
-        "FROM tr LEFT JOIN ev ON tr.g = ev.g GROUP BY tr.doc_id) " +
-        "SELECT doc_id, n_ngrams, n_hit, " +
-        "FLOOR(CAST(n_hit AS DOUBLE) / n_ngrams * 10000 + 0.5) / 10000 AS overlap, " +
-        "FLOOR(CAST(n_hit AS DOUBLE) / n_ngrams * 10000 + 0.5) / 10000 >= 0.5 " +
-        "AS dropped FROM j ORDER BY doc_id"),
+    "llm_decontaminate" -> decontaminateSql(n = 3, evalMod = 10,
+      evalRem = 7, maxOverlap = 0.5),
     // rollup replica: GROUP BY ROLLUP with the null grouping labels
     // coalesced to '<all>' on both engines
     "llm_stats_rollup" ->
@@ -2413,19 +2484,7 @@ object LlmQueries {
         "GROUP BY 1, 2 ORDER BY source_a, source_b")) +
     // first-occurrence novelty: the contamination shingle CTE verbatim,
     // min-doc_id first occurrence per gram, per-doc new-gram fraction
-    ("llm_ngram_novelty" ->
-      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
-        "s AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN list_distinct(toks) " +
-        "ELSE list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] " +
-        "FOR i IN range(1, len(toks) - 1)]) END AS sh FROM t), " +
-        "gr AS (SELECT doc_id, unnest(sh) AS g FROM s), " +
-        "f AS (SELECT g, MIN(doc_id) AS first_id FROM gr GROUP BY g), " +
-        "j AS (SELECT gr.doc_id, CASE WHEN f.first_id = gr.doc_id THEN 1 ELSE 0 END AS nw " +
-        "FROM gr JOIN f USING (g)) " +
-        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams, " +
-        "CAST(SUM(nw) AS BIGINT) AS n_new, " +
-        "FLOOR(CAST(SUM(nw) AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000 AS novelty " +
-        "FROM j GROUP BY doc_id ORDER BY doc_id")) +
+    ("llm_ngram_novelty" -> ngramNoveltySql(n = 3)) +
     // calibration replica: the quality oracle embeds verbatim; bucketing
     // on the exact 1e-4 integer form, share over the bucket totals
     ("llm_quality_calibration" ->
@@ -2528,19 +2587,7 @@ object LlmQueries {
       curriculumSql(base("llm_shard"), base("llm_quality_model"))) +
     // reference-novelty replica: the incremental-ingest shingle CTEs
     // with the batch probing the rest's DISTINCT gram set
-    ("llm_novelty_ref" ->
-      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
-        "s AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN list_distinct(toks) " +
-        "ELSE list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] " +
-        "FOR i IN range(1, len(toks) - 1)]) END AS sh FROM t), " +
-        "ref AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 5 <> 0), " +
-        "e AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % 5 = 0), " +
-        "j AS (SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams, " +
-        "CAST(SUM(CASE WHEN ref.g IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new " +
-        "FROM e LEFT JOIN ref ON ref.g = e.g GROUP BY e.doc_id) " +
-        "SELECT doc_id, n_ngrams, n_new, " +
-        "FLOOR(CAST(n_new AS DOUBLE) / n_ngrams * 10000 + 0.5) / 10000 AS novelty " +
-        "FROM j ORDER BY doc_id")) +
+    ("llm_novelty_ref" -> noveltyRefSql(n = 3, mod = 5, rem = 0)) +
     // containment replica: the EXHAUSTIVE ground truth restricted to
     // the operator's contract domain — inner docs of >= w+k-1 = 6
     // tokens (single-space token formula), exactly where the winnowing
@@ -2584,16 +2631,7 @@ object LlmQueries {
     ("llm_within_doc_dedup" -> withinDocDedupSql(span = 3)) +
     // CCNet tercile replica: the perplexity oracle embeds verbatim;
     // bucket = floor(3*(rank-1)/count) over (avg_nll, doc_id) per lang
-    ("llm_ccnet_buckets" ->
-      (s"""WITH p AS (${base("llm_perplexity")}), """ +
-        "j AS (SELECT p.doc_id, d.lang, p.avg_nll FROM p " +
-        "JOIN documents d ON d.doc_id = p.doc_id), " +
-        "r AS (SELECT doc_id, lang, avg_nll, " +
-        "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY avg_nll, doc_id) AS rn, " +
-        "COUNT(*) OVER (PARTITION BY lang) AS cnt FROM j) " +
-        "SELECT doc_id, lang, avg_nll, " +
-        "['head','middle','tail'][CAST(3 * (rn - 1) // cnt AS INTEGER) + 1] AS bucket " +
-        "FROM r ORDER BY doc_id")) +
+    ("llm_ccnet_buckets" -> ccnetBucketsSql(base("llm_perplexity"))) +
     // fixed-threshold form: same scoring CTE, per-row cut-point gate on
     // the 1e-4-floored avg_nll (identical doubles on both engines)
     ("llm_ccnet_fixed" ->

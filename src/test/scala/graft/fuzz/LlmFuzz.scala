@@ -398,12 +398,64 @@ object LlmFuzzSeed {
         (s, d) => TextOps.blocklist(docs(s, d), words, mh))
     }
 
+    // contamination screens over (shingle n, eval split, threshold) —
+    // exact replicas: the probe is a distinct-gram equi-join, never
+    // probabilistic
+    val contamC = Seq((2, 10, 3, 0.5), (4, 7, 2, 0.3), (3, 5, 1, 0.7))
+      .map { case (n, mod, rem, thr) =>
+        LlmCase(s"lfz_contam_n${n}_m${mod}_r${rem}_t${(thr * 10).toInt}",
+          LlmQueries.contaminationSql(n, mod, rem, thr),
+          (s, d) => CorpusOps.contamination(docs(s, d), n, mod, rem, thr))
+      }
+    val decontamC = Seq((2, 10, 3, 0.5), (3, 4, 2, 0.3)).map {
+      case (n, mod, rem, thr) =>
+        LlmCase(s"lfz_decontam_n${n}_m${mod}_r${rem}_t${(thr * 10).toInt}",
+          LlmQueries.decontaminateSql(n, mod, rem, thr),
+          (s, d) => CorpusOps.decontaminate(docs(s, d), n, mod, rem, thr))
+    }
+    val noveltyC = Seq(2, 4).map { n =>
+      LlmCase(s"lfz_novelty_n$n",
+        LlmQueries.ngramNoveltySql(n),
+        (s, d) => CorpusOps.ngramNovelty(docs(s, d), n))
+    }
+    val noveltyRefC = Seq((3, 4, 1), (2, 7, 3)).map { case (n, mod, rem) =>
+      LlmCase(s"lfz_novref_n${n}_m${mod}_r$rem",
+        LlmQueries.noveltyRefSql(n, mod, rem),
+        (s, d) => {
+          val all = docs(s, d)
+          CorpusOps.ngramNoveltyAgainst(
+            all.filter(col("doc_id") % mod === rem),
+            all.filter(col("doc_id") % mod =!= rem), n)
+        })
+    }
+
+    // CCNet terciles over the reference slice (the fixed-cut form is
+    // covered by ccnetC above); hybrid RRF over query terms, query
+    // vector, arm depths and the RRF constant
+    val ccnetTerc = Seq("de", "es").map { lang =>
+      LlmCase(s"lfz_ccnetterc_$lang",
+        LlmQueries.ccnetBucketsSql(LlmQueries.perplexitySql(lang, 5000.0)),
+        (s, d) => TextOps.ccnetBuckets(docs(s, d), lang))
+    }
+    val rrfC = Seq(
+      (Seq("scan", "merge"), 5L, 5, 10, 30),
+      (Seq("scan", "column", "join", "query"), 3L, 15, 25, 60),
+      (Seq("window"), 0L, 10, 20, 10)).map {
+      case (terms, qv, k, kEach, c) =>
+        LlmCase(s"lfz_rrf_t${terms.size}_q${qv}_k${k}_e${kEach}_c$c",
+          LlmQueries.hybridRrfSql(terms, qv, k, kEach, c),
+          (s, d) => graft.llm.Retrieval.hybridRrf(docs(s, d), emb(s, d),
+            terms, qv, k, kEach, c))
+    }
+
     winnow ++ matches ++ containment ++ brute ++ annIvf ++ embed ++
       simhash ++ nearDup ++ trained ++ semdedup ++ residual ++
       residual3 ++ pq ++ ivfpq ++ sessions ++ pairs ++ bpeM ++ bpeE ++
       bm25 ++ spanD ++ spanR ++ withinDoc ++ boiler ++ mixQ ++ mixR ++
       mixT ++ mixU ++ shardC ++ packC ++ vocabC ++ chunkC ++
-      tokBudget ++ curr ++ dsirC ++ dsirSel ++ pplC ++ ccnetC ++ blockC
+      tokBudget ++ curr ++ dsirC ++ dsirSel ++ pplC ++ ccnetC ++
+      blockC ++ contamC ++ decontamC ++ noveltyC ++ noveltyRefC ++
+      ccnetTerc ++ rrfC
   }
 }
 
