@@ -629,17 +629,110 @@ object LlmQueries {
       s"trim(replace(replace(' ' || $x || ' ', $f, $t), $f, $t))"
     }
 
-  /** The distinct-shingle CTE shared by the contamination/novelty
-    * replicas (`Dedup.withShingleSets`'s SQL twin): docs shorter than
-    * `n` tokens fall back to their distinct tokens. Emits the WITH
-    * prefix through the `s` CTE's trailing ", ". */
-  private def shingleCteSql(n: Int): String =
-    ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+  /** The distinct-shingle CTE shared by the contamination/novelty/
+    * dedup-closure replicas (`Dedup.withShingleSets`'s SQL twin): docs
+    * shorter than `n` tokens fall back to their distinct tokens. Emits
+    * the WITH prefix (RECURSIVE when a downstream CTE needs it) through
+    * the `s` CTE's trailing ", ". */
+  private def shingleCteSql(n: Int, recursive: Boolean = false): String =
+    ((if (recursive) "WITH RECURSIVE " else "WITH ") +
+      "t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
       s"s AS (SELECT doc_id, CASE WHEN len(toks) < $n THEN list_distinct(toks) " +
       "ELSE list_distinct([" +
       (0 until n).map(j => if (j == 0) "toks[i]" else s"toks[i+$j]")
         .mkString(" || ' ' || ") + " " +
       s"FOR i IN range(1, len(toks) - ${n - 2})]) END AS sh FROM t), ")
+
+  /** Dedup-family closure replica — the pinned llm_dedup_groups shape,
+    * parameterized for the fuzz grid (exhaustive rounded-Jaccard pair
+    * set at `threshold`, recursive connected-component closure, min-id
+    * keep). Grid validity: like the near-dup grid, the Spark side's
+    * LSH banding achieves full recall at thresholds >= 0.5 on the
+    * near-identical planted duplicates — and the differential fails
+    * loudly if recall ever drops. */
+  private[graft] def dedupGroupsSql(shingle: Int,
+      threshold: Double): String =
+    (shingleCteSql(shingle, recursive = true) +
+      "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+      "FROM s a JOIN s b ON a.doc_id < b.doc_id " +
+      "WHERE FLOOR(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
+      s"len(list_distinct(list_concat(a.sh, b.sh))) * 10000 + 0.5) / 10000 >= $threshold), " +
+      "cl AS (SELECT doc_a AS a, doc_b AS b FROM p " +
+      "UNION SELECT doc_b, doc_a FROM p), " +
+      "r AS (SELECT a AS node, b AS x FROM cl " +
+      "UNION SELECT r.node, cl.b FROM r JOIN cl ON cl.a = r.x) " +
+      "SELECT node AS doc_id, LEAST(node, MIN(x)) AS keep_id FROM r " +
+      "GROUP BY node ORDER BY doc_id")
+
+  /** Deterministic split-assignment replica — the pinned llm_split
+    * shape, parameterized for the fuzz grid. Thresholds derive by the
+    * SAME rule as `CorpusOps.splitExpr`: ascending cumulative fractions
+    * floored into 2^32 units, first match wins, last name is the ELSE
+    * arm. */
+  private[graft] def splitSql(fractions: Seq[(String, Double)]): String = {
+    val cums = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+    val whens = fractions.init.zip(cums.init).map { case ((nm, _), c) =>
+      s"WHEN u < ${math.floor(c * 4294967296.0).toLong} THEN '$nm'"
+    }.mkString(" ")
+    ("SELECT doc_id, CASE " + whens +
+      s" ELSE '${fractions.last._1}' END AS split FROM " +
+      "(SELECT doc_id, CAST(CONCAT('0x', SUBSTR(md5(CAST(doc_id AS VARCHAR) || '#split'), 1, 8)) AS BIGINT) AS u " +
+      "FROM documents) ORDER BY doc_id")
+  }
+
+  /** Hashing-trick featurizer replica — the pinned llm_featurize base
+    * shape, parameterized for the fuzz grid (sha256 bucket mod `dim`,
+    * bit-30 sign, L2-normalized 1e-4-rounded components). */
+  private[graft] def featurizeSql(dim: Int): String =
+    ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+      "hs AS (SELECT doc_id, list_transform(toks, tok -> CAST(CONCAT('0x', SUBSTR(sha256(tok), 1, 15)) AS BIGINT)) AS hl FROM t), " +
+      "v AS (SELECT doc_id, [CAST(COALESCE(list_sum(list_transform(hl, h -> " +
+      s"CASE WHEN h % $dim = i THEN (CASE WHEN (h >> 30) & 1 = 0 THEN 1 ELSE -1 END) ELSE 0 END)), 0) AS BIGINT) " +
+      s"FOR i IN range(0, $dim)] AS v FROM hs), " +
+      "n AS (SELECT doc_id, v, SQRT(CAST(list_sum(list_transform(v, x -> x * x)) AS DOUBLE)) AS nrm FROM v) " +
+      "SELECT doc_id, CASE WHEN nrm = 0 THEN list_transform(v, x -> 0.0) " +
+      "ELSE list_transform(v, x -> FLOOR(CAST(x AS DOUBLE) / nrm * 10000 + 0.5) / 10000) END AS embedding " +
+      "FROM n ORDER BY doc_id")
+
+  /** The per-dimension unpivot the driver-facing llm_featurize query
+    * ships (the compare cannot hash array cells), parameterized over
+    * the embedded featurizer and its dimension. */
+  private[graft] def featurizeUnpivotSql(fSql: String, dim: Int): String =
+    (s"""WITH f AS ($fSql) """ +
+      "SELECT f.doc_id, CAST(r.range AS INTEGER) AS dim, " +
+      "f.embedding[CAST(r.range AS INTEGER) + 1] AS component " +
+      s"FROM f, range(0, $dim) r ORDER BY doc_id, dim")
+
+  /** Quality-calibration histogram replica — the pinned
+    * llm_quality_calibration shape, parameterized for the fuzz grid
+    * (`buckets` must divide 10000, the exact 1e-4 integer form). */
+  private[graft] def calibrationSql(qSql: String, buckets: Int): String =
+    (s"""WITH q AS ($qSql), """ +
+      s"b AS (SELECT LEAST(CAST(FLOOR(quality * 10000 + 0.5) AS BIGINT) // ${10000 / buckets}, ${buckets - 1}) AS bucket FROM q), " +
+      "a AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs FROM b GROUP BY bucket) " +
+      "SELECT bucket, n_docs, " +
+      "FLOOR(CAST(n_docs AS DOUBLE) / (SELECT SUM(n_docs) FROM a) * 10000 + 0.5) / 10000 AS share " +
+      "FROM a ORDER BY bucket")
+
+  /** Dup-family size-histogram replica — the pinned llm_dup_group_sizes
+    * shape over a (possibly re-parameterized) dedup-groups closure. */
+  private[graft] def dupGroupSizesSql(groupsSql: String): String =
+    (s"""WITH g AS ($groupsSql), """ +
+      "f AS (SELECT keep_id, CAST(COUNT(*) AS BIGINT) AS group_size " +
+      "FROM g GROUP BY keep_id) " +
+      "SELECT group_size, CAST(COUNT(*) AS BIGINT) AS n_groups " +
+      "FROM f GROUP BY group_size ORDER BY group_size")
+
+  /** Cross-source dup-matrix replica — the pinned llm_source_overlap
+    * shape over a (possibly re-parameterized) verified pair oracle. */
+  private[graft] def sourceOverlapSql(pairsSql: String): String =
+    (s"""WITH p AS ($pairsSql) """ +
+      "SELECT LEAST(da.source, db.source) AS source_a, " +
+      "GREATEST(da.source, db.source) AS source_b, " +
+      "CAST(COUNT(*) AS BIGINT) AS n_pairs " +
+      "FROM p JOIN documents da ON da.doc_id = p.doc_a " +
+      "JOIN documents db ON db.doc_id = p.doc_b " +
+      "GROUP BY 1, 2 ORDER BY source_a, source_b")
 
   /** Contamination-score replica — the pinned llm_contamination shape,
     * parameterized for the fuzz grid (eval slice = doc_id % evalMod =
@@ -1716,21 +1809,7 @@ object LlmQueries {
     // component closure of the verified near-dup pair graph: recursive
     // reachability (components are tiny duplicate families), keep = the
     // smallest reachable id
-    "llm_dedup_groups" ->
-      ("WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
-        "s AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN list_distinct(toks) " +
-        "ELSE list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] " +
-        "FOR i IN range(1, len(toks) - 1)]) END AS sh FROM t), " +
-        "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b " +
-        "FROM s a JOIN s b ON a.doc_id < b.doc_id " +
-        "WHERE FLOOR(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
-        "len(list_distinct(list_concat(a.sh, b.sh))) * 10000 + 0.5) / 10000 >= 0.5), " +
-        "cl AS (SELECT doc_a AS a, doc_b AS b FROM p " +
-        "UNION SELECT doc_b, doc_a FROM p), " +
-        "r AS (SELECT a AS node, b AS x FROM cl " +
-        "UNION SELECT r.node, cl.b FROM r JOIN cl ON cl.a = r.x) " +
-        "SELECT node AS doc_id, LEAST(node, MIN(x)) AS keep_id FROM r " +
-        "GROUP BY node ORDER BY doc_id"),
+    "llm_dedup_groups" -> dedupGroupsSql(shingle = 3, threshold = 0.5),
     // duplicate-fraction per granularity: 1 - distinct/total, with the
     // short-doc guard via NULL gram lists (ratio 0 on both engines)
     "llm_repetition" ->
@@ -1819,11 +1898,8 @@ object LlmQueries {
     // split thresholds are the cumulative fractions in 2^32 units:
     // floor(0.9*2^32)=3865470566, floor(0.95*2^32)=4080218931; the md5
     // key parse is the llm_mix_temperature pattern
-    "llm_split" ->
-      ("SELECT doc_id, CASE WHEN u < 3865470566 THEN 'train' " +
-        "WHEN u < 4080218931 THEN 'val' ELSE 'test' END AS split FROM " +
-        "(SELECT doc_id, CAST(CONCAT('0x', SUBSTR(md5(CAST(doc_id AS VARCHAR) || '#split'), 1, 8)) AS BIGINT) AS u " +
-        "FROM documents) ORDER BY doc_id"),
+    "llm_split" -> splitSql(Seq("train" -> 0.9, "val" -> 0.05,
+      "test" -> 0.05)),
     // KL replica: identical smoothing, identical per-type expression
     // tree, exact bigint contribution sum
     "llm_token_kl" ->
@@ -1857,16 +1933,7 @@ object LlmQueries {
         "FROM z ORDER BY doc_id"),
     // feature-hashing replica: sha256 buckets/signs, integer signed
     // counts, one sqrt on an exact integer sum
-    "llm_featurize" ->
-      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
-        "hs AS (SELECT doc_id, list_transform(toks, tok -> CAST(CONCAT('0x', SUBSTR(sha256(tok), 1, 15)) AS BIGINT)) AS hl FROM t), " +
-        "v AS (SELECT doc_id, [CAST(COALESCE(list_sum(list_transform(hl, h -> " +
-        "CASE WHEN h % 16 = i THEN (CASE WHEN (h >> 30) & 1 = 0 THEN 1 ELSE -1 END) ELSE 0 END)), 0) AS BIGINT) " +
-        "FOR i IN range(0, 16)] AS v FROM hs), " +
-        "n AS (SELECT doc_id, v, SQRT(CAST(list_sum(list_transform(v, x -> x * x)) AS DOUBLE)) AS nrm FROM v) " +
-        "SELECT doc_id, CASE WHEN nrm = 0 THEN list_transform(v, x -> 0.0) " +
-        "ELSE list_transform(v, x -> FLOOR(CAST(x AS DOUBLE) / nrm * 10000 + 0.5) / 10000) END AS embedding " +
-        "FROM n ORDER BY doc_id"),
+    "llm_featurize" -> featurizeSql(dim = 16),
     // hashed-key variant: xxhash64 is join-key-internal, so the string
     // n-gram SQL is the exact oracle for the hashed plan's output too
     "llm_contamination_hashed" ->
@@ -2468,40 +2535,22 @@ object LlmQueries {
     // base("llm_featurize") keeps the array form for the llm_ann_text
     // composition above; this override only changes the checked shape.
     ("llm_featurize" ->
-      (s"""WITH f AS (${base("llm_featurize")}) """ +
-        "SELECT f.doc_id, CAST(r.range AS INTEGER) AS dim, " +
-        "f.embedding[CAST(r.range AS INTEGER) + 1] AS component " +
-        "FROM f, range(0, 16) r ORDER BY doc_id, dim")) +
+      featurizeUnpivotSql(base("llm_featurize"), dim = 16)) +
     // cross-source dup matrix: the verified pair oracle embeds verbatim,
     // sources joined by id, lexicographically undirected
     ("llm_source_overlap" ->
-      (s"""WITH p AS (${base("llm_near_dup_pairs")}) """ +
-        "SELECT LEAST(da.source, db.source) AS source_a, " +
-        "GREATEST(da.source, db.source) AS source_b, " +
-        "CAST(COUNT(*) AS BIGINT) AS n_pairs " +
-        "FROM p JOIN documents da ON da.doc_id = p.doc_a " +
-        "JOIN documents db ON db.doc_id = p.doc_b " +
-        "GROUP BY 1, 2 ORDER BY source_a, source_b")) +
+      sourceOverlapSql(base("llm_near_dup_pairs"))) +
     // first-occurrence novelty: the contamination shingle CTE verbatim,
     // min-doc_id first occurrence per gram, per-doc new-gram fraction
     ("llm_ngram_novelty" -> ngramNoveltySql(n = 3)) +
     // calibration replica: the quality oracle embeds verbatim; bucketing
     // on the exact 1e-4 integer form, share over the bucket totals
     ("llm_quality_calibration" ->
-      (s"""WITH q AS (${base("llm_quality")}), """ +
-        "b AS (SELECT LEAST(CAST(FLOOR(quality * 10000 + 0.5) AS BIGINT) // 1000, 9) AS bucket FROM q), " +
-        "a AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs FROM b GROUP BY bucket) " +
-        "SELECT bucket, n_docs, " +
-        "FLOOR(CAST(n_docs AS DOUBLE) / (SELECT SUM(n_docs) FROM a) * 10000 + 0.5) / 10000 AS share " +
-        "FROM a ORDER BY bucket")) +
+      calibrationSql(base("llm_quality"), buckets = 10)) +
     // family-size histogram: the dedup-groups closure CTE embeds
     // verbatim, two grouped counts over it
     ("llm_dup_group_sizes" ->
-      (s"""WITH g AS (${base("llm_dedup_groups")}), """ +
-        "f AS (SELECT keep_id, CAST(COUNT(*) AS BIGINT) AS group_size " +
-        "FROM g GROUP BY keep_id) " +
-        "SELECT group_size, CAST(COUNT(*) AS BIGINT) AS n_groups " +
-        "FROM f GROUP BY group_size ORDER BY group_size")) +
+      dupGroupSizesSql(base("llm_dedup_groups"))) +
     // Bloom decontamination replica: the filter is fully deterministic
     // (sha256 double-hash, 65536 bits, 4 probes), so DuckDB rebuilds the
     // identical bitmap with bit_or and replays every probe — the

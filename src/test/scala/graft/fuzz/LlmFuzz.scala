@@ -448,6 +448,52 @@ object LlmFuzzSeed {
             terms, qv, k, kEach, c))
     }
 
+    // split fractions (thresholds re-derived by splitExpr's exact rule),
+    // calibration bucket counts (must divide 10000), featurize dims
+    // (unpivoted like the pinned query — the compare can't hash arrays)
+    val splitC = Seq(
+      ("a", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)),
+      ("b", Seq("train" -> 0.7, "holdout" -> 0.3))).map {
+      case (tag, fracs) =>
+        LlmCase(s"lfz_split_$tag",
+          LlmQueries.splitSql(fracs),
+          (s, d) => CorpusOps.splitAssign(docs(s, d), fracs))
+    }
+    val calibC = Seq(20, 50).map { b =>
+      LlmCase(s"lfz_calib_b$b",
+        LlmQueries.calibrationSql(LlmQueries.oracle("llm_quality"), b),
+        (s, d) => CorpusOps.qualityCalibration(docs(s, d), b))
+    }
+    val featC = Seq(8, 32).map { dim =>
+      LlmCase(s"lfz_feat_d$dim",
+        LlmQueries.featurizeUnpivotSql(LlmQueries.featurizeSql(dim), dim),
+        (s, d) => TextOps.featurize(docs(s, d), dim, ordered = false)
+          .select(col("doc_id"),
+            org.apache.spark.sql.functions.posexplode(col("embedding"))
+              .as(Seq("dim", "component")))
+          .orderBy("doc_id", "dim"))
+    }
+
+    // the dedup-family closure itself over (shingle, threshold) — the
+    // exhaustive-Jaccard + recursive-components oracle at thresholds
+    // >= 0.5 where the LSH banding's recall is exact on this corpus —
+    // and its two downstream accounting views
+    val groupsC = Seq((2, 0.6), (4, 0.5)).map { case (sh, thr) =>
+      LlmCase(s"lfz_groups_s${sh}_t${(thr * 10).toInt}",
+        LlmQueries.dedupGroupsSql(sh, thr),
+        (s, d) => Dedup.dedupGroups(docs(s, d), sh, thr))
+    }
+    val groupSizesC = Seq((2, 0.5), (4, 0.7)).map { case (sh, thr) =>
+      LlmCase(s"lfz_groupsizes_s${sh}_t${(thr * 10).toInt}",
+        LlmQueries.dupGroupSizesSql(LlmQueries.dedupGroupsSql(sh, thr)),
+        (s, d) => CorpusOps.dupGroupSizes(docs(s, d), sh, thr))
+    }
+    val overlapC = Seq((2, 0.6)).map { case (sh, thr) =>
+      LlmCase(s"lfz_overlap_s${sh}_t${(thr * 10).toInt}",
+        LlmQueries.sourceOverlapSql(LlmQueries.nearDupPairsSql(sh, thr)),
+        (s, d) => CorpusOps.sourceOverlap(docs(s, d), sh, thr))
+    }
+
     winnow ++ matches ++ containment ++ brute ++ annIvf ++ embed ++
       simhash ++ nearDup ++ trained ++ semdedup ++ residual ++
       residual3 ++ pq ++ ivfpq ++ sessions ++ pairs ++ bpeM ++ bpeE ++
@@ -455,7 +501,8 @@ object LlmFuzzSeed {
       mixT ++ mixU ++ shardC ++ packC ++ vocabC ++ chunkC ++
       tokBudget ++ curr ++ dsirC ++ dsirSel ++ pplC ++ ccnetC ++
       blockC ++ contamC ++ decontamC ++ noveltyC ++ noveltyRefC ++
-      ccnetTerc ++ rrfC
+      ccnetTerc ++ rrfC ++ splitC ++ calibC ++ featC ++ groupsC ++
+      groupSizesC ++ overlapC
   }
 }
 
