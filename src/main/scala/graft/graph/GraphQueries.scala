@@ -320,6 +320,15 @@ object GraphQueries {
     base.replace("WHERE src IS NOT NULL AND src <> dst ",
       s"WHERE src IS NOT NULL AND src <> dst AND (src + dst) % $m <> $r ")
 
+  /** Keep-ONLY twin of [[filteredCte]]: retains just the (src + dst) %
+    * m = r edge slice (~1/m of the graph). The drop-one form keeps the
+    * graph connected, so connectivity-invariant families (components)
+    * hash identically across its grid points; this sparse form
+    * fragments the graph and makes those grids discriminating. */
+  private[graft] def filteredCteKeep(base: String, m: Int, r: Int): String =
+    base.replace("WHERE src IS NOT NULL AND src <> dst ",
+      s"WHERE src IS NOT NULL AND src <> dst AND (src + dst) % $m = $r ")
+
   private[graft] def mceSql(cte: String = edgeCteRec): String =
     cte +
       ", u AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM g)" +

@@ -213,7 +213,10 @@ object GraphFuzzSeed {
           .orderBy("cycle"))
     }
 
-    val lpa = Seq(3, 8).map { iters =>
+    // i=1 is a PRE-convergence point (labels still moving — the i3/i8
+    // pair hash identically because propagation converges by 3, which
+    // proves the fixpoint but not the trajectory; i1 pins the latter)
+    val lpa = Seq(1, 3, 8).map { iters =>
       GraphCase(s"gfz_lpa_sync_i$iters",
         GraphQueries.lpaSyncSql(iters),
         (s, d) => Iterative.labelPropagationSync(s, edges(s, d), iters))
@@ -287,10 +290,26 @@ object GraphFuzzSeed {
         (s, d) => Builtins.degrees(s, fGraph(s, d, m, r)))
     }
 
+    // the drop-one filter keeps this graph connected, so the first two
+    // cc points hash identically (connectivity-invariant — legitimate,
+    // but non-discriminating); the keep-only slice (~1/m of the edges)
+    // fragments the graph, giving components a grid point whose hash
+    // actually moves with the parameters
+    def fEdgesKeep(s: SparkSession, d: String, m: Int, r: Int): DataFrame =
+      edges(s, d).filter((col("src") + col("dst")) % m === r)
+    def fGraphKeep(s: SparkSession, d: String, m: Int, r: Int) =
+      GraphSource.toGraph(fEdgesKeep(s, d, m, r))
+    def fcRecKeep(m: Int, r: Int) =
+      GraphQueries.filteredCteKeep(GraphQueries.edgeCteRec, m, r)
+
     val ccs = Seq((2, 0), (3, 1)).map { case (m, r) =>
       GraphCase(s"gfz_cc_m${m}_r$r",
         GraphQueries.ccSql(fcRec(m, r)),
         (s, d) => Builtins.connectedComponents(s, fGraph(s, d, m, r)))
+    } ++ Seq((8, 1), (16, 3)).map { case (m, r) =>
+      GraphCase(s"gfz_cc_keep_m${m}_r$r",
+        GraphQueries.ccSql(fcRecKeep(m, r)),
+        (s, d) => Builtins.connectedComponents(s, fGraphKeep(s, d, m, r)))
     }
 
     val sccs = Seq((2, 1), (3, 0)).map { case (m, r) =>

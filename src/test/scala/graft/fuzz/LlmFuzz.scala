@@ -334,7 +334,11 @@ object LlmFuzzSeed {
           (s, d) => CorpusOps.pack(docs(s, d), budget, n,
             replicable = true))
     }
-    val vocabC = Seq(50, 200, 1000).map { m =>
+    // the synthetic corpus has exactly 31 distinct tokens, so cuts must
+    // sit BELOW that to bind (the first grid used 50/200/1000 and all
+    // three hashed identically — a vacuous grid the sensitivity check
+    // now rejects); 31 keeps one deliberate whole-vocab edge point
+    val vocabC = Seq(5, 15, 31).map { m =>
       LlmCase(s"lfz_vocab_m$m",
         LlmQueries.vocabSql(m),
         (s, d) => TextOps.vocab(docs(s, d), m))
