@@ -54,6 +54,26 @@ class FuzzSensitivitySpec extends AnyFunSuite {
     ids.toSeq.groupBy { case (id, _) => id.split("_")(1) }
       .map { case (f, kv) => f -> kv.map(_._2) }
 
+  test("relational fuzz grid: every grammar template is " +
+      "parameter-sensitive across its 7 corpus draws") {
+    // ids are fuzz_NNN with template = NNN % numTemplates — the family
+    // axis is the template, the parameters are the per-draw predicate/
+    // aggregate/column picks
+    val byTemplate = expectations("fuzz_expected.json").toSeq
+      .groupBy { case (id, _) =>
+        id.split("_")(1).toInt % graft.fuzz.FuzzGen.numTemplates
+      }
+      .map { case (t, kv) => t -> kv.map(_._2) }
+    assert(byTemplate.size == graft.fuzz.FuzzGen.numTemplates)
+    val vacuous = byTemplate.collect {
+      case (t, hashes) if hashes.size > 1 && hashes.distinct.size == 1 =>
+        s"template $t (${hashes.size} cases, 1 hash)"
+    }
+    assert(vacuous.isEmpty,
+      "vacuous relational templates — the draws never moved the " +
+        "output: " + vacuous.mkString(", "))
+  }
+
   for ((surface, resource) <- Seq(
       "llm" -> "llm_fuzz_expected.json",
       "graph" -> "graph_fuzz_expected.json",
