@@ -791,6 +791,35 @@ object LlmQueries {
       "FLOOR(CAST(n_new AS DOUBLE) / n_ngrams * 10000 + 0.5) / 10000 AS novelty " +
       "FROM j ORDER BY doc_id")
 
+  /** Incremental-ingest near-dup replica — the pinned llm_incr_dedup
+    * shape, parameterized for the fuzz grid (batch = doc_id % mod =
+    * rem probed against the rest as the standing corpus; exhaustive
+    * rounded-Jaccard with the near-dup grid's recall caveat:
+    * thresholds stay >= 0.5). */
+  private[graft] def incrDedupSql(n: Int, mod: Int, rem: Int,
+      threshold: Double): String =
+    (shingleCteSql(n) +
+      "p AS (SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, " +
+      "FLOOR(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
+      "len(list_distinct(list_concat(a.sh, b.sh))) * 10000 + 0.5) / 10000 AS jaccard " +
+      s"FROM s a JOIN s b ON a.doc_id % $mod = $rem AND b.doc_id % $mod <> $rem) " +
+      s"SELECT new_id, corpus_id, jaccard FROM p WHERE jaccard >= $threshold " +
+      "ORDER BY new_id, corpus_id")
+
+  /** Incremental-ingest admission replica — the pinned llm_incr_admit
+    * shape, parameterized for the fuzz grid (admit = batch docs with NO
+    * over-threshold corpus match). */
+  private[graft] def incrAdmitSql(n: Int, mod: Int, rem: Int,
+      threshold: Double): String =
+    (shingleCteSql(n) +
+      "p AS (SELECT a.doc_id AS new_id, " +
+      "FLOOR(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
+      "len(list_distinct(list_concat(a.sh, b.sh))) * 10000 + 0.5) / 10000 AS jaccard " +
+      s"FROM s a JOIN s b ON a.doc_id % $mod = $rem AND b.doc_id % $mod <> $rem) " +
+      s"SELECT doc_id FROM documents WHERE doc_id % $mod = $rem " +
+      s"AND doc_id NOT IN (SELECT new_id FROM p WHERE jaccard >= $threshold) " +
+      "ORDER BY doc_id")
+
   /** CCNet per-lang tercile replica — the pinned llm_ccnet_buckets
     * shape, parameterized for the fuzz grid via its embedded
     * perplexity CTE (usually [[perplexitySql]]). */
@@ -1783,29 +1812,10 @@ object LlmQueries {
     // incremental ingestion replicas: exhaustive cross-Jaccard between
     // the % 5 == 0 incoming batch and the rest (full-recall LSH, same
     // justification as llm_near_dup_pairs)
-    "llm_incr_dedup" ->
-      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
-        "s AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN list_distinct(toks) " +
-        "ELSE list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] " +
-        "FOR i IN range(1, len(toks) - 1)]) END AS sh FROM t), " +
-        "p AS (SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, " +
-        "FLOOR(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
-        "len(list_distinct(list_concat(a.sh, b.sh))) * 10000 + 0.5) / 10000 AS jaccard " +
-        "FROM s a JOIN s b ON a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0) " +
-        "SELECT new_id, corpus_id, jaccard FROM p WHERE jaccard >= 0.5 " +
-        "ORDER BY new_id, corpus_id"),
-    "llm_incr_admit" ->
-      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
-        "s AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN list_distinct(toks) " +
-        "ELSE list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] " +
-        "FOR i IN range(1, len(toks) - 1)]) END AS sh FROM t), " +
-        "p AS (SELECT a.doc_id AS new_id, " +
-        "FLOOR(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
-        "len(list_distinct(list_concat(a.sh, b.sh))) * 10000 + 0.5) / 10000 AS jaccard " +
-        "FROM s a JOIN s b ON a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0) " +
-        "SELECT doc_id FROM documents WHERE doc_id % 5 = 0 " +
-        "AND doc_id NOT IN (SELECT new_id FROM p WHERE jaccard >= 0.5) " +
-        "ORDER BY doc_id"),
+    "llm_incr_dedup" -> incrDedupSql(n = 3, mod = 5, rem = 0,
+      threshold = 0.5),
+    "llm_incr_admit" -> incrAdmitSql(n = 3, mod = 5, rem = 0,
+      threshold = 0.5),
     // component closure of the verified near-dup pair graph: recursive
     // reachability (components are tiny duplicate families), keep = the
     // smallest reachable id

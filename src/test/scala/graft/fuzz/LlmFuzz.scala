@@ -498,6 +498,31 @@ object LlmFuzzSeed {
         (s, d) => CorpusOps.sourceOverlap(docs(s, d), sh, thr))
     }
 
+    // incremental-ingest twins over (shingle, ingest split, threshold)
+    // — same LSH-recall caveat as the neardup grid (thresholds >= 0.5)
+    val incrD = Seq((3, 4, 1, 0.5), (2, 5, 2, 0.6)).map {
+      case (n, mod, rem, thr) =>
+        LlmCase(s"lfz_incrdedup_n${n}_m${mod}_r${rem}_t${(thr * 10).toInt}",
+          LlmQueries.incrDedupSql(n, mod, rem, thr),
+          (s, d) => {
+            val all = docs(s, d)
+            Dedup.incrementalNearDups(
+              all.filter(col("doc_id") % mod === rem),
+              all.filter(col("doc_id") % mod =!= rem), n, thr)
+          })
+    }
+    val incrA = Seq((3, 4, 1, 0.5), (2, 7, 0, 0.6)).map {
+      case (n, mod, rem, thr) =>
+        LlmCase(s"lfz_incradmit_n${n}_m${mod}_r${rem}_t${(thr * 10).toInt}",
+          LlmQueries.incrAdmitSql(n, mod, rem, thr),
+          (s, d) => {
+            val all = docs(s, d)
+            Dedup.incrementalAdmit(
+              all.filter(col("doc_id") % mod === rem),
+              all.filter(col("doc_id") % mod =!= rem), n, thr)
+          })
+    }
+
     winnow ++ matches ++ containment ++ brute ++ annIvf ++ embed ++
       simhash ++ nearDup ++ trained ++ semdedup ++ residual ++
       residual3 ++ pq ++ ivfpq ++ sessions ++ pairs ++ bpeM ++ bpeE ++
@@ -506,7 +531,7 @@ object LlmFuzzSeed {
       tokBudget ++ curr ++ dsirC ++ dsirSel ++ pplC ++ ccnetC ++
       blockC ++ contamC ++ decontamC ++ noveltyC ++ noveltyRefC ++
       ccnetTerc ++ rrfC ++ splitC ++ calibC ++ featC ++ groupsC ++
-      groupSizesC ++ overlapC
+      groupSizesC ++ overlapC ++ incrD ++ incrA
   }
 }
 
