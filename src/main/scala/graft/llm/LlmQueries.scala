@@ -791,6 +791,50 @@ object LlmQueries {
       "FLOOR(CAST(n_new AS DOUBLE) / n_ngrams * 10000 + 0.5) / 10000 AS novelty " +
       "FROM j ORDER BY doc_id")
 
+  /** Multimodal stub-decode replica — the pinned llm_multimodal shape,
+    * parameterized for the fuzz grid (payload bytes folded into `dim`
+    * integer accumulators, one float divide, rounded squared norm). */
+  private[graft] def multimodalSql(dim: Int): String =
+    ("WITH t AS (SELECT doc_id, hex(encode(text)) AS hx, " +
+      "octet_length(encode(text)) AS n FROM documents), " +
+      // the generate_series TVF cannot take a lateral bound; the scalar
+      // list function range(0, n) + UNNEST can
+      s"b AS (SELECT doc_id, i % $dim AS dim, " +
+      "CAST(CONCAT('0x', SUBSTR(hx, 2 * i + 1, 2)) AS BIGINT) AS byte " +
+      "FROM (SELECT doc_id, hx, UNNEST(range(0, n)) AS i FROM t) u), " +
+      "s AS (SELECT t.doc_id, d.dim, COALESCE(SUM(b.byte), 0) AS sb " +
+      s"FROM t CROSS JOIN generate_series(0, ${dim - 1}) d(dim) " +
+      "LEFT JOIN b ON b.doc_id = t.doc_id AND b.dim = d.dim " +
+      "GROUP BY t.doc_id, d.dim), " +
+      "f AS (SELECT doc_id, dim, " +
+      "CAST(CAST(CAST(sb AS DOUBLE) / 255.0 AS REAL) AS DOUBLE) AS fv FROM s), " +
+      "l AS (SELECT doc_id, LIST(fv * fv ORDER BY dim) AS sq FROM f GROUP BY doc_id) " +
+      s"SELECT doc_id AS media_id, CAST($dim AS INTEGER) AS feat_dim, " +
+      "FLOOR(list_reduce(list_prepend(0.0, sq), (a, x) -> a + x) * 10000 + 0.5) / 10000 " +
+      "AS feat_sq_norm FROM l ORDER BY media_id")
+
+  /** Multimodal frame-pipeline replica — the pinned
+    * llm_multimodal_frames shape, parameterized for the fuzz grid
+    * (nearest-byte resize to `targetW`×1, `frameBytes` frames, every
+    * `stride`-th kept, `featDim`-accumulator stub decode per frame). */
+  private[graft] def multimodalFramesSql(targetW: Int, frameBytes: Int,
+      stride: Int, featDim: Int): String =
+    ("WITH t AS (SELECT doc_id, hex(encode(text)) AS hx, " +
+      "octet_length(encode(text)) AS n FROM documents), " +
+      "r AS (SELECT doc_id, i, CAST(CONCAT('0x', " +
+      s"SUBSTR(hx, 2 * (((i * n) // $targetW) % n) + 1, 2)) AS BIGINT) AS byte " +
+      s"FROM t, generate_series(0, ${targetW - 1}) g(i)), " +
+      s"fr AS (SELECT doc_id, i // $frameBytes AS frame_no, (i % $frameBytes) % $featDim AS dim, " +
+      s"SUM(byte) AS sb FROM r WHERE (i // $frameBytes) % $stride = 0 " +
+      s"GROUP BY doc_id, i // $frameBytes, (i % $frameBytes) % $featDim), " +
+      "f AS (SELECT doc_id, frame_no, dim, " +
+      "CAST(CAST(CAST(sb AS DOUBLE) / 255.0 AS REAL) AS DOUBLE) AS fv FROM fr), " +
+      "l AS (SELECT doc_id, frame_no, LIST(fv * fv ORDER BY dim) AS sq " +
+      "FROM f GROUP BY doc_id, frame_no) " +
+      "SELECT doc_id AS media_id, CAST(frame_no AS INTEGER) AS frame_no, " +
+      "FLOOR(list_reduce(list_prepend(0.0, sq), (a, x) -> a + x) * 10000 + 0.5) / 10000 " +
+      "AS feat_sq_norm FROM l ORDER BY media_id, frame_no")
+
   /** Incremental-ingest near-dup replica — the pinned llm_incr_dedup
     * shape, parameterized for the fuzz grid (batch = doc_id % mod =
     * rem probed against the rest as the standing corpus; exhaustive
@@ -2232,42 +2276,11 @@ object LlmQueries {
     // divide + one float32 rounding — all replicable: bytes come from
     // hex(encode(text)), the REAL cast mirrors Java's .toFloat, and the
     // squared-norm reduce runs in dim order like the Spark-side fold
-    "llm_multimodal" ->
-      ("WITH t AS (SELECT doc_id, hex(encode(text)) AS hx, " +
-        "octet_length(encode(text)) AS n FROM documents), " +
-        // the generate_series TVF cannot take a lateral bound; the scalar
-        // list function range(0, n) + UNNEST can
-        "b AS (SELECT doc_id, i % 16 AS dim, " +
-        "CAST(CONCAT('0x', SUBSTR(hx, 2 * i + 1, 2)) AS BIGINT) AS byte " +
-        "FROM (SELECT doc_id, hx, UNNEST(range(0, n)) AS i FROM t) u), " +
-        "s AS (SELECT t.doc_id, d.dim, COALESCE(SUM(b.byte), 0) AS sb " +
-        "FROM t CROSS JOIN generate_series(0, 15) d(dim) " +
-        "LEFT JOIN b ON b.doc_id = t.doc_id AND b.dim = d.dim " +
-        "GROUP BY t.doc_id, d.dim), " +
-        "f AS (SELECT doc_id, dim, " +
-        "CAST(CAST(CAST(sb AS DOUBLE) / 255.0 AS REAL) AS DOUBLE) AS fv FROM s), " +
-        "l AS (SELECT doc_id, LIST(fv * fv ORDER BY dim) AS sq FROM f GROUP BY doc_id) " +
-        "SELECT doc_id AS media_id, CAST(16 AS INTEGER) AS feat_dim, " +
-        "FLOOR(list_reduce(list_prepend(0.0, sq), (a, x) -> a + x) * 10000 + 0.5) / 10000 " +
-        "AS feat_sq_norm FROM l ORDER BY media_id"),
+    "llm_multimodal" -> multimodalSql(dim = 16),
     // resize(128×1, nearest-byte pick) → 32-byte frames, stride 2 →
     // 8-dim stub decode per frame; same integer-sum replication
-    "llm_multimodal_frames" ->
-      ("WITH t AS (SELECT doc_id, hex(encode(text)) AS hx, " +
-        "octet_length(encode(text)) AS n FROM documents), " +
-        "r AS (SELECT doc_id, i, CAST(CONCAT('0x', " +
-        "SUBSTR(hx, 2 * (((i * n) // 128) % n) + 1, 2)) AS BIGINT) AS byte " +
-        "FROM t, generate_series(0, 127) g(i)), " +
-        "fr AS (SELECT doc_id, i // 32 AS frame_no, (i % 32) % 8 AS dim, " +
-        "SUM(byte) AS sb FROM r WHERE (i // 32) % 2 = 0 " +
-        "GROUP BY doc_id, i // 32, (i % 32) % 8), " +
-        "f AS (SELECT doc_id, frame_no, dim, " +
-        "CAST(CAST(CAST(sb AS DOUBLE) / 255.0 AS REAL) AS DOUBLE) AS fv FROM fr), " +
-        "l AS (SELECT doc_id, frame_no, LIST(fv * fv ORDER BY dim) AS sq " +
-        "FROM f GROUP BY doc_id, frame_no) " +
-        "SELECT doc_id AS media_id, CAST(frame_no AS INTEGER) AS frame_no, " +
-        "FLOOR(list_reduce(list_prepend(0.0, sq), (a, x) -> a + x) * 10000 + 0.5) / 10000 " +
-        "AS feat_sq_norm FROM l ORDER BY media_id, frame_no"),
+    "llm_multimodal_frames" -> multimodalFramesSql(targetW = 128,
+      frameBytes = 32, stride = 2, featDim = 8),
     "llm_langid" ->
       ("WITH t AS (SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents), " +
         "s AS (SELECT doc_id, text, " +

@@ -104,7 +104,8 @@ object Multimodal {
   /** Demo pipeline over the documents table: text bytes stand in for a
     * media payload (UTF-8 is as opaque to the plumbing as JPEG would be).
     * Output: id, dim, rounded feature norm — deterministic. */
-  def documentsAsMedia(spark: SparkSession, docs: DataFrame): DataFrame = {
+  def documentsAsMedia(spark: SparkSession, docs: DataFrame,
+      dim: Int = 16): DataFrame = {
     import spark.implicits._
     val media = docs.select(
       col("doc_id").as("media_id"),
@@ -112,7 +113,7 @@ object Multimodal {
       lit("text/plain").as("format"),
       col("n_chars").cast("int").as("width"),
       lit(1).as("height")).as[MediaRow]
-    extractFeatures(media, dim = 16).toDF()
+    extractFeatures(media, dim).toDF()
       .select(col("media_id"), col("feat_dim"),
         (floor(aggregate(col("features"), lit(0.0),
           (a, x) => a + x.cast("double") * x.cast("double")) * 10000 + 0.5) / 10000)
@@ -123,7 +124,9 @@ object Multimodal {
   /** Full media pipeline demo: resize → frame-sample → per-frame feature
     * extraction. Output: (media_id, frame_no, feat_sq_norm) — the
     * video-style one-row-to-many-frames shape. */
-  def documentsAsFrames(spark: SparkSession, docs: DataFrame): DataFrame = {
+  def documentsAsFrames(spark: SparkSession, docs: DataFrame,
+      targetW: Int = 128, frameBytes: Int = 32, stride: Int = 2,
+      featDim: Int = 8): DataFrame = {
     import spark.implicits._
     val media = docs.select(
       col("doc_id").as("media_id"),
@@ -131,10 +134,10 @@ object Multimodal {
       lit("video/fake").as("format"),
       col("n_chars").cast("int").as("width"),
       lit(1).as("height")).as[MediaRow]
-    val frames = frameSample(resize(media, targetW = 128, targetH = 1),
-      frameBytes = 32, stride = 2)
+    val frames = frameSample(resize(media, targetW, targetH = 1),
+      frameBytes, stride)
     frames.map(f => (f.media_id, f.frame_no,
-        math.floor(stubDecode(f.payload, 8)
+        math.floor(stubDecode(f.payload, featDim)
           .foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble) * 1e4 + 0.5) / 1e4))
       .toDF("media_id", "frame_no", "feat_sq_norm")
       .orderBy("media_id", "frame_no")

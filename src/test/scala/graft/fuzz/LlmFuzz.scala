@@ -523,6 +523,23 @@ object LlmFuzzSeed {
           })
     }
 
+    // multimodal plumbing over (decode dim) and the frame pipeline over
+    // (resize width, frame bytes, stride, per-frame decode dim) — exact
+    // integer-sum replicas; stride 1 keeps every frame, a short last
+    // chunk groups naturally on both sides
+    val mmC = Seq(8, 32).map { dim =>
+      LlmCase(s"lfz_mm_d$dim",
+        LlmQueries.multimodalSql(dim),
+        (s, d) => graft.llm.Multimodal.documentsAsMedia(s, docs(s, d), dim))
+    }
+    val mmFrames = Seq((64, 16, 2, 4), (96, 24, 1, 6), (128, 32, 3, 8))
+      .map { case (w, fb, st, fd) =>
+        LlmCase(s"lfz_mmframes_w${w}_b${fb}_s${st}_d$fd",
+          LlmQueries.multimodalFramesSql(w, fb, st, fd),
+          (s, d) => graft.llm.Multimodal.documentsAsFrames(s, docs(s, d),
+            w, fb, st, fd))
+      }
+
     winnow ++ matches ++ containment ++ brute ++ annIvf ++ embed ++
       simhash ++ nearDup ++ trained ++ semdedup ++ residual ++
       residual3 ++ pq ++ ivfpq ++ sessions ++ pairs ++ bpeM ++ bpeE ++
@@ -531,7 +548,7 @@ object LlmFuzzSeed {
       tokBudget ++ curr ++ dsirC ++ dsirSel ++ pplC ++ ccnetC ++
       blockC ++ contamC ++ decontamC ++ noveltyC ++ noveltyRefC ++
       ccnetTerc ++ rrfC ++ splitC ++ calibC ++ featC ++ groupsC ++
-      groupSizesC ++ overlapC ++ incrD ++ incrA
+      groupSizesC ++ overlapC ++ incrD ++ incrA ++ mmC ++ mmFrames
   }
 }
 
