@@ -791,6 +791,56 @@ object LlmQueries {
       "FLOOR(CAST(n_new AS DOUBLE) / n_ngrams * 10000 + 0.5) / 10000 AS novelty " +
       "FROM j ORDER BY doc_id")
 
+  /** Corpus-vs-target token-KL replica — the pinned llm_token_kl shape,
+    * parameterized for the fuzz grid (add-1 smoothing over the joint
+    * vocabulary, 1e-12 integer micro-unit contributions). */
+  private[graft] def tokenKlSql(targetLang: String): String =
+    ("WITH r AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents), " +
+      "cq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cq FROM r GROUP BY tok), " +
+      s"tg AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents WHERE lang = '$targetLang'), " +
+      "ct AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS ct FROM tg GROUP BY tok), " +
+      "j AS (SELECT cq.tok, cq.cq, COALESCE(ct.ct, 0) AS ct FROM cq LEFT JOIN ct ON ct.tok = cq.tok), " +
+      "st AS (SELECT CAST(SUM(cq) AS BIGINT) AS nq, CAST(SUM(ct) AS BIGINT) AS nt, CAST(COUNT(*) AS BIGINT) AS v FROM j), " +
+      "c AS (SELECT CAST(FLOOR(CAST(ct + 1 AS DOUBLE) / (nt + v + 1) * " +
+      "(LN(CAST(ct + 1 AS DOUBLE) / (nt + v + 1)) - LN(CAST(cq + 1 AS DOUBLE) / (nq + v + 1))) * 1e12 + 0.5) AS BIGINT) AS c12 FROM j, st) " +
+      "SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab, " +
+      "FLOOR(CAST(SUM(c12) AS DOUBLE) / 1e12 * 1000000 + 0.5) / 1000000 AS kl FROM c")
+
+  /** Windowed embedding-drift replica — the pinned llm_drift_windows
+    * shape, parameterized for the fuzz grid over the featurizer
+    * dimension (integer per-dim window sums, one cosine per window
+    * against the global centroid; window fixed at the operator's
+    * 10-minute bucket). */
+  private[graft] def driftWindowsSql(dim: Int): String = {
+    val sums = (0 until dim)
+      .map(i => s"CAST(SUM(e4[${i + 1}]) AS BIGINT) AS s$i").mkString(", ")
+    val gsums = (0 until dim)
+      .map(i => s"CAST(SUM(s$i) AS BIGINT) AS g$i").mkString(", ")
+    val dot = (0 until dim)
+      .map(i => s"CAST(s$i AS DOUBLE) * CAST(g$i AS DOUBLE)")
+      .mkString(" + ")
+    val nw = (0 until dim)
+      .map(i => s"CAST(s$i AS DOUBLE) * CAST(s$i AS DOUBLE)")
+      .mkString(" + ")
+    val ng = (0 until dim)
+      .map(i => s"CAST(g$i AS DOUBLE) * CAST(g$i AS DOUBLE)")
+      .mkString(" + ")
+    s"""WITH f AS (${featurizeSql(dim)}), """ +
+      "e AS (SELECT doc_id, list_transform(embedding, " +
+      "x -> CAST(FLOOR(x * 10000 + 0.5) AS BIGINT)) AS e4 FROM f), " +
+      "t AS (SELECT doc_id, TIMESTAMP '2026-01-01 00:00:00' " +
+      "+ doc_id * INTERVAL 1 MINUTE AS ts FROM documents), " +
+      "j AS (SELECT time_bucket(INTERVAL '10 minutes', t.ts) AS window_start, e4 " +
+      "FROM t JOIN e USING (doc_id)), " +
+      s"w AS (SELECT window_start, CAST(COUNT(*) AS BIGINT) AS n_docs, $sums " +
+      "FROM j GROUP BY window_start), " +
+      s"g AS (SELECT $gsums FROM w) " +
+      "SELECT window_start, n_docs, " +
+      s"CASE WHEN ($nw) = 0 OR ($ng) = 0 THEN NULL " +
+      s"ELSE FLOOR((1.0 - ($dot) / (SQRT($nw) * SQRT($ng))) * 10000 + 0.5) / 10000 " +
+      "END AS drift FROM w, g ORDER BY window_start"
+  }
+
   /** Multimodal stub-decode replica — the pinned llm_multimodal shape,
     * parameterized for the fuzz grid (payload bytes folded into `dim`
     * integer accumulators, one float divide, rounded squared norm). */
@@ -1956,17 +2006,7 @@ object LlmQueries {
       "test" -> 0.05)),
     // KL replica: identical smoothing, identical per-type expression
     // tree, exact bigint contribution sum
-    "llm_token_kl" ->
-      ("WITH r AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents), " +
-        "cq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cq FROM r GROUP BY tok), " +
-        "tg AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents WHERE lang = 'en'), " +
-        "ct AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS ct FROM tg GROUP BY tok), " +
-        "j AS (SELECT cq.tok, cq.cq, COALESCE(ct.ct, 0) AS ct FROM cq LEFT JOIN ct ON ct.tok = cq.tok), " +
-        "st AS (SELECT CAST(SUM(cq) AS BIGINT) AS nq, CAST(SUM(ct) AS BIGINT) AS nt, CAST(COUNT(*) AS BIGINT) AS v FROM j), " +
-        "c AS (SELECT CAST(FLOOR(CAST(ct + 1 AS DOUBLE) / (nt + v + 1) * " +
-        "(LN(CAST(ct + 1 AS DOUBLE) / (nt + v + 1)) - LN(CAST(cq + 1 AS DOUBLE) / (nq + v + 1))) * 1e12 + 0.5) AS BIGINT) AS c12 FROM j, st) " +
-        "SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab, " +
-        "FLOOR(CAST(SUM(c12) AS DOUBLE) / 1e12 * 1000000 + 0.5) / 1000000 AS kl FROM c"),
+    "llm_token_kl" -> tokenKlSql(targetLang = "en"),
     // classifier-gate replica: the llm_quality feature CTE feeds the
     // same logit6-then-exp expression tree
     "llm_quality_model" ->
@@ -2448,35 +2488,7 @@ object LlmQueries {
     // window is the same left-to-right double tree on both engines.
     // time_bucket origin: see the llm_monitor_windows note — 10-minute
     // widths divide DuckDB's 2000-01-03 origin epoch, so buckets align.
-    ("llm_drift_windows" -> {
-      val sums = (0 until 16)
-        .map(i => s"CAST(SUM(e4[${i + 1}]) AS BIGINT) AS s$i").mkString(", ")
-      val gsums = (0 until 16)
-        .map(i => s"CAST(SUM(s$i) AS BIGINT) AS g$i").mkString(", ")
-      val dot = (0 until 16)
-        .map(i => s"CAST(s$i AS DOUBLE) * CAST(g$i AS DOUBLE)")
-        .mkString(" + ")
-      val nw = (0 until 16)
-        .map(i => s"CAST(s$i AS DOUBLE) * CAST(s$i AS DOUBLE)")
-        .mkString(" + ")
-      val ng = (0 until 16)
-        .map(i => s"CAST(g$i AS DOUBLE) * CAST(g$i AS DOUBLE)")
-        .mkString(" + ")
-      s"""WITH f AS (${base("llm_featurize")}), """ +
-        "e AS (SELECT doc_id, list_transform(embedding, " +
-        "x -> CAST(FLOOR(x * 10000 + 0.5) AS BIGINT)) AS e4 FROM f), " +
-        "t AS (SELECT doc_id, TIMESTAMP '2026-01-01 00:00:00' " +
-        "+ doc_id * INTERVAL 1 MINUTE AS ts FROM documents), " +
-        "j AS (SELECT time_bucket(INTERVAL '10 minutes', t.ts) AS window_start, e4 " +
-        "FROM t JOIN e USING (doc_id)), " +
-        s"w AS (SELECT window_start, CAST(COUNT(*) AS BIGINT) AS n_docs, $sums " +
-        "FROM j GROUP BY window_start), " +
-        s"g AS (SELECT $gsums FROM w) " +
-        "SELECT window_start, n_docs, " +
-        s"CASE WHEN ($nw) = 0 OR ($ng) = 0 THEN NULL " +
-        s"ELSE FLOOR((1.0 - ($dot) / (SQRT($nw) * SQRT($ng))) * 10000 + 0.5) / 10000 " +
-        "END AS drift FROM w, g ORDER BY window_start"
-    }) +
+    ("llm_drift_windows" -> driftWindowsSql(dim = 16)) +
     // reference-drift replica: featurize is per-doc, so ONE featurize
     // CTE serves both sides — the reference centroid is the en-slice's
     // per-dim sums, window sums come from the same e4 frame

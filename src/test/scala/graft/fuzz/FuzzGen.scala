@@ -344,6 +344,11 @@ object FuzzGen {
       val x = if (d == 0.0) 0.0 else d // normalize -0.0
       "%.6f".formatLocal(java.util.Locale.ROOT, x)
     case f: Float => cell(f.toDouble)
+    // canonical form = epoch millis (TZ-free instant; Timestamp.toString
+    // renders "…00:00:00.0" where python's str(datetime) drops the
+    // fraction — text comparison of timestamps is engine-trap territory).
+    // Sub-millisecond precision truncates; fuzz outputs don't carry it.
+    case t: java.sql.Timestamp => String.valueOf(t.getTime)
     case other => String.valueOf(other)
   }
 

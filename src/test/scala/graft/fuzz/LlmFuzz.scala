@@ -540,6 +540,25 @@ object LlmFuzzSeed {
             w, fb, st, fd))
       }
 
+    // corpus-vs-slice token KL over the target slice; windowed
+    // embedding drift over the featurizer dimension
+    val klC = Seq("de", "zh").map { lang =>
+      LlmCase(s"lfz_tokenkl_$lang",
+        LlmQueries.tokenKlSql(lang),
+        (s, d) => CorpusOps.tokenKl(docs(s, d), targetVal = lang))
+    }
+    val driftC = Seq(8, 32).map { dim =>
+      LlmCase(s"lfz_drift_d$dim",
+        LlmQueries.driftWindowsSql(dim),
+        (s, d) => {
+          val withTs = docs(s, d).withColumn("ts",
+            org.apache.spark.sql.functions.expr(
+              "timestampadd(MINUTE, CAST(doc_id AS INT), " +
+                "TIMESTAMP '2026-01-01 00:00:00')"))
+          CorpusOps.driftWindows(withTs, dim)
+        })
+    }
+
     winnow ++ matches ++ containment ++ brute ++ annIvf ++ embed ++
       simhash ++ nearDup ++ trained ++ semdedup ++ residual ++
       residual3 ++ pq ++ ivfpq ++ sessions ++ pairs ++ bpeM ++ bpeE ++
@@ -548,7 +567,8 @@ object LlmFuzzSeed {
       tokBudget ++ curr ++ dsirC ++ dsirSel ++ pplC ++ ccnetC ++
       blockC ++ contamC ++ decontamC ++ noveltyC ++ noveltyRefC ++
       ccnetTerc ++ rrfC ++ splitC ++ calibC ++ featC ++ groupsC ++
-      groupSizesC ++ overlapC ++ incrD ++ incrA ++ mmC ++ mmFrames
+      groupSizesC ++ overlapC ++ incrD ++ incrA ++ mmC ++ mmFrames ++
+      klC ++ driftC
   }
 }
 

@@ -12,6 +12,7 @@ checked BEFORE int: python bool is an int subclass), float->"%.6f"
 rows sorted as strings, joined with \\n, header line of sorted column
 names first.
 """
+import datetime
 import hashlib
 import json
 import sys
@@ -31,6 +32,12 @@ def cell(v):
         if v == 0.0:
             v = 0.0
         return f"{v:.6f}"
+    if isinstance(v, datetime.datetime):
+        # canonical form = epoch millis, naive values treated as UTC
+        # (DuckDB returns naive; Spark's side uses Timestamp.getTime) —
+        # keep in lockstep with FuzzGen.cell
+        return str(int(v.replace(tzinfo=datetime.timezone.utc)
+                       .timestamp() * 1000))
     return str(v)
 
 
