@@ -443,6 +443,20 @@ object CorpusOps {
     * within the object so compositions ([[exportTrainingSet]]) assign
     * splits in the same projection as their other columns instead of
     * paying an id-equi-join. */
+  /** The one place the split boundaries are derived: ascending
+    * cumulative fractions floored into 2^32 units, one `(name,
+    * threshold)` per non-last bucket (the last name is the ELSE arm).
+    * Both [[splitExpr]] and the oracle replica
+    * (`LlmQueries.splitSql`) consume THIS list, so the engine and the
+    * oracle can never disagree on a boundary by a 2^-32 accumulation
+    * difference. */
+  private[graft] def splitThresholds(
+      fractions: Seq[(String, Double)]): Seq[(String, Long)] = {
+    val cums = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+    fractions.init.zip(cums.init)
+      .map { case ((nm, _), c) => nm -> math.floor(c * 4294967296.0).toLong }
+  }
+
   private def splitExpr(fractions: Seq[(String, Double)],
       salt: String): org.apache.spark.sql.Column = {
     require(fractions.nonEmpty && fractions.forall(_._2 > 0),
@@ -452,10 +466,8 @@ object CorpusOps {
     require(fractions.map(_._1).distinct.size == fractions.size,
       s"duplicate split names in $fractions")
     val u = conv(substring(sampleKey(salt), 1, 8), 16, 10).cast("long")
-    // ascending cumulative thresholds in 2^32 units; first match wins
-    val cums = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
-    fractions.init.zip(cums.init)
-      .map { case ((nm, _), c) => nm -> math.floor(c * 4294967296.0).toLong }
+    // first match wins over the shared ascending thresholds
+    splitThresholds(fractions)
       .foldRight(lit(fractions.last._1)) { case ((nm, t), acc) =>
         when(u < t, nm).otherwise(acc)
       }

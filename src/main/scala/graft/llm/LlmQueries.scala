@@ -15,6 +15,15 @@ object LlmQueries {
   private def docs(s: SparkSession, d: String) = Tables(s, d, "documents")
   private def emb(s: SparkSession, d: String) = Tables(s, d, "embeddings")
 
+  /** Renders `s` as a single-quoted SQL string literal with embedded
+    * quotes doubled — every parameterized oracle builder that
+    * interpolates a caller-supplied string (term, lang, word, split
+    * name) goes through here so a quote in the parameter can never
+    * produce malformed oracle SQL. Byte-identical to the previous bare
+    * interpolation for quote-free inputs (all pinned defaults). */
+  private[graft] def sqlStr(s: String): String =
+    "'" + s.replace("'", "''") + "'"
+
   /** The deterministic PII planting shared by llm_pii_redact and
     * llm_pii_consume (the corpus itself has no PII). */
   private def piiPlanted(d: DataFrame): DataFrame =
@@ -665,17 +674,16 @@ object LlmQueries {
       "GROUP BY node ORDER BY doc_id")
 
   /** Deterministic split-assignment replica — the pinned llm_split
-    * shape, parameterized for the fuzz grid. Thresholds derive by the
-    * SAME rule as `CorpusOps.splitExpr`: ascending cumulative fractions
-    * floored into 2^32 units, first match wins, last name is the ELSE
-    * arm. */
+    * shape, parameterized for the fuzz grid. Thresholds come from the
+    * ONE shared derivation (`CorpusOps.splitThresholds`) the engine's
+    * `splitExpr` also consumes — first match wins, last name is the
+    * ELSE arm. */
   private[graft] def splitSql(fractions: Seq[(String, Double)]): String = {
-    val cums = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
-    val whens = fractions.init.zip(cums.init).map { case ((nm, _), c) =>
-      s"WHEN u < ${math.floor(c * 4294967296.0).toLong} THEN '$nm'"
+    val whens = CorpusOps.splitThresholds(fractions).map { case (nm, t) =>
+      s"WHEN u < $t THEN ${sqlStr(nm)}"
     }.mkString(" ")
     ("SELECT doc_id, CASE " + whens +
-      s" ELSE '${fractions.last._1}' END AS split FROM " +
+      s" ELSE ${sqlStr(fractions.last._1)} END AS split FROM " +
       "(SELECT doc_id, CAST(CONCAT('0x', SUBSTR(md5(CAST(doc_id AS VARCHAR) || '#split'), 1, 8)) AS BIGINT) AS u " +
       "FROM documents) ORDER BY doc_id")
   }
@@ -797,7 +805,7 @@ object LlmQueries {
   private[graft] def tokenKlSql(targetLang: String): String =
     ("WITH r AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents), " +
       "cq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cq FROM r GROUP BY tok), " +
-      s"tg AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents WHERE lang = '$targetLang'), " +
+      s"tg AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents WHERE lang = ${sqlStr(targetLang)}), " +
       "ct AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS ct FROM tg GROUP BY tok), " +
       "j AS (SELECT cq.tok, cq.cq, COALESCE(ct.ct, 0) AS ct FROM cq LEFT JOIN ct ON ct.tok = cq.tok), " +
       "st AS (SELECT CAST(SUM(cq) AS BIGINT) AS nq, CAST(SUM(ct) AS BIGINT) AS nt, CAST(COUNT(*) AS BIGINT) AS v FROM j), " +
@@ -934,7 +942,7 @@ object LlmQueries {
     * embedding arm, both kEach-bounded, fused at RRF constant `c`). */
   private[graft] def hybridRrfSql(terms: Seq[String], queryVecId: Long,
       k: Int, kEach: Int, c: Int): String = {
-    val termList = terms.map(t => s"'$t'").mkString(", ")
+    val termList = terms.map(sqlStr).mkString(", ")
     ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
       "st AS (SELECT CAST(SUM(len(toks)) AS BIGINT) AS sdl, CAST(COUNT(*) AS BIGINT) AS n FROM t), " +
       "e AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS tok FROM t), " +
@@ -1053,7 +1061,7 @@ object LlmQueries {
   private def rateCase(rates: Seq[(String, Double)], default: String,
       render: Double => String): String =
     "CASE lang " + rates.map { case (k, v) =>
-      s"WHEN '$k' THEN ${render(v)}"
+      s"WHEN ${sqlStr(k)} THEN ${render(v)}"
     }.mkString(" ") + s" ELSE $default END"
 
   /** Exact-quota stratified mixing replica — the pinned llm_mix_quota
@@ -1208,7 +1216,7 @@ object LlmQueries {
   private def dsirBody(targetLang: String): String =
     ("WITH e AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents), " +
       "raw AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cq FROM e GROUP BY tok), " +
-      s"tgt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS ct FROM e WHERE lang = '$targetLang' GROUP BY tok), " +
+      s"tgt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS ct FROM e WHERE lang = ${sqlStr(targetLang)} GROUP BY tok), " +
       "j AS (SELECT raw.tok, raw.cq, COALESCE(tgt.ct, 0) AS ct FROM raw LEFT JOIN tgt ON tgt.tok = raw.tok), " +
       "st AS (SELECT CAST(SUM(cq) AS BIGINT) AS nq, CAST(SUM(ct) AS BIGINT) AS nt, " +
       "CAST(COUNT(*) AS BIGINT) AS v FROM j), " +
@@ -1235,7 +1243,7 @@ object LlmQueries {
     * micro-unit NLL sums, ppl flag threshold). */
   private[graft] def perplexitySql(refLang: String,
       flagPpl: Double): String =
-    (s"WITH tr AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents WHERE lang = '$refLang'), " +
+    (s"WITH tr AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents WHERE lang = ${sqlStr(refLang)}), " +
       "cnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM tr GROUP BY tok), " +
       "st AS (SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v FROM cnt), " +
       "nl AS (SELECT tok, CAST(FLOOR(-LN(CAST(c + 1 AS DOUBLE) / (n + v + 1)) * 1000000 + 0.5) AS BIGINT) AS nll6 FROM cnt, st), " +
@@ -1259,7 +1267,11 @@ object LlmQueries {
       "j AS (SELECT p.doc_id, d.lang, p.avg_nll FROM p " +
       "JOIN documents d ON d.doc_id = p.doc_id) " +
       "SELECT doc_id, lang, avg_nll, " +
-      f"CASE WHEN avg_nll <= $headMax%.2f THEN 'head' WHEN avg_nll <= $middleMax%.2f THEN 'middle' " +
+      // Locale.ROOT: the f interpolator uses the JVM default locale, so
+      // a comma-decimal locale would render 'avg_nll <= 3,40' — invalid
+      // SQL. Same fix discipline as FuzzGen.cell.
+      "CASE WHEN avg_nll <= %.2f THEN 'head' WHEN avg_nll <= %.2f THEN 'middle' "
+        .formatLocal(java.util.Locale.ROOT, headMax, middleMax) +
       "ELSE 'tail' END AS bucket FROM j ORDER BY doc_id")
 
   /** Blocklist-screen replica — the pinned llm_blocklist shape,
@@ -1267,7 +1279,7 @@ object LlmQueries {
     * threshold flag). */
   private[graft] def blocklistSql(words: Seq[String],
       maxHits: Int): String = {
-    val list = words.map(w => s"'$w'").mkString(", ")
+    val list = words.map(sqlStr).mkString(", ")
     ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) " +
       "SELECT doc_id, CAST(len(list_filter(toks, x -> " +
       s"list_contains([$list], x))) AS BIGINT) AS n_hits, " +
@@ -1304,7 +1316,7 @@ object LlmQueries {
     * IEEE add on both sides — the same double sequence either way. */
   private[graft] def bm25Sql(terms: Seq[String], k: Int, k1: Double,
       b: Double): String = {
-    val termList = terms.map(t => s"'$t'").mkString(", ")
+    val termList = terms.map(sqlStr).mkString(", ")
     "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
       "st AS (SELECT CAST(SUM(len(toks)) AS BIGINT) AS sdl, CAST(COUNT(*) AS BIGINT) AS n FROM t), " +
       "e AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS tok FROM t), " +

@@ -393,10 +393,15 @@ object LlmFuzzSeed {
           LlmQueries.perplexitySql("en", 5000.0), h, m),
         (s, d) => TextOps.ccnetBucketsFixed(docs(s, d), h, m))
     }
+    // blocklist words are real vocab tokens (scan/merge occur up to
+    // 8-10 times per doc), so n_hits > 1 occurs and the maxHits
+    // threshold genuinely binds — the original spam/junk grid was
+    // partially vacuous (0 corpus hits made w3_h1 ≡ w1_h1 and the
+    // h3 case an all-zero screen)
     val blockC = Seq(
-      (Seq("slow", "spam", "junk"), 1),
+      (Seq("slow", "scan", "merge"), 1),
       (Seq("slow"), 1),
-      (Seq("spam", "junk"), 3)).map { case (words, mh) =>
+      (Seq("scan", "merge"), 3)).map { case (words, mh) =>
       LlmCase(s"lfz_block_w${words.size}_h$mh",
         LlmQueries.blocklistSql(words, mh),
         (s, d) => TextOps.blocklist(docs(s, d), words, mh))
