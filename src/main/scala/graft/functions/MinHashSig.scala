@@ -94,10 +94,11 @@ case class MinHashSig(set: Expression, numHashes: Expression,
     *    and the slot mix proceeds from hashLong(42, 42).
     *  - replicable: `sha2(null)` is null, the mix stays null, and
     *    `array_min` skips null elements — so null elements contribute
-    *    nothing. An ALL-null array would give the HOF form an array of
-    *    k nulls, which this kernel's containsNull=false output cannot
-    *    represent — it returns null (the empty-set result) for that
-    *    degenerate case instead. */
+    *    nothing; an all-null array (no contributor) returns null like
+    *    the empty set, and the sole caller
+    *    ([[graft.llm.Dedup.minHashPerRowImpl]]) screens all-null sets
+    *    before either hash family runs, so native ≡ HOF holds on every
+    *    row that reaches a plan. */
   override protected def nullSafeEval(sv: Any, nv: Any, rv: Any): Any = {
     val arr = sv.asInstanceOf[ArrayData]
     val n = arr.numElements()

@@ -154,9 +154,9 @@ object Dedup {
     * minimum over the same shingle-hash multiset, the same band keys)
     * but computed ENTIRELY inside the row — no aggregation, so it
     * composes into append-mode STREAMING plans where a groupBy would be
-    * stateful. All other columns pass through. Empty shingle sets yield
-    * null signatures and are dropped, matching the batch path (an empty
-    * doc produces no rows to aggregate there).
+    * stateful. All other columns pass through. Empty (or all-null)
+    * shingle sets yield null signatures and are dropped, matching the
+    * batch path (an empty doc produces no rows to aggregate there).
     *
     * In a session carrying GraftExtensions the signature evaluates
     * through the native `graft_minhash` kernel
@@ -193,7 +193,14 @@ object Dedup {
           .withColumn("signature", sig).drop("__hl")
       }
     sigFrame
-      .filter(size(col("shingle_set")) > 0)
+      // non-NULL-element count: `size` alone counts null elements, so
+      // an all-null set would slip through and hit the one input where
+      // the native kernel and the HOF form could disagree (the kernel's
+      // containsNull=false output cannot carry the HOF's
+      // array-of-nulls). Screening it here makes native ≡ HOF
+      // unconditional; real tokenized corpora never produce null
+      // shingles, so no practical row is lost.
+      .filter(size(filter(col("shingle_set"), _.isNotNull)) > 0)
       .withColumn("bands",
         bandsExpr(numHashes / rowsPerBand, rowsPerBand, replicable))
   }

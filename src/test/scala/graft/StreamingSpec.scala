@@ -459,13 +459,25 @@ class StreamingSpec extends AnyFunSuite {
       Dedup.minHashPerRowImpl(noNull, 32, 4, replicable = true,
           native = true)
         .select("signature").collect()(0).getSeq[Long](0))
-    // degenerate all-null array in replicable mode: the kernel returns
-    // null (its containsNull=false output cannot carry the HOF form's
-    // array-of-nulls; documented divergence in MinHashSig)
-    val allNull = spark.range(1)
-      .select(array(lit(null).cast("string")).as("s"))
-    assert(allNull.select(expr("graft_minhash(s, 32, true)"))
+    // degenerate all-null array: the one input where the kernel's
+    // containsNull=false output could not carry the HOF form's
+    // replicable-mode array-of-nulls. minHashPerRowImpl screens it
+    // (non-null-element count), so BOTH hash families drop the row in
+    // BOTH modes and native ≡ HOF holds unconditionally; the raw
+    // kernel itself returns null (the empty-set result).
+    val allNull = spark.range(1).select(lit(9L).as("doc_id"),
+      array(lit(null).cast("string"), lit(null).cast("string"))
+        .as("shingle_set"))
+    assert(allNull.select(expr("graft_minhash(shingle_set, 32, true)"))
       .collect()(0).isNullAt(0))
+    for (rep <- Seq(false, true); native <- Seq(true, false))
+      assert(Dedup.minHashPerRowImpl(allNull, 32, 4, rep, native)
+        .count() == 0L,
+        s"all-null set survived at replicable=$rep native=$native")
+    // and a mixed null/non-null set still survives on every path
+    for (rep <- Seq(false, true); native <- Seq(true, false))
+      assert(Dedup.minHashPerRowImpl(withNull, 32, 4, rep, native)
+        .count() == 1L)
   }
 
   test("streaming embed dedup: in-flight semantic flags equal the batch " +
