@@ -119,18 +119,29 @@ object Bench {
     else "slow"
   }
 
+  /** Robust streaming statistic (round-12 verdict #2: best-of-2-post-
+    * cold of 3 triggers swung ±25% on quiet windows and passed only via
+    * the 2× band): per-trigger rows/s for the post-cold triggers, worst
+    * one dropped, remainder averaged — the same drop-the-outlier-mean
+    * discipline as the query headline numbers, over a 4-sample base
+    * instead of 2. */
+  private[graft] def steadyStat(warmRps: Seq[Double]): Double =
+    if (warmRps.isEmpty) 0.0
+    else if (warmRps.size == 1) warmRps.head
+    else { val kept = warmRps.sorted.drop(1); kept.sum / kept.size }
+
   /** Bounded fixed-rate streaming throughput measurement (round-11
     * directive #4): drives the three stateful streaming probes —
     * streamingNearDups (the graft_minhash hot path), streamingEmbedDedup
     * (sign-LSH probe), sessionize (flatMapGroupsWithState) — through
-    * MemoryStream at the 15k-row trigger StreamScale measured, 3
-    * triggers each with event time advancing past the watermark.
-    * Steady-state rows/s = the best trigger after the first (cold)
-    * one, the same drop-the-cold-sample discipline as the query
-    * headline numbers. Payload collects are bounded at exactly 15k
-    * rows each. */
+    * MemoryStream at the 15k-row trigger StreamScale measured, 5
+    * triggers each with event time advancing past the watermark
+    * (round-13: was 3 — too thin a statistic, see [[steadyStat]]).
+    * Returns each probe's post-cold per-trigger rows/s vector so the
+    * detail file can ship the raw samples. Payload collects are bounded
+    * at exactly 15k rows each. */
   private def streamBench(spark: SparkSession,
-      sfDir: String): Seq[(String, Double)] = {
+      sfDir: String): Seq[(String, Seq[Double])] = {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
@@ -140,14 +151,13 @@ object Bench {
     def ts(min: Long): Timestamp =
       new Timestamp(1700000000000L + min * 60000L)
     val rate = 15000
-    val nTriggers = 3
-    def steadyRps(q: StreamingQuery): Double = {
+    val nTriggers = 5
+    def steadyRps(q: StreamingQuery): Seq[Double] = {
       val warm = q.recentProgress.filter(_.numInputRows > 0).drop(1)
-      if (warm.isEmpty) 0.0
-      else warm.map { p =>
+      warm.map { p =>
         val ms = p.durationMs.getOrDefault("triggerExecution", 0L)
         if (ms > 0) p.numInputRows * 1000.0 / ms else 0.0
-      }.max
+      }.toSeq
     }
     // bounded collects: exactly `rate` payload rows each (cycled by
     // modulo when the table is smaller)
@@ -300,26 +310,40 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None        => SparkEntry.queries
     }
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      if (memoBacked(name)) graft.core.QueryCache.clear()
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
-      catch { case e: Throwable =>
-        // a failing query must be visible in the JSON, not silently
-        // folded into a healthy-looking total
-        errors ::= name
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    // mid-run canaries (round-12 verdict #1): a cpu_spin sample every
+    // ~25 queries, so a contended window INSIDE the suite is visible in
+    // the shipped record instead of only as start/end drift — BENCH_r12's
+    // 730 s total vs 444 s same-code quiet passes was unattributable
+    // because the canary only bracketed the run.
+    val midCanaries = scala.collection.mutable.ListBuffer
+      .empty[(Int, String, Double)]
+    val results = selected.toSeq.sortBy(_._1).zipWithIndex
+      .map { case ((name, fn), idx) =>
+        if (memoBacked(name)) graft.core.QueryCache.clear()
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable =>
+          // a failing query must be visible in the JSON, not silently
+          // folded into a healthy-looking total
+          errors ::= name
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // each query is an independent job: drop whatever it cached or
+        // localCheckpoint'ed so 195 queries in one JVM don't accumulate
+        // storage pressure (round-2 bench ran node2vec 3x slower inside
+        // the suite than isolated purely from leaked blocks)
+        clearSparkState()
+        // full per-query trace on stderr (stdout stays one JSON line)
+        System.err.println(f"[bench] $name%-24s $dt%8.3f s")
+        if ((idx + 1) % 25 == 0) {
+          val spin = cpuSpin()
+          midCanaries += ((idx + 1, name, spin))
+          System.err.println(
+            f"[bench] mid-canary after #${idx + 1}%3d ($name) cpu_spin=$spin%.3f s")
+        }
+        name -> dt
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // each query is an independent job: drop whatever it cached or
-      // localCheckpoint'ed so 195 queries in one JVM don't accumulate
-      // storage pressure (round-2 bench ran node2vec 3x slower inside
-      // the suite than isolated purely from leaked blocks)
-      clearSparkState()
-      // full per-query trace on stderr (stdout stays one JSON line)
-      System.err.println(f"[bench] $name%-24s $dt%8.3f s")
-      name -> dt
-    }
     def r3(v: Double) = math.floor(v * 1000 + 0.5) / 1000
     val headline = Bench.headline
     // Every headline number is drop-max-then-mean of 3 runs (1 suite
@@ -333,6 +357,8 @@ object Bench {
     // inflated (pagerank 6.06 s median vs 2.91 s isolated), so the max
     // sample is dropped entirely and the remaining two average. The
     // suite total stays the plain single-pass sum.
+    val rerunSamples = scala.collection.mutable.Map
+      .empty[String, Seq[Double]]
     val refined = results.map { case (name, t1) =>
       if (!headline(name) || errors.contains(name)) name -> t1
       else {
@@ -341,6 +367,7 @@ object Bench {
           System.err.println(f"[bench] $name%-24s $dt%8.3f s (rerun)")
           dt
         }
+        rerunSamples(name) = reruns
         name -> (t1 +: reruns).sorted.take(2).sum / 2.0
       }
     }
@@ -368,14 +395,16 @@ object Bench {
     }
     // streaming throughput section (round-11 directive #4): skipped in
     // SPARK_GRAFT_ONLY mode unless "streaming" is named, so query
-    // iteration loops don't pay the ~45 s. A failure is recorded like a
+    // iteration loops don't pay for it. A failure is recorded like a
     // failing query, never a dead JSON line.
+    var streamTriggers = Seq.empty[(String, Seq[Double])]
     val streamRows: Seq[(String, Double)] =
       if (only.isDefined && !only.get.contains("streaming")) Seq.empty
       else try {
         val canaryAtStream = cpuSpin()
-        val rows = streamBench(spark, sfDir)
+        streamTriggers = streamBench(spark, sfDir)
         clearSparkState()
+        val rows = streamTriggers.map { case (k, v) => k -> steadyStat(v) }
         rows.foreach { case (k, v) =>
           val verdict = streamGate.get(k)
             .map(g => streamVerdict(v, g, canaryAtStream))
@@ -413,21 +442,76 @@ object Bench {
         else "{\"rps\":" + r3(v) + vd + "}")
     }.mkString("{", ",", "}")
     val total = r3(results.map(_._2).sum)
+    val nonheadlineTotal =
+      r3(results.filterNot(r => headline(r._1)).map(_._2).sum)
+    // gate-freshness self-check (round-12 directive #6): when the
+    // engine has outrun the gates on a QUIET host, say so in the
+    // shipped record instead of waiting for a judge to notice the 2x
+    // band went vacuous (the r11 re-baseline was triggered exactly
+    // this way, by hand).
+    val hostFactor =
+      math.max(1.0, math.min(spinStart, spinEnd) / canaryGate)
+    val fastRows = refined.count { case (name, t) =>
+      baselineGate.get(name).exists(b =>
+        !errors.contains(name) && t < 0.6 * b)
+    }
+    val gateFreshness =
+      if (!sfDir.contains("sf0.1"))
+        "n/a (gates are sf0.1 numbers)"
+      else if (fastRows >= 5 && hostFactor <= 1.15)
+        s"re-baseline due: $fastRows gated rows <0.6x on a quiet canary"
+      else "ok"
+    // full per-query single-pass detail (round-12 directive #1): stdout
+    // stays one machine-read line, but every number that line sums —
+    // all ~197 single-pass times, the headline rerun samples, and the
+    // mid-run canaries — ships in a sidecar file so total drift is
+    // attributable to named queries or a named contention window.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL_OUT",
+      "BENCH_detail.json")
+    val detailJson = {
+      val sp = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+        .mkString("{", ",", "}")
+      val rr = rerunSamples.toSeq.sortBy(_._1).map { case (k, v) =>
+        "\"" + k + "\":" + v.map(r3).mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+      val mc = midCanaries.map { case (n, after, spin) =>
+        s"""{"after_n":$n,"after_query":"$after","cpu_spin":${r3(spin)}}"""
+      }.mkString("[", ",", "]")
+      val st = streamTriggers.map { case (k, v) =>
+        "\"" + k + "\":" + v.map(r3).mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+      s"""{"single_pass":$sp,"reruns":$rr,"mid_canaries":$mc,""" +
+        s""""stream_triggers_postcold":$st,""" +
+        s""""headline_total":${r3(total - nonheadlineTotal)},""" +
+        s""""nonheadline_total":$nonheadlineTotal,""" +
+        s""""canary":$canaryJson,"errors":$errJson,"sf":"$sfDir"}"""
+    }
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+        detailJson.getBytes("UTF-8"))
+      System.err.println(s"[bench] per-query detail -> $detailPath")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] detail write failed: ${e.getMessage}")
+    }
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""nonheadline_total":$nonheadlineTotal,""" +
         s""""errors":$errJson,"canary":$canaryJson,"probes":$probeJson,""" +
         s""""streaming":$streamJson,""" +
+        s""""gate_freshness":"$gateFreshness",""" +
+        s""""detail_file":"$detailPath",""" +
         s""""n_queries":${results.size},"sf":"$sfDir",""" +
-        s""""method":"total=single pass after untimed warm-up; """ +
-        s"""headline queries=mean of best 2 of 3 (max dropped); """ +
-        s"""QueryCache cleared before every timed sample of memo-backed """ +
-        s"""queries (standalone-cost semantics, BASELINE \\u00a75); """ +
-        s"""probes=3 isolated warm reps for any headline >1.5x its """ +
-        s"""BASELINE \\u00a76 gate, verdict threshold scaled by """ +
-        s"""canary_at_probe/0.647 (host-loaded shipped when the scaled """ +
-        s"""threshold still trips on a >1.15x-loaded host); """ +
-        s"""streaming=steady-state rows/s at the 15k trigger, best """ +
-        s"""post-cold trigger of 3, gated vs BASELINE \\u00a77 at 2x"}"""
+        s""""method":"total=single pass after untimed warm-up """ +
+        s"""(per-query vector + mid-run canaries every 25 queries in """ +
+        s"""detail_file); headline queries=mean of best 2 of 3 (max """ +
+        s"""dropped); QueryCache cleared before every timed sample of """ +
+        s"""memo-backed queries (standalone-cost semantics, BASELINE """ +
+        s"""\\u00a75); probes=3 isolated warm reps for any headline """ +
+        s""">1.5x its BASELINE \\u00a76 gate, verdict threshold scaled """ +
+        s"""by canary_at_probe/0.647 (host-loaded shipped when the """ +
+        s"""scaled threshold still trips on a >1.15x-loaded host); """ +
+        s"""streaming=drop-worst mean of the 4 post-cold triggers of 5 """ +
+        s"""at the 15k trigger, gated vs BASELINE \\u00a77 at 2x"}"""
     // stop FIRST so no executor/log line interleaves with the one
     // machine-read output line
     spark.stop()

@@ -113,6 +113,20 @@ class CoreSpec extends AnyFunSuite {
     assert(Bench.streamVerdict(1200.0, gate, 0.3) == "slow")
   }
 
+  test("streaming steady-state statistic is drop-worst mean of the " +
+      "post-cold triggers") {
+    // r12 verdict #2: best-of-2-post-cold swung +-25% on quiet
+    // windows; the statistic is now the mean of the post-cold vector
+    // with its single worst (lowest-rps) trigger dropped.
+    assert(Bench.steadyStat(Seq(100.0, 400.0, 300.0, 200.0)) == 300.0)
+    // one stray slow trigger no longer halves the reading
+    assert(Bench.steadyStat(Seq(10.0, 300.0, 300.0, 300.0)) == 300.0)
+    // degenerate short vectors stay defined
+    assert(Bench.steadyStat(Seq.empty) == 0.0)
+    assert(Bench.steadyStat(Seq(250.0)) == 250.0)
+    assert(Bench.steadyStat(Seq(100.0, 200.0)) == 200.0)
+  }
+
   test("every reported headline row carries a baseline gate entry") {
     // r11 directive #2: rows reported in the BENCH JSON but absent
     // from the gate map could regress silently between re-baselines.
