@@ -625,10 +625,23 @@ object CorpusOps {
       maxDup3: Double = 1.0,
       fractions: Seq[(String, Double)] =
         Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+      nShards: Int = 8): Unit =
+    exportAssigned(docs,
+      TextOps.curate(docs, minQuality, lang, shingleSize,
+        threshold, maxDup3).select("doc_id"),
+      path, fractions, nShards)
+
+  /** The export tail of [[exportTrainingSet]] with the kept set as an
+    * input: rejoin the survivor ids to their payload once, assign
+    * split + shard in the SAME projection, write partitioned JSONL.
+    * Public so a pipeline with its own gate stack (e.g. curate →
+    * decontaminate → semantic dedup) can feed its chained survivor
+    * set straight into the standard layout. */
+  def exportAssigned(docs: DataFrame, keptIds: DataFrame, path: String,
+      fractions: Seq[(String, Double)] =
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
       nShards: Int = 8): Unit = {
-    val kept = TextOps.curate(docs, minQuality, lang, shingleSize,
-      threshold, maxDup3).select("doc_id")
-    val assigned = docs.join(kept, Seq("doc_id"))
+    val assigned = docs.join(keptIds.select("doc_id"), Seq("doc_id"))
       .select(col("doc_id"), col("text"),
         splitExpr(fractions, "#split").as("split"),
         shardExpr(nShards, replicable = false, "#shard").as("shard"))

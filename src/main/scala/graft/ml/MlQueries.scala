@@ -273,11 +273,12 @@ object MlQueries {
     "AS prediction FROM d ORDER BY vec_id"
 
   /** Closed-form 2×2 eigensystem CTE: a/b/c is the (co)variance or Gram
-    * matrix, l1/l2 its eigenvalues, eigenvector for λ ∝ (b, λ−a). */
+    * matrix of embedding dims (off, off+1), l1/l2 its eigenvalues,
+    * eigenvector for λ ∝ (b, λ−a). */
   private def eig2Sql(a: String, b: String, c: String, fromSql: String,
-      rowSql: String): String =
-    "WITH d AS (SELECT CAST(embedding[1] AS DOUBLE) AS x, " +
-      "CAST(embedding[2] AS DOUBLE) AS y FROM embeddings), " +
+      rowSql: String, off: Int = 1): String =
+    s"WITH d AS (SELECT CAST(embedding[$off] AS DOUBLE) AS x, " +
+      s"CAST(embedding[${off + 1}] AS DOUBLE) AS y FROM embeddings), " +
       s"s AS (SELECT $a AS a, $b AS b, $c AS c FROM $fromSql), " +
       "e AS (SELECT a, b, c, " +
       "(a + c) / 2 + SQRT((a - c) * (a - c) / 4 + b * b) AS l1, " +
@@ -286,6 +287,71 @@ object MlQueries {
       "SQRT(b * b + (l1 - a) * (l1 - a)) AS n1, " +
       "SQRT(b * b + (l2 - a) * (l2 - a)) AS n2 FROM e) " +
       rowSql
+
+  /** PCA-on-2-dims closed-form replica (the pinned ml_pca2 shape),
+    * parameterized over the leading dim of the (off, off+1) pair for
+    * the fuzz grid. */
+  private[graft] def pca2Sql(off: Int = 1): String =
+    eig2Sql("VAR_SAMP(x)", "COVAR_SAMP(x, y)", "VAR_SAMP(y)", "d",
+      "SELECT component, FLOOR(ev * 1000000 + 0.5) / 1000000 AS explained_variance, " +
+        "FLOOR(ld1 * 1000000 + 0.5) / 1000000 AS abs_load_1, " +
+        "FLOOR(ld2 * 1000000 + 0.5) / 1000000 AS abs_load_2 FROM (" +
+        "SELECT 0 AS component, l1 / (a + c) AS ev, ABS(b) / n1 AS ld1, " +
+        "ABS(l1 - a) / n1 AS ld2 FROM v " +
+        "UNION ALL SELECT 1, l2 / (a + c), ABS(b) / n2, ABS(l2 - a) / n2 FROM v) u " +
+        "ORDER BY component", off)
+
+  /** SVD-on-2-dims closed-form replica (the pinned ml_svd2 shape),
+    * parameterized over the leading dim for the fuzz grid. */
+  private[graft] def svd2Sql(off: Int = 1): String =
+    eig2Sql("SUM(x * x)", "SUM(x * y)", "SUM(y * y)", "d",
+      "SELECT idx AS index, FLOOR(SQRT(l) * 1000000 + 0.5) / 1000000 AS singular_value, " +
+        "FLOOR(ld1 * 1000000 + 0.5) / 1000000 AS abs_load_1, " +
+        "FLOOR(ld2 * 1000000 + 0.5) / 1000000 AS abs_load_2 FROM (" +
+        "SELECT 0 AS idx, l1 AS l, ABS(b) / n1 AS ld1, ABS(l1 - a) / n1 AS ld2 FROM v " +
+        "UNION ALL SELECT 1, l2, ABS(b) / n2, ABS(l2 - a) / n2 FROM v) u " +
+        "ORDER BY index", off)
+
+  /** Cramer-OLS replica (the pinned ml_linreg shape), parameterized
+    * over the 3-feature subset + label for the fuzz grid: regParam 0
+    * with ≤4096 features resolves Spark's LinearRegression to the
+    * closed-form normal-equation solver, so OLS via Cramer's rule on
+    * the centered 3×3 system reproduces the fit exactly at any column
+    * choice. The internal symbol names (q/d/t/y sums) are fixed; only
+    * the source columns interpolate. */
+  private[graft] def cramerOlsSql(
+      f1: String = "l_quantity", f2: String = "l_discount",
+      f3: String = "l_tax", label: String = "l_extendedprice"): String =
+    (s"WITH s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, " +
+      s"AVG($f1) AS mq, AVG($f2) AS md, AVG($f3) AS mt, " +
+      s"AVG($label) AS my, " +
+      s"SUM($f1*$f1) AS qq, SUM($f1*$f2) AS qd, " +
+      s"SUM($f1*$f3) AS qt, SUM($f2*$f2) AS dd, " +
+      s"SUM($f2*$f3) AS dt, SUM($f3*$f3) AS tt, " +
+      s"SUM($f1*$label) AS qy, " +
+      s"SUM($f2*$label) AS dy, " +
+      s"SUM($f3*$label) AS ty FROM lineitem), " +
+      "m AS (SELECT n, mq, md, mt, my, " +
+      "qq - n*mq*mq AS a, qd - n*mq*md AS b, qt - n*mq*mt AS cc, " +
+      "dd - n*md*md AS e, dt - n*md*mt AS f, tt - n*mt*mt AS g, " +
+      "qy - n*mq*my AS r1, dy - n*md*my AS r2, ty - n*mt*my AS r3 FROM s), " +
+      "k AS (SELECT mq, md, mt, my, " +
+      "(r1*(e*g - f*f) - b*(r2*g - f*r3) + cc*(r2*f - e*r3)) / " +
+      "(a*(e*g - f*f) - b*(b*g - f*cc) + cc*(b*f - e*cc)) AS b1, " +
+      "(a*(r2*g - f*r3) - r1*(b*g - f*cc) + cc*(b*r3 - r2*cc)) / " +
+      "(a*(e*g - f*f) - b*(b*g - f*cc) + cc*(b*f - e*cc)) AS b2, " +
+      "(a*(e*r3 - r2*f) - b*(b*r3 - r2*cc) + r1*(b*f - e*cc)) / " +
+      "(a*(e*g - f*f) - b*(b*g - f*cc) + cc*(b*f - e*cc)) AS b3 FROM m), " +
+      "kk AS (SELECT b1, b2, b3, my - b1*mq - b2*md - b3*mt AS b0 FROM k), " +
+      s"rm AS (SELECT SQRT(AVG(POW($label - " +
+      s"(b0 + b1*$f1 + b2*$f2 + b3*$f3), 2))) AS rmse " +
+      "FROM lineitem, kk) " +
+      "SELECT term, FLOOR(value * 10000 + 0.5) / 10000 AS value FROM (" +
+      "SELECT 'coef_0' AS term, b1 AS value FROM kk " +
+      "UNION ALL SELECT 'coef_1', b2 FROM kk " +
+      "UNION ALL SELECT 'coef_2', b3 FROM kk " +
+      "UNION ALL SELECT 'intercept', b0 FROM kk " +
+      "UNION ALL SELECT 'rmse', rmse FROM rm) u ORDER BY term")
 
   /** Unrolled bipartite-SimRank oracle: the BlockMatrix product chain
     * (S_i ← c·ŴcᵀS_uŴc, S_u ← c·ŴrS_iŴrᵀ, diag reset, |v|≥threshold
@@ -528,57 +594,14 @@ object MlQueries {
         "UNION ALL SELECT 1, l2 / (a + c) FROM v) u ORDER BY component"),
     // PCA on 2 features: explained variance = λ_i / trace, loadings from
     // the closed-form eigenvectors (sample covariance, matching Spark)
-    "ml_pca2" -> eig2Sql("VAR_SAMP(x)", "COVAR_SAMP(x, y)", "VAR_SAMP(y)", "d",
-      "SELECT component, FLOOR(ev * 1000000 + 0.5) / 1000000 AS explained_variance, " +
-        "FLOOR(ld1 * 1000000 + 0.5) / 1000000 AS abs_load_1, " +
-        "FLOOR(ld2 * 1000000 + 0.5) / 1000000 AS abs_load_2 FROM (" +
-        "SELECT 0 AS component, l1 / (a + c) AS ev, ABS(b) / n1 AS ld1, " +
-        "ABS(l1 - a) / n1 AS ld2 FROM v " +
-        "UNION ALL SELECT 1, l2 / (a + c), ABS(b) / n2, ABS(l2 - a) / n2 FROM v) u " +
-        "ORDER BY component"),
+    "ml_pca2" -> pca2Sql(),
     // SVD of the n×2 matrix: σ_i = sqrt(Gram eigenvalues), V from the
     // same closed form (uncentered sums — Gram, not covariance)
-    "ml_svd2" -> eig2Sql("SUM(x * x)", "SUM(x * y)", "SUM(y * y)", "d",
-      "SELECT idx AS index, FLOOR(SQRT(l) * 1000000 + 0.5) / 1000000 AS singular_value, " +
-        "FLOOR(ld1 * 1000000 + 0.5) / 1000000 AS abs_load_1, " +
-        "FLOOR(ld2 * 1000000 + 0.5) / 1000000 AS abs_load_2 FROM (" +
-        "SELECT 0 AS idx, l1 AS l, ABS(b) / n1 AS ld1, ABS(l1 - a) / n1 AS ld2 FROM v " +
-        "UNION ALL SELECT 1, l2, ABS(b) / n2, ABS(l2 - a) / n2 FROM v) u " +
-        "ORDER BY index"),
+    "ml_svd2" -> svd2Sql(),
     // regParam 0 with 3 features resolves to the closed-form normal-
     // equation solver, so OLS via Cramer's rule on the centered 3×3
     // system reproduces the fit exactly
-    "ml_linreg" ->
-      ("WITH s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, " +
-        "AVG(l_quantity) AS mq, AVG(l_discount) AS md, AVG(l_tax) AS mt, " +
-        "AVG(l_extendedprice) AS my, " +
-        "SUM(l_quantity*l_quantity) AS qq, SUM(l_quantity*l_discount) AS qd, " +
-        "SUM(l_quantity*l_tax) AS qt, SUM(l_discount*l_discount) AS dd, " +
-        "SUM(l_discount*l_tax) AS dt, SUM(l_tax*l_tax) AS tt, " +
-        "SUM(l_quantity*l_extendedprice) AS qy, " +
-        "SUM(l_discount*l_extendedprice) AS dy, " +
-        "SUM(l_tax*l_extendedprice) AS ty FROM lineitem), " +
-        "m AS (SELECT n, mq, md, mt, my, " +
-        "qq - n*mq*mq AS a, qd - n*mq*md AS b, qt - n*mq*mt AS cc, " +
-        "dd - n*md*md AS e, dt - n*md*mt AS f, tt - n*mt*mt AS g, " +
-        "qy - n*mq*my AS r1, dy - n*md*my AS r2, ty - n*mt*my AS r3 FROM s), " +
-        "k AS (SELECT mq, md, mt, my, " +
-        "(r1*(e*g - f*f) - b*(r2*g - f*r3) + cc*(r2*f - e*r3)) / " +
-        "(a*(e*g - f*f) - b*(b*g - f*cc) + cc*(b*f - e*cc)) AS b1, " +
-        "(a*(r2*g - f*r3) - r1*(b*g - f*cc) + cc*(b*r3 - r2*cc)) / " +
-        "(a*(e*g - f*f) - b*(b*g - f*cc) + cc*(b*f - e*cc)) AS b2, " +
-        "(a*(e*r3 - r2*f) - b*(b*r3 - r2*cc) + r1*(b*f - e*cc)) / " +
-        "(a*(e*g - f*f) - b*(b*g - f*cc) + cc*(b*f - e*cc)) AS b3 FROM m), " +
-        "kk AS (SELECT b1, b2, b3, my - b1*mq - b2*md - b3*mt AS b0 FROM k), " +
-        "rm AS (SELECT SQRT(AVG(POW(l_extendedprice - " +
-        "(b0 + b1*l_quantity + b2*l_discount + b3*l_tax), 2))) AS rmse " +
-        "FROM lineitem, kk) " +
-        "SELECT term, FLOOR(value * 10000 + 0.5) / 10000 AS value FROM (" +
-        "SELECT 'coef_0' AS term, b1 AS value FROM kk " +
-        "UNION ALL SELECT 'coef_1', b2 FROM kk " +
-        "UNION ALL SELECT 'coef_2', b3 FROM kk " +
-        "UNION ALL SELECT 'intercept', b0 FROM kk " +
-        "UNION ALL SELECT 'rmse', rmse FROM rm) u ORDER BY term"),
+    "ml_linreg" -> cramerOlsSql(),
     "ml_corr_matrix" -> corrMatrixSql(),
     "ml_cov_matrix" -> covMatrixSql(),
     // Spearman = Pearson over average ranks (ties averaged, as in the

@@ -111,9 +111,21 @@ object Supervised {
   }
 
   /** Linear regression; output = per-feature coefficient + intercept + rmse. */
-  def linearRegression(spark: SparkSession, lineitem: DataFrame): DataFrame = {
+  def linearRegression(spark: SparkSession, lineitem: DataFrame): DataFrame =
+    linearRegressionOn(spark, lineitem,
+      Seq("l_quantity", "l_discount", "l_tax"), "l_extendedprice")
+
+  /** [[linearRegression]] over an arbitrary feature subset + label —
+    * regParam 0 keeps the fit on the closed-form normal-equation
+    * solver at any column choice, so the Cramer oracle replays it
+    * exactly (the fuzz grid permutes the lineitem numerics). */
+  def linearRegressionOn(spark: SparkSession, lineitem: DataFrame,
+      features: Seq[String], label: String): DataFrame = {
     import spark.implicits._
-    val data = lineitemFeatures(lineitem)
+    val data = new VectorAssembler()
+      .setInputCols(features.toArray).setOutputCol("features")
+      .transform(lineitem)
+      .select(col("features"), col(label).as("label"))
     val m = new LinearRegression().setMaxIter(10).setRegParam(0.0)
       .setLabelCol("label").fit(data)
     (m.coefficients.toArray.zipWithIndex

@@ -137,12 +137,13 @@ object Unsupervised {
     * the whole covariance→eigendecomposition path is oracle-checkable in
     * SQL — the same fit-the-real-estimator / re-derive-in-closed-form
     * trick as the Cramer OLS oracle. Signs are killed with abs(). */
-  def pca2(spark: SparkSession, embeddings: DataFrame): DataFrame = {
+  def pca2(spark: SparkSession, embeddings: DataFrame,
+      off: Int = 1): DataFrame = {
     import spark.implicits._
     def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
     val data = embeddings.select(
       org.apache.spark.ml.functions.array_to_vector(
-        slice(col("embedding"), 1, 2)).as("features"))
+        slice(col("embedding"), off, 2)).as("features"))
     val m = new PCA().setK(2).setInputCol("features").setOutputCol("pc")
       .fit(data)
     val ev = m.explainedVariance.toArray
@@ -154,10 +155,11 @@ object Unsupervised {
 
   /** 2-column SVD companion: singular values / right vectors of the n×2
     * matrix come from the 2×2 Gram eigensystem — closed-form oracle. */
-  def svd2(spark: SparkSession, embeddings: DataFrame): DataFrame = {
+  def svd2(spark: SparkSession, embeddings: DataFrame,
+      off: Int = 1): DataFrame = {
     import spark.implicits._
     def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
-    val rows = embeddings.select(slice(col("embedding"), 1, 2).as("xy"))
+    val rows = embeddings.select(slice(col("embedding"), off, 2).as("xy"))
       .rdd.map(r => OldVectors.dense(
         r.getSeq[Float](0).map(_.toDouble).toArray))
     val svd = new RowMatrix(rows).computeSVD(2, computeU = false)

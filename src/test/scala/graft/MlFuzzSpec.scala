@@ -13,8 +13,10 @@ import graft.fuzz.{FuzzGen, MlFuzzSeed}
   * the pinned ML queries use). The grid spans (k, iters) for the
   * deterministic Lloyd fit, (k, nq) for exact KNN, vote-k for the KNN
   * classifier, (eps, minPts) for DBSCAN, minSupport for PrefixSpan,
-  * (iters, damp) for SimRank, (iters, lambda) for rank-1 ALS and
-  * (k, iters, vocab) for the Lee–Seung NMF. */
+  * (iters, damp) for SimRank, (iters, lambda) for rank-1 ALS,
+  * (k, iters, vocab) for the Lee–Seung NMF, permuted lineitem
+  * feature subsets for the Cramer-OLS linear regression, and
+  * non-leading dim pairs for the 2×2 PCA/SVD eigensystems. */
 class MlFuzzSpec extends AnyFunSuite {
   import TestSpark._
 

@@ -156,8 +156,32 @@ object MlFuzzSeed {
           })
     }
 
+    // closed-form family over input slices (round-12 directive #7):
+    // Cramer-OLS over permuted lineitem feature subsets (regParam 0
+    // keeps Spark on the exact normal-equation solver at any columns),
+    // and the 2×2 PCA/SVD eigensystems over non-leading dim pairs
+    val linr = Seq(
+      (Seq("l_extendedprice", "l_discount", "l_tax"), "l_quantity", "pq"),
+      (Seq("l_tax", "l_quantity", "l_extendedprice"), "l_discount", "pd"),
+      (Seq("l_discount", "l_tax", "l_quantity"), "l_extendedprice", "pp"))
+      .map { case (fs, label, tag) =>
+        MlCase(s"mfz_linr_$tag",
+          MlQueries.cramerOlsSql(fs(0), fs(1), fs(2), label),
+          (s, d) => graft.ml.Supervised.linearRegressionOn(s,
+            Tables(s, d, "lineitem"), fs, label))
+      }
+    val eig2 = Seq(("pca2", 3), ("pca2", 17), ("svd2", 5), ("svd2", 33))
+      .map { case (kind, off) =>
+        MlCase(s"mfz_${kind}_o$off",
+          if (kind == "pca2") MlQueries.pca2Sql(off)
+          else MlQueries.svd2Sql(off),
+          (s, d) =>
+            if (kind == "pca2") Unsupervised.pca2(s, emb(s, d), off)
+            else Unsupervised.svd2(s, emb(s, d), off))
+      }
+
     lloyd ++ knnEx ++ knnCls ++ dbscan ++ prefix ++ simrank ++ als ++
-      nmf ++ stats
+      nmf ++ stats ++ linr ++ eig2
   }
 }
 
