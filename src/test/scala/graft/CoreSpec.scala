@@ -98,19 +98,21 @@ class CoreSpec extends AnyFunSuite {
 
   test("streaming throughput verdict is canary-aware: a loaded host " +
       "never ships slow") {
-    val gate = 3160.0 // near_dups_rps
-    // quiet host, throughput within 2x of gate: ok
-    assert(Bench.streamVerdict(1800.0, gate, 0.647) == "ok")
-    // quiet host, genuinely below half the gate: slow
-    assert(Bench.streamVerdict(1200.0, gate, 0.647) == "slow")
-    // loaded host (2x canary): the same 1200 rows/s host-adjusts to
-    // 2400 >= gate/2 -> ok
-    assert(Bench.streamVerdict(1200.0, gate, 1.294) == "ok")
+    val gate = 2940.0 // near_dups_rps (r13 re-baseline, min of 3 windows)
+    // quiet host, throughput within the 1.4x band (gate/1.4 = 2100): ok
+    assert(Bench.streamVerdict(2200.0, gate, 0.647) == "ok")
+    // quiet host, genuinely below the band: slow — a 1.5x regression
+    // reads ~0.67x of gate and lands here (the r12 2x band could not
+    // catch it; the re-baselined statistic's <=6% spread can)
+    assert(Bench.streamVerdict(2000.0, gate, 0.647) == "slow")
+    // loaded host (2x canary): the same 2000 rows/s host-adjusts to
+    // 4000 >= gate/1.4 -> ok
+    assert(Bench.streamVerdict(2000.0, gate, 1.294) == "ok")
     // loaded host where even the adjusted rate trips: host-loaded,
     // never slow
-    assert(Bench.streamVerdict(500.0, gate, 0.9) == "host-loaded")
+    assert(Bench.streamVerdict(900.0, gate, 0.9) == "host-loaded")
     // fast host never inflates the measured rate
-    assert(Bench.streamVerdict(1200.0, gate, 0.3) == "slow")
+    assert(Bench.streamVerdict(2000.0, gate, 0.3) == "slow")
   }
 
   test("streaming steady-state statistic is drop-worst mean of the " +
