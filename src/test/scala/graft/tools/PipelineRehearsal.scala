@@ -24,7 +24,16 @@ import org.apache.spark.sql.functions._
   * measures whether they compose (cache pressure, AQE interplay,
   * checkpoint cadence) in one job.
   *
-  * Usage: PipelineRehearsal <corpusDir> <outDir> [label]
+  * Usage: PipelineRehearsal <corpusDir> <outDir> [label] [langs]
+  *
+  * `langs` (comma list, default "en") runs the gate stack once per
+  * language and unions the survivor sets. The StressGen replicas tag
+  * every token (`~k`), which the language-ID heuristic classifies
+  * 'und' — so a strict en-only funnel at ×k narrows back to the base
+  * survivors by the GENERATOR's design (stage 1 still does the full
+  * ×k work). Passing "en,und" keeps the surviving replicas too, so
+  * the downstream stages (bloom probe, semantic dedup, export) see
+  * genuinely scaled input volumes.
   */
 object PipelineRehearsal {
 
@@ -37,6 +46,8 @@ object PipelineRehearsal {
     val corpusDir = args(0)
     val outDir = args(1)
     val label = if (args.length > 2) args(2) else corpusDir
+    val langs = (if (args.length > 3) args(3) else "en")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .withExtensions(new graft.GraftExtensions)
@@ -54,7 +65,8 @@ object PipelineRehearsal {
     val emb = graft.sources.Tables(spark, corpusDir, "embeddings")
     val nDocs = docs.count()
     val nVecs = emb.count()
-    println(s"[rehearsal] $label: $nDocs docs, $nVecs vectors")
+    println(s"[rehearsal] $label: $nDocs docs, $nVecs vectors, " +
+      f"canary cpu_spin=${graft.Bench.cpuSpin()}%.3f s")
 
     def stage[T](name: String)(body: => (Long, T)): T = {
       val t0 = System.nanoTime()
@@ -66,13 +78,15 @@ object PipelineRehearsal {
     }
     val tTotal0 = System.nanoTime()
 
-    // 1. strict gate stack: quality >= 0.5, lang en, dup3 gate ACTIVE
-    //    (0.9 — strict enough to genuinely evaluate, loose enough to
-    //    keep the funnel realistic), minhash-dedup keep
+    // 1. strict gate stack: quality >= 0.5, per-language pass, dup3
+    //    gate ACTIVE (0.9 — strict enough to genuinely evaluate, loose
+    //    enough to keep the funnel realistic), minhash-dedup keep
     val curated = stage("curate") {
-      val kept = TextOps.curate(docs, minQuality = 0.5, lang = "en",
-        shingleSize = 3, threshold = 0.5, maxDup3 = 0.9)
-        .select("doc_id").localCheckpoint()
+      val kept = langs.map(l =>
+          TextOps.curate(docs, minQuality = 0.5, lang = l,
+            shingleSize = 3, threshold = 0.5, maxDup3 = 0.9)
+            .select("doc_id"))
+        .reduce(_.unionByName(_)).localCheckpoint()
       (kept.count(), kept)
     }
 
@@ -113,7 +127,8 @@ object PipelineRehearsal {
     }
 
     val total = (System.nanoTime() - tTotal0) / 1e9
-    println(f"[rehearsal] TOTAL $label ${total}%8.2f s")
+    println(f"[rehearsal] TOTAL $label ${total}%8.2f s, " +
+      f"canary cpu_spin=${graft.Bench.cpuSpin()}%.3f s")
     spark.stop()
   }
 }
