@@ -239,6 +239,33 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** 8-thread companion of [[cpuSpin]] (each thread runs the full 300M
+    * steps): on an idle many-core host it reads ≈ the single-thread
+    * time; it inflates under MULTI-core contention the single-thread
+    * canary is blind to (round-13 finding: quiet cpu_spin readings
+    * bracketed windows whose 32-thread query times differed 1.3×).
+    * Observability only — verdict math stays on the single-thread
+    * canary whose 0.647 s reference the gates were measured against. */
+  private[graft] def cpuSpin8(): Double = {
+    val t0 = System.nanoTime()
+    val threads = (0 until 8).map { t =>
+      new Thread(() => {
+        var x = 0x9E3779B97F4A7C15L + t
+        var acc = 0L
+        var i = 0L
+        while (i < 300000000L) {
+          x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+          acc += x
+          i += 1
+        }
+        if (acc == 42L) System.err.println("[bench] cpu_spin8 sentinel")
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -300,9 +327,11 @@ object Bench {
     // minimum (Spark scan path) + the pure-CPU spin. Re-spun after the
     // suite so a mid-run host slowdown is visible as start/end drift.
     val spinStart = cpuSpin()
+    val spin8Start = cpuSpin8()
     val q01Canary = (1 to 3).map(_ => sample("q01_scan")).min
     System.err.println(
-      f"[bench] canary cpu_spin=$spinStart%.3f s q01_scan_warm=$q01Canary%.3f s")
+      f"[bench] canary cpu_spin=$spinStart%.3f s cpu_spin8=$spin8Start%.3f s " +
+        f"q01_scan_warm=$q01Canary%.3f s")
 
     var errors = List.empty[String]
     // optional comma-separated allowlist for local iteration: time one
@@ -319,7 +348,7 @@ object Bench {
     // 730 s total vs 444 s same-code quiet passes was unattributable
     // because the canary only bracketed the run.
     val midCanaries = scala.collection.mutable.ListBuffer
-      .empty[(Int, String, Double)]
+      .empty[(Int, String, Double, Double)]
     val results = selected.toSeq.sortBy(_._1).zipWithIndex
       .map { case ((name, fn), idx) =>
         if (memoBacked(name)) graft.core.QueryCache.clear()
@@ -341,9 +370,11 @@ object Bench {
         System.err.println(f"[bench] $name%-24s $dt%8.3f s")
         if ((idx + 1) % 25 == 0) {
           val spin = cpuSpin()
-          midCanaries += ((idx + 1, name, spin))
+          val spin8 = cpuSpin8()
+          midCanaries += ((idx + 1, name, spin, spin8))
           System.err.println(
-            f"[bench] mid-canary after #${idx + 1}%3d ($name) cpu_spin=$spin%.3f s")
+            f"[bench] mid-canary after #${idx + 1}%3d ($name) " +
+              f"cpu_spin=$spin%.3f s cpu_spin8=$spin8%.3f s")
         }
         name -> dt
       }
@@ -405,6 +436,7 @@ object Bench {
       if (only.isDefined && !only.get.contains("streaming")) Seq.empty
       else try {
         val canaryAtStream = cpuSpin()
+        val canaryAtStream8 = cpuSpin8()
         streamTriggers = streamBench(spark, sfDir)
         clearSparkState()
         val rows = streamTriggers.map { case (k, v) => k -> steadyStat(v) }
@@ -415,13 +447,15 @@ object Bench {
           System.err.println(
             f"[bench] stream $k%-18s ${v}%9.1f rows/s -> $verdict")
         }
-        rows :+ ("canary_at_stream" -> canaryAtStream)
+        rows :+ ("canary_at_stream" -> canaryAtStream) :+
+          ("canary_at_stream8" -> canaryAtStream8)
       } catch { case e: Throwable =>
         errors ::= "streaming"
         System.err.println(s"[bench] streaming failed: ${e.getMessage}")
         Seq.empty
       }
     val spinEnd = cpuSpin()
+    val spin8End = cpuSpin8()
     val qs = refined.filter(r => headline(r._1))
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
@@ -434,6 +468,8 @@ object Bench {
     }.mkString("{", ",", "}")
     val canaryJson = "{\"cpu_spin_start\":" + r3(spinStart) +
       ",\"cpu_spin_end\":" + r3(spinEnd) +
+      ",\"cpu_spin8_start\":" + r3(spin8Start) +
+      ",\"cpu_spin8_end\":" + r3(spin8End) +
       ",\"q01_scan_warm\":" + r3(q01Canary) + "}"
     val streamJson = streamRows.map { case (k, v) =>
       val vd = streamGate.get(k)
@@ -441,7 +477,7 @@ object Bench {
           streamVerdict(v, g,
             streamRows.toMap.getOrElse("canary_at_stream", spinStart)) +
           "\"").getOrElse("")
-      "\"" + k + "\":" + (if (k == "canary_at_stream") r3(v).toString
+      "\"" + k + "\":" + (if (k.startsWith("canary_at_stream")) r3(v).toString
         else "{\"rps\":" + r3(v) + vd + "}")
     }.mkString("{", ",", "}")
     val total = r3(results.map(_._2).sum)
@@ -477,8 +513,9 @@ object Bench {
       val rr = rerunSamples.toSeq.sortBy(_._1).map { case (k, v) =>
         "\"" + k + "\":" + v.map(r3).mkString("[", ",", "]")
       }.mkString("{", ",", "}")
-      val mc = midCanaries.map { case (n, after, spin) =>
-        s"""{"after_n":$n,"after_query":"$after","cpu_spin":${r3(spin)}}"""
+      val mc = midCanaries.map { case (n, after, spin, spin8) =>
+        s"""{"after_n":$n,"after_query":"$after","cpu_spin":${r3(spin)},""" +
+          s""""cpu_spin8":${r3(spin8)}}"""
       }.mkString("[", ",", "]")
       val st = streamTriggers.map { case (k, v) =>
         "\"" + k + "\":" + v.map(r3).mkString("[", ",", "]")
