@@ -931,14 +931,17 @@ object CorpusOps {
   /** [[bloomDecontaminate]] with an EXTERNAL eval corpus — the
     * deployment shape (benchmarks live in their own tables, not in an
     * id-modulo slice of the training corpus). The slice form delegates
-    * here, so the oracle-checked path and this one share every line. */
+    * here, so the oracle-checked path and this one share every line.
+    * Default `mBits = 0` = adaptive sizing (see [[bloomBuild]]) — at
+    * deployment the eval-set size is not known at call-site-authoring
+    * time, and a saturated filter silently drops the whole corpus. */
   def bloomDecontaminateAgainst(trainDocs: DataFrame, evalDocs: DataFrame,
       n: Int = 3, maxOverlap: Double = 0.5,
-      mBits: Int = 1 << 16, numHashes: Int = 4): DataFrame = {
-    val bitmap = bloomBuild(evalDocs, n, mBits, numHashes)
+      mBits: Int = 0, numHashes: Int = 4): DataFrame = {
+    val (bitmap, m) = bloomBuild(evalDocs, n, mBits, numHashes)
     val bm = typedlit(bitmap.toSeq)
     // probe: per-row, codegen'd — k unrolled literal-array lookups
-    val hit = bloomHitExpr(bm, mBits, numHashes)(col("g"))
+    val hit = bloomHitExpr(bm, m, numHashes)(col("g"))
     Dedup.withShingleSets(trainDocs, n)
       .select(col("doc_id"), explode(col("shingle_set")).as("g"))
       .withColumn("hit", when(hit, 1L).otherwise(0L))
@@ -1017,24 +1020,44 @@ object CorpusOps {
       .orderBy("window_start")
   }
 
-  /** Builds the `⌈mBits/63⌉`-word Bloom bitmap over the distinct token
+  /** Builds the `⌈m/63⌉`-word Bloom bitmap over the distinct token
     * n-grams of `evalDocs`: k double-hash positions per gram, word-
-    * indexed bit_or aggregate, collected driver-side (bounded by
-    * `mBits`, never by the corpus). */
+    * indexed bit_or aggregate, collected driver-side (bounded by `m`,
+    * never by the corpus). Returns (bitmap, resolved m).
+    *
+    * `mBits = 0` sizes the filter FROM the eval corpus: the smallest
+    * power of two ≥ 10 bits per distinct n-gram (k = 4 → ~1.2% FPR),
+    * clamped to [2^16, 2^26]. A fixed 2^16 saturates once the eval set
+    * carries more than ~6.5k distinct grams — the ×30 pipeline
+    * rehearsal measured fill ratio → 1 and every probe reading "maybe"
+    * (26,025 survivors → 3), the one-sided guarantee collapsing to
+    * drop-everything. The clamp floor keeps small-eval behavior (every
+    * pinned oracle and spec fixture) bit-identical to the old fixed
+    * default. */
   private[graft] def bloomBuild(evalDocs: DataFrame, n: Int,
-      mBits: Int, numHashes: Int): Array[Long] = {
-    require(mBits >= 64 && mBits <= (1 << 26),
-      s"need 64 <= mBits <= 2^26, got $mBits")
+      mBits: Int, numHashes: Int): (Array[Long], Int) = {
+    require(mBits == 0 || (mBits >= 64 && mBits <= (1 << 26)),
+      s"need mBits = 0 (adaptive) or 64 <= mBits <= 2^26, got $mBits")
     require(numHashes > 0 && numHashes <= 16,
       s"need 0 < numHashes <= 16, got $numHashes")
-    val h1 = pmod(Dedup.sha2TokenHash(col("g")), lit(mBits.toLong))
-    val h2 = pmod(sha2TokenHash2(col("g")), lit(mBits.toLong))
-    val posRows = Dedup.withShingleSets(evalDocs, n)
+    val grams = Dedup.withShingleSets(evalDocs, n)
       .select(explode(col("shingle_set")).as("g")).distinct()
+      .localCheckpoint()
+    val m =
+      if (mBits > 0) mBits
+      else {
+        val nGrams = grams.count()
+        var mm = 1 << 16
+        while (mm < (1 << 26) && mm < 10L * nGrams) mm <<= 1
+        mm
+      }
+    val h1 = pmod(Dedup.sha2TokenHash(col("g")), lit(m.toLong))
+    val h2 = pmod(sha2TokenHash2(col("g")), lit(m.toLong))
+    val posRows = grams
       .select(h1.as("h1"), h2.as("h2"))
       .select(explode(sequence(lit(0L), lit(numHashes - 1L))).as("s"),
         col("h1"), col("h2"))
-      .select(((col("h1") + col("s") * col("h2")) % mBits).as("pos"))
+      .select(((col("h1") + col("s") * col("h2")) % m).as("pos"))
       // 63-bit words (sign bit unused): an engine with CHECKED shift
       // arithmetic (DuckDB) rejects 1 << 63, so the replicable layout
       // never touches it
@@ -1042,9 +1065,9 @@ object CorpusOps {
         expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))").as("bit"))
       .groupBy("w").agg(expr("bit_or(bit)").as("bits"))
       .collect()
-    val bitmap = new Array[Long]((mBits + 62) / 63)
+    val bitmap = new Array[Long]((m + 62) / 63)
     posRows.foreach(r => bitmap(r.getInt(0)) = r.getLong(1))
-    bitmap
+    (bitmap, m)
   }
 
   /** All-k-bits-set membership test for one n-gram column against the

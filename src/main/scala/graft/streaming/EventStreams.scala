@@ -289,10 +289,11 @@ object EventStreams {
     * shingle sets drop out, matching the batch aggregate. */
   def streamingDecontaminate(docsStream: DataFrame, evalDocs: DataFrame,
       shingleSize: Int = 3, maxOverlap: Double = 0.5,
-      mBits: Int = 1 << 16, numHashes: Int = 4): DataFrame = {
+      mBits: Int = 0, numHashes: Int = 4): DataFrame = {
     import graft.llm.{CorpusOps, Dedup, TextOps}
-    val bm = typedlit(
-      CorpusOps.bloomBuild(evalDocs, shingleSize, mBits, numHashes).toSeq)
+    val (bitmap, m) =
+      CorpusOps.bloomBuild(evalDocs, shingleSize, mBits, numHashes)
+    val bm = typedlit(bitmap.toSeq)
     val probed = docsStream
       .select(col("ts"), col("doc_id"),
         Dedup.shingleSetExpr(docsStream.sparkSession, shingleSize)
@@ -301,7 +302,7 @@ object EventStreams {
       .select(col("ts"), col("doc_id"),
         size(col("shingle_set")).cast("long").as("n_ngrams"),
         size(filter(col("shingle_set"),
-          g => CorpusOps.bloomHitExpr(bm, mBits, numHashes)(g)))
+          g => CorpusOps.bloomHitExpr(bm, m, numHashes)(g)))
           .cast("long").as("n_maybe"))
     probed.select(col("ts"), col("doc_id"), col("n_ngrams"), col("n_maybe"),
         TextOps.r4(col("n_maybe").cast("double") / col("n_ngrams"))

@@ -749,6 +749,39 @@ class LlmSpec extends AnyFunSuite {
     assert(ce.forall { case (id, h) => cb(id) >= h })
   }
 
+  test("bloom filter sizes itself from the eval corpus and no longer " +
+      "saturates at scale") {
+    // the x30 pipeline rehearsal caught the fixed 2^16-bit default
+    // saturating (fill ratio -> 1, every probe "maybe", 26,025
+    // survivors -> 3); adaptive sizing (mBits = 0) picks the smallest
+    // power of two >= 10 bits per distinct gram, floored at 2^16 so
+    // small-eval behavior is bit-identical to the old default
+    val small = Seq((7L, "tiny eval slice")).toDF("doc_id", "text")
+    assert(CorpusOps.bloomBuild(small, 3, 0, 4)._2 == (1 << 16))
+    // 20k distinct unigrams => m = nextPow2(200k) = 2^18
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val bigEval = spark.range(20000)
+      .select(col("id").as("doc_id"),
+        concat(lit("tok"), col("id")).as("text"))
+    val (bitmap, m) = CorpusOps.bloomBuild(bigEval, 1, 0, 4)
+    assert(m == (1 << 18), s"resolved $m")
+    // fill ratio stays bounded (~ 1 - e^(-80k/262k) = 0.26), so a
+    // CLEAN doc's overlap upper bound stays far from the drop line
+    val fill = bitmap.map(java.lang.Long.bitCount).sum.toDouble / m
+    assert(fill < 0.35, s"fill ratio $fill")
+    val clean = Seq((1000000L,
+      "completely fresh words nowhere near the evaluation vocabulary"))
+      .toDF("doc_id", "text")
+    val probe = CorpusOps.bloomDecontaminateAgainst(clean, bigEval, n = 1)
+      .collect()(0)
+    assert(!probe.getBoolean(4),
+      s"clean doc dropped at overlap ${probe.getDouble(3)}")
+    // the fixed 2^16 filter on the same eval set IS saturated — the
+    // failure mode the adaptive default removes
+    val (satur, _) = CorpusOps.bloomBuild(bigEval, 1, 1 << 16, 4)
+    assert(satur.map(java.lang.Long.bitCount).sum.toDouble / (1 << 16) > 0.7)
+  }
+
   test("source overlap: cross-source near-dup pair lands in the " +
       "lexicographically ordered cell") {
     val docs = Seq(
