@@ -66,7 +66,8 @@ object PipelineRehearsal {
     val nDocs = docs.count()
     val nVecs = emb.count()
     println(s"[rehearsal] $label: $nDocs docs, $nVecs vectors, " +
-      f"canary cpu_spin=${graft.Bench.cpuSpin()}%.3f s")
+      f"canary cpu_spin=${graft.Bench.cpuSpin()}%.3f s " +
+      f"cpu_spin8=${graft.Bench.cpuSpin8()}%.3f s")
 
     def stage[T](name: String)(body: => (Long, T)): T = {
       val t0 = System.nanoTime()
@@ -128,7 +129,8 @@ object PipelineRehearsal {
 
     val total = (System.nanoTime() - tTotal0) / 1e9
     println(f"[rehearsal] TOTAL $label ${total}%8.2f s, " +
-      f"canary cpu_spin=${graft.Bench.cpuSpin()}%.3f s")
+      f"canary cpu_spin=${graft.Bench.cpuSpin()}%.3f s " +
+      f"cpu_spin8=${graft.Bench.cpuSpin8()}%.3f s")
     spark.stop()
   }
 }
