@@ -1287,6 +1287,38 @@ object LlmQueries {
       "FROM t ORDER BY doc_id")
   }
 
+  /** Bloom-decontamination replica (the pinned llm_decontaminate_bloom
+    * shape), parameterized over (mBits, numHashes) for the fuzz grid —
+    * with adaptive filter sizing in the engine (CorpusOps.bloomBuild),
+    * the probe math at NON-default sizes is live deployment behavior
+    * and deserves differential proof, not just the 65536-bit pinned
+    * point. The eval slice (doc_id % 10 = 7), shingle n = 3, and the
+    * 0.5 drop line stay the pinned shape's. */
+  private[graft] def bloomSql(mBits: Long = 65536L,
+      numHashes: Int = 4): String =
+    ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+      "s AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN list_distinct(toks) " +
+      "ELSE list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] " +
+      "FOR i IN range(1, len(toks) - 1)]) END AS sh FROM t), " +
+      "ev AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 10 = 7), " +
+      s"eh AS (SELECT CAST(CONCAT('0x', SUBSTR(sha256(g), 1, 15)) AS BIGINT) % $mBits AS h1, " +
+      s"CAST(CONCAT('0x', SUBSTR(sha256(g), 16, 15)) AS BIGINT) % $mBits AS h2 FROM ev), " +
+      s"ep AS (SELECT (h1 + r.range * h2) % $mBits AS pos FROM eh, range(0, $numHashes) r), " +
+      "bm AS (SELECT CAST(pos // 63 AS INTEGER) AS w, " +
+      "bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INTEGER)) AS bits FROM ep GROUP BY 1), " +
+      "tg AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % 10 <> 7), " +
+      s"th AS (SELECT doc_id, g, CAST(CONCAT('0x', SUBSTR(sha256(g), 1, 15)) AS BIGINT) % $mBits AS h1, " +
+      s"CAST(CONCAT('0x', SUBSTR(sha256(g), 16, 15)) AS BIGINT) % $mBits AS h2 FROM tg), " +
+      s"tp AS (SELECT doc_id, g, (h1 + r.range * h2) % $mBits AS pos FROM th, range(0, $numHashes) r), " +
+      "tj AS (SELECT doc_id, g, MIN(CASE WHEN ((COALESCE(bm.bits, 0) >> CAST(pos % 63 AS INTEGER)) & 1) = 1 " +
+      "THEN 1 ELSE 0 END) AS hit FROM tp LEFT JOIN bm ON bm.w = CAST(pos // 63 AS INTEGER) " +
+      "GROUP BY doc_id, g) " +
+      "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams, " +
+      "CAST(SUM(hit) AS BIGINT) AS n_maybe, " +
+      "FLOOR(CAST(SUM(hit) AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000 AS overlap_ub, " +
+      "FLOOR(CAST(SUM(hit) AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000 >= 0.5 AS dropped " +
+      "FROM tj GROUP BY doc_id ORDER BY doc_id")
+
   /** Whole-BPE-training replica over `steps` merges — the pinned
     * llm_bpe_merges shape, parameterized for the fuzz grid. */
   private[graft] def bpeMergesSql(steps: Int): String =
@@ -2602,29 +2634,7 @@ object LlmQueries {
     // (sha256 double-hash, 65536 bits, 4 probes), so DuckDB rebuilds the
     // identical bitmap with bit_or and replays every probe — the
     // approximation itself is oracle-checked, not just bounded
-    ("llm_decontaminate_bloom" ->
-      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
-        "s AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN list_distinct(toks) " +
-        "ELSE list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] " +
-        "FOR i IN range(1, len(toks) - 1)]) END AS sh FROM t), " +
-        "ev AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 10 = 7), " +
-        "eh AS (SELECT CAST(CONCAT('0x', SUBSTR(sha256(g), 1, 15)) AS BIGINT) % 65536 AS h1, " +
-        "CAST(CONCAT('0x', SUBSTR(sha256(g), 16, 15)) AS BIGINT) % 65536 AS h2 FROM ev), " +
-        "ep AS (SELECT (h1 + r.range * h2) % 65536 AS pos FROM eh, range(0, 4) r), " +
-        "bm AS (SELECT CAST(pos // 63 AS INTEGER) AS w, " +
-        "bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INTEGER)) AS bits FROM ep GROUP BY 1), " +
-        "tg AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % 10 <> 7), " +
-        "th AS (SELECT doc_id, g, CAST(CONCAT('0x', SUBSTR(sha256(g), 1, 15)) AS BIGINT) % 65536 AS h1, " +
-        "CAST(CONCAT('0x', SUBSTR(sha256(g), 16, 15)) AS BIGINT) % 65536 AS h2 FROM tg), " +
-        "tp AS (SELECT doc_id, g, (h1 + r.range * h2) % 65536 AS pos FROM th, range(0, 4) r), " +
-        "tj AS (SELECT doc_id, g, MIN(CASE WHEN ((COALESCE(bm.bits, 0) >> CAST(pos % 63 AS INTEGER)) & 1) = 1 " +
-        "THEN 1 ELSE 0 END) AS hit FROM tp LEFT JOIN bm ON bm.w = CAST(pos // 63 AS INTEGER) " +
-        "GROUP BY doc_id, g) " +
-        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams, " +
-        "CAST(SUM(hit) AS BIGINT) AS n_maybe, " +
-        "FLOOR(CAST(SUM(hit) AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000 AS overlap_ub, " +
-        "FLOOR(CAST(SUM(hit) AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000 >= 0.5 AS dropped " +
-        "FROM tj GROUP BY doc_id ORDER BY doc_id")) +
+    ("llm_decontaminate_bloom" -> bloomSql()) +
     // quality-aware keep replica: the dedup-groups closure + the quality
     // model embed verbatim; singletons re-enter via the documents left
     // join, the family winner ranks on (score4 desc, doc_id)

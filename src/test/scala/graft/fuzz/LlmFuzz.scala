@@ -416,6 +416,18 @@ object LlmFuzzSeed {
           LlmQueries.contaminationSql(n, mod, rem, thr),
           (s, d) => CorpusOps.contamination(docs(s, d), n, mod, rem, thr))
       }
+    // Bloom screen over (mBits, numHashes) — with adaptive sizing in
+    // the engine, non-default filter geometries are live deployment
+    // behavior; the 4096-bit point saturates visibly (high FPR) so the
+    // family is guaranteed parameter-sensitive, and the probe math
+    // (double-hash positions, 63-bit words) replays at every size
+    val bloomC = Seq((4096L, 4), (65536L, 2), (131072L, 4)).map {
+      case (m, k) =>
+        LlmCase(s"lfz_bloom_m${m}_k$k",
+          LlmQueries.bloomSql(m, k),
+          (s, d) => CorpusOps.bloomDecontaminate(docs(s, d),
+            mBits = m.toInt, numHashes = k))
+    }
     val decontamC = Seq((2, 10, 3, 0.5), (3, 4, 2, 0.3)).map {
       case (n, mod, rem, thr) =>
         LlmCase(s"lfz_decontam_n${n}_m${mod}_r${rem}_t${(thr * 10).toInt}",
@@ -570,7 +582,7 @@ object LlmFuzzSeed {
       bm25 ++ spanD ++ spanR ++ withinDoc ++ boiler ++ mixQ ++ mixR ++
       mixT ++ mixU ++ shardC ++ packC ++ vocabC ++ chunkC ++
       tokBudget ++ curr ++ dsirC ++ dsirSel ++ pplC ++ ccnetC ++
-      blockC ++ contamC ++ decontamC ++ noveltyC ++ noveltyRefC ++
+      blockC ++ bloomC ++ contamC ++ decontamC ++ noveltyC ++ noveltyRefC ++
       ccnetTerc ++ rrfC ++ splitC ++ calibC ++ featC ++ groupsC ++
       groupSizesC ++ overlapC ++ incrD ++ incrA ++ mmC ++ mmFrames ++
       klC ++ driftC
