@@ -52,10 +52,15 @@ object StressGen {
     else array_join(
       transform(split(col("text"), " "), t => concat(t, lit(s"~$k"))), " ")
 
-  private def shiftedEmbedding(k: Int) =
-    if (k == 0) col("embedding")
-    else concat(slice(col("embedding"), k + 1, 64 - k),
-      slice(col("embedding"), 1, k))
+  private def shiftedEmbedding(k: Int) = {
+    // shift amount wraps into [1, 63] for every replica (k >= 64 broke
+    // the slice with a negative length, and a 0 shift would clone the
+    // base vector — a semantic dup the generator must not plant)
+    val s = if (k == 0) 0 else ((k - 1) % 63) + 1
+    if (s == 0) col("embedding")
+    else concat(slice(col("embedding"), s + 1, 64 - s),
+      slice(col("embedding"), 1, s))
+  }
 
   private def replicate(spark: SparkSession, table: String, copies: Int)
       (one: (DataFrame, Int) => DataFrame): DataFrame = {
