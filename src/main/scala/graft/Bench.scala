@@ -74,6 +74,60 @@ object Bench {
     else "regression"
   }
 
+  /** One probe attempt: (canary measured immediately before the warm
+    * reps, the warm-rep times). */
+  private[graft] final case class ProbeAttempt(canary: Double,
+      warm: Seq[Double])
+
+  /** Probe with auto-requeue under load (round-13 directive #4): all
+    * three of r13's final-code passes shipped "contention" verdicts —
+    * correct adjudications, but each left the record without a quiet
+    * number where one short backoff would likely have produced one.
+    * When the first attempt's canary says the host is loaded (factor
+    * > 1.15 vs the 0.647 s reference), back off once and retry the full
+    * 3-warm-rep probe; ship the attempt with the QUIETER canary and
+    * record the other attempt's canary so the adjudication remains
+    * auditable. `attempt`/`backoff` are injected so the loaded-host
+    * path is unit-testable without a loaded host.
+    * Returns (shipped attempt, verdict, requeued?, other attempt's
+    * canary when a requeue happened). */
+  private[graft] def probeWithRequeue(gate: Double,
+      attempt: () => ProbeAttempt,
+      backoff: () => Unit = () => Thread.sleep(15000)):
+      (ProbeAttempt, String, Boolean, Option[Double]) = {
+    val a1 = attempt()
+    if (a1.canary / canaryGate <= 1.15)
+      (a1, probeVerdict(a1.warm.min, gate, a1.canary), false, None)
+    else {
+      backoff()
+      val a2 = attempt()
+      val (ship, other) = if (a2.canary <= a1.canary) (a2, a1) else (a1, a2)
+      (ship, probeVerdict(ship.warm.min, gate, ship.canary), true,
+        Some(other.canary))
+    }
+  }
+
+  /** Gate-freshness self-check verdict (round-12 directive #6, fast
+    * side; round-13 directive #2 added the slow-side mirror): on a
+    * QUIET host (factor ≤ 1.15; a loaded window can't judge freshness),
+    * ≥5 gated rows reading <0.6× of gate means the engine has outrun
+    * the gates (the 2× band going vacuous — the r11 re-baseline
+    * trigger), and ≥5 gated rows reading >1.3× means the gate window
+    * was faster than current quiet windows, eating the 1.5× probe
+    * threshold's regression-detection headroom (the r13 iterative-graph
+    * finding, which this rule would have self-surfaced two rounds
+    * earlier). Both can fire at once (disjoint row sets). */
+  private[graft] def gateFreshnessVerdict(isGateScale: Boolean,
+      hostFactor: Double, fastRows: Int, slowRows: Int): String =
+    if (!isGateScale) "n/a (gates are sf0.1 numbers)"
+    else if (hostFactor > 1.15) "ok (loaded window; freshness unjudged)"
+    else Seq(
+      if (fastRows >= 5) Seq("re-baseline due (fast-side): " +
+        s"$fastRows gated rows <0.6x on a quiet canary") else Nil,
+      if (slowRows >= 5) Seq("re-baseline due (slow-side): " +
+        s"$slowRows gated rows >1.3x on a quiet canary") else Nil)
+      .flatten.reduceOption(_ + "; " + _).getOrElse("ok")
+
   /** Per-query detail ships only for this headline set + the known
     * heavy queries: the driver keeps a bounded tail of stdout, and the
     * round-1 all-89-query line (~2.9 kB) came back decapitated and
@@ -118,6 +172,30 @@ object Bench {
       canaryAtRun: Double): String = {
     val host = math.max(1.0, canaryAtRun / canaryGate)
     if (rps * host >= gate / 1.4) "ok"
+    else if (host > 1.15) "host-loaded"
+    else "slow"
+  }
+
+  /** Composition-chain gate (round-13 directive #3): total wall seconds
+    * of the four-stage curate → bloom-decontaminate → semdedup →
+    * split/export chain ([[graft.llm.Pipeline.curateChain]], langs
+    * en+und) over the ×10 stress replica of sf0.1 (50k docs / 20k
+    * vectors, generated untimed by [[graft.sources.StressReplicas]] and
+    * cached under /tmp). The ×30 Bloom-saturation bug (SCALE_r13 §4)
+    * proved chain-ONLY defects exist — stage interplay that 197 green
+    * per-operator rows cannot see; this row runs the chain every bench
+    * pass instead of only in hand-driven SCALE rounds. Gate measured
+    * at r14 code, min over 3 quiet windows (BASELINE §8). */
+  private[graft] val pipelineGate = Map("pipeline_x10" -> 24.34)
+
+  /** Canary-aware verdict for the pipeline row (lower is better, same
+    * 1.4× band as streaming — the chain total is a sum of four stages
+    * whose individual variance partially cancels; loaded host ships
+    * host-loaded, never slow — mirror of [[probeVerdict]]). */
+  private[graft] def pipelineVerdict(sec: Double, gate: Double,
+      canaryAtRun: Double): String = {
+    val host = math.max(1.0, canaryAtRun / canaryGate)
+    if (sec <= 1.4 * gate * host) "ok"
     else if (host > 1.15) "host-loaded"
     else "slow"
   }
@@ -413,18 +491,24 @@ object Bench {
     // scales by the measured host-load factor, and a loaded host ships
     // "host-loaded" rather than a false "regression". canary_at_probe
     // ships in the JSON so the adjudication is auditable.
+    // probe attempts auto-requeue once under load (round-13 directive
+    // #4, see [[probeWithRequeue]]): a first attempt whose canary reads
+    // > 1.15x the reference backs off 15 s and retries; the quieter
+    // attempt ships, the other attempt's canary rides along as
+    // requeue metadata.
     val probes = refined.flatMap { case (name, t) =>
       baselineGate.get(name)
         .filter(b => !errors.contains(name) && t > 1.5 * b)
         .map { b =>
-          val canaryAtProbe = cpuSpin()
-          val warm = (1 to 3).map(_ => sample(name))
-          val verdict = probeVerdict(warm.min, b, canaryAtProbe)
+          val (att, verdict, requeued, otherCanary) = probeWithRequeue(b,
+            () => ProbeAttempt(cpuSpin(), (1 to 3).map(_ => sample(name))))
           System.err.println(
             f"[bench] probe $name%-18s suite=$t%.3f base=$b%.2f " +
-              f"canary=$canaryAtProbe%.3f warm=" +
-              warm.map(w => f"$w%.3f").mkString("/") + s" -> $verdict")
-          name -> ((t, b, canaryAtProbe, warm, verdict))
+              f"canary=${att.canary}%.3f warm=" +
+              att.warm.map(w => f"$w%.3f").mkString("/") +
+              (if (requeued) f" requeued(other_canary=${otherCanary.get}%.3f)"
+               else "") + s" -> $verdict")
+          name -> ((t, b, att, verdict, requeued, otherCanary))
         }
     }
     // streaming throughput section (round-11 directive #4): skipped in
@@ -454,17 +538,75 @@ object Bench {
         System.err.println(s"[bench] streaming failed: ${e.getMessage}")
         Seq.empty
       }
+    // composition-chain section (round-13 directive #3): the four-stage
+    // curate → bloom → semdedup → export chain over the ×10 stress
+    // replica, gated as ONE row — chain-only defects (the ×30 Bloom
+    // saturation class) regress here even when every per-operator row
+    // stays green. Corpus generation and the export temp dir are
+    // untimed setup; only the chain is measured. Skipped in
+    // SPARK_GRAFT_ONLY mode unless "pipeline" is named.
+    var pipelineStages = Seq.empty[graft.llm.Pipeline.Stage]
+    val pipelineRows: Seq[(String, Double)] =
+      if (only.isDefined && !only.get.contains("pipeline")) Seq.empty
+      else try {
+        val base = new java.io.File(sfDir).getName
+        val stressDir = s"/tmp/graft_bench_stress/${base}_x10"
+        val ready = Seq("documents", "embeddings").forall(t =>
+          java.nio.file.Files.exists(
+            java.nio.file.Paths.get(s"$stressDir/$t.parquet/_SUCCESS")))
+        if (!ready) {
+          val t0 = System.nanoTime()
+          graft.sources.StressReplicas.writeDocsEmb(
+            spark, sfDir, stressDir, copies = 10)
+          System.err.println(f"[bench] x10 stress corpus -> $stressDir " +
+            f"(${(System.nanoTime() - t0) / 1e9}%.1f s, untimed)")
+        }
+        clearSparkState()
+        val canaryAtPipeline = cpuSpin()
+        val canaryAtPipeline8 = cpuSpin8()
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_bench_pipe").toString
+        val (chainSec, stages) = graft.llm.Pipeline.curateChain(
+          spark, stressDir, out, Seq("en", "und"),
+          m => System.err.println(s"[bench] pipeline $m"))
+        pipelineStages = stages
+        clearSparkState()
+        // best-effort cleanup of the exported JSONL
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(java.nio.file.Paths.get(out))
+            .sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(p => java.nio.file.Files.delete(p))
+        } catch { case _: Throwable => }
+        val verdict =
+          if (!sfDir.contains("sf0.1")) "ungated"
+          else pipelineVerdict(chainSec, pipelineGate("pipeline_x10"),
+            canaryAtPipeline)
+        System.err.println(
+          f"[bench] pipeline_x10 total $chainSec%8.2f s -> $verdict")
+        Seq("pipeline_x10" -> chainSec,
+          "canary_at_pipeline" -> canaryAtPipeline,
+          "canary_at_pipeline8" -> canaryAtPipeline8)
+      } catch { case e: Throwable =>
+        errors ::= "pipeline"
+        System.err.println(s"[bench] pipeline failed: ${e.getMessage}")
+        Seq.empty
+      }
     val spinEnd = cpuSpin()
     val spin8End = cpuSpin8()
     val qs = refined.filter(r => headline(r._1))
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val probeJson = probes.map { case (k, (t, b, cap, warm, verdict)) =>
-      "\"" + k + "\":{\"suite\":" + r3(t) + ",\"baseline\":" + b +
-        ",\"canary_at_probe\":" + r3(cap) +
-        ",\"warm\":" + warm.map(r3).mkString("[", ",", "]") +
-        ",\"verdict\":\"" + verdict + "\"}"
+    val probeJson = probes.map {
+      case (k, (t, b, att, verdict, requeued, otherCanary)) =>
+        "\"" + k + "\":{\"suite\":" + r3(t) + ",\"baseline\":" + b +
+          ",\"canary_at_probe\":" + r3(att.canary) +
+          ",\"warm\":" + att.warm.map(r3).mkString("[", ",", "]") +
+          ",\"requeued\":" + requeued +
+          otherCanary.map(c => ",\"canary_other_attempt\":" + r3(c))
+            .getOrElse("") +
+          ",\"verdict\":\"" + verdict + "\"}"
     }.mkString("{", ",", "}")
     val canaryJson = "{\"cpu_spin_start\":" + r3(spinStart) +
       ",\"cpu_spin_end\":" + r3(spinEnd) +
@@ -480,26 +622,33 @@ object Bench {
       "\"" + k + "\":" + (if (k.startsWith("canary_at_stream")) r3(v).toString
         else "{\"rps\":" + r3(v) + vd + "}")
     }.mkString("{", ",", "}")
-    val total = r3(results.map(_._2).sum)
+    // totals from the UNROUNDED per-query sums; only the final values
+    // round (r13 advice: headline_total as a difference of two rounded
+    // values drifted a millisecond or two from the true headline sum)
+    val totalRaw = results.map(_._2).sum
+    val total = r3(totalRaw)
+    val headlineTotal =
+      r3(results.filter(r => headline(r._1)).map(_._2).sum)
     val nonheadlineTotal =
       r3(results.filterNot(r => headline(r._1)).map(_._2).sum)
-    // gate-freshness self-check (round-12 directive #6): when the
-    // engine has outrun the gates on a QUIET host, say so in the
-    // shipped record instead of waiting for a judge to notice the 2x
-    // band went vacuous (the r11 re-baseline was triggered exactly
-    // this way, by hand).
+    // gate-freshness self-check (round-12 directive #6 fast side;
+    // round-13 directive #2 slow side — see [[gateFreshnessVerdict]]):
+    // when the gates have drifted from quiet-window reality in EITHER
+    // direction, say so in the shipped record instead of waiting for a
+    // judge to notice (the r11 fast-side re-baseline and the r13
+    // slow-side iterative-graph skew were both noticed by hand).
     val hostFactor =
       math.max(1.0, math.min(spinStart, spinEnd) / canaryGate)
     val fastRows = refined.count { case (name, t) =>
       baselineGate.get(name).exists(b =>
         !errors.contains(name) && t < 0.6 * b)
     }
-    val gateFreshness =
-      if (!sfDir.contains("sf0.1"))
-        "n/a (gates are sf0.1 numbers)"
-      else if (fastRows >= 5 && hostFactor <= 1.15)
-        s"re-baseline due: $fastRows gated rows <0.6x on a quiet canary"
-      else "ok"
+    val slowRows = refined.count { case (name, t) =>
+      baselineGate.get(name).exists(b =>
+        !errors.contains(name) && t > 1.3 * b)
+    }
+    val gateFreshness = gateFreshnessVerdict(
+      sfDir.contains("sf0.1"), hostFactor, fastRows, slowRows)
     // full per-query single-pass detail (round-12 directive #1): stdout
     // stays one machine-read line, but every number that line sums —
     // all ~197 single-pass times, the headline rerun samples, and the
@@ -520,9 +669,17 @@ object Bench {
       val st = streamTriggers.map { case (k, v) =>
         "\"" + k + "\":" + v.map(r3).mkString("[", ",", "]")
       }.mkString("{", ",", "}")
+      // raw per-stage vector for the composition chain (round-13
+      // directive #3): a pipeline_x10 verdict is adjudicable down to
+      // the stage that moved
+      val ps = pipelineStages.map { s =>
+        s"""{"name":"${s.name}","sec":${r3(s.sec)},""" +
+          s""""survivors":${s.survivors},"heap_mb":${s.heapMb}}"""
+      }.mkString("[", ",", "]")
       s"""{"single_pass":$sp,"reruns":$rr,"mid_canaries":$mc,""" +
         s""""stream_triggers_postcold":$st,""" +
-        s""""headline_total":${r3(total - nonheadlineTotal)},""" +
+        s""""pipeline_stages":$ps,""" +
+        s""""headline_total":$headlineTotal,""" +
         s""""nonheadline_total":$nonheadlineTotal,""" +
         s""""canary":$canaryJson,"errors":$errJson,"sf":"$sfDir"}"""
     }
@@ -533,13 +690,50 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}")
     }
+    val pipelineJson = pipelineRows.map { case (k, v) =>
+      if (k.startsWith("canary_at_pipeline")) "\"" + k + "\":" + r3(v)
+      else {
+        val vd =
+          if (!sfDir.contains("sf0.1")) ",\"verdict\":\"ungated\""
+          else pipelineGate.get(k).map(g => ",\"gate\":" + g +
+            ",\"verdict\":\"" + pipelineVerdict(v, g,
+              pipelineRows.toMap.getOrElse("canary_at_pipeline",
+                spinStart)) + "\"")
+            .getOrElse(",\"verdict\":\"ungated\"")
+        "\"" + k + "\":{\"sec\":" + r3(v) + vd + "}"
+      }
+    }.mkString("{", ",", "}")
+    // run manifest (round-13 directive #6): one mechanically-readable
+    // digest per run — label, detail-file pointer, canary summary, and
+    // every verdict — so a judge diffs quiet passes across rounds
+    // without prose archaeology. Label via SPARK_GRAFT_RUN_LABEL.
+    val manifestPath = sys.env.getOrElse("SPARK_GRAFT_MANIFEST_OUT",
+      "BENCH_manifest.json")
+    val manifestJson =
+      s"""{"run":"${sys.env.getOrElse("SPARK_GRAFT_RUN_LABEL", "adhoc")}",""" +
+        s""""detail_file":"$detailPath","total":$total,""" +
+        s""""headline_total":$headlineTotal,""" +
+        s""""nonheadline_total":$nonheadlineTotal,""" +
+        s""""canary":$canaryJson,"gate_freshness":"$gateFreshness",""" +
+        s""""errors":$errJson,"probes":$probeJson,""" +
+        s""""streaming":$streamJson,"pipeline":$pipelineJson,""" +
+        s""""n_queries":${results.size},"sf":"$sfDir"}"""
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(manifestPath),
+        manifestJson.getBytes("UTF-8"))
+      System.err.println(s"[bench] run manifest -> $manifestPath")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] manifest write failed: ${e.getMessage}")
+    }
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""nonheadline_total":$nonheadlineTotal,""" +
         s""""errors":$errJson,"canary":$canaryJson,"probes":$probeJson,""" +
         s""""streaming":$streamJson,""" +
+        s""""pipeline":$pipelineJson,""" +
         s""""gate_freshness":"$gateFreshness",""" +
         s""""detail_file":"$detailPath",""" +
+        s""""manifest_file":"$manifestPath",""" +
         s""""n_queries":${results.size},"sf":"$sfDir",""" +
         s""""method":"total=single pass after untimed warm-up """ +
         s"""(per-query vector + mid-run canaries every 25 queries in """ +
@@ -549,9 +743,13 @@ object Bench {
         s"""\\u00a75); probes=3 isolated warm reps for any headline """ +
         s""">1.5x its BASELINE \\u00a76 gate, verdict threshold scaled """ +
         s"""by canary_at_probe/0.647 (host-loaded shipped when the """ +
-        s"""scaled threshold still trips on a >1.15x-loaded host); """ +
-        s"""streaming=drop-worst mean of the 4 post-cold triggers of 5 """ +
-        s"""at the 15k trigger, gated vs BASELINE \\u00a77 at 1.4x"}"""
+        s"""scaled threshold still trips on a >1.15x-loaded host; a """ +
+        s"""loaded first attempt requeues once after 15s backoff and """ +
+        s"""the quieter attempt ships); streaming=drop-worst mean of """ +
+        s"""the 4 post-cold triggers of 5 at the 15k trigger, gated vs """ +
+        s"""BASELINE \\u00a77 at 1.4x; pipeline=x10 composition chain """ +
+        s"""total, gated vs BASELINE \\u00a78 at 1.4x (stages in """ +
+        s"""detail_file)"}"""
     // stop FIRST so no executor/log line interleaves with the one
     // machine-read output line
     spark.stop()

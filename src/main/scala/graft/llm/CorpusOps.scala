@@ -426,23 +426,6 @@ object CorpusOps {
     if (ordered) out.orderBy("doc_id") else out
   }
 
-  /** Deterministic train/val/test assignment — the split every training
-    * run needs pinned before anything else: each doc lands in exactly one
-    * named bucket, chosen by the numeric value of its md5 sampling key
-    * against cumulative `fractions` thresholds. Hash-based (not
-    * row-number-based), so the assignment is stable under corpus
-    * reordering, repartitioning, and incremental ingestion — a doc's
-    * split never changes when its neighbors do.
-    *
-    * The last bucket is the catch-all (`otherwise`), so threshold
-    * rounding can never drop a row. Expected (not exact) proportions —
-    * the [[mixRate]] trade: the plan is a pure per-row projection, no
-    * shuffle, no window, replicable in any engine with md5.
-    */
-  /** The bucket-assignment Column behind [[splitAssign]] — exposed
-    * within the object so compositions ([[exportTrainingSet]]) assign
-    * splits in the same projection as their other columns instead of
-    * paying an id-equi-join. */
   /** The one place the split boundaries are derived: ascending
     * cumulative fractions floored into 2^32 units, one `(name,
     * threshold)` per non-last bucket (the last name is the ELSE arm).
@@ -457,6 +440,10 @@ object CorpusOps {
       .map { case ((nm, _), c) => nm -> math.floor(c * 4294967296.0).toLong }
   }
 
+  /** The bucket-assignment Column behind [[splitAssign]] — exposed
+    * within the object so compositions ([[exportTrainingSet]]) assign
+    * splits in the same projection as their other columns instead of
+    * paying an id-equi-join. */
   private def splitExpr(fractions: Seq[(String, Double)],
       salt: String): org.apache.spark.sql.Column = {
     require(fractions.nonEmpty && fractions.forall(_._2 > 0),
@@ -473,6 +460,19 @@ object CorpusOps {
       }
   }
 
+  /** Deterministic train/val/test assignment — the split every training
+    * run needs pinned before anything else: each doc lands in exactly one
+    * named bucket, chosen by the numeric value of its md5 sampling key
+    * against cumulative `fractions` thresholds. Hash-based (not
+    * row-number-based), so the assignment is stable under corpus
+    * reordering, repartitioning, and incremental ingestion — a doc's
+    * split never changes when its neighbors do.
+    *
+    * The last bucket is the catch-all (`otherwise`), so threshold
+    * rounding can never drop a row. Expected (not exact) proportions —
+    * the [[mixRate]] trade: the plan is a pure per-row projection, no
+    * shuffle, no window, replicable in any engine with md5.
+    */
   def splitAssign(docs: DataFrame,
       fractions: Seq[(String, Double)] =
         Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
@@ -641,7 +641,11 @@ object CorpusOps {
       fractions: Seq[(String, Double)] =
         Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
       nShards: Int = 8): Unit = {
-    val assigned = docs.join(keptIds.select("doc_id"), Seq("doc_id"))
+    // the public contract must be robust to a survivor set that carries
+    // duplicate doc_ids (e.g. a union of gate outputs): without distinct
+    // the join would silently duplicate exported rows (r13 advice)
+    val assigned = docs.join(keptIds.select("doc_id").distinct(),
+        Seq("doc_id"))
       .select(col("doc_id"), col("text"),
         splitExpr(fractions, "#split").as("split"),
         shardExpr(nShards, replicable = false, "#shard").as("shard"))
@@ -919,7 +923,15 @@ object CorpusOps {
     * rate `(1 - e^(-k·n/m))^k` over-drops a bounded sliver). Hashing
     * is the replicable sha256 double-hash family, so the bitmap and
     * every probe replay exactly in any engine — the full output is
-    * oracle-checkable despite being an approximation of the exact op. */
+    * oracle-checkable despite being an approximation of the exact op.
+    *
+    * NOTE on `mBits`: this slice form keeps the FIXED `1 << 16` default
+    * only to preserve the pinned-oracle shape (the llm_decontaminate_
+    * bloom oracle replays that exact bitmap); a fixed-size filter
+    * SATURATES on a large eval slice and silently drops the whole
+    * corpus (the ×30 rehearsal failure, SCALE_r13 §4). Scale callers
+    * must pass `mBits = 0` — adaptive sizing from the eval corpus, the
+    * default on [[bloomDecontaminateAgainst]] and the streaming form. */
   def bloomDecontaminate(docs: DataFrame, n: Int = 3, evalMod: Int = 10,
       evalRem: Int = 7, maxOverlap: Double = 0.5,
       mBits: Int = 1 << 16, numHashes: Int = 4): DataFrame =

@@ -1,0 +1,116 @@
+package graft.llm
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The composed pre-training curation pipeline — the four-stage chain a
+  * real training-data run executes as ONE job, promoted out of the
+  * scale-rehearsal tool (`graft.tools.PipelineRehearsal`, rounds 12–13)
+  * into a first-class entry point so the bench can GATE the composition
+  * (round-13 directive #3: per-operator rows can all be green while a
+  * chain-only defect — cache pressure, AQE interplay, a saturating
+  * stage default like the ×30 Bloom failure — regresses silently):
+  *
+  *   1. strict gate stack (quality ∧ language ∧ dup3 ∧ minhash-dedup
+  *      keep; [[TextOps.curate]] with the dup3 gate ACTIVE),
+  *   2. Bloom decontamination of the survivors against an eval slice
+  *      ([[CorpusOps.bloomDecontaminateAgainst]], adaptive sizing),
+  *   3. semantic dedup of the survivors' embeddings
+  *      ([[Similarity.semDedup]], adaptive nlist),
+  *   4. split + shard assignment and partitioned JSONL export
+  *      ([[CorpusOps.exportAssigned]], the exportTrainingSet tail fed
+  *      the chained kept set).
+  *
+  * Scale shape: each stage is the already-ladder-proven operator
+  * (sublinear through ×100, SCALE_r13 §4); the chain materializes stage
+  * boundaries with `localCheckpoint` so no stage's lineage replays an
+  * earlier stage's shuffles, and the only driver payloads are the Bloom
+  * bitmap, Lloyd centroids, and threshold literals — all bounded.
+  */
+object Pipeline {
+
+  /** One stage's wall seconds, surviving row count, and JVM heap in use
+    * after the stage (the driver-state proxy). */
+  final case class Stage(name: String, sec: Double, survivors: Long,
+      heapMb: Long)
+
+  private def heapMb(): Long = {
+    val r = Runtime.getRuntime
+    (r.totalMemory() - r.freeMemory()) / (1024 * 1024)
+  }
+
+  /** Run the chain over `corpusDir`'s documents + embeddings, exporting
+    * the final training set under `outDir/train_set`; returns (total
+    * wall seconds, per-stage vector). `langs` runs the gate stack once
+    * per language and unions the survivor sets (StressGen replicas
+    * classify 'und', so scaled corpora pass "en,und" to keep the
+    * replica survivors flowing through the downstream stages). */
+  def curateChain(spark: SparkSession, corpusDir: String, outDir: String,
+      langs: Seq[String] = Seq("en"),
+      log: String => Unit = _ => ()): (Double, Seq[Stage]) = {
+    val docs = graft.sources.Tables(spark, corpusDir, "documents")
+    val emb = graft.sources.Tables(spark, corpusDir, "embeddings")
+    val stages = scala.collection.mutable.ListBuffer.empty[Stage]
+    def stage[T](name: String)(body: => (Long, T)): T = {
+      val t0 = System.nanoTime()
+      val (survivors, out) = body
+      val dt = (System.nanoTime() - t0) / 1e9
+      val s = Stage(name, dt, survivors, heapMb())
+      stages += s
+      log(f"${s.name}%-16s ${s.sec}%8.2f s  survivors=${s.survivors}%8d" +
+        f"  heap=${s.heapMb}%5d MB")
+      out
+    }
+    val tTotal0 = System.nanoTime()
+
+    // 1. strict gate stack: quality >= 0.5, per-language pass, dup3
+    //    gate ACTIVE (0.9 — strict enough to genuinely evaluate, loose
+    //    enough to keep the funnel realistic), minhash-dedup keep
+    val curated = stage("curate") {
+      val kept = langs.map(l =>
+          TextOps.curate(docs, minQuality = 0.5, lang = l,
+            shingleSize = 3, threshold = 0.5, maxDup3 = 0.9)
+            .select("doc_id"))
+        .reduce(_.unionByName(_)).localCheckpoint()
+      (kept.count(), kept)
+    }
+
+    // 2. Bloom decontamination of the SURVIVORS against an eval slice
+    //    (every 100th doc plays the benchmark corpus — disjoint from
+    //    training by construction of the drop)
+    val clean = stage("bloom_decontam") {
+      val evalDocs = docs.filter(col("doc_id") % 100 === 7)
+      val train = docs.join(curated, Seq("doc_id"))
+        .filter(col("doc_id") % 100 =!= 7)
+      val screened = CorpusOps.bloomDecontaminateAgainst(
+          train, evalDocs, n = 3, maxOverlap = 0.5)
+        .filter(!col("dropped")).select("doc_id").localCheckpoint()
+      (screened.count(), screened)
+    }
+
+    // 3. semantic dedup over the survivors' embeddings (vec_id = doc_id
+    //    where a vector exists); docs without a vector pass through —
+    //    the realistic shape: the embedding table covers a subset
+    val kept = stage("semdedup") {
+      val survEmb = emb.join(
+        clean.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"))
+      val keepVec = Similarity.semDedup(survEmb, tau = 0.4)
+        .filter(col("keep")).select(col("vec_id").as("doc_id"))
+      val noVec = clean.join(
+        emb.select(col("vec_id").as("doc_id")), Seq("doc_id"),
+        "left_anti")
+      val all = keepVec.unionByName(noVec).localCheckpoint()
+      (all.count(), all)
+    }
+
+    // 4. split + shard assignment in ONE projection over the kept
+    //    payload, partitioned JSONL export (the exportTrainingSet tail)
+    stage("split_export") {
+      CorpusOps.exportAssigned(docs, kept, s"$outDir/train_set")
+      val written = spark.read.json(s"$outDir/train_set").count()
+      (written, ())
+    }
+
+    ((System.nanoTime() - tTotal0) / 1e9, stages.toList)
+  }
+}

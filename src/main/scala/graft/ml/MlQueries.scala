@@ -276,7 +276,11 @@ object MlQueries {
     * matrix of embedding dims (off, off+1), l1/l2 its eigenvalues,
     * eigenvector for λ ∝ (b, λ−a). */
   private def eig2Sql(a: String, b: String, c: String, fromSql: String,
-      rowSql: String, off: Int = 1): String =
+      rowSql: String, off: Int = 1): String = {
+    // mirror of Unsupervised.pca2/svd2's bound: DuckDB yields NULL for
+    // an out-of-range index instead of erroring, so an invalid off must
+    // be rejected before it can silently diverge from the engine
+    require(off >= 1, s"off is a 1-based dim index, got $off")
     s"WITH d AS (SELECT CAST(embedding[$off] AS DOUBLE) AS x, " +
       s"CAST(embedding[${off + 1}] AS DOUBLE) AS y FROM embeddings), " +
       s"s AS (SELECT $a AS a, $b AS b, $c AS c FROM $fromSql), " +
@@ -287,6 +291,7 @@ object MlQueries {
       "SQRT(b * b + (l1 - a) * (l1 - a)) AS n1, " +
       "SQRT(b * b + (l2 - a) * (l2 - a)) AS n2 FROM e) " +
       rowSql
+  }
 
   /** PCA-on-2-dims closed-form replica (the pinned ml_pca2 shape),
     * parameterized over the leading dim of the (off, off+1) pair for

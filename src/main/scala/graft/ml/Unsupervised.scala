@@ -139,6 +139,12 @@ object Unsupervised {
     * trick as the Cramer OLS oracle. Signs are killed with abs(). */
   def pca2(spark: SparkSession, embeddings: DataFrame,
       off: Int = 1): DataFrame = {
+    // slice() is 1-based; off < 1 errors inside Spark with an opaque
+    // message, and off+1 past the embedding dim would diverge silently
+    // from the DuckDB oracle (out-of-bounds index is NULL there) — the
+    // dim bound is enforced by the PCA fit failing loudly on a short
+    // slice, the lower bound here (r13 advice).
+    require(off >= 1, s"off is a 1-based dim index, got $off")
     import spark.implicits._
     def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
     val data = embeddings.select(
@@ -157,6 +163,7 @@ object Unsupervised {
     * matrix come from the 2×2 Gram eigensystem — closed-form oracle. */
   def svd2(spark: SparkSession, embeddings: DataFrame,
       off: Int = 1): DataFrame = {
+    require(off >= 1, s"off is a 1-based dim index, got $off")
     import spark.implicits._
     def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
     val rows = embeddings.select(slice(col("embedding"), off, 2).as("xy"))

@@ -129,6 +129,73 @@ class CoreSpec extends AnyFunSuite {
     assert(Bench.steadyStat(Seq(100.0, 200.0)) == 200.0)
   }
 
+  test("probe auto-requeue: a loaded first attempt retries once and " +
+      "the quieter attempt ships") {
+    // r13 directive #4: three of three final-code passes shipped
+    // "contention" verdicts where one backoff would likely have
+    // produced a clean number. Synthetic loaded-then-quiet host: the
+    // first attempt's canary reads 1.3 s (2x the 0.647 s reference),
+    // the retry 0.65 s (quiet) — the retry must ship, with the loaded
+    // canary preserved as requeue metadata.
+    val gate = 2.13
+    var calls = 0
+    var backedOff = false
+    val attempts = Iterator(
+      Bench.ProbeAttempt(1.3, Seq(4.4, 4.5, 4.6)),   // loaded window
+      Bench.ProbeAttempt(0.65, Seq(2.5, 2.6, 2.7)))  // quiet retry
+    val (ship, verdict, requeued, other) = Bench.probeWithRequeue(gate,
+      () => { calls += 1; attempts.next() }, () => backedOff = true)
+    assert(calls == 2 && backedOff && requeued)
+    assert(ship.canary == 0.65 && other.contains(1.3))
+    // the quiet retry's warm min 2.5 <= 1.5 * 2.13 -> contention (the
+    // pre-requeue path would have adjudicated the loaded attempt)
+    assert(verdict == "contention")
+
+    // a quiet first attempt never requeues — the probe stays one-shot
+    var calls2 = 0
+    val (ship2, verdict2, requeued2, other2) = Bench.probeWithRequeue(
+      gate, () => { calls2 += 1; Bench.ProbeAttempt(0.65, Seq(5.0, 5.1, 5.2)) },
+      () => fail("must not back off on a quiet first attempt"))
+    assert(calls2 == 1 && !requeued2 && other2.isEmpty)
+    assert(ship2.canary == 0.65 && verdict2 == "regression")
+
+    // both attempts loaded: the LESS loaded one ships, and the verdict
+    // comes from probeVerdict's loaded-host branch (never regression)
+    val attempts3 = Iterator(
+      Bench.ProbeAttempt(1.3, Seq(4.4, 4.5, 4.6)),
+      Bench.ProbeAttempt(1.5, Seq(4.8, 4.9, 5.0)))
+    val (ship3, verdict3, requeued3, other3) = Bench.probeWithRequeue(
+      gate, () => attempts3.next(), () => ())
+    assert(requeued3 && ship3.canary == 1.3 && other3.contains(1.5))
+    assert(verdict3 != "regression")
+  }
+
+  test("gate freshness fires on BOTH drift directions, only on a " +
+      "quiet canary") {
+    // r12 directive #6 (fast side) + r13 directive #2 (slow side): the
+    // r13 iterative-graph family read 1.2-1.5x of its r11-window gates
+    // on every quiet window for two rounds before a judge noticed by
+    // hand — the slow-side mirror self-surfaces that.
+    val f = Bench.gateFreshnessVerdict _
+    // quiet host, no drift
+    assert(f(true, 1.0, 0, 0) == "ok")
+    assert(f(true, 1.0, 4, 4) == "ok") // below the 5-row trip wire
+    // fast side: engine outran the gates (the r11 trigger)
+    assert(f(true, 1.0, 5, 0) ==
+      "re-baseline due (fast-side): 5 gated rows <0.6x on a quiet canary")
+    // slow side: gates measured on a faster window than any current
+    // quiet window (the r13 finding)
+    assert(f(true, 1.0, 0, 6) ==
+      "re-baseline due (slow-side): 6 gated rows >1.3x on a quiet canary")
+    // both directions can fire at once (disjoint row sets)
+    assert(f(true, 1.0, 5, 5).contains("fast-side") &&
+      f(true, 1.0, 5, 5).contains("slow-side"))
+    // a loaded window judges nothing in either direction
+    assert(f(true, 1.3, 9, 9) == "ok (loaded window; freshness unjudged)")
+    // gates are sf0.1 numbers; other scales are n/a
+    assert(f(false, 1.0, 9, 9) == "n/a (gates are sf0.1 numbers)")
+  }
+
   test("every reported headline row carries a baseline gate entry") {
     // r11 directive #2: rows reported in the BENCH JSON but absent
     // from the gate map could regress silently between re-baselines.

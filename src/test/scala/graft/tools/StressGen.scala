@@ -47,20 +47,11 @@ object StressGen {
   private val passthrough =
     Seq("region", "nation", "customer", "supplier", "part", "orders")
 
-  private def taggedText(k: Int) =
-    if (k == 0) col("text")
-    else array_join(
-      transform(split(col("text"), " "), t => concat(t, lit(s"~$k"))), " ")
-
-  private def shiftedEmbedding(k: Int) = {
-    // shift amount wraps into [1, 63] for every replica (k >= 64 broke
-    // the slice with a negative length, and a 0 shift would clone the
-    // base vector — a semantic dup the generator must not plant)
-    val s = if (k == 0) 0 else ((k - 1) % 63) + 1
-    if (s == 0) col("embedding")
-    else concat(slice(col("embedding"), s + 1, 64 - s),
-      slice(col("embedding"), 1, s))
-  }
+  // the documents/embeddings replica transforms live in main
+  // (graft.sources.StressReplicas) since round 14 — the bench's gated
+  // pipeline_x10 corpus and these SCALE-rung variants must share ONE
+  // replication discipline
+  import graft.sources.StressReplicas.{shiftedEmbedding, taggedText}
 
   private def replicate(spark: SparkSession, table: String, copies: Int)
       (one: (DataFrame, Int) => DataFrame): DataFrame = {
