@@ -24,30 +24,36 @@ object Bench {
     * automatically re-probed with 3 isolated warm reps in this JVM
     * (round-10 directive #2 — BASELINE §4's manual protocol, automated). */
   private[graft] val baselineGate = Map(
-    "q01_scan" -> 0.11, "q07_agg" -> 0.22, "q11_window_topk" -> 0.39,
-    "q20_join5_agg" -> 0.93, "ml_kmeans" -> 2.55, "ml_knn" -> 0.80,
-    "ml_svc" -> 8.66, "ml_dbscan" -> 2.13, "graph_pagerank" -> 1.84,
-    "graph_louvain" -> 19.03, "graph_louvain_sync" -> 5.93,
-    "graph_node2vec" -> 9.36, "graph_betweenness" -> 7.31,
-    "graph_kcore" -> 2.82, "graph_subgraph_tri" -> 3.20,
-    "llm_dedup_minhash" -> 0.29, "llm_near_dup_pairs" -> 0.82,
-    "llm_dedup_groups" -> 1.22, "llm_dedup_keep_best" -> 1.23,
-    "llm_ann_cosine" -> 0.33, "llm_ann_native" -> 0.22,
-    "llm_ann_ivf" -> 0.53, "llm_ann_pq" -> 1.47, "llm_ann_ivfpq" -> 1.74,
-    "llm_embed_dedup" -> 1.38, "llm_semdedup" -> 1.31,
-    "llm_containment" -> 1.43, "llm_span_dups" -> 0.70,
-    "llm_curation" -> 2.84, "llm_token_budget" -> 0.48,
-    // r12 joiners (round-11 directive #2 — every reported headline row
-    // gates): measured 2026-08-15 under §5 semantics on a quiet window
-    // (canary cpu_spin 0.651/0.631 s vs the §6 0.647 s baseline),
-    // BASELINE §6 addendum. The two residual rows are dominated by the
-    // fixed per-iteration job overhead of their in-statement Lloyd
-    // trainings, not data volume.
-    "llm_ann_ivf_residual" -> 4.01, "llm_ann_ivf_residual3" -> 4.39,
-    "llm_ann_text" -> 0.77, "llm_hybrid_rrf" -> 0.80,
-    "llm_bpe_encode" -> 0.76, "llm_span_remove" -> 0.15,
-    "llm_decontaminate_bloom" -> 0.67, "llm_boilerplate" -> 0.18,
-    "llm_within_doc_dedup" -> 0.12, "llm_pii_consume" -> 0.11,
+    // r14 re-baseline (round-13 directive #1): the r11-window gates had
+    // drifted 1.2-1.5x slow-side for the iterative-graph family on
+    // every current quiet window (two rounds stable at unchanged code
+    // — gate-window skew, SCALE_r12 §9 / SCALE_r13 §2), eating the
+    // 1.5x probe threshold's regression-detection headroom. Re-measured
+    // 2026-08-16 at r14 code as the MIN of each row's refined
+    // (best-2-of-3) number over FOUR full-suite windows (start/end
+    // cpu_spin 0.574-0.612 s vs the 0.647 s reference; two windows
+    // carried mid-run multi-core load their inflated rows simply don't
+    // contribute minima from), §5 standalone-cost semantics unchanged.
+    // BASELINE §6 r14 table. On the fully-quiet window every row reads
+    // 1.00-1.30x of these gates (pass-1 max ratio 1.18, zero probes).
+    "q01_scan" -> 0.10, "q07_agg" -> 0.25, "q11_window_topk" -> 0.38,
+    "q20_join5_agg" -> 0.88, "ml_kmeans" -> 2.48, "ml_knn" -> 0.97,
+    "ml_svc" -> 9.28, "ml_dbscan" -> 2.50, "graph_pagerank" -> 2.29,
+    "graph_louvain" -> 26.53, "graph_louvain_sync" -> 8.37,
+    "graph_node2vec" -> 11.27, "graph_betweenness" -> 9.83,
+    "graph_kcore" -> 3.69, "graph_subgraph_tri" -> 3.86,
+    "llm_dedup_minhash" -> 0.30, "llm_near_dup_pairs" -> 0.89,
+    "llm_dedup_groups" -> 1.22, "llm_dedup_keep_best" -> 1.48,
+    "llm_ann_cosine" -> 0.42, "llm_ann_native" -> 0.28,
+    "llm_ann_ivf" -> 0.60, "llm_ann_pq" -> 1.54, "llm_ann_ivfpq" -> 1.93,
+    "llm_embed_dedup" -> 1.50, "llm_semdedup" -> 1.44,
+    "llm_containment" -> 1.74, "llm_span_dups" -> 0.77,
+    "llm_curation" -> 3.00, "llm_token_budget" -> 0.50,
+    "llm_ann_ivf_residual" -> 2.93, "llm_ann_ivf_residual3" -> 4.24,
+    "llm_ann_text" -> 0.73, "llm_hybrid_rrf" -> 0.82,
+    "llm_bpe_encode" -> 0.74, "llm_span_remove" -> 0.15,
+    "llm_decontaminate_bloom" -> 0.71, "llm_boilerplate" -> 0.13,
+    "llm_within_doc_dedup" -> 0.11, "llm_pii_consume" -> 0.11,
     "llm_normalize_consume" -> 0.12)
 
   /** BASELINE §6's cpu_spin reading on the machine/session the gate
@@ -184,9 +190,13 @@ object Bench {
     * cached under /tmp). The ×30 Bloom-saturation bug (SCALE_r13 §4)
     * proved chain-ONLY defects exist — stage interplay that 197 green
     * per-operator rows cannot see; this row runs the chain every bench
-    * pass instead of only in hand-driven SCALE rounds. Gate measured
-    * at r14 code, min over 3 quiet windows (BASELINE §8). */
-  private[graft] val pipelineGate = Map("pipeline_x10" -> 24.34)
+    * pass instead of only in hand-driven SCALE rounds. Statistic: the
+    * chain runs TWICE per pass and the faster run ships (a single
+    * sample read 1.48x of the quiet minimum on a window both canaries
+    * called quiet — the same variance that put the headline rows on
+    * best-2-of-3). Gate measured at r14 code: 17.35 s, min over four
+    * full-suite windows (BASELINE §8). */
+  private[graft] val pipelineGate = Map("pipeline_x10" -> 17.35)
 
   /** Canary-aware verdict for the pipeline row (lower is better, same
     * 1.4× band as streaming — the chain total is a sum of four stages
@@ -546,6 +556,7 @@ object Bench {
     // untimed setup; only the chain is measured. Skipped in
     // SPARK_GRAFT_ONLY mode unless "pipeline" is named.
     var pipelineStages = Seq.empty[graft.llm.Pipeline.Stage]
+    var pipelineRunTotals = Seq.empty[Double]
     val pipelineRows: Seq[(String, Double)] =
       if (only.isDefined && !only.get.contains("pipeline")) Seq.empty
       else try {
@@ -564,26 +575,39 @@ object Bench {
         clearSparkState()
         val canaryAtPipeline = cpuSpin()
         val canaryAtPipeline8 = cpuSpin8()
-        val out = java.nio.file.Files
-          .createTempDirectory("graft_bench_pipe").toString
-        val (chainSec, stages) = graft.llm.Pipeline.curateChain(
-          spark, stressDir, out, Seq("en", "und"),
-          m => System.err.println(s"[bench] pipeline $m"))
+        // the chain runs twice and the faster run ships — the same
+        // drop-the-slow-sample discipline as the headline rows' best-2-
+        // of-3 (re-baseline calibration: a single chain sample read
+        // 1.48x of the quiet minimum on a window whose canaries both
+        // read quiet; two samples collapse that spread)
+        val runs = (1 to 2).map { i =>
+          val out = java.nio.file.Files
+            .createTempDirectory("graft_bench_pipe").toString
+          val r = graft.llm.Pipeline.curateChain(
+            spark, stressDir, out, Seq("en", "und"),
+            m => System.err.println(s"[bench] pipeline(run$i) $m"))
+          clearSparkState()
+          // best-effort cleanup of the exported JSONL
+          try {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(java.nio.file.Paths.get(out))
+              .sorted(java.util.Comparator.reverseOrder())
+              .iterator().asScala
+              .foreach(p => java.nio.file.Files.delete(p))
+          } catch { case _: Throwable => }
+          r
+        }
+        val (chainSec, stages) = runs.minBy(_._1)
         pipelineStages = stages
-        clearSparkState()
-        // best-effort cleanup of the exported JSONL
-        try {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(java.nio.file.Paths.get(out))
-            .sorted(java.util.Comparator.reverseOrder())
-            .iterator().asScala.foreach(p => java.nio.file.Files.delete(p))
-        } catch { case _: Throwable => }
+        pipelineRunTotals = runs.map(_._1)
         val verdict =
           if (!sfDir.contains("sf0.1")) "ungated"
           else pipelineVerdict(chainSec, pipelineGate("pipeline_x10"),
             canaryAtPipeline)
         System.err.println(
-          f"[bench] pipeline_x10 total $chainSec%8.2f s -> $verdict")
+          f"[bench] pipeline_x10 best-of-2 $chainSec%8.2f s " +
+            s"(runs ${runs.map(r => f"${r._1}%.2f").mkString("/")})" +
+            s" -> $verdict")
         Seq("pipeline_x10" -> chainSec,
           "canary_at_pipeline" -> canaryAtPipeline,
           "canary_at_pipeline8" -> canaryAtPipeline8)
@@ -639,6 +663,19 @@ object Bench {
     // slow-side iterative-graph skew were both noticed by hand).
     val hostFactor =
       math.max(1.0, math.min(spinStart, spinEnd) / canaryGate)
+    // freshness needs a STRICTER quiet predicate than the probe path:
+    // the re-baseline calibration (4 windows, 2026-08-16) showed a
+    // window whose start/end single-thread canaries read quiet while
+    // mid-run 8-thread spins read 1.3x — its inflated rows would have
+    // false-fired the slow-side rule. The freshness host factor is
+    // therefore the WORST canary anywhere in the run, single- or
+    // 8-thread (spin8 ≈ spin on an idle many-core host, so the same
+    // 0.647 s reference applies).
+    val freshnessHostFactor = {
+      val all = Seq(spinStart, spinEnd, spin8Start, spin8End) ++
+        midCanaries.flatMap(m => Seq(m._3, m._4))
+      math.max(1.0, all.max / canaryGate)
+    }
     val fastRows = refined.count { case (name, t) =>
       baselineGate.get(name).exists(b =>
         !errors.contains(name) && t < 0.6 * b)
@@ -648,7 +685,7 @@ object Bench {
         !errors.contains(name) && t > 1.3 * b)
     }
     val gateFreshness = gateFreshnessVerdict(
-      sfDir.contains("sf0.1"), hostFactor, fastRows, slowRows)
+      sfDir.contains("sf0.1"), freshnessHostFactor, fastRows, slowRows)
     // full per-query single-pass detail (round-12 directive #1): stdout
     // stays one machine-read line, but every number that line sums —
     // all ~197 single-pass times, the headline rerun samples, and the
@@ -676,9 +713,10 @@ object Bench {
         s"""{"name":"${s.name}","sec":${r3(s.sec)},""" +
           s""""survivors":${s.survivors},"heap_mb":${s.heapMb}}"""
       }.mkString("[", ",", "]")
+      val prt = pipelineRunTotals.map(r3).mkString("[", ",", "]")
       s"""{"single_pass":$sp,"reruns":$rr,"mid_canaries":$mc,""" +
         s""""stream_triggers_postcold":$st,""" +
-        s""""pipeline_stages":$ps,""" +
+        s""""pipeline_stages":$ps,"pipeline_runs":$prt,""" +
         s""""headline_total":$headlineTotal,""" +
         s""""nonheadline_total":$nonheadlineTotal,""" +
         s""""canary":$canaryJson,"errors":$errJson,"sf":"$sfDir"}"""

@@ -45,9 +45,15 @@ object Pipeline {
     * per language and unions the survivor sets (StressGen replicas
     * classify 'und', so scaled corpora pass "en,und" to keep the
     * replica survivors flowing through the downstream stages). */
+  /** With `semDiag = true`, the semdedup stage's blocking-quality
+    * decomposition ([[Similarity.semDedupStats]]: candidate pairs,
+    * verified pairs, max cell occupancy) is computed and logged AFTER
+    * the total clock stops — the SCALE-rung rungs read it without the
+    * diag cost polluting the gated wall numbers. */
   def curateChain(spark: SparkSession, corpusDir: String, outDir: String,
       langs: Seq[String] = Seq("en"),
-      log: String => Unit = _ => ()): (Double, Seq[Stage]) = {
+      log: String => Unit = _ => (),
+      semDiag: Boolean = false): (Double, Seq[Stage]) = {
     val docs = graft.sources.Tables(spark, corpusDir, "documents")
     val emb = graft.sources.Tables(spark, corpusDir, "embeddings")
     val stages = scala.collection.mutable.ListBuffer.empty[Stage]
@@ -91,9 +97,11 @@ object Pipeline {
     // 3. semantic dedup over the survivors' embeddings (vec_id = doc_id
     //    where a vector exists); docs without a vector pass through —
     //    the realistic shape: the embedding table covers a subset
+    var survEmbForDiag: org.apache.spark.sql.DataFrame = null
     val kept = stage("semdedup") {
       val survEmb = emb.join(
         clean.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"))
+      survEmbForDiag = survEmb
       val keepVec = Similarity.semDedup(survEmb, tau = 0.4)
         .filter(col("keep")).select(col("vec_id").as("doc_id"))
       val noVec = clean.join(
@@ -111,6 +119,19 @@ object Pipeline {
       (written, ())
     }
 
-    ((System.nanoTime() - tTotal0) / 1e9, stages.toList)
+    val totalSec = (System.nanoTime() - tTotal0) / 1e9
+
+    // untimed blocking-quality decomposition (the clock above has
+    // already stopped; recomputing the survivor join here is the price
+    // of keeping the TIMED stage plan identical with diag on or off)
+    if (semDiag) {
+      val r = Similarity.semDedupStats(survEmbForDiag, tau = 0.4).head()
+      log(s"semdedup_diag n_cells=${r.getLong(0)} " +
+        s"max_occupancy=${r.getLong(1)} " +
+        s"candidate_pairs=${r.getLong(2)} " +
+        s"verified_pairs=${r.getLong(3)} (untimed)")
+    }
+
+    (totalSec, stages.toList)
   }
 }

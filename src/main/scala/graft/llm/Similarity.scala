@@ -1530,6 +1530,32 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Blocking-quality diagnostics for [[semDedup]]'s cell structure —
+    * the three numbers that decompose its runtime (round-13 directive
+    * #5: the ×100 ladder read the semdedup stage ~linear-in-vectors
+    * with a within-cell verify term; THESE are the terms): `n_cells`
+    * and `max_occupancy` of the Lloyd assignment, `candidate_pairs`
+    * = Σ_cell n·(n−1)/2 (the quadratic-risk term the adaptive nlist
+    * bounds — healthy growth is ~linear in |C| at ~1,000 vectors/cell),
+    * and `verified_pairs` = candidates that pass the exact cosine ≥
+    * `tau` check (the output term — data reality, not engine cost).
+    * One row; every aggregate is cell- or pair-bounded. A production
+    * pipeline runs this beside the dedup to catch occupancy skew (one
+    * hot cell going quadratic) before it becomes a wall-clock incident. */
+  def semDedupStats(emb: DataFrame, tau: Double, nlist: Int = 0,
+      iters: Int = 5): DataFrame = {
+    val assign = lloydAssign(emb, nlist, iters)
+    val occ = assign.groupBy("cell").agg(count(lit(1)).as("n"))
+    val cellStats = occ.agg(count(lit(1)).as("n_cells"),
+      max("n").as("max_occupancy"),
+      sum(col("n") * (col("n") - 1) / 2).cast("long")
+        .as("candidate_pairs"))
+    val verified = semDupPairs(assign, emb, tau)
+      .agg(count(lit(1)).as("verified_pairs"))
+    // 1-row × 1-row: the only cross join is between two scalar frames
+    cellStats.crossJoin(verified)
+  }
+
   /** [[semDedup]] with the paper-faithful keep rule: ONE representative
     * per connected duplicate GROUP (transitive closure of the verified
     * pair graph, minimum id as the canonical representative), not

@@ -390,6 +390,28 @@ class LlmSpec extends AnyFunSuite {
     assert(Seq(0L, 1L, 3L, 4L).forall(r(_)._2), r.toString)
   }
 
+  test("semdedup stats: cell/candidate/verified decomposition matches " +
+      "the hand-computed blocking structure") {
+    // same fixture as the semdedup test above: cells {0,2,3} and {1,4}
+    val dim = 64
+    def vec(f: Int => Float) = (0 until dim).map(f).toArray
+    val e = Seq(
+      (0L, vec(j => if (j < 8) 1.0f else 0.0f)),
+      (1L, vec(j => if (j >= 32) 1.0f else 0.0f)),
+      (2L, vec(j => if (j < 8) (if (j == 0) 0.99f else 1.0f) else 0.0f)),
+      (3L, vec(j => if (j < 16) 1.0f else 0.0f)),
+      (4L, vec(j => if (j >= 40) 1.0f else 0.0f))
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.semDedupStats(e, tau = 0.9, nlist = 2, iters = 3)
+      .head()
+    assert(r.getLong(0) == 2L, s"n_cells: $r")
+    assert(r.getLong(1) == 3L, s"max_occupancy: $r") // cell {0,2,3}
+    // candidates = C(3,2) + C(2,2-ish) = 3 + 1; verified at tau=0.9 is
+    // exactly the planted near-dup pair (0,2)
+    assert(r.getLong(2) == 4L, s"candidate_pairs: $r")
+    assert(r.getLong(3) == 1L, s"verified_pairs: $r")
+  }
+
   test("span dups: exact-dup docs fully flagged, partial overlap counted, " +
       "short docs zero, hashed keys identical") {
     val docs = Seq(

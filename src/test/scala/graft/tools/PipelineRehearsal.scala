@@ -57,7 +57,8 @@ object PipelineRehearsal {
       f"cpu_spin8=${graft.Bench.cpuSpin8()}%.3f s")
 
     val (total, _) = graft.llm.Pipeline.curateChain(
-      spark, corpusDir, outDir, langs, m => println(s"[rehearsal] $m"))
+      spark, corpusDir, outDir, langs, m => println(s"[rehearsal] $m"),
+      semDiag = true)
 
     println(f"[rehearsal] TOTAL $label ${total}%8.2f s, " +
       f"canary cpu_spin=${graft.Bench.cpuSpin()}%.3f s " +
