@@ -194,9 +194,11 @@ object Bench {
     * chain runs TWICE per pass and the faster run ships (a single
     * sample read 1.48x of the quiet minimum on a window both canaries
     * called quiet — the same variance that put the headline rows on
-    * best-2-of-3). Gate measured at r14 code: 17.35 s, min over four
-    * full-suite windows (BASELINE §8). */
-  private[graft] val pipelineGate = Map("pipeline_x10" -> 17.35)
+    * best-2-of-3). Gate measured at r14 round-end code (curateMulti +
+    * stage-boundary release in the chain): min of the best-of-2
+    * statistic over two full-suite windows, 12.69/14.50 s (BASELINE
+    * §8). */
+  private[graft] val pipelineGate = Map("pipeline_x10" -> 12.69)
 
   /** Canary-aware verdict for the pipeline row (lower is better, same
     * 1.4× band as streaming — the chain total is a sum of four stages

@@ -234,7 +234,21 @@ object Dedup {
     // shingle once: signature generation and Jaccard verification share
     // this frame (it used to be tokenized+shingled twice), and the
     // checkpoint keeps the verification join from re-running the
-    // tokenizer per candidate side
+    // tokenizer per candidate side.
+    //
+    // Storage level stays the DESERIALIZED default, deliberately (r14
+    // ×300 rung): these corpus-proportional blocks (~3 GB of small Java
+    // objects at 1.5M docs) age the old gen when MANY dedup calls run
+    // in one long-lived JVM without state clearing (GC rose to 14-24%
+    // of wall and a repeat call read 2-3× the first), and
+    // MEMORY_AND_DISK_SER does fix that (GC → 1-2%, aging gone) — but
+    // it pays JavaSerializer per block row, which MEASURED ~2× on the
+    // small gated sf0.1 dedup rows (llm_dedup_groups single-pass 1.19
+    // → 3.13 s on a quiet window). The portable fix is structural:
+    // one dedup per pipeline ([[graft.llm.TextOps.curateMulti]] shares
+    // the keep set across languages) + per-job state clearing; a
+    // session that must chain many large dedups sets Kryo and SER
+    // storage itself rather than this library taxing every caller.
     val ss = withShingleSets(docs, shingleSize).localCheckpoint()
     // materialized: the band self-join would otherwise run the whole
     // signature aggregate once PER SIDE (no exchange reuse across the

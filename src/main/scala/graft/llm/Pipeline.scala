@@ -57,10 +57,27 @@ object Pipeline {
     val docs = graft.sources.Tables(spark, corpusDir, "documents")
     val emb = graft.sources.Tables(spark, corpusDir, "embeddings")
     val stages = scala.collection.mutable.ListBuffer.empty[Stage]
+    // Stage-boundary release (r14 ×300 rung): the dedup/bloom/semdedup
+    // operators checkpoint corpus-proportional intermediates (shingle
+    // sets, band tables, label rounds) that NOTHING unpersists — held
+    // across stages they aged the heap until the semdedup stage read
+    // 1.6× at matched quiet canaries (and at a big-enough corpus they
+    // would OOM the executors). Every stage's OUTPUT is an EAGER
+    // localCheckpoint — its lineage is cut, so every OTHER RDD this
+    // stage persisted is droppable the moment the stage returns. The
+    // output is the last checkpoint the stage creates, so it is the
+    // max persisted-RDD id among the stage's new entries.
     def stage[T](name: String)(body: => (Long, T)): T = {
+      val sc = spark.sparkContext
+      val before = sc.getPersistentRDDs.keySet
       val t0 = System.nanoTime()
       val (survivors, out) = body
       val dt = (System.nanoTime() - t0) / 1e9
+      val persisted = sc.getPersistentRDDs
+      val created = persisted.keySet -- before
+      if (created.nonEmpty)
+        (created - created.max)
+          .foreach(id => persisted.get(id).foreach(_.unpersist(false)))
       val s = Stage(name, dt, survivors, heapMb())
       stages += s
       log(f"${s.name}%-16s ${s.sec}%8.2f s  survivors=${s.survivors}%8d" +
@@ -69,15 +86,17 @@ object Pipeline {
     }
     val tTotal0 = System.nanoTime()
 
-    // 1. strict gate stack: quality >= 0.5, per-language pass, dup3
+    // 1. strict gate stack: quality >= 0.5, language ∈ langs, dup3
     //    gate ACTIVE (0.9 — strict enough to genuinely evaluate, loose
-    //    enough to keep the funnel realistic), minhash-dedup keep
+    //    enough to keep the funnel realistic), minhash-dedup keep.
+    //    curateMulti, NOT a per-language union: the dedup keep set is
+    //    language-independent, and the union form paid the full
+    //    minhash pipeline once per language (the r14 ×300 rung caught
+    //    the second run reading 2-3× in the first run's aged heap)
     val curated = stage("curate") {
-      val kept = langs.map(l =>
-          TextOps.curate(docs, minQuality = 0.5, lang = l,
-            shingleSize = 3, threshold = 0.5, maxDup3 = 0.9)
-            .select("doc_id"))
-        .reduce(_.unionByName(_)).localCheckpoint()
+      val kept = TextOps.curateMulti(docs, minQuality = 0.5,
+          langs = langs, shingleSize = 3, threshold = 0.5, maxDup3 = 0.9)
+        .select("doc_id").localCheckpoint()
       (kept.count(), kept)
     }
 

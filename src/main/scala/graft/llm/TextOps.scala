@@ -1010,6 +1010,35 @@ object TextOps {
       .select("doc_id", "quality", "pred_lang").orderBy("doc_id")
   }
 
+  /** Multi-language [[curate]] — exactly the UNION of the per-language
+    * curate calls (each doc has ONE predicted language, so
+    * `pred_lang ∈ langs` partitions that union), computed with ONE
+    * corpus scan and ONE dedup keep join instead of |langs| of each.
+    * The dedup keep decision is language-INDEPENDENT
+    * ([[Dedup.dedupGroups]] never reads the language), so the per-
+    * language composition paid the full minhash pipeline once per
+    * language for identical results — and the r14 ×300 composition
+    * rung measured the second run landing in a heap aged by the first
+    * run's checkpoint blocks, reading 2-3× the first at matched quiet
+    * canaries. A multi-language funnel (the deployment shape: keep
+    * en+de+fr, say) should always enter here. */
+  def curateMulti(docs: DataFrame, minQuality: Double = 0.5,
+      langs: Seq[String] = Seq("en"), shingleSize: Int = 3,
+      threshold: Double = 0.5, maxDup3: Double = 1.0): DataFrame = {
+    require(langs.nonEmpty, "need at least one language")
+    val perRow = docs.select(col("doc_id"),
+        qualityScoreExpr.as("quality"), langIdExprs._1.as("pred_lang"),
+        dup3RatioExpr.as("dup_3gram_ratio"))
+      .filter(col("quality") >= minQuality &&
+        col("pred_lang").isin(langs: _*) &&
+        (if (maxDup3 >= 1.0) lit(true)
+         else col("dup_3gram_ratio") <= maxDup3))
+    perRow.join(Dedup.dedupGroups(docs, shingleSize, threshold),
+        Seq("doc_id"), "left")
+      .filter(col("keep_id").isNull || col("keep_id") === col("doc_id"))
+      .select("doc_id", "quality", "pred_lang").orderBy("doc_id")
+  }
+
   /** Curation funnel report — the per-gate drop accounting an operator
     * of a [[curate]]-style pipeline watches: for each stage in the
     * sequential gate order (quality → language → boilerplate → dedup),

@@ -249,6 +249,50 @@ class LlmSpec extends AnyFunSuite {
     assert(strict == Seq(10L), strict.toString)
   }
 
+  test("curateMulti equals the union of per-language curates, on the " +
+      "corpus and on a mixed fixture") {
+    // the multi-language form exists because the dedup keep set is
+    // language-independent — ONE scan + ONE dedup must reproduce the
+    // |langs|-scan union exactly (each doc has one predicted language,
+    // so pred_lang ∈ langs partitions the union)
+    val docs = Tables(spark, sf0001, "documents")
+    val langs = Seq("en", "fr")
+    val multi = TextOps.curateMulti(docs, langs = langs, maxDup3 = 0.9)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSeq
+    val union = langs.flatMap(l =>
+        TextOps.curate(docs, lang = l, maxDup3 = 0.9)
+          .collect().map(r => (r.getLong(0), r.getString(2))))
+      .sortBy(_._1)
+    assert(multi == union, s"multi=${multi.size} union=${union.size}")
+    assert(multi.nonEmpty)
+    // single-language multi degenerates to curate itself
+    val one = TextOps.curateMulti(docs, langs = Seq("en"))
+      .collect().map(_.getLong(0)).toSeq
+    val base = TextOps.curate(docs).collect().map(_.getLong(0)).toSeq
+    assert(one == base)
+  }
+
+  test("curateChain releases stage intermediates: persisted-RDD delta " +
+      "is bounded by the stage outputs") {
+    // r14 ×300 rung: the dedup/bloom/semdedup intermediates (shingle
+    // sets, band tables, label rounds) are localCheckpoints nothing
+    // unpersists — held across stages they aged the heap 1.6× and
+    // would OOM at a big-enough corpus. The chain must end holding at
+    // most its stage OUTPUTS (3 checkpointing stages).
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_chain_spec").toString
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val (_, stages) = Pipeline.curateChain(spark, sf0001, out)
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert(stages.map(_.name) ==
+      Seq("curate", "bloom_decontam", "semdedup", "split_export"))
+    val leaked = (after -- before).size
+    assert(leaked <= 3, s"chain left $leaked persisted RDDs behind " +
+      "(expected at most its 3 stage-output checkpoints)")
+    // survivors monotone non-increasing through the gates
+    assert(stages.map(_.survivors).sliding(2).forall(p => p(0) >= p(1)))
+  }
+
   test("vocab: tf counts occurrences, df counts docs, rank cut is total") {
     val docs = Seq(
       (1L, "the cat the cat the"),
