@@ -564,13 +564,28 @@ object Bench {
       else try {
         val base = new java.io.File(sfDir).getName
         val stressDir = s"/tmp/graft_bench_stress/${base}_x10"
+        // cache keyed on the BASE corpus's file inventory (name+size+
+        // mtime of both parquet dirs), not just _SUCCESS: a driver-
+        // regenerated sf0.1 must invalidate the replica, or the gated
+        // chain silently measures a stale corpus
+        val fingerprint = Seq("documents", "embeddings").map { t =>
+          val dir = new java.io.File(s"$sfDir/$t.parquet")
+          Option(dir.listFiles()).map(_.sortBy(_.getName)
+            .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+            .mkString(",")).getOrElse("missing")
+        }.mkString(";")
+        val marker = java.nio.file.Paths.get(s"$stressDir/.base_fingerprint")
         val ready = Seq("documents", "embeddings").forall(t =>
           java.nio.file.Files.exists(
-            java.nio.file.Paths.get(s"$stressDir/$t.parquet/_SUCCESS")))
+            java.nio.file.Paths.get(s"$stressDir/$t.parquet/_SUCCESS"))) &&
+          java.nio.file.Files.exists(marker) &&
+          new String(java.nio.file.Files.readAllBytes(marker),
+            "UTF-8") == fingerprint
         if (!ready) {
           val t0 = System.nanoTime()
           graft.sources.StressReplicas.writeDocsEmb(
             spark, sfDir, stressDir, copies = 10)
+          java.nio.file.Files.write(marker, fingerprint.getBytes("UTF-8"))
           System.err.println(f"[bench] x10 stress corpus -> $stressDir " +
             f"(${(System.nanoTime() - t0) / 1e9}%.1f s, untimed)")
         }
