@@ -455,6 +455,11 @@ object LlmQueries {
       // the end-to-end training-data curation flow: quality gate ∧
       // language gate ∧ near-dup keep decision (TextOps.curate)
       TextOps.curate(docs(s, d))),
+    "llm_curation_multi" -> ((s, d) =>
+      // the multi-language deployment shape (r14): ONE scan + ONE
+      // language-independent dedup keep join for a language SET —
+      // provably ≡ the per-language union, at 1/|langs| the dedup cost
+      TextOps.curateMulti(docs(s, d), langs = Seq("en", "fr"))),
     "llm_curation_strict" -> ((s, d) =>
       // full pre-training gate stack: quality ∧ language ∧ dedup-keep ∧
       // ¬boilerplate (p95-level 3-gram repetition cut on this corpus)
@@ -2406,6 +2411,18 @@ object LlmQueries {
         "SELECT q.doc_id, q.quality, l.pred_lang FROM q JOIN l USING (doc_id) " +
         "LEFT JOIN g USING (doc_id) " +
         "WHERE q.quality >= 0.5 AND l.pred_lang = 'en' " +
+        "AND (g.keep_id IS NULL OR g.keep_id = q.doc_id) ORDER BY doc_id")) +
+    // multi-language curation: identical composed CTEs with the
+    // language gate widened to a set — the engine side shares ONE scan
+    // and ONE dedup keep join across the languages (curateMulti), and
+    // this replica proves the output equals the naive per-language form
+    ("llm_curation_multi" ->
+      (s"""WITH q AS (${base("llm_quality")}), """ +
+        s"""l AS (${base("llm_langid")}), """ +
+        s"""g AS (${base("llm_dedup_groups")}) """ +
+        "SELECT q.doc_id, q.quality, l.pred_lang FROM q JOIN l USING (doc_id) " +
+        "LEFT JOIN g USING (doc_id) " +
+        "WHERE q.quality >= 0.5 AND l.pred_lang IN ('en', 'fr') " +
         "AND (g.keep_id IS NULL OR g.keep_id = q.doc_id) ORDER BY doc_id")) +
     // strict curation: the same composed-verbatim CTE discipline, plus
     // the repetition oracle as a fourth gate on its rounded ratio
