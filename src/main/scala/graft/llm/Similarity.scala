@@ -938,11 +938,39 @@ object Similarity {
     * within-cell candidate volume stays ~1,000·|C| instead of
     * |C|²/nlist. Floor 4 keeps tiny corpora meaningful; cap 4,096
     * bounds the broadcast centroid table at 4,096×dim doubles (~2 MB
-    * at dim 64) — past ~4M vectors, [[ivfResidualIndex]] (r10) adds the
-    * second blocking level ([[adaptiveNsplit]] subcells) that carries
-    * the operating point to ~1B vectors. */
+    * at dim 64). The semDedup family only rides this FLAT ladder to
+    * [[semFlatCellCap]] cells (~128k vectors) — past that its auto
+    * path switches to [[semBalancedCells]] two-level blocking, whose
+    * per-vector cost is ~2√cells instead of cells (see there). */
   def adaptiveNlist(n: Long): Int =
     math.max(4, math.min(4096, ((n + 999) / 1000).toInt))
+
+  /** Balanced two-level cell sizing for the cluster-blocked dedup
+    * family's scale path: k1 ≈ k2 ≈ √t so the composite (cell, sub)
+    * key still covers the ~1,000-vectors-per-cell target t = ⌈n/1000⌉
+    * cells, while per-vector assignment costs k1+k2 ≈ 2√t distance
+    * evaluations instead of the flat ladder's t, and Lloyd training
+    * runs at two √t-sized codebooks instead of one t-sized one. This
+    * is the fix for the term the ×300 rung named (SCALE_r14 §5): with
+    * flat cells ∝ n/1000, assignment+training is n²·c/1000 — quadratic
+    * in the corpus — where the balanced split is ~n^1.5/√1000. Each
+    * level caps at 4,096 (the [[adaptiveNlist]] broadcast bound),
+    * carrying the operating point to 4,096² ≈ 16.8M effective cells
+    * ≈ 16.8B vectors; past that, [[ivfResidual3Index]]'s third shared
+    * codebook is the blocking to reach for. */
+  def semBalancedCells(n: Long): (Int, Int) = {
+    val t = math.max(1L, (n + 999) / 1000)
+    val k1 = math.min(4096, math.ceil(math.sqrt(t.toDouble)).toInt)
+    val k2 = math.min(4096, ((t + k1 - 1) / k1).toInt)
+    (k1, k2)
+  }
+
+  /** Flat Lloyd cells up to this many target cells (~128k vectors at
+    * the ~1,000/cell operating point); balanced residual-split cells
+    * past it. At the cap the flat path's corpus×cells argmin is ~16M
+    * joined rows — comfortably inside one stage — while the two-level
+    * path is already ~5× cheaper one octave later. */
+  private[graft] val semFlatCellCap = 128L
 
   /** Deterministic Lloyd cell assignment: (vec_id, cell) for every
     * corpus vector — the trained coarse quantizer of [[ivfTopKTrained]]
@@ -1465,6 +1493,42 @@ object Similarity {
       spark.read.parquet(s"$dir/assign"))
   }
 
+  /** Cell assignment for the semDedup family — the routing layer over
+    * the blocking ladder. An EXPLICIT `nlist` is the pinned-oracle
+    * shape and always takes the flat [[lloydAssign]] path; auto
+    * (`nlist = 0`) rides flat cells to [[semFlatCellCap]] target cells
+    * and switches to [[semBalancedCells]] two-level blocking past it,
+    * so the assignment+training term stays ~n^1.5/√1000 instead of the
+    * flat ladder's n²/1000 (SCALE_r14 §5's named next ceiling). Both
+    * paths return one (vec_id, cell) row per corpus vector with a
+    * single equi-joinable cell key, so the pair kernel and the
+    * diagnostics are blocking-agnostic. */
+  private[graft] def semAssign(emb: DataFrame, nlist: Int,
+      iters: Int): DataFrame =
+    if (nlist > 0) lloydAssign(emb, nlist, iters)
+    else {
+      val n = emb.count()
+      if ((n + 999) / 1000 <= semFlatCellCap)
+        lloydAssign(emb, adaptiveNlist(n), iters)
+      else {
+        val (k1, k2) = semBalancedCells(n)
+        twoLevelCells(emb, k1, k2, iters)
+      }
+    }
+
+  /** The composite (cell, sub) key of an [[ivfResidualIndex]] build
+    * packed into the single `cell` column the within-cell pair kernel
+    * blocks on — sub < 4,096 ≤ 2^16, so cell·2^16 + sub is injective.
+    * Deterministic end to end (both levels are the rounded-distance /
+    * id-tiebreak Lloyd kernels). */
+  private[graft] def twoLevelCells(emb: DataFrame, k1: Int, k2: Int,
+      iters: Int = 5): DataFrame = {
+    val (_, _, assign) = ivfResidualIndex(emb, k1, k2, iters)
+    assign.select(col("neighbor_id").as("vec_id"),
+        (col("cell") * 65536 + col("sub")).as("cell"))
+      .localCheckpoint()
+  }
+
   /** Verified within-cell cosine pairs (doc_a < doc_b, cosine ≥ tau) —
     * the candidate kernel shared by [[semDedup]] and [[semDedupGroups]].
     * Candidates meet on the cell equi-key carrying ids only; embeddings
@@ -1518,10 +1582,20 @@ object Similarity {
     * term SemDeDup accepts by design; `nlist = 0` (the default) sizes
     * the cell count from the corpus via [[adaptiveNlist]] (~1,000
     * vectors per cell), so candidate volume stays ~1,000·|C| as the
-    * corpus grows instead of |C|²/nlist at a pinned nlist. */
+    * corpus grows instead of |C|²/nlist at a pinned nlist — and past
+    * [[semFlatCellCap]] cells the blocking switches to the balanced
+    * two-level key ([[semAssign]]) so the assignment itself stays
+    * subquadratic too. */
   def semDedup(emb: DataFrame, tau: Double, nlist: Int = 0,
-      iters: Int = 5): DataFrame = {
-    val assign = lloydAssign(emb, nlist, iters)
+      iters: Int = 5): DataFrame =
+    semDedupFromAssign(semAssign(emb, nlist, iters), emb, tau)
+
+  /** The low-id-wins keep rule over any (vec_id, cell) blocking — the
+    * blocking-agnostic half of [[semDedup]], split out so the flat and
+    * two-level cell paths share one verified kernel (and so specs can
+    * drive the rule with a forced blocking). */
+  private[graft] def semDedupFromAssign(assign: DataFrame, emb: DataFrame,
+      tau: Double): DataFrame = {
     val dups = semDupPairs(assign, emb, tau)
       .select(col("doc_b").as("vec_id")).distinct()
     assign
@@ -1544,7 +1618,7 @@ object Similarity {
     * hot cell going quadratic) before it becomes a wall-clock incident. */
   def semDedupStats(emb: DataFrame, tau: Double, nlist: Int = 0,
       iters: Int = 5): DataFrame = {
-    val assign = lloydAssign(emb, nlist, iters)
+    val assign = semAssign(emb, nlist, iters)
     val occ = assign.groupBy("cell").agg(count(lit(1)).as("n"))
     val cellStats = occ.agg(count(lit(1)).as("n_cells"),
       max("n").as("max_occupancy"),
@@ -1570,7 +1644,7 @@ object Similarity {
     * magnitude smaller than the corpus. */
   def semDedupGroups(emb: DataFrame, tau: Double, nlist: Int = 0,
       iters: Int = 5): DataFrame = {
-    val assign = lloydAssign(emb, nlist, iters)
+    val assign = semAssign(emb, nlist, iters)
     val comp = Dedup.minLabelComponents(semDupPairs(assign, emb, tau))
     assign
       .join(comp.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")

@@ -51,20 +51,28 @@ object StressReplicas {
   /** Write ×`copies` documents + embeddings replicas of `baseDir` under
     * `outDir` in the testdata layout (the two tables the composed
     * curation chain reads) — enough for [[graft.llm.Pipeline]] at scale
-    * without shipping the full StressGen variant writer into main. */
+    * without shipping the full StressGen variant writer into main.
+    *
+    * Replicas are written in `batch`-sized append groups: Catalyst
+    * analysis of an N-way union is superlinear in N, so the ×1000 rung
+    * would spend more wall in the PLANNER than the writer as one union.
+    * `copies ≤ batch` (every gated bench corpus) is a single overwrite
+    * group — byte-identical to the pre-batching writer. */
   def writeDocsEmb(spark: SparkSession, baseDir: String, outDir: String,
-      copies: Int): Unit = {
-    val docs = (0 until copies)
-      .map(k => docsReplica(Tables(spark, baseDir, "documents"), k))
-      .reduce(_ unionByName _)
-    docs.withColumn("n_chars", length(col("text")).cast("long"))
-      .select("doc_id", "text", "lang", "source", "n_chars")
-      .repartition(8).write.mode("overwrite")
-      .parquet(s"$outDir/documents.parquet")
-    (0 until copies)
-      .map(k => embReplica(Tables(spark, baseDir, "embeddings"), k))
-      .reduce(_ unionByName _)
-      .repartition(8).write.mode("overwrite")
-      .parquet(s"$outDir/embeddings.parquet")
+      copies: Int, batch: Int = 100): Unit = {
+    (0 until copies).grouped(batch).zipWithIndex.foreach { case (ks, gi) =>
+      val mode = if (gi == 0) "overwrite" else "append"
+      val docs = ks
+        .map(k => docsReplica(Tables(spark, baseDir, "documents"), k))
+        .reduce(_ unionByName _)
+      docs.withColumn("n_chars", length(col("text")).cast("long"))
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .repartition(8).write.mode(mode)
+        .parquet(s"$outDir/documents.parquet")
+      ks.map(k => embReplica(Tables(spark, baseDir, "embeddings"), k))
+        .reduce(_ unionByName _)
+        .repartition(8).write.mode(mode)
+        .parquet(s"$outDir/embeddings.parquet")
+    }
   }
 }

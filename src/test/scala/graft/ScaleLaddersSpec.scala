@@ -203,6 +203,70 @@ class ScaleLaddersSpec extends AnyFunSuite {
     (0L until 5L).foreach(i => assert(foundLadder((i, i + 1000))))
   }
 
+  test("semBalancedCells: k1·k2 covers the ~1000/cell target at ~2√t cost") {
+    assert(Similarity.semBalancedCells(129000) == ((12, 11))) // t=129 → 132 cells
+    assert(Similarity.semBalancedCells(200000) == ((15, 14))) // the ×1000-rung shape
+    val (a, b) = Similarity.semBalancedCells(20L * 1000 * 1000 * 1000)
+    assert(a == 4096 && b == 4096) // caps: both broadcasts stay bounded
+    for (n <- Seq(130000L, 777000L, 5L * 1000 * 1000, 4L * 1000 * 1000 * 1000)) {
+      val t = (n + 999) / 1000
+      val (k1, k2) = Similarity.semBalancedCells(n)
+      // coverage: the composite key reaches the ~1000/cell target …
+      assert(k1.toLong * k2 >= math.min(t, 4096L * 4096), s"n=$n: ($k1, $k2)")
+      // … at the balanced ~2√t per-vector assignment cost, never the
+      // flat ladder's t
+      assert(k1 + k2 <= 2 * math.ceil(math.sqrt(t.toDouble)).toInt + 1,
+        s"n=$n: ($k1, $k2)")
+    }
+  }
+
+  test("twoLevelCells: covers every vector, deterministic, dups co-assign") {
+    val base = blobs(200, dim = 8)
+    // planted EXACT dups: identical vectors see identical rounded
+    // distances at both levels, so any deterministic blocking must
+    // co-assign them — the invariant that makes the two-level key safe
+    // for the dedup family's keep rule
+    val e = base.union(base.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 1000).as("vec_id"), col("embedding")))
+    val a = Similarity.twoLevelCells(e, 4, 3).collect()
+    assert(a.length == 205)
+    assert(a.map(_.getLong(0)).distinct.length == 205)
+    val cellOf = a.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 5L).foreach(i =>
+      assert(cellOf(i) == cellOf(i + 1000), s"exact dup $i split"))
+    val again = Similarity.twoLevelCells(e, 4, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cellOf == again)
+    // the keep rule over the forced two-level blocking drops exactly
+    // the higher-id planted dups on this separated corpus at tau≈1
+    val keep = Similarity.semDedupFromAssign(
+        Similarity.twoLevelCells(e, 4, 3), e, tau = 0.9999)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    (0L until 5L).foreach(i => assert(!keep(i + 1000), s"dup $i kept"))
+  }
+
+  test("semAssign router: two-level key engages past the flat-cell cap") {
+    // just past semFlatCellCap (129k > 128k vectors): the auto path must
+    // ride the balanced two-level key — proven by the packed key VALUES
+    // (cell·2^16 + sub ≥ 2^16 for any coarse cell ≥ 1; the flat ladder's
+    // keys are < 4096)
+    val n = 129001L
+    val e = spark.range(n).select(col("id").as("vec_id"),
+      array((0 until 4).map(d =>
+        (pmod(xxhash64(col("id") * 31 + d), lit(997)).cast("double") / 997d)
+          .cast("float")): _*)
+        .as("embedding"))
+    val asg = Similarity.semAssign(e, nlist = 0, iters = 2)
+    assert(asg.count() == n)
+    val mx = asg.agg(max("cell")).head().getLong(0)
+    assert(mx >= 65536L, s"max cell key $mx — flat path routed past the cap")
+    // and one octave BELOW the cap the auto path stays flat (pinned keys)
+    val small = e.filter(col("vec_id") < 2000)
+    val mxSmall = Similarity.semAssign(small, nlist = 0, iters = 2)
+      .agg(max("cell")).head().getLong(0)
+    assert(mxSmall < 4096L, s"small-corpus key $mxSmall left the flat ladder")
+  }
+
   test("adaptiveNsplit: 1 below the 4096-cell cap, then ~1000/effective-cell") {
     assert(Similarity.adaptiveNsplit(600) == 1)
     assert(Similarity.adaptiveNsplit(4L * 1000 * 1000) == 1) // at the cap
