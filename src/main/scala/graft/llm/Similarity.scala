@@ -1512,20 +1512,115 @@ object Similarity {
         lloydAssign(emb, adaptiveNlist(n), iters)
       else {
         val (k1, k2) = semBalancedCells(n)
-        twoLevelCells(emb, k1, k2, iters)
+        twoLevelCells(emb, k1, k2, iters, n)
       }
     }
 
-  /** The composite (cell, sub) key of an [[ivfResidualIndex]] build
-    * packed into the single `cell` column the within-cell pair kernel
-    * blocks on — sub < 4,096 ≤ 2^16, so cell·2^16 + sub is injective.
-    * Deterministic end to end (both levels are the rounded-distance /
-    * id-tiebreak Lloyd kernels). */
+  /** The composite (cell, sub) two-level blocking key packed into the
+    * single `cell` column the within-cell pair kernel blocks on —
+    * sub < 2^16, so cell·2^16 + sub is injective. Deterministic end to
+    * end (both levels are the rounded-distance / id-tiebreak Lloyd
+    * kernels).
+    *
+    * LEAN build, deliberately NOT [[ivfResidualIndex]] (the persistable
+    * ANN index): a first cut reused that build and measured 138.9 s at
+    * 600k vectors vs 35.1 s for the FLAT 600-cell assignment it was
+    * supposed to beat (quiet canaries both sides) — the index build's
+    * constants are an oracle contract, not a blocking necessity: at
+    * k1 ≤ 64 it trains through the exact oracle-replayable trainer
+    * (full-corpus HOF expression chains, no native kernel, no
+    * subsample), and it checkpoints two corpus-sized payload frames
+    * (assignment with embeddings + materialized residuals). Blocking
+    * needs none of that:
+    *   - both codebooks train through the subsampled join trainer
+    *     ([[lloydCentersJoin]] — native distance kernel, ≤256 training
+    *     vectors per centroid); the residual codebook trains on the
+    *     SAMPLE's residuals only, never a corpus-sized residual frame;
+    *   - checkpoints carry (vec_id, cell) only, never the payload;
+    *   - the second-level argmin runs against the k1·k2 COMBINED
+    *     centers (wv = cv + sv: ||x−c−s|| ≡ ||x−(c+s)||), so residual
+    *     vectors are never materialized per corpus row. The combined
+    *     broadcast is k1·k2×dim doubles — ≤33 MB at dim 64 through
+    *     256×256 cells (~65M vectors); past that the build switches to
+    *     a materialized-residual second pass (ids + residual only) so
+    *     broadcast state returns to two bounded center tables.
+    * Measured A/B (quiet canaries, SCALE_r14 §7): 200k vectors 12.0 s
+    * lean vs 12.6 flat (the crossover — the [[semFlatCellCap]] sits
+    * just under it); 600k: 16.0 vs 39.1; 2M: 58.8 vs 323.1, the flat
+    * path reading its n² signature (8.3× wall for 3.33× data) while
+    * this build reads ~n^1.5 (3.7×). Occupancy and candidate volume
+    * stay within 10% of flat at every point. */
   private[graft] def twoLevelCells(emb: DataFrame, k1: Int, k2: Int,
-      iters: Int = 5): DataFrame = {
-    val (_, _, assign) = ivfResidualIndex(emb, k1, k2, iters)
-    assign.select(col("neighbor_id").as("vec_id"),
-        (col("cell") * 65536 + col("sub")).as("cell"))
+      iters: Int = 5, nKnown: Long = -1L): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val n = if (nKnown >= 0) nKnown else emb.count()
+    val c1 = lloydCentersJoin(emb, k1, iters)
+    val cents1 = broadcast(c1.zipWithIndex.toSeq
+      .map { case (c, i) => (i.toLong, c.toSeq) }.toDF("cid", "cv"))
+    val d6i = floor(euclidExpr(spark, "ce", "cv") * 1e6 + 0.5).cast("long")
+    val spread1 =
+      if (n * k1.toLong > 4000000L) Dedup.fanOut(emb) else emb
+    val a1 = spread1
+      .select(col("vec_id"), col("embedding").as("ce"))
+      .join(cents1)
+      .groupBy("vec_id")
+      .agg(min(packedArgmin(d6i, col("cid"))).as("mp"))
+      .select(col("vec_id"), unpackId(col("mp")).as("cell"))
+      .localCheckpoint()
+    // residual codebook: trained on the hash-systematic SAMPLE's
+    // residuals (the join trainer's own cap, applied before the
+    // residual projection, so the HOF zip_with touches ~256·k2 rows)
+    val m2 = math.max(1L, n / (256L * k2))
+    val sampResid = emb
+      .filter(xxhash64(col("vec_id")) % m2 === 0)
+      .join(a1, Seq("vec_id"))
+      .join(cents1, col("cell") === col("cid"))
+      .select(col("vec_id"),
+        zip_with(transform(col("embedding"), v => v.cast("double")),
+          col("cv"), (x, c) => x - c).as("embedding"))
+    val c2 = lloydCentersJoin(sampResid, k2, iters)
+    val spread2 =
+      if (n * k2.toLong > 4000000L) Dedup.fanOut(emb) else emb
+    val packed =
+      if (k1.toLong * k2 <= 65536L) {
+        // combined-centers argmin: one native-kernel pass, no residuals
+        val comb = broadcast(
+          (for { (cc, i) <- c1.zipWithIndex.toSeq
+                 (sc, j) <- c2.zipWithIndex.toSeq }
+            yield (i.toLong, j.toLong,
+              cc.zip(sc).map { case (a, b) => a + b }.toSeq))
+            .toDF("cell", "sid", "wv"))
+        val sd6i =
+          floor(euclidExpr(spark, "ce", "wv") * 1e6 + 0.5).cast("long")
+        spread2
+          .select(col("vec_id"), col("embedding").as("ce"))
+          .join(a1, Seq("vec_id"))
+          .join(comb, Seq("cell"))
+          .groupBy("vec_id", "cell")
+          .agg(min(packedArgmin(sd6i, col("sid"))).as("ms"))
+      } else {
+        // past the combined broadcast's 2^16-cell bound: materialize
+        // (vec_id, cell, residual) once, argmin against the bounded
+        // k2-row residual codebook
+        val cents2 = broadcast(c2.zipWithIndex.toSeq
+          .map { case (c, j) => (j.toLong, c.toSeq) }.toDF("sid", "sv"))
+        val resid = spread2
+          .join(a1, Seq("vec_id"))
+          .join(cents1, col("cell") === col("cid"))
+          .select(col("vec_id"), col("cell"),
+            zip_with(transform(col("embedding"), v => v.cast("double")),
+              col("cv"), (x, c) => x - c).as("re"))
+          .localCheckpoint()
+        val rd6i =
+          floor(euclidExpr(spark, "re", "sv") * 1e6 + 0.5).cast("long")
+        resid.join(cents2)
+          .groupBy("vec_id", "cell")
+          .agg(min(packedArgmin(rd6i, col("sid"))).as("ms"))
+      }
+    packed
+      .select(col("vec_id"),
+        (col("cell") * 65536 + unpackId(col("ms"))).as("cell"))
       .localCheckpoint()
   }
 
