@@ -77,7 +77,16 @@ object Centrality {
   def betweenness(spark: SparkSession, edges: DataFrame,
       sources: Seq[Long]): DataFrame = {
     import spark.implicits._
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    // cached hash(src), not localCheckpoint'd: a cached plan KEEPS its
+    // outputPartitioning while a checkpointed one comes back as a bare
+    // LogicalRDD (probed on this Spark build, r14 opt round) — and e is
+    // the join build side of EVERY forward level and every backward
+    // level, so the preserved partitioning removes the e-side exchange
+    // (the largest frame here) from ~2·diameter joins; only the small
+    // per-level frontier/delta frames still shuffle.
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .repartition(col("src")).cache()
+    e.count()
     // per-level (dist, sigma) frames for the backward pass, plus ONE
     // accumulated checkpointed `seen` frame for the forward anti-join —
     // re-deriving seen as a union of every prior level frame made each
@@ -135,6 +144,8 @@ object Centrality {
           .localCheckpoint())
       d -= 1
     }
+    // every frame below is checkpointed, so nothing downstream reads e
+    e.unpersist(blocking = false)
     deltas.map(_.select(col("s"), col("node"), col("delta")))
       .reduce(_ unionByName _)
       .filter(col("node") =!= col("s"))

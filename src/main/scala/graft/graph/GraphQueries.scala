@@ -16,6 +16,15 @@ object GraphQueries {
   private def edges(s: SparkSession, d: String): DataFrame =
     GraphSource.partTransitions(Tables(s, d, "lineitem"))
 
+  /** Edge frame materialized once for bindings that consume it more
+    * than once (source sampling + the algorithm itself + a verdict's
+    * vertex count): the window+agg edge derivation re-executed per
+    * reference before — 2-4 full lineitem scans inside one query
+    * (r14 opt round §A3). Same rows, same downstream plans; the
+    * checkpoint blocks are dropped by the harness between queries. */
+  private def edgesChk(s: SparkSession, d: String): DataFrame =
+    edges(s, d).localCheckpoint()
+
   private def graph(s: SparkSession, d: String) =
     GraphSource.toGraph(edges(s, d))
 
@@ -29,19 +38,32 @@ object GraphQueries {
   // replay-oracle-checked query AND the companion of a stock-fit verdict
   // query, so without the memo every suite pass ran each sweep twice
   // (round-8 verdict #3 measured ~6 s of recompute for louvain alone)
-  private def lpaSyncShared(s: SparkSession, d: String): DataFrame =
+  // each shared twin accepts the caller's already-materialized edge (or
+  // undirected) frame so a verdict query and its twin share ONE edge
+  // derivation; standalone callers materialize their own
+  private def lpaSyncShared(s: SparkSession, d: String,
+      e: Option[DataFrame] = None): DataFrame =
     graft.core.QueryCache.df(s, s"lpa_sync:$d")(
-      Iterative.labelPropagationSync(s, edges(s, d), 5))
+      Iterative.labelPropagationSync(s, e.getOrElse(edges(s, d)), 5))
 
-  private def louvainSyncShared(s: SparkSession, d: String): DataFrame =
+  // standalone path deliberately NOT checkpointed: the sym build's four
+  // references to the undirected frame live in ONE plan where exchange
+  // reuse already dedups the aggregate (probed: an eager checkpoint
+  // made graph_louvain_sync 1.12x). The graph_louvain caller passes its
+  // own checkpointed frame because ITS consumers are separate jobs.
+  private def louvainSyncShared(s: SparkSession, d: String,
+      und: Option[DataFrame] = None): DataFrame =
     graft.core.QueryCache.df(s, s"louvain_sync:$d")(
-      Iterative.louvainSync(s,
-        GraphSource.canonicalUndirected(edges(s, d)), 8))
+      Iterative.louvainSync(s, und.getOrElse(
+        GraphSource.canonicalUndirected(edges(s, d))), 8))
 
-  private def pprMultiSyncShared(s: SparkSession, d: String): DataFrame =
-    graft.core.QueryCache.df(s, s"ppr_multi_sync:$d")(
-      Iterative.parallelPersonalizedPageRankSync(s, edges(s, d),
-        smallestNodes(edges(s, d), 4), 10))
+  private def pprMultiSyncShared(s: SparkSession, d: String,
+      e: Option[DataFrame] = None): DataFrame =
+    graft.core.QueryCache.df(s, s"ppr_multi_sync:$d") {
+      val ed = e.getOrElse(edgesChk(s, d))
+      Iterative.parallelPersonalizedPageRankSync(s, ed,
+        smallestNodes(ed, 4), 10)
+    }
 
   private def smallestNodes(e: DataFrame, n: Int): Seq[Long] =
     e.select(col("src").as("v")).union(e.select(col("dst")))
@@ -546,7 +568,7 @@ object GraphQueries {
     "graph_pagerank_conv" -> ((s, d) =>
       Builtins.pageRankUntilConvergence(s, graph(s, d), 1e-4)),
     "graph_ppr" -> ((s, d) => {
-      val e = edges(s, d)
+      val e = edgesChk(s, d)
       Builtins.personalizedPageRank(s, GraphSource.toGraph(e), minNode(e), 10)
     }),
     "graph_ppr_multi" -> ((s, d) => {
@@ -556,19 +578,19 @@ object GraphQueries {
       // oracle can replay trajectory-for-trajectory), so the check is
       // the reference's ranking methodology — top-5 overlap + mass
       // conservation — against a constant-truth oracle.
-      val e = edges(s, d)
+      val e = edgesChk(s, d)
       GraphChecks.pprMulti(s, e, smallestNodes(e, 4), 10,
-        Some(pprMultiSyncShared(s, d)))
+        Some(pprMultiSyncShared(s, d, Some(e))))
     }),
     "graph_ppr_multi_sync" -> ((s, d) => pprMultiSyncShared(s, d)),
     "graph_ppr_conv" -> ((s, d) => {
-      val e = edges(s, d)
+      val e = edgesChk(s, d)
       Builtins.personalizedPageRankUntilConvergence(s, GraphSource.toGraph(e),
         minNode(e), 1e-4)
     }),
     "graph_wpr" -> ((s, d) => Iterative.weightedPageRank(s, graph(s, d), 10)),
     "graph_trustrank" -> ((s, d) => {
-      val e = edges(s, d)
+      val e = edgesChk(s, d)
       Iterative.trustRank(s, GraphSource.toGraph(e),
         smallestNodes(e, 5).toSet, 10)
     }),
@@ -578,11 +600,11 @@ object GraphQueries {
       Iterative.incrementalPageRank(s, g, prior, 5)
     }),
     "graph_bfs" -> ((s, d) => {
-      val e = edges(s, d)
+      val e = edgesChk(s, d)
       Iterative.bfs(s, GraphSource.toGraph(e), minNode(e), 10)
     }),
     "graph_sssp" -> ((s, d) => {
-      val e = edges(s, d)
+      val e = edgesChk(s, d)
       Builtins.shortestPaths(s, GraphSource.toGraph(e), smallestNodes(e, 3))
     }),
     "graph_cc" -> ((s, d) => Builtins.connectedComponents(s, graph(s, d))),
@@ -590,15 +612,17 @@ object GraphQueries {
       Builtins.stronglyConnectedComponents(s, graph(s, d), 10)),
     // async GraphX LPA adjudicated against the _sync twin's community
     // count (GraphChecks verdict rows, constant-truth oracle)
-    "graph_lpa" -> ((s, d) =>
-      GraphChecks.lpa(s, edges(s, d), 5, Some(lpaSyncShared(s, d)))),
+    "graph_lpa" -> ((s, d) => {
+      val e = edgesChk(s, d)
+      GraphChecks.lpa(s, e, 5, Some(lpaSyncShared(s, d, Some(e))))
+    }),
     "graph_lpa_sync" -> ((s, d) => lpaSyncShared(s, d)),
     "graph_louvain_sync" -> ((s, d) => louvainSyncShared(s, d)),
     "graph_kcore" -> ((s, d) => Iterative.kCore(s, ugraph(s, d), maxIter = 20)),
     "graph_modularity" -> ((s, d) => {
       // deterministic hash-partition assignment (node mod 16) so the
       // modularity aggregate itself is what the DuckDB oracle checks
-      val e = edges(s, d)
+      val e = edgesChk(s, d)
       val comm = e.select(col("src").as("node"))
         .union(e.select(col("dst"))).distinct()
         .select(col("node"), pmod(col("node"), lit(16)).as("community"))
@@ -608,8 +632,8 @@ object GraphQueries {
       // stock Louvain adjudicated by modularity agreement with the
       // oracle-checked _sync sweep (both are local-move optima of the
       // same objective; the oracle-checked modularity op scores both)
-      val e = GraphSource.canonicalUndirected(edges(s, d))
-      GraphChecks.louvain(s, e, Some(louvainSyncShared(s, d)))
+      val e = GraphSource.canonicalUndirected(edges(s, d)).localCheckpoint()
+      GraphChecks.louvain(s, e, Some(louvainSyncShared(s, d, Some(e))))
     }),
     "graph_wce" -> ((s, d) =>
       // members serialized at the query boundary: the driver's compare
@@ -619,13 +643,13 @@ object GraphQueries {
         .select(col("clique_id"), concat_ws(",", col("members")).as("members"),
           col("clique_size"))),
     "graph_closeness" -> ((s, d) => {
-      val e = edges(s, d)
+      val e = edgesChk(s, d)
       Centrality.closeness(s, GraphSource.toGraph(e), smallestNodes(e, 8))
     }),
     "graph_betweenness" -> ((s, d) => {
       // batched Brandes makes the source sample nearly free: 8 sources
       // cost one level-synchronous pass, same as 1
-      val e = edges(s, d)
+      val e = edgesChk(s, d)
       Centrality.betweenness(s, e, smallestNodes(e, 8))
     }),
     "graph_cycles" -> ((s, d) =>
@@ -640,7 +664,7 @@ object GraphQueries {
         .select(concat_ws(",", col("cycle")).as("cycle"), col("length"))
         .orderBy("cycle")),
     "graph_closeness_w" -> ((s, d) => {
-      val e = edges(s, d)
+      val e = edgesChk(s, d)
       Centrality.closeness(s, GraphSource.toGraph(e), smallestNodes(e, 8),
         weighted = true)
     }),
@@ -652,6 +676,8 @@ object GraphQueries {
       // ordered triangle embeddings over the undirected view = 6 ×
       // triangles; the v0<v1<v2 symmetry-break + |Aut|=6 rescale keeps
       // the join intermediate at 1/6 of the ordered enumeration
+      // both und references live in one plan — exchange reuse dedups
+      // them; an eager checkpoint probed 1.16x here (r14 opt round)
       val und = GraphSource.canonicalUndirected(edges(s, d))
       val sym = und.select(col("src"), col("dst"))
         .union(und.select(col("dst"), col("src")))
@@ -664,7 +690,7 @@ object GraphQueries {
       // the reference's p/q surface (`Node2VecRunner.scala:72-73`);
       // the Word2Vec fit is adjudicated by GraphChecks surface
       // invariants (the SAMPLER is oracle-checked via graph_walks_det)
-      GraphChecks.node2vec(s, edges(s, d))),
+      GraphChecks.node2vec(s, edgesChk(s, d))),
     "graph_walks_det" -> ((s, d) =>
       // the walk sampler itself, on the replicable-draw path — the
       // oracle-checked half of C22 (Word2Vec stays rows-only)

@@ -313,6 +313,11 @@ object Iterative {
       labels = und
         .join(labels.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"), col("label"))
+        // two pipelined exchanges, both fed by MAP-SIDE partials (count
+        // partials into the first, min-struct partials into the second)
+        // — collapsing them into one explicit repartition(node) was
+        // probed in the r14 opt round and rejected: it ships every raw
+        // message row, losing the partial aggregation (guide §2.3)
         .groupBy("node", "label").agg(count(lit(1)).as("cnt"))
         // most-frequent-label argmax with smallest-label tiebreak, as a
         // partial-aggregating min(struct) — integer counts, bit-exact,
@@ -340,38 +345,58 @@ object Iterative {
     * artifact rather than a spec.) */
   def parallelPersonalizedPageRankSync(spark: SparkSession, edges: DataFrame,
       sources: Seq[Long], numIter: Int, resetProb: Double = 0.15): DataFrame = {
-    import spark.implicits._
-    // ne partitioned by src (the per-iteration rank join key) and grid
-    // by (node, source) (the per-iteration message merge key): both big
-    // frames shuffle once at build, never again inside the loop
+    // ne partitioned by src (the per-iteration rank join key); the rank
+    // state is WIDE — one row per node carrying |sources| rank columns
+    // r0..r{k-1} — so a round's join+aggregate moves |E| rows instead of
+    // the former long form's |E|·|sources| (and the merge aggregate keys
+    // on dst alone). Each per-(node, source) message sum still adds
+    // exactly the same multiset of rank·w terms, merely batched
+    // column-wise, and the DuckDB oracle already re-sums them in its own
+    // order — the 1e-6-rounded fixpoint is summation-order-stable (the
+    // r14 opt round verified the wide form bit-identical vs the long
+    // form at sf0.001/0.01/0.1 and across the fuzz grid).
+    val k = sources.size
+    def rc(i: Int) = col(s"r$i")
     val ne = edges.select(col("src"), col("dst"))
       .join(edges.groupBy("src").agg(count(lit(1)).as("od")), Seq("src"))
       .select(col("src"), col("dst"), (lit(1.0) / col("od")).as("w"))
       .repartition(col("src"))
       .cache()
+    // nodes partitioned by node: the per-round merge lands on hash(node),
+    // so the left join that restores zero-in-degree rows is
+    // co-partitioned every round
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst"))).distinct()
-    val grid = nodes.crossJoin(sources.toDF("source"))
-      .repartition(col("node"), col("source")).cache()
-    var ranks = grid.select(col("node"), col("source"),
-      when(col("node") === col("source"), 1.0).otherwise(0.0).as("rank"))
+      .repartition(col("node")).cache()
+    var ranks = nodes.select(col("node") +: sources.zipWithIndex.map {
+      case (s, i) => when(col("node") === s, 1.0).otherwise(0.0).as(s"r$i")
+    }: _*)
     for (_ <- 1 to numIter) {
       val msgs = ranks
         .join(ne, ranks("node") === ne("src"))
-        .groupBy(col("dst").as("node"), col("source"))
-        .agg(sum(col("rank") * col("w")).as("m"))
-      ranks = grid
-        .join(msgs, Seq("node", "source"), "left")
-        .select(col("node"), col("source"),
-          (when(col("node") === col("source"), resetProb).otherwise(0.0) +
-            lit(1 - resetProb) * coalesce(col("m"), lit(0.0))).as("rank"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(rc(0) * col("w")).as("m0"),
+          (1 until k).map(i => sum(rc(i) * col("w")).as(s"m$i")): _*)
+      ranks = nodes
+        .join(msgs, Seq("node"), "left")
+        .select(col("node") +: sources.zipWithIndex.map { case (s, i) =>
+          (when(col("node") === s, resetProb).otherwise(0.0) +
+            lit(1 - resetProb) * coalesce(col(s"m$i"), lit(0.0))).as(s"r$i")
+        }: _*)
         .localCheckpoint()
     }
+    // unpivot back to the (node, source, rank) contract, then normalize
+    // per source exactly as before
+    val stackArgs = sources.zipWithIndex
+      .map { case (s, i) => s"${s}L, r$i" }.mkString(", ")
+    val long = ranks.selectExpr("node",
+      s"stack($k, $stackArgs) AS (source, rank)")
     val bySrc = org.apache.spark.sql.expressions.Window.partitionBy("source")
-    val out = ranks.select(col("node"), col("source"),
+    val out = long.select(col("node"), col("source"),
       (floor(col("rank") / sum("rank").over(bySrc) * 1e6 + 0.5) / 1e6).as("rank"))
       .orderBy("node", "source")
     ne.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
     out
   }
 

@@ -426,16 +426,30 @@ object LlmQueries {
       val bf = Similarity.bruteForceTopK(q, e, k = 5).localCheckpoint()
       def row(m: String, ap: org.apache.spark.sql.DataFrame) =
         Similarity.recallAtK(ap, bf, k = 5).withColumn("method", lit(m))
+      // the two-level residual index is the shared prefix of THREE of
+      // the swept variants — ivf_residual probes it directly,
+      // ivf_residual3 extends it one level, and ivf_trained's Lloyd
+      // cells + coarse assignment are exactly its level 1 (same
+      // centers, same packedArgmin) — so it is built ONCE here instead
+      // of three Lloyd trainings + three coarse argmins (r14 opt
+      // round; rows byte-identical by construction, the Indexed entry
+      // points are the same code the composed builders call)
+      val (c1, c2, a2raw) = Similarity.ivfResidualIndex(e,
+        nlist = 4, nsplit = 2, iters = 5)
+      val a2 = a2raw.localCheckpoint()
       row("ivf",
           Similarity.ivfTopK(q, e, k = 5, nProbe = 4))
-        .union(row("ivf_residual", Similarity.ivfResidualTopK(q, e,
-          k = 5, nlist = 4, nsplit = 2, nProbe = 2, nProbeSub = 1,
-          iters = 5)))
-        .union(row("ivf_residual3", Similarity.ivfResidual3TopK(q, e,
-          k = 5, nlist = 4, nsplit = 2, nsplit3 = 2, nProbe = 2,
-          nProbeSub = 1, nProbeSub3 = 1, iters = 5)))
-        .union(row("ivf_trained", Similarity.ivfTopKTrained(q, e, k = 5,
-          nlist = 4, iters = 5, nProbe = 2)))
+        .union(row("ivf_residual", Similarity.ivfResidualTopKIndexed(
+          q, c1, c2, a2, k = 5, nProbe = 2, nProbeSub = 1)))
+        .union(row("ivf_residual3", {
+          val (d1, d2, d3, a3) = Similarity.ivfResidual3IndexFrom(
+            e, c1, c2, a2, nsplit3 = 2, iters = 5)
+          Similarity.ivfResidual3TopKIndexed(q, d1, d2, d3, a3, k = 5,
+            nProbe = 2, nProbeSub = 1, nProbeSub3 = 1)
+        }))
+        .union(row("ivf_trained", Similarity.ivfTopKIndexed(q, c1,
+          a2.select(col("neighbor_id"), col("ce"), col("cell")),
+          k = 5, nProbe = 2)))
         .union(row("ivfpq", Similarity.ivfPqTopK(q, e, k = 5,
           nProbe = 4, rerank = 20)))
         .union(row("pq", Similarity.pqTopK(q, e, k = 5)))

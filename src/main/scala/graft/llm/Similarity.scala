@@ -1331,9 +1331,22 @@ object Similarity {
   def ivfResidual3Index(corpus: DataFrame, nlist: Int = 0,
       nsplit: Int = 0, nsplit3: Int = 0, iters: Int = 5)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val (c1, c2, a2) = ivfResidualIndex(corpus, nlist, nsplit, iters)
+    ivfResidual3IndexFrom(corpus, c1, c2, a2, nsplit3, iters)
+  }
+
+  /** [[ivfResidual3Index]] continued from an ALREADY-BUILT two-level
+    * index (cents1, cents2, level-2 assignment): the third-level
+    * training/assignment is exactly the tail of the composed build, so
+    * a caller that needs BOTH the two-level and three-level indexes of
+    * one corpus (llm_ann_recall_all sweeps every variant) builds the
+    * shared prefix once instead of twice (r14 opt round). `corpus` is
+    * only consulted for its count when `nsplit3 = 0` (adaptive). */
+  def ivfResidual3IndexFrom(corpus: DataFrame, c1: DataFrame,
+      c2: DataFrame, a2: DataFrame, nsplit3: Int = 0, iters: Int = 5)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val (c1, c2, a2) = ivfResidualIndex(corpus, nlist, nsplit, iters)
     val k3 = if (nsplit3 > 0) nsplit3 else adaptiveNsplit3(corpus.count())
     // level-2 residuals against BOTH assigned centers (doubles end to
     // end), rebuilt from the level-2 assignment — never materialized
