@@ -103,17 +103,22 @@ object Community {
     var pass = 0
     while (pass < passes && zeroStreak < 2) {
       val sigma = comm.groupBy("comm").agg(sum("deg").as("sigma"))
+      // sigma rides the community broadcast (pre-joined onto the
+      // per-node frame, recovered by max() in the aggregate — constant
+      // within a (node, cand) group): one broadcast build and one join
+      // per pass instead of two of each (r14 opt round; bit-identical)
+      val commE = comm
+        .join(Hints.broadcastIfSmall(sigma, v), Seq("comm"))
       // weight from each node to each neighboring community; the
       // self-loops planted in e2 make this the complete candidate set
       // (neighbor communities plus the node's own)
       val cands = e2
-        .join(Hints.broadcastIfSmall(comm.select(col("node").as("dst"),
-          col("comm").as("cand")), v), Seq("dst"))
+        .join(Hints.broadcastIfSmall(commE.select(col("node").as("dst"),
+          col("comm").as("cand"), col("sigma")), v), Seq("dst"))
         .groupBy(col("src").as("node"), col("cand"))
         .agg(sum("w").as("kin"),
-          max(when(col("dst") === col("src"), col("cand"))).as("selfc"))
-        .join(Hints.broadcastIfSmall(
-          sigma.withColumnRenamed("comm", "cand"), v), Seq("cand"))
+          max(when(col("dst") === col("src"), col("cand"))).as("selfc"),
+          max(col("sigma")).as("sigma"))
         // per-node degree and current community via an unordered window
         // over the node partition the aggregate already produced —
         // kin sums are integer-valued, so re-summing them is exact

@@ -38,10 +38,14 @@ object GraphChecks {
     // same vertices (round-8 advice)
     val nVerts = edges.select(col("src").as("v"))
       .union(edges.select(col("dst"))).distinct().count()
-    val nodesAsync = async.count()
-    val nodesSync = sync.count()
-    val nAsync = async.select("label").distinct().count().toDouble
-    val nSync = sync.select("label").distinct().count().toDouble
+    // one aggregate per side instead of a count job + a distinct-count
+    // job each (exact countDistinct — same integers, half the actions)
+    def rowAndLabelCounts(df: DataFrame): (Long, Double) = {
+      val r = df.agg(count(lit(1)), countDistinct(col("label"))).head()
+      (r.getLong(0), r.getLong(1).toDouble)
+    }
+    val (nodesAsync, nAsync) = rowAndLabelCounts(async)
+    val (nodesSync, nSync) = rowAndLabelCounts(sync)
     // factor-3 band: both trajectories collapse the fixture graph to a
     // handful of communities (sf0.01 probed async=1 vs sync=2; sf0.1
     // in the same regime), so a tight ratio on single-digit counts
@@ -139,28 +143,33 @@ object GraphChecks {
     }
     val ra = ranked(async)
     val rs = ranked(sync).withColumnRenamed("rn", "rn2")
-    val overlap = ra.filter(col("rn") <= 5).select("source", "node")
-      .join(rs.filter(col("rn2") <= 5).select("source", "node"),
-        Seq("source", "node"), "leftsemi")
-      .groupBy("source").count()
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // Spearman ρ of the FULL rankings per source (Pearson over the
-    // row_number ranks; total tiebreak ⇒ no tie correction needed):
-    // strictly tighter than the 3-of-5 top-5 overlap, which a fairly
-    // wrong ranking can pass (round-8 verdict #6). Probed per-source ρ:
-    // 0.9877–0.9903 at sf0.01, 0.9094–0.9347 at sf0.1 (the replicated-
-    // view artifact grows with graph size, consistent with the L1 drift
-    // 0.20→0.45 noted above) — pinned at 0.85, under the worst observed
-    // value with slack for partitioning-dependent artifact variation.
-    val rho = ra.join(rs, Seq("source", "node"))
+    // ONE join + ONE aggregate serves BOTH verdict ingredients (r14 opt
+    // round — the former separate top-5 semi-join re-evaluated both
+    // row_number windows a second time):
+    // - Spearman ρ of the FULL rankings per source (Pearson over the
+    //   row_number ranks; total tiebreak ⇒ no tie correction needed):
+    //   strictly tighter than the 3-of-5 top-5 overlap, which a fairly
+    //   wrong ranking can pass (round-8 verdict #6). Probed per-source
+    //   ρ: 0.9877–0.9903 at sf0.01, 0.9094–0.9347 at sf0.1 — pinned at
+    //   0.85, under the worst observed value with slack.
+    // - top-5 overlap = joined rows with rn ≤ 5 AND rn2 ≤ 5 — identical
+    //   to the former semi-join count because row_number is unique per
+    //   (source, node) side. The overlap map keeps only sources with
+    //   ≥ 1 overlapping row, exactly the key set the semi-join yielded.
+    val js = ra.join(rs, Seq("source", "node"))
       .groupBy("source")
       .agg(corr(col("rn").cast("double"), col("rn2").cast("double"))
-        .as("rho"))
-      // corr() is null for a source with < 2 joined rank rows (degenerate
-      // graph): map null to 0.0 so such a source FAILS the ρ ≥ 0.85
-      // verdict instead of crashing the query with an NPE
-      .collect().map(r => r.getLong(0) ->
-        (if (r.isNullAt(1)) 0.0 else r.getDouble(1))).toMap
+        .as("rho"),
+        sum(when(col("rn") <= 5 && col("rn2") <= 5, 1L).otherwise(0L))
+          .as("ov"))
+      .collect()
+    // corr() is null for a source with < 2 joined rank rows (degenerate
+    // graph): map null to 0.0 so such a source FAILS the ρ ≥ 0.85
+    // verdict instead of crashing the query with an NPE
+    val rho = js.map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) 0.0 else r.getDouble(1))).toMap
+    val overlap = js.filter(_.getLong(2) > 0L)
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
     // per-source ranked-node count: the async op must rank every vertex
     // of the graph for every source (a dropped vertex breaks both the
     // mass and the Spearman comparison silently)

@@ -447,18 +447,26 @@ object Iterative {
       org.apache.spark.sql.expressions.Window.partitionBy("node")
     for (i <- 1 to iters) {
       val commDeg = labels.groupBy("comm").agg(sum("deg").as("cdeg"))
+      // community degree rides the label broadcast (pre-joined onto the
+      // per-node frame, recovered by max() in the aggregate below —
+      // cdeg is constant within a (node, comm) group, so max() IS the
+      // value): one broadcast build and one join per round instead of
+      // two of each (r14 opt round; values bit-identical)
+      val labelsE = labels
+        .join(Hints.broadcastIfSmall(commDeg, v), Seq("comm"))
       // the self-loops planted in sym make kvc the complete candidate
       // set — neighbor communities plus every node's own community —
       // in this single aggregate; the self-loop row also tags its group
       // with the node's CURRENT community (selfc)
       val cand = sym
         .join(Hints.broadcastIfSmall(
-          labels.select(col("node").as("dst"), col("comm")), v), Seq("dst"))
+          labelsE.select(col("node").as("dst"), col("comm"),
+            col("cdeg")), v), Seq("dst"))
         .groupBy(col("src").as("node"), col("comm"))
         .agg(sum("weight").as("kvc"),
-          max(when(col("dst") === col("src"), col("comm"))).as("selfc"))
+          max(when(col("dst") === col("src"), col("comm"))).as("selfc"),
+          max(col("cdeg")).as("cdeg"))
       val scored = cand
-        .join(Hints.broadcastIfSmall(commDeg, v), Seq("comm"))
         // per-node degree and current community via an unordered window
         // over the node partition the aggregate already produced —
         // kvc sums are integer-valued, so re-summing them is exact
