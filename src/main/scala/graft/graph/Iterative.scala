@@ -325,6 +325,13 @@ object Iterative {
         .groupBy("node")
         .agg(min(struct((-col("cnt")).as("nc"), col("label"))).as("sel"))
         .select(col("node"), col("sel.label").as("label"))
+        // localCheckpoint, NOT cache+count: cache would preserve the
+        // hash(node) partitioning (saving the next round's label-side
+        // exchange), but a cached Dataset's LOGICAL plan still embeds
+        // every prior round — analysis/optimization re-walks the whole
+        // growing tree each round, which probed 1.7x SLOWER over 5
+        // rounds (r14 opt round). Only the checkpoint's LogicalRDD
+        // truncates the plan.
         .localCheckpoint()
     }
     und.unpersist(blocking = false)
@@ -383,6 +390,12 @@ object Iterative {
           (when(col("node") === s, resetProb).otherwise(0.0) +
             lit(1 - resetProb) * coalesce(col(s"m$i"), lit(0.0))).as(s"r$i")
         }: _*)
+        // localCheckpoint, NOT cache+count: cache would keep hash(node)
+        // and make the next ranks⋈ne join exchange-free, but the cached
+        // plan embeds every prior round and per-round analysis cost
+        // probed 2.3x SLOWER over 10 rounds (r14 opt round) — only the
+        // checkpoint's LogicalRDD truncates the plan. The V-row ranks
+        // exchange per round is the cheaper price.
         .localCheckpoint()
     }
     // unpivot back to the (node, source, rank) contract, then normalize
