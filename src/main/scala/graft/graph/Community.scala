@@ -20,6 +20,20 @@ import graft.core.Hints
   */
 object Community {
 
+  /** Read one observed metric off an ALREADY-EXECUTED plan. Uses the
+    * string form of `Dataset.observe` (a bare CollectMetrics node read
+    * back through `queryExecution.observedMetrics`), NOT an
+    * `Observation` handle: instantiating Observation materializes the
+    * session's `observationManager` lazy val, which is not
+    * java-serializable — and MLlib model closures (the ml_*_rule
+    * queries) serialize the whole SparkSession via their training
+    * summaries, so one Observation anywhere in the suite would break
+    * every later model.transform (probed: NotSerializableException:
+    * ObservationManager). */
+  private def observed(df: DataFrame, metric: String,
+      field: String): Option[Any] =
+    Option(df.queryExecution.observedMetrics(metric).getAs[Any](field))
+
   /** Louvain. `edges` directed pairs are treated as the undirected
     * multigraph (pass both directions for an undirected graph). Returns
     * (node, community). */
@@ -69,10 +83,10 @@ object Community {
 
   /** Synchronous local-move passes on one level; returns
     * ((node, new_comm), total moves, node count). Passes stop early once
-    * a pass moves nothing — one cheap count on the already-computed
-    * best-move frame per pass, against ~6 shuffles for a wasted pass. */
+    * a pass moves nothing — the moved count is an observed metric on the
+    * pass's own checkpoint job (no extra action), against ~6 shuffles
+    * for a wasted pass. */
   private def localMoves(e: DataFrame, passes: Int): (DataFrame, Long, Long) = {
-    val m2 = e.agg(sum("w")).head().getDouble(0) // = 2m on symmetric view
     // zero-weight self-loops: every node's own community then arrives
     // through the normal per-pass kin aggregate (+0.0 changes no sum),
     // and the self-loop row tags its group with the node's current
@@ -87,17 +101,27 @@ object Community {
       e.select(col("src")).union(e.select(col("dst"))).distinct()
         .select(col("src"), col("src").as("dst"), lit(0.0).as("w")))
       .repartition(col("src")).cache()
+    // 2m summed AFTER the cache materializes, so the sum job reads the
+    // in-memory columnar blocks instead of re-deriving e (the self-loop
+    // rows add +0.0, so summing e2 equals summing e exactly —
+    // integer-valued weights make the sum order-independent in doubles).
+    // NOT an observed metric on the count: Dataset.count() runs its own
+    // ad-hoc QueryExecution, which never populates observedMetrics on
+    // this frame (probed: metric read back 0.0 and the score division
+    // threw DIVIDE_BY_ZERO under ANSI mode).
     e2.count()
+    val m2 = e2.agg(sum("w")).head().getDouble(0)
     val byNode = Window.partitionBy("node")
     // the community frame carries each node's degree, making the sigma
-    // aggregate a plain groupBy (no deg join)
-    var comm = e2.groupBy(col("src").as("node")).agg(sum("w").as("deg"))
+    // aggregate a plain groupBy (no deg join); the node count — gating
+    // the per-pass broadcasts (comm is 1 row per node, sigma ≤ 1 row per
+    // community ≤ v) — rides the checkpoint materialization the same way
+    val commObs = e2.groupBy(col("src").as("node")).agg(sum("w").as("deg"))
       .select(col("node"), col("node").as("comm"), col("deg"))
-      .localCheckpoint()
-    // node count of this level — gates the per-pass broadcasts (comm is
-    // 1 row per node, sigma ≤ 1 row per community ≤ v); counted once
-    // off the checkpointed frame
-    val v = comm.count()
+      .observe("louvain_v", count(lit(1)).as("v"))
+    var comm = commObs.localCheckpoint()
+    val v = observed(commObs, "louvain_v", "v")
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
     var totalMoves = 0L
     var zeroStreak = 0
     var pass = 0
@@ -133,15 +157,21 @@ object Community {
       // argmax as a partial-aggregating min(struct(-score, cand)) —
       // the same (score desc, cand asc) order the former row_number
       // window used, without sorting the whole candidate frame
-      val best = scored.groupBy("node")
+      // parity gate: half the nodes move per pass (kills oscillation)
+      val gate = pmod(col("node"), lit(2)) === lit(pass % 2)
+      // the moved count rides the checkpoint materialization as an
+      // observed metric — one job per pass instead of two (r15 opt
+      // round: the separate filter+count job was ~0.1-0.2 s x 8 passes)
+      val bestObs = scored.groupBy("node")
         .agg(min(struct((-col("score")).as("ns"), col("cand"))).as("sel"),
           max(col("comm")).as("comm"), max(col("deg")).as("deg"))
         .select(col("node"), col("sel.cand").as("cand"), col("comm"),
           col("deg"))
-        .localCheckpoint()
-      // parity gate: half the nodes move per pass (kills oscillation)
-      val gate = pmod(col("node"), lit(2)) === lit(pass % 2)
-      val moved = best.filter(gate && col("cand") =!= col("comm")).count()
+        .observe("louvain_moved", sum(when(gate &&
+          col("cand") =!= col("comm"), 1L).otherwise(0L)).as("moved"))
+      val best = bestObs.localCheckpoint()
+      val moved = observed(bestObs, "louvain_moved", "moved")
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
       totalMoves += moved
       // the gate alternates parity, so only TWO consecutive still passes
       // prove both halves are settled

@@ -534,21 +534,24 @@ object Iterative {
       .join(c.withColumnRenamed("node", "dst")
         .withColumnRenamed("community", "c_dst"), Seq("dst"))
       .localCheckpoint()
-    val intra = e.filter(col("c_src") === col("c_dst"))
-      .groupBy(col("c_src").as("community"))
-      .agg(sum("weight").as("e_c"))
-    val outDeg = e.groupBy(col("c_src").as("community"))
-      .agg(sum("weight").as("out_c"))
-    val inDeg = e.groupBy(col("c_dst").as("community"))
+    // e_c rides the out_c aggregate (one grouped pass over e instead of
+    // two), and m = Σ out_c is computed in-plan from the C-row aggregate
+    // and attached by a 1-row broadcast cross join — the whole score is
+    // ONE action over two scans of the checkpointed frame instead of a
+    // separate m job plus a three-way join (r15 opt round). All inputs
+    // are integer-valued weight sums, so m is exact and order-free.
+    val bySrc = e.groupBy(col("c_src").as("community"))
+      .agg(sum("weight").as("out_c"),
+        sum(when(col("c_src") === col("c_dst"), col("weight"))).as("e_c"))
+    val byDst = e.groupBy(col("c_dst").as("community"))
       .agg(sum("weight").as("in_c"))
-    // Σ out_c = total weight — no separate full-scan job for m
-    val m = outDeg.agg(sum("out_c")).head().getDouble(0)
-    outDeg.join(inDeg, Seq("community"), "full")
-      .join(intra, Seq("community"), "left")
+    val mFrame = bySrc.agg(sum("out_c").as("m"))
+    bySrc.join(byDst, Seq("community"), "full")
+      .crossJoin(broadcast(mFrame))
       .select(
-        (coalesce(col("e_c"), lit(0.0)) / m -
+        (coalesce(col("e_c"), lit(0.0)) / col("m") -
           (coalesce(col("out_c"), lit(0.0)) * coalesce(col("in_c"), lit(0.0)))
-            / (m * m)).as("q"))
+            / (col("m") * col("m"))).as("q"))
       .agg(r6(sum("q")).as("modularity"))
   }
 }
