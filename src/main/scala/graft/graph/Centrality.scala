@@ -5,6 +5,8 @@ import org.apache.spark.graphx.lib.ShortestPaths
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.core.Hints
+
 /** Centrality (SURVEY §2.C C17 betweenness, C18 closeness) — closed-source
   * kernels in the reference (`BetweennessRunner.scala:84-99`,
   * `ClosenessRunner.scala:102-110`); re-derived: sampled Brandes (2001)
@@ -94,6 +96,15 @@ object Centrality {
     // scans on a high-diameter graph; flagged in round 3)
     var frames = Vector(sources.map(s => (s, s, 0, 1.0))
       .toDF("s", "node", "dist", "sigma").localCheckpoint())
+    // per-level row counts ride each level's checkpoint materialization
+    // as observed metrics (string-form observe — see Community.observed
+    // for why not an Observation handle): they replace the former
+    // limit(1).count() emptiness job AND size-gate the backward pass's
+    // delta-side broadcast hints
+    var counts = Vector(sources.size.toLong)
+    def observedN(df: DataFrame): Long =
+      Option(df.queryExecution.observedMetrics("n").getAs[Any](0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
     var frontier = frames.head
     var seen = frontier.select(col("s"), col("node").as("dst"))
       .localCheckpoint()
@@ -101,7 +112,7 @@ object Centrality {
     var more = frontier.limit(1).count() > 0
     while (more) {
       level += 1
-      val next = frontier
+      val nextObs = frontier
         .join(e, frontier("node") === e("src"))
         .select(col("s"), col("dst"), col("sigma"))
         .join(seen, Seq("s", "dst"), "left_anti")
@@ -109,9 +120,11 @@ object Centrality {
         .agg(sum("sigma").as("sigma"))
         .select(col("s"), col("dst").as("node"), lit(level).as("dist"),
           col("sigma"))
-        .localCheckpoint()
-      if (next.limit(1).count() > 0) {
+        .observe("n", count(lit(1)))
+      val next = nextObs.localCheckpoint()
+      if (observedN(nextObs) > 0) {
         frames :+= next
+        counts :+= observedN(nextObs)
         frontier = next
         seen = seen
           .unionByName(next.select(col("s"), col("node").as("dst")))
@@ -127,20 +140,38 @@ object Centrality {
       frames(maxLevel).withColumn("delta", lit(0.0)).localCheckpoint())
     var d = maxLevel - 1
     while (d >= 0) {
+      // the per-successor term (1+δ_w)/σ_w depends only on w, so the
+      // edge messages aggregate BEFORE the cur join (guide §2.3 —
+      // aggregate before you shuffle): one e-join per level instead of
+      // the former cur⋈e⋈delta double join, with σ_v attached to the
+      // already-aggregated (s, node) frame by a small join afterwards.
+      // A level-(d+1) neighbor of a level-d node is a successor by BFS
+      // structure, so the inner-join-with-cur keeps exactly the succ(v)
+      // sums; groups from non-level-d predecessors drop with the left
+      // join, never polluting kept values. δ_v = σ_v · Σ t_w reshapes
+      // the float arithmetic (was Σ σ_v/σ_w·(1+δ_w)) — ratified by the
+      // r6-rounded oracle hash at sf0.001/sf0.01 and the fuzz grid.
+      // the delta side carries the broadcast hint (size-gated on the
+      // observed level count): with it built, e streams straight off its
+      // src-partitioned cache and the (s, src) aggregate inherits that
+      // distribution — zero exchange in the heavy path. Un-hinted, the
+      // planner built e as the broadcast side instead and re-collected
+      // all of e to the driver EVERY level (probed: wall 8.5-9.4 vs
+      // 7.2-8.2 s hinted at sf0.1). Past the gate AQE plans the join
+      // from runtime stats.
       val wNodes = deltas(d + 1)
         .select(col("s").as("ws"), col("node").as("w"),
-          col("sigma").as("sigma_w"), col("delta").as("delta_w"))
+          ((lit(1.0) + col("delta")) / col("sigma")).as("tw"))
+      val msg = e
+        .join(Hints.broadcastIfSmall(wNodes, counts(d + 1)),
+          e("dst") === wNodes("w"))
+        .groupBy(col("ws").as("s"), col("src").as("node"))
+        .agg(sum("tw").as("tsum"))
       val cur = frames(d)
-      val contrib = cur
-        .join(e, cur("node") === e("src"))
-        .join(wNodes, e("dst") === wNodes("w") && cur("s") === wNodes("ws"))
-        .groupBy(cur("s"), cur("node"))
-        .agg(sum(col("sigma") / col("sigma_w") * (lit(1.0) + col("delta_w")))
-          .as("dnew"))
       deltas = deltas.updated(d,
-        cur.join(contrib, Seq("s", "node"), "left")
+        cur.join(msg, Seq("s", "node"), "left")
           .select(col("s"), col("node"), col("dist"), col("sigma"),
-            coalesce(col("dnew"), lit(0.0)).as("delta"))
+            coalesce(col("sigma") * col("tsum"), lit(0.0)).as("delta"))
           .localCheckpoint())
       d -= 1
     }
