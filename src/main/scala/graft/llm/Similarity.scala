@@ -1024,11 +1024,17 @@ object Similarity {
     * layout) capped at ~256 vectors per centroid. Driver state is the
     * k×dim center table (~2 MB at the 4,096 cap) — never corpus-sized. */
   private[graft] def lloydCentersJoin(emb: DataFrame, k: Int,
-      iters: Int): Array[Array[Double]] = {
+      iters: Int, nKnown: Long = -1L): Array[Array[Double]] = {
     val spark = emb.sparkSession
     import spark.implicits._
     def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
-    val n = emb.count()
+    // nKnown must be emb's EXACT row count when passed (it sizes the
+    // hash-systematic training subsample — an approximate count could
+    // change the sample and therefore the trained centers); callers in
+    // the residual-index family know it because every residual frame is
+    // one row per corpus vector (r15 opt round: each skipped count was
+    // a full scan job of a checkpointed array frame)
+    val n = if (nKnown >= 0) nKnown else emb.count()
     val m = math.max(1L, n / (256L * k))
     val train =
       (if (m > 1) emb.filter(xxhash64(col("vec_id")) % m === 0) else emb)
@@ -1111,16 +1117,16 @@ object Similarity {
     * guard as [[ivfIndex]]. Everything is rounded-distance/id-tiebreak
     * deterministic, so the whole two-level build is engine-replicable. */
   def ivfResidualIndex(corpus: DataFrame, nlist: Int = 0, nsplit: Int = 0,
-      iters: Int = 5): (DataFrame, DataFrame, DataFrame) = {
+      iters: Int = 5, nKnown: Long = -1L): (DataFrame, DataFrame, DataFrame) = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val n = corpus.count()
+    val n = if (nKnown >= 0) nKnown else corpus.count()
     val k1 = if (nlist > 0) nlist else adaptiveNlist(n)
     val k2 = if (nsplit > 0) nsplit else adaptiveNsplit(n)
     val c1 =
       if (k1 <= 64)
         graft.ml.Unsupervised.lloydCenters(spark, corpus, k1, iters)._1
-      else lloydCentersJoin(corpus, k1, iters)
+      else lloydCentersJoin(corpus, k1, iters, n)
     val cents1 = broadcast(c1.zipWithIndex.toSeq
       .map { case (c, i) => (i.toLong, c.toSeq) }.toDF("cid", "cv"))
     val d6i = floor(euclidExpr(spark, "ce", "cv") * 1e6 + 0.5).cast("long")
@@ -1129,7 +1135,11 @@ object Similarity {
     // otherwise run it on a few cores
     val spread =
       if (n * k1.toLong > 4000000L) Dedup.fanOut(corpus) else corpus
-    val coarse = spread
+    // ONE checkpoint carries the assignment AND the residual against the
+    // assigned coarse center (doubles end to end) — the residual used to
+    // be a second materialization pass re-reading the coarse checkpoint
+    // (r15 opt round; identical zip_with arithmetic, same inputs)
+    val coarseR = spread
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
       .join(cents1)
       .groupBy("neighbor_id")
@@ -1138,14 +1148,17 @@ object Similarity {
       .join(corpus.select(col("vec_id").as("neighbor_id"),
         col("embedding").as("ce")), Seq("neighbor_id"))
       .select(col("neighbor_id"), col("ce"), unpackId(col("mp")).as("cell"))
-      .localCheckpoint()
-    // residuals against the assigned coarse center (doubles end to end)
-    val resid = coarse.join(cents1, col("cell") === col("cid"))
-      .select(col("neighbor_id").as("vec_id"),
+      .join(cents1, col("cell") === col("cid"))
+      .select(col("neighbor_id"), col("ce"), col("cell"),
         zip_with(transform(col("ce"), v => v.cast("double")), col("cv"),
-          (x, c) => x - c).as("embedding"))
+          (x, c) => x - c).as("resid"))
       .localCheckpoint()
-    val c2 = lloydCentersJoin(resid, k2, iters)
+    val coarse = coarseR.select(col("neighbor_id"), col("ce"), col("cell"))
+    val resid = coarseR.select(col("neighbor_id").as("vec_id"),
+      col("resid").as("embedding"))
+    // resid is one row per corpus vector, so its count is n — pass it
+    // through instead of re-scanning the checkpoint
+    val c2 = lloydCentersJoin(resid, k2, iters, n)
     val cents2 = broadcast(c2.zipWithIndex.toSeq
       .map { case (c, i) => (i.toLong, c.toSeq) }.toDF("sid", "sv"))
     val rd6i =
@@ -1331,8 +1344,11 @@ object Similarity {
   def ivfResidual3Index(corpus: DataFrame, nlist: Int = 0,
       nsplit: Int = 0, nsplit3: Int = 0, iters: Int = 5)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val (c1, c2, a2) = ivfResidualIndex(corpus, nlist, nsplit, iters)
-    ivfResidual3IndexFrom(corpus, c1, c2, a2, nsplit3, iters)
+    // count once; both the two-level prefix and the third-level trainer
+    // need it (one row per corpus vector at every level)
+    val n = corpus.count()
+    val (c1, c2, a2) = ivfResidualIndex(corpus, nlist, nsplit, iters, n)
+    ivfResidual3IndexFrom(corpus, c1, c2, a2, nsplit3, iters, n)
   }
 
   /** [[ivfResidual3Index]] continued from an ALREADY-BUILT two-level
@@ -1343,11 +1359,13 @@ object Similarity {
     * shared prefix once instead of twice (r14 opt round). `corpus` is
     * only consulted for its count when `nsplit3 = 0` (adaptive). */
   def ivfResidual3IndexFrom(corpus: DataFrame, c1: DataFrame,
-      c2: DataFrame, a2: DataFrame, nsplit3: Int = 0, iters: Int = 5)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+      c2: DataFrame, a2: DataFrame, nsplit3: Int = 0, iters: Int = 5,
+      nKnown: Long = -1L): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val k3 = if (nsplit3 > 0) nsplit3 else adaptiveNsplit3(corpus.count())
+    val n = if (nKnown >= 0) nKnown
+      else if (nsplit3 > 0) -1L else corpus.count()
+    val k3 = if (nsplit3 > 0) nsplit3 else adaptiveNsplit3(n)
     // level-2 residuals against BOTH assigned centers (doubles end to
     // end), rebuilt from the level-2 assignment — never materialized
     // per (cell, sub) pair
@@ -1362,7 +1380,9 @@ object Similarity {
             col("cv"), (x, c) => x - c),
           col("sv"), (r, s) => r - s).as("embedding"))
       .localCheckpoint()
-    val cents3 = broadcast(lloydCentersJoin(r2, k3, iters)
+    // r2 is one row per corpus vector: pass n when known so the trainer
+    // skips its own full-scan count of the checkpointed array frame
+    val cents3 = broadcast(lloydCentersJoin(r2, k3, iters, n)
       .zipWithIndex.toSeq
       .map { case (c, i) => (i.toLong, c.toSeq) }.toDF("tid", "tv"))
     val td6i =
@@ -1568,7 +1588,7 @@ object Similarity {
     val spark = emb.sparkSession
     import spark.implicits._
     val n = if (nKnown >= 0) nKnown else emb.count()
-    val c1 = lloydCentersJoin(emb, k1, iters)
+    val c1 = lloydCentersJoin(emb, k1, iters, n)
     val cents1 = broadcast(c1.zipWithIndex.toSeq
       .map { case (c, i) => (i.toLong, c.toSeq) }.toDF("cid", "cv"))
     val d6i = floor(euclidExpr(spark, "ce", "cv") * 1e6 + 0.5).cast("long")
