@@ -79,23 +79,58 @@ object Motifs {
   def maximalCliques(spark: SparkSession, edges: DataFrame, minK: Int = 3,
       maxDegree: Int = 256): DataFrame = {
     import spark.implicits._
+    // materialized once: the old lazy form re-derived the undirected
+    // frame (a full edge-derivation pass) for each of its 3-4 consumers
     val und = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst"), col("src")))
       .filter(col("src") =!= col("dst")).distinct()
-    val fwd = und.filter(col("dst") > col("src")).localCheckpoint()
-    val degs = und.groupBy("src").agg(count(lit(1)).as("d"))
-      .filter(col("d") <= maxDegree)
-    // full adjacency, hub-capped
-    val nbr = und.join(degs.select("src"), Seq("src"))
+      .localCheckpoint()
+    val fwd = und.filter(col("dst") > col("src"))
+    val degsAll = und.groupBy("src").agg(count(lit(1)).as("d"))
+    val okOwner = degsAll.filter(col("d") <= maxDegree).select("src")
+    // full adjacency, hub-capped (owners only)
+    val nbr = und.join(okOwner, Seq("src"))
       .select(col("src").as("v"), col("dst").as("n"))
-    // egonet edges of v: (a, b) with a, b ∈ N(v), a < b, (a,b) an edge
-    val egoEdges = nbr.alias("x").join(nbr.alias("y"), Seq("v"))
-      .select(col("v"), col("x.n").as("a"), col("y.n").as("b"))
+    // Egonet edges of v — (a, b) with a, b ∈ N(v), a < b, (a,b) an edge
+    // — built per EDGE, not per neighbor pair (r15 opt round): the old
+    // wedge self-join enumerated Σ_v d_v² candidate pairs and shuffled
+    // them all into a join against fwd; owners of an edge are just
+    // N(a) ∩ N(b), so with sorted adjacency arrays the work is
+    // Σ_edges (d_a + d_b) and only REAL egonet edges materialize
+    // (probed at sf0.1: 8.5-11.4 -> 4.9-7.4 s, identical rows).
+    // Arrays exist only for endpoints at or under maxDegree — the
+    // O(hub²) exposure the cap exists to prevent — and edges touching
+    // a hub go through tier 2: pair enumeration restricted to owners'
+    // hub neighbors, bounded by (hub neighbors of v) · d_v with
+    // d_v ≤ maxDegree.
+    val arr = und.join(okOwner, Seq("src"))
+      .groupBy("src").agg(array_sort(collect_set(col("dst"))).as("na"))
+      .localCheckpoint()
+    val t1 = fwd
+      .join(arr.select(col("src"), col("na").as("naA")), Seq("src"))
+      .join(arr.select(col("src").as("dst"), col("na").as("naB")), Seq("dst"))
+      .select(col("src").as("a"), col("dst").as("b"),
+        explode(array_intersect(col("naA"), col("naB"))).as("v"))
+      .join(okOwner.select(col("src").as("v")), Seq("v"))
+      .select(col("v"), col("a"), col("b"))
+    val hubs = degsAll.filter(col("d") > maxDegree).select(col("src").as("h"))
+    val nbrHub = nbr.join(hubs, nbr("n") === hubs("h"))
+      .select(col("v"), col("n"))
+    val fwdHub = fwd.join(hubs,
+      fwd("src") === hubs("h") || fwd("dst") === hubs("h"), "left_semi")
+    // least/greatest canonicalization double-counts a both-hubs pair
+    // (it enumerates from each end) — distinct() restores edge identity
+    val t2 = nbrHub.alias("x").join(nbr.alias("y"), Seq("v"))
+      .select(col("v"), least(col("x.n"), col("y.n")).as("a"),
+        greatest(col("x.n"), col("y.n")).as("b"))
       .filter(col("a") < col("b"))
-      .join(fwd.select(col("src").as("a"), col("dst").as("b"),
-        lit(1).as("is_edge")), Seq("a", "b"), "left")
+      .distinct()
+      .join(fwdHub.select(col("src").as("a"), col("dst").as("b")),
+        Seq("a", "b"), "left_semi")
+      .select(col("v"), col("a"), col("b"))
+    val egoEdges = t1.unionByName(t2)
     val grouped = nbr.groupBy("v").agg(collect_set("n").as("nodes"))
-      .join(egoEdges.filter(col("is_edge") === 1)
+      .join(egoEdges
         .groupBy("v").agg(collect_list(struct(col("a"), col("b"))).as("es")),
         Seq("v"), "left")
     val cliques = grouped.as[(Long, Seq[Long], Seq[(Long, Long)])]

@@ -111,6 +111,31 @@ class GraphBSpec extends AnyFunSuite {
     assert(mc == Set(Seq(1L, 2L, 3L, 4L), Seq(4L, 5L, 6L)))
   }
 
+  test("maximal cliques: hub-incident egonet edges found past the degree cap") {
+    // K4 {1,2,3,4} where node 4 is pushed over maxDegree=4 by leaves:
+    // 4 owns no egonet (capped out), but owners 1..3 still need their
+    // hub-incident egonet edges (2,4)/(3,4)/(1,4) — the tier-2 path of
+    // the r15 per-edge intersect rebuild. Non-hub edges like (2,3) go
+    // through the tier-1 array_intersect path in the same run.
+    val leaves = (10L to 15L).map(l => (4L, l))
+    val hubK4 = (Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)) ++ leaves)
+      .map { case (a, b) => (a, b, 1.0) }.toDF("src", "dst", "weight")
+    val mc = Motifs.maximalCliques(spark, hubK4, minK = 3, maxDegree = 4)
+      .collect().map(_.getSeq[Long](0).toSeq).toSet
+    // owner 1 (deg 3) assembles K4 from one tier-1 edge + hub edges
+    assert(mc == Set(Seq(1L, 2L, 3L, 4L)))
+    // both-hubs pair: two adjacent hubs inside a triangle with a
+    // low-degree owner — the canonicalized tier-2 pair must not
+    // double-emit or get lost
+    val twoHubs = (Seq((1L, 2L), (1L, 3L), (2L, 3L)) ++
+      (20L to 26L).map(l => (2L, l)) ++ (30L to 36L).map(l => (3L, l)))
+      .map { case (a, b) => (a, b, 1.0) }.toDF("src", "dst", "weight")
+    val mc2 = Motifs.maximalCliques(spark, twoHubs, minK = 3, maxDegree = 4)
+      .collect().map(_.getSeq[Long](0).toSeq).toSet
+    assert(mc2 == Set(Seq(1L, 2L, 3L)))
+  }
+
   test("subgraph matching: ordered triangle count = 6 per triangle") {
     val und = twoTriangles
     val sym = und.union(und.select($"dst".as("src"), $"src".as("dst"), $"weight"))
