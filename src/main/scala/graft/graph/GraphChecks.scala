@@ -39,7 +39,12 @@ object GraphChecks {
     val nVerts = edges.select(col("src").as("v"))
       .union(edges.select(col("dst"))).distinct().count()
     // one aggregate per side instead of a count job + a distinct-count
-    // job each (exact countDistinct — same integers, half the actions)
+    // job each (exact countDistinct — same integers, half the actions).
+    // Non-null invariant (r14 advice #1): countDistinct ignores NULLs
+    // where the former distinct().count() counted one — safe here
+    // because neither side can produce a null label: the async side is
+    // GraphX vertex attrs seeded from vertex ids, the sync side's loop
+    // state is built from non-null longs and checkpointed each round.
     def rowAndLabelCounts(df: DataFrame): (Long, Double) = {
       val r = df.agg(count(lit(1)), countDistinct(col("label"))).head()
       (r.getLong(0), r.getLong(1).toDouble)

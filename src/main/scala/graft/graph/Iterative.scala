@@ -362,6 +362,12 @@ object Iterative {
     // order — the 1e-6-rounded fixpoint is summation-order-stable (the
     // r14 opt round verified the wide form bit-identical vs the long
     // form at sf0.001/0.01/0.1 and across the fuzz grid).
+    // the wide form aggregates r0 unconditionally and unpivots via
+    // stack(k, ...), both of which throw AnalysisException at k = 0 —
+    // reachable through smallestNodes on an empty edge frame, where the
+    // former long form returned an empty frame (r14 advice #2)
+    require(sources.nonEmpty,
+      "parallelPersonalizedPageRankSync needs at least one source")
     val k = sources.size
     def rc(i: Int) = col(s"r$i")
     val ne = edges.select(col("src"), col("dst"))
